@@ -3,36 +3,119 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Every key maps to a SURVEY.md §2 inventory row (noted per entry).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from photo_vector_search_spark.operators.knn import (
+    fetch_query_vector,
+    knn_batch,
+    knn_topk,
+)
+from photo_vector_search_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# helpers
+
+_FLAGSHIP_VEC_ID = 0
+_FLAGSHIP_K = 5
+
+
+def _q_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 rows SC6+P1+F1+W1 — the reference's `store.search`
+    (photo_vector_search.py:156-193): exact cosine top-k, no filter."""
+    vec = fetch_query_vector(spark, sf_dir, _FLAGSHIP_VEC_ID)
+    return knn_topk(load_table(spark, sf_dir, "embeddings"), vec, k=_FLAGSHIP_K)
+
+
+def _q_knn_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 row P2 — pre-filtered search (photo_vector_search.py:173-176),
+    `label` standing in for `aspect_name`."""
+    vec = fetch_query_vector(spark, sf_dir, _FLAGSHIP_VEC_ID)
+    return knn_topk(load_table(spark, sf_dir, "embeddings"), vec, k=_FLAGSHIP_K, label=5)
+
+
+def _q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 rows J1+W1 — batched similarity join, per-query top-3
+    (reference single-query search is the |Q|=1 case)."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return knn_batch(emb, queries, k=3)
+
+
+_ORACLE_KNN = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {vec_id}),
+scored AS (
+  SELECT vec_id, label,
+         1.0 - list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)) AS d
+  FROM embeddings
+  {where}
+)
+SELECT vec_id, label, round(d, 6) AS dist
+FROM scored
+ORDER BY d ASC, vec_id ASC
+LIMIT {k}
+"""
+
+_ORACLE_KNN_BATCH = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8
+),
+scored AS (
+  SELECT q.query_id, e.vec_id, e.label,
+         1.0 - list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS d
+  FROM embeddings e CROSS JOIN q
+),
+ranked AS (
+  SELECT query_id, vec_id, label, d,
+         row_number() OVER (PARTITION BY query_id ORDER BY d ASC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, label, round(d, 6) AS dist, rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    Exact filtered cosine top-k over `embeddings` — the Spark-native form of the
+    reference's `search-photos-by-text` path (SURVEY §3.2)."""
+    return _q_knn_topk(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "knn_topk": _q_knn_topk,
+        "knn_topk_filtered": _q_knn_topk_filtered,
+        "knn_batch": _q_knn_batch,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "knn_topk": _ORACLE_KNN.format(vec_id=_FLAGSHIP_VEC_ID, k=_FLAGSHIP_K, where=""),
+        "knn_topk_filtered": _ORACLE_KNN.format(
+            vec_id=_FLAGSHIP_VEC_ID, k=_FLAGSHIP_K, where="WHERE label = 5"
+        ),
+        "knn_batch": _ORACLE_KNN_BATCH,
+    }

@@ -1,0 +1,155 @@
+"""Exact filtered cosine top-k retrieval — the reference's core query
+(photo_vector_search.py:156-193, `store.search`).
+
+Reference semantics reproduced:
+- optional metadata equality pre-filter applied BEFORE distance work, mirroring
+  Chroma's pre-filtered ANN (photo_vector_search.py:173-176) — in the DataFrame plan
+  this puts the filter under the distance projection, and Catalyst pushes it into the
+  Parquet scan (check ``PushedFilters`` in .explain).
+- ascending-distance order, top ``n_results=k`` (photo_vector_search.py:168-176);
+  ties broken by key for determinism (the oracle needs a total order).
+- result carries (key, facet, distance) like the reference's
+  ``(photo_path, aspect, distance, description)`` tuple (photo_vector_search.py:180-193).
+
+Physical plan notes (what .explain should show, and why it scales):
+- ``knn_topk``: scan (+ pushed filter) → project distance → TakeOrderedAndProject.
+  No data shuffle: each partition keeps a local top-k, the driver merges
+  k·num_partitions rows. At 100 TB this is a single map stage + tiny reduce.
+- ``knn_batch``: broadcast the (small) query side, cross-join, per-query rank via a
+  Window on query_id. Pure-SQL, oracle-parity path; the shuffle carries N·Q narrow
+  rows, fine for modest Q·N.
+- ``knn_batch_fast``: the scale path — mapInPandas computes a NumPy matmul of each
+  Arrow batch against the whole query matrix and keeps only that batch's top-k per
+  query (map-side reduction, no shuffle of the N·Q pairs), then one tiny window
+  over ≤ batches·Q·k survivors. This is the plan that survives 100×: shuffle volume
+  is independent of N.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from photo_vector_search_spark.functions.vector import (
+    cosine_distance,
+    cosine_distance_to_query,
+    make_pandas_cosine_distance_udf,
+)
+from photo_vector_search_spark.sources.tables import load_table
+
+
+def fetch_query_vector(spark: SparkSession, sf_dir: str, vec_id: int) -> list[float]:
+    """Look up one stored embedding to use as the query vector (FIXTURES.md: query
+    vectors are taken from the table itself so Spark and the oracle see identical
+    inputs). A 1-row point lookup, not a data loop."""
+    row = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == vec_id)
+        .select("embedding")
+        .first()
+    )
+    if row is None:
+        raise KeyError(f"vec_id {vec_id} not found in {sf_dir}/embeddings.parquet")
+    return list(row[0])
+
+
+def knn_topk(
+    embeddings: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 5,
+    label: int | None = None,
+    fast: bool = False,
+) -> DataFrame:
+    """Exact top-k by ascending cosine distance, optional equality pre-filter.
+
+    ``fast=True`` swaps the codegen SQL distance expression for the NumPy-matmul
+    pandas UDF (same results modulo ~1e-12; the SQL path is the oracle-parity path).
+    Output: (vec_id, label, dist) with dist rounded to 6dp, ordered by (dist, vec_id).
+    """
+    df = embeddings
+    if label is not None:
+        df = df.filter(F.col("label") == label)  # pre-filter BEFORE distance (P2)
+    if fast:
+        dist = make_pandas_cosine_distance_udf(query_vec)(F.col("embedding"))
+    else:
+        dist = cosine_distance_to_query(F.col("embedding"), query_vec)
+    return (
+        df.select("vec_id", "label", dist.alias("_dist"))
+        .orderBy(F.col("_dist").asc(), F.col("vec_id").asc())  # TakeOrderedAndProject
+        .limit(k)
+        .select("vec_id", "label", F.round("_dist", 6).alias("dist"))
+    )
+
+
+def knn_batch(embeddings: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
+    """Per-query exact top-k, pure-DataFrame formulation (oracle-parity path).
+
+    The reference's single-query search is the |Q|=1 case (SURVEY §2.3 J1); batching
+    is the engine's native form. ``queries`` needs columns (query_id, query_vec).
+    Output: (query_id, vec_id, label, dist, rank).
+    """
+    q = F.broadcast(queries.select("query_id", "query_vec"))
+    pairs = embeddings.crossJoin(q).select(
+        "query_id",
+        "vec_id",
+        "label",
+        cosine_distance(F.col("embedding"), F.col("query_vec")).alias("_dist"),
+    )
+    win = Window.partitionBy("query_id").orderBy(F.col("_dist").asc(), F.col("vec_id").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "label", F.round("_dist", 6).alias("dist"), "rank")
+    )
+
+
+def knn_batch_fast(embeddings: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
+    """Per-query exact top-k, scale path: map-side matmul + per-batch top-k.
+
+    Same results as ``knn_batch`` (double-precision matmul, identical tie-break);
+    shuffle volume O(batches·Q·k) instead of O(N·Q).
+    """
+    qrows = queries.select("query_id", "query_vec").collect()  # small, broadcast below
+    qids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
+    qmat = np.vstack([np.asarray(r["query_vec"], dtype=np.float64) for r in qrows])
+    qnorm = np.linalg.norm(qmat, axis=1)
+    sc = embeddings.sparkSession.sparkContext
+    bq = sc.broadcast((qids, qmat, qnorm))
+
+    out_schema = "query_id long, vec_id long, label int, _dist double"
+
+    def _topk_per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, mat, nrm = bq.value
+        nq = len(ids)
+        for pdf in batches:
+            m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64, copy=False)
+            dn = np.linalg.norm(m, axis=1)
+            # (rows, nq) distance matrix in one BLAS call
+            dist = 1.0 - (m @ qmat.T) / np.outer(dn, nrm)
+            kk = min(k, len(pdf))
+            # per-query partial top-k within this Arrow batch
+            idx = np.argpartition(dist, kk - 1, axis=0)[:kk, :]  # (kk, nq)
+            rows = idx.ravel(order="F")
+            qcol = np.repeat(ids, kk)
+            yield pd.DataFrame(
+                {
+                    "query_id": qcol,
+                    "vec_id": pdf["vec_id"].to_numpy()[rows],
+                    "label": pdf["label"].to_numpy()[rows],
+                    "_dist": dist[rows, np.repeat(np.arange(nq), kk)],
+                }
+            )
+
+    survivors = embeddings.select("vec_id", "label", "embedding").mapInPandas(
+        _topk_per_batch, schema=out_schema
+    )
+    win = Window.partitionBy("query_id").orderBy(F.col("_dist").asc(), F.col("vec_id").asc())
+    return (
+        survivors.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "label", F.round("_dist", 6).alias("dist"), "rank")
+    )

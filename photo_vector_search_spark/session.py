@@ -1,0 +1,41 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]`` (default all cores); the same
+configuration keys are the ones that matter on a real cluster:
+
+- AQE on (runtime broadcast conversion, skew-join splitting, partition coalescing).
+- Arrow on for pandas-UDF exchange; ``maxRecordsPerBatch`` bounds UDF batch memory
+  (the reference's analogue is its ≤1024px image downscale bound,
+  photo_vector_search.py:53-54 — bound work per unit *before* the expensive operator).
+- ``spark.sql.shuffle.partitions`` sized to the test box; at 100 TB you would size this
+  to ~2-3× total executor cores or simply let AQE coalesce from a high initial value.
+- Session timezone pinned to UTC so timestamp results are reproducible against the
+  DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "photo-vector-search-spark",
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )

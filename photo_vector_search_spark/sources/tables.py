@@ -1,0 +1,43 @@
+"""Fixture-table loaders (see FIXTURES.md for verified schemas).
+
+The driver's synthetic tables at /root/testdata/sf*/ stand in for the reference's data:
+``embeddings`` plays the ChromaDB collection (photo_vector_search.py:17-20) with
+``label`` as the ``aspect_name`` facet; ``documents`` plays the Ollama-generated
+description corpus (photo_vector_search.py:42-82).
+
+Plain ``spark.read.parquet`` — Catalyst handles predicate pushdown / column pruning /
+partition pruning on these scans, so loaders stay dumb on purpose.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view so ``spark.sql`` can be used."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
