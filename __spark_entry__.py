@@ -23,6 +23,7 @@ from photo_vector_search_spark.operators.knn import (
     knn_batch,
     knn_topk,
 )
+from photo_vector_search_spark.plans import relational, store_queries
 from photo_vector_search_spark.sources.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -104,18 +105,24 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "knn_topk": _q_knn_topk,
         "knn_topk_filtered": _q_knn_topk_filtered,
         "knn_batch": _q_knn_batch,
     }
+    out.update(store_queries.QUERIES)
+    out.update(relational.QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out: dict[str, str] = {
         "knn_topk": _ORACLE_KNN.format(vec_id=_FLAGSHIP_VEC_ID, k=_FLAGSHIP_K, where=""),
         "knn_topk_filtered": _ORACLE_KNN.format(
             vec_id=_FLAGSHIP_VEC_ID, k=_FLAGSHIP_K, where="WHERE label = 5"
         ),
         "knn_batch": _ORACLE_KNN_BATCH,
     }
+    out.update(store_queries.ORACLES)
+    out.update(relational.ORACLES)
+    return out

@@ -1,0 +1,297 @@
+"""Relational scaffolding queries: TPC-H-style joins/aggregations plus event-time
+and JSON operators over the `events` table (SURVEY §2.3 note, §2.9 S1, FIXTURES.md).
+
+The reference has no relational joins (SURVEY §2.3) — these exercise the engine
+capabilities any Spark deployment of it would also serve, and they are the
+shuffle-heavy part of the bench.
+
+Float-determinism: double addition is order-dependent and Spark's partial
+aggregation order differs from DuckDB's sequential scan, so every SUM over doubles
+is computed over DECIMAL casts (exact, order-free) and only converted back to
+double for the final rounded output. Products stay in double (deterministic
+per-row) and are decimal-cast before summation.
+
+Scale notes:
+- q1: single scan + partial/final hash agg on 4 groups — map-side combine does
+  nearly all the work; shuffle is O(groups × partitions).
+- q3/q5: equi-joins; `region`/`nation` (and `customer` at these SFs) are broadcast
+  — AQE converts at runtime. The lineitem side never shuffles for broadcast joins;
+  the final agg shuffles only the grouped partials.
+- window/top-k per group: one shuffle on the partition key; rows within groups
+  stay in their shuffle partition (no global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from photo_vector_search_spark.sources.tables import load_table
+
+
+def _dsum(col: Column) -> Column:
+    """Exact order-free sum of a double expression: cast each term to decimal."""
+    return F.sum(col.cast("decimal(18,6)"))
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary (adapted to fixture columns)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    n = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(_dsum(F.col("l_quantity")).cast("double"), 2).alias("sum_qty"),
+            F.round(_dsum(F.col("l_extendedprice")).cast("double"), 2).alias("sum_base_price"),
+            F.round(_dsum(disc_price).cast("double"), 4).alias("sum_disc_price"),
+            F.round(_dsum(charge).cast("double"), 4).alias("sum_charge"),
+            F.round(_dsum(F.col("l_quantity")).cast("double") / n, 6).alias("avg_qty"),
+            F.round(_dsum(F.col("l_extendedprice")).cast("double") / n, 6).alias("avg_price"),
+            F.round(_dsum(F.col("l_discount")).cast("double") / n, 6).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+_ORACLE_Q1 = """
+SELECT l_returnflag, l_linestatus,
+  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_qty,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_base_price,
+  round(CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_disc_price,
+  round(CAST(sum(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_charge,
+  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_qty,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_price,
+  round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shipping-priority top-10 (join customer⨝orders⨝lineitem)."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-01-01").cast("timestamp")
+    )
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    )
+    agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev")
+    )
+    return (
+        agg.orderBy(F.col("_rev").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.round(F.col("_rev").cast("double"), 4).alias("revenue"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+    )
+
+
+_ORACLE_Q3 = """
+WITH agg AS (
+  SELECT l_orderkey, o_orderdate, o_orderpriority,
+         sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS _rev
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+    AND l_shipdate > TIMESTAMP '1996-01-01'
+  GROUP BY l_orderkey, o_orderdate, o_orderpriority
+)
+SELECT l_orderkey, round(CAST(_rev AS DOUBLE), 4) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority
+FROM agg ORDER BY _rev DESC, l_orderkey ASC LIMIT 10
+"""
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 local-supplier volume (6-table join, broadcast dims)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev"))
+        .select("n_name", F.round(F.col("_rev").cast("double"), 4).alias("revenue"))
+    )
+
+
+_ORACLE_Q5 = """
+SELECT n_name, round(CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate < TIMESTAMP '1999-01-01'
+GROUP BY n_name
+"""
+
+
+def q_window_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 batched analogue on relational data: top-2 orders per customer by price."""
+    o = load_table(spark, sf_dir, "orders")
+    win = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= 2)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "rank",
+        )
+    )
+
+
+_ORACLE_WINDOW_TOPK = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, rank
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders
+) WHERE rank <= 2
+"""
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/§2.10 — tumbling event-time aggregation (batch form of the streaming
+    windowed agg; same grouping Structured Streaming would produce)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(_dsum(F.col("value")).cast("double"), 4).alias("total_value"),
+        )
+    )
+
+
+_ORACLE_EVENTS_HOURLY = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour, event_type,
+       count(*) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 note — JSON prop extraction (`props` is the MapType escape hatch)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k_val"), "value")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k_val"), 6).alias("avg_k"),
+            F.max("k_val").alias("max_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+_ORACLE_EVENTS_JSON = """
+SELECT event_type,
+       round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k,
+       max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
+       count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-min inactivity gap per user (lag + running sum) — the
+    batch twin of a session window. Summarized per user for a compact result."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    with_flag = ev.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    with_sid = with_flag.withColumn("session_id", F.sum("new_sess").over(w))
+    return (
+        with_sid.groupBy("user_id")
+        .agg(
+            F.max("session_id").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+_ORACLE_EVENTS_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_diff('second', lag(ts) OVER w, ts) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+sess AS (
+  SELECT user_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions, count(*) AS n_events
+FROM sess GROUP BY user_id
+"""
+
+
+QUERIES = {
+    "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
+    "tpch_q5": q_tpch_q5,
+    "window_topk_orders": q_window_topk_orders,
+    "events_hourly": q_events_hourly,
+    "events_json": q_events_json,
+    "events_sessionize": q_events_sessionize,
+}
+
+ORACLES = {
+    "tpch_q1": _ORACLE_Q1,
+    "tpch_q3": _ORACLE_Q3,
+    "tpch_q5": _ORACLE_Q5,
+    "window_topk_orders": _ORACLE_WINDOW_TOPK,
+    "events_hourly": _ORACLE_EVENTS_HOURLY,
+    "events_json": _ORACLE_EVENTS_JSON,
+    "events_sessionize": _ORACLE_EVENTS_SESSIONIZE,
+}

@@ -1,0 +1,147 @@
+"""Declared queries for the reference's CRUD/store surface (SURVEY §2.2, §2.4, §2.6,
+§2.8) over the derived `photo_index` table.
+
+Determinism conventions (FIXTURES.md):
+- no raw float or array columns in outputs — floats rounded after exact
+  (decimal-summed) aggregation, arrays rendered as sorted CSV strings;
+- every computed column aliased identically in Spark and oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from photo_vector_search_spark.operators.store import (
+    delete_by_key,
+    delete_where,
+    merge_upsert,
+    point_lookup,
+    truncate,
+)
+from photo_vector_search_spark.sources.photo_index import PHOTO_INDEX_SQL, build_photo_index
+from photo_vector_search_spark.sources.tables import load_table
+
+_PI = f"WITH photo_index AS ({PHOTO_INDEX_SQL})"
+
+
+def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3/P4 — examine-image: all aspects of one photo (cli.py:166-185)."""
+    store = build_photo_index(spark, sf_dir)
+    return point_lookup(store, "/photos/img_7.jpg").select(
+        "id", "aspect_name", "description", "label"
+    )
+
+
+def q_distinct_photos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 — unique photo list (app.py:52-53)."""
+    return build_photo_index(spark, sf_dir).select("photo_path").distinct()
+
+
+def q_photo_group_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — per-photo aspect reconstruction (cli.py:178-185), CSV-rendered."""
+    return (
+        build_photo_index(spark, sf_dir)
+        .groupBy("photo_path")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_list("aspect_name"))).alias("aspects_csv"),
+            F.count(F.lit(1)).alias("n_aspects"),
+        )
+    )
+
+
+def q_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 — batch last-write-wins upsert end state (photo_vector_search.py:114-154)."""
+    full = build_photo_index(spark, sf_dir)
+    existing = full.select("id", "photo_path", "aspect_name", "description")
+    updates = full.filter(F.col("vec_id") < 25).select(
+        "id",
+        "photo_path",
+        "aspect_name",
+        F.concat(F.lit("UPDATED:"), F.col("id")).alias("description"),
+    )
+    return merge_upsert(existing, updates, ["id"])
+
+
+def q_delete_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1+D2 — per-photo row counts after a keyed delete and a predicate delete
+    (photo_vector_search.py:198-212)."""
+    store = build_photo_index(spark, sf_dir)
+    after_d1 = delete_by_key(store, "/photos/img_3.jpg", "aspect_2")
+    after_d2 = delete_where(after_d1, F.col("photo_path") == "/photos/img_4.jpg")
+    return after_d2.groupBy("photo_path").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+def q_store_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SC7 — truncate keeps schema, drops all rows (cli.py:149)."""
+    return truncate(build_photo_index(spark, sf_dir).select("id", "photo_path"))
+
+
+def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2-F7 scalar surface in one projection (concat key, lower, length, base64,
+    trim, rounded float, basename extraction)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(F.col("doc_id") < 50).select(
+        "doc_id",
+        F.concat_ws("_", F.col("source"), F.col("lang")).alias("key"),
+        F.lower(F.col("source")).alias("source_lc"),
+        F.length(F.col("text")).alias("text_len"),
+        F.base64(F.substring(F.col("text"), 1, 16).cast("binary")).alias("b64_prefix"),
+        F.trim(F.substring(F.col("text"), 1, 20)).alias("trimmed"),
+        F.round(F.col("n_chars").cast("double") / 100, 4).alias("chars_h"),
+        F.element_at(F.split(F.lit("/photos/img_3.jpg"), "/"), -1).alias("basename"),
+    )
+
+
+def q_count_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 — input cardinality (cli.py:43)."""
+    return load_table(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n"))
+
+
+QUERIES = {
+    "point_lookup": q_point_lookup,
+    "distinct_photos": q_distinct_photos,
+    "photo_group_collect": q_photo_group_collect,
+    "upsert_merge": q_upsert_merge,
+    "delete_ops": q_delete_ops,
+    "store_truncate": q_store_truncate,
+    "scalar_funcs": q_scalar_funcs,
+    "count_rows": q_count_rows,
+}
+
+ORACLES = {
+    "point_lookup": f"""{_PI}
+SELECT id, aspect_name, description, label FROM photo_index
+WHERE photo_path = '/photos/img_7.jpg'""",
+    "distinct_photos": f"""{_PI}
+SELECT DISTINCT photo_path FROM photo_index""",
+    "photo_group_collect": f"""{_PI}
+SELECT photo_path,
+       array_to_string(list_sort(list(aspect_name)), ',') AS aspects_csv,
+       count(*) AS n_aspects
+FROM photo_index GROUP BY photo_path""",
+    "upsert_merge": f"""{_PI},
+existing AS (SELECT id, photo_path, aspect_name, description FROM photo_index),
+updates AS (SELECT id, photo_path, aspect_name, 'UPDATED:' || id AS description
+            FROM photo_index WHERE vec_id < 25)
+SELECT e.* FROM existing e ANTI JOIN updates u ON e.id = u.id
+UNION ALL SELECT * FROM updates""",
+    "delete_ops": f"""{_PI}
+SELECT photo_path, count(*) AS n_rows FROM photo_index
+WHERE NOT (photo_path = '/photos/img_3.jpg' AND aspect_name = 'aspect_2')
+  AND NOT (photo_path = '/photos/img_4.jpg')
+GROUP BY photo_path""",
+    "store_truncate": f"""{_PI}
+SELECT id, photo_path FROM photo_index WHERE 1 = 0""",
+    "scalar_funcs": """
+SELECT doc_id,
+       source || '_' || lang AS key,
+       lower(source) AS source_lc,
+       length(text) AS text_len,
+       to_base64(substring(text, 1, 16)::BLOB) AS b64_prefix,
+       trim(substring(text, 1, 20)) AS trimmed,
+       round(CAST(n_chars AS DOUBLE) / 100, 4) AS chars_h,
+       string_split('/photos/img_3.jpg', '/')[-1] AS basename
+FROM documents WHERE doc_id < 50""",
+    "count_rows": "SELECT count(*) AS n FROM lineitem",
+}
