@@ -23,7 +23,7 @@ from photo_vector_search_spark.operators.knn import (
     knn_batch,
     knn_topk,
 )
-from photo_vector_search_spark.plans import relational, store_queries
+from photo_vector_search_spark.plans import relational, store_queries, text_queries
 from photo_vector_search_spark.sources.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     out.update(store_queries.QUERIES)
     out.update(relational.QUERIES)
+    out.update(text_queries.QUERIES)
     return out
 
 
@@ -125,4 +126,5 @@ def oracle_sql() -> dict[str, str]:
     }
     out.update(store_queries.ORACLES)
     out.update(relational.ORACLES)
+    out.update(text_queries.ORACLES)
     return out

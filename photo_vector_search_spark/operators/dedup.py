@@ -1,0 +1,300 @@
+"""Deduplication operators (SURVEY §2.10): exact, n-gram Jaccard, MinHash+LSH,
+SimHash, embedding-cosine near-dup.
+
+Design for 100 TB:
+- Nothing here is O(N²) in the corpus except the tiny embedding fixture's declared
+  exact-pair query. Text near-dup goes shingle → inverted index (join on shingle) or
+  minhash-band buckets (join on band key) — both shuffle keyed, linear-ish in data
+  with bounded per-key fan-out.
+- The common skew hazard is a hot shingle/band shared by thousands of docs
+  (quadratic blow-up inside one key). ``jaccard_pairs`` takes ``max_df`` to drop
+  shingles present in more than a fraction of docs (standard df-pruning — a shingle
+  that common cannot push a pair over any useful τ by itself); AQE skew-join
+  splitting covers the residue.
+- All hash arithmetic is engine-portable (md5-prefix base hash, (a·h+b) mod p with
+  a < 2^30, h < 2^32 so products stay under 2^62 — no int64 overflow in Spark's
+  ANSI mode and no HUGEINT promotion drift in DuckDB), so the DuckDB oracle runs
+  the *same algorithm*, not a brute-force stand-in: even LSH candidate pruning is
+  bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from photo_vector_search_spark.functions.text import (
+    doc_fingerprint,
+    hash32,
+    tokens,
+    word_shingles,
+)
+from photo_vector_search_spark.functions.vector import cosine_similarity
+
+# --------------------------------------------------------------------------- exact
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup by normalized-text fingerprint: each doc mapped to the minimum
+    id sharing its fingerprint (canonical), with the group size.
+
+    groupBy on the fingerprint → map-side partial agg; one shuffle on the hash."""
+    fp = docs.select(F.col(id_col), doc_fingerprint(F.col(text_col)).alias("fp"))
+    win = Window.partitionBy("fp")
+    return fp.select(
+        id_col,
+        "fp",
+        F.min(id_col).over(win).alias("canonical_id"),
+        F.count(F.lit(1)).over(win).alias("group_size"),
+    )
+
+
+# ------------------------------------------------------------------- jaccard pairs
+
+
+def shingle_sets(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) exploded distinct word-n-gram rows."""
+    return docs.select(
+        "doc_id", F.explode(word_shingles(tokens(F.col("text")), n)).alias("shingle")
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame, n: int = 3, tau: float = 0.5, max_df: float | None = None
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs via inverted index.
+
+    |A∩B| from a self-join on shingle; |A|, |B| from per-doc counts;
+    J = |A∩B| / (|A|+|B|-|A∩B|). Output: (doc_a, doc_b, jaccard) for J ≥ tau,
+    doc_a < doc_b, jaccard rounded 6dp.
+
+    ``max_df``: optional document-frequency pruning fraction — shingles appearing
+    in > max_df·N docs are dropped before the pair join (skew guard; changes
+    results only for pairs whose overlap is dominated by ubiquitous shingles,
+    which τ-useful dedup doesn't care about). The declared oracle query runs with
+    max_df=None so Spark and DuckDB agree exactly.
+    """
+    sh = shingle_sets(docs, n)
+    if max_df is not None:
+        n_docs = docs.count()
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df * n_docs)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle")
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))
+    return (
+        common.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .filter(jac >= tau)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# ------------------------------------------------------------------ minhash + LSH
+
+MINHASH_P = 4_294_967_311  # prime > 2^32
+NUM_HASHES = 32
+LSH_BANDS = 16  # 16 bands × 2 rows: P(candidate) = 1-(1-s²)^16 ≈ .99 at s=0.5
+
+
+def minhash_perms(num_hashes: int = NUM_HASHES) -> list[tuple[int, int, int]]:
+    """Deterministic (i, a, b) hash-family constants, a < 2^30 (overflow-safe),
+    derived from a fixed LCG so the Spark plan and the generated oracle SQL share
+    the exact same family."""
+    out = []
+    for i in range(num_hashes):
+        a = (2_654_435_761 * (i + 1)) % ((1 << 30) - 1) | 1
+        b = (40_503 * (i + 1) * (i + 1) + 17) % (1 << 32)
+        out.append((i, a, b))
+    return out
+
+
+def minhash_signatures(
+    docs: DataFrame, n: int = 3, num_hashes: int = NUM_HASHES
+) -> DataFrame:
+    """(doc_id, i, mh): minhash value per doc per hash function.
+
+    Shingle rows × small perm table (broadcast) → min-agg. The agg is map-side
+    combinable, so the shuffle carries ≤ num_hashes rows per doc per partition."""
+    spark = docs.sparkSession
+    perms = spark.createDataFrame(minhash_perms(num_hashes), "i int, a long, b long")
+    sh = shingle_sets(docs, n).select("doc_id", hash32(F.col("shingle")).alias("h"))
+    return (
+        sh.crossJoin(F.broadcast(perms))
+        .groupBy("doc_id", "i")
+        .agg(F.min((F.col("a") * F.col("h") + F.col("b")) % MINHASH_P).alias("mh"))
+    )
+
+
+def lsh_bands(signatures: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
+    """(doc_id, band, band_key): md5 over the band's ordered minhash values."""
+    rows_per_band = NUM_HASHES // bands
+    # integer division (`div`), not double-divide+cast: Spark truncates double→int
+    # but DuckDB rounds, so the oracle twin uses `//` and both stay integral.
+    sig = signatures.withColumn("band", F.expr(f"CAST(i div {rows_per_band} AS INT)"))
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("i", "mh"))), lambda x: x["mh"].cast("string")
+    )
+    return sig.groupBy("doc_id", "band").agg(
+        F.md5(F.concat_ws(",", ordered).cast("binary")).alias("band_key")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, n: int = 3, tau: float = 0.5
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding, verified with exact Jaccard.
+
+    Candidate pairs = docs sharing ≥1 (band, band_key) bucket; each candidate is
+    then exact-verified via the inverted-index intersection restricted to
+    candidates only. Output identical in shape to ``jaccard_pairs`` —
+    (doc_a, doc_b, jaccard ≥ tau) — but the pair join touches only bucket
+    collisions instead of every shared shingle, which is the 100 TB path.
+    """
+    bandsdf = lsh_bands(minhash_signatures(docs, n))
+    l, r = bandsdf.alias("l"), bandsdf.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh = shingle_sets(docs, n)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("s_a"))
+    sb = sh.select(F.col("doc_id").alias("_sb_doc"), F.col("shingle").alias("s_b"))
+    common = (
+        cand.join(sa, "doc_a")
+        .join(sb, (F.col("doc_b") == F.col("_sb_doc")) & (F.col("s_a") == F.col("s_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))
+    return (
+        common.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .filter(jac >= tau)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# ----------------------------------------------------------------------- simhash
+
+SIMHASH_BITS = 32
+
+
+def simhash(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash): 32-bit SimHash over the distinct whitespace token set.
+
+    Token → 32-bit hash; bit b contributes +1 if set else −1; fingerprint bit b is
+    1 iff the sum over tokens is positive. Built entirely from explode + bit ops so
+    the oracle can run it verbatim. rows ≈ docs × tokens × 32 — bounded, map-heavy,
+    one groupBy shuffle on doc_id. (shift amounts are columns, so F.expr — the
+    Python shiftleft/shiftright wrappers take only int literals.)"""
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
+    ).select("doc_id", hash32(F.col("tok")).alias("h"))
+    bits = tok.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"),
+        "h",
+    ).select(
+        "doc_id",
+        "b",
+        F.expr("(shiftright(h, b) & 1) * 2 - 1").alias("c"),
+    )
+    return (
+        bits.groupBy("doc_id", "b")
+        .agg(F.sum("c").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE 0 END")).alias(
+                "simhash"
+            )
+        )
+    )
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Near-dup candidate pairs by SimHash hamming distance ≤ max_hamming.
+
+    Banding on the fingerprint's 4 bytes (pigeonhole: distance ≤ 6 over 32 bits
+    can still differ in every byte, so for the declared semantics we verify ALL
+    pairs sharing ≥1 exact byte — at hamming ≤ 6 with 4 bands of 8 bits a
+    colliding byte is guaranteed only for distance ≤ 3; ≥1-band collision is the
+    standard recall/cost trade). Output: (doc_a, doc_b, hamming)."""
+    fp = simhash(docs)
+    banded = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
+    ).select(
+        "doc_id",
+        "simhash",
+        "band",
+        F.expr("shiftright(simhash, band * 8) & 255").alias("bkey"),
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bkey") == F.col("r.bkey"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.col("l.simhash").alias("sh_a"),
+            F.col("r.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.filter(ham <= max_hamming).select(
+        "doc_a", "doc_b", ham.alias("hamming")
+    )
+
+
+# ------------------------------------------------------------ embedding near-dup
+
+
+def embedding_near_dup_pairs(embeddings: DataFrame, tau: float = 0.45) -> DataFrame:
+    """Exact cosine near-dup pairs (vec_a < vec_b, sim ≥ tau).
+
+    Declared form is the exact O(N²) self-join — correct and oracle-checkable on
+    the fixture-sized vector tables. The 100 TB path is ``ann.ivf_near_dup_pairs``
+    (cluster-pruned) or LSH bucketing; this exact form remains the correctness
+    anchor the approximate paths are measured against."""
+    a = embeddings.alias("a")
+    b = embeddings.alias("b")
+    sim = cosine_similarity(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            sim.alias("_sim"),
+        )
+        .filter(F.col("_sim") >= tau)
+        .select("vec_a", "vec_b", F.round("_sim", 6).alias("sim"))
+    )

@@ -1,0 +1,268 @@
+"""Declared queries for dedup + text-analysis operators (SURVEY §2.10) over
+`documents` and `embeddings`.
+
+The MinHash/SimHash oracles run the SAME algorithm in DuckDB (portable md5-prefix
+hashing, shared permutation constants generated from one Python function), so even
+the LSH candidate-pruning stage is verified bit-for-bit — not just the final
+filter against a brute-force stand-in.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from photo_vector_search_spark.functions.text import (
+    BPE_ISH_PATTERN,
+    STOPWORDS,
+    avg_token_len,
+    bpe_ish_token_count,
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    stopword_ratio,
+    token_count,
+    tokens,
+)
+from photo_vector_search_spark.operators.dedup import (
+    MINHASH_P,
+    embedding_near_dup_pairs,
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    minhash_perms,
+    simhash_pairs,
+)
+from photo_vector_search_spark.sources.tables import load_table
+
+# ----------------------------------------------------------------- shared SQL CTEs
+
+_SQL_TOKS = "SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents"
+_SQL_SHINGLES = """
+SELECT doc_id, unnest(list_distinct(list_transform(
+         generate_series(1, greatest(0, len(t) - 2)),
+         i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS shingle
+FROM toks
+"""
+_SQL_JACCARD_TAIL = """
+cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+withc AS (
+  SELECT doc_a, doc_b, common,
+         common * 1.0 / (ca.n_sh + cb.n_sh - common) AS j
+  FROM common
+  JOIN cnt ca ON ca.doc_id = doc_a
+  JOIN cnt cb ON cb.doc_id = doc_b
+)
+SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM withc WHERE j >= 0.5
+"""
+
+
+# ------------------------------------------------------------------------ queries
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over documents ∪ a simulated re-crawl of the first 100 docs
+    (same text, shifted ids) — the canonical-id mapping every batch ingest needs."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    recrawl = docs.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return exact_dedup(docs.unionByName(recrawl))
+
+
+_ORACLE_DEDUP_EXACT = r"""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 100
+),
+fp AS (
+  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+  FROM all_docs
+)
+SELECT doc_id, fp,
+       min(doc_id) OVER (PARTITION BY fp) AS canonical_id,
+       CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS group_size
+FROM fp
+"""
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trigram-Jaccard near-dup pairs, τ=0.5, via inverted index."""
+    return jaccard_pairs(load_table(spark, sf_dir, "documents"), n=3, tau=0.5)
+
+
+_ORACLE_DEDUP_JACCARD = f"""
+WITH toks AS ({_SQL_TOKS}),
+sh AS ({_SQL_SHINGLES}),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+{_SQL_JACCARD_TAIL}
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32) + 16-band LSH candidates, exact-Jaccard verified at τ=0.5."""
+    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), n=3, tau=0.5)
+
+
+def _minhash_oracle() -> str:
+    perm_values = ", ".join(f"({i}, {a}, {b})" for i, a, b in minhash_perms())
+    return f"""
+WITH toks AS ({_SQL_TOKS}),
+sh AS ({_SQL_SHINGLES}),
+hashed AS (
+  SELECT doc_id, shingle,
+         CAST(concat('0x', substring(md5(shingle), 1, 8)) AS BIGINT) AS h
+  FROM sh
+),
+perms(i, a, b) AS (VALUES {perm_values}),
+sig AS (
+  SELECT doc_id, i, min((a * h + b) % {MINHASH_P}) AS mh
+  FROM hashed CROSS JOIN perms GROUP BY doc_id, i
+),
+bands AS (
+  SELECT doc_id, CAST(i // 2 AS INT) AS band,
+         md5(array_to_string(list(CAST(mh AS VARCHAR) ORDER BY i ASC), ',')) AS band_key
+  FROM sig GROUP BY doc_id, CAST(i // 2 AS INT)
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+),
+common AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS common
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+),
+{_SQL_JACCARD_TAIL}
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(32) byte-band candidate pairs at hamming ≤ 6."""
+    return simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=6)
+
+
+_ORACLE_DEDUP_SIMHASH = """
+WITH toks AS (SELECT doc_id, list_distinct(string_split(lower(trim(text)), ' ')) AS t
+              FROM documents),
+tok AS (
+  SELECT doc_id,
+         CAST(concat('0x', substring(md5(unnest(t)), 1, 8)) AS BIGINT) AS h
+  FROM toks
+),
+bits AS (
+  SELECT doc_id, b, CAST(((h >> b) & 1) * 2 - 1 AS BIGINT) AS c
+  FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b)
+),
+sums AS (SELECT doc_id, b, sum(c) AS s FROM bits GROUP BY doc_id, b),
+fp AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT)
+           AS simhash
+  FROM sums GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, simhash, band, (simhash >> (band * 8)) & 255 AS bkey
+  FROM fp CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band)
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+         l.simhash AS sh_a, r.simhash AS sh_b
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 6
+"""
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine near-dup pairs over embeddings, τ=0.45."""
+    return embedding_near_dup_pairs(load_table(spark, sf_dir, "embeddings"), tau=0.45)
+
+
+_ORACLE_EMBEDDING_NEAR_DUP = """
+WITH pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS s
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, round(s, 6) AS sim FROM pairs WHERE s >= 0.45
+"""
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc text analysis: token counts (whitespace + BPE-ish), avg token
+    length, stopword ratio, quality score, heuristic lang id, fingerprint."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+        F.round(avg_token_len(toks), 6).alias("avg_tok_len"),
+        F.round(stopword_ratio(toks), 6).alias("stopword_ratio"),
+        quality_score(F.col("text")).alias("quality"),
+        lang_id(F.col("text")).alias("lang_pred"),
+        doc_fingerprint(F.col("text")).alias("fingerprint"),
+    )
+
+
+_SW_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
+_ORACLE_TEXT_STATS = rf"""
+WITH base AS (
+  SELECT doc_id, text, string_split(lower(trim(text)), ' ') AS t FROM documents
+),
+m AS (
+  SELECT doc_id, text, t,
+         len(t) AS n_tokens,
+         len(regexp_extract_all(lower(text), '{BPE_ISH_PATTERN}')) AS n_bpe_tokens,
+         list_sum(list_transform(t, x -> CAST(length(x) AS DOUBLE)))
+           / greatest(len(t), 1) AS atl,
+         len(list_filter(t, x -> list_contains([{_SW_LIST}], x))) * 1.0
+           / greatest(len(t), 1) AS swr,
+         length(regexp_replace(text, '[ -~]', '', 'g')) AS non_ascii
+  FROM base
+)
+SELECT doc_id,
+       CAST(n_tokens AS INT) AS n_tokens,
+       CAST(n_bpe_tokens AS INT) AS n_bpe_tokens,
+       round(atl, 6) AS avg_tok_len,
+       round(swr, 6) AS stopword_ratio,
+       round(((CASE WHEN n_tokens BETWEEN 20 AND 400 THEN 1.0 ELSE 0.5 END)
+            + (CASE WHEN swr > 0.01 AND swr < 0.6 THEN 1.0 ELSE 0.5 END)
+            + (CASE WHEN atl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END)) / 3.0, 6)
+         AS quality,
+       CASE WHEN non_ascii > length(text) * 0.3 THEN 'non_latin'
+            WHEN swr >= 0.05 THEN 'en'
+            ELSE 'unknown' END AS lang_pred,
+       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+FROM m
+"""
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_jaccard": q_dedup_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "embedding_near_dup": q_embedding_near_dup,
+    "text_stats": q_text_stats,
+}
+
+ORACLES = {
+    "dedup_exact": _ORACLE_DEDUP_EXACT,
+    "dedup_jaccard": _ORACLE_DEDUP_JACCARD,
+    "dedup_minhash_lsh": _minhash_oracle(),
+    "dedup_simhash": _ORACLE_DEDUP_SIMHASH,
+    "embedding_near_dup": _ORACLE_EMBEDDING_NEAR_DUP,
+    "text_stats": _ORACLE_TEXT_STATS,
+}
