@@ -1,0 +1,111 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {name: sec}, "sf": ...}
+
+Each query is forced end-to-end with the `noop` sink (full computation, no write
+I/O, no driver collect skew). Timings exclude SparkSession startup; a warmup scan
+primes the JVM/code-gen so the first measured query isn't paying JIT costs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from photo_vector_search_spark.operators.dedup import (
+    embedding_near_dup_fast,
+    exact_dedup,
+    minhash_lsh_pairs,
+)
+from photo_vector_search_spark.operators.knn import (
+    fetch_query_vector,
+    knn_batch_fast,
+    knn_topk,
+)
+from photo_vector_search_spark.plans import relational, store_queries, text_queries
+from photo_vector_search_spark.session import get_spark
+from photo_vector_search_spark.sources.tables import load_table
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _force(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = fetch_query_vector(spark, sf_dir, 0)
+    queries64 = emb.filter(F.col("vec_id") < 64).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+    cases = {
+        # flagship retrieval (SQL expression path + fast batched path)
+        "knn_topk": lambda: _force(knn_topk(emb, vec, k=5)),
+        "knn_batch64_fast": lambda: _force(knn_batch_fast(emb, queries64, k=5)),
+        # relational / shuffle-heavy
+        "tpch_q1": lambda: _force(relational.q_tpch_q1(spark, sf_dir)),
+        "tpch_q3": lambda: _force(relational.q_tpch_q3(spark, sf_dir)),
+        "tpch_q5": lambda: _force(relational.q_tpch_q5(spark, sf_dir)),
+        "window_topk_orders": lambda: _force(relational.q_window_topk_orders(spark, sf_dir)),
+        "events_hourly": lambda: _force(relational.q_events_hourly(spark, sf_dir)),
+        "events_sessionize": lambda: _force(relational.q_events_sessionize(spark, sf_dir)),
+        # LLM-pipeline operators
+        "dedup_exact": lambda: _force(
+            exact_dedup(load_table(spark, sf_dir, "documents"))
+        ),
+        "dedup_minhash_lsh": lambda: _force(
+            minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), n=3, tau=0.5)
+        ),
+        "embedding_near_dup": lambda: _force(embedding_near_dup_fast(emb, tau=0.45)),
+        "text_stats": lambda: _force(text_queries.q_text_stats(spark, sf_dir)),
+        # store surface
+        "upsert_merge": lambda: _force(store_queries.q_upsert_merge(spark, sf_dir)),
+        "photo_group_collect": lambda: _force(
+            store_queries.q_photo_group_collect(spark, sf_dir)
+        ),
+    }
+
+    timings: dict[str, float] = {}
+    for name, fn in cases.items():
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    return timings
+
+
+def main() -> None:
+    spark = get_spark("pvs-spark-bench")
+    try:
+        # warmup: small scan through codegen + noop sink
+        _force(load_table(spark, SF_DIR, "region"))
+        timings = bench_queries(spark, SF_DIR)
+        sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+        try:
+            sf_val: float | str = float(sf)
+        except ValueError:
+            sf_val = sf
+        print(
+            json.dumps(
+                {
+                    "metric": "headline_queries_total_wall",
+                    "value": round(sum(timings.values()), 3),
+                    "unit": "sec",
+                    "queries": timings,
+                    "sf": sf_val,
+                }
+            )
+        )
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -53,9 +53,14 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 
 def shingle_sets(docs: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) exploded distinct word-n-gram rows."""
-    return docs.select(
-        "doc_id", F.explode(word_shingles(tokens(F.col("text")), n)).alias("shingle")
+    """(doc_id, shingle) exploded distinct word-n-gram rows.
+
+    Two-stage projection so the tokenizing split() materializes once per row
+    instead of being re-inlined into every lambda evaluation by project collapse.
+    No shuffle — shingling stays in the scan stage."""
+    toks_df = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    return toks_df.select(
+        "doc_id", F.explode(word_shingles(F.col("toks"), n)).alias("shingle")
     )
 
 
@@ -127,16 +132,24 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, i, mh): minhash value per doc per hash function.
 
-    Shingle rows × small perm table (broadcast) → min-agg. The agg is map-side
-    combinable, so the shuffle carries ≤ num_hashes rows per doc per partition."""
-    spark = docs.sparkSession
-    perms = spark.createDataFrame(minhash_perms(num_hashes), "i int, a long, b long")
-    sh = shingle_sets(docs, n).select("doc_id", hash32(F.col("shingle")).alias("h"))
-    return (
-        sh.crossJoin(F.broadcast(perms))
-        .groupBy("doc_id", "i")
-        .agg(F.min((F.col("a") * F.col("h") + F.col("b")) % MINHASH_P).alias("mh"))
-    )
+    Computed in ONE pass over the shingle rows: 32 min-aggregations per doc instead
+    of exploding shingles × perms (which multiplies the shuffle input 32×). All
+    map-side combinable; the shuffle carries ≤ num_hashes values per doc per
+    partition. The narrow (i, mh) output shape is kept for the band stage and the
+    oracle twin."""
+    sh = shingle_sets(docs, n)
+    return _signatures_from_shingles(sh, num_hashes)
+
+
+def _signatures_from_shingles(sh: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
+    hashed = sh.select("doc_id", hash32(F.col("shingle")).alias("h"))
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
+        for i, a, b in minhash_perms(num_hashes)
+    ]
+    wide = hashed.groupBy("doc_id").agg(*aggs)
+    sig_array = F.array(*[F.col(f"mh{i}") for i in range(num_hashes)])
+    return wide.select("doc_id", F.posexplode(sig_array).alias("i", "mh"))
 
 
 def lsh_bands(signatures: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
@@ -164,7 +177,10 @@ def minhash_lsh_pairs(
     (doc_a, doc_b, jaccard ≥ tau) — but the pair join touches only bucket
     collisions instead of every shared shingle, which is the 100 TB path.
     """
-    bandsdf = lsh_bands(minhash_signatures(docs, n))
+    # one shared, cached shingle table feeds signatures, counts and the verify
+    # join — without it the shingling+md5 work runs three times
+    sh = shingle_sets(docs, n).persist()
+    bandsdf = lsh_bands(_signatures_from_shingles(sh))
     l, r = bandsdf.alias("l"), bandsdf.alias("r")
     cand = (
         l.join(
@@ -176,7 +192,6 @@ def minhash_lsh_pairs(
         .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
         .distinct()
     )
-    sh = shingle_sets(docs, n)
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("s_a"))
     sb = sh.select(F.col("doc_id").alias("_sb_doc"), F.col("shingle").alias("s_b"))
@@ -297,4 +312,46 @@ def embedding_near_dup_pairs(embeddings: DataFrame, tau: float = 0.45) -> DataFr
         )
         .filter(F.col("_sim") >= tau)
         .select("vec_a", "vec_b", F.round("_sim", 6).alias("sim"))
+    )
+
+
+def embedding_near_dup_fast(embeddings: DataFrame, tau: float = 0.45) -> DataFrame:
+    """Same pairs as ``embedding_near_dup_pairs`` via broadcast + NumPy matmul.
+
+    One side is gathered and broadcast (vectors are the *small* table in this
+    engine's data model — photos' metadata dwarfs the 64-768-dim vectors; for a
+    side too big to broadcast, the IVF operator is the scale path). Each Arrow
+    batch computes a (batch × N) similarity block in BLAS and emits only pairs
+    ≥ tau with vec_a < vec_b — the quadratic work stays columnar and never
+    materializes as rows. Results identical to the exact pair join (double matmul,
+    same rounding)."""
+    import numpy as np
+    import pandas as pd
+
+    rows = embeddings.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.vstack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    norms = np.linalg.norm(mat, axis=1)
+    bc = embeddings.sparkSession.sparkContext.broadcast((ids, mat, norms))
+
+    def _pairs(batches):
+        bids, bmat, bnorms = bc.value
+        for pdf in batches:
+            m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64, copy=False)
+            mnorms = np.linalg.norm(m, axis=1)
+            # dot / (|a|·|b|), matching the SQL expression's formula shape so the
+            # rounded values agree with the exact path
+            sims = (m @ bmat.T) / np.outer(mnorms, bnorms)
+            my_ids = pdf["vec_id"].to_numpy()
+            bi, bj = np.nonzero((sims >= tau) & (my_ids[:, None] < bids[None, :]))
+            yield pd.DataFrame(
+                {
+                    "vec_a": my_ids[bi],
+                    "vec_b": bids[bj],
+                    "sim": np.round(sims[bi, bj], 6),
+                }
+            )
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        _pairs, schema="vec_a long, vec_b long, sim double"
     )

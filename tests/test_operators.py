@@ -6,6 +6,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from photo_vector_search_spark.operators.dedup import (
+    embedding_near_dup_fast,
+    embedding_near_dup_pairs,
     jaccard_pairs,
     minhash_lsh_pairs,
     simhash_pairs,
@@ -68,6 +70,13 @@ def test_knn_batch_fast_parity(spark, sf_dir, emb):
     a = sorted(map(tuple, knn_batch(emb, queries, k=4).collect()))
     b = sorted(map(tuple, knn_batch_fast(emb, queries, k=4).collect()))
     assert a == b
+
+
+def test_embedding_near_dup_fast_parity(emb):
+    """Broadcast-matmul pair scan returns exactly the exact join's rounded pairs."""
+    slow = sorted(map(tuple, embedding_near_dup_pairs(emb, tau=0.3).collect()))
+    fast = sorted(map(tuple, embedding_near_dup_fast(emb, tau=0.3).collect()))
+    assert slow == fast and len(slow) > 0
 
 
 def test_upsert_idempotent_and_last_write_wins(spark, sf_dir):
