@@ -23,7 +23,12 @@ from photo_vector_search_spark.operators.knn import (
     knn_batch,
     knn_topk,
 )
-from photo_vector_search_spark.plans import relational, store_queries, text_queries
+from photo_vector_search_spark.plans import (
+    embed_queries,
+    relational,
+    store_queries,
+    text_queries,
+)
 from photo_vector_search_spark.sources.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -113,6 +118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(store_queries.QUERIES)
     out.update(relational.QUERIES)
     out.update(text_queries.QUERIES)
+    out.update(embed_queries.QUERIES)
     return out
 
 
@@ -127,4 +133,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(store_queries.ORACLES)
     out.update(relational.ORACLES)
     out.update(text_queries.ORACLES)
+    out.update(embed_queries.ORACLES)
     return out

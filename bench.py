@@ -28,7 +28,17 @@ from photo_vector_search_spark.operators.knn import (
     knn_batch_fast,
     knn_topk,
 )
-from photo_vector_search_spark.plans import relational, store_queries, text_queries
+from photo_vector_search_spark.operators.ann import (
+    assign_clusters,
+    ivf_topk,
+    train_centroids,
+)
+from photo_vector_search_spark.plans import (
+    embed_queries,
+    relational,
+    store_queries,
+    text_queries,
+)
 from photo_vector_search_spark.session import get_spark
 from photo_vector_search_spark.sources.tables import load_table
 
@@ -66,6 +76,16 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         ),
         "embedding_near_dup": lambda: _force(embedding_near_dup_fast(emb, tau=0.45)),
         "text_stats": lambda: _force(text_queries.q_text_stats(spark, sf_dir)),
+        "embed_documents": lambda: _force(embed_queries.q_embed_documents(spark, sf_dir)),
+        "ivf_build_and_query": lambda: _force(
+            ivf_topk(
+                assign_clusters(emb, _centroids := train_centroids(emb, n_clusters=16)),
+                _centroids,
+                vec,
+                k=5,
+                nprobe=4,
+            )
+        ),
         # store surface
         "upsert_merge": lambda: _force(store_queries.q_upsert_merge(spark, sf_dir)),
         "photo_group_collect": lambda: _force(

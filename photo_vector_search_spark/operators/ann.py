@@ -1,0 +1,93 @@
+"""Approximate nearest neighbor: IVF (inverted-file) partition-pruned search
+(SURVEY §4.1 row 1, option 3 — the 100 TB path for similarity search).
+
+The reference delegates ANN to ChromaDB's HNSW graph (photo_vector_search.py:
+17-20). A graph index doesn't map to Spark's execution model; the idiomatic
+distributed equivalent is IVF: cluster the vectors, store a ``cluster_id`` column
+(at rest: a partition/bucket key), and answer queries by scanning only the
+``nprobe`` closest clusters. That turns top-k into a partition-pruned scan — at
+scale, cluster pruning happens at the Parquet-partition level and the matmul
+kernel (knn fast path) runs on the surviving fraction.
+
+Training is a deterministic mini k-means on a driver-side sample (seeded,
+kmeans++-lite): the index is small (k × dim floats) and broadcasts; assignment is
+a map-only stage. Exact search remains the correctness anchor — ``ivf_topk`` is
+bench/recall-tested against it, not oracle-declared (approximate results are
+query-dependent, per FIXTURES.md exactness policy).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from photo_vector_search_spark.operators.knn import knn_topk
+
+
+def train_centroids(
+    embeddings: DataFrame,
+    n_clusters: int = 16,
+    sample: int = 4096,
+    iters: int = 8,
+    seed: int = 42,
+) -> np.ndarray:
+    """Deterministic mini k-means (cosine space: vectors L2-normalized, centroids
+    re-normalized each Lloyd step). Sample → driver NumPy; O(sample·k·dim·iters)."""
+    rows = embeddings.select("embedding").limit(sample).collect()
+    x = np.vstack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-300)
+    rng = np.random.RandomState(seed)
+    centroids = x[rng.choice(len(x), size=min(n_clusters, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ centroids.T, axis=1)
+        for c in range(len(centroids)):
+            members = x[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids /= np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-300)
+    return centroids
+
+
+def assign_clusters(embeddings: DataFrame, centroids: np.ndarray) -> DataFrame:
+    """Add ``cluster_id`` = argmax cosine(centroid, vec). Map-only (mapInPandas
+    matmul against the broadcast centroid matrix). At rest you'd write the table
+    partitioned by this column: ``.write.partitionBy('cluster_id')`` — then the
+    probe filter below prunes Parquet partitions, not just rows."""
+    bc = embeddings.sparkSession.sparkContext.broadcast(centroids)
+    cols = embeddings.columns
+
+    def _assign(batches):
+        cent = bc.value
+        for pdf in batches:
+            m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64, copy=False)
+            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+            pdf = pdf.copy()
+            pdf["cluster_id"] = np.argmax(m @ cent.T, axis=1).astype(np.int32)
+            yield pdf
+
+    schema = ", ".join(f"{c} {t}" for c, t in embeddings.dtypes) + ", cluster_id int"
+    return embeddings.mapInPandas(_assign, schema=schema)
+
+
+def ivf_topk(
+    indexed: DataFrame,
+    centroids: np.ndarray,
+    query_vec: Sequence[float],
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Top-k over only the ``nprobe`` clusters nearest to the query.
+
+    ``indexed`` must carry ``cluster_id`` (from ``assign_clusters``). The filter
+    is an IN-list over a tiny set → pushed to the scan; with the table partitioned
+    by cluster_id it prunes whole files. Recall < 1 is the explicit trade: tested
+    against exact ``knn_topk`` with a recall floor."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-300)
+    probe = np.argsort(-(centroids @ q))[:nprobe].tolist()
+    pruned = indexed.filter(F.col("cluster_id").isin(probe))
+    return knn_topk(pruned, query_vec, k=k)

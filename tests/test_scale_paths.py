@@ -1,0 +1,147 @@
+"""Tests for the scale-path operators: IVF ANN recall, streaming incremental
+index, multimodal plumbing."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from photo_vector_search_spark.operators.ann import (
+    assign_clusters,
+    ivf_topk,
+    train_centroids,
+)
+from photo_vector_search_spark.operators.knn import fetch_query_vector, knn_topk
+from photo_vector_search_spark.pipelines.multimodal import (
+    decode_images,
+    extract_audio_features,
+    media_stats,
+    sample_video_frames,
+)
+from photo_vector_search_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+# ------------------------------------------------------------------------- IVF
+
+
+def test_ivf_recall_floor(spark, sf_dir, emb):
+    centroids = train_centroids(emb, n_clusters=8)
+    indexed = assign_clusters(emb, centroids).cache()
+    assert indexed.count() == emb.count()
+    # every vector lands in exactly one cluster, ids within range
+    cids = indexed.select("cluster_id").distinct().collect()
+    assert all(0 <= r.cluster_id < 8 for r in cids)
+    # recall@10 over several queries with nprobe=4 of 8
+    hits = total = 0
+    for qid in (0, 7, 123, 400):
+        vec = fetch_query_vector(spark, sf_dir, qid)
+        exact = {r.vec_id for r in knn_topk(emb, vec, k=10).collect()}
+        approx = {r.vec_id for r in ivf_topk(indexed, centroids, vec, k=10, nprobe=4).collect()}
+        hits += len(exact & approx)
+        total += len(exact)
+    assert hits / total >= 0.7, f"IVF recall@10 {hits/total:.2f} below floor"
+
+
+def test_ivf_full_probe_equals_exact(spark, sf_dir, emb):
+    """nprobe == n_clusters degenerates to exact search."""
+    centroids = train_centroids(emb, n_clusters=4)
+    indexed = assign_clusters(emb, centroids)
+    vec = fetch_query_vector(spark, sf_dir, 9)
+    exact = knn_topk(emb, vec, k=5).collect()
+    full = ivf_topk(indexed, centroids, vec, k=5, nprobe=4).collect()
+    assert [(r.vec_id, r.dist) for r in exact] == [(r.vec_id, r.dist) for r in full]
+
+
+# ------------------------------------------------------------------- streaming
+
+
+def test_incremental_index_stream(spark):
+    from photo_vector_search_spark.streaming.incremental import incremental_index
+
+    tmp = tempfile.mkdtemp(prefix="pvs_stream_")
+    in_dir, store, ckpt = f"{tmp}/in", f"{tmp}/store", f"{tmp}/ckpt"
+    try:
+        batch1 = spark.createDataFrame(
+            [("/p/a.jpg", b"IMG:a"), ("/p/b.jpg", b"IMG:b")],
+            "path string, content binary",
+        )
+        batch1.write.mode("append").parquet(in_dir)
+        q = incremental_index(spark, in_dir, store, ckpt)
+        q.awaitTermination(120)
+        s1 = spark.read.parquet(store)
+        assert s1.count() == 2
+
+        # second micro-batch: one update (same path) + one insert
+        batch2 = spark.createDataFrame(
+            [("/p/b.jpg", b"IMG:b2"), ("/p/c.jpg", b"IMG:c")],
+            "path string, content binary",
+        )
+        batch2.write.mode("append").parquet(in_dir)
+        q = incremental_index(spark, in_dir, store, ckpt)
+        q.awaitTermination(120)
+        s2 = spark.read.parquet(store)
+        assert s2.count() == 3  # b upserted not duplicated, c added
+        descs = {r.photo_path: r.description for r in s2.collect()}
+        assert set(descs) == {"/p/a.jpg", "/p/b.jpg", "/p/c.jpg"}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ------------------------------------------------------------------ multimodal
+
+
+def _media_df(spark):
+    rows = [
+        ("/m/ok_small.img", b"FAKEIMG:800x600:" + b"x" * 64),
+        ("/m/ok_big.img", b"FAKEIMG:4096x2048:" + b"y" * 64),
+        ("/m/broken.img", b"\x00\x01garbage"),
+    ]
+    return spark.createDataFrame(rows, "path string, content binary")
+
+
+def test_decode_images_resize_and_errors(spark):
+    out = {r.path: r for r in decode_images(_media_df(spark), max_side=1024).collect()}
+    ok = out["/m/ok_small.img"]
+    assert (ok.width, ok.height, ok.error) == (800, 600, "")
+    big = out["/m/ok_big.img"]
+    assert max(big.width, big.height) <= 1024 and big.error == ""
+    assert big.width == 1024 and big.height == 512  # aspect preserved
+    bad = out["/m/broken.img"]
+    assert bad.error.startswith("decode_error") and bad.width == 0
+
+
+def test_media_stats_tally(spark):
+    stats = media_stats(decode_images(_media_df(spark))).collect()
+    row = {r.modality: r for r in stats}["image"]
+    assert (row.n, row.ok, row.failed) == (3, 2, 1)
+
+
+def test_video_frame_sampling(spark):
+    df = spark.createDataFrame(
+        [("/v/clip.vid", b"FAKEIMG:64x64:" + b"f" * 90)], "path string, content binary"
+    )
+    frames = sample_video_frames(df, every_n=30).collect()
+    assert len(frames) == 3
+    assert [f.frame_index for f in frames] == [0, 30, 60]
+    assert all(f.error == "" for f in frames)
+
+
+def test_audio_features_stub(spark):
+    df = spark.createDataFrame(
+        [("/a/ok.wav", b"FAKEAUDIO:pcm:" + b"s" * 32), ("/a/bad.wav", b"RIFFxxxx")],
+        "path string, content binary",
+    )
+    out = {r.path: r for r in extract_audio_features(df, n_mfcc=13).collect()}
+    assert len(out["/a/ok.wav"].features) == 13 and out["/a/ok.wav"].error == ""
+    assert out["/a/bad.wav"].error.startswith("decode_error")
+    # deterministic
+    again = {r.path: r for r in extract_audio_features(df, n_mfcc=13).collect()}
+    assert out["/a/ok.wav"].features == again["/a/ok.wav"].features
