@@ -25,6 +25,7 @@ from photo_vector_search_spark.operators.knn import (
 )
 from photo_vector_search_spark.plans import (
     embed_queries,
+    pipeline_queries,
     relational,
     store_queries,
     text_queries,
@@ -119,6 +120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(relational.QUERIES)
     out.update(text_queries.QUERIES)
     out.update(embed_queries.QUERIES)
+    out.update(pipeline_queries.QUERIES)
     return out
 
 
@@ -134,4 +136,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(relational.ORACLES)
     out.update(text_queries.ORACLES)
     out.update(embed_queries.ORACLES)
+    out.update(pipeline_queries.ORACLES)
     return out

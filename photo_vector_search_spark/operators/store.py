@@ -81,6 +81,12 @@ def truncate(store: DataFrame) -> DataFrame:
     return store.limit(0)
 
 
+def drop_store(path: str) -> None:
+    """SC8 — remove the persistent store entirely (`shutil.rmtree(db_path)`,
+    cli.py:158-162; the interactive confirm stays with the caller)."""
+    shutil.rmtree(path, ignore_errors=True)
+
+
 def snapshot_overwrite(df: DataFrame, path: str) -> None:
     """Persist a new store state atomically-enough: write tmp dir, swap (SURVEY §7
     "hard parts" #1). On a real deployment this is a table-format commit (Delta/

@@ -186,6 +186,18 @@ def stub_describer() -> Describer:
     return Describer(make_fn=make_fn)
 
 
+def available_models() -> dict[str, dict[str, str]]:
+    """U-models — the engine-side analogue of `ollama.models()` listing
+    (photo_vector_search.py:217-225): the registry of pluggable model
+    implementations this deployment can bind to the Embedder/Describer
+    interfaces. Real CLIP/Ollama entries register here when their runtimes are
+    installed; the deterministic stubs are always available."""
+    return {
+        "stub-hash-projection": {"kind": "embedder", "dim": str(STUB_DIM), "hermetic": "yes"},
+        "stub-describer": {"kind": "describer", "hermetic": "yes"},
+    }
+
+
 # ------------------------------------------------------------------------ pipeline
 
 

@@ -1,0 +1,180 @@
+"""Declared queries for training-data pipeline operators beyond dedup: set ops,
+rollup, distinct counts, deterministic train/test split, sequence packing —
+the remaining SURVEY §2.4 A4 / §2.10 surface."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from photo_vector_search_spark.functions.text import token_count
+from photo_vector_search_spark.sources.tables import load_table
+
+
+def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — exact distinct counts per dimension (approx_count_distinct is the
+    bench-only variant; HLL sketches aren't cross-engine comparable)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count_distinct("lang").alias("n_langs"),
+        F.count_distinct("source").alias("n_sources"),
+        F.count_distinct("text").alias("n_texts"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+_ORACLE_DISTINCT_COUNTS = """
+SELECT count(DISTINCT lang) AS n_langs,
+       count(DISTINCT source) AS n_sources,
+       count(DISTINCT text) AS n_texts,
+       count(*) AS n_docs
+FROM documents
+"""
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (union/intersect/except — no reference analogue, engine
+    scaffolding): langs seen by src0 but not src1, plus langs seen by both."""
+    docs = load_table(spark, sf_dir, "documents")
+    src0 = docs.filter(F.col("source") == "src0").select("lang")
+    src1 = docs.filter(F.col("source") == "src1").select("lang")
+    only0 = src0.exceptAll(src1.distinct()).distinct().withColumn("kind", F.lit("only_src0"))
+    both = src0.intersect(src1).withColumn("kind", F.lit("both"))
+    return only0.unionByName(both).select("kind", "lang")
+
+
+_ORACLE_SET_OPS = """
+WITH src0 AS (SELECT lang FROM documents WHERE source = 'src0'),
+src1 AS (SELECT lang FROM documents WHERE source = 'src1'),
+only0 AS (
+  SELECT DISTINCT 'only_src0' AS kind, lang FROM (
+    SELECT lang FROM src0 EXCEPT ALL SELECT DISTINCT lang FROM src1)
+),
+in_both AS (SELECT 'both' AS kind, lang FROM (SELECT lang FROM src0 INTERSECT SELECT lang FROM src1))
+SELECT kind, lang FROM only0 UNION ALL SELECT kind, lang FROM in_both
+"""
+
+
+def q_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup aggregation (engine scaffolding, SURVEY §2.4 note): event counts by
+    (event_type, day) with subtotals and grand total."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    return (
+        ev.select("event_type", day, "value")
+        .rollup("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4).alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
+            F.coalesce("day", F.lit("<all>")).alias("day"),
+            "n",
+            "total_value",
+        )
+    )
+
+
+_ORACLE_ROLLUP_EVENTS = """
+SELECT coalesce(event_type, '<all>') AS event_type,
+       coalesce(day, '<all>') AS day,
+       count(*) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_value
+FROM (SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, value
+      FROM events)
+GROUP BY ROLLUP (event_type, day)
+"""
+
+
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash split (the reproducible alternative to randomSplit —
+    stable under re-runs and insertions, the property a training pipeline needs).
+    Bucket = md5(doc_id) mod 100; test = bucket < 10 (10%)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = F.when(bucket < 10, "test").otherwise("train")
+    return docs.groupBy(split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+_ORACLE_TRAIN_TEST_SPLIT = """
+WITH b AS (
+  SELECT doc_id,
+         CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+           AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 10 THEN 'test' ELSE 'train' END AS split,
+       count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM b GROUP BY 1
+"""
+
+
+PACK_CAP = 512  # tokens per packed sequence
+
+
+def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked sequence packing: documents in doc_id order are assigned to packs
+    by exclusive running token count div cap — the deterministic approximation of
+    greedy packing used by training pipelines (window cumsum, no per-pack state).
+
+    The global-ordered window is a single-partition reduction — fine for a
+    declared correctness query, but at 100 TB you shard first (pack within
+    hash(doc_id) shards, or two-pass: per-partition token sums → prefix offsets →
+    local cumsum + offset; same outputs, fully parallel). Output: per-pack doc
+    count and token fill."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tok")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    packed = docs.withColumn(
+        "pack_id",
+        (F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / PACK_CAP).cast("long"),
+    )
+    return packed.groupBy("pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+    )
+
+
+_ORACLE_PACK_DOCUMENTS = f"""
+WITH toks AS (
+  SELECT doc_id, len(string_split(lower(trim(text)), ' ')) AS n_tok FROM documents
+),
+packed AS (
+  SELECT doc_id, n_tok,
+         CAST(floor(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / {PACK_CAP})
+              AS BIGINT) AS pack_id
+  FROM toks
+)
+SELECT pack_id, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+FROM packed GROUP BY pack_id
+"""
+
+
+QUERIES = {
+    "distinct_counts": q_distinct_counts,
+    "set_ops": q_set_ops,
+    "rollup_events": q_rollup_events,
+    "train_test_split": q_train_test_split,
+    "pack_documents": q_pack_documents,
+}
+
+ORACLES = {
+    "distinct_counts": _ORACLE_DISTINCT_COUNTS,
+    "set_ops": _ORACLE_SET_OPS,
+    "rollup_events": _ORACLE_ROLLUP_EVENTS,
+    "train_test_split": _ORACLE_TRAIN_TEST_SPLIT,
+    "pack_documents": _ORACLE_PACK_DOCUMENTS,
+}
