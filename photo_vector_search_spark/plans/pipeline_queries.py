@@ -163,12 +163,90 @@ FROM packed GROUP BY pack_id
 """
 
 
+def q_canonicalize_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise canonicalization (applyInPandas — grouped-Python execution
+    path) over exact-dedup groups of documents ∪ re-crawl. The oracle recomputes
+    the same collapse in pure SQL, cross-checking the pandas path value-for-value."""
+    from photo_vector_search_spark.functions.text import quality_score
+    from photo_vector_search_spark.operators.canonicalize import canonicalize_groups
+    from photo_vector_search_spark.operators.dedup import exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    recrawl = docs.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", F.lit("recrawl").alias("source")
+    )
+    all_docs = docs.unionByName(recrawl)
+    groups = exact_dedup(all_docs).select("doc_id", F.col("fp").alias("group_id"))
+    records = (
+        all_docs.join(groups, "doc_id")
+        .withColumn("quality", quality_score(F.col("text")))
+        .select("doc_id", "group_id", "source", "quality")
+    )
+    out = canonicalize_groups(records)
+    return out.select(
+        "group_id",
+        "canonical_id",
+        "n_members",
+        "sources",
+        F.round("best_quality", 6).alias("best_quality"),
+    )
+
+
+_ORACLE_CANONICALIZE = r"""
+WITH all_docs AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text, 'recrawl' AS source
+  FROM documents WHERE doc_id < 100
+),
+recs AS (
+  SELECT doc_id, source,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS group_id,
+         string_split(lower(trim(text)), ' ') AS t
+  FROM all_docs
+),
+q AS (
+  SELECT doc_id, source, group_id,
+         len(t) AS n_tok,
+         list_sum(list_transform(t, x -> CAST(length(x) AS DOUBLE)))
+           / greatest(len(t), 1) AS atl,
+         len(list_filter(t, x -> list_contains(['the','a','of','and','to','in','is','it','on','for'], x)))
+           * 1.0 / greatest(len(t), 1) AS swr
+  FROM recs
+),
+scored AS (
+  SELECT doc_id, source, group_id,
+         round(((CASE WHEN n_tok BETWEEN 20 AND 400 THEN 1.0 ELSE 0.5 END)
+              + (CASE WHEN swr > 0.01 AND swr < 0.6 THEN 1.0 ELSE 0.5 END)
+              + (CASE WHEN atl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END)) / 3.0, 6)
+           AS quality
+  FROM q
+)
+SELECT group_id,
+       min(doc_id) AS canonical_id,
+       count(*) AS n_members,
+       array_to_string(list_sort(list(DISTINCT source)), ',') AS sources,
+       round(max(quality), 6) AS best_quality
+FROM scored GROUP BY group_id
+"""
+
+
+def q_srp_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH embedding near-dup (approximate recall — rows-only check per the
+    exactness policy; parity/recall is pytest-enforced against the exact pairs)."""
+    from photo_vector_search_spark.operators.dedup import srp_lsh_near_dup_pairs
+
+    return srp_lsh_near_dup_pairs(load_table(spark, sf_dir, "embeddings"), tau=0.45)
+
+
 QUERIES = {
     "distinct_counts": q_distinct_counts,
     "set_ops": q_set_ops,
     "rollup_events": q_rollup_events,
     "train_test_split": q_train_test_split,
     "pack_documents": q_pack_documents,
+    "canonicalize_dups": q_canonicalize_dups,
+    "srp_lsh_near_dup": q_srp_lsh_near_dup,
 }
 
 ORACLES = {
@@ -177,4 +255,6 @@ ORACLES = {
     "rollup_events": _ORACLE_ROLLUP_EVENTS,
     "train_test_split": _ORACLE_TRAIN_TEST_SPLIT,
     "pack_documents": _ORACLE_PACK_DOCUMENTS,
+    "canonicalize_dups": _ORACLE_CANONICALIZE,
+    # srp_lsh_near_dup intentionally omitted: approximate op → rows-only check
 }
