@@ -1,0 +1,235 @@
+"""CLI mirroring the reference's command surface (cli.py:18-187) on the Spark
+engine: a user of photo-vector-search can run the same workflows against a
+Parquet-backed store.
+
+    python -m photo_vector_search_spark.cli index-photos --photo-dir D --store S
+    python -m photo_vector_search_spark.cli search-photos-by-text --query "tractor" --store S -k 5
+    python -m photo_vector_search_spark.cli search-photos --photo P.jpg --store S
+    python -m photo_vector_search_spark.cli examine-image --photo P.jpg --store S
+    python -m photo_vector_search_spark.cli list-photos --store S
+    python -m photo_vector_search_spark.cli delete-photo --photo P.jpg --store S [--aspect A]
+    python -m photo_vector_search_spark.cli clear-store --store S
+    python -m photo_vector_search_spark.cli delete-store --store S --yes
+    python -m photo_vector_search_spark.cli list-models
+
+Differences from the reference, by design: the store is a Parquet snapshot
+(ChromaDB replaced), models default to the deterministic stubs (CLIP/Ollama plug
+into the same interfaces), and `--viewer` launching is out of scope (results
+print the photo path; SC9)."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+
+def _spark():
+    from photo_vector_search_spark.session import get_spark
+
+    return get_spark("pvs-cli")
+
+
+def _load_store(spark, store: str):
+    if not os.path.exists(store):
+        print(f"store not found: {store}", file=sys.stderr)
+        raise SystemExit(2)
+    return spark.read.parquet(store)
+
+
+def _print_results(rows) -> None:
+    # the reference's result block shape: path, aspect, distance, description
+    # (cli.py:91-99)
+    for i, r in enumerate(rows, 1):
+        print(f"{i}. {r['photo_path']}  [aspect={r['aspect_name']}]  distance={r['dist']:.4f}")
+        desc = (r["description"] or "")[:200]
+        if desc:
+            print(f"   {desc}")
+
+
+def cmd_index_photos(args) -> int:
+    from photo_vector_search_spark.operators.store import snapshot_overwrite
+    from photo_vector_search_spark.pipelines.embed import index_photos
+    from photo_vector_search_spark.sources.binary_files import scan_images
+
+    spark = _spark()
+    files = scan_images(spark, args.photo_dir)
+    n_files = files.count()
+    existing = spark.read.parquet(args.store) if os.path.exists(args.store) else None
+    state = index_photos(files, existing=existing, aspect_name=args.aspect_name)
+    snapshot_overwrite(state, args.store)
+    total = spark.read.parquet(args.store).count()
+    print(f"indexed {n_files} files into {args.store} (store now {total} rows)")
+    return 0
+
+
+def _search(args, query_vec) -> int:
+    from photo_vector_search_spark.functions.vector import cosine_distance_to_query
+
+    spark = _spark()
+    store = _load_store(spark, args.store)
+    if args.aspect:
+        store = store.filter(F.col("aspect_name") == args.aspect)
+    dist = cosine_distance_to_query(F.col("embedding"), query_vec)
+    out = (
+        store.select("photo_path", "aspect_name", "description", dist.alias("_d"))
+        .orderBy(F.col("_d").asc(), F.col("photo_path").asc())
+        .limit(args.k)
+        .select("photo_path", "aspect_name", "description", F.col("_d").alias("dist"))
+    )
+    _print_results([r.asDict() for r in out.collect()])
+    return 0
+
+
+def cmd_search_by_text(args) -> int:
+    from photo_vector_search_spark.pipelines.embed import stub_embed_one
+
+    return _search(args, stub_embed_one(args.query))
+
+
+def cmd_search_by_photo(args) -> int:
+    from photo_vector_search_spark.pipelines.embed import stub_embed_one
+
+    with open(args.photo, "rb") as f:
+        content = f.read()
+    # stub embedder hashes the byte repr, like the pipeline's content column
+    return _search(args, stub_embed_one(str(content)))
+
+
+def cmd_examine_image(args) -> int:
+    spark = _spark()
+    store = _load_store(spark, args.store)
+    rows = (
+        store.filter(F.col("photo_path") == args.photo)
+        .select("aspect_name", "description")
+        .orderBy("aspect_name")
+        .collect()
+    )
+    if not rows:
+        print(f"no entries for {args.photo}")
+        return 1
+    print(f"{args.photo}: {len(rows)} aspect(s)")
+    for r in rows:
+        print(f"  [{r.aspect_name}] {(r.description or '')[:200]}")
+    return 0
+
+
+def cmd_list_photos(args) -> int:
+    spark = _spark()
+    store = _load_store(spark, args.store)
+    for r in store.select("photo_path").distinct().orderBy("photo_path").collect():
+        print(r.photo_path)
+    return 0
+
+
+def cmd_delete_photo(args) -> int:
+    from photo_vector_search_spark.operators.store import (
+        delete_by_key,
+        delete_where,
+        snapshot_overwrite,
+    )
+
+    spark = _spark()
+    store = _load_store(spark, args.store)
+    if args.aspect:
+        new_state = delete_by_key(store, args.photo, args.aspect)
+    else:
+        new_state = delete_where(store, F.col("photo_path") == args.photo)
+    removed = store.count() - new_state.count()
+    snapshot_overwrite(new_state, args.store)
+    print(f"deleted {removed} row(s) for {args.photo}")
+    return 0
+
+
+def cmd_clear_store(args) -> int:
+    from photo_vector_search_spark.operators.store import snapshot_overwrite, truncate
+
+    spark = _spark()
+    store = _load_store(spark, args.store)
+    snapshot_overwrite(truncate(store), args.store)
+    print(f"cleared {args.store}")
+    return 0
+
+
+def cmd_delete_store(args) -> int:
+    from photo_vector_search_spark.operators.store import drop_store
+
+    if not args.yes:
+        print("refusing to delete without --yes (the reference prompts interactively)")
+        return 2
+    drop_store(args.store)
+    print(f"deleted {args.store}")
+    return 0
+
+
+def cmd_list_models(args) -> int:
+    from photo_vector_search_spark.pipelines.embed import available_models
+
+    for name, meta in available_models().items():
+        print(f"{name}  ({', '.join(f'{k}={v}' for k, v in sorted(meta.items()))})")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="photo-vector-search-spark")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def common(sp, store=True):
+        if store:
+            sp.add_argument("--store", required=True, help="parquet store directory")
+
+    sp = sub.add_parser("index-photos")
+    sp.add_argument("--photo-dir", required=True)
+    sp.add_argument("--aspect-name", default="default")
+    common(sp)
+    sp.set_defaults(fn=cmd_index_photos)
+
+    for name, fn, extra in [
+        ("search-photos-by-text", cmd_search_by_text, ("--query",)),
+        ("search-photos", cmd_search_by_photo, ("--photo",)),
+    ]:
+        sp = sub.add_parser(name)
+        sp.add_argument(extra[0], required=True)
+        sp.add_argument("-k", type=int, default=5)
+        sp.add_argument("--aspect", default=None)
+        common(sp)
+        sp.set_defaults(fn=fn)
+
+    sp = sub.add_parser("examine-image")
+    sp.add_argument("--photo", required=True)
+    common(sp)
+    sp.set_defaults(fn=cmd_examine_image)
+
+    sp = sub.add_parser("list-photos")
+    common(sp)
+    sp.set_defaults(fn=cmd_list_photos)
+
+    sp = sub.add_parser("delete-photo")
+    sp.add_argument("--photo", required=True)
+    sp.add_argument("--aspect", default=None)
+    common(sp)
+    sp.set_defaults(fn=cmd_delete_photo)
+
+    sp = sub.add_parser("clear-store")
+    common(sp)
+    sp.set_defaults(fn=cmd_clear_store)
+
+    sp = sub.add_parser("delete-store")
+    sp.add_argument("--yes", action="store_true")
+    common(sp)
+    sp.set_defaults(fn=cmd_delete_store)
+
+    sp = sub.add_parser("list-models")
+    sp.set_defaults(fn=cmd_list_models)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

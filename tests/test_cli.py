@@ -1,0 +1,67 @@
+"""CLI workflow test — the reference's README walkthrough (index → search →
+examine → delete → clear) against the Spark-backed store, driven through main()."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from photo_vector_search_spark.cli import main
+
+
+@pytest.fixture(scope="module")
+def photo_dir():
+    tmp = tempfile.mkdtemp(prefix="pvs_cli_photos_")
+    for name in ("barn.jpg", "tractor.jpg", "field.png"):
+        with open(f"{tmp}/{name}", "wb") as f:
+            f.write(f"IMAGE:{name}".encode())
+    yield tmp
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_cli_full_workflow(photo_dir, capsys, spark):
+    tmp = tempfile.mkdtemp(prefix="pvs_cli_store_")
+    store = f"{tmp}/store"
+    try:
+        assert main(["index-photos", "--photo-dir", photo_dir, "--store", store]) == 0
+        assert "indexed 3 files" in capsys.readouterr().out
+
+        assert main(["list-photos", "--store", store]) == 0
+        listed = capsys.readouterr().out.strip().splitlines()
+        assert len(listed) == 3 and any("tractor.jpg" in l for l in listed)
+
+        assert main(["search-photos-by-text", "--query", "tractor", "--store", store, "-k", "2"]) == 0
+        out = capsys.readouterr().out
+        assert "distance=" in out and out.count("\n1. ") <= 1
+
+        photo = next(l for l in listed if "barn" in l)
+        assert main(["examine-image", "--photo", photo, "--store", store]) == 0
+        assert "1 aspect(s)" in capsys.readouterr().out
+
+        assert main(["delete-photo", "--photo", photo, "--store", store]) == 0
+        assert "deleted 1 row(s)" in capsys.readouterr().out
+        main(["list-photos", "--store", store])
+        assert len(capsys.readouterr().out.strip().splitlines()) == 2
+
+        assert main(["clear-store", "--store", store]) == 0
+        capsys.readouterr()
+        main(["list-photos", "--store", store])
+        assert capsys.readouterr().out.strip() == ""
+
+        assert main(["delete-store", "--store", store]) == 2  # refuses without --yes
+        assert main(["delete-store", "--store", store, "--yes"]) == 0
+        assert not os.path.exists(store)
+
+        assert main(["list-models"]) == 0
+        assert "stub-hash-projection" in capsys.readouterr().out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_cli_missing_store_exits_2(spark):
+    with pytest.raises(SystemExit) as e:
+        main(["list-photos", "--store", "/nonexistent/store"])
+    assert e.value.code == 2
