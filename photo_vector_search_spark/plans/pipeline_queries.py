@@ -163,6 +163,32 @@ FROM packed GROUP BY pack_id
 """
 
 
+def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data profiling (training-corpus QC): per-event-type min/max/median/p95 via
+    EXACT interpolated percentiles (Spark `percentile` ≡ DuckDB `quantile_cont`
+    on doubles; approx_percentile is the scale variant, bench-only since sketches
+    don't cross-engine-compare)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.min("value"), 6).alias("min_v"),
+        F.round(F.max("value"), 6).alias("max_v"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("median_v"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95_v"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_ORACLE_DATA_PROFILE = """
+SELECT event_type,
+       round(min(value), 6) AS min_v,
+       round(max(value), 6) AS max_v,
+       round(quantile_cont(CAST(value AS DOUBLE), 0.5), 6) AS median_v,
+       round(quantile_cont(CAST(value AS DOUBLE), 0.95), 6) AS p95_v,
+       count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
 def q_canonicalize_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group-wise canonicalization (applyInPandas — grouped-Python execution
     path) over exact-dedup groups of documents ∪ re-crawl. The oracle recomputes
@@ -247,6 +273,7 @@ QUERIES = {
     "pack_documents": q_pack_documents,
     "canonicalize_dups": q_canonicalize_dups,
     "srp_lsh_near_dup": q_srp_lsh_near_dup,
+    "data_profile": q_data_profile,
 }
 
 ORACLES = {
@@ -256,5 +283,6 @@ ORACLES = {
     "train_test_split": _ORACLE_TRAIN_TEST_SPLIT,
     "pack_documents": _ORACLE_PACK_DOCUMENTS,
     "canonicalize_dups": _ORACLE_CANONICALIZE,
+    "data_profile": _ORACLE_DATA_PROFILE,
     # srp_lsh_near_dup intentionally omitted: approximate op → rows-only check
 }

@@ -30,7 +30,14 @@ def scan_images(
         .option("pathGlobFilter", glob)
         .option("recursiveFileLookup", str(recursive).lower())
         .load(directory)
-        .select("path", "content", "length", "modificationTime")
+        # binaryFile reports URIs (file:/…); strip the scheme so photo_path
+        # round-trips as a plain filesystem path like the reference's
+        .select(
+            F.regexp_replace("path", "^file:", "").alias("path"),
+            "content",
+            "length",
+            "modificationTime",
+        )
     )
 
 

@@ -26,7 +26,12 @@ def test_streaming_sessionize_matches_batch(spark, sf_dir):
 
     tmp = tempfile.mkdtemp(prefix="pvs_state_")
     try:
-        ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+        # subset of users keeps the state-store run quick; semantics unchanged
+        ev = (
+            load_table(spark, sf_dir, "events")
+            .filter(F.col("user_id") < 30)
+            .select("event_id", "ts", "user_id")
+        )
         ev.write.mode("overwrite").parquet(f"{tmp}/in")
         schema = spark.read.parquet(f"{tmp}/in").schema
         stream = spark.readStream.schema(schema).parquet(f"{tmp}/in")
@@ -49,8 +54,12 @@ def test_streaming_sessionize_matches_batch(spark, sf_dir):
             "n_sessions", F.col("n_sessions") - 1  # align to 0-based session ids
         )
         a = {r.user_id: (r.n_sessions, r.n_events) for r in got.collect()}
-        b = {r.user_id: (r.n_sessions, r.n_events) for r in batch.collect()}
-        assert a == b
+        b = {
+            r.user_id: (r.n_sessions, r.n_events)
+            for r in batch.collect()
+            if r.user_id < 30
+        }
+        assert a == b and len(a) > 0
     finally:
         spark.catalog.dropTempView("sessions")
         shutil.rmtree(tmp, ignore_errors=True)
