@@ -1,0 +1,57 @@
+"""Simulates the spark-graft driver: smoke entry() at sf0.001, then each
+queries()[name] vs oracle_sql()[name] via DuckDB at sf0.01 with an
+order-insensitive value hash."""
+import hashlib, json, sys
+sys.path.insert(0, "/root/repo")
+import duckdb
+from pyspark.sql import SparkSession
+
+spark = (SparkSession.builder.master("local[8]")
+         .config("spark.sql.shuffle.partitions", "32")
+         .config("spark.ui.enabled", "false")
+         .config("spark.sql.session.timeZone", "UTC")
+         .appName("driver-sim").getOrCreate())
+
+import __spark_entry__ as m
+
+# t1 smoke
+df = m.entry(spark)
+rows = df.collect()
+print(f"SMOKE entry(): {len(rows)} rows, schema={df.columns}")
+assert len(rows) > 0
+
+def value_hash(cols, rows):
+    cols = sorted(cols)
+    out = []
+    for r in rows:
+        d = r.asDict() if hasattr(r, "asDict") else dict(zip(cols_orig, r))
+        out.append(tuple(str(d[c]) for c in cols))
+    return hashlib.sha256(json.dumps(sorted(out)).encode()).hexdigest()[:12]
+
+sf = "/root/testdata/sf0.01"
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+
+qs, os_ = m.queries(), m.oracle_sql()
+results = {}
+for name, fn in qs.items():
+    sdf = fn(spark, sf)
+    srows = sdf.collect()
+    scols = sdf.columns
+    if name not in os_:
+        results[name] = f"rows-only: {len(srows)} rows"
+        continue
+    ores = con.execute(os_[name])
+    ocols = [d[0] for d in ores.description]
+    orows = ores.fetchall()
+    sh = value_hash(scols, srows)
+    cols_orig = ocols
+    oh = hashlib.sha256(json.dumps(sorted(
+        [tuple(str(dict(zip(ocols, r))[c]) for c in sorted(ocols)) for r in orows]
+    )).encode()).hexdigest()[:12]
+    match = (len(srows) == len(orows)) and (sorted(scols) == sorted(ocols)) and (sh == oh)
+    results[name] = f"{'MATCH' if match else 'MISMATCH'} rows={len(srows)}/{len(orows)} hash={sh}/{oh}"
+print(json.dumps(results, indent=2))
+assert all("MISMATCH" not in v for v in results.values()), "oracle mismatch"
+print("DRIVER-SIM: ALL OK")
