@@ -249,6 +249,101 @@ FROM m
 """
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing ≥ 5 distinct
+    trigrams with a held-out "benchmark" set (docs 0-19 stand in). The classic
+    pre-training hygiene op: inverted-index semi-join on shingles, overlap count,
+    threshold — no O(N·M) pair scan."""
+    from photo_vector_search_spark.operators.dedup import shingle_sets
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench_ids = docs.filter(F.col("doc_id") < 20).select("doc_id")
+    sh = shingle_sets(docs, n=3)
+    bench_sh = (
+        sh.join(bench_ids, "doc_id").select("shingle").distinct()
+    )
+    train_sh = sh.join(bench_ids, "doc_id", "left_anti")
+    overlap = (
+        train_sh.join(bench_sh, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .filter(F.col("n_overlap") >= 5)
+    )
+    return overlap.select("doc_id", "n_overlap")
+
+
+_ORACLE_DECONTAMINATE = f"""
+WITH toks AS ({_SQL_TOKS}),
+sh AS ({_SQL_SHINGLES}),
+bench_sh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20),
+train_sh AS (SELECT doc_id, shingle FROM sh WHERE doc_id >= 20)
+SELECT t.doc_id, count(*) AS n_overlap
+FROM train_sh t JOIN bench_sh b ON t.shingle = b.shingle
+GROUP BY t.doc_id HAVING count(*) >= 5
+"""
+
+
+def q_vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary stats: top-25 tokens by document frequency (the
+    at-scale word count: explode → two-level agg, map-side combinable)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
+    )
+    return (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), F.col("tok").asc())
+        .limit(25)
+    )
+
+
+_ORACLE_VOCAB_TOP = """
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split(lower(trim(text)), ' '))) AS tok
+  FROM documents
+)
+SELECT tok, count(*) AS df FROM tok GROUP BY tok
+ORDER BY df DESC, tok ASC LIMIT 25
+"""
+
+
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition (quality filter): 1 − distinct/total trigram
+    ratio; high values mark degenerate/looping text. Top-50 most repetitive."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks_df = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.lit(0), F.size(F.col("toks")) - F.lit(2))),
+        lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, 3)),
+    )
+    g = toks_df.select("doc_id", grams.alias("g"))
+    rep = (
+        F.lit(1.0)
+        - F.size(F.array_distinct(F.col("g"))) / F.greatest(F.size(F.col("g")), F.lit(1))
+    )
+    return (
+        g.select("doc_id", F.round(rep, 6).alias("repetition"))
+        .orderBy(F.col("repetition").desc(), F.col("doc_id").asc())
+        .limit(50)
+    )
+
+
+_ORACLE_DOC_REPETITION = """
+WITH toks AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents),
+g AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(0, len(t) - 2)),
+                        i -> array_to_string(list_slice(t, i, i + 2), ' ')) AS g
+  FROM toks
+)
+SELECT doc_id,
+       round(1.0 - len(list_distinct(g)) * 1.0 / greatest(len(g), 1), 6) AS repetition
+FROM g
+ORDER BY repetition DESC, doc_id ASC LIMIT 50
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
@@ -256,9 +351,15 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "embedding_near_dup": q_embedding_near_dup,
     "text_stats": q_text_stats,
+    "decontaminate": q_decontaminate,
+    "vocab_top_tokens": q_vocab_top_tokens,
+    "doc_repetition": q_doc_repetition,
 }
 
 ORACLES = {
+    "decontaminate": _ORACLE_DECONTAMINATE,
+    "vocab_top_tokens": _ORACLE_VOCAB_TOP,
+    "doc_repetition": _ORACLE_DOC_REPETITION,
     "dedup_exact": _ORACLE_DEDUP_EXACT,
     "dedup_jaccard": _ORACLE_DEDUP_JACCARD,
     "dedup_minhash_lsh": _minhash_oracle(),

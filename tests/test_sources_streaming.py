@@ -36,6 +36,34 @@ def test_scan_images_recursive_extension_filter(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_streaming_dedup_with_watermark(spark, sf_dir):
+    """Streaming exact dedup: dropDuplicates on the key within the watermark —
+    re-delivered events collapse to one row (at-least-once → effectively-once)."""
+    tmp = tempfile.mkdtemp(prefix="pvs_sdedup_")
+    try:
+        ev = load_table(spark, sf_dir, "events").select("event_id", "ts").limit(200)
+        # write the same batch twice = duplicate delivery
+        ev.write.mode("overwrite").parquet(f"{tmp}/in")
+        ev.write.mode("append").parquet(f"{tmp}/in")
+        schema = spark.read.parquet(f"{tmp}/in").schema
+        stream = spark.readStream.schema(schema).parquet(f"{tmp}/in")
+        deduped = stream.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("dedup_stream")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        n = spark.sql("SELECT count(*) AS n FROM dedup_stream").first()["n"]
+        assert n == 200  # 400 delivered, 200 unique
+    finally:
+        spark.catalog.dropTempView("dedup_stream")
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_streaming_windowed_agg_with_watermark(spark, sf_dir):
     """Real readStream: tumbling 1-hour event-time windows with a watermark,
     availableNow drain into a memory sink; totals must equal the batch query."""
