@@ -20,7 +20,7 @@ Design for 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from photo_vector_search_spark.functions.text import (
@@ -138,22 +138,30 @@ def minhash_signatures(
     partition. The narrow (i, mh) output shape is kept for the band stage and the
     oracle twin."""
     sh = shingle_sets(docs, n)
-    return _signatures_from_shingles(sh, num_hashes)
+    return _wide_signatures(sh, num_hashes).select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"mh{i}") for i in range(num_hashes)])).alias(
+            "i", "mh"
+        ),
+    )
 
 
-def _signatures_from_shingles(sh: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
+def _wide_signatures(sh: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
+    """(doc_id, mh0..mh{n-1}) — one row per doc, one shuffle total."""
     hashed = sh.select("doc_id", hash32(F.col("shingle")).alias("h"))
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
         for i, a, b in minhash_perms(num_hashes)
     ]
-    wide = hashed.groupBy("doc_id").agg(*aggs)
-    sig_array = F.array(*[F.col(f"mh{i}") for i in range(num_hashes)])
-    return wide.select("doc_id", F.posexplode(sig_array).alias("i", "mh"))
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_bands(signatures: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
-    """(doc_id, band, band_key): md5 over the band's ordered minhash values."""
+    """(doc_id, band, band_key): md5 over the band's ordered minhash values.
+
+    Narrow-input form (one shuffle to regroup); kept for API parity with the
+    oracle's formulation. The LSH pipeline itself uses ``_bands_from_wide``,
+    which computes the same keys map-only from the wide signature row."""
     rows_per_band = NUM_HASHES // bands
     # integer division (`div`), not double-divide+cast: Spark truncates double→int
     # but DuckDB rounds, so the oracle twin uses `//` and both stay integral.
@@ -164,6 +172,27 @@ def lsh_bands(signatures: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
     return sig.groupBy("doc_id", "band").agg(
         F.md5(F.concat_ws(",", ordered).cast("binary")).alias("band_key")
     )
+
+
+def _bands_from_wide(wide: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
+    """Map-only banding: same (doc_id, band, band_key) rows as ``lsh_bands`` but
+    computed directly from the wide signature columns — no regroup shuffle."""
+    rows_per_band = NUM_HASHES // bands
+    entries = []
+    for b in range(bands):
+        cols = [
+            F.col(f"mh{b * rows_per_band + r}").cast("string")
+            for r in range(rows_per_band)
+        ]
+        entries.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *cols).cast("binary")).alias("band_key"),
+            )
+        )
+    return wide.select(
+        "doc_id", F.explode(F.array(*entries)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
 
 
 def minhash_lsh_pairs(
@@ -180,7 +209,7 @@ def minhash_lsh_pairs(
     # one shared, cached shingle table feeds signatures, counts and the verify
     # join — without it the shingling+md5 work runs three times
     sh = shingle_sets(docs, n).persist()
-    bandsdf = lsh_bands(_signatures_from_shingles(sh))
+    bandsdf = _bands_from_wide(_wide_signatures(sh))
     l, r = bandsdf.alias("l"), bandsdf.alias("r")
     cand = (
         l.join(

@@ -30,7 +30,6 @@ import math
 from dataclasses import dataclass
 from typing import Callable, Iterator
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
