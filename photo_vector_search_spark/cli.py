@@ -49,6 +49,9 @@ def _print_results(rows) -> None:
             print(f"   {desc}")
 
 
+DEFAULT_PROMPT = "Describe this image in detail"
+
+
 def cmd_index_photos(args) -> int:
     from photo_vector_search_spark.operators.store import snapshot_overwrite
     from photo_vector_search_spark.pipelines.embed import index_photos
@@ -58,10 +61,33 @@ def cmd_index_photos(args) -> int:
     files = scan_images(spark, args.photo_dir)
     n_files = files.count()
     existing = spark.read.parquet(args.store) if os.path.exists(args.store) else None
-    state = index_photos(files, existing=existing, aspect_name=args.aspect_name)
+    state = index_photos(
+        files, existing=existing, aspect_name=args.aspect_name, prompt=args.prompt
+    )
     snapshot_overwrite(state, args.store)
     total = spark.read.parquet(args.store).count()
     print(f"indexed {n_files} files into {args.store} (store now {total} rows)")
+    return 0
+
+
+def cmd_add_aspect(args) -> int:
+    """Reference `add-aspect` (cli.py:68-77): index ONE photo under a new aspect
+    with a custom description prompt — an upsert of a single (photo, aspect) row."""
+    from photo_vector_search_spark.operators.store import snapshot_overwrite
+    from photo_vector_search_spark.pipelines.embed import index_photos
+
+    spark = _spark()
+    with open(args.photo, "rb") as f:
+        content = f.read()
+    files = spark.createDataFrame(
+        [(os.path.abspath(args.photo), content)], "path string, content binary"
+    )
+    existing = spark.read.parquet(args.store) if os.path.exists(args.store) else None
+    state = index_photos(
+        files, existing=existing, aspect_name=args.aspect, prompt=args.prompt
+    )
+    snapshot_overwrite(state, args.store)
+    print(f"added aspect {args.aspect!r} for {args.photo}")
     return 0
 
 
@@ -183,8 +209,16 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("index-photos")
     sp.add_argument("--photo-dir", required=True)
     sp.add_argument("--aspect-name", default="default")
+    sp.add_argument("--prompt", default=DEFAULT_PROMPT)
     common(sp)
     sp.set_defaults(fn=cmd_index_photos)
+
+    sp = sub.add_parser("add-aspect")
+    sp.add_argument("--photo", required=True)
+    sp.add_argument("--aspect", required=True)
+    sp.add_argument("--prompt", required=True)
+    common(sp)
+    sp.set_defaults(fn=cmd_add_aspect)
 
     for name, fn, extra in [
         ("search-photos-by-text", cmd_search_by_text, ("--query",)),

@@ -22,13 +22,24 @@ def tokens(text: Column) -> Column:
     return F.split(F.lower(F.trim(text)), " ")
 
 
-def word_shingles(toks: Column, n: int = 3) -> Column:
-    """Distinct word n-grams, joined by single spaces (order-insensitive set)."""
+def word_ngrams(toks: Column, n: int = 3) -> Column:
+    """Word n-grams in order (with repeats), joined by single spaces.
+
+    Guarded for short inputs: Spark's ``sequence(1, 0)`` is DESCENDING ``[1, 0]``
+    (not empty like DuckDB's generate_series), which would feed ``slice`` a zero
+    start and error under ANSI — docs with fewer than ``n`` tokens must
+    short-circuit to an empty array explicitly."""
     grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.lit(0), F.size(toks) - F.lit(n - 1))),
+        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )
-    return F.array_distinct(grams)
+    empty = F.array().cast("array<string>")
+    return F.when(F.size(toks) < n, empty).otherwise(grams)
+
+
+def word_shingles(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-grams (order-insensitive set)."""
+    return F.array_distinct(word_ngrams(toks, n))
 
 
 def hash32(s: Column) -> Column:

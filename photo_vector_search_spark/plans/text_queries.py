@@ -311,13 +311,11 @@ ORDER BY df DESC, tok ASC LIMIT 25
 def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-document repetition (quality filter): 1 − distinct/total trigram
     ratio; high values mark degenerate/looping text. Top-50 most repetitive."""
+    from photo_vector_search_spark.functions.text import word_ngrams
+
     docs = load_table(spark, sf_dir, "documents")
     toks_df = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.lit(0), F.size(F.col("toks")) - F.lit(2))),
-        lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, 3)),
-    )
-    g = toks_df.select("doc_id", grams.alias("g"))
+    g = toks_df.select("doc_id", word_ngrams(F.col("toks"), 3).alias("g"))
     rep = (
         F.lit(1.0)
         - F.size(F.array_distinct(F.col("g"))) / F.greatest(F.size(F.col("g")), F.lit(1))

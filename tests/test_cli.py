@@ -41,8 +41,18 @@ def test_cli_full_workflow(photo_dir, capsys, spark):
         assert main(["examine-image", "--photo", photo, "--store", store]) == 0
         assert "1 aspect(s)" in capsys.readouterr().out
 
+        # add a second aspect for the same photo with a custom prompt
+        src = f"{photo_dir}/barn.jpg"
+        assert main(["add-aspect", "--photo", src, "--aspect", "safety",
+                     "--prompt", "List safety hazards", "--store", store]) == 0
+        capsys.readouterr()
+        assert main(["examine-image", "--photo", src, "--store", store]) == 0
+        out = capsys.readouterr().out
+        assert "[safety]" in out
+
+        # deletes BOTH aspects of barn.jpg (default + safety)
         assert main(["delete-photo", "--photo", photo, "--store", store]) == 0
-        assert "deleted 1 row(s)" in capsys.readouterr().out
+        assert "deleted 2 row(s)" in capsys.readouterr().out
         main(["list-photos", "--store", store])
         assert len(capsys.readouterr().out.strip().splitlines()) == 2
 

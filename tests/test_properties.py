@@ -1,0 +1,107 @@
+"""Hypothesis property tests (SURVEY §5.2): pure-Python twins fuzzed hard,
+Spark operators validated on generated inputs against Python reference
+implementations (few examples — each costs a Spark job)."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from photo_vector_search_spark.operators.dedup import MINHASH_P, minhash_perms
+from photo_vector_search_spark.pipelines.embed import STUB_DIM, stub_embed_one
+
+# --------------------------------------------------------------- python twins
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=200)
+def test_stub_embedding_unit_norm_and_deterministic(t):
+    e1 = stub_embed_one(t)
+    e2 = stub_embed_one(t)
+    assert e1 == e2 and len(e1) == STUB_DIM
+    assert math.isclose(sum(x * x for x in e1), 1.0, abs_tol=1e-9)
+
+
+@given(st.text(max_size=100), st.text(max_size=100))
+@settings(max_examples=100)
+def test_stub_embedding_injective_in_practice(a, b):
+    if a != b:
+        assert stub_embed_one(a) != stub_embed_one(b)
+
+
+def test_minhash_perm_constants_overflow_safe():
+    """a < 2^30 and h < 2^32 ⇒ a*h + b < 2^62 + 2^32: no int64 overflow in Spark
+    ANSI mode, no HUGEINT promotion drift in DuckDB."""
+    for i, a, b in minhash_perms(64):
+        assert 0 < a < (1 << 30) and a % 2 == 1
+        assert 0 <= b < (1 << 32)
+        assert a * ((1 << 32) - 1) + b < (1 << 62) + (1 << 32)
+    assert MINHASH_P > (1 << 32)
+
+
+# ------------------------------------------------------- spark vs python twin
+
+_word = st.sampled_from(["spark", "join", "sort", "the", "a", "data", "row", "x1"])
+_doc = st.lists(_word, min_size=0, max_size=12).map(" ".join)
+
+
+def _py_shingles(text: str, n: int = 3) -> set[str]:
+    toks = text.lower().strip().split(" ")
+    return {" ".join(toks[i : i + n]) for i in range(max(0, len(toks) - n + 1))}
+
+
+def _py_jaccard_pairs(texts: list[str], tau: float) -> dict[tuple[int, int], float]:
+    out = {}
+    sets = [_py_shingles(t) for t in texts]
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            if not sets[i] or not sets[j]:
+                continue
+            inter = len(sets[i] & sets[j])
+            if inter == 0:
+                continue
+            jac = inter / (len(sets[i]) + len(sets[j]) - inter)
+            if jac >= tau:
+                out[(i, j)] = round(jac, 6)
+    return out
+
+
+@given(st.lists(_doc, min_size=2, max_size=8))
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_jaccard_pairs_matches_python_reference(spark_session_holder, docs_texts):
+    from photo_vector_search_spark.operators.dedup import jaccard_pairs
+
+    spark = spark_session_holder
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs_texts)], "doc_id long, text string"
+    )
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in jaccard_pairs(df, 3, 0.3).collect()}
+    expect = _py_jaccard_pairs(docs_texts, 0.3)
+    assert got == expect
+
+
+@given(
+    st.dictionaries(st.integers(0, 20), st.integers(0, 5), min_size=0, max_size=10),
+    st.dictionaries(st.integers(0, 20), st.integers(6, 9), min_size=0, max_size=10),
+)
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_merge_upsert_laws(spark_session_holder, existing_kv, updates_kv):
+    from photo_vector_search_spark.operators.store import merge_upsert
+
+    spark = spark_session_holder
+    schema = "id long, v long"
+    existing = spark.createDataFrame(list(existing_kv.items()) or [], schema)
+    updates = spark.createDataFrame(list(updates_kv.items()) or [], schema)
+    merged = {r.id: r.v for r in merge_upsert(existing, updates, ["id"]).collect()}
+    assert merged == {**existing_kv, **updates_kv}  # last-write-wins, key union
+
+
+# pytest fixture bridging: hypothesis needs a non-function-scoped spark handle
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def spark_session_holder(spark):
+    return spark
