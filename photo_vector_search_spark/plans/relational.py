@@ -276,6 +276,50 @@ FROM sess GROUP BY user_id
 """
 
 
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each error event matched to the user's most recent prior (or
+    simultaneous) click — oracle uses DuckDB's NATIVE ASOF JOIN, so the Spark
+    union-window implementation is validated against an independent engine's
+    built-in temporal-join semantics."""
+    from photo_vector_search_spark.operators.joins import asof_join_backward
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    errors = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    joined = asof_join_backward(
+        errors, clicks, by=["user_id"], left_ts="ts", right_ts="ts",
+        value_cols=["click_value"],
+    )
+    gap = F.col("ts").cast("long") - F.col("matched_ts").cast("long")
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("err_ts"),
+        F.round("click_value", 6).alias("click_value"),
+        gap.alias("gap_sec"),
+    )
+
+
+_ORACLE_EVENTS_ASOF = """
+WITH clicks AS (
+  SELECT user_id, ts, max(value) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+),
+errors AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+)
+SELECT e.event_id, e.user_id,
+       strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS err_ts,
+       round(c.click_value, 6) AS click_value,
+       date_diff('second', c.ts, e.ts) AS gap_sec
+FROM errors e ASOF JOIN clicks c ON e.user_id = c.user_id AND e.ts >= c.ts
+"""
+
+
 QUERIES = {
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
@@ -284,9 +328,11 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "events_json": q_events_json,
     "events_sessionize": q_events_sessionize,
+    "events_asof": q_events_asof,
 }
 
 ORACLES = {
+    "events_asof": _ORACLE_EVENTS_ASOF,
     "tpch_q1": _ORACLE_Q1,
     "tpch_q3": _ORACLE_Q3,
     "tpch_q5": _ORACLE_Q5,

@@ -85,7 +85,8 @@ def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.concat_ws("_", F.col("source"), F.col("lang")).alias("key"),
         F.lower(F.col("source")).alias("source_lc"),
-        F.length(F.col("text")).alias("text_len"),
+        # long, matching DuckDB length()'s BIGINT (type-level parity, not just value)
+        F.length(F.col("text")).cast("long").alias("text_len"),
         F.base64(F.substring(F.col("text"), 1, 16).cast("binary")).alias("b64_prefix"),
         F.trim(F.substring(F.col("text"), 1, 20)).alias("trimmed"),
         F.round(F.col("n_chars").cast("double") / 100, 4).alias("chars_h"),
