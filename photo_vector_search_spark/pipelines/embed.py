@@ -191,10 +191,18 @@ def available_models() -> dict[str, dict[str, str]]:
     implementations this deployment can bind to the Embedder/Describer
     interfaces. Real CLIP/Ollama entries register here when their runtimes are
     installed; the deterministic stubs are always available."""
-    return {
+    out = {
         "stub-hash-projection": {"kind": "embedder", "dim": str(STUB_DIM), "hermetic": "yes"},
         "stub-describer": {"kind": "describer", "hermetic": "yes"},
     }
+    try:  # real backends appear only when their runtimes are installed
+        import clip  # noqa: F401
+        import torch  # noqa: F401
+
+        out["clip-vit-l14"] = {"kind": "embedder", "dim": "768", "hermetic": "no"}
+    except ImportError:
+        pass
+    return out
 
 
 # ------------------------------------------------------------------------ pipeline

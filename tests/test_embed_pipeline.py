@@ -87,6 +87,21 @@ def test_describe_error_yields_empty_but_row_indexed(spark):
     assert r.description == "" and len(r.embedding) == STUB_DIM
 
 
+def test_ollama_describer_dead_server_degrades_to_empty(spark):
+    """Real-backend adapter with no server: every row degrades to '' but is
+    still indexed — the reference's silent-empty path over the same interface."""
+    from photo_vector_search_spark.pipelines.models import ollama_describer
+
+    files = _files_df(spark, ["a"])
+    state = index_photos(
+        files,
+        existing=None,
+        describer=ollama_describer(host="http://localhost:1"),  # nothing listens
+    )
+    r = state.collect()[0]
+    assert r.description == "" and len(r.embedding) == STUB_DIM
+
+
 def test_embed_failure_aborts_row(spark):
     """Reference semantics photo_vector_search.py:102-104: embedding failure
     aborts that row (dropped), others proceed."""
