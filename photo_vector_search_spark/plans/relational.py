@@ -320,6 +320,77 @@ FROM errors e ASOF JOIN clicks c ON e.user_id = c.user_id AND e.ts >= c.ts
 """
 
 
+def q_events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style rollup: resample events onto a dense per-user hourly
+    grid with forward fill — the telemetry-alignment op (grid generation ×
+    dimension crossJoin, left join of hourly partials, window ffill). Users < 20
+    keep the grid bounded; the grid spans the table's full hour range."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.min(F.date_trunc("hour", "ts")).alias("h0"),
+        F.max(F.date_trunc("hour", "ts")).alias("h1"),
+    ).first()
+    h0, h1 = b["h0"], b["h1"]
+    n_hours = int((h1 - h0).total_seconds() // 3600) + 1
+    # naive datetimes from the UTC-pinned session: interpret explicitly as UTC —
+    # bare .timestamp() would use the machine's local TZ
+    from datetime import timezone
+
+    h0_epoch = int(h0.replace(tzinfo=timezone.utc).timestamp())
+    grid = spark.range(n_hours).select(
+        F.timestamp_seconds(F.lit(h0_epoch) + F.col("id") * 3600).alias("hour_ts")
+    )
+    users = ev.filter(F.col("user_id") < 20).select("user_id").distinct()
+    agg = (
+        ev.filter(F.col("user_id") < 20)
+        .groupBy("user_id", F.date_trunc("hour", "ts").alias("hour_ts"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(_dsum(F.col("value")).cast("double"), 4).alias("hsum"),
+        )
+    )
+    full = grid.crossJoin(users).join(agg, ["user_id", "hour_ts"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return full.select(
+        "user_id",
+        F.date_format("hour_ts", "yyyy-MM-dd HH:mm").alias("hour"),
+        F.coalesce("n", F.lit(0)).alias("n"),
+        "hsum",
+        F.last("hsum", ignorenulls=True).over(w).alias("filled_sum"),
+    )
+
+
+_ORACLE_EVENTS_RESAMPLE = """
+WITH bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1 FROM events
+),
+grid AS (
+  SELECT unnest(generate_series((SELECT h0 FROM bounds), (SELECT h1 FROM bounds),
+                                INTERVAL 1 HOUR)) AS hour_ts
+),
+users AS (SELECT DISTINCT user_id FROM events WHERE user_id < 20),
+agg AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour_ts, count(*) AS n,
+         round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS hsum
+  FROM events WHERE user_id < 20 GROUP BY 1, 2
+)
+SELECT u.user_id,
+       strftime(g.hour_ts, '%Y-%m-%d %H:%M') AS hour,
+       coalesce(a.n, 0) AS n,
+       a.hsum AS hsum,
+       last_value(a.hsum IGNORE NULLS) OVER (
+         PARTITION BY u.user_id ORDER BY g.hour_ts
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_sum
+FROM grid g
+CROSS JOIN users u
+LEFT JOIN agg a ON a.user_id = u.user_id AND a.hour_ts = g.hour_ts
+"""
+
+
 QUERIES = {
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
@@ -329,10 +400,12 @@ QUERIES = {
     "events_json": q_events_json,
     "events_sessionize": q_events_sessionize,
     "events_asof": q_events_asof,
+    "events_resample": q_events_resample,
 }
 
 ORACLES = {
     "events_asof": _ORACLE_EVENTS_ASOF,
+    "events_resample": _ORACLE_EVENTS_RESAMPLE,
     "tpch_q1": _ORACLE_Q1,
     "tpch_q3": _ORACLE_Q3,
     "tpch_q5": _ORACLE_Q5,
