@@ -265,6 +265,88 @@ def q_srp_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return srp_lsh_near_dup_pairs(load_table(spark, sf_dir, "embeddings"), tau=0.45)
 
 
+SAMPLE_RATES = {"src0": 0.8, "src1": 0.5, "src2": 0.25}  # training-mix weights
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for training-data mixing: per-source
+    keep rates applied via md5-bucket thresholds (reproducible under re-runs and
+    insertions, unlike seeded random sampling whose draw depends on
+    partitioning). Output: per-source kept counts + id checksum."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("long")
+        % 1000
+    )
+    rate = F.coalesce(
+        *[
+            F.when(F.col("source") == s, F.lit(r))
+            for s, r in sorted(SAMPLE_RATES.items())
+        ],
+        F.lit(0.0),
+    )
+    kept = docs.withColumn("_b", bucket).filter(F.col("_b") < rate * 1000)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
+_rates_sql = " ".join(
+    f"WHEN source = '{s}' THEN {r}" for s, r in sorted(SAMPLE_RATES.items())
+)
+_ORACLE_STRATIFIED_SAMPLE = f"""
+WITH b AS (
+  SELECT doc_id, source,
+         CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000
+           AS bucket,
+         CASE {_rates_sql} ELSE 0.0 END AS rate
+  FROM documents
+)
+SELECT source, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM b WHERE bucket < rate * 1000 GROUP BY source
+"""
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric quantization of the embedding column — the 4× (float32)
+    storage cut a 100 TB vector corpus takes at rest. Per-vector scale =
+    max|x|/127; q_i = round(x_i / scale). Output keeps arrays out of the compare:
+    per-vector scale + quantized checksum + reconstruction error bound."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = F.col("embedding").cast("array<double>")
+    max_abs = F.array_max(F.transform(x, lambda v: F.abs(v)))
+    scale = max_abs / F.lit(127.0)
+    q = F.transform(x, lambda v: F.round(v / scale).cast("int"))
+    max_err = F.array_max(
+        F.zip_with(x, q, lambda v, qq: F.abs(v - qq.cast("double") * scale))
+    )
+    return emb.select(
+        "vec_id",
+        F.round(scale, 6).alias("scale"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda a, v: a + v).alias("q_sum"),
+        F.round(max_err, 6).alias("max_err"),
+    )
+
+
+_ORACLE_EMBEDDING_QUANTIZE = """
+WITH q AS (
+  SELECT vec_id,
+         embedding::DOUBLE[] AS x,
+         list_max(list_transform(embedding::DOUBLE[], v -> abs(v))) / 127.0 AS scale
+  FROM embeddings
+)
+SELECT vec_id,
+       round(scale, 6) AS scale,
+       CAST(list_sum(list_transform(x, v -> CAST(round(v / scale) AS BIGINT))) AS BIGINT)
+         AS q_sum,
+       round(list_max(list_transform(x, v -> abs(v - round(v / scale) * scale))), 6)
+         AS max_err
+FROM q
+"""
+
+
 QUERIES = {
     "distinct_counts": q_distinct_counts,
     "set_ops": q_set_ops,
@@ -274,6 +356,8 @@ QUERIES = {
     "canonicalize_dups": q_canonicalize_dups,
     "srp_lsh_near_dup": q_srp_lsh_near_dup,
     "data_profile": q_data_profile,
+    "stratified_sample": q_stratified_sample,
+    "embedding_quantize": q_embedding_quantize,
 }
 
 ORACLES = {
@@ -284,5 +368,7 @@ ORACLES = {
     "pack_documents": _ORACLE_PACK_DOCUMENTS,
     "canonicalize_dups": _ORACLE_CANONICALIZE,
     "data_profile": _ORACLE_DATA_PROFILE,
+    "stratified_sample": _ORACLE_STRATIFIED_SAMPLE,
+    "embedding_quantize": _ORACLE_EMBEDDING_QUANTIZE,
     # srp_lsh_near_dup intentionally omitted: approximate op → rows-only check
 }
