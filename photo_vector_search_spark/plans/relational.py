@@ -391,6 +391,42 @@ LEFT JOIN agg a ON a.user_id = u.user_id AND a.hour_ts = g.hour_ts
 """
 
 
+PRICE_BANDS = [
+    ("budget", 0.0, 20_000.0),
+    ("mid", 20_000.0, 60_000.0),
+    ("high", 60_000.0, 200_000.0),
+    ("luxury", 200_000.0, 10_000_000.0),
+]
+
+
+def q_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: classify orders into price bands via a broadcast
+    non-equi join (lo ≤ price < hi). With a handful of bands the broadcast
+    nested-loop IS the optimal plan; for large interval tables the scale form
+    maps rows to bucket keys (floor(price/width)) and equi-joins on the bucket —
+    same results, hash join instead of NLJ."""
+    o = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(PRICE_BANDS, "band string, lo double, hi double")
+    joined = o.join(
+        F.broadcast(bands),
+        (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+    )
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(_dsum(F.col("o_totalprice")).cast("double"), 2).alias("total"),
+    )
+
+
+_bands_values = ", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in PRICE_BANDS)
+_ORACLE_RANGE_BAND_JOIN = f"""
+WITH bands(band, lo, hi) AS (VALUES {_bands_values})
+SELECT band, count(*) AS n,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS total
+FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY band
+"""
+
+
 QUERIES = {
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
@@ -401,9 +437,11 @@ QUERIES = {
     "events_sessionize": q_events_sessionize,
     "events_asof": q_events_asof,
     "events_resample": q_events_resample,
+    "range_band_join": q_range_band_join,
 }
 
 ORACLES = {
+    "range_band_join": _ORACLE_RANGE_BAND_JOIN,
     "events_asof": _ORACLE_EVENTS_ASOF,
     "events_resample": _ORACLE_EVENTS_RESAMPLE,
     "tpch_q1": _ORACLE_Q1,
