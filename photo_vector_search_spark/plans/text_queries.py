@@ -342,6 +342,47 @@ ORDER BY repetition DESC, doc_id ASC LIMIT 50
 """
 
 
+CHUNK_SIZE = 64
+CHUNK_STRIDE = 48  # 16-token overlap
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (context-window preparation): token
+    windows of CHUNK_SIZE at CHUNK_STRIDE, tail partial chunks included. Pure
+    explode — map-only, no shuffle; output fingerprints the chunk text so values
+    (not just counts) are checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks_df = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size("toks"), F.lit(1)), F.lit(CHUNK_STRIDE)
+    )
+    ex = toks_df.select(
+        "doc_id", "toks", F.posexplode(starts).alias("chunk_id", "start")
+    )
+    chunk = F.slice(F.col("toks"), F.col("start"), CHUNK_SIZE)
+    return ex.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(chunk).alias("n_tok"),
+        F.md5(F.concat_ws(" ", chunk).cast("binary")).alias("chunk_fp"),
+    )
+
+
+_ORACLE_CHUNK_DOCUMENTS = f"""
+WITH toks AS ({_SQL_TOKS}),
+st AS (
+  SELECT doc_id, t,
+         unnest(generate_series(1, greatest(len(t), 1), {CHUNK_STRIDE})) AS start
+  FROM toks
+)
+SELECT doc_id,
+       CAST((start - 1) // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+       CAST(len(list_slice(t, start, start + {CHUNK_SIZE} - 1)) AS INT) AS n_tok,
+       md5(array_to_string(list_slice(t, start, start + {CHUNK_SIZE} - 1), ' ')) AS chunk_fp
+FROM st
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
@@ -352,9 +393,11 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "vocab_top_tokens": q_vocab_top_tokens,
     "doc_repetition": q_doc_repetition,
+    "chunk_documents": q_chunk_documents,
 }
 
 ORACLES = {
+    "chunk_documents": _ORACLE_CHUNK_DOCUMENTS,
     "decontaminate": _ORACLE_DECONTAMINATE,
     "vocab_top_tokens": _ORACLE_VOCAB_TOP,
     "doc_repetition": _ORACLE_DOC_REPETITION,
