@@ -58,7 +58,10 @@ def l2_normalize(a: Column) -> Column:
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
-    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+    """NULL for zero-norm inputs: try_divide, because under ANSI mode (Spark 4
+    default) a plain double division by zero THROWS mid-query instead of
+    yielding NULL — one degenerate vector must not kill a whole search."""
+    return F.try_divide(dot_product(a, b), l2_norm(a) * l2_norm(b))
 
 
 def cosine_distance(a: Column, b: Column) -> Column:
@@ -80,8 +83,9 @@ def cosine_distance_to_query(emb: Column, vec) -> Column:
     import math
 
     qnorm = math.sqrt(sum(float(x) * float(x) for x in vec))
-    return F.lit(1.0) - dot_product(emb, query_vector_literal(vec)) / (
-        l2_norm(emb) * F.lit(qnorm)
+    # try_divide: zero-norm rows → NULL (ANSI double div-by-zero throws otherwise)
+    return F.lit(1.0) - F.try_divide(
+        dot_product(emb, query_vector_literal(vec)), l2_norm(emb) * F.lit(qnorm)
     )
 
 
@@ -101,7 +105,8 @@ def make_pandas_cosine_distance_udf(query_vec):
             m = np.vstack(s.to_numpy())  # (rows, dim) float32
             m = m.astype(np.float64, copy=False)
             norms = np.linalg.norm(m, axis=1)
-            sims = (m @ q) / (norms * qn)
-            yield pd.Series(1.0 - sims)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = (m @ q) / (norms * qn)  # zero-norm rows → NaN,
+            yield pd.Series(1.0 - sims)  # excluded downstream by _valid_dist
 
     return _cos_dist

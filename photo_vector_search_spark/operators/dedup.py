@@ -207,7 +207,11 @@ def minhash_lsh_pairs(
     collisions instead of every shared shingle, which is the 100 TB path.
     """
     # one shared, cached shingle table feeds signatures, counts and the verify
-    # join — without it the shingling+md5 work runs three times
+    # join — without it the shingling+md5 work runs three times. NOTE: the cache
+    # lives until session end / LRU eviction (unpersisting eagerly would defeat
+    # the reuse since the returned plan is lazy) — long-lived sessions calling
+    # this repeatedly should unpersist via spark.catalog.clearCache() between
+    # batches.
     sh = shingle_sets(docs, n).persist()
     bandsdf = _bands_from_wide(_wide_signatures(sh))
     l, r = bandsdf.alias("l"), bandsdf.alias("r")
@@ -281,11 +285,14 @@ def simhash(docs: DataFrame) -> DataFrame:
 def simhash_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
     """Near-dup candidate pairs by SimHash hamming distance ≤ max_hamming.
 
-    Banding on the fingerprint's 4 bytes (pigeonhole: distance ≤ 6 over 32 bits
-    can still differ in every byte, so for the declared semantics we verify ALL
-    pairs sharing ≥1 exact byte — at hamming ≤ 6 with 4 bands of 8 bits a
-    colliding byte is guaranteed only for distance ≤ 3; ≥1-band collision is the
-    standard recall/cost trade). Output: (doc_a, doc_b, hamming)."""
+    Candidates = pairs sharing ≥1 exact fingerprint byte (4 bands × 8 bits);
+    each candidate's true hamming distance is then checked ≤ max_hamming.
+    RECALL CAVEAT: pigeonhole guarantees a colliding byte only for distance ≤ 3 —
+    a pair at distance 4-6 whose differing bits spread across all 4 bytes is
+    never a candidate and is silently missed (the standard LSH recall/cost
+    trade; the DuckDB oracle runs the same banding, so parity holds while
+    absolute recall is bounded — recall floor asserted in tests).
+    Output: (doc_a, doc_b, hamming)."""
     fp = simhash(docs)
     banded = fp.select(
         "doc_id",
@@ -440,8 +447,10 @@ def embedding_near_dup_fast(embeddings: DataFrame, tau: float = 0.45) -> DataFra
             m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64, copy=False)
             mnorms = np.linalg.norm(m, axis=1)
             # dot / (|a|·|b|), matching the SQL expression's formula shape so the
-            # rounded values agree with the exact path
-            sims = (m @ bmat.T) / np.outer(mnorms, bnorms)
+            # rounded values agree with the exact path; zero-norm rows → NaN,
+            # which fails `sims >= tau` and drops out like the exact path's NULL
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = (m @ bmat.T) / np.outer(mnorms, bnorms)
             my_ids = pdf["vec_id"].to_numpy()
             bi, bj = np.nonzero((sims >= tau) & (my_ids[:, None] < bids[None, :]))
             yield pd.DataFrame(

@@ -34,21 +34,30 @@ def asof_join_backward(
     """Inner backward as-of join. Output: all left columns + matched value_cols
     + ``matched_ts`` (the right row's timestamp). Left rows with no prior right
     row are dropped (inner semantics — keeps oracle parity trivial)."""
+    from pyspark.sql.types import StructField, StructType
+
     lcols = [c for c in left.columns]
+    # the matched right ROW travels as ONE struct so ts and values fill
+    # atomically — per-column last(ignorenulls) would pair the newest ts with an
+    # OLDER column's value whenever the newest row holds a null in that column
+    row_struct_type = StructType(
+        [StructField("_ts_r", right.schema[right_ts].dataType)]
+        + [StructField(c, right.schema[c].dataType) for c in value_cols]
+    )
     r = right.select(
         *by,
         F.col(right_ts).alias("_ts"),
         F.lit(1).alias("_is_right"),
-        F.col(right_ts).alias("_r_ts"),
-        *[F.col(c) for c in value_cols],
+        F.struct(
+            F.col(right_ts).alias("_ts_r"), *[F.col(c) for c in value_cols]
+        ).alias("_row"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}") for c in lcols],
     )
     l = left.select(
         *by,
         F.col(left_ts).alias("_ts"),
         F.lit(0).alias("_is_right"),
-        F.lit(None).cast(right.schema[right_ts].dataType).alias("_r_ts"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in value_cols],
+        F.lit(None).cast(row_struct_type).alias("_row"),
         *[F.col(c).alias(f"_l_{c}") for c in lcols],
     )
     # right sorts before left at equal ts (_is_right DESC) → inclusive ts_r ≤ ts_l
@@ -58,16 +67,11 @@ def asof_join_backward(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = r.unionByName(l).select(
-        "*",
-        F.last("_r_ts", ignorenulls=True).over(w).alias("matched_ts"),
-        *[
-            F.last(c, ignorenulls=True).over(w).alias(f"_m_{c}")
-            for c in value_cols
-        ],
+        "*", F.last("_row", ignorenulls=True).over(w).alias("_m")
     )
-    out = filled.filter((F.col("_is_right") == 0) & F.col("matched_ts").isNotNull())
+    out = filled.filter((F.col("_is_right") == 0) & F.col("_m").isNotNull())
     return out.select(
         *[F.col(f"_l_{c}").alias(c) for c in lcols],
-        "matched_ts",
-        *[F.col(f"_m_{c}").alias(c) for c in value_cols],
+        F.col("_m._ts_r").alias("matched_ts"),
+        *[F.col(f"_m.{c}").alias(c) for c in value_cols],
     )

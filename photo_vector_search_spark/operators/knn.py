@@ -31,7 +31,7 @@ from typing import Iterator, Sequence
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from photo_vector_search_spark.functions.vector import (
@@ -57,6 +57,13 @@ def fetch_query_vector(spark: SparkSession, sf_dir: str, vec_id: int) -> list[fl
     return list(row[0])
 
 
+def _valid_dist(col: Column) -> Column:
+    """Zero-norm vectors produce NULL (SQL division path) or NaN (NumPy path);
+    both mean 'undefined in cosine space' and must never outrank a real
+    neighbor (NULLs sort FIRST ascending by default!). Excluded in every path."""
+    return col.isNotNull() & ~F.isnan(col)
+
+
 def knn_topk(
     embeddings: DataFrame,
     query_vec: Sequence[float],
@@ -68,6 +75,7 @@ def knn_topk(
 
     ``fast=True`` swaps the codegen SQL distance expression for the NumPy-matmul
     pandas UDF (same results modulo ~1e-12; the SQL path is the oracle-parity path).
+    Zero-norm vectors have no cosine distance and are excluded from results.
     Output: (vec_id, label, dist) with dist rounded to 6dp, ordered by (dist, vec_id).
     """
     df = embeddings
@@ -79,6 +87,7 @@ def knn_topk(
         dist = cosine_distance_to_query(F.col("embedding"), query_vec)
     return (
         df.select("vec_id", "label", dist.alias("_dist"))
+        .filter(_valid_dist(F.col("_dist")))
         .orderBy(F.col("_dist").asc(), F.col("vec_id").asc())  # TakeOrderedAndProject
         .limit(k)
         .select("vec_id", "label", F.round("_dist", 6).alias("dist"))
@@ -98,7 +107,7 @@ def knn_batch(embeddings: DataFrame, queries: DataFrame, k: int = 5) -> DataFram
         "vec_id",
         "label",
         cosine_distance(F.col("embedding"), F.col("query_vec")).alias("_dist"),
-    )
+    ).filter(_valid_dist(F.col("_dist")))
     win = Window.partitionBy("query_id").orderBy(F.col("_dist").asc(), F.col("vec_id").asc())
     return (
         pairs.withColumn("rank", F.row_number().over(win))
@@ -126,23 +135,29 @@ def knn_batch_fast(embeddings: DataFrame, queries: DataFrame, k: int = 5) -> Dat
         ids, mat, nrm = bq.value
         nq = len(ids)
         for pdf in batches:
+            # pre-sort the batch by vec_id so the stable per-query argsort breaks
+            # distance ties by ascending vec_id — identical tie-break to the
+            # window in knn_batch even when the tie straddles the kk boundary
+            pdf = pdf.sort_values("vec_id", kind="stable").reset_index(drop=True)
             m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64, copy=False)
             dn = np.linalg.norm(m, axis=1)
-            # (rows, nq) distance matrix in one BLAS call
-            dist = 1.0 - (m @ qmat.T) / np.outer(dn, nrm)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                # (rows, nq) distance matrix in one BLAS call
+                dist = 1.0 - (m @ qmat.T) / np.outer(dn, nrm)
             kk = min(k, len(pdf))
-            # per-query partial top-k within this Arrow batch
-            idx = np.argpartition(dist, kk - 1, axis=0)[:kk, :]  # (kk, nq)
-            rows = idx.ravel(order="F")
-            qcol = np.repeat(ids, kk)
-            yield pd.DataFrame(
-                {
-                    "query_id": qcol,
-                    "vec_id": pdf["vec_id"].to_numpy()[rows],
-                    "label": pdf["label"].to_numpy()[rows],
-                    "_dist": dist[rows, np.repeat(np.arange(nq), kk)],
-                }
-            )
+            out = {"query_id": [], "vec_id": [], "label": [], "_dist": []}
+            vid = pdf["vec_id"].to_numpy()
+            lab = pdf["label"].to_numpy()
+            for j in range(nq):
+                col = dist[:, j]
+                order = np.argsort(col, kind="stable")  # NaN (zero-norm) sorts last
+                take = order[:kk]
+                take = take[np.isfinite(col[take])]  # exclude undefined distances
+                out["query_id"].extend([ids[j]] * len(take))
+                out["vec_id"].extend(vid[take])
+                out["label"].extend(lab[take])
+                out["_dist"].extend(col[take])
+            yield pd.DataFrame(out)
 
     survivors = embeddings.select("vec_id", "label", "embedding").mapInPandas(
         _topk_per_batch, schema=out_schema

@@ -96,8 +96,15 @@ def snapshot_overwrite(df: DataFrame, path: str) -> None:
     try:
         df.write.mode("overwrite").parquet(tmp)
         old = path + ".old"
+        # a stale .old from a crashed prior run would make rename(path, old)
+        # fail forever — clear it first
+        shutil.rmtree(old, ignore_errors=True)
         if os.path.exists(path):
             os.rename(path, old)
+            # crash window: between these renames `path` is briefly absent —
+            # POSIX has no atomic directory swap; a table format (Delta/Iceberg)
+            # closes this gap with a metadata commit. Recovery: `.old` holds the
+            # previous snapshot.
             os.rename(tmp, path)
             shutil.rmtree(old, ignore_errors=True)
         else:

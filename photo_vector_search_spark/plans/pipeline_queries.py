@@ -38,7 +38,12 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     src0 = docs.filter(F.col("source") == "src0").select("lang")
     src1 = docs.filter(F.col("source") == "src1").select("lang")
-    only0 = src0.exceptAll(src1.distinct()).distinct().withColumn("kind", F.lit("only_src0"))
+    # set semantics need distinct BEFORE except: exceptAll on raw rows removes
+    # only one occurrence per match, so shared langs with multiplicity >1 in
+    # src0 would survive and be mislabeled "only_src0"
+    only0 = (
+        src0.distinct().exceptAll(src1.distinct()).withColumn("kind", F.lit("only_src0"))
+    )
     both = src0.intersect(src1).withColumn("kind", F.lit("both"))
     return only0.unionByName(both).select("kind", "lang")
 
@@ -47,8 +52,8 @@ _ORACLE_SET_OPS = """
 WITH src0 AS (SELECT lang FROM documents WHERE source = 'src0'),
 src1 AS (SELECT lang FROM documents WHERE source = 'src1'),
 only0 AS (
-  SELECT DISTINCT 'only_src0' AS kind, lang FROM (
-    SELECT lang FROM src0 EXCEPT ALL SELECT DISTINCT lang FROM src1)
+  SELECT 'only_src0' AS kind, lang FROM (
+    SELECT DISTINCT lang FROM src0 EXCEPT SELECT DISTINCT lang FROM src1)
 ),
 in_both AS (SELECT 'both' AS kind, lang FROM (SELECT lang FROM src0 INTERSECT SELECT lang FROM src1))
 SELECT kind, lang FROM only0 UNION ALL SELECT kind, lang FROM in_both

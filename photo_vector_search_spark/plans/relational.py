@@ -326,17 +326,16 @@ def q_events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension crossJoin, left join of hourly partials, window ffill). Users < 20
     keep the grid bounded; the grid spans the table's full hour range."""
     ev = load_table(spark, sf_dir, "events")
+    # collect EPOCH LONGS, not datetimes: collected timestamps are naive in the
+    # session/driver TZ, and any Python-side reinterpretation (.timestamp(),
+    # .replace(tzinfo=...)) is wrong on some machine — unix_timestamp stays on
+    # the internal epoch and is TZ-proof
     b = ev.agg(
-        F.min(F.date_trunc("hour", "ts")).alias("h0"),
-        F.max(F.date_trunc("hour", "ts")).alias("h1"),
+        F.unix_timestamp(F.min(F.date_trunc("hour", "ts"))).alias("e0"),
+        F.unix_timestamp(F.max(F.date_trunc("hour", "ts"))).alias("e1"),
     ).first()
-    h0, h1 = b["h0"], b["h1"]
-    n_hours = int((h1 - h0).total_seconds() // 3600) + 1
-    # naive datetimes from the UTC-pinned session: interpret explicitly as UTC —
-    # bare .timestamp() would use the machine's local TZ
-    from datetime import timezone
-
-    h0_epoch = int(h0.replace(tzinfo=timezone.utc).timestamp())
+    h0_epoch, h1_epoch = int(b["e0"]), int(b["e1"])
+    n_hours = (h1_epoch - h0_epoch) // 3600 + 1
     grid = spark.range(n_hours).select(
         F.timestamp_seconds(F.lit(h0_epoch) + F.col("id") * 3600).alias("hour_ts")
     )

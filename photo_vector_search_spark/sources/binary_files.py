@@ -21,9 +21,13 @@ def scan_images(
     recursive: bool = True,
 ) -> DataFrame:
     """(path, content, length, modificationTime) for files matching the extension
-    set, case-insensitively, recursively — SC1+SC2."""
+    set, case-insensitively, recursively — SC1+SC2.
+
+    Char-class glob (``[jJ][pP][gG]``) so ANY case mix matches at the listing
+    level (``.Jpg``/``.JPeG`` included, like the reference's suffix.lower()),
+    without reading non-matching files at all."""
     glob = "*.{%s}" % ",".join(
-        sorted({e.lower() for e in extensions} | {e.upper() for e in extensions})
+        "".join(f"[{c.lower()}{c.upper()}]" for c in e) for e in sorted(set(extensions))
     )
     return (
         spark.read.format("binaryFile")

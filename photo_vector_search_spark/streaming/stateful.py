@@ -23,6 +23,9 @@ OUTPUT_SCHEMA = "user_id long, session_id long, n_events long, closed boolean"
 STATE_SCHEMA = "session_id long, last_ts double, n_events long"
 
 
+_NO_TS = -1.0  # sentinel: no open session activity (state schema keeps doubles)
+
+
 def _sessionize_group(
     key: tuple,
     pdfs: Iterable[pd.DataFrame],
@@ -34,16 +37,21 @@ def _sessionize_group(
     (user_id,) = key
     if state.hasTimedOut:
         session_id, last_ts, n_events = state.get
-        state.remove()
-        yield pd.DataFrame(
-            [(user_id, session_id, n_events, True)],
-            columns=["user_id", "session_id", "n_events", "closed"],
-        )
+        # keep the counter in state (don't remove!): dropping it would restart
+        # the user's next session at id 0 and collide with already-emitted ids
+        state.update((session_id + 1, _NO_TS, 0))
+        if n_events > 0:
+            yield pd.DataFrame(
+                [(user_id, session_id, n_events, True)],
+                columns=["user_id", "session_id", "n_events", "closed"],
+            )
         return
 
     events = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
     if state.exists:
         session_id, last_ts, n_events = state.get
+        if last_ts == _NO_TS:
+            last_ts = None
     else:
         session_id, last_ts, n_events = 0, None, 0
 
