@@ -33,6 +33,9 @@ def _spark():
 
 
 def _load_store(spark, store: str):
+    from photo_vector_search_spark.operators.store import recover_store
+
+    recover_store(store)  # restore from .old if a prior swap crashed
     if not os.path.exists(store):
         print(f"store not found: {store}", file=sys.stderr)
         raise SystemExit(2)

@@ -87,24 +87,35 @@ def drop_store(path: str) -> None:
     shutil.rmtree(path, ignore_errors=True)
 
 
+def recover_store(path: str) -> None:
+    """Crash recovery for the snapshot swap: if a previous run died between the
+    two renames, `path` is absent but `path + '.old'` holds the last complete
+    snapshot — restore it. Call before reading OR writing a store; no-op when
+    the store is healthy."""
+    old = path + ".old"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+
+
 def snapshot_overwrite(df: DataFrame, path: str) -> None:
     """Persist a new store state atomically-enough: write tmp dir, swap (SURVEY §7
     "hard parts" #1). On a real deployment this is a table-format commit (Delta/
     Iceberg); plain Parquet + rename is the dependency-free stand-in."""
+    recover_store(path)  # never clobber a crashed run's only surviving snapshot
     parent = os.path.dirname(os.path.abspath(path))
     tmp = tempfile.mkdtemp(prefix="._snapshot_", dir=parent)
     try:
         df.write.mode("overwrite").parquet(tmp)
         old = path + ".old"
-        # a stale .old from a crashed prior run would make rename(path, old)
-        # fail forever — clear it first
+        # after recover_store, an existing .old alongside an existing store is
+        # leftover garbage from an interrupted cleanup — safe to clear
         shutil.rmtree(old, ignore_errors=True)
         if os.path.exists(path):
             os.rename(path, old)
             # crash window: between these renames `path` is briefly absent —
             # POSIX has no atomic directory swap; a table format (Delta/Iceberg)
-            # closes this gap with a metadata commit. Recovery: `.old` holds the
-            # previous snapshot.
+            # closes this gap with a metadata commit. `.old` holds the previous
+            # snapshot and recover_store restores it on the next access.
             os.rename(tmp, path)
             shutil.rmtree(old, ignore_errors=True)
         else:

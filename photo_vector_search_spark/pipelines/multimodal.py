@@ -39,30 +39,35 @@ def _try_pillow():
 
 def _decode_one(content: bytes, max_side: int) -> tuple[bytes, int, int, str]:
     """→ (normalized_content, width, height, error). Mirrors the reference's
-    RGB + ≤max_side downscale + re-encode (photo_vector_search.py:48-58)."""
-    Image = _try_pillow()
-    if Image is not None:
-        import io
+    RGB + ≤max_side downscale + re-encode (photo_vector_search.py:48-58).
 
-        try:
-            img = Image.open(io.BytesIO(content)).convert("RGB")
-            w, h = img.size
-            if max(w, h) > max_side:
-                scale = max_side / max(w, h)
-                img = img.resize((int(w * scale), int(h * scale)))
-            buf = io.BytesIO()
-            img.save(buf, format="PNG")
-            return buf.getvalue(), img.size[0], img.size[1], ""
-        except Exception as e:  # undecodable → error row, batch continues
-            return b"", 0, 0, f"decode_error: {e}"
+    The synthetic FAKEIMG header is checked FIRST — it can never be a real
+    image, and routing it through an installed Pillow would turn every fixture
+    into a decode_error the moment the CLIP backend (which pulls in PIL) is
+    installed."""
     m = _FAKE_HEADER.match(content or b"")
-    if not m:
+    if m:
+        w, h = int(m.group(1)), int(m.group(2))
+        if max(w, h) > max_side:
+            scale = max_side / max(w, h)
+            w, h = int(w * scale), int(h * scale)
+        return b"FAKEIMG:%dx%d:" % (w, h) + content[m.end() :], w, h, ""
+    Image = _try_pillow()
+    if Image is None:
         return b"", 0, 0, "decode_error: unrecognized format (no codec available)"
-    w, h = int(m.group(1)), int(m.group(2))
-    if max(w, h) > max_side:
-        scale = max_side / max(w, h)
-        w, h = int(w * scale), int(h * scale)
-    return b"FAKEIMG:%dx%d:" % (w, h) + content[m.end() :], w, h, ""
+    import io
+
+    try:
+        img = Image.open(io.BytesIO(content)).convert("RGB")
+        w, h = img.size
+        if max(w, h) > max_side:
+            scale = max_side / max(w, h)
+            img = img.resize((int(w * scale), int(h * scale)))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue(), img.size[0], img.size[1], ""
+    except Exception as e:  # undecodable → error row, batch continues
+        return b"", 0, 0, f"decode_error: {e}"
 
 
 def decode_images(files: DataFrame, max_side: int = 1024) -> DataFrame:

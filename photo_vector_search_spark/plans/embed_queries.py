@@ -60,11 +60,13 @@ def q_search_by_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = spark.range(1).select(
         stub_embedding_expr(F.lit(_QUERY_TEXT)).cast("array<double>").alias("qv")
     )
+    from photo_vector_search_spark.operators.knn import _valid_dist
+
     scored = emb.crossJoin(F.broadcast(q)).select(
         "vec_id",
         "label",
         cosine_distance(F.col("embedding"), F.col("qv")).alias("_dist"),
-    )
+    ).filter(_valid_dist(F.col("_dist")))  # zero-norm rows never rank (any path)
     return (
         scored.orderBy(F.col("_dist").asc(), F.col("vec_id").asc())
         .limit(5)

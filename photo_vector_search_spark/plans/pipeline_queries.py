@@ -98,12 +98,10 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash split (the reproducible alternative to randomSplit —
     stable under re-runs and insertions, the property a training pipeline needs).
     Bucket = md5(doc_id) mod 100; test = bucket < 10 (10%)."""
+    from photo_vector_search_spark.functions.text import hash32
+
     docs = load_table(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
-        .cast("long")
-        % 100
-    )
+    bucket = hash32(F.col("doc_id").cast("string")) % 100
     split = F.when(bucket < 10, "test").otherwise("train")
     return docs.groupBy(split.alias("split")).agg(
         F.count(F.lit(1)).alias("n"),
@@ -278,12 +276,10 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep rates applied via md5-bucket thresholds (reproducible under re-runs and
     insertions, unlike seeded random sampling whose draw depends on
     partitioning). Output: per-source kept counts + id checksum."""
+    from photo_vector_search_spark.functions.text import hash32
+
     docs = load_table(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
-        .cast("long")
-        % 1000
-    )
+    bucket = hash32(F.col("doc_id").cast("string")) % 1000
     rate = F.coalesce(
         *[
             F.when(F.col("source") == s, F.lit(r))
@@ -323,7 +319,9 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = F.col("embedding").cast("array<double>")
     max_abs = F.array_max(F.transform(x, lambda v: F.abs(v)))
     scale = max_abs / F.lit(127.0)
-    q = F.transform(x, lambda v: F.round(v / scale).cast("int"))
+    # try_divide: an all-zero vector has scale 0 and must yield NULLs, not a
+    # DIVIDE_BY_ZERO abort of the whole job (ANSI mode throws on plain /)
+    q = F.transform(x, lambda v: F.round(F.try_divide(v, scale)).cast("int"))
     max_err = F.array_max(
         F.zip_with(x, q, lambda v, qq: F.abs(v - qq.cast("double") * scale))
     )
@@ -344,9 +342,9 @@ WITH q AS (
 )
 SELECT vec_id,
        round(scale, 6) AS scale,
-       CAST(list_sum(list_transform(x, v -> CAST(round(v / scale) AS BIGINT))) AS BIGINT)
+       CAST(list_sum(list_transform(x, v -> CAST(round(v / nullif(scale, 0)) AS BIGINT))) AS BIGINT)
          AS q_sum,
-       round(list_max(list_transform(x, v -> abs(v - round(v / scale) * scale))), 6)
+       round(list_max(list_transform(x, v -> abs(v - round(v / nullif(scale, 0)) * scale))), 6)
          AS max_err
 FROM q
 """

@@ -18,7 +18,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-from photo_vector_search_spark.operators.store import snapshot_overwrite
+from photo_vector_search_spark.operators.store import recover_store, snapshot_overwrite
 from photo_vector_search_spark.pipelines.embed import (
     Describer,
     Embedder,
@@ -50,6 +50,7 @@ def incremental_index(
 
     def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark_b = batch_df.sparkSession
+        recover_store(store_path)  # restore from .old if a prior swap crashed
         existing = None
         if os.path.exists(store_path):
             existing = spark_b.read.parquet(store_path)

@@ -4,9 +4,11 @@ arbitrary-state streaming for operators Spark's built-in windows can't express).
 
 ``streaming_sessionize``: per-user session tracking with an inactivity gap. The
 state (session counter, last-seen timestamp, open-session event count) lives in
-the state store keyed by user_id; watermark-driven timeouts close idle sessions.
-Batch twin: plans/relational.q_events_sessionize (lag + running sum) — the test
-drains a stream and compares totals against the batch computation.
+the state store keyed by user_id; EVENT-TIME timeouts (watermark-driven) close
+idle sessions, so a lagging source cannot split a logical session the way a
+wall-clock timeout would — gap decisions stay in event time end to end, matching
+the batch twin plans/relational.q_events_sessionize (lag + running sum), which
+the test compares against after draining a stream.
 """
 
 from __future__ import annotations
@@ -64,7 +66,9 @@ def _sessionize_group(
         last_ts = ts
         n_events += 1
     state.update((session_id, float(last_ts), int(n_events)))
-    state.setTimeoutDuration(SESSION_GAP_SECONDS * 1000)
+    # event-time timeout: fires when the WATERMARK passes last_ts + gap — a
+    # stalled source can't prematurely split a session (processing-time would)
+    state.setTimeoutTimestamp(int((last_ts + SESSION_GAP_SECONDS) * 1000))
     out.append((user_id, session_id, n_events, False))  # still-open session
     yield pd.DataFrame(out, columns=["user_id", "session_id", "n_events", "closed"])
 
@@ -84,6 +88,6 @@ def streaming_sessionize(events_stream: DataFrame) -> DataFrame:
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )

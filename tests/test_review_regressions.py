@@ -53,6 +53,36 @@ def test_set_ops_shared_lang_with_multiplicity(spark, sf_correct):
     assert not (only & both), f"langs labeled both ways: {only & both}"
 
 
+def test_crashed_snapshot_swap_recovers_from_old(spark, tmp_path):
+    """Crash between the swap renames leaves only `.old`: the next read or write
+    must restore it, not silently treat the store as empty (which previously
+    destroyed the backup on the following write)."""
+    import os
+
+    from photo_vector_search_spark.operators.store import (
+        recover_store,
+        snapshot_overwrite,
+    )
+
+    store = str(tmp_path / "store")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    snapshot_overwrite(df1, store)
+    # simulate the crash window: store renamed away, new snapshot never landed
+    os.rename(store, store + ".old")
+    assert not os.path.exists(store)
+    recover_store(store)
+    assert {r.id for r in spark.read.parquet(store).collect()} == {1, 2}
+    # and a write in the crashed state must MERGE with the recovered data
+    os.rename(store, store + ".old")
+    df2 = spark.createDataFrame([(3, "c")], "id long, v string")
+    from photo_vector_search_spark.operators.store import merge_upsert
+
+    recover_store(store)
+    merged = merge_upsert(spark.read.parquet(store), df2, ["id"])
+    snapshot_overwrite(merged, store)
+    assert {r.id for r in spark.read.parquet(store).collect()} == {1, 2, 3}
+
+
 def test_asof_atomic_row_fill(spark):
     """A newer right row with a NULL value must yield (its ts, NULL) — never the
     newer ts paired with an OLDER row's value."""

@@ -45,9 +45,14 @@ def test_streaming_sessionize_matches_batch(spark, sf_dir):
             .start()
         )
         q.awaitTermination(180)
+        # the append stream emits cumulative open-session snapshots plus a final
+        # closed row per session (timeout or gap rollover) — reduce to one row
+        # per (user, session) via max(n_events) before totaling, as any real
+        # consumer of this stream would
         got = spark.sql(
-            "SELECT user_id, max(session_id) AS n_sessions, sum(n_events) AS n_events "
-            "FROM sessions GROUP BY user_id"
+            "SELECT user_id, max(session_id) AS n_sessions, sum(mx) AS n_events FROM ("
+            "  SELECT user_id, session_id, max(n_events) AS mx FROM sessions"
+            "  GROUP BY user_id, session_id) GROUP BY user_id"
         )
         # batch twin counts sessions 1-based via sum of new-session flags
         batch = q_events_sessionize(spark, sf_dir).withColumn(
