@@ -98,6 +98,57 @@ def test_merge_upsert_laws(spark_session_holder, existing_kv, updates_kv):
     assert merged == {**existing_kv, **updates_kv}  # last-write-wins, key union
 
 
+_ts = st.integers(0, 50)  # small event-time domain to force boundary collisions
+
+
+def _py_asof(left_rows, right_rows):
+    """Brute-force backward as-of (inclusive): for each left (id, key, ts) the
+    right row with max ts_r <= ts within key; right unique per (key, ts)."""
+    out = {}
+    for lid, key, lts in left_rows:
+        best = None
+        for rkey, rts, v in right_rows:
+            if rkey == key and rts <= lts and (best is None or rts > best[0]):
+                best = (rts, v)
+        if best is not None:
+            out[lid] = best
+    return out
+
+
+@given(
+    st.lists(st.tuples(st.integers(0, 2), _ts, st.integers(0, 9)), min_size=0, max_size=12),
+    st.lists(st.tuples(st.integers(0, 2), _ts), min_size=0, max_size=12),
+)
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_asof_join_matches_python_reference(spark_session_holder, right_raw, left_raw):
+    import datetime
+
+    from photo_vector_search_spark.operators.joins import asof_join_backward
+
+    spark = spark_session_holder
+    base = datetime.datetime(2024, 1, 1)
+    sec = datetime.timedelta(seconds=1)
+    right_rows = {(k, t): v for k, t, v in right_raw}  # unique per (key, ts)
+    right_rows = [(k, t, v) for (k, t), v in right_rows.items()]
+    left_rows = [(i, k, t) for i, (k, t) in enumerate(left_raw)]
+    right = spark.createDataFrame(
+        [(k, base + t * sec, float(v)) for k, t, v in right_rows] or [],
+        "key long, ts timestamp, v double",
+    )
+    left = spark.createDataFrame(
+        [(i, k, base + t * sec) for i, k, t in left_rows] or [],
+        "event_id long, key long, ts timestamp",
+    )
+    got = {
+        r.event_id: (int((r.matched_ts - base).total_seconds()), r.v)
+        for r in asof_join_backward(
+            left, right, by=["key"], left_ts="ts", right_ts="ts", value_cols=["v"]
+        ).collect()
+    }
+    expect = {lid: (t, float(v)) for lid, (t, v) in _py_asof(left_rows, right_rows).items()}
+    assert got == expect
+
+
 # pytest fixture bridging: hypothesis needs a non-function-scoped spark handle
 import pytest  # noqa: E402
 
