@@ -42,6 +42,16 @@ def _load_store(spark, store: str):
     return spark.read.parquet(store)
 
 
+def _read_store_if_exists(spark, store: str):
+    """Optional-existing read for write paths — MUST recover first: skipping it
+    after a crashed swap would treat the store as empty and the following write
+    would destroy the .old backup."""
+    from photo_vector_search_spark.operators.store import recover_store
+
+    recover_store(store)
+    return spark.read.parquet(store) if os.path.exists(store) else None
+
+
 def _print_results(rows) -> None:
     # the reference's result block shape: path, aspect, distance, description
     # (cli.py:91-99)
@@ -63,7 +73,7 @@ def cmd_index_photos(args) -> int:
     spark = _spark()
     files = scan_images(spark, args.photo_dir)
     n_files = files.count()
-    existing = spark.read.parquet(args.store) if os.path.exists(args.store) else None
+    existing = _read_store_if_exists(spark, args.store)
     state = index_photos(
         files, existing=existing, aspect_name=args.aspect_name, prompt=args.prompt
     )
@@ -85,7 +95,7 @@ def cmd_add_aspect(args) -> int:
     files = spark.createDataFrame(
         [(os.path.abspath(args.photo), content)], "path string, content binary"
     )
-    existing = spark.read.parquet(args.store) if os.path.exists(args.store) else None
+    existing = _read_store_if_exists(spark, args.store)
     state = index_photos(
         files, existing=existing, aspect_name=args.aspect, prompt=args.prompt
     )
@@ -97,6 +107,8 @@ def cmd_add_aspect(args) -> int:
 def _search(args, query_vec) -> int:
     from photo_vector_search_spark.functions.vector import cosine_distance_to_query
 
+    from photo_vector_search_spark.operators.knn import _valid_dist
+
     spark = _spark()
     store = _load_store(spark, args.store)
     if args.aspect:
@@ -104,6 +116,7 @@ def _search(args, query_vec) -> int:
     dist = cosine_distance_to_query(F.col("embedding"), query_vec)
     out = (
         store.select("photo_path", "aspect_name", "description", dist.alias("_d"))
+        .filter(_valid_dist(F.col("_d")))  # zero-norm rows never rank (any path)
         .orderBy(F.col("_d").asc(), F.col("photo_path").asc())
         .limit(args.k)
         .select("photo_path", "aspect_name", "description", F.col("_d").alias("dist"))
@@ -161,13 +174,14 @@ def cmd_delete_photo(args) -> int:
     )
 
     spark = _spark()
-    store = _load_store(spark, args.store)
+    store = _load_store(spark, args.store).cache()  # one scan feeds both counts + write
     if args.aspect:
         new_state = delete_by_key(store, args.photo, args.aspect)
     else:
         new_state = delete_where(store, F.col("photo_path") == args.photo)
     removed = store.count() - new_state.count()
     snapshot_overwrite(new_state, args.store)
+    store.unpersist()
     print(f"deleted {removed} row(s) for {args.photo}")
     return 0
 

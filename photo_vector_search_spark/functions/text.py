@@ -18,8 +18,11 @@ STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "on", "for")
 
 
 def tokens(text: Column) -> Column:
-    """Whitespace tokens of the lowercased text."""
-    return F.split(F.lower(F.trim(text)), " ")
+    """Whitespace tokens of the lowercased text — \\s+ class, not a literal
+    space: newlines/tabs/space-runs would otherwise merge words or inject
+    empty-string tokens into every downstream text operator. DuckDB twin:
+    ``regexp_split_to_array(lower(trim(text)), '\\s+')``."""
+    return F.split(F.lower(F.trim(text)), r"\s+")
 
 
 def word_ngrams(toks: Column, n: int = 3) -> Column:
@@ -94,7 +97,9 @@ def lang_id(text: Column) -> Column:
     UDF behind the same column contract."""
     toks = tokens(text)
     sw = stopword_ratio(toks)
-    non_ascii = F.length(F.regexp_replace(text, "[ -~]", ""))
+    # whitespace controls (\t \n \r) are ASCII formatting, not foreign script —
+    # excluding them from the class would tag line-broken English as non_latin
+    non_ascii = F.length(F.regexp_replace(text, r"[ -~\t\n\r]", ""))
     return (
         F.when(non_ascii > F.length(text) * 0.3, "non_latin")
         .when(sw >= 0.05, "en")

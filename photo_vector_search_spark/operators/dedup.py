@@ -156,13 +156,16 @@ def _wide_signatures(sh: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
     return hashed.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_bands(signatures: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
+def lsh_bands(
+    signatures: DataFrame, bands: int = LSH_BANDS, num_hashes: int = NUM_HASHES
+) -> DataFrame:
     """(doc_id, band, band_key): md5 over the band's ordered minhash values.
 
     Narrow-input form (one shuffle to regroup); kept for API parity with the
     oracle's formulation. The LSH pipeline itself uses ``_bands_from_wide``,
-    which computes the same keys map-only from the wide signature row."""
-    rows_per_band = NUM_HASHES // bands
+    which computes the same keys map-only from the wide signature row.
+    ``num_hashes`` must match the signature width used upstream."""
+    rows_per_band = num_hashes // bands
     # integer division (`div`), not double-divide+cast: Spark truncates double→int
     # but DuckDB rounds, so the oracle twin uses `//` and both stay integral.
     sig = signatures.withColumn("band", F.expr(f"CAST(i div {rows_per_band} AS INT)"))
@@ -176,8 +179,10 @@ def lsh_bands(signatures: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
 
 def _bands_from_wide(wide: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
     """Map-only banding: same (doc_id, band, band_key) rows as ``lsh_bands`` but
-    computed directly from the wide signature columns — no regroup shuffle."""
-    rows_per_band = NUM_HASHES // bands
+    computed directly from the wide signature columns — no regroup shuffle.
+    Signature width is read off the actual mh* columns, not the module default."""
+    num_hashes = sum(1 for c in wide.columns if c.startswith("mh"))
+    rows_per_band = num_hashes // bands
     entries = []
     for b in range(bands):
         cols = [
@@ -376,7 +381,12 @@ def srp_lsh_near_dup_pairs(
     ``n_planes`` as your tau rises. Deterministic: seeded planes, broadcast."""
     import numpy as np
 
-    dim = len(embeddings.select("embedding").first()[0])
+    first = embeddings.select("embedding").first()
+    if first is None:  # empty input degrades to empty output like the other ops
+        return embeddings.sparkSession.createDataFrame(
+            [], "vec_a long, vec_b long, sim double"
+        )
+    dim = len(first[0])
     rng = np.random.RandomState(seed)
     planes = rng.normal(size=(n_tables, n_planes, dim))
     bc = embeddings.sparkSession.sparkContext.broadcast(planes)
@@ -453,13 +463,11 @@ def embedding_near_dup_fast(embeddings: DataFrame, tau: float = 0.45) -> DataFra
                 sims = (m @ bmat.T) / np.outer(mnorms, bnorms)
             my_ids = pdf["vec_id"].to_numpy()
             bi, bj = np.nonzero((sims >= tau) & (my_ids[:, None] < bids[None, :]))
-            yield pd.DataFrame(
-                {
-                    "vec_a": my_ids[bi],
-                    "vec_b": bids[bj],
-                    "sim": np.round(sims[bi, bj], 6),
-                }
-            )
+            s = sims[bi, bj]
+            # HALF_UP like Spark's F.round — np.round is banker's (half-to-even)
+            # and diverges from the exact path on .5 boundaries
+            rounded = np.sign(s) * np.floor(np.abs(s) * 1e6 + 0.5) / 1e6
+            yield pd.DataFrame({"vec_a": my_ids[bi], "vec_b": bids[bj], "sim": rounded})
 
     return embeddings.select("vec_id", "embedding").mapInPandas(
         _pairs, schema="vec_a long, vec_b long, sim double"

@@ -152,7 +152,7 @@ def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_PACK_DOCUMENTS = f"""
 WITH toks AS (
-  SELECT doc_id, len(string_split(lower(trim(text)), ' ')) AS n_tok FROM documents
+  SELECT doc_id, len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_tok FROM documents
 ),
 packed AS (
   SELECT doc_id, n_tok,
@@ -231,7 +231,7 @@ WITH all_docs AS (
 recs AS (
   SELECT doc_id, source,
          md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS group_id,
-         string_split(lower(trim(text)), ' ') AS t
+         regexp_split_to_array(lower(trim(text)), '\s+') AS t
   FROM all_docs
 ),
 q AS (

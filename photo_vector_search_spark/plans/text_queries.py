@@ -37,7 +37,7 @@ from photo_vector_search_spark.sources.tables import load_table
 
 # ----------------------------------------------------------------- shared SQL CTEs
 
-_SQL_TOKS = "SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents"
+_SQL_TOKS = "SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents"
 _SQL_SHINGLES = """
 SELECT doc_id, unnest(list_distinct(list_transform(
          generate_series(1, greatest(0, len(t) - 2)),
@@ -151,7 +151,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLE_DEDUP_SIMHASH = """
-WITH toks AS (SELECT doc_id, list_distinct(string_split(lower(trim(text)), ' ')) AS t
+WITH toks AS (SELECT doc_id, list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
               FROM documents),
 tok AS (
   SELECT doc_id,
@@ -219,7 +219,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SW_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
 _ORACLE_TEXT_STATS = rf"""
 WITH base AS (
-  SELECT doc_id, text, string_split(lower(trim(text)), ' ') AS t FROM documents
+  SELECT doc_id, text, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents
 ),
 m AS (
   SELECT doc_id, text, t,
@@ -229,7 +229,7 @@ m AS (
            / greatest(len(t), 1) AS atl,
          len(list_filter(t, x -> list_contains([{_SW_LIST}], x))) * 1.0
            / greatest(len(t), 1) AS swr,
-         length(regexp_replace(text, '[ -~]', '', 'g')) AS non_ascii
+         length(regexp_replace(text, '[ -~\t\n\r]', '', 'g')) AS non_ascii
   FROM base
 )
 SELECT doc_id,
@@ -300,7 +300,7 @@ def q_vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_VOCAB_TOP = """
 WITH tok AS (
-  SELECT doc_id, unnest(list_distinct(string_split(lower(trim(text)), ' '))) AS tok
+  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) AS tok
   FROM documents
 )
 SELECT tok, count(*) AS df FROM tok GROUP BY tok
@@ -328,7 +328,7 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLE_DOC_REPETITION = """
-WITH toks AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents),
+WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
 g AS (
   SELECT doc_id,
          list_transform(generate_series(1, greatest(0, len(t) - 2)),
