@@ -83,6 +83,26 @@ def test_crashed_snapshot_swap_recovers_from_old(spark, tmp_path):
     assert {r.id for r in spark.read.parquet(store).collect()} == {1, 2, 3}
 
 
+def test_multiline_text_tokenizes_correctly(spark):
+    """Newlines/tabs/space-runs are token separators; identical content with
+    different whitespace must dedup together and count the same tokens."""
+    from photo_vector_search_spark.functions.text import token_count
+    from photo_vector_search_spark.operators.dedup import jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox\njumps over\tthe lazy  dog today"),
+        ],
+        "doc_id long, text string",
+    )
+    counts = {r.doc_id: r.n for r in docs.select(
+        "doc_id", token_count(docs.text).alias("n")).collect()}
+    assert counts == {1: 10, 2: 10}
+    pairs = jaccard_pairs(docs, 3, 0.99).collect()
+    assert [(p.doc_a, p.doc_b, p.jaccard) for p in pairs] == [(1, 2, 1.0)]
+
+
 def test_asof_atomic_row_fill(spark):
     """A newer right row with a NULL value must yield (its ts, NULL) — never the
     newer ts paired with an OLDER row's value."""
