@@ -63,6 +63,24 @@ def _print_results(rows) -> None:
 
 
 DEFAULT_PROMPT = "Describe this image in detail"
+DEFAULT_MODEL = "stub-hash-projection"
+
+
+def _resolve_embedder(name: str):
+    """--model parity with the reference (cli.py:20): pick a registered embedder
+    by name; unknown/unavailable names fail with the registry listed."""
+    from photo_vector_search_spark.pipelines.embed import available_models, stub_embedder
+
+    models = available_models()
+    if name not in models or models[name]["kind"] != "embedder":
+        options = [k for k, v in models.items() if v["kind"] == "embedder"]
+        print(f"unknown embedder {name!r}; available: {options}", file=sys.stderr)
+        raise SystemExit(2)
+    if name == "stub-hash-projection":
+        return stub_embedder()
+    from photo_vector_search_spark.pipelines.models import clip_embedder
+
+    return clip_embedder()  # registry only lists it when torch/clip exist
 
 
 def cmd_index_photos(args) -> int:
@@ -75,7 +93,11 @@ def cmd_index_photos(args) -> int:
     n_files = files.count()
     existing = _read_store_if_exists(spark, args.store)
     state = index_photos(
-        files, existing=existing, aspect_name=args.aspect_name, prompt=args.prompt
+        files,
+        existing=existing,
+        aspect_name=args.aspect_name,
+        prompt=args.prompt,
+        embedder=_resolve_embedder(args.model),
     )
     snapshot_overwrite(state, args.store)
     total = spark.read.parquet(args.store).count()
@@ -97,7 +119,11 @@ def cmd_add_aspect(args) -> int:
     )
     existing = _read_store_if_exists(spark, args.store)
     state = index_photos(
-        files, existing=existing, aspect_name=args.aspect, prompt=args.prompt
+        files,
+        existing=existing,
+        aspect_name=args.aspect,
+        prompt=args.prompt,
+        embedder=_resolve_embedder(args.model),
     )
     snapshot_overwrite(state, args.store)
     print(f"added aspect {args.aspect!r} for {args.photo}")
@@ -227,6 +253,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--photo-dir", required=True)
     sp.add_argument("--aspect-name", default="default")
     sp.add_argument("--prompt", default=DEFAULT_PROMPT)
+    sp.add_argument("--model", default=DEFAULT_MODEL)
     common(sp)
     sp.set_defaults(fn=cmd_index_photos)
 
@@ -234,6 +261,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--photo", required=True)
     sp.add_argument("--aspect", required=True)
     sp.add_argument("--prompt", required=True)
+    sp.add_argument("--model", default=DEFAULT_MODEL)
     common(sp)
     sp.set_defaults(fn=cmd_add_aspect)
 
