@@ -10,7 +10,6 @@ ignored (sorted by name), row order is ignored (rows sorted by all columns).
 from __future__ import annotations
 
 import datetime as _dt
-import math
 
 import duckdb
 import pandas as pd
@@ -32,14 +31,17 @@ def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
 
 
 def _norm_cell(v):
+    import numpy as np
+
     if v is None:
-        return "∅"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "∅"
-        if v == 0.0:
-            v = 0.0  # collapse -0.0
-        return f"{v:.6f}"
+        return "None"
+    if isinstance(v, (float, np.floating)):
+        # RAW str, exactly like the driver's value hash: no re-rounding here,
+        # or a query missing its round(x, 6) would pass locally and MISMATCH
+        # at the driver. NaN → 'nan', -0.0 → '-0.0' — also raw.
+        return str(float(v))
+    if isinstance(v, np.integer):
+        return str(int(v))
     if isinstance(v, (pd.Timestamp, _dt.datetime)):
         ts = pd.Timestamp(v)
         if ts.tzinfo is not None:

@@ -35,5 +35,7 @@ def test_query_matches_oracle(spark, sf_correct, name):
     if name in oracles:
         assert_matches(df, oracles[name], sf_correct)
     else:
-        # driver's weaker rows-only check
-        assert df.count() >= 0
+        # driver's weaker rows-only check — collect() like the driver does
+        # (count() would let Catalyst prune final projections that the real
+        # materialization must evaluate)
+        assert len(df.collect()) >= 0

@@ -1,10 +1,12 @@
 """Simulates the spark-graft driver: smoke entry() at sf0.001, then each
 queries()[name] vs oracle_sql()[name] via DuckDB at sf0.01 with an
 order-insensitive value hash."""
-import hashlib, json, sys
-sys.path.insert(0, "/root/repo")
+import hashlib, json, os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb
 from pyspark.sql import SparkSession
+
+from photo_vector_search_spark.sources.tables import TABLES
 
 spark = (SparkSession.builder.master("local[8]")
          .config("spark.sql.shuffle.partitions", "32")
@@ -22,15 +24,12 @@ assert len(rows) > 0
 
 def value_hash(cols, rows):
     cols = sorted(cols)
-    out = []
-    for r in rows:
-        d = r.asDict() if hasattr(r, "asDict") else dict(zip(cols_orig, r))
-        out.append(tuple(str(d[c]) for c in cols))
+    out = [tuple(str(r.asDict()[c]) for c in cols) for r in rows]
     return hashlib.sha256(json.dumps(sorted(out)).encode()).hexdigest()[:12]
 
 sf = "/root/testdata/sf0.01"
 con = duckdb.connect()
-for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+for t in TABLES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
 
 qs, os_ = m.queries(), m.oracle_sql()
@@ -46,7 +45,6 @@ for name, fn in qs.items():
     ocols = [d[0] for d in ores.description]
     orows = ores.fetchall()
     sh = value_hash(scols, srows)
-    cols_orig = ocols
     oh = hashlib.sha256(json.dumps(sorted(
         [tuple(str(dict(zip(ocols, r))[c]) for c in sorted(ocols)) for r in orows]
     )).encode()).hexdigest()[:12]
