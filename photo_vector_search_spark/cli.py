@@ -130,20 +130,43 @@ def cmd_add_aspect(args) -> int:
     return 0
 
 
-def _search(args, query_vec) -> int:
+def _embed_query(embedder, value) -> list[float]:
+    """Embed ONE query value driver-side through the same Embedder the store was
+    indexed with (reference embeds the query through the same CLIP model,
+    photo_vector_search.py:36-40)."""
+    import pandas as pd
+
+    return list(embedder.make_fn()(pd.Series([value]))[0])
+
+
+def _search(args, query_value) -> int:
     from photo_vector_search_spark.functions.vector import cosine_distance_to_query
 
     from photo_vector_search_spark.operators.knn import _valid_dist
 
     spark = _spark()
     store = _load_store(spark, args.store)
+    query_vec = _embed_query(_resolve_embedder(args.model), query_value)
+    # Fail loudly on store/query dim mismatch: zip_with would pad with NULLs,
+    # every distance would be NULL, and the search would silently print nothing.
+    first = store.select(F.size("embedding").alias("n")).first()
+    if first is not None and first["n"] != len(query_vec):
+        print(
+            f"embedding dimension mismatch: store has {first['n']}-d vectors but "
+            f"model {args.model!r} produces {len(query_vec)}-d queries; pass the "
+            "--model the store was indexed with",
+            file=sys.stderr,
+        )
+        raise SystemExit(2)
     if args.aspect:
         store = store.filter(F.col("aspect_name") == args.aspect)
     dist = cosine_distance_to_query(F.col("embedding"), query_vec)
     out = (
         store.select("photo_path", "aspect_name", "description", dist.alias("_d"))
         .filter(_valid_dist(F.col("_d")))  # zero-norm rows never rank (any path)
-        .orderBy(F.col("_d").asc(), F.col("photo_path").asc())
+        # aspect_name in the sort: same-photo aspects share the stub embedding, so
+        # (_d, photo_path) alone ties and the k-cutoff row would be run-dependent
+        .orderBy(F.col("_d").asc(), F.col("photo_path").asc(), F.col("aspect_name").asc())
         .limit(args.k)
         .select("photo_path", "aspect_name", "description", F.col("_d").alias("dist"))
     )
@@ -152,18 +175,15 @@ def _search(args, query_vec) -> int:
 
 
 def cmd_search_by_text(args) -> int:
-    from photo_vector_search_spark.pipelines.embed import stub_embed_one
-
-    return _search(args, stub_embed_one(args.query))
+    return _search(args, args.query)
 
 
 def cmd_search_by_photo(args) -> int:
-    from photo_vector_search_spark.pipelines.embed import stub_embed_one
-
     with open(args.photo, "rb") as f:
         content = f.read()
-    # stub embedder hashes the byte repr, like the pipeline's content column
-    return _search(args, stub_embed_one(str(content)))
+    # raw bytes, same as the pipeline's content column: the stub hashes the byte
+    # repr; a real CLIP embedder decodes them — either way index and query agree
+    return _search(args, content)
 
 
 def cmd_examine_image(args) -> int:
@@ -273,6 +293,7 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument(extra[0], required=True)
         sp.add_argument("-k", type=int, default=5)
         sp.add_argument("--aspect", default=None)
+        sp.add_argument("--model", default=DEFAULT_MODEL)
         common(sp)
         sp.set_defaults(fn=fn)
 

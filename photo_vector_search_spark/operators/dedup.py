@@ -156,6 +156,17 @@ def _wide_signatures(sh: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
     return hashed.groupBy("doc_id").agg(*aggs)
 
 
+def _check_band_width(num_hashes: int, bands: int) -> None:
+    """Both banding formulations require bands | num_hashes: with a remainder,
+    the narrow form would spill leftover signature rows into an extra partial
+    band while the wide form would drop them — silently different band keys."""
+    if bands <= 0 or num_hashes % bands:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be a positive multiple of bands "
+            f"({bands}) so lsh_bands and the wide banding stay bit-identical"
+        )
+
+
 def lsh_bands(
     signatures: DataFrame, bands: int = LSH_BANDS, num_hashes: int = NUM_HASHES
 ) -> DataFrame:
@@ -165,6 +176,7 @@ def lsh_bands(
     oracle's formulation. The LSH pipeline itself uses ``_bands_from_wide``,
     which computes the same keys map-only from the wide signature row.
     ``num_hashes`` must match the signature width used upstream."""
+    _check_band_width(num_hashes, bands)
     rows_per_band = num_hashes // bands
     # integer division (`div`), not double-divide+cast: Spark truncates double→int
     # but DuckDB rounds, so the oracle twin uses `//` and both stay integral.
@@ -182,6 +194,7 @@ def _bands_from_wide(wide: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
     computed directly from the wide signature columns — no regroup shuffle.
     Signature width is read off the actual mh* columns, not the module default."""
     num_hashes = sum(1 for c in wide.columns if c.startswith("mh"))
+    _check_band_width(num_hashes, bands)
     rows_per_band = num_hashes // bands
     entries = []
     for b in range(bands):
@@ -201,7 +214,7 @@ def _bands_from_wide(wide: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
 
 
 def minhash_lsh_pairs(
-    docs: DataFrame, n: int = 3, tau: float = 0.5
+    docs: DataFrame, n: int = 3, tau: float = 0.5, staging_dir: str | None = None
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding, verified with exact Jaccard.
 
@@ -210,13 +223,22 @@ def minhash_lsh_pairs(
     candidates only. Output identical in shape to ``jaccard_pairs`` —
     (doc_a, doc_b, jaccard ≥ tau) — but the pair join touches only bucket
     collisions instead of every shared shingle, which is the 100 TB path.
-    """
+
+    Cache lifecycle: the shared shingle table (feeding signatures, counts and the
+    verify join) is persisted only for the duration of this call — the pair
+    result is staged to parquet (distributed write, the standard checkpoint
+    pattern at scale), the shingle cache is unpersisted, and the returned
+    DataFrame reads the staged result. Repeated calls in a long-lived session
+    leave NO cached RDDs behind (asserted in tests). ``staging_dir``: where to
+    stage (default: a session temp dir; the tiny pair output lives there until
+    process exit)."""
+    import tempfile
+
+    if staging_dir is None:
+        staging_dir = tempfile.mkdtemp(prefix="pvs_lsh_pairs_")
     # one shared, cached shingle table feeds signatures, counts and the verify
-    # join — without it the shingling+md5 work runs three times. NOTE: the cache
-    # lives until session end / LRU eviction (unpersisting eagerly would defeat
-    # the reuse since the returned plan is lazy) — long-lived sessions calling
-    # this repeatedly should unpersist via spark.catalog.clearCache() between
-    # batches.
+    # join — without it the shingling+md5 work runs four times; unpersisted
+    # deterministically below once the staged write has consumed it.
     sh = shingle_sets(docs, n).persist()
     bandsdf = _bands_from_wide(_wide_signatures(sh))
     l, r = bandsdf.alias("l"), bandsdf.alias("r")
@@ -242,12 +264,15 @@ def minhash_lsh_pairs(
     ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     jac = F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))
-    return (
+    pairs = (
         common.join(ca, "doc_a")
         .join(cb, "doc_b")
         .filter(jac >= tau)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+    pairs.write.mode("overwrite").parquet(staging_dir)
+    sh.unpersist(blocking=True)
+    return docs.sparkSession.read.parquet(staging_dir)
 
 
 # ----------------------------------------------------------------------- simhash
@@ -432,7 +457,12 @@ def srp_lsh_near_dup_pairs(
     )
 
 
-def embedding_near_dup_fast(embeddings: DataFrame, tau: float = 0.45) -> DataFrame:
+MAX_BROADCAST_BYTES = 512 << 20  # ~512 MiB of raw vector doubles on the driver
+
+
+def embedding_near_dup_fast(
+    embeddings: DataFrame, tau: float = 0.45, max_broadcast_bytes: int = MAX_BROADCAST_BYTES
+) -> DataFrame:
     """Same pairs as ``embedding_near_dup_pairs`` via broadcast + NumPy matmul.
 
     One side is gathered and broadcast (vectors are the *small* table in this
@@ -441,10 +471,24 @@ def embedding_near_dup_fast(embeddings: DataFrame, tau: float = 0.45) -> DataFra
     batch computes a (batch × N) similarity block in BLAS and emits only pairs
     ≥ tau with vec_a < vec_b — the quadratic work stays columnar and never
     materializes as rows. Results identical to the exact pair join (double matmul,
-    same rounding)."""
+    same rounding).
+
+    Guarded: the gather is sized (rows × dim × 8 bytes) BEFORE collecting; a
+    corpus above ``max_broadcast_bytes`` raises instead of OOMing the driver —
+    use ``srp_lsh_near_dup_pairs`` (bucketed, nothing collected) at that scale."""
     import numpy as np
     import pandas as pd
 
+    first = embeddings.select("embedding").first()
+    if first is not None:
+        est = embeddings.count() * len(first[0]) * 8
+        if est > max_broadcast_bytes:
+            raise ValueError(
+                f"embedding_near_dup_fast would collect ~{est >> 20} MiB of vectors "
+                f"to the driver (limit {max_broadcast_bytes >> 20} MiB); this rung of "
+                "the ladder is for broadcastable corpora — use srp_lsh_near_dup_pairs "
+                "for a fully distributed near-dup pass"
+            )
     rows = embeddings.select("vec_id", "embedding").collect()
     ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
     mat = np.vstack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])

@@ -43,9 +43,10 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn(
-        "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
-    )
+    # Integer `div`, not `/`: epoch-nanos (~1.7e18) exceed double's 2^53 exact range,
+    # so a float divide can land on a different microsecond than DuckDB's integer
+    # truncation. Keep the arithmetic in int64 end to end.
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
