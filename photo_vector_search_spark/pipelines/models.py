@@ -40,17 +40,27 @@ def clip_embedder(model_name: str = "ViT-L/14", dim: int = 768) -> Embedder:
         model, preprocess = clip.load(model_name, device=device)  # once per worker
 
         def embed(s: pd.Series) -> pd.Series:
-            outs = []
-            with torch.no_grad():
-                for content in s:
-                    try:
-                        img = Image.open(io.BytesIO(content)).convert("RGB")
-                        t = preprocess(img).unsqueeze(0).to(device)
-                        v = model.encode_image(t).cpu().numpy()[0]
-                        outs.append([float(x) for x in v])
-                    except Exception:
-                        outs.append(None)  # embed failure aborts the row
-            return pd.Series(outs)
+            # Decode/preprocess per row (errors abort only that row), then ONE
+            # stacked forward pass per Arrow batch — the reference's worst defect
+            # is its batch-size-1 encode loop (photo_vector_search.py:30-34);
+            # SURVEY §4.1 promises stacked tensors, and on a GPU a single
+            # encode_image over the batch is 10-100x the per-image loop.
+            tensors, idx = [], []
+            for i, content in enumerate(s):
+                try:
+                    img = Image.open(io.BytesIO(content)).convert("RGB")
+                    tensors.append(preprocess(img))
+                    idx.append(i)
+                except Exception:
+                    pass  # embed failure aborts the row -> stays None
+            outs = [None] * len(s)
+            if tensors:
+                with torch.no_grad():
+                    batch = torch.stack(tensors).to(device)
+                    vecs = model.encode_image(batch).cpu().numpy()
+                for j, i in enumerate(idx):
+                    outs[i] = [float(x) for x in vecs[j]]
+            return pd.Series(outs, index=s.index)
 
         return embed
 
