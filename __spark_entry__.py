@@ -53,6 +53,25 @@ def _q_knn_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_topk(load_table(spark, sf_dir, "embeddings"), vec, k=_FLAGSHIP_K, label=5)
 
 
+def _q_ivf_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.10 ANN — IVF retrieval, degenerate nprobe == n_clusters: every
+    cluster is probed, so the result is EXACTLY ``knn_topk``'s (deterministic,
+    oracle-checkable) while exercising the full train→assign→prune machinery.
+    Real nprobe < n_clusters recall is pytest-asserted (tests/test_scale_paths).
+    Reference analogue: the HNSW index IS the reference's retrieval engine
+    (photo_vector_search.py:17-20)."""
+    from photo_vector_search_spark.operators.ann import (
+        assign_clusters,
+        ivf_topk,
+        train_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = train_centroids(emb, n_clusters=8)
+    vec = fetch_query_vector(spark, sf_dir, _FLAGSHIP_VEC_ID)
+    return ivf_topk(assign_clusters(emb, centroids), centroids, vec, k=_FLAGSHIP_K, nprobe=8)
+
+
 def _q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2 rows J1+W1 — batched similarity join, per-query top-3
     (reference single-query search is the |Q|=1 case)."""
@@ -115,6 +134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_topk": _q_knn_topk,
         "knn_topk_filtered": _q_knn_topk_filtered,
         "knn_batch": _q_knn_batch,
+        "ivf_topk_exact": _q_ivf_topk_exact,
     }
     out.update(store_queries.QUERIES)
     out.update(relational.QUERIES)
@@ -131,6 +151,8 @@ def oracle_sql() -> dict[str, str]:
             vec_id=_FLAGSHIP_VEC_ID, k=_FLAGSHIP_K, where="WHERE label = 5"
         ),
         "knn_batch": _ORACLE_KNN_BATCH,
+        # degenerate IVF == exact top-k, so the same oracle applies verbatim
+        "ivf_topk_exact": _ORACLE_KNN.format(vec_id=_FLAGSHIP_VEC_ID, k=_FLAGSHIP_K, where=""),
     }
     out.update(store_queries.ORACLES)
     out.update(relational.ORACLES)
