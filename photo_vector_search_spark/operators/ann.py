@@ -72,6 +72,43 @@ def assign_clusters(embeddings: DataFrame, centroids: np.ndarray) -> DataFrame:
     return embeddings.mapInPandas(_assign, schema=schema)
 
 
+def build_ivf_store(
+    embeddings: DataFrame,
+    path: str,
+    n_clusters: int = 16,
+    sample: int = 4096,
+    iters: int = 8,
+    seed: int = 42,
+) -> np.ndarray:
+    """Write-path half of IVF: train centroids, assign, and persist the store
+    hive-partitioned by ``cluster_id`` (snapshot-swap like every store write).
+    A centroid sidecar table lands at ``path + '.centroids'`` so later sessions
+    can probe without retraining. Returns the centroid matrix.
+
+    This is the layout ``ivf_topk`` assumes at scale: the probe IN-filter prunes
+    whole cluster directories at file-listing time (PartitionFilters — asserted
+    on runtime scan metrics in tests/test_scale_design.py)."""
+    from photo_vector_search_spark.operators.store import snapshot_overwrite
+
+    centroids = train_centroids(embeddings, n_clusters, sample, iters, seed)
+    indexed = assign_clusters(embeddings, centroids)
+    snapshot_overwrite(indexed, path, partition_by=["cluster_id"])
+    spark = embeddings.sparkSession
+    cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    snapshot_overwrite(
+        spark.createDataFrame(cent_rows, "centroid_id int, centroid array<double>"),
+        path + ".centroids",
+    )
+    return centroids
+
+
+def load_ivf_store(spark, path: str) -> tuple[DataFrame, np.ndarray]:
+    """(store DataFrame with cluster_id partition column, centroid matrix)."""
+    store = spark.read.parquet(path)
+    cent = spark.read.parquet(path + ".centroids").orderBy("centroid_id").collect()
+    return store, np.vstack([np.asarray(r["centroid"], dtype=np.float64) for r in cent])
+
+
 def ivf_topk(
     indexed: DataFrame,
     centroids: np.ndarray,

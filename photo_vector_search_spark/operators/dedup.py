@@ -213,8 +213,32 @@ def _bands_from_wide(wide: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
 
 
+def prune_hot_buckets(bandsdf: DataFrame, max_bucket_size: int) -> DataFrame:
+    """Drop (band, band_key) buckets holding more than ``max_bucket_size`` docs.
+
+    A hot bucket of B docs contributes B²/2 candidate pairs inside ONE join key —
+    the quadratic blow-up AQE skew-splitting can spread across tasks but cannot
+    shrink. The standard mitigation (used by production text-dedup pipelines) is
+    to cap bucket size: a bucket that hot is near-identical boilerplate, which
+    exact dedup (run FIRST — ``exact_dedup``) already collapses; what remains is
+    template spam whose pairs either recur in other, smaller bands or aren't
+    τ-useful. The hot set is tiny (it's the skew tail), so the anti-join
+    broadcasts. Recall trade documented + tested in tests/test_scale_design.py."""
+    hot = (
+        bandsdf.groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .filter(F.col("sz") > max_bucket_size)
+        .select("band", "band_key")
+    )
+    return bandsdf.join(F.broadcast(hot), ["band", "band_key"], "left_anti")
+
+
 def minhash_lsh_pairs(
-    docs: DataFrame, n: int = 3, tau: float = 0.5, staging_dir: str | None = None
+    docs: DataFrame,
+    n: int = 3,
+    tau: float = 0.5,
+    staging_dir: str | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding, verified with exact Jaccard.
 
@@ -231,7 +255,12 @@ def minhash_lsh_pairs(
     DataFrame reads the staged result. Repeated calls in a long-lived session
     leave NO cached RDDs behind (asserted in tests). ``staging_dir``: where to
     stage (default: a session temp dir; the tiny pair output lives there until
-    process exit)."""
+    process exit).
+
+    ``max_bucket_size``: skew guard — prune (band, band_key) buckets larger than
+    this before the candidate self-join (see ``prune_hot_buckets``). None (the
+    declared-oracle default) keeps every bucket so Spark and DuckDB agree
+    exactly; at corpus scale pick ~500-1000 after running ``exact_dedup``."""
     import tempfile
 
     if staging_dir is None:
@@ -241,6 +270,8 @@ def minhash_lsh_pairs(
     # deterministically below once the staged write has consumed it.
     sh = shingle_sets(docs, n).persist()
     bandsdf = _bands_from_wide(_wide_signatures(sh))
+    if max_bucket_size is not None:
+        bandsdf = prune_hot_buckets(bandsdf, max_bucket_size)
     l, r = bandsdf.alias("l"), bandsdf.alias("r")
     cand = (
         l.join(

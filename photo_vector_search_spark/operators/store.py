@@ -97,15 +97,23 @@ def recover_store(path: str) -> None:
         os.rename(old, path)
 
 
-def snapshot_overwrite(df: DataFrame, path: str) -> None:
+def snapshot_overwrite(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
     """Persist a new store state atomically-enough: write tmp dir, swap (SURVEY §7
     "hard parts" #1). On a real deployment this is a table-format commit (Delta/
-    Iceberg); plain Parquet + rename is the dependency-free stand-in."""
+    Iceberg); plain Parquet + rename is the dependency-free stand-in.
+
+    ``partition_by``: hive-partition the snapshot by these columns (e.g.
+    ``["cluster_id"]`` for an IVF store) — reads that filter on them then prune
+    whole directories at file-listing time (PartitionFilters), which is the
+    at-rest half of the IVF design (ann.py)."""
     recover_store(path)  # never clobber a crashed run's only surviving snapshot
     parent = os.path.dirname(os.path.abspath(path))
     tmp = tempfile.mkdtemp(prefix="._snapshot_", dir=parent)
     try:
-        df.write.mode("overwrite").parquet(tmp)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(tmp)
         old = path + ".old"
         # after recover_store, an existing .old alongside an existing store is
         # leftover garbage from an interrupted cleanup — safe to clear

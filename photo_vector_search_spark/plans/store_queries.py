@@ -94,6 +94,25 @@ def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_store_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SC4 write path + P2 — the store persisted hive-partitioned
+    (``snapshot_overwrite(partition_by=...)``, the at-rest half of the IVF
+    design) and queried through a partition filter: ``label IN (3,5)`` prunes
+    whole directories at file-listing time (PartitionFilters — runtime scan
+    metrics asserted in tests/test_scale_design.py), then exact top-k on the
+    surviving fraction."""
+    import tempfile
+
+    from photo_vector_search_spark.operators.knn import fetch_query_vector, knn_topk
+    from photo_vector_search_spark.operators.store import snapshot_overwrite
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    store_path = tempfile.mkdtemp(prefix="pvs_part_store_") + "/store"
+    snapshot_overwrite(emb, store_path, partition_by=["label"])
+    pruned = spark.read.parquet(store_path).filter(F.col("label").isin(3, 5))
+    return knn_topk(pruned, fetch_query_vector(spark, sf_dir, 0), k=10)
+
+
 def q_count_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 — input cardinality (cli.py:43)."""
     return load_table(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n"))
@@ -107,6 +126,7 @@ QUERIES = {
     "delete_ops": q_delete_ops,
     "store_truncate": q_store_truncate,
     "scalar_funcs": q_scalar_funcs,
+    "store_partition_pruned": q_store_partition_pruned,
     "count_rows": q_count_rows,
 }
 
@@ -144,5 +164,14 @@ SELECT doc_id,
        round(CAST(n_chars AS DOUBLE) / 100, 4) AS chars_h,
        string_split('/photos/img_3.jpg', '/')[-1] AS basename
 FROM documents WHERE doc_id < 50""",
+    "store_partition_pruned": """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id, label,
+         1.0 - list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)) AS d
+  FROM embeddings WHERE label IN (3, 5)
+)
+SELECT vec_id, label, round(d, 6) AS dist
+FROM scored ORDER BY d ASC, vec_id ASC LIMIT 10""",
     "count_rows": "SELECT count(*) AS n FROM lineitem",
 }
