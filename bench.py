@@ -35,6 +35,7 @@ from photo_vector_search_spark.operators.ann import (
 )
 from photo_vector_search_spark.plans import (
     embed_queries,
+    pipeline_queries,
     relational,
     store_queries,
     text_queries,
@@ -76,6 +77,10 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         ),
         "embedding_near_dup": lambda: _force(embedding_near_dup_fast(emb, tau=0.45)),
         "text_stats": lambda: _force(text_queries.q_text_stats(spark, sf_dir)),
+        "pack_documents_sharded": lambda: _force(
+            pipeline_queries.q_pack_documents_sharded(spark, sf_dir)
+        ),
+        "cube_lineitem": lambda: _force(relational.q_cube_lineitem(spark, sf_dir)),
         "embed_documents": lambda: _force(embed_queries.q_embed_documents(spark, sf_dir)),
         "ivf_build_and_query": lambda: _force(
             ivf_topk(

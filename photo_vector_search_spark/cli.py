@@ -14,8 +14,11 @@ Parquet-backed store.
 
 Differences from the reference, by design: the store is a Parquet snapshot
 (ChromaDB replaced), models default to the deterministic stubs (CLIP/Ollama plug
-into the same interfaces), and `--viewer` launching is out of scope (results
-print the photo path; SC9)."""
+into the same interfaces), and `--viewer` launching (reference cli.py:86-98 /
+utils.py:5-12) is PERMANENTLY out of scope (SC9): spawning a desktop image
+viewer is presentation on the client machine, not engine work — results carry
+`photo_path`, which is the full contract a viewer needs. `describe-store`
+covers the reference UI's browse/manage summaries (app.py:24-46)."""
 
 from __future__ import annotations
 
@@ -253,6 +256,23 @@ def cmd_delete_store(args) -> int:
     return 0
 
 
+def cmd_describe_store(args) -> int:
+    from photo_vector_search_spark.operators.store import describe_store
+
+    spark = _spark()
+    store = _load_store(spark, args.store)
+    rows = describe_store(store).orderBy("aspect_name").collect()
+    total = sum(r.n_rows for r in rows)
+    print(f"{args.store}: {total} row(s), {len(rows)} aspect(s)")
+    for r in rows:
+        dim = r.dim_min if r.dim_min == r.dim_max else f"{r.dim_min}-{r.dim_max}"
+        print(
+            f"  [{r.aspect_name}] rows={r.n_rows} photos={r.n_photos} "
+            f"described={r.n_described} dim={dim}"
+        )
+    return 0
+
+
 def cmd_list_models(args) -> int:
     from photo_vector_search_spark.pipelines.embed import available_models
 
@@ -320,6 +340,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--yes", action="store_true")
     common(sp)
     sp.set_defaults(fn=cmd_delete_store)
+
+    sp = sub.add_parser("describe-store")
+    common(sp)
+    sp.set_defaults(fn=cmd_describe_store)
 
     sp = sub.add_parser("list-models")
     sp.set_defaults(fn=cmd_list_models)

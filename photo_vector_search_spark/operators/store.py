@@ -51,6 +51,27 @@ def group_photos(store: DataFrame) -> DataFrame:
     )
 
 
+def describe_store(store: DataFrame) -> DataFrame:
+    """Store summary, one row per aspect — the engine-side analogue of the
+    reference UI's browse/manage pages (app.py:24-46 View/Manage list photos and
+    aspects with counts). Everything the pages show that isn't presentation:
+    rows, distinct photos, described fraction, embedding dimension.
+
+    Single groupBy — map-side combinable aggs, one shuffle on aspect_name."""
+    return (
+        store.groupBy("aspect_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("photo_path").alias("n_photos"),
+            F.sum(
+                F.when(F.length(F.coalesce("description", F.lit(""))) > 0, 1).otherwise(0)
+            ).alias("n_described"),
+            F.min(F.size("embedding")).alias("dim_min"),
+            F.max(F.size("embedding")).alias("dim_max"),
+        )
+    )
+
+
 def merge_upsert(existing: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
     """U1 — last-write-wins batch upsert (photo_vector_search.py:114-154).
 

@@ -166,6 +166,57 @@ FROM packed GROUP BY pack_id
 """
 
 
+PACK_SHARDS = 8
+
+
+def q_pack_documents_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of sequence packing promised in ``q_pack_documents``'s
+    docstring: shard by a deterministic hash, pack WITHIN each shard — the window
+    partitions by shard so every shard's cumsum runs in parallel (no
+    single-partition global window; ~N/shards rows per task at any scale).
+    Output: per-(shard, pack) doc count and token fill."""
+    from photo_vector_search_spark.functions.text import hash32
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (hash32(F.col("doc_id").cast("string")) % PACK_SHARDS).alias("shard"),
+        token_count(F.col("text")).alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = docs.withColumn(
+        "pack_id",
+        (F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / PACK_CAP).cast("long"),
+    )
+    return packed.groupBy("shard", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+    )
+
+
+_ORACLE_PACK_SHARDED = f"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % {PACK_SHARDS} AS shard,
+         len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tok
+  FROM documents
+),
+packed AS (
+  SELECT shard, doc_id, n_tok,
+         CAST(floor(coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / {PACK_CAP})
+              AS BIGINT) AS pack_id
+  FROM toks
+)
+SELECT shard, pack_id, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+FROM packed GROUP BY shard, pack_id
+"""
+
+
 def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data profiling (training-corpus QC): per-event-type min/max/median/p95 via
     EXACT interpolated percentiles (Spark `percentile` ≡ DuckDB `quantile_cont`
@@ -356,6 +407,7 @@ QUERIES = {
     "rollup_events": q_rollup_events,
     "train_test_split": q_train_test_split,
     "pack_documents": q_pack_documents,
+    "pack_documents_sharded": q_pack_documents_sharded,
     "canonicalize_dups": q_canonicalize_dups,
     "srp_lsh_near_dup": q_srp_lsh_near_dup,
     "data_profile": q_data_profile,
@@ -369,6 +421,7 @@ ORACLES = {
     "rollup_events": _ORACLE_ROLLUP_EVENTS,
     "train_test_split": _ORACLE_TRAIN_TEST_SPLIT,
     "pack_documents": _ORACLE_PACK_DOCUMENTS,
+    "pack_documents_sharded": _ORACLE_PACK_SHARDED,
     "canonicalize_dups": _ORACLE_CANONICALIZE,
     "data_profile": _ORACLE_DATA_PROFILE,
     "stratified_sample": _ORACLE_STRATIFIED_SAMPLE,

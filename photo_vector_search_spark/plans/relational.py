@@ -426,8 +426,41 @@ GROUP BY band
 """
 
 
+def q_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping-sets aggregation (engine scaffolding alongside rollup):
+    quantity/revenue totals for every (returnflag, linestatus) combination plus
+    all marginals — one pass, Spark expands the grouping sets map-side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(_dsum(F.col("l_quantity")).cast("double"), 2).alias("sum_qty"),
+            F.round(_dsum(F.col("l_extendedprice")).cast("double"), 2).alias("sum_price"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+            "n",
+            "sum_qty",
+            "sum_price",
+        )
+    )
+
+
+_ORACLE_CUBE = """
+SELECT coalesce(l_returnflag, '<all>') AS returnflag,
+       coalesce(l_linestatus, '<all>') AS linestatus,
+       count(*) AS n,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_price
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
 QUERIES = {
     "tpch_q1": q_tpch_q1,
+    "cube_lineitem": q_cube_lineitem,
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
     "window_topk_orders": q_window_topk_orders,
@@ -441,6 +474,7 @@ QUERIES = {
 
 ORACLES = {
     "range_band_join": _ORACLE_RANGE_BAND_JOIN,
+    "cube_lineitem": _ORACLE_CUBE,
     "events_asof": _ORACLE_EVENTS_ASOF,
     "events_resample": _ORACLE_EVENTS_RESAMPLE,
     "tpch_q1": _ORACLE_Q1,

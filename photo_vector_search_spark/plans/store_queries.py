@@ -94,6 +94,15 @@ def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_describe_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Store browse summary (app.py:24-46 View/Manage parity — the non-
+    presentation content of the reference's UI pages): per-aspect rows, distinct
+    photos, described fraction, embedding dims."""
+    from photo_vector_search_spark.operators.store import describe_store
+
+    return describe_store(build_photo_index(spark, sf_dir, with_embedding=True))
+
+
 def q_store_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SC4 write path + P2 — the store persisted hive-partitioned
     (``snapshot_overwrite(partition_by=...)``, the at-rest half of the IVF
@@ -126,6 +135,7 @@ QUERIES = {
     "delete_ops": q_delete_ops,
     "store_truncate": q_store_truncate,
     "scalar_funcs": q_scalar_funcs,
+    "describe_store": q_describe_store,
     "store_partition_pruned": q_store_partition_pruned,
     "count_rows": q_count_rows,
 }
@@ -164,6 +174,17 @@ SELECT doc_id,
        round(CAST(n_chars AS DOUBLE) / 100, 4) AS chars_h,
        string_split('/photos/img_3.jpg', '/')[-1] AS basename
 FROM documents WHERE doc_id < 50""",
+    "describe_store": """
+SELECT 'aspect_' || CAST(e.vec_id % 5 AS VARCHAR) AS aspect_name,
+       count(*) AS n_rows,
+       count(DISTINCT '/photos/img_' || CAST(CAST(floor(e.vec_id / 5) AS BIGINT) AS VARCHAR)
+             || '.jpg') AS n_photos,
+       CAST(sum(CASE WHEN length(coalesce(d.text, '')) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_described,
+       min(len(e.embedding)) AS dim_min,
+       max(len(e.embedding)) AS dim_max
+FROM embeddings e LEFT JOIN documents d ON d.doc_id = e.vec_id
+GROUP BY 1""",
     "store_partition_pruned": """
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
 scored AS (

@@ -383,8 +383,43 @@ FROM st
 """
 
 
+def q_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching (the character-level near-dup family member
+    alongside Jaccard/MinHash/SimHash): document-prefix pairs within Levenshtein
+    distance 20. Declared form is a bounded self-join over a doc_id slice; the
+    scale form blocks first (length band / q-gram prefix buckets) and runs the
+    same predicate inside blocks — the self-join stays equi-keyed on the block."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 40)
+        .select("doc_id", F.substring(F.lower(F.col("text")), 1, 40).alias("p"))
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    lev = F.levenshtein(F.col("a.p"), F.col("b.p"))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            lev.alias("lev"),
+        )
+        .filter(F.col("lev") <= 20)
+    )
+
+
+_ORACLE_FUZZY_LEV = """
+WITH p AS (
+  SELECT doc_id, substring(lower(text), 1, 40) AS p FROM documents WHERE doc_id < 40
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, levenshtein(a.p, b.p) AS lev
+FROM p a JOIN p b ON a.doc_id < b.doc_id
+WHERE levenshtein(a.p, b.p) <= 20
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "fuzzy_levenshtein": q_fuzzy_levenshtein,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
@@ -398,6 +433,7 @@ QUERIES = {
 
 ORACLES = {
     "chunk_documents": _ORACLE_CHUNK_DOCUMENTS,
+    "fuzzy_levenshtein": _ORACLE_FUZZY_LEV,
     "decontaminate": _ORACLE_DECONTAMINATE,
     "vocab_top_tokens": _ORACLE_VOCAB_TOP,
     "doc_repetition": _ORACLE_DOC_REPETITION,

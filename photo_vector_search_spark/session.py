@@ -27,9 +27,14 @@ def get_spark(
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+    # In local mode the driver JVM IS the executor; the 1g default driver heap
+    # starves broadcast builds well below what the box can hold (seen: LSH band
+    # self-join at 10× fixture scale). No-op if the JVM already exists.
+    memory = os.environ.get("SPARK_GRAFT_DRIVER_MEMORY", "16g")
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
+        .config("spark.driver.memory", memory)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

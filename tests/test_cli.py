@@ -50,6 +50,12 @@ def test_cli_full_workflow(photo_dir, capsys, spark):
         out = capsys.readouterr().out
         assert "[safety]" in out
 
+        assert main(["describe-store", "--store", store]) == 0
+        out = capsys.readouterr().out
+        assert "4 row(s), 2 aspect(s)" in out
+        assert "[default] rows=3 photos=3 described=3 dim=64" in out
+        assert "[safety] rows=1 photos=1 described=1 dim=64" in out
+
         # deletes BOTH aspects of barn.jpg (default + safety)
         assert main(["delete-photo", "--photo", photo, "--store", store]) == 0
         assert "deleted 2 row(s)" in capsys.readouterr().out

