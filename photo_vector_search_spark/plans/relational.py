@@ -426,6 +426,37 @@ GROUP BY band
 """
 
 
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 forecasting revenue change (adapted to fixture ranges): pure
+    filter + aggregate, zero joins/zero-group agg — the query whose entire cost
+    is the scan, so every predicate MUST reach the Parquet reader (PushedFilters;
+    audited in PLANS.md). At 100 TB this is the pattern where row-group min/max
+    pruning does most of the work."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(
+            _dsum(F.col("l_extendedprice") * F.col("l_discount")).cast("double"), 4
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_ORACLE_Q6 = """
+SELECT round(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE), 4)
+         AS revenue,
+       count(*) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+
 def q_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE grouping-sets aggregation (engine scaffolding alongside rollup):
     quantity/revenue totals for every (returnflag, linestatus) combination plus
@@ -460,6 +491,7 @@ FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 
 QUERIES = {
     "tpch_q1": q_tpch_q1,
+    "tpch_q6": q_tpch_q6,
     "cube_lineitem": q_cube_lineitem,
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
@@ -475,6 +507,7 @@ QUERIES = {
 ORACLES = {
     "range_band_join": _ORACLE_RANGE_BAND_JOIN,
     "cube_lineitem": _ORACLE_CUBE,
+    "tpch_q6": _ORACLE_Q6,
     "events_asof": _ORACLE_EVENTS_ASOF,
     "events_resample": _ORACLE_EVENTS_RESAMPLE,
     "tpch_q1": _ORACLE_Q1,

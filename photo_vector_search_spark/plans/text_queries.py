@@ -383,6 +383,76 @@ FROM st
 """
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction (corpus indexing/feature op): top-3 terms per
+    doc by tf·idf, stopwords excluded; df/idf computed over the FULL corpus,
+    output restricted to doc_id < 50 to keep the declared result bounded.
+
+    Shuffle shape: explode → two keyed aggs (doc term counts, corpus df) → two
+    joins keyed on doc_id/term → per-doc window. All partial-agg combinable;
+    the df table is vocabulary-sized (broadcastable at any corpus scale).
+    Ranking uses the ROUNDED score so cross-engine libm ULP differences in ln()
+    cannot flip an ordering; ties break on the term string."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tok = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .filter((~F.col("term").isin(*STOPWORDS)) & (F.length("term") > 0))
+    )
+    counts = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf_count"))
+    doclen = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_terms"))
+    dfreq = counts.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        counts.join(doclen, "doc_id")
+        .join(dfreq, "term")
+        .withColumn(
+            "tfidf",
+            F.round(
+                (F.col("tf_count") / F.col("n_terms"))
+                * F.log(F.lit(float(n_docs)) / F.col("df")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.filter(F.col("doc_id") < 50)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tfidf", "rank")
+    )
+
+
+_ORACLE_TFIDF = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+  FROM documents
+),
+tok_f AS (
+  SELECT doc_id, term FROM tok
+  WHERE NOT list_contains({list(STOPWORDS)!r}, term) AND length(term) > 0
+),
+counts AS (SELECT doc_id, term, count(*) AS tf_count FROM tok_f GROUP BY 1, 2),
+doclen AS (SELECT doc_id, count(*) AS n_terms FROM tok_f GROUP BY 1),
+dfreq AS (SELECT term, count(*) AS df FROM counts GROUP BY 1),
+scored AS (
+  SELECT c.doc_id, c.term,
+         round((c.tf_count / d.n_terms)
+               * ln((SELECT count(*) FROM documents) / CAST(f.df AS DOUBLE)), 6)
+           AS tfidf
+  FROM counts c JOIN doclen d USING (doc_id) JOIN dfreq f USING (term)
+),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored WHERE doc_id < 50
+)
+SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3
+"""
+
+
 def q_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance fuzzy matching (the character-level near-dup family member
     alongside Jaccard/MinHash/SimHash): document-prefix pairs within Levenshtein
@@ -420,6 +490,7 @@ WHERE levenshtein(a.p, b.p) <= 20
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "fuzzy_levenshtein": q_fuzzy_levenshtein,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
@@ -434,6 +505,7 @@ QUERIES = {
 ORACLES = {
     "chunk_documents": _ORACLE_CHUNK_DOCUMENTS,
     "fuzzy_levenshtein": _ORACLE_FUZZY_LEV,
+    "tfidf_top_terms": _ORACLE_TFIDF,
     "decontaminate": _ORACLE_DECONTAMINATE,
     "vocab_top_tokens": _ORACLE_VOCAB_TOP,
     "doc_repetition": _ORACLE_DOC_REPETITION,
