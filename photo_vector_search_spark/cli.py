@@ -133,13 +133,20 @@ def cmd_add_aspect(args) -> int:
     return 0
 
 
-def _embed_query(embedder, value) -> list[float]:
+def _embed_query(embedder, value, model_name: str) -> list[float]:
     """Embed ONE query value driver-side through the same Embedder the store was
     indexed with (reference embeds the query through the same CLIP model,
-    photo_vector_search.py:36-40)."""
+    photo_vector_search.py:36-40; text queries go through its text tower)."""
     import pandas as pd
 
-    return list(embedder.make_fn()(pd.Series([value]))[0])
+    out = embedder.make_fn()(pd.Series([value]))[0]
+    if out is None:  # an Embedder signals per-row failure with None
+        kind = "text" if isinstance(value, str) else "image"
+        print(
+            f"model {model_name!r} could not embed the {kind} query", file=sys.stderr
+        )
+        raise SystemExit(2)
+    return list(out)
 
 
 def _search(args, query_value) -> int:
@@ -149,15 +156,21 @@ def _search(args, query_value) -> int:
 
     spark = _spark()
     store = _load_store(spark, args.store)
-    query_vec = _embed_query(_resolve_embedder(args.model), query_value)
+    query_vec = _embed_query(_resolve_embedder(args.model), query_value, args.model)
     # Fail loudly on store/query dim mismatch: zip_with would pad with NULLs,
     # every distance would be NULL, and the search would silently print nothing.
-    first = store.select(F.size("embedding").alias("n")).first()
-    if first is not None and first["n"] != len(query_vec):
+    # min AND max: a mixed-dim store (indexed under two models) must error too —
+    # checking one row would silently drop every other-dim row from results.
+    dims = store.agg(
+        F.min(F.size("embedding")).alias("lo"), F.max(F.size("embedding")).alias("hi")
+    ).first()
+    if dims["lo"] is not None and not (dims["lo"] == dims["hi"] == len(query_vec)):
+        stored = dims["lo"] if dims["lo"] == dims["hi"] else f"{dims['lo']}-{dims['hi']}"
         print(
-            f"embedding dimension mismatch: store has {first['n']}-d vectors but "
+            f"embedding dimension mismatch: store has {stored}-d vectors but "
             f"model {args.model!r} produces {len(query_vec)}-d queries; pass the "
-            "--model the store was indexed with",
+            "--model the store was indexed with (mixed-dim stores need a "
+            "re-index under one model)",
             file=sys.stderr,
         )
         raise SystemExit(2)

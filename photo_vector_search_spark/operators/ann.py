@@ -87,25 +87,55 @@ def build_ivf_store(
 
     This is the layout ``ivf_topk`` assumes at scale: the probe IN-filter prunes
     whole cluster directories at file-listing time (PartitionFilters — asserted
-    on runtime scan metrics in tests/test_scale_design.py)."""
+    on runtime scan metrics in tests/test_scale_design.py).
+
+    Crash consistency: the store and the sidecar are two snapshot swaps, which
+    cannot be made atomic together with renames — so both carry a ``build_id``
+    (md5 of the centroid bytes) and ``load_ivf_store`` refuses a mismatched
+    pair. Without the check, a crash between the swaps would silently pair NEW
+    cluster assignments with OLD centroids and collapse probe recall."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
     from photo_vector_search_spark.operators.store import snapshot_overwrite
 
     centroids = train_centroids(embeddings, n_clusters, sample, iters, seed)
-    indexed = assign_clusters(embeddings, centroids)
+    build_id = hashlib.md5(centroids.tobytes()).hexdigest()[:16]
+    indexed = assign_clusters(embeddings, centroids).withColumn(
+        "build_id", F.lit(build_id)  # constant column: dictionary-encoded, ~free
+    )
     snapshot_overwrite(indexed, path, partition_by=["cluster_id"])
     spark = embeddings.sparkSession
-    cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    cent_rows = [(i, [float(x) for x in c], build_id) for i, c in enumerate(centroids)]
     snapshot_overwrite(
-        spark.createDataFrame(cent_rows, "centroid_id int, centroid array<double>"),
+        spark.createDataFrame(
+            cent_rows, "centroid_id int, centroid array<double>, build_id string"
+        ),
         path + ".centroids",
     )
     return centroids
 
 
 def load_ivf_store(spark, path: str) -> tuple[DataFrame, np.ndarray]:
-    """(store DataFrame with cluster_id partition column, centroid matrix)."""
+    """(store DataFrame with cluster_id partition column, centroid matrix).
+
+    Recovers either half from a crashed snapshot swap, then verifies the two
+    halves come from the SAME build (see ``build_ivf_store``)."""
+    from photo_vector_search_spark.operators.store import recover_store
+
+    recover_store(path)
+    recover_store(path + ".centroids")
     store = spark.read.parquet(path)
     cent = spark.read.parquet(path + ".centroids").orderBy("centroid_id").collect()
+    cent_build = {r["build_id"] for r in cent}
+    store_build = {r["build_id"] for r in store.select("build_id").distinct().collect()}
+    if cent_build != store_build:
+        raise ValueError(
+            f"IVF store {path!r} is from build {sorted(store_build)} but its "
+            f"centroid sidecar is from build {sorted(cent_build)} — a rebuild "
+            "crashed between the two snapshot swaps; re-run build_ivf_store"
+        )
     return store, np.vstack([np.asarray(r["centroid"], dtype=np.float64) for r in cent])
 
 

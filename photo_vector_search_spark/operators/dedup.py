@@ -261,10 +261,15 @@ def minhash_lsh_pairs(
     this before the candidate self-join (see ``prune_hot_buckets``). None (the
     declared-oracle default) keeps every bucket so Spark and DuckDB agree
     exactly; at corpus scale pick ~500-1000 after running ``exact_dedup``."""
+    import atexit
+    import shutil
     import tempfile
 
     if staging_dir is None:
         staging_dir = tempfile.mkdtemp(prefix="pvs_lsh_pairs_")
+        # mkdtemp registers no cleanup of its own — without this, every call in
+        # a long-lived session leaks one staged pair parquet until /tmp fills
+        atexit.register(shutil.rmtree, staging_dir, ignore_errors=True)
     # one shared, cached shingle table feeds signatures, counts and the verify
     # join — without it the shingling+md5 work runs four times; unpersisted
     # deterministically below once the staged write has consumed it.
@@ -301,8 +306,10 @@ def minhash_lsh_pairs(
         .filter(jac >= tau)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
-    pairs.write.mode("overwrite").parquet(staging_dir)
-    sh.unpersist(blocking=True)
+    try:
+        pairs.write.mode("overwrite").parquet(staging_dir)
+    finally:
+        sh.unpersist(blocking=True)  # a failed staged write must not leak the cache
     return docs.sparkSession.read.parquet(staging_dir)
 
 
@@ -510,9 +517,13 @@ def embedding_near_dup_fast(
     import numpy as np
     import pandas as pd
 
-    first = embeddings.select("embedding").first()
-    if first is not None:
-        est = embeddings.count() * len(first[0]) * 8
+    stats = embeddings.agg(
+        F.count(F.lit(1)).alias("n"), F.max(F.size("embedding")).alias("max_dim")
+    ).first()
+    if stats["n"]:
+        # ONE pre-job (count + max dim together); max dim sizes mixed-dim inputs
+        # correctly where a first-row estimate would undercount
+        est = stats["n"] * stats["max_dim"] * 8
         if est > max_broadcast_bytes:
             raise ValueError(
                 f"embedding_near_dup_fast would collect ~{est >> 20} MiB of vectors "

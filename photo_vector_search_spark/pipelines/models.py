@@ -18,8 +18,19 @@ import pandas as pd
 from photo_vector_search_spark.pipelines.embed import Describer, Embedder
 
 
-def clip_embedder(model_name: str = "ViT-L/14", dim: int = 768) -> Embedder:
-    """CLIP image/text embedder (768-d for ViT-L/14). Requires torch + clip."""
+CLIP_FORWARD_CHUNK = 128  # images per encode_image call: bounds GPU activation
+# memory (an Arrow batch can hold 10k rows — stacking all of them into one
+# forward would OOM any real GPU) while keeping the 10-100x batching win
+
+
+def clip_embedder(
+    model_name: str = "ViT-L/14", dim: int = 768, forward_chunk: int = CLIP_FORWARD_CHUNK
+) -> Embedder:
+    """CLIP image/text embedder (768-d for ViT-L/14). Requires torch + clip.
+
+    Images (bytes) go through preprocess + ``encode_image``; strings go through
+    ``encode_text`` (the reference's text-query path, photo_vector_search.py:
+    36-40), so the same Embedder serves indexing AND query embedding."""
     try:
         import clip  # noqa: F401
         import torch  # noqa: F401
@@ -39,27 +50,49 @@ def clip_embedder(model_name: str = "ViT-L/14", dim: int = 768) -> Embedder:
         device = "cuda" if torch.cuda.is_available() else "cpu"
         model, preprocess = clip.load(model_name, device=device)  # once per worker
 
+        def _encode_one(t):
+            with torch.no_grad():
+                v = model.encode_image(torch.stack([t]).to(device)).cpu().numpy()[0]
+            return [float(x) for x in v]
+
+        def _encode_text_one(text: str):
+            with torch.no_grad():
+                tok = clip.tokenize([text], truncate=True).to(device)
+                v = model.encode_text(tok).cpu().numpy()[0]
+            return [float(x) for x in v]
+
         def embed(s: pd.Series) -> pd.Series:
             # Decode/preprocess per row (errors abort only that row), then ONE
-            # stacked forward pass per Arrow batch — the reference's worst defect
-            # is its batch-size-1 encode loop (photo_vector_search.py:30-34);
-            # SURVEY §4.1 promises stacked tensors, and on a GPU a single
-            # encode_image over the batch is 10-100x the per-image loop.
+            # stacked forward per bounded chunk — the reference's worst defect is
+            # its batch-size-1 encode loop (photo_vector_search.py:30-34); SURVEY
+            # §4.1 promises stacked tensors. A failing chunk forward (one bad
+            # tensor, transient CUDA error) falls back to per-row encodes so the
+            # reference's 'embed failure aborts the row' semantics still hold.
+            outs = [None] * len(s)
             tensors, idx = [], []
             for i, content in enumerate(s):
                 try:
+                    if isinstance(content, str):  # text query path
+                        outs[i] = _encode_text_one(content)
+                        continue
                     img = Image.open(io.BytesIO(content)).convert("RGB")
                     tensors.append(preprocess(img))
                     idx.append(i)
                 except Exception:
                     pass  # embed failure aborts the row -> stays None
-            outs = [None] * len(s)
-            if tensors:
-                with torch.no_grad():
-                    batch = torch.stack(tensors).to(device)
-                    vecs = model.encode_image(batch).cpu().numpy()
-                for j, i in enumerate(idx):
-                    outs[i] = [float(x) for x in vecs[j]]
+            for c0 in range(0, len(tensors), forward_chunk):
+                chunk, cidx = tensors[c0 : c0 + forward_chunk], idx[c0 : c0 + forward_chunk]
+                try:
+                    with torch.no_grad():
+                        vecs = model.encode_image(torch.stack(chunk).to(device)).cpu().numpy()
+                    for j, i in enumerate(cidx):
+                        outs[i] = [float(x) for x in vecs[j]]
+                except Exception:
+                    for t, i in zip(chunk, cidx):  # isolate the bad row(s)
+                        try:
+                            outs[i] = _encode_one(t)
+                        except Exception:
+                            pass  # that row stays None
             return pd.Series(outs, index=s.index)
 
         return embed

@@ -85,6 +85,25 @@ def test_search_dimension_mismatch_fails_loudly(spark, tmp_path, capsys):
     assert "dimension mismatch" in capsys.readouterr().err
 
 
+def test_search_mixed_dim_store_fails_loudly(spark, tmp_path, capsys):
+    """A store holding TWO embedding dims (indexed under different models) must
+    error even when the first row happens to match the query dim — otherwise
+    every other-dim row silently drops out of results."""
+    from photo_vector_search_spark.cli import main
+
+    store = str(tmp_path / "store_mixed")
+    rows = [("a.jpg", "default", "", [1.0] * 64), ("b.jpg", "default", "", [1.0] * 8)]
+    spark.createDataFrame(
+        rows,
+        "photo_path string, aspect_name string, description string, embedding array<float>",
+    ).write.parquet(store)
+    with pytest.raises(SystemExit) as e:
+        main(["search-photos-by-text", "--query", "x", "--store", store])
+    assert e.value.code == 2
+    err = capsys.readouterr().err
+    assert "dimension mismatch" in err and "8-64" in err
+
+
 def test_search_tiebreak_is_total_ordered(spark, tmp_path, capsys):
     """Aspects of one photo share the stub embedding (content-keyed), so their
     distances tie exactly; the printed top-k must be deterministic via the

@@ -129,6 +129,28 @@ def test_ivf_store_write_path_prunes_at_file_level(spark, sf_dir, tmp_path):
     assert {r.vec_id for r in probed.collect()} == expect
 
 
+def test_ivf_store_build_mismatch_detected(spark, sf_dir, tmp_path):
+    """The store and centroid sidecar are two snapshot swaps; a crash between
+    them pairs new assignments with old centroids. load must detect the torn
+    pair via the build_id stamp instead of silently returning garbage probes."""
+    from photo_vector_search_spark.operators.ann import build_ivf_store, load_ivf_store
+    from photo_vector_search_spark.operators.store import snapshot_overwrite
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf_torn")
+    build_ivf_store(emb, path, n_clusters=4)
+    stale = [
+        (r["centroid_id"], r["centroid"], "stalebuild0000ff")
+        for r in spark.read.parquet(path + ".centroids").collect()
+    ]
+    snapshot_overwrite(
+        spark.createDataFrame(stale, "centroid_id int, centroid array<double>, build_id string"),
+        path + ".centroids",
+    )
+    with pytest.raises(ValueError, match="crashed between"):
+        load_ivf_store(spark, path)
+
+
 def test_lsh_hot_bucket_cap_bounds_candidate_blowup(spark):
     """The one 100 TB hazard SCALE.md names for MinHash LSH: a hot (band,
     band_key) bucket of B docs creates B²/2 candidate pairs inside ONE join key.

@@ -44,6 +44,11 @@ def _rot(s: str, k: int) -> str:
 def synthesize(spark, copies: int, src: str = SRC, dst: str = DST) -> None:
     if os.path.exists(f"{dst}/_DONE_{copies}"):
         return
+    # a stale marker from a run with a DIFFERENT --copies must not survive this
+    # synthesis, or a later run at that scale would silently reuse wrong data
+    import shutil
+
+    shutil.rmtree(dst, ignore_errors=True)
     os.makedirs(dst, exist_ok=True)
     copies_df = spark.range(copies).select(F.col("id").cast("long").alias("_copy"))
 
@@ -141,7 +146,9 @@ def main() -> None:
         rows = []
         for name in big:
             ts, tb = small.get(name), big[name]
-            ratio = round(tb / ts, 2) if ts else None
+            # floor sub-ms small timings instead of skipping them: a query that
+            # is merely fast at small scale must still get a ratio and a flag
+            ratio = round(tb / max(ts, 0.001), 2) if ts is not None else None
             # super-linear = worse than K× with a grace factor for noise; fixed
             # overhead makes most ratios land far BELOW K
             flag = "SUPER-LINEAR" if ratio and ratio > args.copies * 1.3 else ""
