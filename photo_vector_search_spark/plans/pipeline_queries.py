@@ -243,6 +243,86 @@ FROM events GROUP BY event_type
 """
 
 
+DRIFT_SOURCES = ("src0", "src1", "src2")
+
+
+def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between training-data sources: pairwise total-variation
+    distance between per-source token distributions (TV = ½·Σ|p_a − p_b|).
+    TV instead of KL/JS on purpose: no logs — counts, ratios and |diff| are
+    bit-deterministic across engines, so the oracle is exact, not approximate.
+
+    Shuffle shape: one explode + one groupBy(term) with conditional partial
+    aggs; the per-source totals are a single broadcast row. Per-term |diff|
+    terms are decimal-cast before summation (order-free exact sum, the repo's
+    standard double-sum discipline)."""
+    from photo_vector_search_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(tokens(F.col("text"))).alias("term")).filter(
+        F.length("term") > 0
+    )
+    counts = tok.groupBy("term").agg(
+        *[
+            F.sum(F.when(F.col("source") == s, 1).otherwise(0)).alias(f"c{i}")
+            for i, s in enumerate(DRIFT_SOURCES)
+        ]
+    )
+    totals = tok.groupBy().agg(
+        *[
+            F.sum(F.when(F.col("source") == s, 1).otherwise(0)).alias(f"t{i}")
+            for i, s in enumerate(DRIFT_SOURCES)
+        ]
+    )
+    joined = counts.crossJoin(F.broadcast(totals))
+    pairs = [(0, 1), (0, 2), (1, 2)]
+    aggs = [
+        F.round(
+            (
+                F.sum(
+                    F.abs(
+                        F.col(f"c{a}") / F.col(f"t{a}") - F.col(f"c{b}") / F.col(f"t{b}")
+                    ).cast("decimal(28,18)")
+                )
+                / 2
+            ).cast("double"),
+            6,
+        ).alias(f"tv_{DRIFT_SOURCES[a]}_{DRIFT_SOURCES[b]}")
+        for a, b in pairs
+    ]
+    return joined.agg(*aggs, F.count(F.lit(1)).alias("n_terms"))
+
+
+_drift_cols = ",\n       ".join(
+    f"round(CAST(sum(CAST(abs(c{a} / CAST(t{a} AS DOUBLE) - c{b} / CAST(t{b} AS DOUBLE))"
+    f" AS DECIMAL(28,18))) / 2 AS DOUBLE), 6) AS tv_src{a}_src{b}"
+    for a, b in ((0, 1), (0, 2), (1, 2))
+)
+_ORACLE_SOURCE_DRIFT = f"""
+WITH tok AS (
+  SELECT source, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+  FROM documents
+),
+tok_f AS (SELECT source, term FROM tok WHERE length(term) > 0),
+counts AS (
+  SELECT term,
+         sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS c0,
+         sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS c1,
+         sum(CASE WHEN source = 'src2' THEN 1 ELSE 0 END) AS c2
+  FROM tok_f GROUP BY term
+),
+totals AS (
+  SELECT sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS t0,
+         sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS t1,
+         sum(CASE WHEN source = 'src2' THEN 1 ELSE 0 END) AS t2
+  FROM tok_f
+)
+SELECT {_drift_cols},
+       count(*) AS n_terms
+FROM counts CROSS JOIN totals
+"""
+
+
 def q_canonicalize_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group-wise canonicalization (applyInPandas — grouped-Python execution
     path) over exact-dedup groups of documents ∪ re-crawl. The oracle recomputes
@@ -411,6 +491,7 @@ QUERIES = {
     "canonicalize_dups": q_canonicalize_dups,
     "srp_lsh_near_dup": q_srp_lsh_near_dup,
     "data_profile": q_data_profile,
+    "source_drift": q_source_drift,
     "stratified_sample": q_stratified_sample,
     "embedding_quantize": q_embedding_quantize,
 }
@@ -424,6 +505,7 @@ ORACLES = {
     "pack_documents_sharded": _ORACLE_PACK_SHARDED,
     "canonicalize_dups": _ORACLE_CANONICALIZE,
     "data_profile": _ORACLE_DATA_PROFILE,
+    "source_drift": _ORACLE_SOURCE_DRIFT,
     "stratified_sample": _ORACLE_STRATIFIED_SAMPLE,
     "embedding_quantize": _ORACLE_EMBEDDING_QUANTIZE,
     # srp_lsh_near_dup intentionally omitted: approximate op → rows-only check

@@ -65,3 +65,50 @@ def incremental_index(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+VECTORS_SCHEMA = "vec_id long, embedding array<float>, label int"
+
+
+def incremental_ivf_index(
+    spark: SparkSession,
+    input_dir: str,
+    store_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Stream vector batches into an EXISTING IVF store (built by
+    ``build_ivf_store``): each micro-batch is assigned to the store's frozen
+    centroids (map-only matmul against the broadcast codebook) and merge-upserted
+    by vec_id, keeping the cluster_id partition layout — so partition-pruned
+    probes stay valid as the corpus grows.
+
+    Freezing centroids between rebuilds is the standard IVF serving pattern
+    (drift is a rebuild decision, not a per-batch one); the build_id stamp rides
+    along unchanged, and ``load_ivf_store``'s torn-pair check still holds."""
+    from pyspark.sql import functions as F
+
+    from photo_vector_search_spark.operators.ann import assign_clusters, load_ivf_store
+    from photo_vector_search_spark.operators.store import merge_upsert
+
+    _, centroids = load_ivf_store(spark, store_path)  # frozen codebook
+
+    stream = spark.readStream.schema(VECTORS_SCHEMA).format("parquet").load(input_dir)
+
+    def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark_b = batch_df.sparkSession
+        recover_store(store_path)
+        store = spark_b.read.parquet(store_path)
+        build_id = store.select("build_id").first()["build_id"]
+        assigned = assign_clusters(batch_df, centroids).withColumn(
+            "build_id", F.lit(build_id)
+        )
+        new_state = merge_upsert(store, assigned.select(*store.columns), ["vec_id"])
+        snapshot_overwrite(new_state, store_path, partition_by=["cluster_id"])
+
+    writer = stream.writeStream.foreachBatch(_merge_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

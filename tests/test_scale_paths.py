@@ -95,6 +95,56 @@ def test_incremental_index_stream(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_incremental_ivf_index_stream(spark, sf_dir):
+    """Streamed vectors join an existing IVF store: assigned to the FROZEN
+    codebook, merged by vec_id, partition layout + build stamp preserved — so
+    load_ivf_store's consistency check and partition-pruned probes keep working
+    as the corpus grows."""
+    from photo_vector_search_spark.operators.ann import (
+        assign_clusters,
+        build_ivf_store,
+        load_ivf_store,
+    )
+    from photo_vector_search_spark.sources.tables import load_table
+    from photo_vector_search_spark.streaming.incremental import incremental_ivf_index
+
+    tmp = tempfile.mkdtemp(prefix="pvs_ivf_stream_")
+    in_dir, store, ckpt = f"{tmp}/in", f"{tmp}/store", f"{tmp}/ckpt"
+    try:
+        emb = load_table(spark, sf_dir, "embeddings")
+        base = emb.filter(F.col("vec_id") < 80)
+        centroids = build_ivf_store(base, store, n_clusters=4)
+        n_base = base.count()
+
+        newvecs = emb.filter((F.col("vec_id") >= 80) & (F.col("vec_id") < 95))
+        newvecs.write.mode("append").parquet(in_dir)
+        q = incremental_ivf_index(spark, in_dir, store, ckpt)
+        q.awaitTermination(120)
+
+        grown, cent2 = load_ivf_store(spark, store)  # torn-pair check passes
+        assert (cent2 == centroids).all()
+        assert grown.count() == n_base + 15
+        # streamed rows carry the SAME assignment the batch path would give
+        expect = {
+            r.vec_id: r.cluster_id
+            for r in assign_clusters(newvecs, centroids).collect()
+        }
+        got = {
+            r.vec_id: r.cluster_id
+            for r in grown.filter(F.col("vec_id") >= 80).collect()
+        }
+        assert got == expect
+        # second batch upserts (vec 90-94 re-delivered) without duplication
+        emb.filter((F.col("vec_id") >= 90) & (F.col("vec_id") < 100)).write.mode(
+            "append"
+        ).parquet(in_dir)
+        q = incremental_ivf_index(spark, in_dir, store, ckpt)
+        q.awaitTermination(120)
+        assert spark.read.parquet(store).count() == n_base + 20
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # ------------------------------------------------------------------ multimodal
 
 
