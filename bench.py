@@ -81,6 +81,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
             pipeline_queries.q_pack_documents_sharded(spark, sf_dir)
         ),
         "cube_lineitem": lambda: _force(relational.q_cube_lineitem(spark, sf_dir)),
+        "tfidf_top_terms": lambda: _force(text_queries.q_tfidf_top_terms(spark, sf_dir)),
+        "source_drift": lambda: _force(pipeline_queries.q_source_drift(spark, sf_dir)),
         "embed_documents": lambda: _force(embed_queries.q_embed_documents(spark, sf_dir)),
         "ivf_build_and_query": lambda: _force(
             ivf_topk(
