@@ -20,7 +20,6 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from photo_vector_search_spark.operators.knn import (
     fetch_query_vector,
-    knn_batch,
     knn_topk,
 )
 from photo_vector_search_spark.plans import (
@@ -74,14 +73,19 @@ def _q_ivf_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2 rows J1+W1 — batched similarity join, per-query top-3
-    (reference single-query search is the |Q|=1 case)."""
+    (reference single-query search is the |Q|=1 case). Declared through the
+    map-side matmul fast path — shuffle O(batches·Q·k), independent of N — which
+    is tie-break- and rounding-parity-tested against the window formulation
+    (``knn_batch``, which the oracle SQL mirrors)."""
     from pyspark.sql import functions as F
+
+    from photo_vector_search_spark.operators.knn import knn_batch_fast
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return knn_batch(emb, queries, k=3)
+    return knn_batch_fast(emb, queries, k=3)
 
 
 _ORACLE_KNN = """

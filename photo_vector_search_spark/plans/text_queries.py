@@ -26,7 +26,6 @@ from photo_vector_search_spark.functions.text import (
 )
 from photo_vector_search_spark.operators.dedup import (
     MINHASH_P,
-    embedding_near_dup_pairs,
     exact_dedup,
     jaccard_pairs,
     minhash_lsh_pairs,
@@ -185,8 +184,15 @@ FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 6
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine near-dup pairs over embeddings, τ=0.45."""
-    return embedding_near_dup_pairs(load_table(spark, sf_dir, "embeddings"), tau=0.45)
+    """Cosine near-dup pairs over embeddings, τ=0.45 — declared through the
+    broadcast-matmul rung (guarded; identical rounded values to the exact pair
+    join, HALF_UP parity pytest-enforced) so the declared query itself carries
+    no O(N²) BroadcastNestedLoopJoin row explosion: the quadratic work stays
+    columnar in BLAS. ``embedding_near_dup_pairs`` remains the exact anchor in
+    tests; past the broadcast guard the linear path is SRP-LSH."""
+    from photo_vector_search_spark.operators.dedup import embedding_near_dup_fast
+
+    return embedding_near_dup_fast(load_table(spark, sf_dir, "embeddings"), tau=0.45)
 
 
 _ORACLE_EMBEDDING_NEAR_DUP = """
