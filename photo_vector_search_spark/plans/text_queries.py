@@ -348,6 +348,72 @@ ORDER BY repetition DESC, doc_id ASC LIMIT 50
 """
 
 
+def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty score (the inverse of contamination): share of the
+    doc's distinct bigrams found in NO other document. High-novelty docs carry
+    unique content; near-zero novelty means boilerplate/template text. Log-free
+    (count ratios only) so the oracle is exact.
+
+    Shuffle shape: explode distinct bigrams → df agg keyed by bigram → join back
+    keyed by bigram → per-doc agg. All partial-agg combinable; same inverted-
+    index skeleton as decontamination, linear in corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks_df = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    bg = toks_df.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.transform(
+                        F.sequence(F.lit(1), F.greatest(F.size("toks") - 1, F.lit(1))),
+                        lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, 2)),
+                    ),
+                    lambda g: F.size(F.split(g, " ")) == 2,
+                )
+            )
+        ).alias("bigram"),
+    )
+    dfreq = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        bg.join(dfreq, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_unique"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        "n_unique",
+        F.round(F.col("n_unique") / F.col("n_bigrams"), 6).alias("novelty"),
+    )
+
+
+_ORACLE_DOC_NOVELTY = f"""
+WITH toks AS ({_SQL_TOKS}),
+bg0 AS (
+  SELECT doc_id, t,
+         unnest(generate_series(1, greatest(len(t) - 1, 1))) AS i
+  FROM toks
+),
+bg AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(t, i, i + 1), ' ') AS bigram
+  FROM bg0
+  WHERE len(list_slice(t, i, i + 1)) = 2
+),
+dfreq AS (SELECT bigram, count(*) AS df FROM bg GROUP BY bigram)
+SELECT b.doc_id,
+       count(*) AS n_bigrams,
+       CAST(sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       round(sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6)
+         AS novelty
+FROM bg b JOIN dfreq f USING (bigram)
+GROUP BY b.doc_id
+"""
+
+
 CHUNK_SIZE = 64
 CHUNK_STRIDE = 48  # 16-token overlap
 
@@ -505,6 +571,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "vocab_top_tokens": q_vocab_top_tokens,
     "doc_repetition": q_doc_repetition,
+    "doc_novelty": q_doc_novelty,
     "chunk_documents": q_chunk_documents,
 }
 
@@ -515,6 +582,7 @@ ORACLES = {
     "decontaminate": _ORACLE_DECONTAMINATE,
     "vocab_top_tokens": _ORACLE_VOCAB_TOP,
     "doc_repetition": _ORACLE_DOC_REPETITION,
+    "doc_novelty": _ORACLE_DOC_NOVELTY,
     "dedup_exact": _ORACLE_DEDUP_EXACT,
     "dedup_jaccard": _ORACLE_DEDUP_JACCARD,
     "dedup_minhash_lsh": _minhash_oracle(),
