@@ -142,8 +142,10 @@ def knn_batch_fast(embeddings: DataFrame, queries: DataFrame, k: int = 5) -> Dat
             m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64, copy=False)
             dn = np.linalg.norm(m, axis=1)
             with np.errstate(divide="ignore", invalid="ignore"):
-                # (rows, nq) distance matrix in one BLAS call
-                dist = 1.0 - (m @ qmat.T) / np.outer(dn, nrm)
+                # (rows, nq) distance matrix in one BLAS call — `mat` from the
+                # broadcast, NOT the closure-captured qmat (which would ship the
+                # Q×dim matrix inside every task's pickled closure)
+                dist = 1.0 - (m @ mat.T) / np.outer(dn, nrm)
             kk = min(k, len(pdf))
             out = {"query_id": [], "vec_id": [], "label": [], "_dist": []}
             vid = pdf["vec_id"].to_numpy()

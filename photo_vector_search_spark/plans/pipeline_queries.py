@@ -268,11 +268,11 @@ def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, s in enumerate(DRIFT_SOURCES)
         ]
     )
-    totals = tok.groupBy().agg(
-        *[
-            F.sum(F.when(F.col("source") == s, 1).otherwise(0)).alias(f"t{i}")
-            for i, s in enumerate(DRIFT_SOURCES)
-        ]
+    # totals are exactly the column sums of the per-term counts (every token
+    # lands in some term group) — summing the counts frame avoids a second full
+    # tokenize+explode pass over the corpus, bit-identically
+    totals = counts.agg(
+        *[F.sum(f"c{i}").alias(f"t{i}") for i in range(len(DRIFT_SOURCES))]
     )
     joined = counts.crossJoin(F.broadcast(totals))
     pairs = [(0, 1), (0, 2), (1, 2)]

@@ -23,6 +23,7 @@ from photo_vector_search_spark.functions.text import (
     stopword_ratio,
     token_count,
     tokens,
+    word_shingles,
 )
 from photo_vector_search_spark.operators.dedup import (
     MINHASH_P,
@@ -359,19 +360,10 @@ def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     index skeleton as decontamination, linear in corpus size."""
     docs = load_table(spark, sf_dir, "documents")
     toks_df = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    # word_shingles carries the short-input guard (Spark's sequence(1,0) is
+    # DESCENDING, not empty) — same helper the other gram operators use
     bg = toks_df.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.filter(
-                    F.transform(
-                        F.sequence(F.lit(1), F.greatest(F.size("toks") - 1, F.lit(1))),
-                        lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, 2)),
-                    ),
-                    lambda g: F.size(F.split(g, " ")) == 2,
-                )
-            )
-        ).alias("bigram"),
+        "doc_id", F.explode(word_shingles(F.col("toks"), 2)).alias("bigram")
     )
     dfreq = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("df"))
     per_doc = (

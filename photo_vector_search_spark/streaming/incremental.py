@@ -55,7 +55,12 @@ def incremental_index(
         if os.path.exists(store_path):
             existing = spark_b.read.parquet(store_path)
         new_state = index_photos(
-            batch_df, existing=existing, embedder=embedder, describer=describer
+            # same-path files drained into one micro-batch would otherwise both
+            # survive the merge (duplicate ids within the update side)
+            batch_df.dropDuplicates(["path"]),
+            existing=existing,
+            embedder=embedder,
+            describer=describer,
         )
         snapshot_overwrite(new_state, store_path)
 
@@ -91,7 +96,14 @@ def incremental_ivf_index(
     from photo_vector_search_spark.operators.ann import assign_clusters, load_ivf_store
     from photo_vector_search_spark.operators.store import merge_upsert
 
-    _, centroids = load_ivf_store(spark, store_path)  # frozen codebook
+    store0, centroids = load_ivf_store(spark, store_path)  # frozen codebook
+    # Capture the build_id ONCE with the codebook: stamping a per-batch re-read
+    # id would let a mid-stream rebuild pair B1-codebook assignments with a B2
+    # stamp — passing the torn-pair check while probes are silently wrong. With
+    # the frozen stamp, a rebuild mid-stream yields mixed build_ids in the store
+    # and load_ivf_store fails loudly.
+    build_id = store0.select("build_id").first()["build_id"]
+    store_cols = store0.columns
 
     stream = spark.readStream.schema(VECTORS_SCHEMA).format("parquet").load(input_dir)
 
@@ -99,11 +111,13 @@ def incremental_ivf_index(
         spark_b = batch_df.sparkSession
         recover_store(store_path)
         store = spark_b.read.parquet(store_path)
-        build_id = store.select("build_id").first()["build_id"]
-        assigned = assign_clusters(batch_df, centroids).withColumn(
-            "build_id", F.lit(build_id)
-        )
-        new_state = merge_upsert(store, assigned.select(*store.columns), ["vec_id"])
+        # one file-source micro-batch can deliver the same vec_id twice (two
+        # files drained together); merge_upsert unions updates as-is, so dedup
+        # here or the 'upsert by vec_id' contract breaks inside a batch
+        assigned = assign_clusters(
+            batch_df.dropDuplicates(["vec_id"]), centroids
+        ).withColumn("build_id", F.lit(build_id))
+        new_state = merge_upsert(store, assigned.select(*store_cols), ["vec_id"])
         snapshot_overwrite(new_state, store_path, partition_by=["cluster_id"])
 
     writer = stream.writeStream.foreachBatch(_merge_batch).option(

@@ -75,7 +75,7 @@ def test_incremental_index_stream(spark):
         )
         batch1.write.mode("append").parquet(in_dir)
         q = incremental_index(spark, in_dir, store, ckpt)
-        q.awaitTermination(120)
+        assert q.awaitTermination(120)
         s1 = spark.read.parquet(store)
         assert s1.count() == 2
 
@@ -86,7 +86,7 @@ def test_incremental_index_stream(spark):
         )
         batch2.write.mode("append").parquet(in_dir)
         q = incremental_index(spark, in_dir, store, ckpt)
-        q.awaitTermination(120)
+        assert q.awaitTermination(120)
         s2 = spark.read.parquet(store)
         assert s2.count() == 3  # b upserted not duplicated, c added
         descs = {r.photo_path: r.description for r in s2.collect()}
@@ -118,8 +118,14 @@ def test_incremental_ivf_index_stream(spark, sf_dir):
 
         newvecs = emb.filter((F.col("vec_id") >= 80) & (F.col("vec_id") < 95))
         newvecs.write.mode("append").parquet(in_dir)
+        # overlapping second file BEFORE the stream starts: availableNow drains
+        # both into ONE micro-batch — the intra-batch dedup must collapse the
+        # re-delivered vec_ids or the upsert contract breaks inside a batch
+        emb.filter((F.col("vec_id") >= 85) & (F.col("vec_id") < 95)).write.mode(
+            "append"
+        ).parquet(in_dir)
         q = incremental_ivf_index(spark, in_dir, store, ckpt)
-        q.awaitTermination(120)
+        assert q.awaitTermination(120)
 
         grown, cent2 = load_ivf_store(spark, store)  # torn-pair check passes
         assert (cent2 == centroids).all()
@@ -139,7 +145,7 @@ def test_incremental_ivf_index_stream(spark, sf_dir):
             "append"
         ).parquet(in_dir)
         q = incremental_ivf_index(spark, in_dir, store, ckpt)
-        q.awaitTermination(120)
+        assert q.awaitTermination(120)
         assert spark.read.parquet(store).count() == n_base + 20
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
