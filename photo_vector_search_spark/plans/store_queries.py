@@ -110,13 +110,17 @@ def q_store_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole directories at file-listing time (PartitionFilters — runtime scan
     metrics asserted in tests/test_scale_design.py), then exact top-k on the
     surviving fraction."""
+    import atexit
+    import shutil
     import tempfile
 
     from photo_vector_search_spark.operators.knn import fetch_query_vector, knn_topk
     from photo_vector_search_spark.operators.store import snapshot_overwrite
 
     emb = load_table(spark, sf_dir, "embeddings")
-    store_path = tempfile.mkdtemp(prefix="pvs_part_store_") + "/store"
+    tmp = tempfile.mkdtemp(prefix="pvs_part_store_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    store_path = tmp + "/store"
     snapshot_overwrite(emb, store_path, partition_by=["label"])
     pruned = spark.read.parquet(store_path).filter(F.col("label").isin(3, 5))
     return knn_topk(pruned, fetch_query_vector(spark, sf_dir, 0), k=10)
