@@ -149,6 +149,65 @@ def test_asof_join_matches_python_reference(spark_session_holder, right_raw, lef
     assert got == expect
 
 
+def _py_ngrams(text: str, n: int) -> list[str]:
+    toks = text.lower().strip().split(" ")
+    return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+
+@given(st.lists(_doc, min_size=1, max_size=8), st.integers(1, 4))
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_word_ngrams_matches_python_reference(spark_session_holder, docs_texts, n):
+    """Guards the Spark sequence(1,0)-is-DESCENDING pitfall for every n and every
+    short-input shape hypothesis finds (docs with < n tokens must yield [])."""
+    from pyspark.sql import functions as F
+
+    from photo_vector_search_spark.functions.text import tokens, word_ngrams
+
+    spark = spark_session_holder
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs_texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: list(r.grams)
+        for r in df.select(
+            "doc_id", word_ngrams(tokens(F.col("text")), n).alias("grams")
+        ).collect()
+    }
+    assert got == {i: _py_ngrams(t, n) for i, t in enumerate(docs_texts)}
+
+
+def _py_pack(tok_counts: list[int], cap: int) -> dict[int, int]:
+    """doc index -> pack_id by exclusive running-sum div cap."""
+    out, run = {}, 0
+    for i, c in enumerate(tok_counts):
+        out[i] = run // cap
+        run += c
+    return out
+
+
+@given(st.lists(st.integers(0, 40), min_size=1, max_size=15), st.integers(8, 64))
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_pack_assignment_matches_python_reference(spark_session_holder, counts, cap):
+    """The window-cumsum pack assignment (q_pack_documents's kernel) against the
+    obvious sequential fold, on arbitrary token-count shapes incl. zeros."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    spark = spark_session_holder
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(counts)], "doc_id long, n_tok long"
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    got = {
+        r.doc_id: r.pack_id
+        for r in df.withColumn(
+            "pack_id",
+            (F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / cap).cast("long"),
+        ).collect()
+    }
+    assert got == _py_pack(counts, cap)
+
+
 # pytest fixture bridging: hypothesis needs a non-function-scoped spark handle
 import pytest  # noqa: E402
 
