@@ -28,6 +28,17 @@ from photo_vector_search_spark.pipelines.embed import (
 FILES_SCHEMA = "path string, content binary"
 
 
+def _start_merge_stream(stream, merge_fn, checkpoint_dir: str, available_now: bool):
+    """Shared writer shape for the incremental pipelines: foreachBatch + a
+    checkpoint, with availableNow as the drain-then-stop trigger."""
+    writer = stream.writeStream.foreachBatch(merge_fn).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def incremental_index(
     spark: SparkSession,
     input_dir: str,
@@ -64,12 +75,7 @@ def incremental_index(
         )
         snapshot_overwrite(new_state, store_path)
 
-    writer = stream.writeStream.foreachBatch(_merge_batch).option(
-        "checkpointLocation", checkpoint_dir
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _start_merge_stream(stream, _merge_batch, checkpoint_dir, available_now)
 
 
 VECTORS_SCHEMA = "vec_id long, embedding array<float>, label int"
@@ -120,9 +126,4 @@ def incremental_ivf_index(
         new_state = merge_upsert(store, assigned.select(*store_cols), ["vec_id"])
         snapshot_overwrite(new_state, store_path, partition_by=["cluster_id"])
 
-    writer = stream.writeStream.foreachBatch(_merge_batch).option(
-        "checkpointLocation", checkpoint_dir
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _start_merge_stream(stream, _merge_batch, checkpoint_dir, available_now)

@@ -111,16 +111,6 @@ def test_search_tiebreak_is_total_ordered(spark, tmp_path, capsys):
     from photo_vector_search_spark.cli import main
 
     store = str(tmp_path / "store_ties")
-    rows = [("a.jpg", asp, "", list(range(1, 9))) for asp in ("z", "m", "a", "q")]
-    spark.createDataFrame(
-        [(p, a, d, [float(x) for x in e]) for p, a, d, e in rows],
-        "photo_path string, aspect_name string, description string, embedding array<float>",
-    ).write.parquet(store)
-    # stub model embeds the query at dim 64 != 8 -> use matching 8-d store via a
-    # direct _search would bypass the CLI; instead index real files twice
-    import shutil
-
-    shutil.rmtree(store)
     photos = tmp_path / "photos"
     photos.mkdir()
     (photos / "one.jpg").write_bytes(b"IMAGE:one")

@@ -105,10 +105,8 @@ def synthesize(spark, copies: int, src: str = SRC, dst: str = DST) -> None:
 
 def extra_cases(spark, sf_dir: str) -> dict:
     """Queries the judge flagged for super-linearity watch, not in bench.py."""
+    from bench import _force
     from photo_vector_search_spark.plans import relational
-
-    def _force(df):
-        df.write.mode("overwrite").format("noop").save()
 
     return {
         "events_resample": lambda: _force(relational.q_events_resample(spark, sf_dir)),
