@@ -243,6 +243,83 @@ FROM events GROUP BY event_type
 """
 
 
+PROTO_DIMS = 8  # leading components declared (full vector is the same agg)
+
+
+def q_label_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding prototypes (class centroids — the curation primitive
+    behind dataset balancing / outlier mining): mean embedding per label,
+    computed component-wise via posexplode → groupBy(label, pos) with the
+    decimal-exact sum discipline. Declared output = the first PROTO_DIMS
+    components per label (arrays stay out of the compare per FIXTURES.md).
+
+    Shuffle: one keyed agg on (label, pos) — rows = N·dim but fully map-side
+    combinable, so the exchange carries labels·dim partials per partition."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
+    ).filter(F.col("pos") < PROTO_DIMS)
+    return comp.groupBy("label", "pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            (F.sum(F.col("v").cast("decimal(28,12)")) / F.count(F.lit(1))).cast("double"), 6
+        ).alias("mean_v"),
+    )
+
+
+_ORACLE_LABEL_PROTOTYPES = f"""
+WITH comp AS (
+  SELECT label,
+         unnest(range(len(embedding))) AS pos,
+         unnest(embedding::DOUBLE[]) AS v
+  FROM embeddings
+)
+SELECT label, pos, count(*) AS n,
+       round(CAST(sum(CAST(v AS DECIMAL(28,12))) / count(*) AS DOUBLE), 6) AS mean_v
+FROM comp WHERE pos < {PROTO_DIMS}
+GROUP BY label, pos
+"""
+
+
+HIST_BINS = 20
+
+
+def q_events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values (profiling primitive): bin =
+    floor((v - lo) / w) clamped to the last bin, bounds from one min/max pass.
+    Two scans (bounds + binning) — at scale the bounds come from table stats or
+    a sampled pass; binning itself is one map-side-combinable agg."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi")).first()
+    lo, hi = float(b["lo"]), float(b["hi"])
+    w = (hi - lo) / HIST_BINS
+    bin_col = F.least(
+        F.floor((F.col("value") - F.lit(lo)) / F.lit(w)).cast("long"),
+        F.lit(HIST_BINS - 1),
+    )
+    return ev.groupBy(bin_col.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 6).alias("bin_min"),
+        F.round(F.max("value"), 6).alias("bin_max"),
+    )
+
+
+_ORACLE_EVENTS_HISTOGRAM = f"""
+WITH bounds AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+binned AS (
+  SELECT least(CAST(floor((value - lo) / ((hi - lo) / {HIST_BINS})) AS BIGINT),
+               {HIST_BINS - 1}) AS bin,
+         value
+  FROM events CROSS JOIN bounds
+)
+SELECT bin, count(*) AS n,
+       round(min(value), 6) AS bin_min,
+       round(max(value), 6) AS bin_max
+FROM binned GROUP BY bin
+"""
+
+
 DRIFT_SOURCES = ("src0", "src1", "src2")
 
 
@@ -491,6 +568,8 @@ QUERIES = {
     "canonicalize_dups": q_canonicalize_dups,
     "srp_lsh_near_dup": q_srp_lsh_near_dup,
     "data_profile": q_data_profile,
+    "label_prototypes": q_label_prototypes,
+    "events_histogram": q_events_histogram,
     "source_drift": q_source_drift,
     "stratified_sample": q_stratified_sample,
     "embedding_quantize": q_embedding_quantize,
@@ -505,6 +584,8 @@ ORACLES = {
     "pack_documents_sharded": _ORACLE_PACK_SHARDED,
     "canonicalize_dups": _ORACLE_CANONICALIZE,
     "data_profile": _ORACLE_DATA_PROFILE,
+    "label_prototypes": _ORACLE_LABEL_PROTOTYPES,
+    "events_histogram": _ORACLE_EVENTS_HISTOGRAM,
     "source_drift": _ORACLE_SOURCE_DRIFT,
     "stratified_sample": _ORACLE_STRATIFIED_SAMPLE,
     "embedding_quantize": _ORACLE_EMBEDDING_QUANTIZE,
