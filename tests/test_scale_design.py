@@ -187,6 +187,60 @@ def test_lsh_hot_bucket_cap_bounds_candidate_blowup(spark):
     assert uncapped_bucket >= 300
 
 
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
+    """Runtime Bloom-filter join pruning — the AQE-era mechanism that keeps a
+    selective dim⨝fact sort-merge join from shuffling the full fact side at
+    100 TB: Spark builds a Bloom filter from the filtered dim keys and injects
+    a might-contain predicate into the fact scan. Fixture tables sit below the
+    production size thresholds, so the thresholds are widened here; at real
+    scale the defaults engage on their own. Asserts both the injected plan
+    shape and result equality with the plain join."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ (broadcast
+        # joins get their own pruning; bloom targets the shuffle-join case)
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = _plan(j)
+        assert "bloom_filter_agg" in plan, "bloom build side not injected"
+        assert "BloomFilterMightContain" in plan or "might_contain" in plan, (
+            "fact-side might-contain predicate missing"
+        )
+        got = sorted(map(tuple, j.collect()))
+    finally:
+        for k, v in old.items():
+            (spark.conf.set(k, v) if v is not None else spark.conf.unset(k))
+    expect = sorted(
+        map(
+            tuple,
+            load_table(spark, sf_dir, "lineitem")
+            .join(
+                load_table(spark, sf_dir, "orders").filter(
+                    F.col("o_orderpriority") == "1-URGENT"
+                ),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect(),
+        )
+    )
+    assert got == expect
+
+
 def test_salted_aggregation_matches_plain(spark, sf_dir):
     """Two-phase salted agg (hot-key guard): salt → partial agg on (key, salt) →
     final agg on key. Same results as the direct groupBy; the first shuffle
