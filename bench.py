@@ -100,6 +100,14 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         ),
     }
 
+    only = os.environ.get("SPARK_GRAFT_BENCH_CASES")
+    if only:
+        keep = [c.strip() for c in only.split(",") if c.strip()]
+        unknown = [c for c in keep if c not in cases]
+        if unknown:
+            raise KeyError(f"unknown bench cases: {unknown}")
+        cases = {name: cases[name] for name in keep}
+
     timings: dict[str, float] = {}
     for name, fn in cases.items():
         t0 = time.perf_counter()
