@@ -130,6 +130,14 @@ def load_ivf_store(spark, path: str) -> tuple[DataFrame, np.ndarray]:
     cent = spark.read.parquet(path + ".centroids").orderBy("centroid_id").collect()
     cent_build = {r["build_id"] for r in cent}
     store_build = {r["build_id"] for r in store.select("build_id").distinct().collect()}
+    if not store_build or not cent_build:
+        # distinct from the torn-pair case below: zero rows means the store was
+        # never (successfully) built, and "crashed between swaps" would mislead
+        raise ValueError(
+            f"IVF store at {path!r} is empty "
+            f"(store rows: {'yes' if store_build else 'no'}, centroid sidecar: "
+            f"{'yes' if cent_build else 'no'}) — run build_ivf_store first"
+        )
     if cent_build != store_build:
         raise ValueError(
             f"IVF store {path!r} is from build {sorted(store_build)} but its "

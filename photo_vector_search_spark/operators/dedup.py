@@ -250,26 +250,37 @@ def minhash_lsh_pairs(
 
     Cache lifecycle: the shared shingle table (feeding signatures, counts and the
     verify join) is persisted only for the duration of this call — the pair
-    result is staged to parquet (distributed write, the standard checkpoint
-    pattern at scale), the shingle cache is unpersisted, and the returned
-    DataFrame reads the staged result. Repeated calls in a long-lived session
-    leave NO cached RDDs behind (asserted in tests). ``staging_dir``: where to
-    stage (default: a session temp dir; the tiny pair output lives there until
-    process exit).
+    result is staged to parquet, the shingle cache is unpersisted, and the
+    returned DataFrame reads the staged result. Repeated calls in a long-lived
+    session leave NO cached RDDs behind (asserted in tests).
+
+    ``staging_dir``: where to stage the pair result. The default — the
+    ``SPARK_GRAFT_STAGING_DIR`` env var, else a driver-local temp dir — is a
+    LOCAL-MODE convenience: on a real cluster executors cannot read/write a
+    driver-local path, so deployments MUST point ``staging_dir`` (or the env
+    var) at shared storage every executor can reach (HDFS/S3/NFS scratch),
+    where the staged write is the standard distributed checkpoint pattern.
 
     ``max_bucket_size``: skew guard — prune (band, band_key) buckets larger than
     this before the candidate self-join (see ``prune_hot_buckets``). None (the
     declared-oracle default) keeps every bucket so Spark and DuckDB agree
     exactly; at corpus scale pick ~500-1000 after running ``exact_dedup``."""
     import atexit
+    import os
     import shutil
     import tempfile
+    import uuid
 
     if staging_dir is None:
-        staging_dir = tempfile.mkdtemp(prefix="pvs_lsh_pairs_")
-        # mkdtemp registers no cleanup of its own — without this, every call in
-        # a long-lived session leaks one staged pair parquet until /tmp fills
-        atexit.register(shutil.rmtree, staging_dir, ignore_errors=True)
+        shared = os.environ.get("SPARK_GRAFT_STAGING_DIR")
+        if shared:
+            # cluster-safe default: unique subdir of the configured shared scratch
+            staging_dir = f"{shared.rstrip('/')}/pvs_lsh_pairs_{uuid.uuid4().hex}"
+        else:
+            staging_dir = tempfile.mkdtemp(prefix="pvs_lsh_pairs_")
+            # mkdtemp registers no cleanup of its own — without this, every call
+            # in a long-lived session leaks one staged parquet until /tmp fills
+            atexit.register(shutil.rmtree, staging_dir, ignore_errors=True)
     # one shared, cached shingle table feeds signatures, counts and the verify
     # join — without it the shingling+md5 work runs four times; unpersisted
     # deterministically below once the staged write has consumed it.
@@ -394,6 +405,80 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
     )
 
 
+# ------------------------------------------------------- fuzzy (edit-distance)
+
+
+def fuzzy_pairs_blocked(
+    docs: DataFrame,
+    prefix_len: int = 40,
+    q: int = 8,
+    max_dist: int = 16,
+    max_df: float | None = None,
+) -> DataFrame:
+    """Edit-distance fuzzy pairs via character-q-gram blocking — the scale form
+    of Levenshtein matching (the character-level member of the dedup family,
+    alongside Jaccard/MinHash/SimHash).
+
+    Blocking: candidates = pairs sharing ≥1 character q-gram of the normalized
+    prefix — an EQUI-join on the gram (same inverted-index skeleton as
+    ``jaccard_pairs``), never an unblocked self-join. Verify: Levenshtein on the
+    prefixes, ≤ ``max_dist``, inside candidate blocks only.
+
+    Recall: blocked ⊆ unblocked by construction (precision is exact); a pair
+    whose edits shred every shared q-char run produces no common gram and is
+    missed — the standard q-gram-filter trade. On the fixture's distance profile
+    recall is 1.0 (property-tested against the unblocked self-join in
+    tests/test_operators.py). Shrink ``q`` for higher recall at more candidates.
+
+    ``max_df``: optional gram document-frequency pruning (fraction of docs), the
+    same hot-key skew guard as ``jaccard_pairs`` — a gram present in half the
+    corpus (boilerplate openers) otherwise contributes B²/2 candidate pairs
+    inside one join key. Default None keeps the declared oracle exact.
+
+    Output: (doc_a, doc_b, lev) with doc_a < doc_b, lev ≤ max_dist."""
+    p = docs.select(
+        "doc_id", F.substring(F.lower(F.col("text")), 1, prefix_len).alias("p")
+    )
+    grams = p.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, greatest(length(p) - {q - 1}, 1)),"
+                    f" s -> substring(p, s, {q}))"
+                )
+            )
+        ).alias("gram"),
+    )
+    if max_df is not None:
+        n_docs = docs.count()
+        keep = (
+            grams.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df * n_docs)
+            .select("gram")
+        )
+        grams = grams.join(keep, "gram")
+    a, b = grams.alias("a"), grams.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    pa = p.select(F.col("doc_id").alias("doc_a"), F.col("p").alias("p_a"))
+    pb = p.select(F.col("doc_id").alias("doc_b"), F.col("p").alias("p_b"))
+    return (
+        cand.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .select("doc_a", "doc_b", F.levenshtein(F.col("p_a"), F.col("p_b")).alias("lev"))
+        .filter(F.col("lev") <= max_dist)
+    )
+
+
 # ------------------------------------------------------------ embedding near-dup
 
 
@@ -483,6 +568,14 @@ def srp_lsh_near_dup_pairs(
         .select(F.col("l.vec_id").alias("vec_a"), F.col("r.vec_id").alias("vec_b"))
         .distinct()
     )
+    return _verify_cosine_candidates(embeddings, cand, tau)
+
+
+def _verify_cosine_candidates(
+    embeddings: DataFrame, cand: DataFrame, tau: float
+) -> DataFrame:
+    """Exact-cosine verification of (vec_a, vec_b) candidate pairs — shared by
+    every LSH rung so precision is always exact and only recall approximates."""
     ea = embeddings.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
     eb = embeddings.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
     sim = cosine_similarity(F.col("emb_a"), F.col("emb_b"))
@@ -493,6 +586,87 @@ def srp_lsh_near_dup_pairs(
         .filter(F.col("_sim") >= tau)
         .select("vec_a", "vec_b", F.round("_sim", 6).alias("sim"))
     )
+
+
+# SQL-exact SRP variant: hyperplane coefficients are ±1 Rademacher signs drawn
+# from the portable md5-prefix hash (SRP theory needs only a symmetric
+# coefficient distribution), and projections are summed as DECIMAL(28,12) —
+# exact, order-free arithmetic — so Spark and the DuckDB oracle compute
+# bit-identical bucket keys. Same discipline that made MinHash-LSH oracle-exact.
+SRP_SQL_TABLES = 16
+SRP_SQL_PLANES = 6
+SRP_SQL_DIM = 64
+_SRP_DEC = "decimal(28,12)"
+
+
+def srp_lsh_near_dup_sql(
+    embeddings: DataFrame,
+    tau: float = 0.45,
+    n_tables: int = SRP_SQL_TABLES,
+    n_planes: int = SRP_SQL_PLANES,
+    dim: int = SRP_SQL_DIM,
+) -> DataFrame:
+    """SRP-LSH near-dup with an engine-portable, oracle-exact formulation.
+
+    Same algorithm as ``srp_lsh_near_dup_pairs`` (bucket by sign patterns of
+    ``n_planes`` projections × ``n_tables`` tables; exact-cosine verify), but
+    expressed entirely in DataFrame ops with deterministic integer/decimal
+    arithmetic so the DuckDB oracle runs it bit-for-bit:
+
+    - plane coefficients c(t,j,i) ∈ {−1, +1} from md5-prefix parity (portable);
+    - projection sign from an EXACT decimal sum (posexplode → broadcast-join the
+      tiny plane table → groupBy(vec, t, j) decimal agg) — order-independent, so
+      groupBy nondeterminism can't flip a sign the way float sums could;
+    - bucket key = Σ 2^j over positive planes; candidates equi-join on
+      (table, key); exact cosine ≥ tau verify (shared `_verify_cosine_candidates`).
+
+    Components past ``dim`` (planes are generated for i < dim) are ignored by
+    the projection in BOTH engines — the inner join on i drops them.
+
+    Shuffle shape: N·dim exploded rows joined map-side to a broadcast plane
+    table, two map-side-combinable aggs, bucket equi-join — linear in N like the
+    text-LSH path; no driver collect, nothing quadratic. The numpy
+    ``srp_lsh_near_dup_pairs`` remains the faster kernel where float bucketing
+    is acceptable; this variant is the cross-engine-verifiable twin."""
+    planes = (
+        embeddings.sparkSession.range(1)
+        .select(F.explode(F.sequence(F.lit(0), F.lit(n_tables - 1))).alias("t"))
+        .select("t", F.explode(F.sequence(F.lit(0), F.lit(n_planes - 1))).alias("j"))
+        .select("t", "j", F.explode(F.sequence(F.lit(0), F.lit(dim - 1))).alias("i"))
+        .select(
+            "t",
+            "j",
+            "i",
+            F.when(hash32(F.concat_ws("_", "t", "j", "i")) % 2 == 1, F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias("c"),
+        )
+    )
+    comp = embeddings.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "v")
+    ).select("vec_id", "i", F.col("v").cast(_SRP_DEC).alias("xd"))
+    proj = (
+        comp.join(F.broadcast(planes), "i")
+        .groupBy("vec_id", "t", "j")
+        .agg(F.sum(F.when(F.col("c") == 1, F.col("xd")).otherwise(-F.col("xd"))).alias("s"))
+    )
+    buckets = proj.groupBy("vec_id", "t").agg(
+        F.sum(
+            F.expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END")
+        ).alias("bkey")
+    )
+    l, r = buckets.alias("l"), buckets.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.t") == F.col("r.t"))
+            & (F.col("l.bkey") == F.col("r.bkey"))
+            & (F.col("l.vec_id") < F.col("r.vec_id")),
+        )
+        .select(F.col("l.vec_id").alias("vec_a"), F.col("r.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    return _verify_cosine_candidates(embeddings, cand, tau)
 
 
 MAX_BROADCAST_BYTES = 512 << 20  # ~512 MiB of raw vector doubles on the driver

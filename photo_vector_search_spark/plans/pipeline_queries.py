@@ -246,12 +246,17 @@ FROM events GROUP BY event_type
 PROTO_DIMS = 8  # leading components declared (full vector is the same agg)
 
 
-def q_label_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_label_prototypes(
+    spark: SparkSession, sf_dir: str, dims: int | None = PROTO_DIMS
+) -> DataFrame:
     """Per-label embedding prototypes (class centroids — the curation primitive
     behind dataset balancing / outlier mining): mean embedding per label,
     computed component-wise via posexplode → groupBy(label, pos) with the
     decimal-exact sum discipline. Declared output = the first PROTO_DIMS
-    components per label (arrays stay out of the compare per FIXTURES.md).
+    components per label (arrays stay out of the compare per FIXTURES.md);
+    ``dims=None`` aggregates every component — the same agg, used by the
+    full-vector-vs-NumPy parity test to prove the truncation is purely a
+    compare-surface choice.
 
     Shuffle: one keyed agg on (label, pos) — rows = N·dim but fully map-side
     combinable, so the exchange carries labels·dim partials per partition."""
@@ -259,7 +264,9 @@ def q_label_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = emb.select(
         "label",
         F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
-    ).filter(F.col("pos") < PROTO_DIMS)
+    )
+    if dims is not None:
+        comp = comp.filter(F.col("pos") < dims)
     return comp.groupBy("label", "pos").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(
@@ -292,7 +299,16 @@ def q_events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     a sampled pass; binning itself is one map-side-combinable agg."""
     ev = load_table(spark, sf_dir, "events")
     b = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi")).first()
+    if b["lo"] is None:
+        raise ValueError("events_histogram: input has no rows with a value")
     lo, hi = float(b["lo"]), float(b["hi"])
+    if hi <= lo:
+        # degenerate distribution: w would be 0 and the bin expression NaN/NULL
+        # on both engines — fail deterministically instead
+        raise ValueError(
+            f"events_histogram: degenerate value distribution (min == max == {lo}); "
+            "histogram bins are undefined"
+        )
     w = (hi - lo) / HIST_BINS
     bin_col = F.least(
         F.floor((F.col("value") - F.lit(lo)) / F.lit(w)).cast("long"),
@@ -469,11 +485,65 @@ FROM scored GROUP BY group_id
 
 
 def q_srp_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SRP-LSH embedding near-dup (approximate recall — rows-only check per the
-    exactness policy; parity/recall is pytest-enforced against the exact pairs)."""
-    from photo_vector_search_spark.operators.dedup import srp_lsh_near_dup_pairs
+    """SRP-LSH embedding near-dup — fully distributed (nothing broadcast-sized,
+    nothing collected), declared through the engine-portable formulation:
+    ±1 md5-parity hyperplanes + exact DECIMAL projection sums, so the DuckDB
+    oracle runs the IDENTICAL bucketing and the check is hash-exact (the same
+    trick that made MinHash-LSH bit-identical) — recall stays approximate by
+    design, but the algorithm itself is now value-verified, not rows-only.
+    The numpy-kernel twin (`srp_lsh_near_dup_pairs`) is recall-tested in pytest."""
+    from photo_vector_search_spark.operators.dedup import srp_lsh_near_dup_sql
 
-    return srp_lsh_near_dup_pairs(load_table(spark, sf_dir, "embeddings"), tau=0.45)
+    return srp_lsh_near_dup_sql(load_table(spark, sf_dir, "embeddings"), tau=0.45)
+
+
+def _srp_oracle() -> str:
+    from photo_vector_search_spark.operators.dedup import (
+        SRP_SQL_DIM,
+        SRP_SQL_PLANES,
+        SRP_SQL_TABLES,
+    )
+
+    return f"""
+WITH planes AS (
+  SELECT t, j, i,
+         CASE WHEN CAST(concat('0x', substring(md5(concat_ws('_', t, j, i)), 1, 8))
+                   AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END AS c
+  FROM (SELECT unnest(generate_series(0, {SRP_SQL_TABLES - 1})) AS t)
+  CROSS JOIN (SELECT unnest(generate_series(0, {SRP_SQL_PLANES - 1})) AS j)
+  CROSS JOIN (SELECT unnest(generate_series(0, {SRP_SQL_DIM - 1})) AS i)
+),
+comp AS (
+  SELECT vec_id,
+         unnest(range(len(embedding))) AS i,
+         CAST(unnest(embedding::DOUBLE[]) AS DECIMAL(28,12)) AS xd
+  FROM embeddings
+),
+proj AS (
+  SELECT vec_id, t, j, sum(CASE WHEN c = 1 THEN xd ELSE -xd END) AS s
+  FROM comp JOIN planes USING (i)
+  GROUP BY vec_id, t, j
+),
+buckets AS (
+  SELECT vec_id, t,
+         sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)
+           AS bkey
+  FROM proj GROUP BY vec_id, t
+),
+cand AS (
+  SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b
+  FROM buckets l JOIN buckets r
+    ON l.t = r.t AND l.bkey = r.bkey AND l.vec_id < r.vec_id
+),
+scored AS (
+  SELECT c.vec_a, c.vec_b,
+         list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) AS s
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.vec_a
+  JOIN embeddings eb ON eb.vec_id = c.vec_b
+)
+SELECT vec_a, vec_b, round(s, 6) AS sim FROM scored WHERE s >= 0.45
+"""
 
 
 SAMPLE_RATES = {"src0": 0.8, "src1": 0.5, "src2": 0.25}  # training-mix weights
@@ -562,8 +632,6 @@ QUERIES = {
     "distinct_counts": q_distinct_counts,
     "set_ops": q_set_ops,
     "rollup_events": q_rollup_events,
-    "train_test_split": q_train_test_split,
-    "pack_documents": q_pack_documents,
     "pack_documents_sharded": q_pack_documents_sharded,
     "canonicalize_dups": q_canonicalize_dups,
     "srp_lsh_near_dup": q_srp_lsh_near_dup,
@@ -579,15 +647,30 @@ ORACLES = {
     "distinct_counts": _ORACLE_DISTINCT_COUNTS,
     "set_ops": _ORACLE_SET_OPS,
     "rollup_events": _ORACLE_ROLLUP_EVENTS,
-    "train_test_split": _ORACLE_TRAIN_TEST_SPLIT,
-    "pack_documents": _ORACLE_PACK_DOCUMENTS,
     "pack_documents_sharded": _ORACLE_PACK_SHARDED,
     "canonicalize_dups": _ORACLE_CANONICALIZE,
+    "srp_lsh_near_dup": _srp_oracle(),
     "data_profile": _ORACLE_DATA_PROFILE,
     "label_prototypes": _ORACLE_LABEL_PROTOTYPES,
     "events_histogram": _ORACLE_EVENTS_HISTOGRAM,
     "source_drift": _ORACLE_SOURCE_DRIFT,
     "stratified_sample": _ORACLE_STRATIFIED_SAMPLE,
     "embedding_quantize": _ORACLE_EMBEDDING_QUANTIZE,
-    # srp_lsh_near_dup intentionally omitted: approximate op → rows-only check
+}
+
+# Retired from the 50-slot declared surface (driver checks exactly 50 entries;
+# see text_queries.RETIRED_QUERIES). Both remain implemented + locally
+# oracle-verified (tests/test_retired_surface.py):
+# - pack_documents: the global-window form is strictly subsumed by
+#   pack_documents_sharded (the declared, 100 TB-shaped variant);
+# - train_test_split: the md5-bucket split is the single-stratum degenerate
+#   case of stratified_sample (same hash32-threshold mechanism).
+RETIRED_QUERIES = {
+    "train_test_split": q_train_test_split,
+    "pack_documents": q_pack_documents,
+}
+
+RETIRED_ORACLES = {
+    "train_test_split": _ORACLE_TRAIN_TEST_SPLIT,
+    "pack_documents": _ORACLE_PACK_DOCUMENTS,
 }

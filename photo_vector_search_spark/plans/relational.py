@@ -491,12 +491,10 @@ FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 
 QUERIES = {
     "tpch_q1": q_tpch_q1,
-    "tpch_q6": q_tpch_q6,
     "cube_lineitem": q_cube_lineitem,
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
     "window_topk_orders": q_window_topk_orders,
-    "events_hourly": q_events_hourly,
     "events_json": q_events_json,
     "events_sessionize": q_events_sessionize,
     "events_asof": q_events_asof,
@@ -507,14 +505,30 @@ QUERIES = {
 ORACLES = {
     "range_band_join": _ORACLE_RANGE_BAND_JOIN,
     "cube_lineitem": _ORACLE_CUBE,
-    "tpch_q6": _ORACLE_Q6,
     "events_asof": _ORACLE_EVENTS_ASOF,
     "events_resample": _ORACLE_EVENTS_RESAMPLE,
     "tpch_q1": _ORACLE_Q1,
     "tpch_q3": _ORACLE_Q3,
     "tpch_q5": _ORACLE_Q5,
     "window_topk_orders": _ORACLE_WINDOW_TOPK,
-    "events_hourly": _ORACLE_EVENTS_HOURLY,
     "events_json": _ORACLE_EVENTS_JSON,
     "events_sessionize": _ORACLE_EVENTS_SESSIONIZE,
+}
+
+# Retired from the 50-slot declared surface (driver checks exactly 50; see
+# text_queries.RETIRED_QUERIES). Both stay implemented + locally oracle-checked
+# (tests/test_retired_surface.py):
+# - tpch_q6: pure filter+scan-agg — the same pushdown shape tpch_q1 and
+#   store_partition_pruned already evidence (PLANS.md keeps its plan audit);
+# - events_hourly: tumbling groupBy-count — subsumed by rollup_events
+#   (same keyed agg at (type, day) + subtotals) and events_resample
+#   (finer-grained time bucketing).
+RETIRED_QUERIES = {
+    "tpch_q6": q_tpch_q6,
+    "events_hourly": q_events_hourly,
+}
+
+RETIRED_ORACLES = {
+    "tpch_q6": _ORACLE_Q6,
+    "events_hourly": _ORACLE_EVENTS_HOURLY,
 }

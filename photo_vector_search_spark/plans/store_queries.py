@@ -127,7 +127,10 @@ def q_store_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_count_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2 — input cardinality (cli.py:43)."""
+    """A2 — input cardinality (cli.py:43). RETIRED from the declared surface
+    (round 3): a bare count(*) is subsumed by `distinct_counts` (n_docs) and
+    `describe_store` (n_rows); still oracle-verified locally via
+    tests/test_retired_surface.py."""
     return load_table(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n"))
 
 
@@ -141,7 +144,14 @@ QUERIES = {
     "scalar_funcs": q_scalar_funcs,
     "describe_store": q_describe_store,
     "store_partition_pruned": q_store_partition_pruned,
+}
+
+RETIRED_QUERIES = {
     "count_rows": q_count_rows,
+}
+
+RETIRED_ORACLES = {
+    "count_rows": "SELECT count(*) AS n FROM lineitem",
 }
 
 ORACLES = {
@@ -198,5 +208,4 @@ scored AS (
 )
 SELECT vec_id, label, round(d, 6) AS dist
 FROM scored ORDER BY d ASC, vec_id ASC LIMIT 10""",
-    "count_rows": "SELECT count(*) AS n FROM lineitem",
 }

@@ -517,12 +517,46 @@ SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3
 """
 
 
+def q_fuzzy_levenshtein_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching, declared through the BLOCKED (scale-safe)
+    form: character-8-gram inverted-index candidates, Levenshtein ≤ 16 verified
+    inside blocks only — no unblocked self-join anywhere in the plan. Runs over
+    the FULL documents table (the q-gram equi-join is linear-ish in the corpus,
+    so no doc_id slice is needed, unlike the retired unblocked form). The oracle
+    runs the identical blocking + verify; recall vs the unblocked form is
+    property-tested in tests/test_operators.py (1.0 on the fixture profile)."""
+    from photo_vector_search_spark.operators.dedup import fuzzy_pairs_blocked
+
+    return fuzzy_pairs_blocked(
+        load_table(spark, sf_dir, "documents"), prefix_len=40, q=8, max_dist=16
+    )
+
+
+_ORACLE_FUZZY_BLOCKED = """
+WITH p AS (SELECT doc_id, substring(lower(text), 1, 40) AS p FROM documents),
+g AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, greatest(length(p) - 7, 1)),
+           s -> substring(p, s, 8)))) AS gram
+  FROM p
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b, levenshtein(pa.p, pb.p) AS lev
+FROM cand c
+JOIN p pa ON pa.doc_id = c.doc_a
+JOIN p pb ON pb.doc_id = c.doc_b
+WHERE levenshtein(pa.p, pb.p) <= 16
+"""
+
+
 def q_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance fuzzy matching (the character-level near-dup family member
-    alongside Jaccard/MinHash/SimHash): document-prefix pairs within Levenshtein
-    distance 20. Declared form is a bounded self-join over a doc_id slice; the
-    scale form blocks first (length band / q-gram prefix buckets) and runs the
-    same predicate inside blocks — the self-join stays equi-keyed on the block."""
+    """RETIRED from the declared surface (round 3): the unblocked pairwise form —
+    a bounded cartesian over a 40-doc slice — is the correctness anchor the
+    blocked form (`fuzzy_levenshtein_blocked`, declared) is property-tested
+    against. Still oracle-verified locally via tests/test_retired_surface.py."""
     docs = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 40)
@@ -553,7 +587,7 @@ WHERE levenshtein(a.p, b.p) <= 20
 
 QUERIES = {
     "dedup_exact": q_dedup_exact,
-    "fuzzy_levenshtein": q_fuzzy_levenshtein,
+    "fuzzy_levenshtein_blocked": q_fuzzy_levenshtein_blocked,
     "tfidf_top_terms": q_tfidf_top_terms,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -569,7 +603,7 @@ QUERIES = {
 
 ORACLES = {
     "chunk_documents": _ORACLE_CHUNK_DOCUMENTS,
-    "fuzzy_levenshtein": _ORACLE_FUZZY_LEV,
+    "fuzzy_levenshtein_blocked": _ORACLE_FUZZY_BLOCKED,
     "tfidf_top_terms": _ORACLE_TFIDF,
     "decontaminate": _ORACLE_DECONTAMINATE,
     "vocab_top_tokens": _ORACLE_VOCAB_TOP,
@@ -581,4 +615,16 @@ ORACLES = {
     "dedup_simhash": _ORACLE_DEDUP_SIMHASH,
     "embedding_near_dup": _ORACLE_EMBEDDING_NEAR_DUP,
     "text_stats": _ORACLE_TEXT_STATS,
+}
+
+# Retired from the 50-slot declared surface (the driver checks exactly 50
+# queries; r02 proved entries past 50 get NO correctness row). Still fully
+# implemented and oracle-verified locally — tests/test_retired_surface.py runs
+# these pairs through the same DuckDB compare the driver uses.
+RETIRED_QUERIES = {
+    "fuzzy_levenshtein": q_fuzzy_levenshtein,
+}
+
+RETIRED_ORACLES = {
+    "fuzzy_levenshtein": _ORACLE_FUZZY_LEV,
 }

@@ -20,6 +20,15 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_memory() -> str:
+    """A quarter of physical RAM clamped to [2g, 16g] — see get_spark body."""
+    try:
+        total = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+        return f"{min(max(total // 4, 2 << 30), 16 << 30) >> 30}g"
+    except (ValueError, OSError, AttributeError):  # non-POSIX / sysconf unavailable
+        return "2g"
+
+
 def get_spark(
     app_name: str = "photo-vector-search-spark",
     shuffle_partitions: int | None = None,
@@ -29,8 +38,12 @@ def get_spark(
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
     # In local mode the driver JVM IS the executor; the 1g default driver heap
     # starves broadcast builds well below what the box can hold (seen: LSH band
-    # self-join at 10× fixture scale). No-op if the JVM already exists.
-    memory = os.environ.get("SPARK_GRAFT_DRIVER_MEMORY", "16g")
+    # self-join at 10× fixture scale), and a large heap is a measured ~10% win
+    # at sf0.1 (SCALE_BENCH.md round-3 note). But a fixed 16g fails outright on
+    # small hosts, so the default derives from physical RAM: a quarter of it,
+    # clamped to [2g, 16g]. No-op if the JVM already exists (behavior then
+    # follows whichever call created it — override via env to pin it).
+    memory = os.environ.get("SPARK_GRAFT_DRIVER_MEMORY") or _default_driver_memory()
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)

@@ -108,7 +108,13 @@ def incremental_ivf_index(
     # stamp — passing the torn-pair check while probes are silently wrong. With
     # the frozen stamp, a rebuild mid-stream yields mixed build_ids in the store
     # and load_ivf_store fails loudly.
-    build_id = store0.select("build_id").first()["build_id"]
+    first = store0.select("build_id").first()
+    if first is None:
+        raise ValueError(
+            f"IVF store at {store_path!r} is empty — run build_ivf_store before "
+            "streaming increments into it"
+        )
+    build_id = first["build_id"]
     store_cols = store0.columns
 
     stream = spark.readStream.schema(VECTORS_SCHEMA).format("parquet").load(input_dir)

@@ -1,0 +1,223 @@
+"""Round-3 additions: retired-surface oracle parity, blocked fuzzy matching,
+SQL-exact SRP-LSH, full-vector label prototypes, and ADVICE-r2 guards."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from photo_vector_search_spark.operators.dedup import (
+    embedding_near_dup_pairs,
+    fuzzy_pairs_blocked,
+    srp_lsh_near_dup_sql,
+)
+from photo_vector_search_spark.plans import (
+    pipeline_queries,
+    relational,
+    store_queries,
+    text_queries,
+)
+from photo_vector_search_spark.sources.tables import load_table
+from tests.oracle import assert_matches
+
+# ------------------------------------------------------------- retired surface
+
+RETIRED = [
+    (store_queries, name) for name in store_queries.RETIRED_QUERIES
+] + [
+    (relational, name) for name in relational.RETIRED_QUERIES
+] + [
+    (text_queries, name) for name in text_queries.RETIRED_QUERIES
+] + [
+    (pipeline_queries, name) for name in pipeline_queries.RETIRED_QUERIES
+]
+
+
+@pytest.mark.parametrize("mod,name", RETIRED, ids=[n for _, n in RETIRED])
+def test_retired_query_still_oracle_exact(spark, sf_correct, mod, name):
+    """The five queries retired from the 50-slot declared surface stay verified
+    through the same DuckDB compare the driver runs — retirement is a slot
+    decision, not a correctness downgrade."""
+    df = mod.RETIRED_QUERIES[name](spark, sf_correct)
+    assert_matches(df, mod.RETIRED_ORACLES[name], sf_correct)
+
+
+def test_declared_surface_is_exactly_fifty():
+    """Driver checks the first 50 queries() entries (proven in r02: 55 declared
+    → 50 rows); every declared entry must therefore sit inside that window and
+    carry an oracle."""
+    import __spark_entry__ as m
+
+    qs, oracles = m.queries(), m.oracle_sql()
+    assert len(qs) == 50
+    assert set(qs) == set(oracles)
+
+
+# ------------------------------------------------------- blocked fuzzy matching
+
+
+def test_fuzzy_blocked_subset_and_full_recall_on_fixture(spark, sf_correct):
+    """Blocked ⊆ unblocked always (precision exact); on the fixture's distance
+    profile the 8-gram blocking loses nothing (recall 1.0)."""
+    docs = load_table(spark, sf_correct, "documents")
+    blocked = {
+        (r.doc_a, r.doc_b): r.lev
+        for r in fuzzy_pairs_blocked(docs, prefix_len=40, q=8, max_dist=16).collect()
+    }
+    p = docs.select("doc_id", F.substring(F.lower(F.col("text")), 1, 40).alias("p"))
+    a, b = p.alias("a"), p.alias("b")
+    lev = F.levenshtein(F.col("a.p"), F.col("b.p"))
+    unblocked = {
+        (r.doc_a, r.doc_b): r.lev
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            lev.alias("lev"),
+        )
+        .filter(F.col("lev") <= 16)
+        .collect()
+    }
+    assert set(blocked) <= set(unblocked)
+    assert blocked == unblocked, (
+        f"fixture recall {len(blocked)}/{len(unblocked)} — the 8-gram filter "
+        "should not drop any fixture pair"
+    )
+    assert len(unblocked) > 0
+
+
+def test_fuzzy_blocked_max_df_prunes_hot_grams(spark, sf_correct):
+    """The df skew guard only ever removes pairs (recall trade), never invents
+    them, and pruning everything yields an empty result."""
+    docs = load_table(spark, sf_correct, "documents")
+    base = set(
+        (r.doc_a, r.doc_b)
+        for r in fuzzy_pairs_blocked(docs, max_dist=16).collect()
+    )
+    pruned = set(
+        (r.doc_a, r.doc_b)
+        for r in fuzzy_pairs_blocked(docs, max_dist=16, max_df=0.02).collect()
+    )
+    assert pruned <= base
+    none_left = fuzzy_pairs_blocked(docs, max_dist=16, max_df=0.0).count()
+    assert none_left == 0
+
+
+# ------------------------------------------------------------ SQL-exact SRP-LSH
+
+
+def test_srp_sql_precision_exact_and_recall_floor(spark, sf_dir):
+    """The portable (md5-parity planes + decimal sums) SRP variant: every
+    returned pair is a true pair with the exact rounded sim; recall ≥ floor on
+    the deterministic fixture."""
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    exact = {
+        (r.vec_a, r.vec_b): r.sim for r in embedding_near_dup_pairs(emb, tau=0.4).collect()
+    }
+    got = {(r.vec_a, r.vec_b): r.sim for r in srp_lsh_near_dup_sql(emb, tau=0.4).collect()}
+    assert set(got) <= set(exact)
+    for k, v in got.items():
+        assert v == exact[k]
+    assert exact, "fixture should contain pairs at tau=0.4"
+    recall = len(got) / len(exact)
+    assert recall >= 0.5, f"SRP-SQL recall {recall:.2f} below floor"
+
+
+# ------------------------------------------------- full-vector label prototypes
+
+
+def test_label_prototypes_full_vector_matches_numpy(spark, sf_dir):
+    """dims=None aggregates EVERY component; against a pure-NumPy fold this
+    proves the declared 8-component truncation is a compare-surface choice, not
+    a computational shortcut."""
+    full = pipeline_queries.q_label_prototypes(spark, sf_dir, dims=None).collect()
+    rows = load_table(spark, sf_dir, "embeddings").select("label", "embedding").collect()
+    by_label: dict[int, list[np.ndarray]] = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(np.asarray(r.embedding, dtype=np.float64))
+    dim = len(next(iter(by_label.values()))[0])
+    assert {r.pos for r in full} == set(range(dim))
+    for r in full:
+        vecs = by_label[r.label]
+        assert r.n == len(vecs)
+        expected = float(np.mean([v[r.pos] for v in vecs]))
+        assert abs(r.mean_v - round(expected, 6)) <= 1e-6, (r.label, r.pos)
+
+
+# ------------------------------------------------------------- ADVICE-r2 guards
+
+
+def test_events_histogram_degenerate_distribution_raises(spark, sf_dir):
+    tmp = tempfile.mkdtemp(prefix="pvs_hist_degen_")
+    try:
+        # perturb the RAW parquet (load_table applies the nanos→timestamp
+        # conversion, which must happen exactly once on read)
+        raw = spark.read.parquet(sf_dir + "/events.parquet")
+        vtype = dict(raw.dtypes)["value"]
+        flat = raw.withColumn("value", F.lit(1.0).cast(vtype))
+        flat.write.mode("overwrite").parquet(tmp + "/events.parquet")
+        with pytest.raises(ValueError, match="degenerate"):
+            pipeline_queries.q_events_histogram(spark, tmp)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_load_ivf_store_empty_store_clear_error(spark):
+    from photo_vector_search_spark.operators.ann import load_ivf_store
+    from photo_vector_search_spark.operators.store import snapshot_overwrite
+
+    tmp = tempfile.mkdtemp(prefix="pvs_ivf_empty_")
+    path = tmp + "/store"
+    try:
+        empty = spark.createDataFrame(
+            [], "vec_id long, embedding array<float>, cluster_id int, build_id string"
+        )
+        # unpartitioned on purpose: an empty partitionBy write emits no
+        # schema-bearing files at all and fails at read time instead
+        snapshot_overwrite(empty, path)
+        snapshot_overwrite(
+            spark.createDataFrame([], "centroid_id int, centroid array<double>, build_id string"),
+            path + ".centroids",
+        )
+        with pytest.raises(ValueError, match="run build_ivf_store first"):
+            load_ivf_store(spark, path)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_default_driver_memory_derivation(monkeypatch):
+    from photo_vector_search_spark import session as sess
+
+    m = sess._default_driver_memory()
+    assert m.endswith("g")
+    val = int(m[:-1])
+    assert 2 <= val <= 16
+
+    def boom(_name):
+        raise ValueError("sysconf unavailable")
+
+    monkeypatch.setattr(sess.os, "sysconf", boom)
+    assert sess._default_driver_memory() == "2g"
+
+
+def test_lsh_staging_dir_env_override(spark, sf_dir, monkeypatch):
+    """SPARK_GRAFT_STAGING_DIR points staging at (cluster-shared) scratch; the
+    pair parquet must land under it."""
+    import os
+
+    from photo_vector_search_spark.operators.dedup import minhash_lsh_pairs
+
+    tmp = tempfile.mkdtemp(prefix="pvs_shared_scratch_")
+    try:
+        monkeypatch.setenv("SPARK_GRAFT_STAGING_DIR", tmp)
+        docs = load_table(spark, sf_dir, "documents").limit(50)
+        out = minhash_lsh_pairs(docs, n=3, tau=0.5)
+        out.count()  # force the staged write
+        staged = [d for d in os.listdir(tmp) if d.startswith("pvs_lsh_pairs_")]
+        assert staged, "staged pair parquet should land under SPARK_GRAFT_STAGING_DIR"
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
