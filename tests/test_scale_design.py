@@ -265,3 +265,86 @@ def test_salted_aggregation_matches_plain(spark, sf_dir):
         F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4).alias("total"),
     )
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def _node_metric_sum(df, class_substr: str, metric_key: str) -> int:
+    """Sum a runtime metric over every executed-plan node whose class name
+    contains ``class_substr`` (df must already be executed)."""
+    plan = df._jdf.queryExecution().executedPlan()
+    try:
+        plan = plan.executedPlan()  # unwrap AdaptiveSparkPlanExec
+    except Exception:
+        pass
+
+    total = 0
+
+    def walk(node):
+        nonlocal total
+        name = node.getClass().getName()
+        if class_substr in name:
+            m = node.metrics()
+            keys = m.keys().iterator()
+            while keys.hasNext():
+                k = keys.next()
+                if k == metric_key:
+                    total += m.apply(k).value()
+        if "QueryStage" in name:  # AQE stage wrappers hide their subtree
+            walk(node.plan())
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(plan)
+    return total
+
+
+def test_window_topk_hot_key_bounded_by_group_limit(spark):
+    """Skew evidence for the top-k window (VERDICT r2 item 8): a custkey holding
+    200k of 201k rows would classically serialize one reducer on 200k rows.
+    Spark's WindowGroupLimit (Partial before the exchange) keeps only k rows per
+    key per map task, so the shuffle carries O(keys × k × map_tasks) rows — the
+    hot key reaches its reducer as ≤ k·map_tasks rows, independent of its raw
+    row count. Asserted on the runtime 'shuffle records written' metric, not
+    plan text alone."""
+    hot = spark.range(200_000).select(
+        F.lit(0).alias("custkey"),
+        F.col("id").alias("orderkey"),
+        (F.col("id") % 997).cast("double").alias("price"),
+    )
+    cold = spark.range(50 * 20).select(
+        (F.col("id") % 50 + 1).alias("custkey"),
+        (F.col("id") + 200_000).alias("orderkey"),
+        (F.col("id") % 31).cast("double").alias("price"),
+    )
+    orders = hot.unionByName(cold)
+    n_input = orders.count()
+
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("custkey").orderBy(F.col("price").desc(), F.col("orderkey").asc())
+    topk = (
+        orders.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= 2)
+        .select("custkey", "orderkey", "rank")
+    )
+    rows = topk.collect()
+    # correctness: exactly 2 rows per key, hot key's are the global max prices
+    per_key: dict[int, int] = {}
+    for r in rows:
+        per_key[r.custkey] = per_key.get(r.custkey, 0) + 1
+    assert per_key[0] == 2 and all(v == 2 for v in per_key.values())
+    assert len(per_key) == 51
+
+    plan = topk._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+
+    shuffled = _node_metric_sum(topk, "ShuffleExchangeExec", "shuffleRecordsWritten")
+    assert shuffled > 0
+    # bound: keys × k × map_tasks, far below the 200k raw hot-key rows
+    max_maps = orders.rdd.getNumPartitions()
+    bound = 51 * 2 * max_maps
+    assert shuffled <= bound, (shuffled, bound)
+    assert shuffled < 0.05 * n_input, (
+        f"shuffle carried {shuffled} rows of {n_input} input — WindowGroupLimit "
+        "should have pre-limited per map task"
+    )

@@ -50,6 +50,41 @@ def test_ivf_recall_floor(spark, sf_dir, emb):
     assert hits / total >= 0.7, f"IVF recall@10 {hits/total:.2f} below floor"
 
 
+def test_ivf_recall_floor_per_nprobe(spark, sf_dir, emb):
+    """Per-nprobe recall floors (VERDICT r2 item 6): the measured fixture curve
+    (deterministic: seeded k-means + fixed data) with margin. nprobe=n_clusters
+    must be EXACTLY the top-k (degenerate full probe). The bench-scale curve
+    lives in SCALE_BENCH.md (tools/ivf_recall.py)."""
+    centroids = train_centroids(emb, n_clusters=8)
+    indexed = assign_clusters(emb, centroids).cache()
+    qids = (0, 7, 123, 400)
+    exact = {
+        q: {r.vec_id for r in knn_topk(emb, fetch_query_vector(spark, sf_dir, q), k=5).collect()}
+        for q in qids
+    }
+    floors = {1: 0.5, 2: 0.7, 4: 0.7}
+    for nprobe, floor in floors.items():
+        recalls = []
+        for q in qids:
+            approx = {
+                r.vec_id
+                for r in ivf_topk(
+                    indexed, centroids, fetch_query_vector(spark, sf_dir, q), k=5, nprobe=nprobe
+                ).collect()
+            }
+            recalls.append(len(exact[q] & approx) / 5)
+        mean = sum(recalls) / len(recalls)
+        assert mean >= floor, f"nprobe={nprobe}: mean recall {mean:.2f} < floor {floor}"
+    for q in qids:
+        full = {
+            r.vec_id
+            for r in ivf_topk(
+                indexed, centroids, fetch_query_vector(spark, sf_dir, q), k=5, nprobe=8
+            ).collect()
+        }
+        assert full == exact[q], f"full probe must equal exact top-k for qid {q}"
+
+
 def test_ivf_full_probe_equals_exact(spark, sf_dir, emb):
     """nprobe == n_clusters degenerates to exact search."""
     centroids = train_centroids(emb, n_clusters=4)
