@@ -21,7 +21,9 @@ from pyspark.sql import functions as F
 from photo_vector_search_spark.operators.dedup import (
     embedding_near_dup_fast,
     exact_dedup,
+    fuzzy_pairs_blocked,
     minhash_lsh_pairs,
+    srp_lsh_near_dup_sql,
 )
 from photo_vector_search_spark.operators.knn import (
     fetch_query_vector,
@@ -75,6 +77,12 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "dedup_minhash_lsh": lambda: _force(
             minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), n=3, tau=0.5)
         ),
+        "fuzzy_levenshtein_blocked": lambda: _force(
+            fuzzy_pairs_blocked(
+                load_table(spark, sf_dir, "documents"), max_dist=16, max_df=0.02
+            )
+        ),
+        "srp_lsh_near_dup_sql": lambda: _force(srp_lsh_near_dup_sql(emb, tau=0.45)),
         "embedding_near_dup": lambda: _force(embedding_near_dup_fast(emb, tau=0.45)),
         "text_stats": lambda: _force(text_queries.q_text_stats(spark, sf_dir)),
         "pack_documents_sharded": lambda: _force(

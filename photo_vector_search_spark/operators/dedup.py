@@ -572,19 +572,53 @@ def srp_lsh_near_dup_pairs(
 
 
 def _verify_cosine_candidates(
-    embeddings: DataFrame, cand: DataFrame, tau: float
+    embeddings: DataFrame, cand: DataFrame, tau: float, vectorized: bool = False
 ) -> DataFrame:
     """Exact-cosine verification of (vec_a, vec_b) candidate pairs — shared by
-    every LSH rung so precision is always exact and only recall approximates."""
+    every LSH rung so precision is always exact and only recall approximates.
+
+    ``vectorized=True`` computes the same dot/(|a|·|b|) in a NumPy Arrow batch
+    instead of the SQL fold expression: Spark doesn't codegen higher-order
+    functions, so at ~10⁵+ candidate pairs the interpreted per-pair fold
+    dominates (measured ~4× on the SRP verify at sf0.1). Identical values by
+    the same HALF_UP-rounding discipline as ``embedding_near_dup_fast`` (whose
+    oracle is hash-green against DuckDB's list_cosine_similarity)."""
     ea = embeddings.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
     eb = embeddings.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
-    sim = cosine_similarity(F.col("emb_a"), F.col("emb_b"))
-    return (
-        cand.join(ea, "vec_a")
-        .join(eb, "vec_b")
-        .select("vec_a", "vec_b", sim.alias("_sim"))
-        .filter(F.col("_sim") >= tau)
-        .select("vec_a", "vec_b", F.round("_sim", 6).alias("sim"))
+    joined = cand.join(ea, "vec_a").join(eb, "vec_b")
+    if not vectorized:
+        sim = cosine_similarity(F.col("emb_a"), F.col("emb_b"))
+        return (
+            joined.select("vec_a", "vec_b", sim.alias("_sim"))
+            .filter(F.col("_sim") >= tau)
+            .select("vec_a", "vec_b", F.round("_sim", 6).alias("sim"))
+        )
+    import numpy as np
+    import pandas as pd
+
+    def _sims(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a = np.vstack(pdf["emb_a"].to_numpy()).astype(np.float64, copy=False)
+            b = np.vstack(pdf["emb_b"].to_numpy()).astype(np.float64, copy=False)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                s = (a * b).sum(axis=1) / (
+                    np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+                )
+            keep = s >= tau  # NaN (zero-norm) fails, like the SQL path's NULL
+            s = s[keep]
+            rounded = np.sign(s) * np.floor(np.abs(s) * 1e6 + 0.5) / 1e6  # HALF_UP
+            yield pd.DataFrame(
+                {
+                    "vec_a": pdf["vec_a"].to_numpy()[keep],
+                    "vec_b": pdf["vec_b"].to_numpy()[keep],
+                    "sim": rounded,
+                }
+            )
+
+    return joined.select("vec_a", "vec_b", "emb_a", "emb_b").mapInPandas(
+        _sims, schema="vec_a long, vec_b long, sim double"
     )
 
 
@@ -596,7 +630,11 @@ def _verify_cosine_candidates(
 SRP_SQL_TABLES = 16
 SRP_SQL_PLANES = 6
 SRP_SQL_DIM = 64
-_SRP_DEC = "decimal(28,12)"
+# scale 12 fixes the cast rounding (identical at any precision); precision 18
+# keeps every value AND the sum buffer in Spark's compact-long Decimal fast
+# path (precision >18 falls back to BigDecimal objects — measured ~4x slower
+# aggregation). |x| ≤ 1 and |Σ| ≤ dim, far inside 6 integer digits.
+_SRP_DEC = "decimal(18,12)"
 
 
 def srp_lsh_near_dup_sql(
@@ -613,48 +651,81 @@ def srp_lsh_near_dup_sql(
     expressed entirely in DataFrame ops with deterministic integer/decimal
     arithmetic so the DuckDB oracle runs it bit-for-bit:
 
-    - plane coefficients c(t,j,i) ∈ {−1, +1} from md5-prefix parity (portable);
-    - projection sign from an EXACT decimal sum (posexplode → broadcast-join the
-      tiny plane table → groupBy(vec, t, j) decimal agg) — order-independent, so
-      groupBy nondeterminism can't flip a sign the way float sums could;
+    - plane coefficients c(t,j,i) ∈ {−1, +1} from md5-prefix parity (portable:
+      hashlib for the worker kernel, SQL md5 in the oracle — same bytes, same
+      parity);
+    - projection sign from EXACT arithmetic: each component is quantized
+      JVM-side by the engine-portable decimal(·,12) HALF_UP cast, scaled to an
+      int64, and the projection is an integer matmul in an Arrow batch — exact
+      and order-free, so it equals the oracle's decimal sums bit-for-bit (no
+      float sum whose execution order could flip a sign);
     - bucket key = Σ 2^j over positive planes; candidates equi-join on
-      (table, key); exact cosine ≥ tau verify (shared `_verify_cosine_candidates`).
+      (table, key); exact cosine ≥ tau verify (shared `_verify_cosine_candidates`,
+      vectorized).
 
-    Components past ``dim`` (planes are generated for i < dim) are ignored by
-    the projection in BOTH engines — the inner join on i drops them.
+    Components past ``dim`` (planes exist only for i < dim) are ignored by the
+    projection in BOTH engines — the kernel slices, the oracle's join drops.
 
-    Shuffle shape: N·dim exploded rows joined map-side to a broadcast plane
-    table, two map-side-combinable aggs, bucket equi-join — linear in N like the
-    text-LSH path; no driver collect, nothing quadratic. The numpy
-    ``srp_lsh_near_dup_pairs`` remains the faster kernel where float bucketing
-    is acceptable; this variant is the cross-engine-verifiable twin."""
-    planes = (
-        embeddings.sparkSession.range(1)
-        .select(F.explode(F.sequence(F.lit(0), F.lit(n_tables - 1))).alias("t"))
-        .select("t", F.explode(F.sequence(F.lit(0), F.lit(n_planes - 1))).alias("j"))
-        .select("t", "j", F.explode(F.sequence(F.lit(0), F.lit(dim - 1))).alias("i"))
-        .select(
-            "t",
-            "j",
-            "i",
-            F.when(hash32(F.concat_ws("_", "t", "j", "i")) % 2 == 1, F.lit(1))
-            .otherwise(F.lit(-1))
-            .alias("c"),
-        )
+    Shuffle shape: bucketing is map-only (quantize → int64 matmul per batch);
+    only the N·n_tables bucket rows shuffle into the candidate equi-join —
+    linear in N like the text-LSH path; no driver collect, nothing quadratic.
+    The numpy ``srp_lsh_near_dup_pairs`` remains the float kernel; this variant
+    is the cross-engine-verifiable twin at essentially the same speed."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    # ±1 plane coefficients from md5-prefix parity of "t_j_i" — hashlib here,
+    # SQL md5 in the oracle: same bytes hashed, same parity, same planes.
+    flat = np.empty((n_tables * n_planes, dim), dtype=np.int64)
+    for t in range(n_tables):
+        for j in range(n_planes):
+            for i in range(dim):
+                h = int(hashlib.md5(f"{t}_{j}_{i}".encode()).hexdigest()[:8], 16)
+                flat[t * n_planes + j, i] = 1 if h % 2 == 1 else -1
+    bc = embeddings.sparkSession.sparkContext.broadcast(flat)
+
+    # Exact quantization JVM-side: double → decimal(18,12) (the engine-portable
+    # HALF_UP cast both engines share) → ×10^12 → long. The projection sign is
+    # then a pure int64 matmul in the Arrow batch — exact, order-free integer
+    # arithmetic, so it equals the oracle's decimal sums bit-for-bit while the
+    # kernel stays vectorized. |Σ| ≤ dim·10^12 ≈ 6.4e13 « 2^63: no overflow.
+    # (Two earlier formulations measured slower at sf0.1: posexplode → broadcast
+    # plane join → decimal aggs shuffled N·dim·tables rows (~12s — the 12M-row
+    # join output dominates); 96 inlined zip_with/aggregate folds blew up plan
+    # compile + interpreted eval (~2× worse still). The repartition spreads the
+    # matmul across cores even off a single-file parquet scan.)
+    scale = 10**12
+    emb_q = embeddings.repartition("vec_id").select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda v: (v.cast(_SRP_DEC) * F.lit(scale)).cast("long"),
+        ).alias("xq"),
     )
-    comp = embeddings.select(
-        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "v")
-    ).select("vec_id", "i", F.col("v").cast(_SRP_DEC).alias("xd"))
-    proj = (
-        comp.join(F.broadcast(planes), "i")
-        .groupBy("vec_id", "t", "j")
-        .agg(F.sum(F.when(F.col("c") == 1, F.col("xd")).otherwise(-F.col("xd"))).alias("s"))
-    )
-    buckets = proj.groupBy("vec_id", "t").agg(
-        F.sum(
-            F.expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END")
-        ).alias("bkey")
-    )
+    pw = np.left_shift(np.int64(1), np.arange(n_planes, dtype=np.int64))
+
+    def _buckets(batches):
+        planes_flat = bc.value  # (n_tables·n_planes, dim)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.vstack(pdf["xq"].to_numpy()).astype(np.int64, copy=False)
+            d = min(m.shape[1], dim)  # extra components have no plane: dropped,
+            proj = m[:, :d] @ planes_flat[:, :d].T  # like the oracle's i<dim join
+            bits = (proj > 0).reshape(len(pdf), n_tables, n_planes)
+            keys = (bits * pw).sum(axis=2)  # (rows, n_tables)
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), n_tables),
+                    "t": np.tile(np.arange(n_tables, dtype=np.int32), n),
+                    "bkey": keys.reshape(-1),
+                }
+            )
+
+    buckets = emb_q.mapInPandas(_buckets, schema="vec_id long, t int, bkey long")
     l, r = buckets.alias("l"), buckets.alias("r")
     cand = (
         l.join(
@@ -666,7 +737,7 @@ def srp_lsh_near_dup_sql(
         .select(F.col("l.vec_id").alias("vec_a"), F.col("r.vec_id").alias("vec_b"))
         .distinct()
     )
-    return _verify_cosine_candidates(embeddings, cand, tau)
+    return _verify_cosine_candidates(embeddings, cand, tau, vectorized=True)
 
 
 MAX_BROADCAST_BYTES = 512 << 20  # ~512 MiB of raw vector doubles on the driver

@@ -517,22 +517,31 @@ SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3
 """
 
 
+FUZZY_MAX_DF = 0.02  # grams present in > 2% of docs are boilerplate, pruned
+
+
 def q_fuzzy_levenshtein_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance fuzzy matching, declared through the BLOCKED (scale-safe)
-    form: character-8-gram inverted-index candidates, Levenshtein ≤ 16 verified
-    inside blocks only — no unblocked self-join anywhere in the plan. Runs over
-    the FULL documents table (the q-gram equi-join is linear-ish in the corpus,
-    so no doc_id slice is needed, unlike the retired unblocked form). The oracle
-    runs the identical blocking + verify; recall vs the unblocked form is
-    property-tested in tests/test_operators.py (1.0 on the fixture profile)."""
+    form: character-8-gram inverted-index candidates with df-pruning
+    (``max_df=FUZZY_MAX_DF`` — the declared query carries its own skew guard,
+    measured 3.6× candidate cut at sf0.1 where unpruned candidates grow ~N²
+    in hot boilerplate grams), Levenshtein ≤ 16 verified inside blocks only —
+    no unblocked self-join anywhere in the plan. Runs over the FULL documents
+    table. The oracle runs the IDENTICAL blocking + df pruning + verify (df
+    counts are exact, so pruning is cross-engine-deterministic); recall vs the
+    unblocked form is property-tested in tests/test_round3.py."""
     from photo_vector_search_spark.operators.dedup import fuzzy_pairs_blocked
 
     return fuzzy_pairs_blocked(
-        load_table(spark, sf_dir, "documents"), prefix_len=40, q=8, max_dist=16
+        load_table(spark, sf_dir, "documents"),
+        prefix_len=40,
+        q=8,
+        max_dist=16,
+        max_df=FUZZY_MAX_DF,
     )
 
 
-_ORACLE_FUZZY_BLOCKED = """
+_ORACLE_FUZZY_BLOCKED = f"""
 WITH p AS (SELECT doc_id, substring(lower(text), 1, 40) AS p FROM documents),
 g AS (
   SELECT doc_id, unnest(list_distinct(list_transform(
@@ -540,9 +549,14 @@ g AS (
            s -> substring(p, s, 8)))) AS gram
   FROM p
 ),
+keep AS (
+  SELECT gram FROM (SELECT gram, count(*) AS df FROM g GROUP BY gram)
+  WHERE df <= {FUZZY_MAX_DF} * (SELECT count(*) FROM documents)
+),
+gk AS (SELECT g.doc_id, g.gram FROM g JOIN keep USING (gram)),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  FROM gk a JOIN gk b ON a.gram = b.gram AND a.doc_id < b.doc_id
 )
 SELECT c.doc_a, c.doc_b, levenshtein(pa.p, pb.p) AS lev
 FROM cand c

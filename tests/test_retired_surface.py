@@ -1,0 +1,48 @@
+"""The queries retired from the 50-slot declared surface (driver checks exactly
+50 entries) stay verified through the same DuckDB compare the driver runs —
+retirement is a slot decision, not a correctness downgrade."""
+
+from __future__ import annotations
+
+import pytest
+
+from photo_vector_search_spark.plans import (
+    pipeline_queries,
+    relational,
+    store_queries,
+    text_queries,
+)
+from tests.oracle import assert_matches
+
+
+RETIRED = [
+    (store_queries, name) for name in store_queries.RETIRED_QUERIES
+] + [
+    (relational, name) for name in relational.RETIRED_QUERIES
+] + [
+    (text_queries, name) for name in text_queries.RETIRED_QUERIES
+] + [
+    (pipeline_queries, name) for name in pipeline_queries.RETIRED_QUERIES
+]
+
+
+@pytest.mark.parametrize("mod,name", RETIRED, ids=[n for _, n in RETIRED])
+def test_retired_query_still_oracle_exact(spark, sf_correct, mod, name):
+    """The five queries retired from the 50-slot declared surface stay verified
+    through the same DuckDB compare the driver runs — retirement is a slot
+    decision, not a correctness downgrade."""
+    df = mod.RETIRED_QUERIES[name](spark, sf_correct)
+    assert_matches(df, mod.RETIRED_ORACLES[name], sf_correct)
+
+
+def test_declared_surface_is_exactly_fifty():
+    """Driver checks the first 50 queries() entries (proven in r02: 55 declared
+    → 50 rows); every declared entry must therefore sit inside that window and
+    carry an oracle."""
+    import __spark_entry__ as m
+
+    qs, oracles = m.queries(), m.oracle_sql()
+    assert len(qs) == 50
+    assert set(qs) == set(oracles)
+
+
