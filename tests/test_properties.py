@@ -208,6 +208,45 @@ def test_pack_assignment_matches_python_reference(spark_session_holder, counts, 
     assert got == _py_pack(counts, cap)
 
 
+def _py_chunks(text: str, size: int, stride: int) -> list[tuple[int, int, list[str]]]:
+    """(chunk_id, n_tok, chunk_toks) by the obvious sequential slide."""
+    import re
+
+    toks = re.split(r"\s+", text.lower().strip())
+    return [
+        (cid, len(toks[s : s + size]), toks[s : s + size])
+        for cid, s in enumerate(range(0, max(len(toks), 1), stride))
+    ]
+
+
+@given(
+    st.lists(_doc, min_size=1, max_size=6),
+    st.integers(1, 8),
+    st.integers(1, 8),
+)
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_chunk_tokens_matches_python_reference(spark_session_holder, docs_texts, size, stride):
+    """chunk_tokens (q_chunk_documents's kernel) vs a sequential Python slide,
+    over arbitrary size/stride shapes incl. stride > size (gaps) and
+    whitespace-only docs (one single-empty-token chunk)."""
+    from photo_vector_search_spark.plans.text_queries import chunk_tokens
+
+    spark = spark_session_holder
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs_texts)], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_id, r.chunk_id): (r.n_tok, list(r.chunk_toks))
+        for r in chunk_tokens(df, size=size, stride=stride).collect()
+    }
+    expect = {
+        (i, cid): (n, toks)
+        for i, t in enumerate(docs_texts)
+        for cid, n, toks in _py_chunks(t, size, stride)
+    }
+    assert got == expect
+
+
 # pytest fixture bridging: hypothesis needs a non-function-scoped spark handle
 import pytest  # noqa: E402
 

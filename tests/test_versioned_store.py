@@ -1,0 +1,115 @@
+"""Versioned store (commit log + time travel): operators/versioned_store.py.
+
+Scale contract under test: append commits write only the delta (previous data
+dirs carried by reference), the manifest rename is the commit point (a crash
+before it leaves the store unchanged), and vacuum reclaims exactly the
+unreferenced dirs."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from photo_vector_search_spark.operators.versioned_store import (
+    VersionedStoreError,
+    commit_append,
+    commit_overwrite,
+    commit_rewrite,
+    history,
+    latest_version,
+    read_version,
+    vacuum,
+)
+
+
+@pytest.fixture()
+def store_path(tmp_path):
+    return str(tmp_path / "vstore")
+
+
+def _df(spark, ids):
+    return spark.createDataFrame([(i, f"doc-{i}") for i in ids], "id int, text string")
+
+
+def _ids(df):
+    return sorted(r.id for r in df.select("id").collect())
+
+
+def test_overwrite_append_time_travel(spark, store_path):
+    assert latest_version(store_path) is None
+    v0 = commit_overwrite(_df(spark, range(5)), store_path)
+    v1 = commit_append(_df(spark, range(5, 8)), store_path)
+    assert (v0, v1) == (0, 1)
+    assert _ids(read_version(spark, store_path)) == list(range(8))
+    assert _ids(read_version(spark, store_path, version=0)) == list(range(5))
+    h = history(store_path)
+    assert [(e["version"], e["op"], e["n_rows"]) for e in h] == [
+        (1, "append", 8),
+        (0, "overwrite", 5),
+    ]
+    # append carried v0's dir by reference: v1 lists two dirs, wrote one
+    assert h[0]["n_dirs"] == 2
+
+
+def test_append_is_delta_write_not_rewrite(spark, store_path):
+    commit_overwrite(_df(spark, range(100)), store_path)
+    data = os.path.join(store_path, "data")
+    dirs_before = set(os.listdir(data))
+    commit_append(_df(spark, range(100, 103)), store_path)
+    new_dirs = set(os.listdir(data)) - dirs_before
+    assert len(new_dirs) == 1
+    # the delta dir holds only the 3 appended rows
+    delta = spark.read.parquet(os.path.join(data, new_dirs.pop()))
+    assert delta.count() == 3
+
+
+def test_rewrite_names_op_and_replaces_state(spark, store_path):
+    commit_overwrite(_df(spark, range(10)), store_path)
+    kept = _df(spark, range(10)).filter("id < 4")
+    v = commit_rewrite(kept, store_path, op="delete")
+    assert _ids(read_version(spark, store_path)) == [0, 1, 2, 3]
+    assert _ids(read_version(spark, store_path, version=0)) == list(range(10))
+    assert history(store_path)[0]["op"] == "delete"
+    assert v == 1
+
+
+def test_crashed_commit_is_invisible_and_vacuumed(spark, store_path):
+    commit_overwrite(_df(spark, range(4)), store_path)
+    # simulate a crash AFTER data write, BEFORE manifest rename: orphan data dir
+    orphan = os.path.join(store_path, "data", "deadbeef" * 4)
+    _df(spark, range(100, 200)).write.parquet(orphan)
+    assert _ids(read_version(spark, store_path)) == [0, 1, 2, 3]  # reader blind to it
+    removed = vacuum(store_path, keep_last=1)
+    assert orphan in removed
+    assert not os.path.exists(orphan)
+    assert _ids(read_version(spark, store_path)) == [0, 1, 2, 3]
+
+
+def test_vacuum_reclaims_old_versions_only(spark, store_path):
+    commit_overwrite(_df(spark, range(5)), store_path)
+    commit_rewrite(_df(spark, range(5, 9)), store_path)  # v1 references only new dir
+    commit_append(_df(spark, range(9, 10)), store_path)  # v2 = v1 dirs + delta
+    removed = vacuum(store_path, keep_last=2)
+    # v0's manifest and its now-unreferenced dir are gone; v1+v2 readable
+    assert any(r.endswith("00000000.json") for r in removed)
+    with pytest.raises(VersionedStoreError):
+        read_version(spark, store_path, version=0)
+    assert _ids(read_version(spark, store_path, version=1)) == [5, 6, 7, 8]
+    assert _ids(read_version(spark, store_path, version=2)) == [5, 6, 7, 8, 9]
+    # data dirs on disk == dirs referenced by kept manifests (orphan-free)
+    data = os.path.join(store_path, "data")
+    assert len(os.listdir(data)) == 2  # v1's rewrite dir + v2's append delta
+
+
+def test_vacuum_never_drops_live_version(store_path):
+    with pytest.raises(ValueError):
+        vacuum(store_path, keep_last=0)
+
+
+def test_read_errors_are_actionable(spark, store_path):
+    with pytest.raises(VersionedStoreError, match="no commits"):
+        read_version(spark, store_path)
+    commit_overwrite(_df(spark, range(2)), store_path)
+    with pytest.raises(VersionedStoreError, match="version 7 not found"):
+        read_version(spark, store_path, version=7)
