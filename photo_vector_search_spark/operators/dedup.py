@@ -278,9 +278,12 @@ def minhash_lsh_pairs(
             staging_dir = f"{shared.rstrip('/')}/pvs_lsh_pairs_{uuid.uuid4().hex}"
         else:
             staging_dir = tempfile.mkdtemp(prefix="pvs_lsh_pairs_")
-            # mkdtemp registers no cleanup of its own — without this, every call
-            # in a long-lived session leaks one staged parquet until /tmp fills
-            atexit.register(shutil.rmtree, staging_dir, ignore_errors=True)
+        # both defaults are session-owned scratch — without cleanup, every call
+        # in a long-lived session leaks one staged parquet until the scratch
+        # fills (shared-scratch paths are driver-reachable by the same POSIX
+        # assumption that makes the os.* staging write work at all). A caller
+        # passing staging_dir explicitly owns its lifecycle.
+        atexit.register(shutil.rmtree, staging_dir, ignore_errors=True)
     # one shared, cached shingle table feeds signatures, counts and the verify
     # join — without it the shingling+md5 work runs four times; unpersisted
     # deterministically below once the staged write has consumed it.

@@ -19,16 +19,20 @@ table format (Delta/Iceberg) uses, reduced to its load-bearing core:
   they write the full new state as one dir and a manifest referencing only it —
   Delta's default COW strategy. Partition-level rewrite is the next rung; the
   commit protocol here doesn't change for it.
-- The COMMIT POINT is the manifest rename: data dirs are written first, then the
-  manifest json is written to a tempfile and ``os.rename``d into ``_log/``
-  (atomic on POSIX). A crash before the rename leaves orphan data dirs that no
+- The COMMIT POINT is the manifest link: data dirs are written first, then the
+  manifest json is written to a tempfile and ``os.link``ed to its version name
+  in ``_log/`` (atomic on POSIX, and — unlike rename — FAILS if the name
+  already exists). A crash before the link leaves orphan data dirs that no
   manifest references — invisible to every reader, reclaimed by ``vacuum``.
-- Concurrency: the rename also provides optimistic concurrency — two writers
-  racing to the same version produce one winner (rename over an existing name
-  is detected by re-listing after rename; the loser retries with the next
-  version number). Single-writer is the tested contract here, matching the
-  reference CLI's usage; the retry loop is the hook a multi-writer deployment
-  needs.
+- Concurrency: the exclusive link is the optimistic-concurrency check — two
+  writers racing to the same version produce one winner; the loser's link
+  raises and surfaces as ``VersionedStoreError`` with its data dir left as an
+  invisible orphan. Single-writer is the tested contract here, matching the
+  reference CLI's usage; a multi-writer deployment retries the losing commit
+  at the next version number.
+- ``vacuum`` only reclaims unreferenced dirs older than ``min_age_seconds`` so
+  an in-flight commit (data written, manifest not yet linked) cannot have its
+  dir deleted out from under it — the same retention-window guard Delta uses.
 
 Driver-side filesystem ops are metadata-only (json manifests); all data moves
 through executors as parquet. On a real deployment ``path`` is an object-store
@@ -92,7 +96,10 @@ def latest_version(path: str) -> int | None:
 
 
 def _commit(path: str, op: str, live_dirs: list[str], n_rows: int) -> int:
-    """Write the manifest for the next version; the rename IS the commit."""
+    """Write the manifest for the next version; the exclusive link IS the
+    commit. ``os.link`` to an existing name raises (atomically, unlike rename,
+    which silently replaces) — so a lost race is an error, never a silently
+    overwritten manifest."""
     os.makedirs(_log_dir(path), exist_ok=True)
     last = latest_version(path)
     version = 0 if last is None else last + 1
@@ -108,16 +115,17 @@ def _commit(path: str, op: str, live_dirs: list[str], n_rows: int) -> int:
         with os.fdopen(fd, "w") as f:
             json.dump(manifest, f)
         target = _manifest_path(path, version)
-        if os.path.exists(target):  # lost a race — single-writer contract violated
+        try:
+            os.link(tmp, target)
+        except FileExistsError:
             raise VersionedStoreError(
-                f"version {version} already committed at {path}; "
-                "concurrent writers need the retry loop (see module docstring)"
-            )
-        os.rename(tmp, target)
-    except BaseException:
+                f"lost commit race: version {version} already committed at "
+                f"{path}; retry at the next version number (see module "
+                "docstring; this commit's data dir is an invisible orphan)"
+            ) from None
+    finally:
         if os.path.exists(tmp):
             os.remove(tmp)
-        raise
     return version
 
 
@@ -148,10 +156,9 @@ def commit_append(df: DataFrame, path: str) -> int:
     rewritten. Keys are not checked; append means append (use
     ``commit_upsert`` for keyed last-write-wins)."""
     last = latest_version(path)
-    prev = _read_manifest(path, last)["live"] if last is not None else []
-    prev_rows = _read_manifest(path, last)["n_rows"] if last is not None else 0
+    m = _read_manifest(path, last) if last is not None else {"live": [], "n_rows": 0}
     rel, n = _write_data(df, path)
-    return _commit(path, "append", [*prev, rel], prev_rows + n)
+    return _commit(path, "append", [*m["live"], rel], m["n_rows"] + n)
 
 
 def commit_rewrite(df: DataFrame, path: str, op: str = "rewrite") -> int:
@@ -205,10 +212,17 @@ def history(path: str) -> list[dict]:
     return out
 
 
-def vacuum(path: str, keep_last: int = 1) -> list[str]:
+def vacuum(path: str, keep_last: int = 1, min_age_seconds: float = 3600.0) -> list[str]:
     """Drop manifests older than the last ``keep_last`` and every data dir no
-    kept manifest references (including orphans from crashed commits). Returns
-    removed paths. Time travel reaches only kept versions afterwards."""
+    kept manifest references (including orphans from crashed commits, and
+    crashed ``._commit_*`` manifest tempfiles). Returns removed paths. Time
+    travel reaches only kept versions afterwards.
+
+    ``min_age_seconds`` is the retention window (Delta's in-flight-commit
+    guard): an unreferenced dir younger than it is NOT reclaimed, because it
+    may belong to a commit whose data is written but whose manifest is not yet
+    linked — vacuuming that window would delete the dir out from under the
+    commit. Pass 0 only when no writer can be concurrent with the vacuum."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1 — vacuuming the latest version "
                          "would delete the live table")
@@ -217,16 +231,31 @@ def vacuum(path: str, keep_last: int = 1) -> list[str]:
     referenced: set[str] = set()
     for v in kept:
         referenced.update(_read_manifest(path, v)["live"])
+    cutoff = time.time() - min_age_seconds
+
+    def _old_enough(p: str) -> bool:
+        try:
+            return os.path.getmtime(p) <= cutoff
+        except OSError:  # already gone — nothing to reclaim
+            return False
+
     removed: list[str] = []
     for v in versions[: len(versions) - len(kept)]:
         os.remove(_manifest_path(path, v))
         removed.append(_manifest_path(path, v))
+    log = _log_dir(path)
+    if os.path.isdir(log):
+        for name in sorted(os.listdir(log)):
+            full = os.path.join(log, name)
+            if name.startswith("._commit_") and _old_enough(full):
+                os.remove(full)
+                removed.append(full)
     data = _data_dir(path)
     if os.path.isdir(data):
         for name in sorted(os.listdir(data)):
             rel = os.path.join(_DATA, name)
-            if rel not in referenced:
-                full = os.path.join(path, rel)
+            full = os.path.join(path, rel)
+            if rel not in referenced and _old_enough(full):
                 shutil.rmtree(full, ignore_errors=True)
                 removed.append(full)
     return removed

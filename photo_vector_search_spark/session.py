@@ -20,13 +20,33 @@ import os
 from pyspark.sql import SparkSession
 
 
-def _default_driver_memory() -> str:
-    """A quarter of physical RAM clamped to [2g, 16g] — see get_spark body."""
+def _available_memory_bytes() -> int | None:
+    """Usable RAM: min(physical, cgroup limit). sysconf reports the HOST's
+    memory even inside a memory-limited container, so a 4 GB-capped pod on a
+    128 GB node must read its cgroup cap (v2 ``memory.max`` / v1
+    ``memory.limit_in_bytes``) or the derived heap OOM-kills the driver."""
+    candidates = []
     try:
-        total = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
-        return f"{min(max(total // 4, 2 << 30), 16 << 30) >> 30}g"
+        candidates.append(os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES"))
     except (ValueError, OSError, AttributeError):  # non-POSIX / sysconf unavailable
+        pass
+    for cgroup_file in ("/sys/fs/cgroup/memory.max",
+                        "/sys/fs/cgroup/memory/memory.limit_in_bytes"):
+        try:
+            raw = open(cgroup_file).read().strip()
+            if raw != "max":  # v2 spells "no limit" as the literal string max
+                candidates.append(int(raw))
+        except (OSError, ValueError):
+            continue
+    return min(candidates) if candidates else None
+
+
+def _default_driver_memory() -> str:
+    """A quarter of usable RAM clamped to [2g, 16g] — see get_spark body."""
+    total = _available_memory_bytes()
+    if total is None:
         return "2g"
+    return f"{min(max(total // 4, 2 << 30), 16 << 30) >> 30}g"
 
 
 def get_spark(

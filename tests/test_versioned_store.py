@@ -1,9 +1,10 @@
 """Versioned store (commit log + time travel): operators/versioned_store.py.
 
 Scale contract under test: append commits write only the delta (previous data
-dirs carried by reference), the manifest rename is the commit point (a crash
-before it leaves the store unchanged), and vacuum reclaims exactly the
-unreferenced dirs."""
+dirs carried by reference), the exclusive manifest link is the commit point (a
+crash before it leaves the store unchanged; a racing commit to the same version
+errors instead of silently replacing the winner), and vacuum reclaims exactly
+the unreferenced dirs outside the retention window."""
 
 from __future__ import annotations
 
@@ -80,7 +81,11 @@ def test_crashed_commit_is_invisible_and_vacuumed(spark, store_path):
     orphan = os.path.join(store_path, "data", "deadbeef" * 4)
     _df(spark, range(100, 200)).write.parquet(orphan)
     assert _ids(read_version(spark, store_path)) == [0, 1, 2, 3]  # reader blind to it
-    removed = vacuum(store_path, keep_last=1)
+    # inside the retention window the orphan might be an in-flight commit's
+    # data dir — vacuum must leave it alone
+    assert orphan not in vacuum(store_path, keep_last=1)
+    assert os.path.exists(orphan)
+    removed = vacuum(store_path, keep_last=1, min_age_seconds=0)
     assert orphan in removed
     assert not os.path.exists(orphan)
     assert _ids(read_version(spark, store_path)) == [0, 1, 2, 3]
@@ -90,7 +95,7 @@ def test_vacuum_reclaims_old_versions_only(spark, store_path):
     commit_overwrite(_df(spark, range(5)), store_path)
     commit_rewrite(_df(spark, range(5, 9)), store_path)  # v1 references only new dir
     commit_append(_df(spark, range(9, 10)), store_path)  # v2 = v1 dirs + delta
-    removed = vacuum(store_path, keep_last=2)
+    removed = vacuum(store_path, keep_last=2, min_age_seconds=0)
     # v0's manifest and its now-unreferenced dir are gone; v1+v2 readable
     assert any(r.endswith("00000000.json") for r in removed)
     with pytest.raises(VersionedStoreError):
@@ -105,6 +110,32 @@ def test_vacuum_reclaims_old_versions_only(spark, store_path):
 def test_vacuum_never_drops_live_version(store_path):
     with pytest.raises(ValueError):
         vacuum(store_path, keep_last=0)
+
+
+def test_lost_commit_race_errors_and_preserves_winner(spark, store_path):
+    """Two writers racing to the same version: the loser's commit must RAISE —
+    never silently replace the winner's manifest (os.link is exclusive where
+    os.rename is not)."""
+    commit_overwrite(_df(spark, range(3)), store_path)
+    # pre-create version 1's manifest: the state a winner leaves behind in the
+    # window between the loser's version computation and its link
+    winner = commit_append(_df(spark, range(3, 5)), store_path)
+    assert winner == 1
+    import photo_vector_search_spark.operators.versioned_store as vs
+
+    real_latest = vs.latest_version
+    try:  # loser computed its version before the winner's link landed
+        vs.latest_version = lambda p: 0
+        with pytest.raises(VersionedStoreError, match="lost commit race"):
+            commit_append(_df(spark, range(90, 92)), store_path)
+    finally:
+        vs.latest_version = real_latest
+    # the winner's manifest and rows are intact; loser's data dir is an orphan
+    assert _ids(read_version(spark, store_path, version=1)) == [0, 1, 2, 3, 4]
+    assert latest_version(store_path) == 1
+    # no crashed manifest tempfiles linger after the raise
+    log = os.path.join(store_path, "_log")
+    assert not [n for n in os.listdir(log) if n.startswith("._commit_")]
 
 
 def test_read_errors_are_actionable(spark, store_path):
