@@ -151,7 +151,7 @@ def _embed_query(embedder, value, model_name: str) -> list[float]:
     return list(out)
 
 
-def _search(args, query_value) -> int:
+def _search(args, query_value, show_descriptions: bool) -> int:
     from photo_vector_search_spark.functions.vector import cosine_distance_to_query
 
     from photo_vector_search_spark.operators.knn import _valid_dist
@@ -188,12 +188,19 @@ def _search(args, query_value) -> int:
         .limit(args.k)
         .select("photo_path", "aspect_name", "description", F.col("_d").alias("dist"))
     )
-    _print_results([r.asDict() for r in out.collect()], verbose=args.verbose)
+    _print_results([r.asDict() for r in out.collect()], verbose=show_descriptions)
     return 0
 
 
 def cmd_search_by_text(args) -> int:
-    return _search(args, args.query)
+    # Reference parity (cli.py:107-133): text search ALWAYS prints the
+    # description; its --verbose is a COUNT option that raises the logging
+    # level (-v/-vv), not an output gate.
+    import logging
+
+    log_levels = [logging.WARNING, logging.INFO, logging.DEBUG]
+    logging.basicConfig(level=log_levels[min(args.verbose, len(log_levels) - 1)])
+    return _search(args, args.query, show_descriptions=True)
 
 
 def cmd_search_by_photo(args) -> int:
@@ -201,7 +208,9 @@ def cmd_search_by_photo(args) -> int:
         content = f.read()
     # raw bytes, same as the pipeline's content column: the stub hashes the byte
     # repr; a real CLIP embedder decodes them — either way index and query agree
-    return _search(args, content)
+    # Reference parity (cli.py:85-99): image search gates descriptions behind
+    # --verbose (a boolean flag).
+    return _search(args, content, show_descriptions=args.verbose)
 
 
 def cmd_examine_image(args) -> int:
@@ -329,11 +338,15 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("-k", type=int, default=5)
         sp.add_argument("--aspect", default=None)
         sp.add_argument("--model", default=DEFAULT_MODEL)
-        sp.add_argument(
-            "--verbose",
-            action="store_true",
-            help="include descriptions in results (reference cli.py:85, 107)",
-        )
+        if name == "search-photos-by-text":
+            # count option raising log verbosity; descriptions always print
+            # (reference cli.py:107: count=True)
+            sp.add_argument("-v", "--verbose", action="count", default=0,
+                            help="increase log verbosity (-v, -vv)")
+        else:
+            # boolean gate on descriptions (reference cli.py:85: is_flag=True)
+            sp.add_argument("--verbose", action="store_true",
+                            help="include descriptions in results")
         common(sp)
         sp.set_defaults(fn=fn)
 

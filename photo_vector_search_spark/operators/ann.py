@@ -51,22 +51,39 @@ def train_centroids(
     return centroids
 
 
-def assign_clusters(embeddings: DataFrame, centroids: np.ndarray) -> DataFrame:
+def assign_clusters(
+    embeddings: DataFrame, centroids: np.ndarray, n_assign: int = 1
+) -> DataFrame:
     """Add ``cluster_id`` = argmax cosine(centroid, vec). Map-only (mapInPandas
     matmul against the broadcast centroid matrix). At rest you'd write the table
     partitioned by this column: ``.write.partitionBy('cluster_id')`` — then the
-    probe filter below prunes Parquet partitions, not just rows."""
+    probe filter below prunes Parquet partitions, not just rows.
+
+    ``n_assign > 1`` is build-time MULTI-PROBE (the IVF analogue of HNSW's
+    multiple graph entry points): each vector lands in its ``n_assign`` nearest
+    clusters, so a query whose true neighbor sits just across a Voronoi border
+    still finds it in a probed cluster. Costs ×n_assign storage and assignment
+    rows — the classic recall-for-space trade, chosen at INDEX BUILD time;
+    ``ivf_topk`` dedups by vec_id so results never repeat. Still map-only."""
     bc = embeddings.sparkSession.sparkContext.broadcast(centroids)
-    cols = embeddings.columns
 
     def _assign(batches):
         cent = bc.value
+        na = min(n_assign, len(cent))
         for pdf in batches:
             m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64, copy=False)
             m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
-            pdf = pdf.copy()
-            pdf["cluster_id"] = np.argmax(m @ cent.T, axis=1).astype(np.int32)
-            yield pdf
+            sims = m @ cent.T
+            if na == 1:
+                pdf = pdf.copy()
+                pdf["cluster_id"] = np.argmax(sims, axis=1).astype(np.int32)
+                yield pdf
+                continue
+            # top-na centroids per row → na output rows per input row
+            top = np.argpartition(-sims, na - 1, axis=1)[:, :na]
+            out = pdf.loc[pdf.index.repeat(na)].copy()
+            out["cluster_id"] = top.reshape(-1).astype(np.int32)
+            yield out
 
     schema = ", ".join(f"{c} {t}" for c, t in embeddings.dtypes) + ", cluster_id int"
     return embeddings.mapInPandas(_assign, schema=schema)
@@ -153,15 +170,26 @@ def ivf_topk(
     query_vec: Sequence[float],
     k: int = 5,
     nprobe: int = 4,
+    n_assign: int = 1,
 ) -> DataFrame:
     """Top-k over only the ``nprobe`` clusters nearest to the query.
 
     ``indexed`` must carry ``cluster_id`` (from ``assign_clusters``). The filter
     is an IN-list over a tiny set → pushed to the scan; with the table partitioned
     by cluster_id it prunes whole files. Recall < 1 is the explicit trade: tested
-    against exact ``knn_topk`` with a recall floor."""
+    against exact ``knn_topk`` with a recall floor.
+
+    ``n_assign`` must match the store's build (``assign_clusters`` n_assign): a
+    multi-assigned store can surface the same vector from two probed clusters,
+    so the query takes the top k·n_assign rows (each vector appears ≤ n_assign
+    times → that window holds ≥ k distinct ids) and dedups THAT — a ≤ k·n_assign
+    row exchange, keeping the probed scan itself shuffle-free like the
+    single-assign plan (scan → project → TakeOrderedAndProject)."""
     q = np.asarray(query_vec, dtype=np.float64)
     q = q / max(np.linalg.norm(q), 1e-300)
     probe = np.argsort(-(centroids @ q))[:nprobe].tolist()
     pruned = indexed.filter(F.col("cluster_id").isin(probe))
-    return knn_topk(pruned, query_vec, k=k)
+    if n_assign <= 1:
+        return knn_topk(pruned, query_vec, k=k)
+    over = knn_topk(pruned, query_vec, k=k * n_assign)
+    return over.dropDuplicates(["vec_id"]).orderBy("dist", "vec_id").limit(k)

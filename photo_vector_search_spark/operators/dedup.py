@@ -239,6 +239,7 @@ def minhash_lsh_pairs(
     tau: float = 0.5,
     staging_dir: str | None = None,
     max_bucket_size: int | None = None,
+    stage: bool = True,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding, verified with exact Jaccard.
 
@@ -264,7 +265,17 @@ def minhash_lsh_pairs(
     ``max_bucket_size``: skew guard — prune (band, band_key) buckets larger than
     this before the candidate self-join (see ``prune_hot_buckets``). None (the
     declared-oracle default) keeps every bucket so Spark and DuckDB agree
-    exactly; at corpus scale pick ~500-1000 after running ``exact_dedup``."""
+    exactly; at corpus scale pick ~500-1000 after running ``exact_dedup``.
+
+    ``stage=False`` returns the UNSTAGED pair DataFrame — the full
+    banding/candidate-join/verify plan, not the staged-parquet read. For plan
+    audits (tools/plan_report.py explains the real compute this way) and for
+    callers composing further transformations before their own checkpoint.
+    The shingle cache stays persisted in that mode (the plan references it);
+    the caller owns its lifecycle — call ``spark.catalog.clearCache()`` or
+    ``.unpersist()`` when done. The staged default exists because the pair
+    result feeds multiple downstream actions and recomputing the LSH pass per
+    action is the expensive path."""
     import atexit
     import os
     import shutil
@@ -320,6 +331,8 @@ def minhash_lsh_pairs(
         .filter(jac >= tau)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+    if not stage:
+        return pairs  # caller owns the shingle cache lifecycle (see docstring)
     try:
         pairs.write.mode("overwrite").parquet(staging_dir)
     finally:
@@ -507,6 +520,28 @@ def embedding_near_dup_pairs(embeddings: DataFrame, tau: float = 0.45) -> DataFr
     )
 
 
+def _uniform_embedding_dim(embeddings: DataFrame, op: str) -> int | None:
+    """Require one embedding dimension across the table; return it (None if empty).
+
+    Every vectorized kernel below ``np.vstack``s whole Arrow batches, which on a
+    mixed-dimension embeddings table (e.g. indexed under two models) dies inside
+    the executor with an opaque stacking error — while the SQL fold path would
+    instead degrade to NULL sims that silently filter out. One cheap min/max agg
+    up front makes both paths agree: fail loudly, before any job is launched
+    (ADVICE r3). Same discipline the CLI applies to query/store dim mismatch."""
+    d = embeddings.agg(
+        F.min(F.size("embedding")).alias("lo"), F.max(F.size("embedding")).alias("hi")
+    ).first()
+    if d["lo"] is None:
+        return None
+    if d["lo"] != d["hi"]:
+        raise ValueError(
+            f"{op} requires a single embedding dimension, found {d['lo']}-{d['hi']} "
+            "(mixed-model table? filter to one model or re-index before deduping)"
+        )
+    return int(d["hi"])
+
+
 def srp_lsh_near_dup_pairs(
     embeddings: DataFrame,
     tau: float = 0.45,
@@ -532,12 +567,11 @@ def srp_lsh_near_dup_pairs(
     ``n_planes`` as your tau rises. Deterministic: seeded planes, broadcast."""
     import numpy as np
 
-    first = embeddings.select("embedding").first()
-    if first is None:  # empty input degrades to empty output like the other ops
+    dim = _uniform_embedding_dim(embeddings, "srp_lsh_near_dup_pairs")
+    if dim is None:  # empty input degrades to empty output like the other ops
         return embeddings.sparkSession.createDataFrame(
             [], "vec_a long, vec_b long, sim double"
         )
-    dim = len(first[0])
     rng = np.random.RandomState(seed)
     planes = rng.normal(size=(n_tables, n_planes, dim))
     bc = embeddings.sparkSession.sparkContext.broadcast(planes)
@@ -575,7 +609,11 @@ def srp_lsh_near_dup_pairs(
 
 
 def _verify_cosine_candidates(
-    embeddings: DataFrame, cand: DataFrame, tau: float, vectorized: bool = False
+    embeddings: DataFrame,
+    cand: DataFrame,
+    tau: float,
+    vectorized: bool = False,
+    dim_checked: bool = False,
 ) -> DataFrame:
     """Exact-cosine verification of (vec_a, vec_b) candidate pairs — shared by
     every LSH rung so precision is always exact and only recall approximates.
@@ -598,6 +636,9 @@ def _verify_cosine_candidates(
         )
     import numpy as np
     import pandas as pd
+
+    if not dim_checked:  # the vstack below crashes opaquely on mixed dims
+        _uniform_embedding_dim(embeddings, "cosine candidate verification")
 
     def _sims(batches):
         for pdf in batches:
@@ -747,7 +788,10 @@ MAX_BROADCAST_BYTES = 512 << 20  # ~512 MiB of raw vector doubles on the driver
 
 
 def embedding_near_dup_fast(
-    embeddings: DataFrame, tau: float = 0.45, max_broadcast_bytes: int = MAX_BROADCAST_BYTES
+    embeddings: DataFrame,
+    tau: float = 0.45,
+    max_broadcast_bytes: int = MAX_BROADCAST_BYTES,
+    allow_approx: bool = True,
 ) -> DataFrame:
     """Same pairs as ``embedding_near_dup_pairs`` via broadcast + NumPy matmul.
 
@@ -759,25 +803,49 @@ def embedding_near_dup_fast(
     materializes as rows. Results identical to the exact pair join (double matmul,
     same rounding).
 
-    Guarded: the gather is sized (rows × dim × 8 bytes) BEFORE collecting; a
-    corpus above ``max_broadcast_bytes`` raises instead of OOMing the driver —
-    use ``srp_lsh_near_dup_pairs`` (bucketed, nothing collected) at that scale."""
+    Guarded, then LADDERED: the gather is sized (rows × dim × 8 bytes) BEFORE
+    collecting; a corpus above ``max_broadcast_bytes`` re-routes to
+    ``srp_lsh_near_dup_pairs`` — the fully distributed rung (bucketed LSH
+    candidates, exact-cosine verify, nothing collected to the driver) — so at
+    100× the data the SAME call keeps working and degrades only in RECALL
+    (~0.84 pair-detection at sim 0.45 with the SRP defaults, exact precision;
+    see srp_lsh_near_dup_pairs for the probability model), never in memory.
+    Pass ``allow_approx=False`` to get the round-3 behavior: raise instead of
+    silently trading recall (for callers whose downstream needs exactness)."""
     import numpy as np
     import pandas as pd
 
     stats = embeddings.agg(
-        F.count(F.lit(1)).alias("n"), F.max(F.size("embedding")).alias("max_dim")
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.size("embedding")).alias("min_dim"),
+        F.max(F.size("embedding")).alias("max_dim"),
     ).first()
+    if not stats["n"]:  # empty input degrades to empty output like every rung
+        return embeddings.sparkSession.createDataFrame(
+            [], "vec_a long, vec_b long, sim double"
+        )
     if stats["n"]:
-        # ONE pre-job (count + max dim together); max dim sizes mixed-dim inputs
-        # correctly where a first-row estimate would undercount
+        if stats["min_dim"] != stats["max_dim"]:
+            # the vstacks below (and every downstream matmul) need one dim;
+            # fail loudly before any gather (ADVICE r3)
+            raise ValueError(
+                "embedding_near_dup requires a single embedding dimension, found "
+                f"{stats['min_dim']}-{stats['max_dim']} (mixed-model table? filter "
+                "to one model or re-index before deduping)"
+            )
+        # ONE pre-job (count + min/max dim together)
         est = stats["n"] * stats["max_dim"] * 8
         if est > max_broadcast_bytes:
+            if allow_approx:
+                # distributed rung: linear shuffle, no driver gather; recall
+                # trade documented above. dim already validated → skip re-check.
+                return srp_lsh_near_dup_pairs(embeddings, tau=tau)
             raise ValueError(
                 f"embedding_near_dup_fast would collect ~{est >> 20} MiB of vectors "
                 f"to the driver (limit {max_broadcast_bytes >> 20} MiB); this rung of "
                 "the ladder is for broadcastable corpora — use srp_lsh_near_dup_pairs "
-                "for a fully distributed near-dup pass"
+                "for a fully distributed near-dup pass (or allow_approx=True to "
+                "re-route automatically)"
             )
     rows = embeddings.select("vec_id", "embedding").collect()
     ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)

@@ -24,12 +24,15 @@ table format (Delta/Iceberg) uses, reduced to its load-bearing core:
   in ``_log/`` (atomic on POSIX, and — unlike rename — FAILS if the name
   already exists). A crash before the link leaves orphan data dirs that no
   manifest references — invisible to every reader, reclaimed by ``vacuum``.
-- Concurrency: the exclusive link is the optimistic-concurrency check — two
-  writers racing to the same version produce one winner; the loser's link
-  raises and surfaces as ``VersionedStoreError`` with its data dir left as an
-  invisible orphan. Single-writer is the tested contract here, matching the
-  reference CLI's usage; a multi-writer deployment retries the losing commit
-  at the next version number.
+- Concurrency: the exclusive link is the optimistic-concurrency check. Each
+  writer pins the version it READ (base) and commits at base+1, so ANY
+  intervening commit — not just a same-version race — collides on the link
+  and raises ``VersionedStoreError``. ``commit_append``/``commit_overwrite``
+  then retry automatically: re-read the new latest manifest, merge, relink
+  (manifest-only — the data dir is written once). Two racing appends both
+  land in some linear order, neither dropping the other's dirs.
+  ``commit_rewrite`` does NOT retry by default: it is read-modify-write, so
+  the caller must re-derive from the new state (see its docstring).
 - ``vacuum`` only reclaims unreferenced dirs older than ``min_age_seconds`` so
   an in-flight commit (data written, manifest not yet linked) cannot have its
   dir deleted out from under it — the same retention-window guard Delta uses.
@@ -95,14 +98,22 @@ def latest_version(path: str) -> int | None:
     return versions[-1] if versions else None
 
 
-def _commit(path: str, op: str, live_dirs: list[str], n_rows: int) -> int:
-    """Write the manifest for the next version; the exclusive link IS the
-    commit. ``os.link`` to an existing name raises (atomically, unlike rename,
-    which silently replaces) — so a lost race is an error, never a silently
-    overwritten manifest."""
+def _commit(
+    path: str, op: str, live_dirs: list[str], n_rows: int, base_version: int | None
+) -> int:
+    """Write the manifest for version ``base_version + 1``; the exclusive link
+    IS the commit. ``os.link`` to an existing name raises (atomically, unlike
+    rename, which silently replaces) — so a lost race is an error, never a
+    silently overwritten manifest.
+
+    ``base_version`` is pinned by the CALLER at the moment it read the state it
+    derived ``live_dirs`` from. Recomputing `latest` here instead would shrink
+    the OCC window to same-version races only: a writer that committed between
+    the caller's read and this link would be silently built over with a stale
+    live-set (lost update). Pinning makes ANY intervening commit collide on the
+    link and surface as ``VersionedStoreError``."""
     os.makedirs(_log_dir(path), exist_ok=True)
-    last = latest_version(path)
-    version = 0 if last is None else last + 1
+    version = 0 if base_version is None else base_version + 1
     manifest = {
         "version": version,
         "op": op,
@@ -120,8 +131,9 @@ def _commit(path: str, op: str, live_dirs: list[str], n_rows: int) -> int:
         except FileExistsError:
             raise VersionedStoreError(
                 f"lost commit race: version {version} already committed at "
-                f"{path}; retry at the next version number (see module "
-                "docstring; this commit's data dir is an invisible orphan)"
+                f"{path}; re-read the latest manifest and retry (the commit_* "
+                "helpers do this automatically; this attempt's data dir stays "
+                "an invisible orphan until vacuum)"
             ) from None
     finally:
         if os.path.exists(tmp):
@@ -143,32 +155,77 @@ def _write_data(df: DataFrame, path: str) -> tuple[str, int]:
     return rel, n
 
 
-def commit_overwrite(df: DataFrame, path: str) -> int:
-    """Commit df as the complete new state (copy-on-write full snapshot)."""
+def _retrying_commit(path: str, build, max_retries: int) -> int:
+    """OCC retry loop shared by the commit_* helpers.
+
+    ``build()`` re-reads the CURRENT latest manifest and returns
+    ``(op, live_dirs, n_rows, base_version)``; on a lost race we rebuild from
+    the new latest and relink. Only the manifest is rewritten on retry — the
+    data dir was written exactly once before entering the loop, so a retry is
+    O(one small json), never O(data). A writer that exhausts retries surfaces
+    the last ``VersionedStoreError`` (its data dir stays an invisible orphan)."""
+    last_err: VersionedStoreError | None = None
+    for attempt in range(max_retries + 1):
+        op, live_dirs, n_rows, base_version = build()
+        try:
+            return _commit(path, op, live_dirs, n_rows, base_version)
+        except VersionedStoreError as e:
+            last_err = e
+            # brief backoff so two symmetric writers don't lockstep-collide;
+            # deterministic (attempt-indexed), no randomness needed locally
+            time.sleep(0.01 * (attempt + 1))
+    raise last_err  # type: ignore[misc]
+
+
+def commit_overwrite(df: DataFrame, path: str, max_retries: int = 8) -> int:
+    """Commit df as the complete new state (copy-on-write full snapshot).
+
+    Loses no work on a race: the new state doesn't depend on the previous one,
+    so a retry just re-pins the base version and relinks the manifest."""
     rel, n = _write_data(df, path)
-    return _commit(path, "overwrite", [rel], n)
+    return _retrying_commit(
+        path, lambda: ("overwrite", [rel], n, latest_version(path)), max_retries
+    )
 
 
-def commit_append(df: DataFrame, path: str) -> int:
+def commit_append(df: DataFrame, path: str, max_retries: int = 8) -> int:
     """Commit df as NEW rows on top of the current state — O(delta) data write.
 
     This is the 100 TB ingest path: previous data dirs are referenced, not
     rewritten. Keys are not checked; append means append (use
-    ``commit_upsert`` for keyed last-write-wins)."""
-    last = latest_version(path)
-    m = _read_manifest(path, last) if last is not None else {"live": [], "n_rows": 0}
+    ``commit_upsert`` for keyed last-write-wins).
+
+    Concurrency: the base version is pinned at manifest-read time and passed
+    into the commit, so an intervening commit collides on the link; the retry
+    loop then re-reads the NEW latest manifest and merges on top of it — two
+    racing appends both land, in some linear order, neither dropping the
+    other's dirs (the round-3 lost-update hazard, ADVICE r3)."""
     rel, n = _write_data(df, path)
-    return _commit(path, "append", [*m["live"], rel], m["n_rows"] + n)
+
+    def build():
+        last = latest_version(path)
+        m = _read_manifest(path, last) if last is not None else {"live": [], "n_rows": 0}
+        return "append", [*m["live"], rel], m["n_rows"] + n, last
+
+    return _retrying_commit(path, build, max_retries)
 
 
-def commit_rewrite(df: DataFrame, path: str, op: str = "rewrite") -> int:
+def commit_rewrite(df: DataFrame, path: str, op: str = "rewrite", max_retries: int = 0) -> int:
     """Commit df as the full new state under a named op (delete/upsert/compact).
 
     Copy-on-write: correctness first, then optimize — a partition-pruned rewrite
     writes only changed partitions' dirs and carries the rest by reference; the
-    manifest format above already supports it (live = kept dirs + new dirs)."""
+    manifest format above already supports it (live = kept dirs + new dirs).
+
+    ``max_retries`` defaults to 0: a rewrite is usually DERIVED from a read of
+    the state it replaces (read v, delete rows, write v+1), so blindly
+    relinking after an intervening commit would silently discard that commit's
+    effect. The caller must re-derive from the new state and re-invoke —
+    surfacing the conflict is the correct default for read-modify-write."""
     rel, n = _write_data(df, path)
-    return _commit(path, op, [rel], n)
+    return _retrying_commit(
+        path, lambda: (op, [rel], n, latest_version(path)), max_retries
+    )
 
 
 def read_version(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:

@@ -63,10 +63,83 @@ def test_near_dup_fast_guard_refuses_oversized_collect(spark):
         [(i, [float(i), 1.0, 0.0, 0.0]) for i in range(50)],
         "vec_id long, embedding array<float>",
     )
+    # allow_approx=False restores the round-3 refuse-don't-reroute contract
     with pytest.raises(ValueError, match="srp_lsh_near_dup_pairs"):
-        embedding_near_dup_fast(emb, tau=0.4, max_broadcast_bytes=64)
+        embedding_near_dup_fast(
+            emb, tau=0.4, max_broadcast_bytes=64, allow_approx=False
+        )
     # under the limit it still runs
     assert embedding_near_dup_fast(emb, tau=0.99).count() >= 0
+
+
+def test_near_dup_fast_reroutes_past_guard_without_collect(spark):
+    """VERDICT r3 #3: past the broadcast guard the DEFAULT call must keep
+    working by degrading to the distributed SRP rung — same schema, exact
+    precision (every returned pair truly ≥ tau), no driver gather."""
+    from photo_vector_search_spark.operators import dedup as dd
+
+    # clusterable corpus: two tight groups → SRP finds the in-group pairs
+    base_a = [1.0, 0.2, 0.1, 0.0, 0.3, 0.9, 0.0, 0.1]
+    base_b = [0.0, 1.0, 0.0, 0.8, 0.1, 0.0, 0.7, 0.2]
+    rows = []
+    for i in range(30):
+        src = base_a if i % 2 == 0 else base_b
+        rows.append((i, [v + (i % 7) * 1e-3 for v in src]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    # prove no driver gather on the fallback path: spy on DataFrame.collect
+    # (first()/take() route through it with 1-row results; the broadcast rung
+    # would gather all 30 embedding rows — that's what must NOT happen)
+    from pyspark.sql import DataFrame as SparkDF
+
+    collected_sizes = []
+    real_collect = SparkDF.collect
+
+    def spy(self):
+        rows = real_collect(self)
+        collected_sizes.append(len(rows))
+        return rows
+
+    SparkDF.collect = spy
+    try:
+        out = dd.embedding_near_dup_fast(emb, tau=0.95, max_broadcast_bytes=64)
+        pdf = out.toPandas()
+    finally:
+        SparkDF.collect = real_collect
+    assert max(collected_sizes, default=0) <= 1, (
+        f"distributed rung gathered rows to the driver: {collected_sizes}"
+    )
+
+    assert len(pdf) > 0
+    assert set(pdf.columns) == {"vec_a", "vec_b", "sim"}
+    # exact precision: verify every emitted pair against brute-force cosine
+    import numpy as np
+
+    mat = {i: np.asarray(v, dtype=np.float64) for i, v in rows}
+    for r in pdf.itertuples():
+        a, b = mat[r.vec_a], mat[r.vec_b]
+        sim = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert sim >= 0.95 and abs(sim - r.sim) < 1e-5 and r.vec_a < r.vec_b
+
+
+def test_near_dup_mixed_dim_fails_loudly_before_any_kernel(spark):
+    """ADVICE r3: a mixed-dimension embeddings table must raise a clear error
+    up front on every vectorized rung, not crash inside np.vstack."""
+    from photo_vector_search_spark.operators.dedup import (
+        embedding_near_dup_fast,
+        srp_lsh_near_dup_pairs,
+        srp_lsh_near_dup_sql,
+    )
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    for op in (embedding_near_dup_fast, srp_lsh_near_dup_pairs):
+        with pytest.raises(ValueError, match="single embedding dimension"):
+            op(emb, tau=0.4)
+    with pytest.raises(ValueError, match="single embedding dimension"):
+        srp_lsh_near_dup_sql(emb, tau=0.4).count()
 
 
 def test_search_dimension_mismatch_fails_loudly(spark, tmp_path, capsys):

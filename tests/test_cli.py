@@ -37,14 +37,25 @@ def test_cli_full_workflow(photo_dir, capsys, spark):
         out = capsys.readouterr().out
         assert "distance=" in out and out.count("\n1. ") <= 1
 
-        # --verbose gates the description line (reference cli.py:85, 107)
+        # Reference parity: text search ALWAYS prints the description (its
+        # --verbose only raises log level, reference cli.py:107-133); image
+        # search gates the description behind --verbose (cli.py:85-99).
         args = ["search-photos-by-text", "--query", "tractor", "--store", store, "-k", "1"]
-        assert main([*args, "--verbose"]) == 0
-        verbose_out = capsys.readouterr().out
+        assert main([*args, "-v"]) == 0
+        text_v_out = capsys.readouterr().out
         assert main(args) == 0
-        quiet_out = capsys.readouterr().out
-        assert len(verbose_out.splitlines()) == 2  # result line + description
-        assert len(quiet_out.splitlines()) == 1
+        text_out = capsys.readouterr().out
+        assert len(text_out.splitlines()) == 2  # result line + description, always
+        assert text_v_out.splitlines() == text_out.splitlines()
+
+        img_args = ["search-photos", "--photo", f"{photo_dir}/tractor.jpg",
+                    "--store", store, "-k", "1"]
+        assert main([*img_args, "--verbose"]) == 0
+        img_verbose_out = capsys.readouterr().out
+        assert main(img_args) == 0
+        img_quiet_out = capsys.readouterr().out
+        assert len(img_verbose_out.splitlines()) == 2  # result + description
+        assert len(img_quiet_out.splitlines()) == 1
 
         photo = next(l for l in listed if "barn" in l)
         assert main(["examine-image", "--photo", photo, "--store", store]) == 0

@@ -138,6 +138,72 @@ def test_lost_commit_race_errors_and_preserves_winner(spark, store_path):
     assert not [n for n in os.listdir(log) if n.startswith("._commit_")]
 
 
+def test_two_racing_appends_both_land_linearly(spark, store_path, monkeypatch):
+    """The round-3 lost-update hazard (ADVICE r3): a winner commits BETWEEN the
+    loser's manifest read and its link. With base-version pinning the loser's
+    link collides; the retry merges on top of the winner. Both commits land,
+    the log is linear, and vacuum leaks no orphan (the loser's data dir was
+    written once and reused by the retry)."""
+    import photo_vector_search_spark.operators.versioned_store as vs
+
+    commit_overwrite(_df(spark, range(3)), store_path)  # v0
+
+    real_commit = vs._commit
+    state = {"injected": False}
+
+    def racing_commit(path, op, live, n_rows, base_version):
+        if not state["injected"]:
+            state["injected"] = True
+            # the winner lands in the loser's read→link window (re-enters this
+            # wrapper with injected=True, so it commits for real)
+            commit_append(_df(spark, [100, 101]), path)
+        return real_commit(path, op, live, n_rows, base_version)
+
+    monkeypatch.setattr(vs, "_commit", racing_commit)
+    loser_version = commit_append(_df(spark, [200, 201, 202]), store_path)
+    monkeypatch.undo()
+
+    # both appends landed, in a linear order, neither dropping the other
+    assert loser_version == 2
+    assert latest_version(store_path) == 2
+    assert _ids(read_version(spark, store_path)) == [0, 1, 2, 100, 101, 200, 201, 202]
+    h = history(store_path)
+    assert [(e["version"], e["op"], e["n_rows"]) for e in h] == [
+        (2, "append", 8),
+        (1, "append", 5),
+        (0, "overwrite", 3),
+    ]
+    # no orphan leak: after vacuum, disk holds exactly v2's referenced dirs
+    vacuum(store_path, keep_last=1, min_age_seconds=0)
+    data = os.path.join(store_path, "data")
+    assert len(os.listdir(data)) == 3  # base + winner delta + loser delta
+    assert _ids(read_version(spark, store_path)) == [0, 1, 2, 100, 101, 200, 201, 202]
+
+
+def test_rewrite_surfaces_conflict_instead_of_retrying(spark, store_path, monkeypatch):
+    """rewrite is read-modify-write: an intervening commit must surface as an
+    error (retrying would silently discard that commit's effect)."""
+    import photo_vector_search_spark.operators.versioned_store as vs
+
+    commit_overwrite(_df(spark, range(6)), store_path)
+
+    real_commit = vs._commit
+    state = {"injected": False}
+
+    def racing_commit(path, op, live, n_rows, base_version):
+        if not state["injected"]:
+            state["injected"] = True
+            commit_append(_df(spark, [300]), path)
+        return real_commit(path, op, live, n_rows, base_version)
+
+    monkeypatch.setattr(vs, "_commit", racing_commit)
+    with pytest.raises(VersionedStoreError, match="lost commit race"):
+        commit_rewrite(_df(spark, range(3)), store_path, op="delete")
+    monkeypatch.undo()
+    # the intervening append is the surviving latest state
+    assert _ids(read_version(spark, store_path)) == [0, 1, 2, 3, 4, 5, 300]
+
+
 def test_read_errors_are_actionable(spark, store_path):
     with pytest.raises(VersionedStoreError, match="no commits"):
         read_version(spark, store_path)
