@@ -36,17 +36,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    rejects outright. Read nanos as long (runtime-settable SQL conf) and convert to
-    a micros timestamp — the same truncation DuckDB applies, so oracle parity holds."""
+    """`events.ts` has shipped as either parquet TIMESTAMP(NANOS) — which Spark's
+    vectorized reader rejects outright — or TIMESTAMP(MICROS). Handle both: nanos are
+    read as long (runtime-settable SQL conf) and truncated to micros the same way
+    DuckDB does, so oracle parity holds; micros pass through untouched."""
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # Integer `div`, not `/`: epoch-nanos (~1.7e18) exceed double's 2^53 exact range,
-    # so a float divide can land on a different microsecond than DuckDB's integer
-    # truncation. Keep the arithmetic in int64 end to end.
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        # Integer `div`, not `/`: epoch-nanos (~1.7e18) exceed double's 2^53 exact
+        # range, so a float divide can land on a different microsecond than DuckDB's
+        # integer truncation. Keep the arithmetic in int64 end to end.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ts_type, T.TimestampNTZType):
+        # Normalize to session-TZ TIMESTAMP: the session TZ is pinned UTC
+        # (session.py), so the cast is a wall-clock identity, and downstream
+        # epoch arithmetic (cast to bigint, unix_timestamp) stays legal — NTZ
+        # forbids those casts. DuckDB reads the same parquet as naive-UTC, so
+        # oracle parity is unaffected.
+        df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

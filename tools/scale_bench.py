@@ -70,8 +70,11 @@ def synthesize(spark, copies: int, src: str = SRC, dst: str = DST) -> None:
         *[c for c in li.columns if c != "l_orderkey"],
     ).repartition(64).write.mode("overwrite").parquet(f"{dst}/lineitem.parquet")
 
+    # ts has shipped as either TIMESTAMP(NANOS) (read as long via the legacy
+    # conf) or TIMESTAMP(MICROS); either passes through this copy untouched —
+    # load_table's adaptive loader normalizes at read time.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{src}/events.parquet")  # ts arrives as nanos long
+    ev = spark.read.parquet(f"{src}/events.parquet")
     ev_off = ev.agg(F.max("event_id")).first()[0] + 1
     ev.crossJoin(copies_df).select(
         (F.col("event_id") + F.col("_copy") * ev_off).alias("event_id"),
@@ -115,9 +118,17 @@ def extra_cases(spark, sf_dir: str) -> dict:
 
 
 def run(spark, sf_dir: str) -> dict[str, float]:
-    from bench import bench_queries
+    # bench.py's process-per-group isolation is for the RECORDED artifact; here
+    # both scales run in one session on purpose so the sf1/sf0.1 ratio divides
+    # out any session/host factor. Includes the round-3 staged-LSH heavyweights
+    # (fuzzy_levenshtein_blocked, srp_lsh_near_dup_sql — VERDICT r3 item 6).
+    from bench import _build_cases
 
-    timings = bench_queries(spark, sf_dir)
+    timings = {}
+    for name, fn in _build_cases(spark, sf_dir).items():
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
     for name, fn in extra_cases(spark, sf_dir).items():
         t0 = time.perf_counter()
         fn()
