@@ -487,11 +487,20 @@ def fuzzy_pairs_blocked(
     )
     pa = p.select(F.col("doc_id").alias("doc_a"), F.col("p").alias("p_a"))
     pb = p.select(F.col("doc_id").alias("doc_b"), F.col("p").alias("p_b"))
+    # threshold=max_dist switches the JVM kernel to banded DP — O(len·max_dist)
+    # per pair instead of O(len²) — returning -1 for pairs beyond the band.
+    # Retained rows (lev ≤ max_dist) carry the exact distance, so the declared
+    # output is bit-identical to the unbounded form; only the discarded work
+    # changes.
     return (
         cand.join(pa, "doc_a")
         .join(pb, "doc_b")
-        .select("doc_a", "doc_b", F.levenshtein(F.col("p_a"), F.col("p_b")).alias("lev"))
-        .filter(F.col("lev") <= max_dist)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein(F.col("p_a"), F.col("p_b"), max_dist).alias("lev"),
+        )
+        .filter((F.col("lev") >= 0) & (F.col("lev") <= max_dist))
     )
 
 
@@ -545,8 +554,8 @@ def _uniform_embedding_dim(embeddings: DataFrame, op: str) -> int | None:
 def srp_lsh_near_dup_pairs(
     embeddings: DataFrame,
     tau: float = 0.45,
-    n_planes: int = 6,
-    n_tables: int = 24,
+    n_planes: int | None = None,
+    n_tables: int | None = None,
     seed: int = 42,
 ) -> DataFrame:
     """Embedding near-dup via signed-random-projection LSH (cosine sketch) —
@@ -564,8 +573,19 @@ def srp_lsh_near_dup_pairs(
     afford 16+ planes and a few tables (large buckets pruned hard); the defaults
     here (6 planes × 24 tables ≈ 0.84 detection at sim 0.45) suit the fixture's
     moderate-similarity regime at the cost of coarser buckets — tune up
-    ``n_planes`` as your tau rises. Deterministic: seeded planes, broadcast."""
+    ``n_planes`` as your tau rises. Deterministic: seeded planes, broadcast.
+
+    ``n_planes``/``n_tables`` default to None = size-derived via
+    ``srp_auto_params`` (recall target 0.84, reproducing (6, 24) at fixture
+    scale; sub-quadratic candidate growth past it — see srp_auto_params)."""
     import numpy as np
+
+    if n_planes is None or n_tables is None:
+        auto_planes, auto_tables = srp_auto_params(
+            embeddings.count(), target_recall=_SRP_PAIRS_RECALL
+        )
+        n_planes = auto_planes if n_planes is None else n_planes
+        n_tables = auto_tables if n_tables is None else n_tables
 
     dim = _uniform_embedding_dim(embeddings, "srp_lsh_near_dup_pairs")
     if dim is None:  # empty input degrades to empty output like the other ops
@@ -674,6 +694,54 @@ def _verify_cosine_candidates(
 SRP_SQL_TABLES = 16
 SRP_SQL_PLANES = 6
 SRP_SQL_DIM = 64
+# Auto-tuning design point: detection probability per pair at sim ≈ 0.45 (the
+# fixture near-dup tau). p = 1 - arccos(0.45)/π; recall targets chosen so the
+# size-derived parameters REPRODUCE the hand-tuned constants at fixture scale
+# (≤ ~2k vectors → planes 6; then tables: SQL 16, numpy-pairs 24).
+_SRP_DESIGN_SIM = 0.45
+_SRP_SQL_RECALL = 0.7095  # 0.71 would put ceil() at 17 tables (ratio 16.005)
+_SRP_PAIRS_RECALL = 0.84
+_SRP_TARGET_OCCUPANCY = 32
+
+
+def srp_auto_params(
+    n_rows: int,
+    target_recall: float = _SRP_SQL_RECALL,
+    sim: float = _SRP_DESIGN_SIM,
+    target_occupancy: int = _SRP_TARGET_OCCUPANCY,
+    min_planes: int = SRP_SQL_PLANES,
+) -> tuple[int, int]:
+    """Corpus-size-aware (n_planes, n_tables) for SRP-LSH.
+
+    The scale failure of FIXED parameters: expected candidate pairs are
+    ``n_tables · C(N,2) · 2^-n_planes`` for near-orthogonal pairs, so constant
+    planes make the candidate join QUADRATIC in N once buckets fill (measured:
+    the sf0.1→sf1 scale bench flagged fixed-(6,16) SRP 34x for 10x rows).
+    Classic LSH tuning instead grows planes with corpus size and re-derives
+    tables from the recall target:
+
+    - ``n_planes = max(min_planes, ceil(log2(N / target_occupancy)))`` keeps
+      expected random-pair bucket occupancy ~constant, so per-bucket fan-out
+      never grows with N;
+    - ``n_tables = ceil(ln(1-R) / ln(1-p^n_planes))`` restores pair-detection
+      recall R at the design similarity (p = 1 - arccos(sim)/π) — the standard
+      amplification identity recall = 1-(1-p^b)^L.
+
+    Net candidate volume then scales as N^(1+ρ), ρ = log2(1/p) (≈ N^1.62 at
+    the moderate sim-0.45 design point; ≈ N^1.25 at sim 0.7, ≈ N^1.07 at
+    sim 0.9 — true near-dup regimes are cheap, exploratory low-tau search is
+    the expensive end). Deterministic in N; at fixture scales (N ≤ ~2k) it
+    reproduces the hand-tuned constants exactly, so oracle parity and bench
+    history are unchanged."""
+    import math
+
+    n_planes = min_planes
+    if n_rows > target_occupancy:
+        n_planes = max(min_planes, math.ceil(math.log2(n_rows / target_occupancy)))
+    p = 1 - math.acos(min(max(sim, -1.0), 1.0)) / math.pi
+    hit = p**n_planes
+    n_tables = max(1, math.ceil(math.log(1 - target_recall) / math.log(1 - hit)))
+    return n_planes, n_tables
 # scale 12 fixes the cast rounding (identical at any precision); precision 18
 # keeps every value AND the sum buffer in Spark's compact-long Decimal fast
 # path (precision >18 falls back to BigDecimal objects — measured ~4x slower
@@ -684,8 +752,8 @@ _SRP_DEC = "decimal(18,12)"
 def srp_lsh_near_dup_sql(
     embeddings: DataFrame,
     tau: float = 0.45,
-    n_tables: int = SRP_SQL_TABLES,
-    n_planes: int = SRP_SQL_PLANES,
+    n_tables: int | None = None,
+    n_planes: int | None = None,
     dim: int = SRP_SQL_DIM,
 ) -> DataFrame:
     """SRP-LSH near-dup with an engine-portable, oracle-exact formulation.
@@ -714,11 +782,25 @@ def srp_lsh_near_dup_sql(
     only the N·n_tables bucket rows shuffle into the candidate equi-join —
     linear in N like the text-LSH path; no driver collect, nothing quadratic.
     The numpy ``srp_lsh_near_dup_pairs`` remains the float kernel; this variant
-    is the cross-engine-verifiable twin at essentially the same speed."""
+    is the cross-engine-verifiable twin at essentially the same speed.
+
+    ``n_planes``/``n_tables`` default to None = size-derived via
+    ``srp_auto_params`` (one count()); at fixture scale that reproduces the
+    (6, 16) constants bit-for-bit, at larger corpora buckets sharpen so the
+    candidate join stays sub-quadratic. Pass explicit values to pin them (the
+    oracle SQL string hardcodes the fixture-scale constants, so a DECLARED
+    query at a non-fixture scale would need the explicit pin)."""
     import hashlib
 
     import numpy as np
     import pandas as pd
+
+    if n_planes is None or n_tables is None:
+        auto_planes, auto_tables = srp_auto_params(
+            embeddings.count(), target_recall=_SRP_SQL_RECALL
+        )
+        n_planes = auto_planes if n_planes is None else n_planes
+        n_tables = auto_tables if n_tables is None else n_tables
 
     # ±1 plane coefficients from md5-prefix parity of "t_j_i" — hashlib here,
     # SQL md5 in the oracle: same bytes hashed, same parity, same planes.

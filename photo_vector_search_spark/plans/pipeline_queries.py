@@ -150,7 +150,7 @@ def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ORACLE_PACK_DOCUMENTS = f"""
+_ORACLE_PACK_DOCUMENTS = rf"""
 WITH toks AS (
   SELECT doc_id, len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_tok FROM documents
 ),

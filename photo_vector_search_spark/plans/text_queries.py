@@ -37,7 +37,7 @@ from photo_vector_search_spark.sources.tables import load_table
 
 # ----------------------------------------------------------------- shared SQL CTEs
 
-_SQL_TOKS = "SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents"
+_SQL_TOKS = r"SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents"
 _SQL_SHINGLES = """
 SELECT doc_id, unnest(list_distinct(list_transform(
          generate_series(1, greatest(0, len(t) - 2)),
@@ -150,7 +150,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=6)
 
 
-_ORACLE_DEDUP_SIMHASH = """
+_ORACLE_DEDUP_SIMHASH = r"""
 WITH toks AS (SELECT doc_id, list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
               FROM documents),
 tok AS (
@@ -305,7 +305,7 @@ def q_vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ORACLE_VOCAB_TOP = """
+_ORACLE_VOCAB_TOP = r"""
 WITH tok AS (
   SELECT doc_id, unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) AS tok
   FROM documents
@@ -334,7 +334,7 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ORACLE_DOC_REPETITION = """
+_ORACLE_DOC_REPETITION = r"""
 WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
 g AS (
   SELECT doc_id,

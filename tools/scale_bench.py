@@ -98,9 +98,23 @@ def synthesize(spark, copies: int, src: str = SRC, dst: str = DST) -> None:
 
     emb = spark.read.parquet(f"{src}/embeddings.parquet")
     vec_off = emb.agg(F.max("vec_id")).first()[0] + 1
+    # Circularly shift each copy's embedding by `_copy` positions: an orthogonal
+    # transform, so WITHIN-copy cosine structure (and thus the near-dup pair set)
+    # is preserved exactly, while CROSS-copy cosine is the autocorrelation of
+    # near-random vectors at lag k ≈ 0 — far below any dedup tau. Without this,
+    # every vector gains K exact clones and the TRUE near-dup pair count grows
+    # K², so the near-dup queries' K²-looking walls would be the data's fault,
+    # not the plan's (the round-4 srp_lsh 33.7x "SUPER-LINEAR" false alarm).
+    dim = len(emb.select("embedding").first()[0])
+    shifted = F.expr(
+        f"concat(slice(embedding, cast(_copy % {dim} as int) + 1,"
+        f" {dim} - cast(_copy % {dim} as int)),"
+        f" slice(embedding, 1, cast(_copy % {dim} as int)))"
+    )
     emb.crossJoin(copies_df).select(
         (F.col("vec_id") + F.col("_copy") * vec_off).alias("vec_id"),
-        "embedding", "label",
+        shifted.alias("embedding"),
+        "label",
     ).repartition(16).write.mode("overwrite").parquet(f"{dst}/embeddings.parquet")
 
     open(f"{dst}/_DONE_{copies}", "w").close()
@@ -122,17 +136,21 @@ def run(spark, sf_dir: str) -> dict[str, float]:
     # both scales run in one session on purpose so the sf1/sf0.1 ratio divides
     # out any session/host factor. Includes the round-3 staged-LSH heavyweights
     # (fuzzy_levenshtein_blocked, srp_lsh_near_dup_sql — VERDICT r3 item 6).
-    from bench import _build_cases
+    from bench import RUNS_PER_QUERY, _build_cases
 
+    cases = _build_cases(spark, sf_dir) | extra_cases(spark, sf_dir)
     timings = {}
-    for name, fn in _build_cases(spark, sf_dir).items():
-        t0 = time.perf_counter()
-        fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
-    for name, fn in extra_cases(spark, sf_dir).items():
-        t0 = time.perf_counter()
-        fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    for name, fn in cases.items():
+        # min-of-N (default 2), the same noise-robust statistic bench.py
+        # records: the shared-VM host swings >1.7x between runs of identical
+        # code, and a single spiked wall would flag a healthy plan SUPER-LINEAR
+        best = None
+        for _ in range(RUNS_PER_QUERY):
+            t0 = time.perf_counter()
+            fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
     return timings
 
 
