@@ -173,7 +173,7 @@ def test_incremental_index_stream(spark):
         )
         batch1.write.mode("append").parquet(in_dir)
         q = incremental_index(spark, in_dir, store, ckpt)
-        assert q.awaitTermination(120)
+        assert q.awaitTermination(600)
         s1 = spark.read.parquet(store)
         assert s1.count() == 2
 
@@ -184,7 +184,7 @@ def test_incremental_index_stream(spark):
         )
         batch2.write.mode("append").parquet(in_dir)
         q = incremental_index(spark, in_dir, store, ckpt)
-        assert q.awaitTermination(120)
+        assert q.awaitTermination(600)
         s2 = spark.read.parquet(store)
         assert s2.count() == 3  # b upserted not duplicated, c added
         descs = {r.photo_path: r.description for r in s2.collect()}
@@ -223,7 +223,7 @@ def test_incremental_ivf_index_stream(spark, sf_dir):
             "append"
         ).parquet(in_dir)
         q = incremental_ivf_index(spark, in_dir, store, ckpt)
-        assert q.awaitTermination(120)
+        assert q.awaitTermination(600)
 
         grown, cent2 = load_ivf_store(spark, store)  # torn-pair check passes
         assert (cent2 == centroids).all()
@@ -243,7 +243,7 @@ def test_incremental_ivf_index_stream(spark, sf_dir):
             "append"
         ).parquet(in_dir)
         q = incremental_ivf_index(spark, in_dir, store, ckpt)
-        assert q.awaitTermination(120)
+        assert q.awaitTermination(600)
         assert spark.read.parquet(store).count() == n_base + 20
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -56,7 +56,7 @@ def test_streaming_dedup_with_watermark(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(600), 'stream did not drain within 600s'
         n = spark.sql("SELECT count(*) AS n FROM dedup_stream").first()["n"]
         assert n == 200  # 400 delivered, 200 unique
     finally:
@@ -88,7 +88,7 @@ def test_streaming_windowed_agg_with_watermark(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(600), 'stream did not drain within 600s'
         got = spark.sql(
             "SELECT date_format(w.start, 'yyyy-MM-dd HH:mm') AS hour, event_type, n "
             "FROM windowed_counts"

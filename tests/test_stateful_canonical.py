@@ -44,7 +44,11 @@ def test_streaming_sessionize_matches_batch(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        # availableNow terminates on its own; a silent awaitTermination timeout
+        # would leave the memory sink incomplete and fail below as a confusing
+        # value mismatch — make "host too slow" its own clear failure instead
+        finished = q.awaitTermination(600)
+        assert finished, "streaming sessionize did not drain within 600s"
         # the append stream emits cumulative open-session snapshots plus a final
         # closed row per session (timeout or gap rollover) — reduce to one row
         # per (user, session) via max(n_events) before totaling, as any real
