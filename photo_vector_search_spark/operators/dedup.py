@@ -702,6 +702,13 @@ _SRP_DESIGN_SIM = 0.45
 _SRP_SQL_RECALL = 0.7095  # 0.71 would put ceil() at 17 tables (ratio 16.005)
 _SRP_PAIRS_RECALL = 0.84
 _SRP_TARGET_OCCUPANCY = 32
+# Table-count ceiling: at the low-similarity design point the recall-preserving
+# table count grows ~N^0.62, which at extreme N (10^8+) asks for tens of
+# thousands of tables — at that point LSH at low tau is the wrong tool (each
+# table is a full pass over the data). Cap and let recall degrade gracefully;
+# the docstring's regime guidance (raise tau → exponent → 1, or use the IVF
+# candidate path) is the real answer past the cap.
+_SRP_MAX_TABLES = 256
 
 
 def srp_auto_params(
@@ -741,7 +748,9 @@ def srp_auto_params(
     p = 1 - math.acos(min(max(sim, -1.0), 1.0)) / math.pi
     hit = p**n_planes
     n_tables = max(1, math.ceil(math.log(1 - target_recall) / math.log(1 - hit)))
-    return n_planes, n_tables
+    # cap: past this, per-pair detection recall degrades below target rather
+    # than the job degrading into hundreds of full-data passes (see constant)
+    return n_planes, min(n_tables, _SRP_MAX_TABLES)
 # scale 12 fixes the cast rounding (identical at any precision); precision 18
 # keeps every value AND the sum buffer in Spark's compact-long Decimal fast
 # path (precision >18 falls back to BigDecimal objects — measured ~4x slower

@@ -39,10 +39,26 @@ def test_srp_auto_params_bound_bucket_occupancy():
     import math
 
     p = 1 - math.acos(0.45) / math.pi
+    from photo_vector_search_spark.operators.dedup import _SRP_MAX_TABLES
+
     for n in (500, 20_000, 200_000):
         planes, tables = srp_auto_params(n, _SRP_SQL_RECALL)
         recall = 1 - (1 - p**planes) ** tables
-        assert recall >= _SRP_SQL_RECALL - 1e-9, (n, recall)
+        if tables < _SRP_MAX_TABLES:  # past the cap recall degrades by design
+            assert recall >= _SRP_SQL_RECALL - 1e-9, (n, recall)
+        else:
+            assert recall >= 0.5, (n, recall)  # capped but not collapsed
+
+
+def test_srp_auto_params_table_ceiling():
+    """At extreme N the recall-preserving table count would be thousands of
+    full-data passes; the cap trades recall (documented) for a sane job."""
+    from photo_vector_search_spark.operators.dedup import _SRP_MAX_TABLES
+
+    for n in (10**8, 10**9):
+        planes, tables = srp_auto_params(n, _SRP_SQL_RECALL)
+        assert tables <= _SRP_MAX_TABLES, (n, tables)
+        assert planes >= 20, (n, planes)  # buckets keep sharpening regardless
 
 
 def test_srp_sql_auto_defaults_match_explicit_at_fixture_scale(spark, sf_dir):
