@@ -46,11 +46,17 @@ STUB_DIM = 64  # matches the `embeddings` fixture (FIXTURES.md)
 def stub_embedding_expr(text: Column, dim: int = STUB_DIM) -> Column:
     """The stub embedding as a pure column expression (JVM-side, oracle-twinned).
 
-    Unnormalized components first; L2-normalized via a second pass. All double
-    math, deterministic across engines."""
+    Components derive from a 32-char md5 SEED of the text, not from the text
+    itself: the variable-length document is hashed exactly once and the ``dim``
+    per-component hashes run over short fixed-size strings — ~8× fewer hashed
+    bytes at the fixture's ~300-char mean than hashing the full text per
+    component (round-4 change; all four twins moved together, driver parity
+    re-verified). Unnormalized components first; L2-normalized via a second
+    pass. All double math, deterministic across engines."""
+    seed = F.md5(text.cast("binary"))
     comps = F.array(
         *[
-            (hash32(F.concat(text, F.lit(f":{j}"))) / F.lit(float(1 << 32))) * 2.0 - 1.0
+            (hash32(F.concat(seed, F.lit(f":{j}"))) / F.lit(float(1 << 32))) * 2.0 - 1.0
             for j in range(dim)
         ]
     )
@@ -61,33 +67,38 @@ def stub_embedding_expr(text: Column, dim: int = STUB_DIM) -> Column:
 def with_stub_embedding(
     df: DataFrame, text_col: str, out_col: str = "embedding", dim: int = STUB_DIM
 ) -> DataFrame:
-    """Staged form of ``stub_embedding_expr`` for bulk use: the md5-component
-    array is materialized as a column referenced twice (norm + normalize), which
-    blocks Catalyst's project-collapse from re-inlining it into the normalize
-    lambda — inlined, the per-element norm re-evaluates all 64 md5s and the whole
-    thing goes O(dim²) md5s per row (~8× slower at sf0.1)."""
-    comps = F.array(
-        *[
-            (hash32(F.concat(F.col(text_col), F.lit(f":{j}"))) / F.lit(float(1 << 32)))
-            * 2.0
-            - 1.0
-            for j in range(dim)
-        ]
-    )
+    """Staged form of ``stub_embedding_expr`` for bulk use: the md5 seed and
+    the component array are materialized as columns referenced downstream,
+    which blocks Catalyst's project-collapse from re-inlining them — inlined,
+    the per-element norm re-evaluates all 64 hashes and the whole thing goes
+    O(dim²) hashes per row (~8× slower at sf0.1); the staged seed also
+    guarantees the document is md5'd exactly once per row."""
+    seed = F.md5(F.col(text_col).cast("binary"))
     return (
-        df.withColumn("_comps", comps)
+        df.withColumn("_seed", seed)
+        .withColumn(
+            "_comps",
+            F.array(
+                *[
+                    (hash32(F.concat(F.col("_seed"), F.lit(f":{j}"))) / F.lit(float(1 << 32)))
+                    * 2.0
+                    - 1.0
+                    for j in range(dim)
+                ]
+            ),
+        )
         .withColumn(
             "_norm", F.sqrt(F.aggregate(F.col("_comps"), F.lit(0.0), lambda a, x: a + x * x))
         )
         .withColumn(out_col, F.transform(F.col("_comps"), lambda x: x / F.col("_norm")))
-        .drop("_comps", "_norm")
+        .drop("_seed", "_comps", "_norm")
     )
 
 
 def stub_embedding_sql(text_sql: str, dim: int = STUB_DIM) -> str:
-    """DuckDB twin of ``stub_embedding_expr`` (same md5-prefix hash formula)."""
+    """DuckDB twin of ``stub_embedding_expr`` (same seeded md5-prefix formula)."""
     comps = ", ".join(
-        f"(CAST(concat('0x', substring(md5(concat({text_sql}, ':{j}')), 1, 8)) AS BIGINT)"
+        f"(CAST(concat('0x', substring(md5(concat(md5({text_sql}), ':{j}')), 1, 8)) AS BIGINT)"
         f" / 4294967296.0) * 2.0 - 1.0"
         for j in range(dim)
     )
@@ -102,9 +113,10 @@ def stub_embedding_sql(text_sql: str, dim: int = STUB_DIM) -> str:
 
 def stub_embed_one(text: str, dim: int = STUB_DIM) -> list[float]:
     """Python twin of the stub formula (used inside the pandas UDF and in tests)."""
+    seed = hashlib.md5(text.encode()).hexdigest()
     comps = []
     for j in range(dim):
-        h = int(hashlib.md5(f"{text}:{j}".encode()).hexdigest()[:8], 16)
+        h = int(hashlib.md5(f"{seed}:{j}".encode()).hexdigest()[:8], 16)
         comps.append((h / float(1 << 32)) * 2.0 - 1.0)
     n = math.sqrt(sum(x * x for x in comps))
     return [x / n for x in comps]
