@@ -62,24 +62,29 @@ SELECT kind, lang FROM only0 UNION ALL SELECT kind, lang FROM in_both
 
 def q_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rollup aggregation (engine scaffolding, SURVEY §2.4 note): event counts by
-    (event_type, day) with subtotals and grand total."""
+    (event_type, day) with subtotals and grand total — via the same
+    rollup-from-finest pattern as `cube_lineitem` (one finest pass over events,
+    the 3 rollup sets expanded on the tiny aggregate; count/decimal-sum are
+    exact decomposable aggs so values are bit-identical to one-pass ROLLUP,
+    which remains the oracle's formulation)."""
+    from photo_vector_search_spark.plans.relational import regroup_from_finest
+
     ev = load_table(spark, sf_dir, "events")
     day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
-    return (
+    finest = (
         ev.select("event_type", day, "value")
-        .rollup("event_type", "day")
+        .groupBy("event_type", "day")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4).alias(
-                "total_value"
-            ),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("_dv"),
         )
-        .select(
-            F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
-            F.coalesce("day", F.lit("<all>")).alias("day"),
-            "n",
-            "total_value",
-        )
+    )
+    rollup_sets = [("event_type", "day"), ("event_type",), ()]
+    return regroup_from_finest(finest, ["event_type", "day"], rollup_sets).select(
+        F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
+        F.coalesce("day", F.lit("<all>")).alias("day"),
+        "n",
+        F.round(F.col("_dv").cast("double"), 4).alias("total_value"),
     )
 
 
