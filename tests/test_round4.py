@@ -76,6 +76,39 @@ def test_srp_sql_auto_defaults_match_explicit_at_fixture_scale(spark, sf_dir):
     assert auto == pinned and len(auto) > 0
 
 
+def test_regroup_from_finest_matches_native_cube(spark, sf_dir):
+    """The from-finest grouping-sets rewrite must equal Spark's native .cube()
+    bit-for-bit — count and decimal sum are exact decomposable aggregates, so
+    marginals re-aggregated from finest cells carry no re-ordering error."""
+    from pyspark.sql import functions as F
+
+    from photo_vector_search_spark.plans.relational import regroup_from_finest
+
+    li = load_table(spark, sf_dir, "lineitem").limit(5000)
+    native = (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("q"),
+        )
+        .collect()
+    )
+    finest = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("q"),
+    )
+    sets = [
+        ("l_returnflag", "l_linestatus"),
+        ("l_returnflag",),
+        ("l_linestatus",),
+        (),
+    ]
+    ours = regroup_from_finest(finest, ["l_returnflag", "l_linestatus"], sets).collect()
+    assert sorted([tuple(r) for r in native], key=lambda t: (t[0] or "", t[1] or "")) == sorted(
+        [tuple(r) for r in ours], key=lambda t: (t[0] or "", t[1] or "")
+    )
+
+
 def test_events_loader_normalizes_micros_timestamp(spark, sf_dir):
     """events.ts must arrive as session-TZ TIMESTAMP whatever the parquet
     physical type (nanos-INT64 in early fixture generations, micros TIMESTAMP
