@@ -84,7 +84,10 @@ def with_stub_embedding(
     def _embed(batches):
         for pdf in batches:
             pdf = pdf.copy()
-            pdf[out_col] = [stub_embed_one(t, dim) for t in pdf[text_col]]
+            # None → None mirrors the expression form (md5(NULL) = NULL)
+            pdf[out_col] = [
+                None if t is None else stub_embed_one(t, dim) for t in pdf[text_col]
+            ]
             yield pdf
 
     return df.mapInPandas(_embed, schema=schema)
