@@ -557,6 +557,7 @@ def srp_lsh_near_dup_pairs(
     n_planes: int | None = None,
     n_tables: int | None = None,
     seed: int = 42,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup via signed-random-projection LSH (cosine sketch) —
     the scale path when NEITHER side fits a broadcast.
@@ -577,12 +578,15 @@ def srp_lsh_near_dup_pairs(
 
     ``n_planes``/``n_tables`` default to None = size-derived via
     ``srp_auto_params`` (recall target 0.84, reproducing (6, 24) at fixture
-    scale; sub-quadratic candidate growth past it — see srp_auto_params)."""
+    scale; sub-quadratic candidate growth past it — see srp_auto_params).
+    ``n_rows`` is an optional size hint that skips the ``count()`` job (use it
+    when ``embeddings`` is an expensive uncached upstream)."""
     import numpy as np
 
     if n_planes is None or n_tables is None:
         auto_planes, auto_tables = srp_auto_params(
-            embeddings.count(), target_recall=_SRP_PAIRS_RECALL
+            embeddings.count() if n_rows is None else n_rows,
+            target_recall=_SRP_PAIRS_RECALL,
         )
         n_planes = auto_planes if n_planes is None else n_planes
         n_tables = auto_tables if n_tables is None else n_tables
@@ -764,6 +768,7 @@ def srp_lsh_near_dup_sql(
     n_tables: int | None = None,
     n_planes: int | None = None,
     dim: int = SRP_SQL_DIM,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """SRP-LSH near-dup with an engine-portable, oracle-exact formulation.
 
@@ -794,11 +799,14 @@ def srp_lsh_near_dup_sql(
     is the cross-engine-verifiable twin at essentially the same speed.
 
     ``n_planes``/``n_tables`` default to None = size-derived via
-    ``srp_auto_params`` (one count()); at fixture scale that reproduces the
-    (6, 16) constants bit-for-bit, at larger corpora buckets sharpen so the
-    candidate join stays sub-quadratic. Pass explicit values to pin them (the
-    oracle SQL string hardcodes the fixture-scale constants, so a DECLARED
-    query at a non-fixture scale would need the explicit pin)."""
+    ``srp_auto_params``; at fixture scale that reproduces the (6, 16) constants
+    bit-for-bit, at larger corpora buckets sharpen so the candidate join stays
+    sub-quadratic. The derivation needs the corpus size: pass ``n_rows`` as a
+    hint to avoid the ``count()`` Spark job (which re-executes the whole
+    upstream plan when ``embeddings`` is an uncached derived pipeline). Pass
+    explicit plane/table values to pin them entirely (the oracle SQL string
+    hardcodes the fixture-scale constants, so a DECLARED query must pin — see
+    ``q_srp_lsh_near_dup``)."""
     import hashlib
 
     import numpy as np
@@ -806,7 +814,8 @@ def srp_lsh_near_dup_sql(
 
     if n_planes is None or n_tables is None:
         auto_planes, auto_tables = srp_auto_params(
-            embeddings.count(), target_recall=_SRP_SQL_RECALL
+            embeddings.count() if n_rows is None else n_rows,
+            target_recall=_SRP_SQL_RECALL,
         )
         n_planes = auto_planes if n_planes is None else n_planes
         n_tables = auto_tables if n_tables is None else n_tables

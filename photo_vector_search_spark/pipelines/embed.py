@@ -26,6 +26,7 @@ implementations plug in behind the same interfaces (``Embedder``/``Describer``).
 from __future__ import annotations
 
 import hashlib
+import logging
 import math
 from dataclasses import dataclass
 from typing import Callable, Iterator
@@ -78,8 +79,13 @@ def with_stub_embedding(
     tiny-string workload where expression-tree overhead dominates the actual
     hashing. ``stub_embedding_expr`` remains the pure-column form for
     single-row composition (e.g. embedding a query literal inside a plan)."""
-    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
-    schema = f"{fields}, {out_col} array<double>"
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    # structural, not a DDL string: column names with spaces/colons/commas (or
+    # exotic nested types) have no stable simpleString round-trip
+    schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, ArrayType(DoubleType()))]
+    )
 
     def _embed(batches):
         for pdf in batches:
@@ -210,8 +216,9 @@ def available_models() -> dict[str, dict[str, str]]:
         import torch  # noqa: F401
 
         out["clip-vit-l14"] = {"kind": "embedder", "dim": "768", "hermetic": "no"}
-    except ImportError:
-        pass
+    except ImportError as exc:  # absent runtime is the normal hermetic case —
+        # log it so a *broken* (half-installed) runtime isn't invisible
+        logging.getLogger(__name__).debug("real model backends unavailable: %s", exc)
     return out
 
 

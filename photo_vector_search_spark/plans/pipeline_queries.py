@@ -497,9 +497,24 @@ def q_srp_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     trick that made MinHash-LSH bit-identical) — recall stays approximate by
     design, but the algorithm itself is now value-verified, not rows-only.
     The numpy-kernel twin (`srp_lsh_near_dup_pairs`) is recall-tested in pytest."""
-    from photo_vector_search_spark.operators.dedup import srp_lsh_near_dup_sql
+    from photo_vector_search_spark.operators.dedup import (
+        SRP_SQL_PLANES,
+        SRP_SQL_TABLES,
+        srp_lsh_near_dup_sql,
+    )
 
-    return srp_lsh_near_dup_sql(load_table(spark, sf_dir, "embeddings"), tau=0.45)
+    # PINNED to the constants `_srp_oracle()` hardcodes: the declared query must
+    # bucket identically to the oracle SQL no matter how large the driver
+    # regenerates the embeddings fixture (auto-derivation would flip n_planes to
+    # 7 past 2048 rows and silently break hash parity), and pinning also drops
+    # the per-call count() pre-job from the declared/benched path. Library
+    # callers still get size-derived params by default.
+    return srp_lsh_near_dup_sql(
+        load_table(spark, sf_dir, "embeddings"),
+        tau=0.45,
+        n_planes=SRP_SQL_PLANES,
+        n_tables=SRP_SQL_TABLES,
+    )
 
 
 def _srp_oracle() -> str:

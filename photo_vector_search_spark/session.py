@@ -15,6 +15,7 @@ configuration keys are the ones that matter on a real cluster:
 
 from __future__ import annotations
 
+import logging
 import os
 
 from pyspark.sql import SparkSession
@@ -25,18 +26,20 @@ def _available_memory_bytes() -> int | None:
     memory even inside a memory-limited container, so a 4 GB-capped pod on a
     128 GB node must read its cgroup cap (v2 ``memory.max`` / v1
     ``memory.limit_in_bytes``) or the derived heap OOM-kills the driver."""
+    log = logging.getLogger(__name__)
     candidates = []
     try:
         candidates.append(os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES"))
-    except (ValueError, OSError, AttributeError):  # non-POSIX / sysconf unavailable
-        pass
+    except (ValueError, OSError, AttributeError) as exc:  # non-POSIX sysconf
+        log.debug("sysconf physical-memory probe unavailable: %s", exc)
     for cgroup_file in ("/sys/fs/cgroup/memory.max",
                         "/sys/fs/cgroup/memory/memory.limit_in_bytes"):
         try:
             raw = open(cgroup_file).read().strip()
             if raw != "max":  # v2 spells "no limit" as the literal string max
                 candidates.append(int(raw))
-        except (OSError, ValueError):
+        except (OSError, ValueError) as exc:  # file absent = other cgroup version
+            log.debug("cgroup memory probe %s skipped: %s", cgroup_file, exc)
             continue
     return min(candidates) if candidates else None
 
