@@ -193,3 +193,124 @@ def ivf_topk(
         return knn_topk(pruned, query_vec, k=k)
     over = knn_topk(pruned, query_vec, k=k * n_assign)
     return over.dropDuplicates(["vec_id"]).orderBy("dist", "vec_id").limit(k)
+
+
+def cluster_radii(indexed: DataFrame, centroids: np.ndarray) -> np.ndarray:
+    """Per-cluster max L2 distance of L2-normalized members to their (unit)
+    centroid — the sidecar statistic ``ivf_topk_adaptive``'s exact bound needs.
+    One map stage of per-Arrow-batch partial maxima + a k-row groupBy max; at
+    scale this is computed once at index build (alongside the centroid sidecar)
+    and is k floats, like the centroids themselves."""
+    import pandas as pd
+
+    bc = indexed.sparkSession.sparkContext.broadcast(centroids)
+
+    def _partial(batches):
+        cent = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64, copy=False)
+            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+            cid = pdf["cluster_id"].to_numpy()
+            d = np.linalg.norm(m - cent[cid], axis=1)
+            yield (
+                pd.DataFrame({"cluster_id": cid, "r": d})
+                .groupby("cluster_id", as_index=False)["r"]
+                .max()
+            )
+
+    parts = indexed.mapInPandas(_partial, schema="cluster_id int, r double")
+    radii = np.zeros(len(centroids), dtype=np.float64)
+    for row in parts.groupBy("cluster_id").agg(F.max("r").alias("r")).collect():
+        radii[row["cluster_id"]] = row["r"]
+    return radii
+
+
+def ivf_topk_adaptive(
+    indexed: DataFrame,
+    centroids: np.ndarray,
+    radii: np.ndarray,
+    query_vec: Sequence[float],
+    k: int = 5,
+    max_probe: int | None = None,
+    n_assign: int = 1,
+    start_probe: int = 1,
+    return_stats: bool = False,
+):
+    """Distribution-adaptive multi-probe IVF: probe clusters in ascending
+    centroid-distance order, in geometrically growing batches, and STOP as soon
+    as the running k-th distance beats the best any unprobed cluster could
+    possibly hold — at which point the result is provably the EXACT top-k.
+
+    The bound is the triangle inequality on the unit sphere: a member x of
+    cluster c satisfies ||q−x|| ≥ ||q−c|| − r_c (r_c = ``cluster_radii``), so
+    once the running k-th L2 distance ≤ min over unprobed c of (||q−c|| − r_c),
+    no unprobed cluster can improve the answer. This is the IVF re-expression
+    of the reference HNSW's distribution-INDEPENDENT recall
+    (photo_vector_search.py:17-20): recall is 1.0 by construction whenever the
+    loop exits on the bound (always, if ``max_probe`` is None) — what varies
+    with the data's geometry is the COST. Tight clusters (real encoder output)
+    exit after probing ~1-2 cells; adversarial uniform-random data has cluster
+    radii comparable to inter-centroid distances, every lower bound clamps to
+    ~0, and the loop honestly degrades to a full scan (measured in
+    SCALE_BENCH.md — no parameter setting can fix that geometry, which is why
+    the capped ``ivf_topk`` remains the budgeted-latency path).
+
+    Driver-side state is k rows per batch (a top-k query's own result size);
+    each batch scans only its new clusters, so total bytes read equal a single
+    ``ivf_topk`` at the exit probe count — at rest the IN-filter prunes
+    partition directories exactly like ``ivf_topk``.
+
+    Returns the result DataFrame, or (DataFrame, stats) with
+    ``{"probed": n, "n_clusters": k, "exact": bool}`` when ``return_stats``."""
+    import math
+
+    spark = indexed.sparkSession
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-300)
+    sims = centroids @ q
+    order = np.argsort(-sims)
+    d_cent = np.sqrt(np.maximum(2.0 - 2.0 * sims[order], 0.0))
+    lower = np.maximum(d_cent - radii[order], 0.0)
+    # suffix_min[i] = best (smallest) possible member distance among clusters
+    # order[i:] — the early-exit threshold after probing the first i clusters
+    suffix_min = np.minimum.accumulate(lower[::-1])[::-1]
+    cap = len(order) if max_probe is None else min(max_probe, len(order))
+
+    best: dict = {}
+    probed, batch, exact = 0, max(1, start_probe), False
+    while probed < cap:
+        nxt = min(cap, probed + batch)
+        ids = [int(c) for c in order[probed:nxt]]
+        probed, batch = nxt, batch * 2
+        part = knn_topk(
+            indexed.filter(F.col("cluster_id").isin(ids)),
+            query_vec,
+            k=k * max(1, n_assign),
+        )
+        for r in part.collect():  # ≤ k·n_assign rows — result-sized
+            old = best.get(r.vec_id)
+            if old is None or (r.dist, r.vec_id) < (old.dist, old.vec_id):
+                best[r.vec_id] = r
+        top = sorted(best.values(), key=lambda r: (r.dist, r.vec_id))[:k]
+        if len(top) == k:
+            if probed >= len(order):
+                exact = True
+                break
+            # dist is cosine distance rounded to 6dp; on unit vectors
+            # ||q−x||² = 2·dist. The 1e-5 margin absorbs the rounding so the
+            # exactness claim survives it.
+            kth_l2 = math.sqrt(max(0.0, 2.0 * top[-1].dist))
+            if suffix_min[probed] >= kth_l2 + 1e-5:
+                exact = True
+                break
+    exact = exact or probed >= len(order)  # probed everything ⇒ exact by scan
+    top = sorted(best.values(), key=lambda r: (r.dist, r.vec_id))[:k]
+    out = spark.createDataFrame(
+        [(r.vec_id, r.label, r.dist) for r in top],
+        "vec_id long, label int, dist double",
+    )
+    if return_stats:
+        return out, {"probed": probed, "n_clusters": len(order), "exact": exact}
+    return out

@@ -275,20 +275,34 @@ def vacuum(path: str, keep_last: int = 1, min_age_seconds: float = 3600.0) -> li
     crashed ``._commit_*`` manifest tempfiles). Returns removed paths. Time
     travel reaches only kept versions afterwards.
 
-    ``min_age_seconds`` is the retention window (Delta's in-flight-commit
-    guard): an unreferenced dir younger than it is NOT reclaimed, because it
-    may belong to a commit whose data is written but whose manifest is not yet
-    linked — vacuuming that window would delete the dir out from under the
-    commit. Pass 0 only when no writer can be concurrent with the vacuum."""
+    ``min_age_seconds`` is the retention window, guarding BOTH races Delta's
+    retention guards:
+
+    - in-flight COMMITS: an unreferenced dir younger than the window is NOT
+      reclaimed — it may belong to a commit whose data is written but whose
+      manifest is not yet linked;
+    - in-flight READERS: a version COMMITTED within the window is kept
+      entirely (manifest + referenced dirs), even past ``keep_last``. A
+      time-travel reader that pinned version N is therefore provably safe
+      while N is in retention: every path its plan lists stays on disk for at
+      least ``min_age_seconds`` after N's commit — the reader's contract is
+      "finish (or re-pin) within the retention window", the same contract
+      Delta gives `versionAsOf` readers.
+
+    Pass 0 only when no writer OR reader can be concurrent with the vacuum."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1 — vacuuming the latest version "
                          "would delete the live table")
+    cutoff = time.time() - min_age_seconds
     versions = _list_versions(path)
-    kept = versions[-keep_last:]
+    kept = set(versions[-keep_last:])
+    # retention guard for readers: versions committed inside the window stay
+    kept.update(
+        v for v in versions if _read_manifest(path, v).get("committed_at", 0) > cutoff
+    )
     referenced: set[str] = set()
     for v in kept:
         referenced.update(_read_manifest(path, v)["live"])
-    cutoff = time.time() - min_age_seconds
 
     def _old_enough(p: str) -> bool:
         try:
@@ -297,9 +311,10 @@ def vacuum(path: str, keep_last: int = 1, min_age_seconds: float = 3600.0) -> li
             return False
 
     removed: list[str] = []
-    for v in versions[: len(versions) - len(kept)]:
-        os.remove(_manifest_path(path, v))
-        removed.append(_manifest_path(path, v))
+    for v in versions:
+        if v not in kept:
+            os.remove(_manifest_path(path, v))
+            removed.append(_manifest_path(path, v))
     log = _log_dir(path)
     if os.path.isdir(log):
         for name in sorted(os.listdir(log)):

@@ -478,19 +478,38 @@ def regroup_from_finest(
     ``finest`` = groupBy(*key_cols) with every measure already aggregated;
     every non-key column is re-aggregated with SUM (pre-aggregate counts as
     counts, sums as sums). Callers apply rounding/display AFTER this, exactly
-    as they would after a one-pass cube."""
+    as they would after a one-pass cube.
+
+    NULL keys: an explicit grouping id (bitmask of nulled-out columns, Spark's
+    ``grouping_id()`` bit order) rides through the expansion and the regroup,
+    so a finest cell whose DATA value is NULL stays a distinct output row from
+    the grouping-set marker NULL — exactly the native ``.cube()``/``ROLLUP``
+    multiset (which separates them by grouping id even when the visible
+    columns tie). The id is dropped from the result; only row identity is
+    affected."""
     measures = [c for c in finest.columns if c not in key_cols]
+    gid_col = "__gid"
+    while gid_col in finest.columns:  # avoid capture by a user column
+        gid_col = "_" + gid_col
     structs = []
     for s in sets:
-        fields = [
-            (F.col(k) if k in s else F.lit(None).cast(finest.schema[k].dataType)).alias(k)
-            for k in key_cols
-        ]
-        structs.append(F.struct(*fields))
+        gid = 0
+        fields = []
+        for bit, k in enumerate(key_cols):
+            if k in s:
+                fields.append(F.col(k).alias(k))
+            else:
+                gid |= 1 << (len(key_cols) - 1 - bit)
+                fields.append(F.lit(None).cast(finest.schema[k].dataType).alias(k))
+        structs.append(F.struct(*fields, F.lit(gid).alias(gid_col)))
     return (
         finest.select(F.explode(F.array(*structs)).alias("g"), *measures)
-        .groupBy(*[F.col(f"g.{k}").alias(k) for k in key_cols])
+        .groupBy(
+            *[F.col(f"g.{k}").alias(k) for k in key_cols],
+            F.col(f"g.{gid_col}").alias(gid_col),
+        )
         .agg(*[F.sum(m).alias(m) for m in measures])
+        .drop(gid_col)
     )
 
 

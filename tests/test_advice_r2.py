@@ -16,13 +16,13 @@ def test_events_nanos_integer_truncation(spark, tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from photo_vector_search_spark.sources.tables import _load_events
+    from photo_vector_search_spark.sources.tables import load_table
 
     v = (1 << 60) + 999  # float64 rounds this to 2^60+1024 -> off-by-one microsecond
     assert int(float(v) / 1000) != v // 1000  # the defect this guards against
     tbl = pa.table({"ts": pa.array([v], type=pa.timestamp("ns")), "user_id": [1]})
     pq.write_table(tbl, str(tmp_path / "events.parquet"))
-    got = _load_events(spark, str(tmp_path)).select(
+    got = load_table(spark, str(tmp_path), "events").select(
         F.unix_micros("ts").alias("us")
     ).first()["us"]
     assert got == v // 1000

@@ -1,0 +1,125 @@
+"""Fixture-regeneration hardening (VERDICT r4 #3): the testdata parquet is
+driver-owned and its PHYSICAL types are not stable across rounds — round 4
+absorbed events.ts flipping TIMESTAMP(NANOS) → TIMESTAMP(MICROS) in the wild.
+These tests write a physically-mutated variant of each table (int widths
+flipped, money columns as decimal, timestamps at nanosecond resolution,
+embeddings as list<double>) into a synthetic sf dir and assert the DECLARED
+queries still hash-match their DuckDB oracles on it — i.e. `load_table`'s
+normalization to the documented logical schema (FIXTURES.md) is doing its job
+and the oracle, which reads the same variant parquet natively, lands on the
+same values."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from photo_vector_search_spark.sources.tables import TABLES, load_table
+from tests.conftest import SF_SMOKE
+from tests.oracle import assert_matches
+
+
+def _cast_cols(t: pa.Table, casts: dict[str, pa.DataType]) -> pa.Table:
+    for name, typ in casts.items():
+        i = t.schema.get_field_index(name)
+        col = t.column(name)
+        if pa.types.is_decimal(typ) and pa.types.is_floating(col.type):
+            # pre-round so double→decimal never raises on unrepresentable values;
+            # the rounded values ARE the variant's data — both engines read them
+            col = pc.round(col, ndigits=typ.scale)
+        t = t.set_column(i, name, pc.cast(col, typ))
+    return t
+
+
+# Per-table physical mutations a regeneration could plausibly ship. Every cast
+# is applied to the raw arrow data, so Spark and DuckDB read the same mutated
+# file — the test checks the ENGINES agree, not that values equal sf0.001's.
+_VARIANTS: dict[str, dict[str, pa.DataType]] = {
+    "region": {"r_regionkey": pa.int64()},
+    "nation": {"n_nationkey": pa.int64(), "n_regionkey": pa.int64()},
+    "customer": {"c_custkey": pa.int32(), "c_acctbal": pa.decimal128(15, 2)},
+    "supplier": {"s_suppkey": pa.int32(), "s_nationkey": pa.int64()},
+    "part": {"p_partkey": pa.int32(), "p_size": pa.int64()},
+    "orders": {
+        "o_orderdate": pa.timestamp("ns"),
+        "o_totalprice": pa.decimal128(15, 2),
+        "o_custkey": pa.int32(),
+    },
+    "lineitem": {
+        "l_shipdate": pa.timestamp("ns"),
+        "l_linenumber": pa.int64(),
+        "l_quantity": pa.decimal128(12, 2),
+    },
+    "events": {"ts": pa.timestamp("ns"), "user_id": pa.int32()},
+    "documents": {"doc_id": pa.int32(), "n_chars": pa.int32()},
+    "embeddings": {
+        "vec_id": pa.int32(),
+        "embedding": pa.list_(pa.float64()),
+        "label": pa.int64(),
+    },
+}
+
+# Declared queries that exercise each table (from __spark_entry__.queries()).
+# `part` has no declared-query surface; its loader normalization is asserted
+# schema-level below.
+_CHECKS: dict[str, list[str]] = {
+    "region": ["tpch_q5"],
+    "nation": ["tpch_q5"],
+    "customer": ["tpch_q3"],
+    "supplier": ["tpch_q5"],
+    "part": [],
+    "orders": ["tpch_q3", "range_band_join"],
+    "lineitem": ["tpch_q1"],
+    "events": ["rollup_events", "events_histogram"],
+    "documents": ["text_stats", "dedup_exact"],
+    "embeddings": ["knn_topk", "srp_lsh_near_dup"],
+}
+
+
+@pytest.fixture(scope="module")
+def entry():
+    import __spark_entry__ as m
+
+    return m
+
+
+def _variant_dir(tmp_path_factory, table: str) -> str:
+    """An sf dir where `table` is physically mutated and the other nine are the
+    pristine sf0.001 files (copied — DuckDB and Spark both read this dir)."""
+    d = tmp_path_factory.mktemp(f"variant_{table}")
+    for t in TABLES:
+        src = os.path.join(SF_SMOKE, f"{t}.parquet")
+        dst = os.path.join(str(d), f"{t}.parquet")
+        if t == table:
+            pq.write_table(_cast_cols(pq.read_table(src), _VARIANTS[t]), dst)
+        else:
+            shutil.copyfile(src, dst)
+    return str(d)
+
+
+@pytest.mark.parametrize("table", sorted(_VARIANTS))
+def test_loaders_tolerate_physical_variants(spark, tmp_path_factory, entry, table):
+    sf = _variant_dir(tmp_path_factory, table)
+    # loader-level: the normalized logical schema is variant-independent
+    base = load_table(spark, SF_SMOKE, table)
+    var = load_table(spark, sf, table)
+    if table == "embeddings":
+        # embedding passes through by design (both engines widen at use sites);
+        # compare everything else
+        keep = [c for c in base.columns if c != "embedding"]
+        assert var.select(keep).schema == base.select(keep).schema
+    else:
+        assert var.schema == base.schema, (
+            f"{table}: normalized schema drifted under physical variant:\n"
+            f"  base={base.schema}\n  var={var.schema}"
+        )
+    # driver-level: declared queries still hash-match their oracle on the
+    # variant dir (same compare as tools/driver_sim.py, stricter cell-wise)
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    for qname in _CHECKS[table]:
+        assert_matches(qs[qname](spark, sf), oracles[qname], sf)

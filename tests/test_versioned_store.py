@@ -210,3 +210,30 @@ def test_read_errors_are_actionable(spark, store_path):
     commit_overwrite(_df(spark, range(2)), store_path)
     with pytest.raises(VersionedStoreError, match="version 7 not found"):
         read_version(spark, store_path, version=7)
+
+
+def test_vacuum_retention_protects_in_retention_reader(spark, store_path):
+    """VERDICT r4 #6: a reader time-traveling to version N must survive a
+    concurrent vacuum while N is inside the retention window — the guard keeps
+    N's manifest AND its referenced dirs even when keep_last would drop them.
+    The reader's contract is 'finish (or re-pin) within the window', Delta's
+    versionAsOf semantics."""
+    commit_overwrite(_df(spark, range(5)), store_path)           # v0
+    commit_rewrite(_df(spark, range(5, 9)), store_path)          # v1
+    commit_append(_df(spark, range(9, 11)), store_path)          # v2
+
+    reader = read_version(spark, store_path, version=0)  # pinned, NOT collected
+
+    # vacuum mid-read with a live retention window: v0 was committed seconds
+    # ago, so it is protected in full — nothing the reader's plan lists moves
+    removed = vacuum(store_path, keep_last=1, min_age_seconds=3600)
+    assert not any(r.endswith("00000000.json") for r in removed)
+    assert _ids(reader) == [0, 1, 2, 3, 4]  # the mid-vacuum read succeeds
+    assert _ids(read_version(spark, store_path, version=0)) == [0, 1, 2, 3, 4]
+
+    # once aged out of retention, the same vacuum reclaims v0 and v1
+    removed = vacuum(store_path, keep_last=1, min_age_seconds=0)
+    assert any(r.endswith("00000000.json") for r in removed)
+    with pytest.raises(VersionedStoreError):
+        read_version(spark, store_path, version=0)
+    assert _ids(read_version(spark, store_path)) == [5, 6, 7, 8, 9, 10]
