@@ -59,22 +59,29 @@ def _q_knn_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ivf_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2.10 ANN — IVF retrieval, degenerate nprobe == n_clusters: every
-    cluster is probed, so the result is EXACTLY ``knn_topk``'s (deterministic,
-    oracle-checkable) while exercising the full train→assign→prune machinery.
-    Real nprobe < n_clusters recall is pytest-asserted (tests/test_scale_paths).
-    Reference analogue: the HNSW index IS the reference's retrieval engine
-    (photo_vector_search.py:17-20)."""
+    """SURVEY §2.10 ANN — IVF retrieval through the ADAPTIVE multi-probe path
+    (round 5): probe clusters in centroid-distance order until the triangle
+    bound ``||q−c|| − r_c`` proves no unprobed cluster can improve the top-k.
+    Uncapped, the result is PROVABLY the exact top-k — deterministic and
+    oracle-checkable by the same exact-KNN SQL — while exercising the full
+    train→assign→radii→bounded-probe machinery (early exit fires on clustered
+    geometry; on this near-uniform fixture it honestly degrades to a full,
+    still exact, scan — measured in SCALE_BENCH.md). Capped/legacy ``ivf_topk``
+    recall is pytest-asserted (tests/test_scale_paths). Reference analogue: the
+    HNSW index IS the reference's retrieval engine (photo_vector_search.py:17-20)."""
     from photo_vector_search_spark.operators.ann import (
         assign_clusters,
-        ivf_topk,
+        cluster_radii,
+        ivf_topk_adaptive,
         train_centroids,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = train_centroids(emb, n_clusters=8)
+    indexed = assign_clusters(emb, centroids)
+    radii = cluster_radii(indexed, centroids)
     vec = fetch_query_vector(spark, sf_dir, _FLAGSHIP_VEC_ID)
-    return ivf_topk(assign_clusters(emb, centroids), centroids, vec, k=_FLAGSHIP_K, nprobe=8)
+    return ivf_topk_adaptive(indexed, centroids, radii, vec, k=_FLAGSHIP_K)
 
 
 def _q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:

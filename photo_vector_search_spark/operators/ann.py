@@ -124,10 +124,24 @@ def build_ivf_store(
     )
     snapshot_overwrite(indexed, path, partition_by=["cluster_id"])
     spark = embeddings.sparkSession
-    cent_rows = [(i, [float(x) for x in c], build_id) for i, c in enumerate(centroids)]
+    # per-cluster max-radius sidecar column: k floats that let
+    # ``ivf_topk_adaptive`` prove exactness at query time (computed from the
+    # WRITTEN store so it covers exactly the rows a reader will see).
+    # ``built_rows`` lets ``load_cluster_radii`` detect a store grown past the
+    # build (streaming increments keep build_id frozen by design) — a stale
+    # radius UNDER-covers and would let the adaptive probe prune wrongly.
+    written = spark.read.parquet(path)
+    radii = cluster_radii(written, centroids)
+    built_rows = written.count()
+    cent_rows = [
+        (i, [float(x) for x in c], float(radii[i]), built_rows, build_id)
+        for i, c in enumerate(centroids)
+    ]
     snapshot_overwrite(
         spark.createDataFrame(
-            cent_rows, "centroid_id int, centroid array<double>, build_id string"
+            cent_rows,
+            "centroid_id int, centroid array<double>, radius double, "
+            "built_rows long, build_id string",
         ),
         path + ".centroids",
     )
@@ -162,6 +176,28 @@ def load_ivf_store(spark, path: str) -> tuple[DataFrame, np.ndarray]:
             "crashed between the two snapshot swaps; re-run build_ivf_store"
         )
     return store, np.vstack([np.asarray(r["centroid"], dtype=np.float64) for r in cent])
+
+
+def load_cluster_radii(spark, path: str) -> np.ndarray:
+    """Per-cluster radii for ``ivf_topk_adaptive``, from the centroid sidecar
+    when still valid, else recomputed.
+
+    The sidecar radius is only an upper bound for the rows present AT BUILD;
+    a store grown by streaming increments (same build_id by design,
+    ``streaming/incremental.py``) can hold points beyond it, and an
+    under-covering radius would let the adaptive probe prune a cluster that
+    holds the true neighbor — silently breaking its exactness proof. So the
+    sidecar records ``built_rows`` and this loader recomputes (one map pass +
+    k-row agg) whenever the store's current count differs, or when the sidecar
+    predates the radius column."""
+    sidecar = spark.read.parquet(path + ".centroids")
+    store, centroids = load_ivf_store(spark, path)
+    if "radius" not in sidecar.columns or "built_rows" not in sidecar.columns:
+        return cluster_radii(store, centroids)
+    rows = sidecar.orderBy("centroid_id").collect()
+    if store.count() != rows[0]["built_rows"]:
+        return cluster_radii(store, centroids)
+    return np.array([r["radius"] for r in rows], dtype=np.float64)
 
 
 def ivf_topk(
@@ -288,6 +324,9 @@ def ivf_topk_adaptive(
             indexed.filter(F.col("cluster_id").isin(ids)),
             query_vec,
             k=k * max(1, n_assign),
+            raw=True,  # merge on RAW distances: the k-boundary tie-break must
+            # reproduce the global single-pass ordering, and rounded values
+            # could flip it
         )
         for r in part.collect():  # ≤ k·n_assign rows — result-sized
             old = best.get(r.vec_id)
@@ -298,11 +337,10 @@ def ivf_topk_adaptive(
             if probed >= len(order):
                 exact = True
                 break
-            # dist is cosine distance rounded to 6dp; on unit vectors
-            # ||q−x||² = 2·dist. The 1e-5 margin absorbs the rounding so the
-            # exactness claim survives it.
+            # raw cosine distance; on unit vectors ||q−x||² = 2·dist. The tiny
+            # margin absorbs float noise so the exactness claim survives it.
             kth_l2 = math.sqrt(max(0.0, 2.0 * top[-1].dist))
-            if suffix_min[probed] >= kth_l2 + 1e-5:
+            if suffix_min[probed] >= kth_l2 + 1e-9:
                 exact = True
                 break
     exact = exact or probed >= len(order)  # probed everything ⇒ exact by scan
@@ -310,7 +348,9 @@ def ivf_topk_adaptive(
     out = spark.createDataFrame(
         [(r.vec_id, r.label, r.dist) for r in top],
         "vec_id long, label int, dist double",
-    )
+        # round in Spark (HALF_UP, the engine-portable discipline every oracle
+        # pair uses) — Python's round() is half-even and could diverge
+    ).select("vec_id", "label", F.round("dist", 6).alias("dist"))
     if return_stats:
         return out, {"probed": probed, "n_clusters": len(order), "exact": exact}
     return out

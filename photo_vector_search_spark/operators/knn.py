@@ -70,6 +70,7 @@ def knn_topk(
     k: int = 5,
     label: int | None = None,
     fast: bool = False,
+    raw: bool = False,
 ) -> DataFrame:
     """Exact top-k by ascending cosine distance, optional equality pre-filter.
 
@@ -77,6 +78,11 @@ def knn_topk(
     pandas UDF (same results modulo ~1e-12; the SQL path is the oracle-parity path).
     Zero-norm vectors have no cosine distance and are excluded from results.
     Output: (vec_id, label, dist) with dist rounded to 6dp, ordered by (dist, vec_id).
+
+    ``raw=True`` is engine-internal: keep ``dist`` unrounded so a caller merging
+    partial top-ks (``ivf_topk_adaptive``) can reproduce the GLOBAL raw-distance
+    ordering — merging on rounded values could flip a tie at the k-boundary
+    against a single-pass exact run. Callers must round before emitting.
     """
     df = embeddings
     if label is not None:
@@ -85,13 +91,14 @@ def knn_topk(
         dist = make_pandas_cosine_distance_udf(query_vec)(F.col("embedding"))
     else:
         dist = cosine_distance_to_query(F.col("embedding"), query_vec)
-    return (
+    ranked = (
         df.select("vec_id", "label", dist.alias("_dist"))
         .filter(_valid_dist(F.col("_dist")))
         .orderBy(F.col("_dist").asc(), F.col("vec_id").asc())  # TakeOrderedAndProject
         .limit(k)
-        .select("vec_id", "label", F.round("_dist", 6).alias("dist"))
     )
+    out_dist = F.col("_dist") if raw else F.round("_dist", 6)
+    return ranked.select("vec_id", "label", out_dist.alias("dist"))
 
 
 def knn_batch(embeddings: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:

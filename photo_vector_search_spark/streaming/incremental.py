@@ -81,6 +81,43 @@ def incremental_index(
 VECTORS_SCHEMA = "vec_id long, embedding array<float>, label int"
 
 
+def _maintain_radius_sidecar(spark, store_path, assigned: DataFrame, centroids) -> None:
+    """Keep the centroid sidecar's per-cluster radius a VALID upper bound as
+    the store grows: max-merge the batch's own centroid distances into the
+    stored radii and refresh ``built_rows``. Replaced vectors can only shrink
+    a cluster's true radius, so max-merge never under-covers — the property
+    ``ivf_topk_adaptive``'s exactness proof needs. O(batch) compute + a k-row
+    sidecar rewrite; sidecars from pre-radius builds are left untouched
+    (``load_cluster_radii`` recomputes for those)."""
+    from photo_vector_search_spark.operators.ann import cluster_radii
+
+    sidecar_path = store_path + ".centroids"
+    sidecar = spark.read.parquet(sidecar_path)
+    if "radius" not in sidecar.columns or "built_rows" not in sidecar.columns:
+        return
+    batch_radii = cluster_radii(assigned, centroids)
+    n_now = spark.read.parquet(store_path).count()
+    rows = sidecar.orderBy("centroid_id").collect()
+    merged = [
+        (
+            r["centroid_id"],
+            r["centroid"],
+            float(max(r["radius"], batch_radii[r["centroid_id"]])),
+            n_now,
+            r["build_id"],
+        )
+        for r in rows
+    ]
+    snapshot_overwrite(
+        spark.createDataFrame(
+            merged,
+            "centroid_id int, centroid array<double>, radius double, "
+            "built_rows long, build_id string",
+        ),
+        sidecar_path,
+    )
+
+
 def incremental_ivf_index(
     spark: SparkSession,
     input_dir: str,
@@ -131,5 +168,6 @@ def incremental_ivf_index(
         ).withColumn("build_id", F.lit(build_id))
         new_state = merge_upsert(store, assigned.select(*store_cols), ["vec_id"])
         snapshot_overwrite(new_state, store_path, partition_by=["cluster_id"])
+        _maintain_radius_sidecar(spark_b, store_path, assigned, centroids)
 
     return _start_merge_stream(stream, _merge_batch, checkpoint_dir, available_now)

@@ -245,6 +245,26 @@ def test_incremental_ivf_index_stream(spark, sf_dir):
         q = incremental_ivf_index(spark, in_dir, store, ckpt)
         assert q.awaitTermination(600)
         assert spark.read.parquet(store).count() == n_base + 20
+
+        # radius sidecar stays a VALID upper bound through increments (r5):
+        # every stored vector's distance to its centroid must be covered, so
+        # ivf_topk_adaptive's exactness proof survives streamed growth
+        import numpy as np
+
+        from photo_vector_search_spark.operators.ann import (
+            cluster_radii,
+            load_cluster_radii,
+        )
+
+        radii = load_cluster_radii(spark, store)
+        true_radii = cluster_radii(spark.read.parquet(store), centroids)
+        assert (radii + 1e-12 >= true_radii).all(), (
+            f"sidecar radii under-cover after increments: {radii} < {true_radii}"
+        )
+        # and the sidecar was genuinely maintained, not recomputed: built_rows
+        # matches the grown store so the fast path (no recompute job) is taken
+        side = spark.read.parquet(store + ".centroids").collect()
+        assert side[0]["built_rows"] == n_base + 20
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

@@ -63,7 +63,27 @@ def _unstaged_minhash(spark, sf_dir):
     )
 
 
-UNSTAGED = {"dedup_minhash_lsh": _unstaged_minhash}
+def _unstaged_ivf_adaptive(spark, sf_dir):
+    # the declared ivf_topk_exact merges per-batch top-ks driver-side (k rows
+    # per batch), so its returned frame is a LocalTableScan; the compute that
+    # executes per probe batch is this pruned scan → distance → top-k plan
+    from pyspark.sql import functions as F
+
+    from photo_vector_search_spark.operators.ann import assign_clusters, train_centroids
+    from photo_vector_search_spark.operators.knn import fetch_query_vector, knn_topk
+    from photo_vector_search_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = train_centroids(emb, n_clusters=8)
+    indexed = assign_clusters(emb, centroids)
+    vec = fetch_query_vector(spark, sf_dir, 0)
+    return knn_topk(indexed.filter(F.col("cluster_id").isin([0])), vec, k=5, raw=True)
+
+
+UNSTAGED = {
+    "dedup_minhash_lsh": _unstaged_minhash,
+    "ivf_topk_exact": _unstaged_ivf_adaptive,
+}
 
 # Plan-reader context the tree alone can't show.
 NOTES = {
@@ -78,6 +98,13 @@ NOTES = {
         "scan→MapInPandas — the quadratic work is columnar BLAS inside the UDF, "
         "never a row-explosion join. Past the guard the call re-routes to the "
         "fully distributed SRP-LSH rung (audited as srp_lsh_near_dup below)."
+    ),
+    "ivf_topk_exact": (
+        "NOTE: per-probe-batch plan (one cluster IN-filter shown) — the "
+        "declared adaptive query runs this plan per geometric probe batch, "
+        "merging the k-row results driver-side and early-exiting on the "
+        "triangle bound; at rest the IN-filter prunes cluster_id partition "
+        "directories, so bytes read ∝ clusters probed (SCALE_BENCH.md)."
     ),
 }
 
