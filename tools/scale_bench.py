@@ -121,13 +121,24 @@ def synthesize(spark, copies: int, src: str = SRC, dst: str = DST) -> None:
 
 
 def extra_cases(spark, sf_dir: str) -> dict:
-    """Queries the judge flagged for super-linearity watch, not in bench.py."""
+    """Queries the judge flagged for super-linearity watch, not in bench.py,
+    plus scale-path OVERRIDES of bench cases whose recorded form pins
+    fixture-scale parameters."""
     from bench import _force
+    from photo_vector_search_spark.operators.dedup import srp_lsh_near_dup_sql
     from photo_vector_search_spark.plans import relational
+    from photo_vector_search_spark.sources.tables import load_table
 
+    emb = load_table(spark, sf_dir, "embeddings")
     return {
         "events_resample": lambda: _force(relational.q_events_resample(spark, sf_dir)),
         "events_asof": lambda: _force(relational.q_events_asof(spark, sf_dir)),
+        # OVERRIDE bench.py's pinned (6,16) case: the pin exists for DECLARED-
+        # query oracle parity at fixture scale; at 10x rows fixed planes make
+        # bucket occupancy (hence the candidate join) quadratic — the exact
+        # failure srp_auto_params exists to prevent. The scale table must
+        # measure the library's scale path: size-derived params (one count()).
+        "srp_lsh_near_dup_sql": lambda: _force(srp_lsh_near_dup_sql(emb, tau=0.45)),
     }
 
 
