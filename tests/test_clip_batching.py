@@ -89,6 +89,13 @@ def _install_fakes(monkeypatch, calls: list, text_calls: list | None = None):
     pil.Image = pil_image
 
     for name, mod in [("torch", torch), ("clip", clip), ("PIL", pil), ("PIL.Image", pil_image)]:
+        # a bare ModuleType has __spec__ = None, and importlib.util.find_spec
+        # RAISES on that for an already-imported module — pyspark probes
+        # find_spec("torch") lazily (e.g. state.update -> pyspark.testing
+        # import), so a spec-less fake poisons any code path that probes it
+        import importlib.machinery
+
+        mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
         monkeypatch.setitem(sys.modules, name, mod)
 
 
@@ -318,6 +325,14 @@ def _install_worker_fakes():
     pil_image.open = image_open
     pil.Image = pil_image
     for name, mod in [("torch", torch), ("clip", clip), ("PIL", pil), ("PIL.Image", pil_image)]:
+        # give each fake a real ModuleSpec: workers are REUSED across tests in
+        # the session, and pyspark's stateful-processing path lazily runs
+        # importlib.util.find_spec("torch") (state.update -> pyspark.testing
+        # import), which RAISES "torch.__spec__ is None" on a spec-less module
+        # — poisoning every later stateful test that lands on this worker
+        import importlib.machinery
+
+        mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
         sys.modules[name] = mod
 
 
