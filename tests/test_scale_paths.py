@@ -384,3 +384,85 @@ def test_ivf_adaptive_probe_exact_and_early_exit(spark, sf_dir):
         indexed.unpersist()
     finally:
         fix.unpersist()
+
+
+def test_ivf_adaptive_probe_edge_cases(spark):
+    """Edges of the adaptive probe: k larger than the corpus (returns all rows,
+    exact flag set), empty clusters (radius 0, never block the bound), and a
+    multi-assign store (dedup by vec_id, still exact)."""
+    import numpy as np
+
+    from photo_vector_search_spark.operators.ann import cluster_radii, ivf_topk_adaptive
+    from photo_vector_search_spark.sources.synthetic import mog_embeddings
+
+    emb = mog_embeddings(spark, n=40, dim=16, n_components=4, noise=0.05).cache()
+    try:
+        # more centroids than natural clusters -> some cells end up empty
+        centroids = train_centroids(emb, n_clusters=8)
+        indexed = assign_clusters(emb, centroids).cache()
+        radii = cluster_radii(indexed, centroids)
+        assert len(radii) == 8  # empty cells present with radius 0.0
+        v = list(emb.orderBy("vec_id").first().embedding)
+        exact = [(r.vec_id, r.dist) for r in knn_topk(emb, v, k=60).collect()]
+        df, st = ivf_topk_adaptive(
+            indexed, centroids, radii, v, k=60, return_stats=True
+        )
+        got = [(r.vec_id, r.dist) for r in df.collect()]
+        assert st["exact"] and got == exact and len(got) == 40  # k > corpus
+        indexed.unpersist()
+
+        # multi-assign store: each vector in its 2 nearest cells; adaptive
+        # must dedup and stay exact
+        multi = assign_clusters(emb, centroids, n_assign=2).cache()
+        radii2 = cluster_radii(multi, centroids)
+        exact5 = [(r.vec_id, r.dist) for r in knn_topk(emb, v, k=5).collect()]
+        df2, st2 = ivf_topk_adaptive(
+            multi, centroids, radii2, v, k=5, n_assign=2, return_stats=True
+        )
+        assert st2["exact"]
+        assert [(r.vec_id, r.dist) for r in df2.collect()] == exact5
+        multi.unpersist()
+    finally:
+        emb.unpersist()
+
+
+def test_load_cluster_radii_recomputes_on_unmaintained_growth(spark):
+    """If the store grows WITHOUT sidecar maintenance (external writer, older
+    code), built_rows no longer matches and load_cluster_radii must fall back
+    to recomputing — returning radii that cover the new rows."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from photo_vector_search_spark.operators.ann import (
+        assign_clusters,
+        build_ivf_store,
+        cluster_radii,
+        load_cluster_radii,
+        load_ivf_store,
+    )
+    from photo_vector_search_spark.sources.synthetic import mog_embeddings
+
+    tmp = tempfile.mkdtemp(prefix="pvs_radii_")
+    try:
+        emb = mog_embeddings(spark, n=200, dim=16, n_components=4, noise=0.05)
+        base = emb.filter(F.col("vec_id") < 150)
+        centroids = build_ivf_store(base, f"{tmp}/store", n_clusters=4)
+        fast = load_cluster_radii(spark, f"{tmp}/store")  # sidecar fast path
+
+        # grow the store BEHIND the sidecar's back (raw append, no maintenance)
+        store0, _ = load_ivf_store(spark, f"{tmp}/store")
+        extra = assign_clusters(emb.filter(F.col("vec_id") >= 150), centroids)
+        first = store0.select("build_id").first()["build_id"]
+        extra.withColumn("build_id", F.lit(first)).select(*store0.columns).write.mode(
+            "append"
+        ).partitionBy("cluster_id").parquet(f"{tmp}/store")
+
+        grown, cent2 = load_ivf_store(spark, f"{tmp}/store")
+        recomputed = load_cluster_radii(spark, f"{tmp}/store")
+        truth = cluster_radii(grown, cent2)
+        assert np.allclose(recomputed, truth), "stale sidecar served after growth"
+        assert (recomputed + 1e-12 >= truth).all()
+        # and the fast path really was the sidecar before growth
+        assert len(fast) == 4
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
