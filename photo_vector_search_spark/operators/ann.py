@@ -354,3 +354,133 @@ def ivf_topk_adaptive(
     if return_stats:
         return out, {"probed": probed, "n_clusters": len(order), "exact": exact}
     return out
+
+
+def ivf_near_dup_pairs(
+    embeddings: DataFrame,
+    tau: float = 0.45,
+    n_clusters: int = 16,
+    n_assign: int = 2,
+    sample: int = 4096,
+    iters: int = 8,
+    seed: int = 42,
+    block_rows: int = 1024,
+    max_cluster_rows: int | None = None,
+) -> DataFrame:
+    """Cluster-blocked embedding near-dup pairs — the 100 TB rung of the
+    near-dup ladder promised by ``dedup.embedding_near_dup_pairs`` (SemDeDup's
+    blocking scheme, Abbas et al. 2023, re-expressed as one keyed shuffle).
+
+    Instead of the exact O(N²) self-join or a driver-side broadcast matmul
+    (``dedup.embedding_near_dup_fast``, size-guarded), vectors are k-means
+    clustered (``train_centroids`` — driver-sample train, map-only assign) and
+    all-pairs cosine runs ONLY inside each cluster: one shuffle on
+    ``cluster_id``, then a per-group BLAS block. Expected work drops from N²/2
+    to Σ_c B_c²/2 ≈ N²/(2C) for balanced clusters — and, unlike SRP-LSH's
+    fixed-plane buckets, the blocks follow the data's own density, which is
+    what makes this the high-recall mid rung on clustered corpora (real
+    encoder output; see SCALE_BENCH.md geometry table).
+
+    Semantics: PRECISION IS EXACT (every emitted pair carries the true cosine,
+    rounded like the exact path); RECALL is the blocking trade — a pair whose
+    endpoints never co-occur in any assigned cluster is missed.
+    ``n_assign > 1`` assigns each vector to its n nearest clusters (the same
+    build-time multi-probe as ``assign_clusters``), catching Voronoi-border
+    pairs; pairs found in several shared clusters are deduped by a final
+    groupBy over the (already τ-filtered, output-sized) pair rows.
+
+    Scale design: centroid train is a bounded driver sample (k·dim floats
+    broadcast); assignment is map-only; the only data-sized shuffle is the
+    groupBy(cluster_id) feeding ``applyInPandas``; within a group the
+    similarity block is computed ``block_rows`` rows at a time so peak memory
+    is O(block_rows · B_c), not B_c². A group must still FIT an executor
+    (B_c · dim · 8 bytes — the per-cluster analogue of the broadcast guard):
+    size ``n_clusters ≈ N / target_cluster_rows`` at build, and use
+    ``max_cluster_rows`` to fail loudly (with the re-route advice) instead of
+    OOMing when the clustering collapses. Cf. the reference's HNSW store
+    (photo_vector_search/photo_vector_search.py:17-20), which has no bulk
+    pairwise surface at all — this operator is the engine-native extension.
+    """
+    import pandas as pd
+
+    dims = embeddings.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.size("embedding")).alias("lo"),
+        F.max(F.size("embedding")).alias("hi"),
+    ).first()
+    if not dims["n"]:
+        return embeddings.sparkSession.createDataFrame(
+            [], "vec_a long, vec_b long, sim double"
+        )
+    if dims["lo"] != dims["hi"]:
+        raise ValueError(
+            "ivf_near_dup_pairs requires a single embedding dimension, found "
+            f"{dims['lo']}-{dims['hi']} (mixed-model table? filter to one model "
+            "or re-index before deduping)"
+        )
+    centroids = train_centroids(
+        embeddings, n_clusters=n_clusters, sample=sample, iters=iters, seed=seed
+    )
+    assigned = assign_clusters(
+        embeddings.select("vec_id", "embedding"), centroids, n_assign=n_assign
+    )
+    if max_cluster_rows is not None:
+        worst = (
+            assigned.groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).alias("b"))
+            .agg(F.max("b").alias("worst"))
+            .first()["worst"]
+        )
+        if worst > max_cluster_rows:
+            raise ValueError(
+                f"ivf_near_dup_pairs: largest cluster holds {worst} rows "
+                f"(limit {max_cluster_rows}) — clustering collapsed for this "
+                "corpus. Raise n_clusters (target N/n_clusters rows per "
+                "cluster), lower n_assign, or use the fully distributed "
+                "srp_lsh_near_dup_pairs rung"
+            )
+
+    def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)  # deterministic block order (input order isn't)
+        ids = ids[order]
+        mat = np.vstack(pdf["embedding"].to_numpy()[order]).astype(
+            np.float64, copy=False
+        )
+        norms = np.linalg.norm(mat, axis=1)
+        out = []
+        for s0 in range(0, len(ids), block_rows):
+            blk, bn = mat[s0 : s0 + block_rows], norms[s0 : s0 + block_rows]
+            # dot/(|a|·|b|) — the exact path's formula; zero-norm rows → NaN,
+            # which fails `>= tau` and drops out exactly like its NULL sims
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = (blk @ mat.T) / np.outer(bn, norms)
+            bi, bj = np.nonzero(
+                (sims >= tau) & (ids[s0 : s0 + block_rows, None] < ids[None, :])
+            )
+            s = sims[bi, bj]
+            # HALF_UP like F.round — np.round is banker's and can diverge
+            out.append(
+                pd.DataFrame(
+                    {
+                        "vec_a": ids[s0 + bi],
+                        "vec_b": ids[bj],
+                        "sim": np.sign(s) * np.floor(np.abs(s) * 1e6 + 0.5) / 1e6,
+                    }
+                )
+            )
+        if not out:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "sim": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "sim": "float64"}
+            )
+        return pd.concat(out, ignore_index=True)
+
+    pairs = assigned.groupBy("cluster_id").applyInPandas(
+        _pairs, schema="vec_a long, vec_b long, sim double"
+    )
+    if n_assign <= 1:
+        return pairs
+    # multi-assign can surface a pair from every shared cluster; the dedup
+    # shuffle moves only τ-filtered pair rows (output-sized, not data-sized).
+    # max() over byte-identical recomputations of the same rounded cosine.
+    return pairs.groupBy("vec_a", "vec_b").agg(F.max("sim").alias("sim"))

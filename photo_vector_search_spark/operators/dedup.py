@@ -907,7 +907,12 @@ def embedding_near_dup_fast(
     collecting; a corpus above ``max_broadcast_bytes`` re-routes to
     ``srp_lsh_near_dup_pairs`` — the fully distributed rung (bucketed LSH
     candidates, exact-cosine verify, nothing collected to the driver) — so at
-    100× the data the SAME call keeps working and degrades only in RECALL
+    100× the data the SAME call keeps working and degrades only in RECALL.
+    On corpora that actually CLUSTER (real encoder output), prefer the
+    explicit ``ann.ivf_near_dup_pairs`` rung — density-following k-means
+    blocks recover higher recall than fixed SRP planes at the same linear
+    shuffle shape; the auto-reroute stays on SRP because its cost model is
+    distribution-independent (no collapsed-cluster failure mode to guard)
     (~0.84 pair-detection at sim 0.45 with the SRP defaults, exact precision;
     see srp_lsh_near_dup_pairs for the probability model), never in memory.
     Pass ``allow_approx=False`` to get the round-3 behavior: raise instead of

@@ -466,3 +466,69 @@ def test_load_cluster_radii_recomputes_on_unmaintained_growth(spark):
         assert len(fast) == 4
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------- IVF-blocked near-dup pairs
+
+
+def _pair_set(df):
+    return {(r["vec_a"], r["vec_b"]): r["sim"] for r in df.collect()}
+
+
+def test_ivf_near_dup_precision_exact_and_recall_clustered(spark):
+    """SemDeDup rung contract: every emitted pair carries the TRUE cosine
+    (precision exact, bit-identical rounding to the exact self-join), and on
+    clustered geometry (the regime real encoders produce) blocking loses
+    (almost) no pairs — recall >= 0.95 with n_assign=2 at 16/16 clusters."""
+    from photo_vector_search_spark.operators.ann import ivf_near_dup_pairs
+    from photo_vector_search_spark.operators.dedup import embedding_near_dup_pairs
+    from photo_vector_search_spark.sources.synthetic import mog_embeddings
+
+    emb = mog_embeddings(spark, n=600, dim=32, n_components=16, noise=0.05).cache()
+    exact = _pair_set(embedding_near_dup_pairs(emb, tau=0.9))
+    assert len(exact) > 50  # the fixture must actually exercise the operator
+    got = _pair_set(ivf_near_dup_pairs(emb, tau=0.9, n_clusters=16, n_assign=2))
+    for p, s in got.items():  # precision: subset with identical values
+        assert p in exact and s == exact[p]
+    recall = len(got) / len(exact)
+    assert recall >= 0.95, f"recall {recall:.3f}"
+    emb.unpersist()
+
+
+def test_ivf_near_dup_block_rows_invariant(spark):
+    """The block_rows memory knob must not change results: the per-group matmul
+    chunking is a pure peak-memory bound (O(block_rows * B_c))."""
+    from photo_vector_search_spark.operators.ann import ivf_near_dup_pairs
+    from photo_vector_search_spark.sources.synthetic import mog_embeddings
+
+    emb = mog_embeddings(spark, n=200, dim=16, n_components=4, noise=0.1).cache()
+    a = _pair_set(ivf_near_dup_pairs(emb, tau=0.6, n_clusters=4, block_rows=7))
+    b = _pair_set(ivf_near_dup_pairs(emb, tau=0.6, n_clusters=4, block_rows=1024))
+    assert a == b and len(a) > 0
+    emb.unpersist()
+
+
+def test_ivf_near_dup_edge_cases(spark):
+    """Empty input -> empty typed result; mixed embedding dims fail loudly
+    before any job; a collapsed clustering trips the max_cluster_rows guard
+    with re-route advice instead of OOMing an executor."""
+    from photo_vector_search_spark.operators.ann import ivf_near_dup_pairs
+    from photo_vector_search_spark.sources.synthetic import mog_embeddings
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    out = ivf_near_dup_pairs(empty)
+    assert out.count() == 0 and [f.name for f in out.schema] == [
+        "vec_a",
+        "vec_b",
+        "sim",
+    ]
+
+    mixed = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="single embedding dimension"):
+        ivf_near_dup_pairs(mixed)
+
+    emb = mog_embeddings(spark, n=120, dim=16, n_components=2, noise=0.05)
+    with pytest.raises(ValueError, match="srp_lsh_near_dup_pairs"):
+        ivf_near_dup_pairs(emb, n_clusters=2, max_cluster_rows=10)
