@@ -125,6 +125,7 @@ def extra_cases(spark, sf_dir: str) -> dict:
     plus scale-path OVERRIDES of bench cases whose recorded form pins
     fixture-scale parameters."""
     from bench import _force
+    from photo_vector_search_spark.operators.ann import ivf_near_dup_pairs
     from photo_vector_search_spark.operators.dedup import srp_lsh_near_dup_sql
     from photo_vector_search_spark.plans import relational
     from photo_vector_search_spark.sources.tables import load_table
@@ -139,10 +140,21 @@ def extra_cases(spark, sf_dir: str) -> dict:
         # failure srp_auto_params exists to prevent. The scale table must
         # measure the library's scale path: size-derived params (one count()).
         "srp_lsh_near_dup_sql": lambda: _force(srp_lsh_near_dup_sql(emb, tau=0.45)),
+        # The scale-correct build sizes n_clusters with N (target ~125 rows per
+        # cluster), so per-cluster all-pairs work stays ~N·target instead of
+        # N²/C — the knob the operator's docstring prescribes for 100 TB.
+        "ivf_near_dup_pairs": lambda: _force(
+            ivf_near_dup_pairs(
+                emb,
+                tau=0.45,
+                n_clusters=max(8, emb.count() // 125),
+                n_assign=2,
+            )
+        ),
     }
 
 
-def run(spark, sf_dir: str) -> dict[str, float]:
+def run(spark, sf_dir: str, only: set[str] | None = None) -> dict[str, float]:
     # bench.py's process-per-group isolation is for the RECORDED artifact; here
     # both scales run in one session on purpose so the sf1/sf0.1 ratio divides
     # out any session/host factor. Includes the round-3 staged-LSH heavyweights
@@ -150,6 +162,11 @@ def run(spark, sf_dir: str) -> dict[str, float]:
     from bench import RUNS_PER_QUERY, _build_cases
 
     cases = _build_cases(spark, sf_dir) | extra_cases(spark, sf_dir)
+    if only is not None:
+        unknown = only - cases.keys()
+        if unknown:
+            raise SystemExit(f"unknown --cases: {sorted(unknown)}")
+        cases = {k: v for k, v in cases.items() if k in only}
     timings = {}
     for name, fn in cases.items():
         # min-of-N (default 2), the same noise-robust statistic bench.py
@@ -169,6 +186,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--copies", type=int, default=10)
     ap.add_argument("--out", default="SCALE_BENCH.md")
+    ap.add_argument(
+        "--cases",
+        default=None,
+        help="comma-separated case names: measure only these (new-operator "
+        "runs append to an existing table instead of re-measuring all 25)",
+    )
     args = ap.parse_args()
 
     from photo_vector_search_spark.session import get_spark
@@ -178,9 +201,10 @@ def main() -> None:
         t0 = time.perf_counter()
         synthesize(spark, args.copies)
         synth_sec = round(time.perf_counter() - t0, 1)
-        run(spark, SRC)  # untimed warmup: JIT/codegen costs otherwise land
-        small = run(spark, SRC)  # entirely on the first (small) pass and deflate
-        big = run(spark, DST)  # every ratio — the classic misattribution
+        only = set(args.cases.split(",")) if args.cases else None
+        run(spark, SRC, only)  # untimed warmup: JIT/codegen costs otherwise land
+        small = run(spark, SRC, only)  # entirely on the first (small) pass and
+        big = run(spark, DST, only)  # deflate every ratio — the classic misattribution
         rows = []
         for name in big:
             ts, tb = small.get(name), big[name]
