@@ -84,6 +84,7 @@ GROUPS: dict[str, list[str]] = {
         "source_drift",
     ],
     "lsh_staged": ["fuzzy_levenshtein_blocked", "srp_lsh_near_dup_sql"],
+    "r5_new": ["ivf_near_dup_pairs", "shuffle_corpus"],
 }
 
 
@@ -108,9 +109,11 @@ def _build_cases(spark, sf_dir: str) -> dict:
     )
     from photo_vector_search_spark.operators.ann import (
         assign_clusters,
+        ivf_near_dup_pairs,
         ivf_topk,
         train_centroids,
     )
+    from photo_vector_search_spark.operators.shuffle import shuffle_corpus
     from photo_vector_search_spark.plans import (
         embed_queries,
         pipeline_queries,
@@ -177,6 +180,13 @@ def _build_cases(spark, sf_dir: str) -> dict:
         # count() pre-job (see q_srp_lsh_near_dup)
         "srp_lsh_near_dup_sql": lambda: _force(
             srp_lsh_near_dup_sql(emb, tau=0.45, n_planes=6, n_tables=16)
+        ),
+        # round-5 operators (own process group so history stays comparable)
+        "ivf_near_dup_pairs": lambda: _force(
+            ivf_near_dup_pairs(emb, tau=0.45, n_clusters=16, n_assign=2)
+        ),
+        "shuffle_corpus": lambda: _force(
+            shuffle_corpus(load_table(spark, sf_dir, "documents"), seed=7)
         ),
     }
 

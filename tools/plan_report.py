@@ -85,6 +85,44 @@ UNSTAGED = {
     "ivf_topk_exact": _unstaged_ivf_adaptive,
 }
 
+
+# Library operators OUTSIDE the 50-slot declared surface whose physical plans
+# are still scale-audit-worthy (round 5): name → builder. Audited after the
+# declared queries with the same checklist.
+def _extra_ivf_near_dup(spark, sf_dir):
+    from photo_vector_search_spark.operators.ann import ivf_near_dup_pairs
+    from photo_vector_search_spark.sources.tables import load_table
+
+    return ivf_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), tau=0.45, n_clusters=8, n_assign=2
+    )
+
+
+def _extra_shuffle_corpus(spark, sf_dir):
+    from photo_vector_search_spark.operators.shuffle import shuffle_corpus
+    from photo_vector_search_spark.sources.tables import load_table
+
+    return shuffle_corpus(load_table(spark, sf_dir, "documents"), seed=7)
+
+
+def _extra_redact(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from photo_vector_search_spark.functions.redact import pii_counts, redact_pii
+    from photo_vector_search_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", redact_pii(F.col("text")).alias("clean"), *pii_counts(F.col("text"))
+    )
+
+
+EXTRA_OPS = {
+    "ivf_near_dup_pairs": _extra_ivf_near_dup,
+    "shuffle_corpus": _extra_shuffle_corpus,
+    "redact_pii": _extra_redact,
+}
+
 # Plan-reader context the tree alone can't show.
 NOTES = {
     "dedup_minhash_lsh": (
@@ -105,6 +143,24 @@ NOTES = {
         "merging the k-row results driver-side and early-exiting on the "
         "triangle bound; at rest the IN-filter prunes cluster_id partition "
         "directories, so bytes read ∝ clusters probed (SCALE_BENCH.md)."
+    ),
+    "ivf_near_dup_pairs": (
+        "NOTE: library operator (SemDeDup rung of the near-dup ladder). The "
+        "one Exchange is the groupBy(cluster_id) feeding FlatMapGroupsInPandas "
+        "(per-cluster chunked BLAS all-pairs); assignment is the map-only "
+        "MapInPandas above it; the final aggregate dedups multi-assign pairs "
+        "over OUTPUT-sized rows only."
+    ),
+    "shuffle_corpus": (
+        "NOTE: library operator. The Exchange is a rangepartitioning over the "
+        "seeded md5 — Catalyst's distributed total order — followed by a "
+        "map-only MapInPandas that adds global positions from broadcast "
+        "per-partition offsets; no global-window single-partition stage."
+    ),
+    "redact_pii": (
+        "NOTE: library operator. Zero exchanges by construction — the entire "
+        "redaction+audit pass is one codegen'd Project over the scan; at any "
+        "scale this pipelines into whatever reads follow."
     ),
 }
 
@@ -146,12 +202,15 @@ def main() -> None:
         "",
     ]
     written = 0
-    for name in AUDIT:
-        if name not in qs:
+    audit_items = [(n, UNSTAGED.get(n) or qs.get(n)) for n in AUDIT] + list(
+        EXTRA_OPS.items()
+    )
+    for name, builder in audit_items:
+        if builder is None:
             print(f"WARNING: audited query {name!r} no longer in queries() — skipped")
             continue
         written += 1
-        df = (UNSTAGED.get(name) or qs[name])(spark, sf_dir)
+        df = builder(spark, sf_dir)
         plan = formatted_plan(df)
         s = summarize(plan)
         out.append(f"## {name}")
@@ -172,7 +231,9 @@ def main() -> None:
         spark.catalog.clearCache()  # unstaged builders may leave audit caches
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write("\n".join(out))
-    print(f"wrote PLANS.md ({written} of {len(AUDIT)} audited queries)")
+    print(
+        f"wrote PLANS.md ({written} of {len(AUDIT) + len(EXTRA_OPS)} audited queries)"
+    )
     spark.stop()
 
 
