@@ -145,11 +145,12 @@ NOTES = {
         "directories, so bytes read ∝ clusters probed (SCALE_BENCH.md)."
     ),
     "ivf_near_dup_pairs": (
-        "NOTE: library operator (SemDeDup rung of the near-dup ladder). The "
-        "one Exchange is the groupBy(cluster_id) feeding FlatMapGroupsInPandas "
-        "(per-cluster chunked BLAS all-pairs); assignment is the map-only "
-        "MapInPandas above it; the final aggregate dedups multi-assign pairs "
-        "over OUTPUT-sized rows only."
+        "NOTE: library operator (SemDeDup rung of the near-dup ladder). Two "
+        "Exchanges: the DATA-sized one is the groupBy(cluster_id) feeding "
+        "FlatMapGroupsInPandas (per-cluster chunked BLAS all-pairs; assignment "
+        "is the map-only MapInPandas above it); the second moves only "
+        "OUTPUT-sized τ-filtered pair rows into the multi-assign dedup "
+        "aggregate."
     ),
     "shuffle_corpus": (
         "NOTE: library operator. The Exchange is a rangepartitioning over the "
