@@ -979,3 +979,62 @@ def embedding_near_dup_fast(
     return embeddings.select("vec_id", "embedding").mapInPandas(
         _pairs, schema="vec_a long, vec_b long, sim double"
     )
+
+
+# ------------------------------------------------------- line-level boilerplate
+
+
+def remove_boilerplate_lines(
+    docs: DataFrame,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Line-level cross-document deduplication (CCNet's paragraph-dedup
+    preprocessing step, the line-granularity member of the dedup family):
+    drop every non-blank line that appears in ≥ ``min_docs`` distinct
+    documents — headers, footers, cookie banners, navigation chrome — and
+    rebuild each document with its surviving lines in original order.
+
+    Plan (all shuffles keyed, nothing quadratic):
+      1. ``posexplode(split(text, '\\n'))`` — map-only line table with
+         in-document positions;
+      2. line document-frequency — ONE groupBy(line) with map-side partial
+         ``count(distinct doc)`` (the same inverted-index skeleton as
+         ``decontaminate``'s shingle join);
+      3. anti-join lines against the hot set — keyed on ``line``; Catalyst/AQE
+         broadcasts the hot side when it is small, and at web scale (where
+         boilerplate volume can be arbitrarily large) it degrades to a
+         shuffle join, never a driver gather;
+      4. rebuild — ONE groupBy(doc) re-assembling
+         ``array_join(array_sort(collect_list(struct(pos, line))))``; the sort
+         is per-document (bounded by document length), not global.
+
+    Semantics shared exactly with the DuckDB twin (tests/test_boilerplate.py):
+    blank lines are structure, not boilerplate — never counted, never removed;
+    a document whose EVERY line is removed disappears from the output (it was
+    pure boilerplate); NULL text explodes to no rows and likewise drops.
+
+    The reference has no corpus-hygiene surface at all (single-user photo
+    store); this is a north-star training-pipeline operator like the rest of
+    the dedup family."""
+    lines = docs.select(
+        id_col, F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line")
+    )
+    hot = (
+        lines.filter(F.trim(F.col("line")) != "")
+        .groupBy("line")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .filter(F.col("df") >= min_docs)
+        .select("line")
+    )
+    kept = lines.join(hot, "line", "left_anti")
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+            "\n",
+        ).alias("clean")
+    )
