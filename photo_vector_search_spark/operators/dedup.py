@@ -233,6 +233,33 @@ def prune_hot_buckets(bandsdf: DataFrame, max_bucket_size: int) -> DataFrame:
     return bandsdf.join(F.broadcast(hot), ["band", "band_key"], "left_anti")
 
 
+def verify_jaccard_pairs(cand: DataFrame, sh: DataFrame, tau: float) -> DataFrame:
+    """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs against a
+    (doc_id, shingle) table: |A∩B| via the inverted-index join RESTRICTED to
+    candidate pairs, |A|/|B| from per-doc counts — the shared verify stage of
+    the batch LSH pipeline and the streaming incremental dedup (which verifies
+    each micro-batch's candidates against history + batch shingles). Keyed
+    joins only; work ∝ candidate shingle rows, never all-pairs."""
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("s_a"))
+    sb = sh.select(F.col("doc_id").alias("_sb_doc"), F.col("shingle").alias("s_b"))
+    common = (
+        cand.join(sa, "doc_a")
+        .join(sb, (F.col("doc_b") == F.col("_sb_doc")) & (F.col("s_a") == F.col("s_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))
+    return (
+        common.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .filter(jac >= tau)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     n: int = 3,
@@ -313,24 +340,7 @@ def minhash_lsh_pairs(
         .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
         .distinct()
     )
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("s_a"))
-    sb = sh.select(F.col("doc_id").alias("_sb_doc"), F.col("shingle").alias("s_b"))
-    common = (
-        cand.join(sa, "doc_a")
-        .join(sb, (F.col("doc_b") == F.col("_sb_doc")) & (F.col("s_a") == F.col("s_b")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    jac = F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))
-    pairs = (
-        common.join(ca, "doc_a")
-        .join(cb, "doc_b")
-        .filter(jac >= tau)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-    )
+    pairs = verify_jaccard_pairs(cand, sh, tau)
     if not stage:
         return pairs  # caller owns the shingle cache lifecycle (see docstring)
     try:

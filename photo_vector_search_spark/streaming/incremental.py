@@ -171,3 +171,109 @@ def incremental_ivf_index(
         _maintain_radius_sidecar(spark_b, store_path, assigned, centroids)
 
     return _start_merge_stream(stream, _merge_batch, checkpoint_dir, available_now)
+
+
+DOCS_SCHEMA = "doc_id long, text string"
+
+
+def incremental_lsh_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    state_path: str,
+    checkpoint_dir: str,
+    n: int = 3,
+    tau: float = 0.5,
+    available_now: bool = True,
+):
+    """Streaming near-dup detection: documents arrive as a file stream; each
+    micro-batch is MinHash-banded, candidate-joined against the ACCUMULATED
+    corpus state (plus itself), exact-Jaccard verified, and the verified pairs
+    plus the batch's index rows are committed to ``state_path``.
+
+    State layout (all parquet, all partitioned by micro-batch):
+      ``bands/batch_id=K``     (doc_id, band, band_key) — the LSH index; also
+                               the registry of known doc_ids
+      ``shingles/batch_id=K``  (doc_id, shingle) — verify-stage inverted index
+      ``pairs/batch_id=K``     (doc_a, doc_b, jaccard) — APPEND-ONLY result
+
+    Exactly-once without a table format: every state write is an OVERWRITE of
+    this batch's own ``batch_id=K`` directory, so a crash-and-replay of batch K
+    rewrites the same files instead of duplicating them (the same idempotency
+    discipline as the keyed upsert streams above). Re-delivered doc_ids are
+    anti-joined against the band registry and contribute nothing.
+
+    Completeness invariant (tested): after draining any sequence of batches,
+    the accumulated pairs equal the BATCH ``minhash_lsh_pairs`` over the union
+    corpus — because every pair has a strictly-newer member, and that member's
+    batch candidate-joins against history ∪ batch. Per-batch cost is
+    new-rows × O(1) bucket probes against the keyed band index — never a
+    recompute over history."""
+    from pyspark.sql import functions as F
+
+    from photo_vector_search_spark.operators.dedup import (
+        _bands_from_wide,
+        _wide_signatures,
+        shingle_sets,
+        verify_jaccard_pairs,
+    )
+
+    def _read_state(spark_b, root: str) -> DataFrame | None:
+        if not os.path.isdir(root):
+            return None
+        df = spark_b.read.parquet(root)
+        return df.drop("batch_id") if "batch_id" in df.columns else df
+
+    def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark_b = batch_df.sparkSession
+        new_docs = batch_df.dropDuplicates(["doc_id"])
+        old_bands = _read_state(spark_b, f"{state_path}/bands")
+        if old_bands is not None:
+            known = old_bands.select("doc_id").distinct()
+            new_docs = new_docs.join(known, "doc_id", "left_anti")
+        # one cached shingle pass feeds signatures, candidates and verify —
+        # same lifecycle as the batch operator
+        sh_new = shingle_sets(new_docs, n).persist()
+        bands_new = _bands_from_wide(_wide_signatures(sh_new)).persist()
+        all_bands = (
+            bands_new if old_bands is None else bands_new.unionByName(old_bands)
+        )
+        l, r = bands_new.alias("l"), all_bands.alias("r")
+        cand = (
+            l.join(
+                r,
+                (F.col("l.band") == F.col("r.band"))
+                & (F.col("l.band_key") == F.col("r.band_key"))
+                & (F.col("l.doc_id") != F.col("r.doc_id")),
+            )
+            .select(
+                F.least(F.col("l.doc_id"), F.col("r.doc_id")).alias("doc_a"),
+                F.greatest(F.col("l.doc_id"), F.col("r.doc_id")).alias("doc_b"),
+            )
+            .distinct()
+        )
+        old_sh = _read_state(spark_b, f"{state_path}/shingles")
+        sh_all = sh_new if old_sh is None else sh_new.unionByName(old_sh)
+        pairs = verify_jaccard_pairs(cand, sh_all, tau)
+        try:
+            # pairs FIRST: they derive from state that exists either way; the
+            # bands write is the commit point that marks these docs as known
+            pairs.write.mode("overwrite").parquet(
+                f"{state_path}/pairs/batch_id={batch_id}"
+            )
+            sh_new.write.mode("overwrite").parquet(
+                f"{state_path}/shingles/batch_id={batch_id}"
+            )
+            bands_new.write.mode("overwrite").parquet(
+                f"{state_path}/bands/batch_id={batch_id}"
+            )
+        finally:
+            sh_new.unpersist(blocking=True)
+            bands_new.unpersist(blocking=True)
+
+    stream = spark.readStream.schema(DOCS_SCHEMA).format("parquet").load(input_dir)
+    return _start_merge_stream(stream, _merge_batch, checkpoint_dir, available_now)
+
+
+def read_dedup_pairs(spark: SparkSession, state_path: str) -> DataFrame:
+    """The accumulated near-dup pairs found by ``incremental_lsh_dedup``."""
+    return spark.read.parquet(f"{state_path}/pairs").drop("batch_id")

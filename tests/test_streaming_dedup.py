@@ -1,0 +1,61 @@
+"""Streaming incremental near-dup: the accumulated pairs after draining any
+batch sequence must equal the BATCH minhash_lsh_pairs over the union corpus
+(completeness invariant), re-delivered doc_ids must contribute nothing, and
+an empty drain must change nothing."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from photo_vector_search_spark.operators.dedup import minhash_lsh_pairs
+from photo_vector_search_spark.sources.tables import load_table
+from photo_vector_search_spark.streaming.incremental import (
+    incremental_lsh_dedup,
+    read_dedup_pairs,
+)
+
+
+def _pairs(df):
+    return {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in df.collect()}
+
+
+def test_incremental_lsh_dedup_matches_batch(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    expected = _pairs(minhash_lsh_pairs(docs, n=3, tau=0.5))
+    assert len(expected) > 0  # the fixture must exercise the operator
+
+    tmp = tempfile.mkdtemp(prefix="pvs_lshstream_")
+    in_dir, state, ckpt = f"{tmp}/in", f"{tmp}/state", f"{tmp}/ckpt"
+    try:
+        half1 = docs.filter(F.col("doc_id") % 2 == 0)
+        half2 = docs.filter(F.col("doc_id") % 2 == 1)
+
+        half1.write.mode("append").parquet(in_dir)
+        q = incremental_lsh_dedup(spark, in_dir, state, ckpt, n=3, tau=0.5)
+        assert q.awaitTermination(600)
+        got1 = _pairs(read_dedup_pairs(spark, state))
+        # after batch 1 only even-even pairs can exist, and all of them must
+        assert got1 == {p for p in expected if p[0] % 2 == 0 and p[1] % 2 == 0}
+
+        half2.write.mode("append").parquet(in_dir)
+        q = incremental_lsh_dedup(spark, in_dir, state, ckpt, n=3, tau=0.5)
+        assert q.awaitTermination(600)
+        got2 = _pairs(read_dedup_pairs(spark, state))
+        assert got2 == expected  # completeness: streamed == batch on the union
+
+        # re-delivery: the same docs under new file names add NOTHING
+        half1.write.mode("append").parquet(in_dir)
+        q = incremental_lsh_dedup(spark, in_dir, state, ckpt, n=3, tau=0.5)
+        assert q.awaitTermination(600)
+        assert _pairs(read_dedup_pairs(spark, state)) == expected
+
+        # state registry grew exactly once per doc
+        bands = spark.read.parquet(f"{state}/bands")
+        assert (
+            bands.select("doc_id").distinct().count() == docs.count()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
