@@ -96,6 +96,7 @@ def build_ivf_store(
     sample: int = 4096,
     iters: int = 8,
     seed: int = 42,
+    n_assign: int = 1,
 ) -> np.ndarray:
     """Write-path half of IVF: train centroids, assign, and persist the store
     hive-partitioned by ``cluster_id`` (snapshot-swap like every store write).
@@ -119,7 +120,9 @@ def build_ivf_store(
 
     centroids = train_centroids(embeddings, n_clusters, sample, iters, seed)
     build_id = hashlib.md5(centroids.tobytes()).hexdigest()[:16]
-    indexed = assign_clusters(embeddings, centroids).withColumn(
+    # n_assign > 1 = build-time multi-probe (each vector in its n nearest
+    # clusters; queries pass the same n_assign so dedup windows size right)
+    indexed = assign_clusters(embeddings, centroids, n_assign=n_assign).withColumn(
         "build_id", F.lit(build_id)  # constant column: dictionary-encoded, ~free
     )
     snapshot_overwrite(indexed, path, partition_by=["cluster_id"])
@@ -484,3 +487,56 @@ def ivf_near_dup_pairs(
     # shuffle moves only τ-filtered pair rows (output-sized, not data-sized).
     # max() over byte-identical recomputations of the same rounded cosine.
     return pairs.groupBy("vec_a", "vec_b").agg(F.max("sim").alias("sim"))
+
+
+def rebalance_ivf_store(
+    spark,
+    path: str,
+    n_clusters: int | None = None,
+    sample: int = 4096,
+    iters: int = 8,
+    seed: int = 42,
+    n_assign: int = 1,
+) -> np.ndarray:
+    """Re-train and re-assign an existing IVF store — the REBUILD half of the
+    serving pattern whose serve half is ``streaming/incremental.py``'s frozen
+    codebook: increments stream in against frozen centroids (drift accrues as
+    growing radii and skewed cluster sizes), and this operator periodically
+    re-fits the geometry to the corpus the store actually holds now.
+
+    Mechanics: load + consistency-check the current store, collapse
+    multi-assign duplicates to one row per ``vec_id``, then run the standard
+    ``build_ivf_store`` on the store's own content back onto the same path —
+    safe because every snapshot write stages to a temp dir (materializing the
+    read of the old snapshot) BEFORE the swap. Both sidecars (centroids,
+    radii, built_rows) are rewritten under the NEW build_id, so a crash at any
+    point leaves either the intact old build or the intact new one, and
+    ``load_ivf_store``'s torn-pair check rejects a half-swap exactly as it
+    does for a first build.
+
+    ``n_clusters`` defaults to the store's current cluster count; pass a
+    larger value as the corpus grows (the N/target_cluster_rows sizing rule —
+    see ``ivf_near_dup_pairs``). ``n_assign`` re-applies build-time
+    multi-probe; an old multi-assign store rebalanced with the default 1
+    deliberately drops to single-assign (the knob is a build property, chosen
+    per build). Cost: one bounded driver sample for k-means + two map-only
+    passes (assign, radii) + the partitioned rewrite — the same O(data) as the
+    original build, run at rebuild cadence, never per batch."""
+    store, centroids = load_ivf_store(spark, path)
+    if n_clusters is None:
+        n_clusters = len(centroids)
+    # dropDuplicates collapses multi-assign rows AND hash-shuffles on vec_id —
+    # the shuffle matters beyond dedup: a cluster-partitioned store reads in
+    # cluster-id order, and train_centroids' bounded driver sample takes the
+    # FIRST rows; the hash mix keeps the re-fit sample cluster-unbiased once
+    # the corpus exceeds the sample size.
+    vectors = store.drop("cluster_id", "build_id").dropDuplicates(["vec_id"])
+    return build_ivf_store(
+        vectors,
+        path,
+        n_clusters=n_clusters,
+        sample=sample,
+        iters=iters,
+        seed=seed,
+        n_assign=n_assign,
+    )

@@ -532,3 +532,75 @@ def test_ivf_near_dup_edge_cases(spark):
     emb = mog_embeddings(spark, n=120, dim=16, n_components=2, noise=0.05)
     with pytest.raises(ValueError, match="srp_lsh_near_dup_pairs"):
         ivf_near_dup_pairs(emb, n_clusters=2, max_cluster_rows=10)
+
+
+def test_rebalance_ivf_store_refits_drifted_geometry(spark):
+    """The rebuild half of the serving pattern: a store grown by frozen-codebook
+    increments from UNSEEN components (worst-case drift) is re-trained and
+    re-assigned in place — row set preserved, new build consistent, radii
+    sidecar valid on its fast path and dramatically tighter, assignments equal
+    to fresh argmax against the new centroids."""
+    from photo_vector_search_spark.operators.ann import (
+        build_ivf_store,
+        cluster_radii,
+        load_cluster_radii,
+        load_ivf_store,
+        rebalance_ivf_store,
+    )
+    from photo_vector_search_spark.operators.store import (
+        merge_upsert,
+        snapshot_overwrite,
+    )
+    from photo_vector_search_spark.sources.synthetic import mog_embeddings
+
+    tmp = tempfile.mkdtemp(prefix="pvs_rebal_")
+    store_path = f"{tmp}/ivf"
+    try:
+        emb = mog_embeddings(spark, n=400, dim=16, n_components=8, noise=0.05).cache()
+        base = emb.filter(F.col("label") < 4)
+        build_ivf_store(base, store_path, n_clusters=4)
+
+        # streamed growth: components 4-7 crammed into the frozen 4-cell codebook
+        grown0, cent0 = load_ivf_store(spark, store_path)
+        build_id = grown0.select("build_id").first()["build_id"]
+        extra = assign_clusters(
+            emb.filter(F.col("label") >= 4), cent0
+        ).withColumn("build_id", F.lit(build_id))
+        snapshot_overwrite(
+            merge_upsert(grown0, extra.select(*grown0.columns), ["vec_id"]),
+            store_path,
+            partition_by=["cluster_id"],
+        )
+        drifted, cent_d = load_ivf_store(spark, store_path)
+        n_total = drifted.count()
+        worst_before = cluster_radii(drifted, cent_d).max()
+
+        cent_new = rebalance_ivf_store(spark, store_path, n_clusters=8)
+        assert len(cent_new) == 8
+        reb, cent_r = load_ivf_store(spark, store_path)  # torn-pair check passes
+        assert reb.count() == n_total
+        assert {r["vec_id"] for r in reb.select("vec_id").collect()} == {
+            r["vec_id"] for r in emb.select("vec_id").collect()
+        }
+        # sidecar took the fast path (built_rows matches) and geometry tightened
+        worst_after = load_cluster_radii(spark, store_path).max()
+        assert worst_after < worst_before - 0.2, (worst_before, worst_after)
+        # stored assignments == fresh argmax against the new centroids
+        expect = {
+            r["vec_id"]: r["cluster_id"]
+            for r in assign_clusters(emb, cent_r).collect()
+        }
+        got = {
+            r["vec_id"]: r["cluster_id"]
+            for r in reb.select("vec_id", "cluster_id").collect()
+        }
+        assert got == expect
+
+        # multi-assign rebalance: duplicates collapse, then re-expand x2
+        rebalance_ivf_store(spark, store_path, n_clusters=8, n_assign=2)
+        ma, _ = load_ivf_store(spark, store_path)
+        assert ma.count() == 2 * n_total
+        assert ma.select("vec_id").distinct().count() == n_total
+        emb.unpersist()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
