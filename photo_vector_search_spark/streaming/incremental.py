@@ -217,16 +217,23 @@ def incremental_lsh_dedup(
         verify_jaccard_pairs,
     )
 
-    def _read_state(spark_b, root: str) -> DataFrame | None:
+    def _read_state(spark_b, root: str, current_batch: int) -> DataFrame | None:
         if not os.path.isdir(root):
             return None
         df = spark_b.read.parquet(root)
-        return df.drop("batch_id") if "batch_id" in df.columns else df
+        if "batch_id" in df.columns:
+            # NEVER read the current batch's own partition: a crashed attempt
+            # at this batch_id may have committed bands/shingles before dying,
+            # and counting them as history would (a) anti-join the whole batch
+            # away — replay would then overwrite its pairs with an EMPTY set —
+            # and (b) double-count the batch's shingles in the verify union
+            df = df.filter(F.col("batch_id") != current_batch).drop("batch_id")
+        return df
 
     def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark_b = batch_df.sparkSession
         new_docs = batch_df.dropDuplicates(["doc_id"])
-        old_bands = _read_state(spark_b, f"{state_path}/bands")
+        old_bands = _read_state(spark_b, f"{state_path}/bands", batch_id)
         if old_bands is not None:
             known = old_bands.select("doc_id").distinct()
             new_docs = new_docs.join(known, "doc_id", "left_anti")
@@ -251,7 +258,7 @@ def incremental_lsh_dedup(
             )
             .distinct()
         )
-        old_sh = _read_state(spark_b, f"{state_path}/shingles")
+        old_sh = _read_state(spark_b, f"{state_path}/shingles", batch_id)
         sh_all = sh_new if old_sh is None else sh_new.unionByName(old_sh)
         pairs = verify_jaccard_pairs(cand, sh_all, tau)
         try:

@@ -59,3 +59,45 @@ def test_incremental_lsh_dedup_matches_batch(spark, sf_dir):
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_incremental_lsh_dedup_replay_after_crash(spark, sf_dir):
+    """Crash-and-replay: an attempt at batch 0 that committed ALL its state
+    partitions (pairs, shingles, bands) but died before the checkpoint commit
+    is replayed from scratch. The replay must not read the crashed attempt's
+    own partitions as history — that would anti-join the whole batch away and
+    overwrite its pairs with an empty set."""
+    from photo_vector_search_spark.operators.dedup import (
+        _bands_from_wide,
+        _wide_signatures,
+        shingle_sets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    half1 = docs.filter(F.col("doc_id") % 2 == 0)
+    expected1 = _pairs(minhash_lsh_pairs(half1, n=3, tau=0.5))
+    assert len(expected1) > 0
+
+    tmp = tempfile.mkdtemp(prefix="pvs_lshreplay_")
+    in_dir, state, ckpt = f"{tmp}/in", f"{tmp}/state", f"{tmp}/ckpt"
+    try:
+        # the crashed attempt's full state for batch 0
+        sh = shingle_sets(half1, 3)
+        bands = _bands_from_wide(_wide_signatures(sh))
+        for df, root in ((sh, "shingles"), (bands, "bands")):
+            df.write.mode("overwrite").parquet(f"{state}/{root}/batch_id=0")
+        spark.createDataFrame(
+            sorted(expected1), "doc_a long, doc_b long, jaccard double"
+        ).write.mode("overwrite").parquet(f"{state}/pairs/batch_id=0")
+
+        # replay: fresh checkpoint re-delivers the same docs as batch 0
+        half1.write.mode("append").parquet(in_dir)
+        q = incremental_lsh_dedup(spark, in_dir, state, ckpt, n=3, tau=0.5)
+        assert q.awaitTermination(600)
+        assert _pairs(read_dedup_pairs(spark, state)) == expected1
+        # and the registry holds each doc exactly once
+        bands_now = spark.read.parquet(f"{state}/bands")
+        assert bands_now.select("doc_id").distinct().count() == half1.count()
+        assert bands_now.select("batch_id").distinct().count() == 1
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
