@@ -112,3 +112,99 @@ def doc_fingerprint(text: Column) -> Column:
     (exact-dedup key)."""
     norm = F.regexp_replace(F.lower(F.trim(text)), "\\s+", " ")
     return F.md5(norm.cast("binary"))
+
+
+# ------------------------------------------------- Gopher-style quality gates
+#
+# The repetition/length/symbol heuristics from Gopher's data pipeline
+# (Rae et al. 2021, "Scaling Language Models", table A1) re-expressed as
+# codegen-level column predicates. Thresholds are the published defaults;
+# every rule stays in the RE2 ∩ Java regex subset so the DuckDB twin
+# (``gopher_flags_sql``) runs the IDENTICAL rules — value-verified in
+# tests/test_gopher.py. Like ``quality_score`` these are the cheap
+# pre-filters; model-based quality classifiers slot in behind the same
+# column contract.
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1  # '#' and ellipsis per word
+GOPHER_MAX_BULLET_RATIO = 0.9  # lines starting with a bullet
+GOPHER_MAX_ELLIPSIS_RATIO = 0.3  # lines ending with an ellipsis
+GOPHER_MIN_ALPHA_WORD_RATIO = 0.8  # words containing >=1 letter
+GOPHER_MIN_STOPWORD_HITS = 2  # distinct required stopwords present
+
+_SYMBOL_PATTERN = r"#|\.\.\."
+_BULLET_PATTERN = r"^\s*[-*•]"
+_ELLIPSIS_PATTERN = r"\.\.\.\s*$"
+
+
+def gopher_flags(text: Column) -> list[Column]:
+    """Per-rule boolean columns (``g_words`` … ``g_stopwords``) plus the
+    conjunction ``gopher_pass`` — one codegen'd Project, no UDF, no shuffle;
+    filter with ``df.filter(F.col('gopher_pass'))`` or keep the per-rule flags
+    for an audit table (which rule kills how much of each source)."""
+    toks = tokens(text)
+    n = F.size(toks)
+    lines = F.split(text, "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    mwl = avg_token_len(toks)
+    n_sym = F.size(F.regexp_extract_all(text, F.lit(_SYMBOL_PATTERN), 0))
+    n_bullet = F.size(F.filter(lines, lambda l: l.rlike(_BULLET_PATTERN)))
+    n_ellip = F.size(F.filter(lines, lambda l: l.rlike(_ELLIPSIS_PATTERN)))
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    n_stop = F.size(F.array_distinct(F.filter(toks, lambda t: t.isin(*STOPWORDS))))
+    flags = {
+        "g_words": (n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS),
+        "g_mean_word_len": (mwl >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (mwl <= GOPHER_MAX_MEAN_WORD_LEN),
+        "g_symbol_ratio": n_sym <= GOPHER_MAX_SYMBOL_RATIO * n,
+        "g_bullet_ratio": n_bullet <= GOPHER_MAX_BULLET_RATIO * n_lines,
+        "g_ellipsis_ratio": n_ellip <= GOPHER_MAX_ELLIPSIS_RATIO * n_lines,
+        "g_alpha_words": n_alpha >= GOPHER_MIN_ALPHA_WORD_RATIO * n,
+        "g_stopwords": n_stop >= GOPHER_MIN_STOPWORD_HITS,
+    }
+    cols = [v.alias(k) for k, v in flags.items()]
+    gate = None
+    for v in flags.values():
+        gate = v if gate is None else (gate & v)
+    return cols + [gate.alias("gopher_pass")]
+
+
+def gopher_flags_sql(col: str) -> dict[str, str]:
+    """DuckDB twins of every ``gopher_flags`` column, built from the SAME
+    thresholds/patterns — {flag name: SQL boolean expression}."""
+    toks = f"regexp_split_to_array(lower(trim({col})), '\\s+')"
+    n = f"len({toks})"
+    lines = f"string_split({col}, chr(10))"
+    n_lines = f"greatest(len({lines}), 1)"
+    total_len = (
+        f"list_sum(list_transform({toks}, t -> CAST(length(t) AS DOUBLE)))"
+    )
+    # no COALESCE: NULL text must yield NULL flags in BOTH engines (Spark's
+    # aggregate over a NULL array is NULL); non-null text always has >=1 token
+    # (splitting '' gives ['']), so list_sum never sees an empty list
+    mwl = f"({total_len} / greatest({n}, 1))"
+    n_sym = f"length(regexp_extract_all({col}, '{_SYMBOL_PATTERN}'))"
+    n_bullet = (
+        f"len(list_filter({lines}, l -> regexp_matches(l, '{_BULLET_PATTERN}')))"
+    )
+    n_ellip = (
+        f"len(list_filter({lines}, l -> regexp_matches(l, '{_ELLIPSIS_PATTERN}')))"
+    )
+    n_alpha = f"len(list_filter({toks}, t -> regexp_matches(t, '[a-z]')))"
+    in_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    n_stop = f"len(list_distinct(list_filter({toks}, t -> t IN ({in_list}))))"
+    flags = {
+        "g_words": f"({n} >= {GOPHER_MIN_WORDS} AND {n} <= {GOPHER_MAX_WORDS})",
+        "g_mean_word_len": f"({mwl} >= {GOPHER_MIN_MEAN_WORD_LEN} "
+        f"AND {mwl} <= {GOPHER_MAX_MEAN_WORD_LEN})",
+        "g_symbol_ratio": f"({n_sym} <= {GOPHER_MAX_SYMBOL_RATIO} * {n})",
+        "g_bullet_ratio": f"({n_bullet} <= {GOPHER_MAX_BULLET_RATIO} * {n_lines})",
+        "g_ellipsis_ratio": f"({n_ellip} <= {GOPHER_MAX_ELLIPSIS_RATIO} * {n_lines})",
+        "g_alpha_words": f"({n_alpha} >= {GOPHER_MIN_ALPHA_WORD_RATIO} * {n})",
+        "g_stopwords": f"({n_stop} >= {GOPHER_MIN_STOPWORD_HITS})",
+    }
+    flags["gopher_pass"] = "(" + " AND ".join(flags.values()) + ")"
+    return flags

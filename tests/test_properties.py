@@ -254,3 +254,85 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="module")
 def spark_session_holder(spark):
     return spark
+
+
+# ------------------------------------------------- round-5 operator properties
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", exclude_characters="\x00"
+            ),
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_redact_pii_idempotent_python_level(texts):
+    """redact(redact(x)) == redact(x): replacement tokens (<EMAIL> etc.)
+    contain no characters any rule can match, so a second pass is a no-op.
+    Checked with Python re (same RE2∩Java subset) to keep fuzzing cheap —
+    the Spark/DuckDB twin parity is tests/test_redact.py."""
+    import re
+
+    from photo_vector_search_spark.functions.redact import PII_RULES
+
+    def redact(s: str) -> str:
+        for _, pat, repl in PII_RULES:
+            s = re.sub(pat, repl, s)
+        return s
+
+    for t in texts:
+        once = redact(t)
+        assert redact(once) == once
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(
+                ["alpha beta", "COMMON FOOTER", "x y z", "", "  ", "unique-ish"]
+            ),
+            min_size=0,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_boilerplate_subset_and_order(spark, line_lists):
+    """For ANY corpus: each output doc's lines are a subsequence of its input
+    lines (order preserved, nothing invented), removed lines are exactly those
+    whose df >= min_docs, and blank lines always survive."""
+    from photo_vector_search_spark.operators.dedup import remove_boilerplate_lines
+
+    docs = [(i, "\n".join(ls)) for i, ls in enumerate(line_lists)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["clean"].split("\n") if r["clean"] != "" else [""]
+        for r in remove_boilerplate_lines(df, min_docs=2).collect()
+    }
+    # python reference
+    from collections import defaultdict
+
+    docs_lines = {i: ("\n".join(ls)).split("\n") for i, ls in enumerate(line_lists)}
+    dfc = defaultdict(set)
+    for i, ls in docs_lines.items():
+        for ln in ls:
+            if ln.strip():
+                dfc[ln].add(i)
+    hot = {ln for ln, s in dfc.items() if len(s) >= 2}
+    expect = {
+        i: [ln for ln in ls if ln not in hot] for i, ls in docs_lines.items()
+    }
+    expect = {i: ls for i, ls in expect.items() if ls}
+    assert got == expect
