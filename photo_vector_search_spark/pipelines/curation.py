@@ -1,0 +1,99 @@
+"""End-to-end corpus curation: the composition of the engine's training-data
+operators into the standard pretraining cleanup pipeline —
+
+    redact PII → quality-gate (Gopher rules) → exact dedup → strip cross-doc
+    boilerplate → near-dup dedup (MinHash-LSH) → deterministic shuffle
+    → JSONL shard export
+
+Exact dedup runs BEFORE boilerplate removal on purpose: a fully-duplicated
+document is one whose every line is cross-doc duplicated, so line-level
+removal first would delete ALL its copies, where dedup keeps a canonical —
+dedup-then-deboil preserves exactly one copy and still strips shared chrome
+between distinct documents.
+
+Every stage is one of the individually-tested operators; this module only
+composes them (no new semantics) and keeps per-stage survivor counts so a
+100 TB run can report what each filter cost. All stages are DataFrame-lazy
+except the near-dup stage (which stages its pair result, see
+``minhash_lsh_pairs``) and the final export.
+
+Scale shape: redact+gate are map-only and pipeline into the scan; boilerplate
+is two keyed shuffles; exact dedup one; LSH the documented banding pipeline;
+shuffle one range-sort; export one hash repartition. Nothing quadratic,
+nothing driver-sized except the stats dict (a handful of longs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from photo_vector_search_spark.functions.redact import redact_pii
+from photo_vector_search_spark.functions.text import gopher_flags
+from photo_vector_search_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    remove_boilerplate_lines,
+)
+from photo_vector_search_spark.operators.shuffle import shuffle_corpus
+
+
+def curate_corpus(
+    docs: DataFrame,
+    min_docs_boilerplate: int = 2,
+    lsh_tau: float = 0.5,
+    shuffle_seed: int = 0,
+    export_path: str | None = None,
+    n_shards: int = 8,
+) -> tuple[DataFrame, dict[str, int]]:
+    """Run the full curation pipeline over ``docs`` (doc_id, text, ...).
+
+    Returns ``(curated, stats)``: the curated corpus with a ``pos`` shuffle
+    column, and per-stage survivor counts. When ``export_path`` is given the
+    curated corpus is also written as ``n_shards`` JSONL shards.
+
+    Dedup canonicalization keeps the LOWEST doc_id of each duplicate group
+    (exact groups via fingerprint; near-dup pairs via the LSH pair list —
+    every doc named as the larger member of a pair drops). Near-dup removal
+    by pairwise pruning is the standard corpus policy (each removed doc has a
+    surviving near-duplicate witness); full transitive-cluster
+    canonicalization is ``operators/canonicalize`` when provenance matters."""
+    stats: dict[str, int] = {"input": docs.count()}
+
+    clean = docs.withColumn("text", redact_pii(F.col("text")))
+
+    gated = clean.select("*", *gopher_flags(F.col("text")))
+    gated = (
+        gated.filter(F.col("gopher_pass"))
+        .drop(*[c for c in gated.columns if c.startswith("g_")])
+        .drop("gopher_pass")
+    )
+    stats["after_quality_gate"] = gated.count()
+
+    fp = exact_dedup(gated)
+    exact_survivors = fp.filter(F.col("doc_id") == F.col("canonical_id")).select(
+        "doc_id"
+    )
+    deduped = gated.join(exact_survivors, "doc_id")
+    stats["after_exact_dedup"] = deduped.count()
+
+    rebuilt = remove_boilerplate_lines(
+        deduped, min_docs=min_docs_boilerplate
+    ).withColumnRenamed("clean", "text")
+    keep_cols = [c for c in deduped.columns if c != "text"]
+    deboiled = deduped.select(*keep_cols).join(rebuilt, "doc_id")
+    stats["after_boilerplate"] = deboiled.count()
+
+    pairs = minhash_lsh_pairs(deboiled, tau=lsh_tau)
+    losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    near = deboiled.join(losers, "doc_id", "left_anti")
+    stats["after_near_dedup"] = near.count()
+
+    curated = shuffle_corpus(near, seed=shuffle_seed)
+    if export_path is not None:
+        from photo_vector_search_spark.sources.jsonl import write_jsonl_shards
+
+        stats["shards_written"] = write_jsonl_shards(
+            curated, export_path, n_shards=n_shards
+        )
+    return curated, stats

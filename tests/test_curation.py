@@ -1,0 +1,74 @@
+"""End-to-end curation pipeline: stage counts monotone, each stage's invariant
+verified independently on the output, export round-trips."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from photo_vector_search_spark.functions.redact import redact_pii
+from photo_vector_search_spark.functions.text import doc_fingerprint, gopher_flags
+from photo_vector_search_spark.operators.dedup import minhash_lsh_pairs
+from photo_vector_search_spark.pipelines.curation import curate_corpus
+from photo_vector_search_spark.sources.jsonl import read_jsonl_shards
+from photo_vector_search_spark.sources.tables import load_table
+
+
+def test_curate_corpus_end_to_end(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    tmp = tempfile.mkdtemp(prefix="pvs_curate_")
+    try:
+        curated, stats = curate_corpus(
+            docs, export_path=f"{tmp}/shards", n_shards=4
+        )
+        # survivor counts monotone, pipeline non-degenerate on the fixture
+        order = [
+            "input",
+            "after_quality_gate",
+            "after_exact_dedup",
+            "after_boilerplate",
+            "after_near_dedup",
+        ]
+        vals = [stats[k] for k in order]
+        assert vals == sorted(vals, reverse=True)
+        assert 0 < stats["after_near_dedup"] < stats["input"]
+
+        rows = curated.select("doc_id", "text", "pos").collect()
+        assert len(rows) == stats["after_near_dedup"]
+        assert sorted(r["pos"] for r in rows) == list(range(len(rows)))
+
+        # stage invariants, verified independently on the survivors:
+        # 1. every survivor passes the quality gate on its redacted pre-boiler text
+        survivor_ids = {r["doc_id"] for r in rows}
+        gate = {
+            r["doc_id"]: r["gopher_pass"]
+            for r in docs.withColumn("text", redact_pii(F.col("text")))
+            .select("doc_id", *gopher_flags(F.col("text")))
+            .collect()
+        }
+        assert all(gate[d] for d in survivor_ids)
+        # 2. exact dedup kept one canonical per fingerprint group
+        fps = (
+            curated.select(doc_fingerprint(F.col("text")).alias("fp"))
+            .groupBy("fp")
+            .count()
+            .agg(F.max("count"))
+            .first()[0]
+        )
+        assert fps == 1
+        # 3. no near-dup pair survives among the curated docs
+        assert minhash_lsh_pairs(curated.select("doc_id", "text"), tau=0.5).count() == 0
+
+        # export round-trips with the pos column intact
+        assert stats["shards_written"] == 4
+        back = read_jsonl_shards(
+            spark,
+            f"{tmp}/shards",
+            "doc_id long, source string, text string, pos long",
+        )
+        assert back.count() == len(rows)
+        assert {r["doc_id"] for r in back.select("doc_id").collect()} == survivor_ids
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
