@@ -6,15 +6,25 @@ the input (a re-read of the same corpus with different file splits must yield
 the SAME order). Seeded ``df.sample``/``rand()`` fails (c) — Spark's random
 streams are seeded per-partition, so the draw changes with the physical split.
 
-The engine-portable form: order by ``md5(seed || '-' || key)``. Catalyst plans
-the ``orderBy`` as a range-repartition + per-partition sort — the scale-native
-total order (one pass of range sampling over the hash, one shuffle; no global
-single-partition bottleneck). Global positions are then assigned WITHOUT a
-global-window shuffle: per-partition row counts (a tiny collected aggregate —
-one long per partition) become broadcast offsets, and a ``mapInPandas`` pass
-adds ``offset[partition] + running index`` while streaming each partition's
-Arrow batches. Sortedness across partition INDEX order is exactly what
-Spark's sort guarantees, so the positions are the global ranks.
+The engine-portable order is ``md5(seed || '-' || key)``. Assigning each row
+its global RANK in that order without a global-window bottleneck is done with
+FIXED hash-prefix buckets rather than Spark's range-partitioned sort: the
+first 3 hex chars of the md5 are the bucket (0..4095), which is a PREFIX of
+the sort key — so (bucket, h, key) order equals (h, key) order — and
+
+  pos = offset[bucket] + row_number within bucket (ordered by h, key) - 1
+
+where the offsets come from one tiny per-bucket count (≤4096 longs,
+broadcast). One data shuffle total (the per-bucket window), plus a count
+pre-pass over a map-only plan.
+
+Why not ``orderBy(h)`` + per-partition offsets: Spark's RangePartitioner
+SAMPLES the data to pick partition bounds, with a seed derived from the
+ephemeral RDD id — two executions of the same sort (the counts job and the
+numbering job) can pick DIFFERENT bounds, silently corrupting the offsets.
+Fixed buckets make both passes deterministic by construction, at any scale,
+under any partitioning. (Caught in round-5 self-review; the fixture was too
+small to expose it — AQE coalesced the sort to one partition.)
 
 DuckDB twin (value-verified in tests/test_shuffle.py):
 ``row_number() OVER (ORDER BY md5(seed || '-' || key), key) - 1``.
@@ -22,8 +32,10 @@ DuckDB twin (value-verified in tests/test_shuffle.py):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+N_BUCKETS = 4096  # 3 hex chars; md5 uniformity keeps buckets ~N/4096 rows
 
 
 def shuffle_corpus(df: DataFrame, seed: int = 0, key_col: str = "doc_id") -> DataFrame:
@@ -34,42 +46,34 @@ def shuffle_corpus(df: DataFrame, seed: int = 0, key_col: str = "doc_id") -> Dat
     collisions are negligible but the determinism contract must not rest on
     their absence). Different seeds give statistically independent orders;
     the same seed gives byte-identical ``pos`` under ANY input partitioning
-    (asserted in tests)."""
+    (asserted in tests). Rows are returned bucket-grouped, not pos-sorted —
+    ``orderBy('pos')`` (or sharded export, which shuffles anyway) if physical
+    order matters downstream."""
     h = F.md5(F.concat_ws("-", F.lit(str(seed)), F.col(key_col).cast("string")))
-    ordered = df.withColumn("_h", h).orderBy("_h", key_col)
-
-    # Per-partition counts of the SORTED output: cheap (count(1) per partition)
-    # but it does run the sort once to know the split. At 100 TB you'd instead
-    # persist `ordered` (or write it) so sort work isn't paid twice; fixture
-    # scale keeps the recompute, the plan shape is identical either way.
-    sizes = (
-        ordered.select(F.spark_partition_id().alias("pid"))
-        .groupBy("pid")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
+    bucketed = df.withColumn("_h", h).withColumn(
+        "_b", F.conv(F.substring(F.col("_h"), 1, 3), 16, 10).cast("int")
     )
-    counts = {r["pid"]: r["n"] for r in sizes}
-    offsets = {}
-    acc = 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    bc = df.sparkSession.sparkContext.broadcast(offsets)
 
-    def _number(batches):
-        from pyspark import TaskContext
+    # per-bucket counts: a map-side-combinable agg over a map-only plan —
+    # deterministic regardless of partitioning, ≤ N_BUCKETS rows collected
+    counts = {
+        r["_b"]: r["n"]
+        for r in bucketed.groupBy("_b").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = [], 0
+    for b in sorted(counts):
+        offsets.append((b, acc))
+        acc += counts[b]
+    spark = df.sparkSession
+    if not offsets:  # empty input: preserve schema, add the pos column
+        return bucketed.drop("_h", "_b").withColumn("pos", F.lit(None).cast("long"))
+    off = F.broadcast(
+        spark.createDataFrame(offsets, "_b int, _off long")
+    )
 
-        pid = TaskContext.get().partitionId()
-        nxt = bc.value.get(pid, 0)
-        for pdf in batches:
-            pdf = pdf.copy()
-            pdf["pos"] = range(nxt, nxt + len(pdf))
-            nxt += len(pdf)
-            yield pdf
-
-    from pyspark.sql.types import LongType, StructField, StructType
-
-    # structural schema, not a DDL string — exotic column names/types have no
-    # stable simpleString round-trip (ADVICE r4, same fix as with_stub_embedding)
-    schema = StructType(list(ordered.schema.fields) + [StructField("pos", LongType())])
-    return ordered.mapInPandas(_number, schema=schema).drop("_h")
+    win = Window.partitionBy("_b").orderBy("_h", key_col)
+    return (
+        bucketed.join(off, "_b")
+        .withColumn("pos", F.col("_off") + F.row_number().over(win) - 1)
+        .drop("_h", "_b", "_off")
+    )

@@ -153,10 +153,13 @@ NOTES = {
         "aggregate."
     ),
     "shuffle_corpus": (
-        "NOTE: library operator. The Exchange is a rangepartitioning over the "
-        "seeded md5 — Catalyst's distributed total order — followed by a "
-        "map-only MapInPandas that adds global positions from broadcast "
-        "per-partition offsets; no global-window single-partition stage."
+        "NOTE: library operator. The data Exchange is hashpartitioning on the "
+        "FIXED md5-prefix bucket (a prefix of the sort key, so bucket order "
+        "equals hash order) feeding a per-bucket row_number window; global "
+        "positions add broadcast per-bucket offsets. No global-window "
+        "single-partition stage, and no range-sampled sort — range bounds are "
+        "seeded from the ephemeral RDD id and can differ between the counts "
+        "and numbering executions (the round-5 self-review catch)."
     ),
     "redact_pii": (
         "NOTE: library operator. Zero exchanges by construction — the entire "
