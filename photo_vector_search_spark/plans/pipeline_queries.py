@@ -12,8 +12,9 @@ from photo_vector_search_spark.sources.tables import load_table
 
 
 def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4 — exact distinct counts per dimension (approx_count_distinct is the
-    bench-only variant; HLL sketches aren't cross-engine comparable)."""
+    """A4 — exact distinct counts per dimension. The scale variant is
+    ``approx_distinct_counts`` below (HLL sketches aren't cross-engine
+    comparable, so the declared oracle stays exact)."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.agg(
         F.count_distinct("lang").alias("n_langs"),
@@ -30,6 +31,24 @@ SELECT count(DISTINCT lang) AS n_langs,
        count(*) AS n_docs
 FROM documents
 """
+
+
+def approx_distinct_counts(docs: DataFrame, rsd: float = 0.02) -> DataFrame:
+    """HLL++ sketch variant of ``q_distinct_counts`` — the 100 TB path.
+
+    Exact ``count_distinct`` over a high-cardinality column shuffles every
+    distinct VALUE (the text column is the whole corpus); the sketch is a
+    fixed-size register array per partition, merged map-side — one shuffle of
+    kilobytes regardless of data size. ``rsd`` is the target relative standard
+    deviation (Spark's HLL++ parameter). Not oracle-declared: sketch estimates
+    are engine-specific (FIXTURES.md exactness policy); accuracy is bounded
+    against the exact anchor in tests/test_sketches.py."""
+    return docs.agg(
+        F.approx_count_distinct("lang", rsd).alias("n_langs"),
+        F.approx_count_distinct("source", rsd).alias("n_sources"),
+        F.approx_count_distinct("text", rsd).alias("n_texts"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
 
 
 def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -225,8 +244,8 @@ FROM packed GROUP BY shard, pack_id
 def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data profiling (training-corpus QC): per-event-type min/max/median/p95 via
     EXACT interpolated percentiles (Spark `percentile` ≡ DuckDB `quantile_cont`
-    on doubles; approx_percentile is the scale variant, bench-only since sketches
-    don't cross-engine-compare)."""
+    on doubles). The scale variant is ``approx_data_profile`` below — sketches
+    don't cross-engine-compare, so the declared oracle stays exact."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.round(F.min("value"), 6).alias("min_v"),
@@ -246,6 +265,28 @@ SELECT event_type,
        count(*) AS n
 FROM events GROUP BY event_type
 """
+
+
+def approx_data_profile(events: DataFrame, accuracy: int = 10_000) -> DataFrame:
+    """KLL-sketch variant of ``q_data_profile`` — the 100 TB path.
+
+    Exact interpolated percentiles buffer every group value; Spark's
+    ``approx_percentile`` keeps a bounded sketch per group (error ≤ 1/accuracy
+    in RANK, merged map-side), so the shuffle carries sketches, not values.
+    Same output shape as the exact query; accuracy bounded against it in
+    tests/test_sketches.py (rank error translates to value error only through
+    the data's local density, hence the rank-based test)."""
+    return events.groupBy("event_type").agg(
+        F.round(F.min("value"), 6).alias("min_v"),
+        F.round(F.max("value"), 6).alias("max_v"),
+        F.round(
+            F.expr(f"approx_percentile(value, 0.5, {accuracy})"), 6
+        ).alias("median_v"),
+        F.round(
+            F.expr(f"approx_percentile(value, 0.95, {accuracy})"), 6
+        ).alias("p95_v"),
+        F.count(F.lit(1)).alias("n"),
+    )
 
 
 PROTO_DIMS = 8  # leading components declared (full vector is the same agg)
