@@ -19,8 +19,9 @@ except the near-dup stage (which stages its pair result, see
 
 Scale shape: redact+gate are map-only and pipeline into the scan; boilerplate
 is two keyed shuffles; exact dedup one; LSH the documented banding pipeline;
-shuffle one range-sort; export one hash repartition. Nothing quadratic,
-nothing driver-sized except the stats dict (a handful of longs).
+shuffle one fixed-bucket window exchange; export one hash repartition.
+Nothing quadratic, nothing driver-sized except the stats dict (a handful of
+longs) and the shuffle's ≤4096 bucket offsets.
 """
 
 from __future__ import annotations
@@ -45,6 +46,7 @@ def curate_corpus(
     shuffle_seed: int = 0,
     export_path: str | None = None,
     n_shards: int = 8,
+    compute_stats: bool = True,
 ) -> tuple[DataFrame, dict[str, int]]:
     """Run the full curation pipeline over ``docs`` (doc_id, text, ...).
 
@@ -57,8 +59,20 @@ def curate_corpus(
     every doc named as the larger member of a pair drops). Near-dup removal
     by pairwise pruning is the standard corpus policy (each removed doc has a
     surviving near-duplicate witness); full transitive-cluster
-    canonicalization is ``operators/canonicalize`` when provenance matters."""
-    stats: dict[str, int] = {"input": docs.count()}
+    canonicalization is ``operators/canonicalize`` when provenance matters.
+
+    ``compute_stats=True`` runs one count action per stage, which re-executes
+    the (map-heavy, cheap) upstream stages each time — the expensive LSH stage
+    is exempt because it stages its pair result to parquet internally. At
+    100 TB either pass ``compute_stats=False`` (stats holds only ``input`` if
+    counted, else is empty) or persist/checkpoint between stages yourself."""
+    stats: dict[str, int] = {}
+
+    def _stat(key: str, df: DataFrame) -> None:
+        if compute_stats:
+            stats[key] = df.count()
+
+    _stat("input", docs)
 
     clean = docs.withColumn("text", redact_pii(F.col("text")))
 
@@ -68,26 +82,26 @@ def curate_corpus(
         .drop(*[c for c in gated.columns if c.startswith("g_")])
         .drop("gopher_pass")
     )
-    stats["after_quality_gate"] = gated.count()
+    _stat("after_quality_gate", gated)
 
     fp = exact_dedup(gated)
     exact_survivors = fp.filter(F.col("doc_id") == F.col("canonical_id")).select(
         "doc_id"
     )
     deduped = gated.join(exact_survivors, "doc_id")
-    stats["after_exact_dedup"] = deduped.count()
+    _stat("after_exact_dedup", deduped)
 
     rebuilt = remove_boilerplate_lines(
         deduped, min_docs=min_docs_boilerplate
     ).withColumnRenamed("clean", "text")
     keep_cols = [c for c in deduped.columns if c != "text"]
     deboiled = deduped.select(*keep_cols).join(rebuilt, "doc_id")
-    stats["after_boilerplate"] = deboiled.count()
+    _stat("after_boilerplate", deboiled)
 
     pairs = minhash_lsh_pairs(deboiled, tau=lsh_tau)
     losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     near = deboiled.join(losers, "doc_id", "left_anti")
-    stats["after_near_dedup"] = near.count()
+    _stat("after_near_dedup", near)
 
     curated = shuffle_corpus(near, seed=shuffle_seed)
     if export_path is not None:
