@@ -735,3 +735,52 @@ RETIRED_ORACLES = {
     "train_test_split": _ORACLE_TRAIN_TEST_SPLIT,
     "pack_documents": _ORACLE_PACK_DOCUMENTS,
 }
+
+
+def pack_documents_text(
+    docs: DataFrame,
+    cap: int = PACK_CAP,
+    n_shards: int = 8,
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Materialized sequence packing — the training ARTIFACT the stats-only
+    packers (`q_pack_documents*`) audit: each (shard, pack) becomes one row
+    with its member documents' texts concatenated in doc_id order.
+
+    Same deterministic hash-shard + within-shard cumsum assignment as
+    ``q_pack_documents_sharded`` (bit-identical pack membership), then ONE
+    extra per-(shard, pack) groupBy assembling
+    ``array_join(sort_array(collect_list(struct(doc_id, text))))`` — the
+    per-group sort is bounded by docs-per-pack (cap/avg-doc-tokens), never
+    global. Feed the result to ``sources/jsonl.write_jsonl_shards`` for the
+    packed-corpus export. DuckDB twin in tests/test_pack_text.py
+    (``string_agg(text, sep ORDER BY doc_id)``) verifies values, not just
+    counts."""
+    from photo_vector_search_spark.functions.text import hash32
+
+    toks = docs.select(
+        "doc_id",
+        "text",
+        (hash32(F.col("doc_id").cast("string")) % n_shards).alias("shard"),
+        token_count(F.col("text")).alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = toks.withColumn(
+        "pack_id",
+        (F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / cap).cast("long"),
+    )
+    return packed.groupBy("shard", "pack_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                lambda x: x["text"],
+            ),
+            sep,
+        ).alias("text"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+    )
