@@ -53,6 +53,7 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _LOG = "_log"
 _DATA = "data"
@@ -331,3 +332,60 @@ def vacuum(path: str, keep_last: int = 1, min_age_seconds: float = 3600.0) -> li
                 shutil.rmtree(full, ignore_errors=True)
                 removed.append(full)
     return removed
+
+
+def diff_versions(
+    spark: SparkSession,
+    path: str,
+    v_old: int,
+    v_new: int,
+    key_cols: list[str],
+) -> DataFrame:
+    """Change-data-capture between two committed versions: one row per changed
+    key with ``change_type`` ∈ {insert, update, delete}. Inserts/updates carry
+    the NEW row's columns, deletes the OLD row's (the row a downstream
+    consumer must retract) — the standard CDC feed shape, derived entirely
+    from time travel (no extra write-path bookkeeping; Delta's CDF trades
+    storage for skipping exactly this join).
+
+    Plan: read both versions (each a parquet union of its manifest's dirs,
+    with whatever pruning the consumer's projection pushes down), compare via
+    ONE full outer join on ``key_cols`` — update detection hashes the
+    non-key columns (sorted by name, so schema column order can't flip it)
+    instead of comparing N columns pairwise. Shuffle = two version scans
+    keyed once; nothing driver-sized."""
+    old_df, new_df = read_version(spark, path, v_old), read_version(spark, path, v_new)
+    if set(old_df.columns) != set(new_df.columns):
+        raise VersionedStoreError(
+            f"diff_versions requires matching schemas; v{v_old} has "
+            f"{sorted(old_df.columns)} vs v{v_new} {sorted(new_df.columns)}"
+        )
+    missing = [k for k in key_cols if k not in new_df.columns]
+    if missing:
+        raise VersionedStoreError(f"key columns {missing} not in store schema")
+    val_cols = sorted(c for c in new_df.columns if c not in key_cols)
+    def _hash(df: DataFrame):
+        return F.md5(
+            F.concat_ws(
+                "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in val_cols]
+            )
+        )
+
+    o = old_df.select(*key_cols, _hash(old_df).alias("_oh"), F.struct(*val_cols).alias("_ov"))
+    n = new_df.select(*key_cols, _hash(new_df).alias("_nh"), F.struct(*val_cols).alias("_nv"))
+    j = o.join(n, key_cols, "full_outer")
+    change = (
+        F.when(F.col("_oh").isNull(), "insert")
+        .when(F.col("_nh").isNull(), "delete")
+        .when(F.col("_oh") != F.col("_nh"), "update")
+    )
+    picked = F.when(F.col("_nh").isNull(), F.col("_ov")).otherwise(F.col("_nv"))
+    return (
+        j.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            "change_type",
+            *key_cols,
+            *[picked[c].alias(c) for c in val_cols],
+        )
+    )

@@ -237,3 +237,35 @@ def test_vacuum_retention_protects_in_retention_reader(spark, store_path):
     with pytest.raises(VersionedStoreError):
         read_version(spark, store_path, version=0)
     assert _ids(read_version(spark, store_path)) == [5, 6, 7, 8, 9, 10]
+
+
+def test_diff_versions_cdc(spark, store_path):
+    """CDC between versions: inserts/updates carry new values, deletes the
+    retracted old row, unchanged keys are absent; bad schemas/keys error."""
+    from photo_vector_search_spark.operators.versioned_store import diff_versions
+
+    v1 = commit_overwrite(_df(spark, [1, 2, 3]), store_path)
+    changed = spark.createDataFrame(
+        [(2, "doc-2"), (3, "doc-3-EDITED"), (4, "doc-4")], "id int, text string"
+    )
+    v2 = commit_rewrite(changed, store_path)
+
+    got = {
+        r["id"]: (r["change_type"], r["text"])
+        for r in diff_versions(spark, store_path, v1, v2, ["id"]).collect()
+    }
+    assert got == {
+        1: ("delete", "doc-1"),
+        3: ("update", "doc-3-EDITED"),
+        4: ("insert", "doc-4"),
+    }
+    # symmetric direction flips the roles
+    rev = {
+        r["id"]: r["change_type"]
+        for r in diff_versions(spark, store_path, v2, v1, ["id"]).collect()
+    }
+    assert rev == {1: "insert", 3: "update", 4: "delete"}
+    # self-diff is empty
+    assert diff_versions(spark, store_path, v2, v2, ["id"]).count() == 0
+    with pytest.raises(VersionedStoreError, match="key columns"):
+        diff_versions(spark, store_path, v1, v2, ["nope"])
