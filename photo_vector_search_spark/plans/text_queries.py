@@ -9,7 +9,7 @@ filter against a brute-force stand-in.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from photo_vector_search_spark.functions.text import (
@@ -657,3 +657,61 @@ RETIRED_QUERIES = {
 RETIRED_ORACLES = {
     "fuzzy_levenshtein": _ORACLE_FUZZY_LEV,
 }
+
+
+def build_vocab(docs: DataFrame, max_size: int = 32_768) -> DataFrame:
+    """Deterministic rank vocabulary: (token, id) with id = dense rank by
+    (-term frequency, token) — the corpus-derived id table a tokenization
+    pass joins against. Ties break lexicographically so the mapping is
+    byte-stable across runs/engines. Ids start at 0; id ``max_size`` is
+    reserved by ``tokenize_documents`` for OOV.
+
+    One explode + one groupBy(token) (map-side combinable) + a rank window
+    over the ≤max_size surviving vocabulary rows — the window's single
+    partition holds vocab entries, not corpus rows (vocabularies are
+    bounded by construction; 32k rows is driver-trivial and
+    executor-trivial alike)."""
+    tf = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w = Window.orderBy(F.col("tf").desc(), F.col("tok").asc())
+    return (
+        tf.withColumn("id", F.row_number().over(w) - 1)
+        .filter(F.col("id") < max_size)
+        .select("tok", "id", "tf")
+    )
+
+
+def tokenize_documents(
+    docs: DataFrame, vocab: DataFrame, oov_id: int | None = None
+) -> DataFrame:
+    """Map each document to its token-id sequence (doc_id, ids array<int>,
+    n_oov) using a ``build_vocab`` table — the step between curation and
+    packing that turns text into trainable input.
+
+    Scale shape: posexplode tokens (map-only), LEFT join the vocab on the
+    token (the vocab is ≤32k rows — Catalyst broadcasts it; an unbounded
+    vocab would degrade to a keyed shuffle join, still never a collect),
+    then ONE groupBy(doc) reassembling ``array_sort(collect_list(struct(pos,
+    id)))`` — per-doc sort, bounded by document length. Unknown tokens map
+    to ``oov_id`` (default: one past the largest vocab id) and are counted
+    per document so a corpus-level OOV-rate audit is one sum away."""
+    if oov_id is None:
+        oov_row = vocab.agg(F.max("id").alias("m")).first()
+        oov_id = (oov_row["m"] if oov_row["m"] is not None else -1) + 1
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+    )
+    joined = tok.join(vocab.select("tok", "id"), "tok", "left").select(
+        "doc_id",
+        "pos",
+        F.coalesce(F.col("id"), F.lit(oov_id)).cast("int").alias("id"),
+    )
+    return joined.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "id"))), lambda x: x["id"]
+        ).alias("ids"),
+        F.sum(F.when(F.col("id") == oov_id, 1).otherwise(0)).alias("n_oov"),
+    )

@@ -1,0 +1,86 @@
+"""Vocab build + tokenization: exact value parity with a DuckDB twin running
+the identical rank/join/reassemble algorithm, plus OOV semantics."""
+
+from __future__ import annotations
+
+import duckdb
+
+from photo_vector_search_spark.plans.text_queries import (
+    build_vocab,
+    tokenize_documents,
+)
+from photo_vector_search_spark.sources.tables import load_table
+
+
+def test_build_vocab_and_tokenize_match_duckdb(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    vocab = build_vocab(docs, max_size=10).cache()
+    n_vocab = vocab.count()
+    assert 0 < n_vocab <= 10
+
+    got_vocab = {(r["tok"], r["id"], r["tf"]) for r in vocab.collect()}
+    got = {
+        r["doc_id"]: (list(r["ids"]), r["n_oov"])
+        for r in tokenize_documents(docs, vocab).collect()
+    }
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/documents.parquet')"
+        )
+        want_vocab = set(
+            con.execute(
+                r"""
+                WITH tok AS (
+                  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+                  FROM documents
+                ),
+                tf AS (SELECT tok, count(*) AS tf FROM tok GROUP BY tok)
+                SELECT tok,
+                       CAST(row_number() OVER (ORDER BY tf DESC, tok ASC) - 1 AS INT) AS id,
+                       tf
+                FROM tf QUALIFY id < 10
+                """
+            ).fetchall()
+        )
+        want = {
+            d: (ids, n)
+            for d, ids, n in con.execute(
+                rf"""
+                WITH tok AS (
+                  SELECT doc_id, u.tok, u.pos
+                  FROM (SELECT doc_id,
+                               regexp_split_to_array(lower(trim(text)), '\s+') AS ts
+                        FROM documents) t,
+                       LATERAL (SELECT ts[p] AS tok, p AS pos
+                                FROM unnest(generate_series(1, len(ts))) AS g(p)) u
+                ),
+                tf AS (
+                  SELECT tok, count(*) AS tf FROM tok GROUP BY tok
+                ),
+                vocab AS (
+                  SELECT tok,
+                         CAST(row_number() OVER (ORDER BY tf DESC, tok ASC) - 1 AS INT) AS id
+                  FROM tf QUALIFY id < 10
+                )
+                SELECT t.doc_id,
+                       list(COALESCE(v.id, 10) ORDER BY t.pos) AS ids,
+                       CAST(sum(CASE WHEN v.id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+                FROM tok t LEFT JOIN vocab v ON t.tok = v.tok
+                GROUP BY t.doc_id
+                """
+            ).fetchall()
+        }
+    finally:
+        con.close()
+
+    assert got_vocab == want_vocab
+    assert set(got) == set(want)
+    for d in got:
+        assert got[d][0] == list(want[d][0]), d
+        assert got[d][1] == want[d][1], d
+    # OOV id defaults to one past the largest vocab id and actually fires
+    assert any(n > 0 for _, n in got.values())
+    vocab.unpersist()
