@@ -43,7 +43,13 @@ def write_jsonl_shards(
 
     Binary columns are base64-encoded by the JSON writer (Spark convention);
     this sink is for TEXT corpora — parquet remains the store format for
-    multimodal payloads."""
+    multimodal payloads.
+
+    The returned count comes from a driver-local directory listing — the same
+    POSIX-path assumption as the LSH staging default (``minhash_lsh_pairs``):
+    on a real cluster point ``path`` at storage the driver can list (or treat
+    the count as advisory; the writer guarantees ≤ n_shards part files
+    regardless)."""
     writer = (
         df.repartition(n_shards, F.col(shard_key))
         .write.mode("overwrite")
