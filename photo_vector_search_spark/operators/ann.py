@@ -136,19 +136,47 @@ def build_ivf_store(
     written = spark.read.parquet(path)
     radii = cluster_radii(written, centroids)
     built_rows = written.count()
+    # store_sig: content marker of the just-written store (see _store_signature)
+    # — lets the radii loader detect ANY later rewrite, not just count changes.
+    # n_assign: the build's multi-probe knob, persisted so streamed increments
+    # and rebalances reproduce it instead of silently dropping to 1.
+    sig = _store_signature(path)
     cent_rows = [
-        (i, [float(x) for x in c], float(radii[i]), built_rows, build_id)
+        (i, [float(x) for x in c], float(radii[i]), built_rows, build_id, sig, n_assign)
         for i, c in enumerate(centroids)
     ]
     snapshot_overwrite(
         spark.createDataFrame(
             cent_rows,
             "centroid_id int, centroid array<double>, radius double, "
-            "built_rows long, build_id string",
+            "built_rows long, build_id string, store_sig string, n_assign int",
         ),
         path + ".centroids",
     )
     return centroids
+
+
+def _store_signature(path: str) -> str:
+    """Content marker for the store DIRECTORY: md5 over the sorted
+    (relative path, size) of every data file. Every snapshot swap writes
+    fresh uniquely-named part files, so ANY store rewrite — including
+    count-preserving pure upserts — changes the signature. This is what lets
+    ``load_cluster_radii`` detect staleness that a row-count check cannot
+    (a replaced vector can land farther from its centroid than the recorded
+    radius and silently break the adaptive probe's exactness bound).
+    Driver-side listing, O(files); same POSIX-path assumption as the
+    snapshot-swap store itself."""
+    import hashlib
+    import os
+
+    entries = []
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.startswith((".", "_")):
+                continue
+            full = os.path.join(root, f)
+            entries.append(f"{os.path.relpath(full, path)}:{os.path.getsize(full)}")
+    return hashlib.md5("\n".join(sorted(entries)).encode()).hexdigest()
 
 
 def load_ivf_store(spark, path: str) -> tuple[DataFrame, np.ndarray]:
@@ -190,17 +218,38 @@ def load_cluster_radii(spark, path: str) -> np.ndarray:
     ``streaming/incremental.py``) can hold points beyond it, and an
     under-covering radius would let the adaptive probe prune a cluster that
     holds the true neighbor — silently breaking its exactness proof. So the
-    sidecar records ``built_rows`` and this loader recomputes (one map pass +
-    k-row agg) whenever the store's current count differs, or when the sidecar
-    predates the radius column."""
-    sidecar = spark.read.parquet(path + ".centroids")
+    sidecar records the store's content signature (``store_sig``) and this
+    loader recomputes (one map pass + k-row agg) whenever the store directory
+    has been rewritten since — catching count-preserving pure upserts that a
+    ``built_rows`` check misses (a replaced vector can sit beyond the recorded
+    radius and break the adaptive probe's exactness bound). Older sidecars
+    without the signature fall back to the row-count check; sidecars predating
+    the radius column always recompute."""
+    # recovery FIRST (inside load_ivf_store): reading the sidecar before
+    # recover_store would crash on a half-swapped '.centroids' dir whose only
+    # copy sits in '.centroids.old' — exactly the state recovery exists to heal
     store, centroids = load_ivf_store(spark, path)
+    sidecar = spark.read.parquet(path + ".centroids")
     if "radius" not in sidecar.columns or "built_rows" not in sidecar.columns:
         return cluster_radii(store, centroids)
     rows = sidecar.orderBy("centroid_id").collect()
-    if store.count() != rows[0]["built_rows"]:
+    if "store_sig" in sidecar.columns and rows[0]["store_sig"]:
+        if _store_signature(path) != rows[0]["store_sig"]:
+            return cluster_radii(store, centroids)
+    elif store.count() != rows[0]["built_rows"]:
         return cluster_radii(store, centroids)
     return np.array([r["radius"] for r in rows], dtype=np.float64)
+
+
+def stored_n_assign(spark, path: str) -> int:
+    """The build-time multi-assign knob the centroid sidecar recorded
+    (1 for sidecars predating the column). Streamed increments and default
+    rebalances read it so the store's recall contract survives both."""
+    side = spark.read.parquet(path + ".centroids")
+    if "n_assign" not in side.columns:
+        return 1
+    first = side.select("n_assign").first()
+    return int(first["n_assign"]) if first and first["n_assign"] is not None else 1
 
 
 def ivf_topk(
@@ -496,7 +545,7 @@ def rebalance_ivf_store(
     sample: int = 4096,
     iters: int = 8,
     seed: int = 42,
-    n_assign: int = 1,
+    n_assign: int | None = None,
 ) -> np.ndarray:
     """Re-train and re-assign an existing IVF store — the REBUILD half of the
     serving pattern whose serve half is ``streaming/incremental.py``'s frozen
@@ -516,15 +565,17 @@ def rebalance_ivf_store(
 
     ``n_clusters`` defaults to the store's current cluster count; pass a
     larger value as the corpus grows (the N/target_cluster_rows sizing rule —
-    see ``ivf_near_dup_pairs``). ``n_assign`` re-applies build-time
-    multi-probe; an old multi-assign store rebalanced with the default 1
-    deliberately drops to single-assign (the knob is a build property, chosen
-    per build). Cost: one bounded driver sample for k-means + two map-only
-    passes (assign, radii) + the partitioned rewrite — the same O(data) as the
-    original build, run at rebuild cadence, never per batch."""
+    see ``ivf_near_dup_pairs``). ``n_assign`` defaults to the value the
+    sidecar recorded at build (so a rebalance preserves the store's
+    multi-probe recall contract); pass an explicit value to change the knob
+    at rebuild time. Cost: one bounded driver sample for k-means + two
+    map-only passes (assign, radii) + the partitioned rewrite — the same
+    O(data) as the original build, run at rebuild cadence, never per batch."""
     store, centroids = load_ivf_store(spark, path)
     if n_clusters is None:
         n_clusters = len(centroids)
+    if n_assign is None:
+        n_assign = stored_n_assign(spark, path)
     # dropDuplicates collapses multi-assign rows AND hash-shuffles on vec_id —
     # the shuffle matters beyond dedup: a cluster-partitioned store reads in
     # cluster-id order, and train_centroids' bounded driver sample takes the

@@ -89,14 +89,20 @@ def _maintain_radius_sidecar(spark, store_path, assigned: DataFrame, centroids) 
     ``ivf_topk_adaptive``'s exactness proof needs. O(batch) compute + a k-row
     sidecar rewrite; sidecars from pre-radius builds are left untouched
     (``load_cluster_radii`` recomputes for those)."""
-    from photo_vector_search_spark.operators.ann import cluster_radii
+    from photo_vector_search_spark.operators.ann import _store_signature, cluster_radii
+    from photo_vector_search_spark.operators.store import recover_store
 
     sidecar_path = store_path + ".centroids"
+    recover_store(sidecar_path)  # heal a half-swapped sidecar before reading it
     sidecar = spark.read.parquet(sidecar_path)
     if "radius" not in sidecar.columns or "built_rows" not in sidecar.columns:
         return
     batch_radii = cluster_radii(assigned, centroids)
     n_now = spark.read.parquet(store_path).count()
+    # signature of the store AS JUST WRITTEN: a crash between the store swap
+    # and this sidecar rewrite leaves a sig mismatch, so load_cluster_radii
+    # recomputes instead of trusting radii that may under-cover replaced rows
+    sig = _store_signature(store_path)
     rows = sidecar.orderBy("centroid_id").collect()
     merged = [
         (
@@ -105,6 +111,8 @@ def _maintain_radius_sidecar(spark, store_path, assigned: DataFrame, centroids) 
             float(max(r["radius"], batch_radii[r["centroid_id"]])),
             n_now,
             r["build_id"],
+            sig,
+            int(r["n_assign"]) if "n_assign" in sidecar.columns and r["n_assign"] is not None else 1,
         )
         for r in rows
     ]
@@ -112,7 +120,7 @@ def _maintain_radius_sidecar(spark, store_path, assigned: DataFrame, centroids) 
         spark.createDataFrame(
             merged,
             "centroid_id int, centroid array<double>, radius double, "
-            "built_rows long, build_id string",
+            "built_rows long, build_id string, store_sig string, n_assign int",
         ),
         sidecar_path,
     )
@@ -136,10 +144,19 @@ def incremental_ivf_index(
     along unchanged, and ``load_ivf_store``'s torn-pair check still holds."""
     from pyspark.sql import functions as F
 
-    from photo_vector_search_spark.operators.ann import assign_clusters, load_ivf_store
+    from photo_vector_search_spark.operators.ann import (
+        assign_clusters,
+        load_ivf_store,
+        stored_n_assign,
+    )
     from photo_vector_search_spark.operators.store import merge_upsert
 
     store0, centroids = load_ivf_store(spark, store_path)  # frozen codebook
+    # honor the build's multi-assign knob: streaming a 1-assign batch into an
+    # n_assign=2 store would leave new Voronoi-border vectors in one cluster
+    # only, silently degrading the recall contract ivf_topk(n_assign=2)
+    # queries were tuned against
+    n_assign = stored_n_assign(spark, store_path)
     # Capture the build_id ONCE with the codebook: stamping a per-batch re-read
     # id would let a mid-stream rebuild pair B1-codebook assignments with a B2
     # stamp — passing the torn-pair check while probes are silently wrong. With
@@ -164,7 +181,7 @@ def incremental_ivf_index(
         # files drained together); merge_upsert unions updates as-is, so dedup
         # here or the 'upsert by vec_id' contract breaks inside a batch
         assigned = assign_clusters(
-            batch_df.dropDuplicates(["vec_id"]), centroids
+            batch_df.dropDuplicates(["vec_id"]), centroids, n_assign=n_assign
         ).withColumn("build_id", F.lit(build_id))
         new_state = merge_upsert(store, assigned.select(*store_cols), ["vec_id"])
         snapshot_overwrite(new_state, store_path, partition_by=["cluster_id"])

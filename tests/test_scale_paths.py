@@ -604,3 +604,128 @@ def test_rebalance_ivf_store_refits_drifted_geometry(spark):
         emb.unpersist()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_load_cluster_radii_detects_replacement_only_rewrite(spark):
+    """Count-preserving rewrite (pure upsert moving existing vectors) must
+    invalidate the sidecar fast path: the store SIGNATURE changes even when
+    built_rows does not, and trusting the old radii would let the adaptive
+    probe prune the cluster holding a moved vector (code-review r5 finding)."""
+    import numpy as np
+
+    from photo_vector_search_spark.operators.ann import (
+        assign_clusters,
+        build_ivf_store,
+        cluster_radii,
+        load_cluster_radii,
+        load_ivf_store,
+    )
+    from photo_vector_search_spark.operators.store import (
+        merge_upsert,
+        snapshot_overwrite,
+    )
+    from photo_vector_search_spark.sources.synthetic import mog_embeddings
+
+    tmp = tempfile.mkdtemp(prefix="pvs_radii_sig_")
+    store_path = f"{tmp}/store"
+    try:
+        emb = mog_embeddings(spark, n=120, dim=16, n_components=4, noise=0.03)
+        centroids = build_ivf_store(emb, store_path, n_clusters=4)
+        n0 = spark.read.parquet(store_path).count()
+
+        # move 20 EXISTING vectors far from their recorded cluster centroid,
+        # keeping their old cluster_id (the worst stale-radius case) and the
+        # row count identical; write WITHOUT sidecar maintenance
+        store0, _ = load_ivf_store(spark, store_path)
+        moved = (
+            emb.filter(F.col("vec_id") < 20)
+            .withColumn(
+                "embedding",
+                F.expr("transform(embedding, x -> float(-x))"),  # antipode
+            )
+        )
+        assigned_cols = [c for c in store0.columns]
+        build_id = store0.select("build_id").first()["build_id"]
+        updates = (
+            store0.filter(F.col("vec_id") < 20)
+            .drop("embedding")
+            .join(moved.select("vec_id", "embedding"), "vec_id")
+            .select(*assigned_cols)
+        )
+        new_state = merge_upsert(store0, updates, ["vec_id"])
+        snapshot_overwrite(new_state, store_path, partition_by=["cluster_id"])
+        assert spark.read.parquet(store_path).count() == n0  # count unchanged
+
+        radii = load_cluster_radii(spark, store_path)
+        true_radii = cluster_radii(spark.read.parquet(store_path), centroids)
+        assert (radii + 1e-12 >= true_radii).all(), (
+            "stale sidecar radii trusted after a count-preserving rewrite"
+        )
+        # and it genuinely detected the rewrite: antipodal vectors force a
+        # much larger radius than the build recorded
+        assert radii.max() > 1.5
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_load_cluster_radii_survives_half_swapped_sidecar(spark):
+    """Crash between the sidecar's two renames leaves only '.centroids.old';
+    load_cluster_radii must recover it (recovery BEFORE the read — the r5
+    code-review ordering fix) instead of failing on a missing path."""
+    import os
+
+    from photo_vector_search_spark.operators.ann import (
+        build_ivf_store,
+        load_cluster_radii,
+    )
+    from photo_vector_search_spark.sources.synthetic import mog_embeddings
+
+    tmp = tempfile.mkdtemp(prefix="pvs_radii_recover_")
+    store_path = f"{tmp}/store"
+    try:
+        emb = mog_embeddings(spark, n=80, dim=16, n_components=4, noise=0.05)
+        build_ivf_store(emb, store_path, n_clusters=4)
+        side = store_path + ".centroids"
+        os.rename(side, side + ".old")  # simulate the half-swap crash window
+        radii = load_cluster_radii(spark, store_path)
+        assert len(radii) == 4 and (radii >= 0).all()
+        assert os.path.isdir(side)  # recovery healed the sidecar
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_incremental_ivf_preserves_build_n_assign(spark):
+    """Streaming into an n_assign=2 store must multi-assign the new vectors
+    too (the sidecar records the build knob; r5 code-review finding) — else
+    new Voronoi-border vectors silently lose the store's recall contract."""
+    from photo_vector_search_spark.operators.ann import build_ivf_store
+    from photo_vector_search_spark.sources.synthetic import mog_embeddings
+    from photo_vector_search_spark.streaming.incremental import incremental_ivf_index
+
+    tmp = tempfile.mkdtemp(prefix="pvs_ivf_na_")
+    in_dir, store, ckpt = f"{tmp}/in", f"{tmp}/store", f"{tmp}/ckpt"
+    try:
+        emb = mog_embeddings(spark, n=120, dim=16, n_components=4, noise=0.05)
+        base = emb.filter(F.col("vec_id") < 100)
+        build_ivf_store(base, store, n_clusters=4, n_assign=2)
+        assert spark.read.parquet(store).count() == 200  # 2 rows per vector
+
+        newv = emb.filter(F.col("vec_id") >= 100).select(
+            "vec_id", "embedding", "label"
+        )
+        newv.write.mode("append").parquet(in_dir)
+        q = incremental_ivf_index(spark, in_dir, store, ckpt)
+        assert q.awaitTermination(600)
+
+        grown = spark.read.parquet(store)
+        per_new = (
+            grown.filter(F.col("vec_id") >= 100)
+            .groupBy("vec_id")
+            .count()
+            .select("count")
+            .distinct()
+            .collect()
+        )
+        assert [r["count"] for r in per_new] == [2]  # every new vector x2
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
