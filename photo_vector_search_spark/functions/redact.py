@@ -72,20 +72,30 @@ def redact_pii_sql(col: str, kinds: tuple[str, ...] | None = None) -> str:
 
 
 def pii_counts(text: Column, kinds: tuple[str, ...] | None = None) -> list[Column]:
-    """Per-kind match counts (``n_email``, ``n_ip``, ...) — the audit/metrics
-    face of the same rules (corpus PII density before/after scrubbing). Pure
-    map-side expressions; aggregate with SUM for corpus totals (map-side
-    combinable: one shuffle of one row per kind)."""
-    return [
-        F.regexp_count(text, F.lit(pat)).alias(f"n_{kind}")
-        for kind, pat, _ in _rules(kinds)
-    ]
+    """Per-kind REPLACEMENT counts (``n_email``, ``n_ip``, ...) — the
+    audit/metrics face of ``redact_pii``: each rule is counted on the text
+    AFTER the preceding rules' replacements, so the counts are exactly the
+    number of ``<KIND>`` tokens the redaction emits. Counting every rule on
+    the raw text instead would double-book overlaps ('555-123-4567@host.com'
+    is ONE email replacement, not an email and a phone) and an audit could
+    never reconcile counts with emitted tokens. Pure map-side expressions;
+    aggregate with SUM for corpus totals (map-side combinable)."""
+    out = []
+    staged = text
+    for kind, pat, repl in _rules(kinds):
+        out.append(F.regexp_count(staged, F.lit(pat)).alias(f"n_{kind}"))
+        staged = F.regexp_replace(staged, pat, repl)
+    return out
 
 
-def pii_count_sql(col: str, kind: str) -> str:
-    """DuckDB twin of one ``pii_counts`` column: RE2 has no regexp_count, so
-    the twin counts via ``regexp_extract_all`` length — same automaton."""
-    for k, pat, _ in PII_RULES:
+def pii_count_sql(col: str, kind: str, kinds: tuple[str, ...] | None = None) -> str:
+    """DuckDB twin of one ``pii_counts`` column (same progressive semantics:
+    the pattern is counted on the text after the PRECEDING rules' replacements
+    within the same ``kinds`` selection). RE2 has no regexp_count, so the twin
+    counts via ``regexp_extract_all`` length — same automaton."""
+    staged = col
+    for k, pat, repl in _rules(kinds):
         if k == kind:
-            return f"length(regexp_extract_all({col}, '{pat}'))"
+            return f"length(regexp_extract_all({staged}, '{pat}'))"
+        staged = f"regexp_replace({staged}, '{pat}', '{repl}', 'g')"
     raise ValueError(f"unknown PII kind {kind!r}; have {_KINDS}")

@@ -139,6 +139,20 @@ _SYMBOL_PATTERN = r"#|\.\.\."
 _BULLET_PATTERN = r"^\s*[-*•]"
 _ELLIPSIS_PATTERN = r"\.\.\.\s*$"
 
+# the exact columns gopher_flags emits — callers that add-then-drop the flags
+# (pipelines/curation.py) must drop THESE names, never a "g_" prefix match
+# that would silently destroy user columns like g_score
+GOPHER_FLAG_COLUMNS = (
+    "g_words",
+    "g_mean_word_len",
+    "g_symbol_ratio",
+    "g_bullet_ratio",
+    "g_ellipsis_ratio",
+    "g_alpha_words",
+    "g_stopwords",
+    "gopher_pass",
+)
+
 
 def gopher_flags(text: Column) -> list[Column]:
     """Per-rule boolean columns (``g_words`` … ``g_stopwords``) plus the

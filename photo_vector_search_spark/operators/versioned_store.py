@@ -364,11 +364,14 @@ def diff_versions(
     if missing:
         raise VersionedStoreError(f"key columns {missing} not in store schema")
     val_cols = sorted(c for c in new_df.columns if c not in key_cols)
+
     def _hash(df: DataFrame):
+        # to_json over a struct: field boundaries are quoted/escaped and NULL
+        # is a distinct JSON token, so values shifting across columns
+        # ('x\x1fy','z' vs 'x','y\x1fz') or NULL-vs-sentinel changes can never
+        # collide the way a separator-joined concat_ws would
         return F.md5(
-            F.concat_ws(
-                "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in val_cols]
-            )
+            F.to_json(F.struct(*val_cols), {"ignoreNullFields": "false"})
         )
 
     o = old_df.select(*key_cols, _hash(old_df).alias("_oh"), F.struct(*val_cols).alias("_ov"))

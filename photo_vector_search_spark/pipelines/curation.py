@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from photo_vector_search_spark.functions.redact import redact_pii
-from photo_vector_search_spark.functions.text import gopher_flags
+from photo_vector_search_spark.functions.text import GOPHER_FLAG_COLUMNS, gopher_flags
 from photo_vector_search_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
@@ -56,10 +56,12 @@ def curate_corpus(
 
     Dedup canonicalization keeps the LOWEST doc_id of each duplicate group
     (exact groups via fingerprint; near-dup pairs via the LSH pair list —
-    every doc named as the larger member of a pair drops). Near-dup removal
-    by pairwise pruning is the standard corpus policy (each removed doc has a
-    surviving near-duplicate witness); full transitive-cluster
-    canonicalization is ``operators/canonicalize`` when provenance matters.
+    every doc named as the larger member of a pair drops). This is the
+    standard greedy corpus policy: in a similarity CHAIN (pairs (1,2),(2,3)
+    without (1,3)) the removed doc 3's witness (doc 2) is itself removed —
+    content can drop with no surviving near-duplicate above τ. When that
+    matters, use ``operators/canonicalize`` for transitive-cluster
+    canonicalization with explicit representatives.
 
     ``compute_stats=True`` runs one count action per stage, which re-executes
     the (map-heavy, cheap) upstream stages each time — the expensive LSH stage
@@ -77,11 +79,9 @@ def curate_corpus(
     clean = docs.withColumn("text", redact_pii(F.col("text")))
 
     gated = clean.select("*", *gopher_flags(F.col("text")))
-    gated = (
-        gated.filter(F.col("gopher_pass"))
-        .drop(*[c for c in gated.columns if c.startswith("g_")])
-        .drop("gopher_pass")
-    )
+    # drop exactly the flag columns gopher_flags emitted — a "g_" prefix match
+    # would silently destroy user metadata columns like g_score
+    gated = gated.filter(F.col("gopher_pass")).drop(*GOPHER_FLAG_COLUMNS)
     _stat("after_quality_gate", gated)
 
     fp = exact_dedup(gated)

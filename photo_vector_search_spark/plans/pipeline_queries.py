@@ -193,29 +193,43 @@ FROM packed GROUP BY pack_id
 PACK_SHARDS = 8
 
 
-def q_pack_documents_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB form of sequence packing promised in ``q_pack_documents``'s
-    docstring: shard by a deterministic hash, pack WITHIN each shard — the window
-    partitions by shard so every shard's cumsum runs in parallel (no
-    single-partition global window; ~N/shards rows per task at any scale).
-    Output: per-(shard, pack) doc count and token fill."""
+def assign_packs(
+    docs: DataFrame, cap: int = PACK_CAP, n_shards: int = PACK_SHARDS
+) -> DataFrame:
+    """Shared shard+pack assignment: deterministic hash shard of ``doc_id``,
+    exclusive running-token-count cumsum within each shard, ``pack_id`` =
+    cumsum div cap. The SINGLE source of pack membership for the stats query
+    (``q_pack_documents_sharded``) and the materializing packer
+    (``pack_documents_text``) — bit-identical by construction, not by parallel
+    maintenance of two copies. Input needs (doc_id, text, ...); output adds
+    (shard, n_tok, pack_id) and keeps the rest."""
     from photo_vector_search_spark.functions.text import hash32
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        (hash32(F.col("doc_id").cast("string")) % PACK_SHARDS).alias("shard"),
-        token_count(F.col("text")).alias("n_tok"),
+    toks = docs.withColumns(
+        {
+            "shard": hash32(F.col("doc_id").cast("string")) % n_shards,
+            "n_tok": token_count(F.col("text")),
+        }
     )
     w = (
         Window.partitionBy("shard")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    packed = docs.withColumn(
+    return toks.withColumn(
         "pack_id",
-        (F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / PACK_CAP).cast("long"),
+        (F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / cap).cast("long"),
     )
-    return packed.groupBy("shard", "pack_id").agg(
+
+
+def q_pack_documents_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of sequence packing promised in ``q_pack_documents``'s
+    docstring: shard by a deterministic hash, pack WITHIN each shard — the window
+    partitions by shard so every shard's cumsum runs in parallel (no
+    single-partition global window; ~N/shards rows per task at any scale).
+    Output: per-(shard, pack) doc count and token fill."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return assign_packs(docs).groupBy("shard", "pack_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").alias("n_tokens"),
     )
@@ -740,39 +754,24 @@ RETIRED_ORACLES = {
 def pack_documents_text(
     docs: DataFrame,
     cap: int = PACK_CAP,
-    n_shards: int = 8,
+    n_shards: int = PACK_SHARDS,
     sep: str = "\n\n",
 ) -> DataFrame:
     """Materialized sequence packing — the training ARTIFACT the stats-only
     packers (`q_pack_documents*`) audit: each (shard, pack) becomes one row
     with its member documents' texts concatenated in doc_id order.
 
-    Same deterministic hash-shard + within-shard cumsum assignment as
-    ``q_pack_documents_sharded`` (bit-identical pack membership), then ONE
-    extra per-(shard, pack) groupBy assembling
+    Pack membership comes from the SHARED ``assign_packs`` helper (the same
+    code path ``q_pack_documents_sharded`` groups — identical by
+    construction, not by keeping two copies in sync), then ONE extra
+    per-(shard, pack) groupBy assembling
     ``array_join(sort_array(collect_list(struct(doc_id, text))))`` — the
     per-group sort is bounded by docs-per-pack (cap/avg-doc-tokens), never
     global. Feed the result to ``sources/jsonl.write_jsonl_shards`` for the
     packed-corpus export. DuckDB twin in tests/test_pack_text.py
     (``string_agg(text, sep ORDER BY doc_id)``) verifies values, not just
     counts."""
-    from photo_vector_search_spark.functions.text import hash32
-
-    toks = docs.select(
-        "doc_id",
-        "text",
-        (hash32(F.col("doc_id").cast("string")) % n_shards).alias("shard"),
-        token_count(F.col("text")).alias("n_tok"),
-    )
-    w = (
-        Window.partitionBy("shard")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    packed = toks.withColumn(
-        "pack_id",
-        (F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / cap).cast("long"),
-    )
+    packed = assign_packs(docs.select("doc_id", "text"), cap=cap, n_shards=n_shards)
     return packed.groupBy("shard", "pack_id").agg(
         F.array_join(
             F.transform(

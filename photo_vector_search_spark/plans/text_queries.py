@@ -666,22 +666,21 @@ def build_vocab(docs: DataFrame, max_size: int = 32_768) -> DataFrame:
     byte-stable across runs/engines. Ids start at 0; id ``max_size`` is
     reserved by ``tokenize_documents`` for OOV.
 
-    One explode + one groupBy(token) (map-side combinable) + a rank window
-    over the ≤max_size surviving vocabulary rows — the window's single
-    partition holds vocab entries, not corpus rows (vocabularies are
-    bounded by construction; 32k rows is driver-trivial and
-    executor-trivial alike)."""
+    One explode + one groupBy(token) (map-side combinable), then a
+    DISTRIBUTED top-max_size (``orderBy().limit()`` plans as
+    TakeOrderedAndProject — per-partition heaps, no global sort), and only
+    the ≤max_size survivors enter the single-partition rank window. The
+    unbounded distinct-token universe (billions of rows on a web corpus)
+    never lands in one task; the window's partition holds vocab entries
+    only, bounded by construction."""
     tf = (
         docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    top = tf.orderBy(F.col("tf").desc(), F.col("tok").asc()).limit(max_size)
     w = Window.orderBy(F.col("tf").desc(), F.col("tok").asc())
-    return (
-        tf.withColumn("id", F.row_number().over(w) - 1)
-        .filter(F.col("id") < max_size)
-        .select("tok", "id", "tf")
-    )
+    return top.withColumn("id", F.row_number().over(w) - 1).select("tok", "id", "tf")
 
 
 def tokenize_documents(

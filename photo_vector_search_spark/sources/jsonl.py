@@ -32,7 +32,10 @@ def write_jsonl_shards(
     shard_key: str = "doc_id",
     compression: str | None = "gzip",
 ) -> int:
-    """Export ``df`` as exactly ``n_shards`` JSONL part files under ``path``.
+    """Export ``df`` as JSONL part files under ``path`` — at most ``n_shards``
+    (Spark writes NO file for an empty hash bucket, so skewed or tiny inputs
+    can yield fewer; consumers provisioning one reader per shard index must
+    iterate the files present, or the returned count).
 
     Rows are assigned to shards by hash of ``shard_key`` — deterministic and
     reproducible (re-running the export re-creates byte-stable shard

@@ -27,6 +27,9 @@ CORPUS = [
     (5, "edge: a@b.co min-email; 999.999.999.999 still ip-shaped"),
     (6, ""),
     (7, None),
+    # overlap: the email rule consumes the phone-shaped local part FIRST, so
+    # the audit must report one email replacement and zero phone replacements
+    (8, "reach 555-123-4567@example.com today"),
 ]
 
 
@@ -86,6 +89,10 @@ def test_pii_counts_match_duckdb_twin(spark):
         k: sum(r[f"n_{k}"] or 0 for r in got) for k in kinds
     }
     assert all(v > 0 for v in totals.values()), totals
+    # counts reconcile with redact_pii: the overlap doc is ONE email
+    # replacement, not an email AND a phone (progressive-count contract)
+    by_id = {r["doc_id"]: r for r in got}
+    assert by_id[8]["n_email"] == 1 and by_id[8]["n_phone"] == 0
 
 
 def test_redact_kind_subset_and_order_independence(spark):
