@@ -245,6 +245,9 @@ def stored_n_assign(spark, path: str) -> int:
     """The build-time multi-assign knob the centroid sidecar recorded
     (1 for sidecars predating the column). Streamed increments and default
     rebalances read it so the store's recall contract survives both."""
+    from photo_vector_search_spark.operators.store import recover_store
+
+    recover_store(path + ".centroids")  # heal a half-swap before reading
     side = spark.read.parquet(path + ".centroids")
     if "n_assign" not in side.columns:
         return 1
@@ -589,5 +592,46 @@ def rebalance_ivf_store(
         sample=sample,
         iters=iters,
         seed=seed,
+        n_assign=n_assign,
+    )
+
+
+def ivf_search(
+    spark,
+    path: str,
+    query_vec: Sequence[float],
+    k: int = 5,
+    nprobe: int | None = None,
+    max_probe: int | None = None,
+):
+    """One-call serving API over a persisted IVF store: loads the store, the
+    centroid/radius sidecars, and the build's recorded ``n_assign`` (so the
+    caller cannot mismatch the dedup window against the build), then routes:
+
+    - ``nprobe`` given → the capped, budgeted-latency ``ivf_topk`` (recall
+      follows the published curve; the uniform-regime default);
+    - ``nprobe`` None → the adaptive exact probe ``ivf_topk_adaptive``
+      (recall 1.0 by construction, cost adapts to the data's geometry;
+      ``max_probe`` optionally caps the scan).
+
+    This is the reference's `search_photo(s)` call-shape
+    (photo_vector_search/photo_vector_search.py:17-20, ChromaDB query)
+    re-expressed over the partition-pruned store — per-session load cost is
+    the sidecar reads (k rows); at scale keep the returned pieces via the
+    lower-level API instead of re-loading per query."""
+    store, centroids = load_ivf_store(spark, path)
+    n_assign = stored_n_assign(spark, path)
+    if nprobe is not None:
+        return ivf_topk(
+            store, centroids, query_vec, k=k, nprobe=nprobe, n_assign=n_assign
+        )
+    radii = load_cluster_radii(spark, path)
+    return ivf_topk_adaptive(
+        store,
+        centroids,
+        radii,
+        query_vec,
+        k=k,
+        max_probe=max_probe,
         n_assign=n_assign,
     )

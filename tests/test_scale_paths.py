@@ -729,3 +729,38 @@ def test_incremental_ivf_preserves_build_n_assign(spark):
         assert [r["count"] for r in per_new] == [2]  # every new vector x2
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_ivf_search_one_call_api(spark):
+    """ivf_search = load + stored-n_assign + route: capped path equals the
+    manual ivf_topk composition; adaptive path (nprobe=None) is exact."""
+    from photo_vector_search_spark.operators.ann import (
+        build_ivf_store,
+        ivf_search,
+        ivf_topk,
+        load_ivf_store,
+    )
+    from photo_vector_search_spark.sources.synthetic import mog_embeddings
+
+    tmp = tempfile.mkdtemp(prefix="pvs_ivfsearch_")
+    store_path = f"{tmp}/store"
+    try:
+        emb = mog_embeddings(spark, n=200, dim=16, n_components=4, noise=0.05)
+        build_ivf_store(emb, store_path, n_clusters=4, n_assign=2)
+        q = emb.filter(F.col("vec_id") == 7).first()["embedding"]
+
+        got = ivf_search(spark, store_path, q, k=5, nprobe=2).collect()
+        store, cent = load_ivf_store(spark, store_path)
+        want = ivf_topk(store, cent, q, k=5, nprobe=2, n_assign=2).collect()
+        assert [(r["vec_id"], r["dist"]) for r in got] == [
+            (r["vec_id"], r["dist"]) for r in want
+        ]
+        assert len({r["vec_id"] for r in got}) == 5  # multi-assign deduped
+
+        exact = knn_topk(emb, q, k=5).collect()
+        adaptive = ivf_search(spark, store_path, q, k=5).collect()
+        assert [(r["vec_id"], r["dist"]) for r in adaptive] == [
+            (r["vec_id"], r["dist"]) for r in exact
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
