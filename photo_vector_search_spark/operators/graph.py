@@ -1,0 +1,114 @@
+"""Distributed connected components — the missing link between the dedup
+family's PAIR outputs (jaccard/minhash/simhash/fuzzy/embedding/SRP all emit
+(doc_a, doc_b) edges) and ``canonicalize_groups`` (which consumes per-record
+``group_id`` assignments): duplicate CLUSTERS are the connected components of
+the pair graph.
+
+Algorithm: iterative min-label propagation with POINTER JUMPING —
+each round every node takes the min of (its label, its neighbors' labels),
+then short-circuits ``comp(node) ← comp(comp(node))``. Neighbor propagation
+alone needs O(graph diameter) rounds (a 10⁶-long duplicate chain would need
+10⁶ joins); the jump halves label-tree depth every round, giving O(log n)
+convergence — the standard MapReduce CC recipe (cf. Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14 — the
+large-star/small-star family; this is its simpler min-label cousin with the
+same log-round bound on the label tree).
+
+Every round is two keyed joins + one groupBy-min — all map-side combinable,
+shuffle keyed on node id, nothing driver-sized. Each round's labels are
+``localCheckpoint``ed (materialized, lineage TRUNCATED): without that, every
+iteration's logical plan nests the previous one and Catalyst analysis time
+grows super-linearly with rounds — the classic iterative-algorithm trap on
+Spark (checkpointing each round is the standard fix, same as GraphX/Pregel).
+One convergence-count job per round; peak storage is two label tables
+(|V| rows each).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iters: int = 30,
+) -> DataFrame:
+    """(doc_id, group_id) for every node that appears in ``pairs``;
+    ``group_id`` = the smallest doc_id in the node's connected component (the
+    dedup family's canonical-id convention). Nodes with no edges simply don't
+    appear — left-join and coalesce to self for the full-corpus assignment.
+
+    Raises if ``max_iters`` rounds don't converge (with pointer jumping that
+    means a component chain longer than ~2^max_iters — not a real corpus)."""
+    edges = pairs.select(
+        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    )
+    # symmetrize once; propagation below then only needs one join direction
+    # localCheckpoint: materialize AND truncate lineage — see module docstring
+    edges = (
+        edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        nb = edges.join(labels, edges["a"] == labels["node"]).select(
+            F.col("b").alias("node"), "comp"
+        )
+        merged = (
+            labels.select("node", "comp")
+            .union(nb)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+        )
+        # pointer jumping: comp(node) <- comp(comp(node)); labels only
+        # ever decrease, so the jump is monotone and safe
+        m2 = merged.select(F.col("node").alias("jnode"), F.col("comp").alias("jcomp"))
+        new = (
+            merged.join(m2, merged["comp"] == m2["jnode"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("jcomp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            return labels.select(
+                F.col("node").alias("doc_id"), F.col("comp").alias("group_id")
+            )
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} rounds — "
+        "a component label-chain deeper than pointer jumping can collapse "
+        "in that budget; raise max_iters"
+    )
+
+
+def dedup_clusters(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Full-corpus group assignment from a pair list: every doc gets a
+    ``group_id`` (its component's min id; singletons map to themselves) —
+    exactly the shape ``canonicalize_groups`` consumes and the
+    witness-correct alternative to greedy doc_b pruning (every non-canonical
+    member's group DOES contain its surviving canonical)."""
+    comp = connected_components(pairs)
+    return docs.join(
+        comp.withColumnRenamed("doc_id", id_col), id_col, "left"
+    ).withColumn("group_id", F.coalesce(F.col("group_id"), F.col(id_col)))

@@ -1,0 +1,81 @@
+"""Distributed connected components vs an independent Python union-find, on
+random graphs, a worst-case chain, and the real minhash pair output."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from photo_vector_search_spark.operators.dedup import minhash_lsh_pairs
+from photo_vector_search_spark.operators.graph import (
+    connected_components,
+    dedup_clusters,
+)
+from photo_vector_search_spark.sources.tables import load_table
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical = min element of each component
+    comp = {}
+    for n in list(parent):
+        comp[n] = find(n)
+    return comp
+
+
+def _cc(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    return {
+        r["doc_id"]: r["group_id"]
+        for r in connected_components(df, **kw).collect()
+    }
+
+
+def test_cc_random_graphs_match_union_find(spark):
+    rng = random.Random(11)
+    for trial in range(3):
+        edges = [
+            (rng.randrange(200), rng.randrange(200)) for _ in range(120 + 60 * trial)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        assert _cc(spark, edges) == _union_find(edges), trial
+
+
+def test_cc_long_chain_converges_logarithmically(spark):
+    """A 300-node path is the diameter worst case: plain min-propagation
+    needs ~300 rounds; pointer jumping must finish far under max_iters=30."""
+    edges = [(i, i + 1) for i in range(300)]
+    got = _cc(spark, edges, max_iters=30)
+    assert got == {i: 0 for i in range(301)}
+
+
+def test_dedup_clusters_from_real_pairs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = minhash_lsh_pairs(docs, n=3, tau=0.5)
+    edge_list = [(r["doc_a"], r["doc_b"]) for r in pairs.collect()]
+    assert edge_list  # fixture exercises the operator
+    want = _union_find(edge_list)
+
+    assigned = dedup_clusters(docs, pairs)
+    got = {r["doc_id"]: r["group_id"] for r in assigned.collect()}
+    assert len(got) == docs.count()  # every doc assigned, singletons included
+    for d, g in got.items():
+        assert g == want.get(d, d), d
+    # canonical contract: every group's id is a member of the group
+    groups = {}
+    for d, g in got.items():
+        groups.setdefault(g, set()).add(d)
+    assert all(g in members for g, members in groups.items())
