@@ -47,6 +47,7 @@ def curate_corpus(
     export_path: str | None = None,
     n_shards: int = 8,
     compute_stats: bool = True,
+    near_dedup: str = "greedy",
 ) -> tuple[DataFrame, dict[str, int]]:
     """Run the full curation pipeline over ``docs`` (doc_id, text, ...).
 
@@ -55,13 +56,18 @@ def curate_corpus(
     curated corpus is also written as ``n_shards`` JSONL shards.
 
     Dedup canonicalization keeps the LOWEST doc_id of each duplicate group
-    (exact groups via fingerprint; near-dup pairs via the LSH pair list —
-    every doc named as the larger member of a pair drops). This is the
-    standard greedy corpus policy: in a similarity CHAIN (pairs (1,2),(2,3)
-    without (1,3)) the removed doc 3's witness (doc 2) is itself removed —
-    content can drop with no surviving near-duplicate above τ. When that
-    matters, use ``operators/canonicalize`` for transitive-cluster
-    canonicalization with explicit representatives.
+    (exact groups via fingerprint). Near-dup removal has two policies via
+    ``near_dedup``:
+
+    - ``"greedy"`` (default, cheapest): drop every doc named as the larger
+      member of an LSH pair. In a similarity CHAIN (pairs (1,2),(2,3) without
+      (1,3)) doc 3's witness (doc 2) is itself removed — content can drop
+      with no surviving near-duplicate above τ.
+    - ``"cluster"``: form duplicate clusters with
+      ``operators/graph.connected_components`` (min-label + pointer jumping)
+      and keep each component's min-id member — witness-correct (every
+      removed doc's cluster retains its canonical) at the cost of the
+      CC rounds (O(log n), a handful of keyed joins at dedup cadence).
 
     ``compute_stats=True`` runs one count action per stage, which re-executes
     the (map-heavy, cheap) upstream stages each time — the expensive LSH stage
@@ -99,8 +105,16 @@ def curate_corpus(
     _stat("after_boilerplate", deboiled)
 
     pairs = minhash_lsh_pairs(deboiled, tau=lsh_tau)
-    losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-    near = deboiled.join(losers, "doc_id", "left_anti")
+    if near_dedup == "cluster":
+        from photo_vector_search_spark.operators.graph import dedup_clusters
+
+        assigned = dedup_clusters(deboiled, pairs)
+        near = assigned.filter(F.col("doc_id") == F.col("group_id")).drop("group_id")
+    elif near_dedup == "greedy":
+        losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+        near = deboiled.join(losers, "doc_id", "left_anti")
+    else:
+        raise ValueError(f"near_dedup must be 'greedy' or 'cluster', got {near_dedup!r}")
     _stat("after_near_dedup", near)
 
     curated = shuffle_corpus(near, seed=shuffle_seed)

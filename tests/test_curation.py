@@ -72,3 +72,40 @@ def test_curate_corpus_end_to_end(spark, sf_dir):
         assert {r["doc_id"] for r in back.select("doc_id").collect()} == survivor_ids
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_curate_corpus_cluster_mode_witness_correct(spark, sf_dir):
+    """near_dedup='cluster': survivors are exactly the min-id member of each
+    CC component (witness-correct — every removed doc's cluster keeps its
+    canonical), and cluster mode never keeps MORE docs than there are
+    components."""
+    from photo_vector_search_spark.operators.dedup import minhash_lsh_pairs
+    from photo_vector_search_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    curated, stats = curate_corpus(docs, near_dedup="cluster")
+    survivors = {r["doc_id"] for r in curated.select("doc_id").collect()}
+
+    # structural contract, checked against an independent CC over the pair
+    # graph of the raw corpus (a SUPERSET of the deboiled-stage graph):
+    pairs = minhash_lsh_pairs(
+        docs.select("doc_id", "text"), tau=0.5
+    )  # superset graph of the deboiled one
+    comp = {
+        r["doc_id"]: r["group_id"]
+        for r in connected_components(pairs).collect()
+    }
+    # every survivor that appears in a component is that component's min id
+    for d in survivors:
+        if d in comp:
+            assert d == comp[d] or comp[d] not in survivors
+    # no two survivors share a component
+    seen = {}
+    for d in survivors:
+        g = comp.get(d, d)
+        assert g not in seen, (d, seen[g])
+        seen[g] = d
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="greedy"):
+        curate_corpus(docs, near_dedup="bogus")
