@@ -714,3 +714,81 @@ def tokenize_documents(
         ).alias("ids"),
         F.sum(F.when(F.col("id") == oov_id, 1).otherwise(0)).alias("n_oov"),
     )
+
+
+BIGRAM_SMOOTH_K = 0.5  # add-k smoothing constant, shared with the SQL twin
+
+
+def train_bigram_lm(docs: DataFrame) -> tuple[DataFrame, int]:
+    """Corpus bigram language model — the engine-native form of CCNet's
+    LM-perplexity quality filter (Wenzek et al. 2020 score corpora with a
+    pretrained KenLM; a corpus-trained bigram model is the dependency-free
+    analogue, and a real KenLM slots in behind the same column contract as a
+    pandas UDF).
+
+    Returns ``(lm, vocab_size)``: ``lm`` has one row per observed bigram —
+    (w1, w2, c12, c1) with the unigram count pre-joined so scoring needs a
+    single lookup join — and ``vocab_size`` is |distinct tokens| for the
+    smoothing denominator. Shape: one explode + two map-side-combinable
+    groupBys + a keyed join of two vocab-bounded tables. The LM table is
+    vocabulary-scale, so Catalyst broadcasts it in ``doc_log_perplexity``."""
+    toks = docs.select(tokens(F.col("text")).alias("ts")).filter(
+        F.size("ts") >= 2
+    )
+    big = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("ts"), 1, F.size("ts") - 1),
+                F.slice(F.col("ts"), 2, F.size("ts") - 1),
+            )
+        ).alias("bg")
+    ).select(F.col("bg.0").alias("w1"), F.col("bg.1").alias("w2"))
+    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab_size = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("t"))
+        .agg(F.count_distinct("t"))
+        .first()[0]
+    )
+    return c12.join(c1, "w1"), int(vocab_size)
+
+
+def doc_log_perplexity(
+    docs: DataFrame,
+    lm: DataFrame,
+    vocab_size: int,
+    k: float = BIGRAM_SMOOTH_K,
+) -> DataFrame:
+    """Per-document mean negative log2 bigram probability under ``lm`` with
+    add-k smoothing — low = fluent-under-the-corpus-distribution, high =
+    outlier/garbage (the CCNet head/middle/tail signal). Output:
+    (doc_id, n_bigrams, nll) with nll rounded 6dp; docs with < 2 tokens get
+    no row (no bigram evidence — filter or coalesce downstream).
+
+    P(w2|w1) = (c12 + k) / (c1 + k·V); unseen w1 ⇒ k/(k·V) = 1/V. One
+    explode + one broadcastable lookup join + one per-doc agg."""
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("ts")).filter(
+        F.size("ts") >= 2
+    )
+    big = toks.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("ts"), 1, F.size("ts") - 1),
+                F.slice(F.col("ts"), 2, F.size("ts") - 1),
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.0").alias("w1"), F.col("bg.1").alias("w2"))
+    scored = big.join(lm, ["w1", "w2"], "left").select(
+        "doc_id",
+        (
+            -F.log2(
+                (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(k))
+                / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(k) * vocab_size)
+            )
+        ).alias("nll"),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("nll"), 6).alias("nll"),
+    )

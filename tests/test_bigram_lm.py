@@ -1,0 +1,93 @@
+"""Bigram-LM perplexity scoring: exact value parity with a DuckDB twin running
+the identical counts/smoothing/log formula, plus ordering sanity (corpus-like
+docs score lower than shuffled-alphabet garbage)."""
+
+from __future__ import annotations
+
+import duckdb
+
+from photo_vector_search_spark.plans.text_queries import (
+    BIGRAM_SMOOTH_K,
+    doc_log_perplexity,
+    train_bigram_lm,
+)
+from photo_vector_search_spark.sources.tables import load_table
+
+
+def test_bigram_lm_matches_duckdb_twin(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lm, vocab_size = train_bigram_lm(docs)
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["nll"])
+        for r in doc_log_perplexity(docs, lm, vocab_size).collect()
+    }
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/documents.parquet')"
+        )
+        want = {
+            d: (n, v)
+            for d, n, v in con.execute(
+                rf"""
+                WITH toks AS (
+                  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ts
+                  FROM documents
+                ),
+                f AS (SELECT doc_id, ts FROM toks WHERE len(ts) >= 2),
+                big AS (
+                  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+                  FROM f, LATERAL unnest(generate_series(1, len(ts) - 1)) AS g(i)
+                ),
+                c12 AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
+                c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY 1),
+                v AS (
+                  SELECT count(DISTINCT t) AS V
+                  FROM (SELECT unnest(ts) AS t FROM toks)
+                ),
+                scored AS (
+                  SELECT b.doc_id,
+                         -log2((COALESCE(c12.c12, 0) + {BIGRAM_SMOOTH_K})
+                               / (COALESCE(c1.c1, 0)
+                                  + {BIGRAM_SMOOTH_K} * (SELECT V FROM v))) AS nll
+                  FROM big b
+                  LEFT JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+                  LEFT JOIN c1 ON b.w1 = c1.w1
+                )
+                SELECT doc_id, CAST(count(*) AS BIGINT), round(avg(nll), 6)
+                FROM scored GROUP BY doc_id
+                """
+            ).fetchall()
+        }
+    finally:
+        con.close()
+    assert set(got) == set(want)
+    for d in got:
+        assert got[d][0] == want[d][0], d
+        assert abs(got[d][1] - want[d][1]) < 2e-6, (d, got[d][1], want[d][1])
+
+
+def test_bigram_lm_orders_garbage_above_corpus_text(spark):
+    """The quality-filter property: under an LM trained on STRUCTURED text
+    (predictable bigrams — the fixture documents are random word salad, whose
+    bigram entropy is already near-uniform, so they can't show this), fluent
+    text scores far lower NLL than alphabet-soup garbage."""
+    phrase = "the quick brown fox jumps over the lazy dog and the story goes on"
+    corpus = spark.createDataFrame(
+        [(i, phrase) for i in range(50)], "doc_id long, text string"
+    )
+    lm, vocab_size = train_bigram_lm(corpus)
+    probe = spark.createDataFrame(
+        [
+            (900001, phrase),  # in-distribution: every bigram seen often
+            (900002, "zq xv jj qk wz vx qq zz xj kq vv zx qw jx kz"),  # garbage
+        ],
+        "doc_id long, text string",
+    )
+    scores = {
+        r["doc_id"]: r["nll"]
+        for r in doc_log_perplexity(probe, lm, vocab_size).collect()
+    }
+    assert scores[900002] > scores[900001] + 3  # bits-per-bigram gap
