@@ -222,3 +222,55 @@ def gopher_flags_sql(col: str) -> dict[str, str]:
     }
     flags["gopher_pass"] = "(" + " AND ".join(flags.values()) + ")"
     return flags
+
+
+# ------------------------------------------------------------ text normalization
+
+URL_PATTERN = r"(https?://|www\.)[^\s]+"  # RE2 ∩ Java, shared with the SQL twin
+CONTROL_PATTERN = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"  # keep \t \n \r
+
+
+def normalize_text(
+    text: Column,
+    strip_urls: bool = True,
+    strip_controls: bool = True,
+    collapse_ws: bool = True,
+    lowercase: bool = False,
+) -> Column:
+    """Standard pre-dedup text normalization: URL→``<URL>`` token, control
+    characters out, whitespace runs collapsed (preserving newlines is the
+    caller's choice — collapse maps ALL whitespace runs to one space, so run
+    it AFTER line-structured operators like ``remove_boilerplate_lines``),
+    optional lowercasing. One codegen'd expression chain, no UDF, no
+    shuffle; DuckDB twin ``normalize_text_sql`` shares the pattern
+    constants — value parity in tests/test_normalize.py."""
+    out = text
+    if strip_urls:
+        out = F.regexp_replace(out, URL_PATTERN, "<URL>")
+    if strip_controls:
+        out = F.regexp_replace(out, CONTROL_PATTERN, "")
+    if collapse_ws:
+        out = F.trim(F.regexp_replace(out, r"\s+", " "))
+    if lowercase:
+        out = F.lower(out)
+    return out
+
+
+def normalize_text_sql(
+    col: str,
+    strip_urls: bool = True,
+    strip_controls: bool = True,
+    collapse_ws: bool = True,
+    lowercase: bool = False,
+) -> str:
+    """DuckDB twin of ``normalize_text`` built from the same constants."""
+    out = col
+    if strip_urls:
+        out = f"regexp_replace({out}, '{URL_PATTERN}', '<URL>', 'g')"
+    if strip_controls:
+        out = f"regexp_replace({out}, '{CONTROL_PATTERN}', '', 'g')"
+    if collapse_ws:
+        out = f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"
+    if lowercase:
+        out = f"lower({out})"
+    return out
