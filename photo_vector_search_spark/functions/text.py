@@ -179,6 +179,10 @@ def gopher_flags(text: Column) -> list[Column]:
         "g_alpha_words": n_alpha >= GOPHER_MIN_ALPHA_WORD_RATIO * n,
         "g_stopwords": n_stop >= GOPHER_MIN_STOPWORD_HITS,
     }
+    # single-sourcing guard: a rule added here without updating
+    # GOPHER_FLAG_COLUMNS would leak its g_* column through curation's
+    # add-then-drop (drop of a missing name is a silent no-op)
+    assert tuple(flags) + ("gopher_pass",) == GOPHER_FLAG_COLUMNS
     cols = [v.alias(k) for k, v in flags.items()]
     gate = None
     for v in flags.values():

@@ -209,7 +209,9 @@ def load_ivf_store(spark, path: str) -> tuple[DataFrame, np.ndarray]:
     return store, np.vstack([np.asarray(r["centroid"], dtype=np.float64) for r in cent])
 
 
-def load_cluster_radii(spark, path: str) -> np.ndarray:
+def load_cluster_radii(
+    spark, path: str, loaded: tuple[DataFrame, np.ndarray] | None = None
+) -> np.ndarray:
     """Per-cluster radii for ``ivf_topk_adaptive``, from the centroid sidecar
     when still valid, else recomputed.
 
@@ -224,11 +226,17 @@ def load_cluster_radii(spark, path: str) -> np.ndarray:
     ``built_rows`` check misses (a replaced vector can sit beyond the recorded
     radius and break the adaptive probe's exactness bound). Older sidecars
     without the signature fall back to the row-count check; sidecars predating
-    the radius column always recompute."""
-    # recovery FIRST (inside load_ivf_store): reading the sidecar before
-    # recover_store would crash on a half-swapped '.centroids' dir whose only
-    # copy sits in '.centroids.old' — exactly the state recovery exists to heal
-    store, centroids = load_ivf_store(spark, path)
+    the radius column always recompute.
+
+    ``loaded``: pass an already-``load_ivf_store``'d (store, centroids) pair
+    to skip re-loading (``ivf_search`` does — without it the adaptive path
+    paid the full-store build_id consistency scan twice per query)."""
+    if loaded is None:
+        # recovery FIRST (inside load_ivf_store): reading the sidecar before
+        # recover_store would crash on a half-swapped '.centroids' dir whose
+        # only copy sits in '.centroids.old' — the state recovery exists to heal
+        loaded = load_ivf_store(spark, path)
+    store, centroids = loaded
     sidecar = spark.read.parquet(path + ".centroids")
     if "radius" not in sidecar.columns or "built_rows" not in sidecar.columns:
         return cluster_radii(store, centroids)
@@ -616,16 +624,18 @@ def ivf_search(
 
     This is the reference's `search_photo(s)` call-shape
     (photo_vector_search/photo_vector_search.py:17-20, ChromaDB query)
-    re-expressed over the partition-pruned store — per-session load cost is
-    the sidecar reads (k rows); at scale keep the returned pieces via the
-    lower-level API instead of re-loading per query."""
+    re-expressed over the partition-pruned store — per-call load cost is ONE
+    ``load_ivf_store`` consistency check plus the k-row sidecar reads (the
+    radii loader reuses the loaded pair instead of re-scanning); at scale
+    keep the returned pieces via the lower-level API instead of re-loading
+    per query."""
     store, centroids = load_ivf_store(spark, path)
     n_assign = stored_n_assign(spark, path)
     if nprobe is not None:
         return ivf_topk(
             store, centroids, query_vec, k=k, nprobe=nprobe, n_assign=n_assign
         )
-    radii = load_cluster_radii(spark, path)
+    radii = load_cluster_radii(spark, path, loaded=(store, centroids))
     return ivf_topk_adaptive(
         store,
         centroids,

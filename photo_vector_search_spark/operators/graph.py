@@ -38,13 +38,18 @@ def connected_components(
 ) -> DataFrame:
     """(doc_id, group_id) for every node that appears in ``pairs``;
     ``group_id`` = the smallest doc_id in the node's connected component (the
-    dedup family's canonical-id convention). Nodes with no edges simply don't
-    appear — left-join and coalesce to self for the full-corpus assignment.
+    dedup family's canonical-id convention — for string ids, the
+    lexicographic minimum; any orderable id type works, and ids keep their
+    own type rather than being cast, so UUID/path ids don't silently become
+    NULL and disable dedup). Nodes with no edges simply don't appear —
+    left-join and coalesce to self for the full-corpus assignment. Edges with
+    a NULL endpoint are malformed input and are dropped (NULL joins to
+    nothing; keeping them would only create phantom isolated labels).
 
     Raises if ``max_iters`` rounds don't converge (with pointer jumping that
     means a component chain longer than ~2^max_iters — not a real corpus)."""
-    edges = pairs.select(
-        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    edges = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a").isNotNull() & F.col("b").isNotNull()
     )
     # symmetrize once; propagation below then only needs one join direction
     # localCheckpoint: materialize AND truncate lineage — see module docstring

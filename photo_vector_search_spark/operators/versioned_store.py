@@ -374,9 +374,24 @@ def diff_versions(
             F.to_json(F.struct(*val_cols), {"ignoreNullFields": "false"})
         )
 
-    o = old_df.select(*key_cols, _hash(old_df).alias("_oh"), F.struct(*val_cols).alias("_ov"))
-    n = new_df.select(*key_cols, _hash(new_df).alias("_nh"), F.struct(*val_cols).alias("_nv"))
-    j = o.join(n, key_cols, "full_outer")
+    o = old_df.select(*key_cols, _hash(old_df).alias("_oh"), F.struct(*val_cols).alias("_ov")).alias("o")
+    n = new_df.select(*key_cols, _hash(new_df).alias("_nh"), F.struct(*val_cols).alias("_nv")).alias("n")
+    # eqNullSafe keys: a name-list join treats NULL != NULL, so an unchanged
+    # row with a NULL key would surface as a phantom delete+insert every diff
+    cond = None
+    for kcol in key_cols:
+        term = F.col(f"o.{kcol}").eqNullSafe(F.col(f"n.{kcol}"))
+        cond = term if cond is None else (cond & term)
+    j = o.join(n, cond, "full_outer").select(
+        *[
+            F.coalesce(F.col(f"o.{kcol}"), F.col(f"n.{kcol}")).alias(kcol)
+            for kcol in key_cols
+        ],
+        "_oh",
+        "_ov",
+        "_nh",
+        "_nv",
+    )
     change = (
         F.when(F.col("_oh").isNull(), "insert")
         .when(F.col("_nh").isNull(), "delete")

@@ -74,6 +74,12 @@ def curate_corpus(
     is exempt because it stages its pair result to parquet internally. At
     100 TB either pass ``compute_stats=False`` (stats holds only ``input`` if
     counted, else is empty) or persist/checkpoint between stages yourself."""
+    if near_dedup not in ("greedy", "cluster"):
+        # validate BEFORE any stage executes — with compute_stats on, a typo'd
+        # policy would otherwise burn four full-corpus count actions first
+        raise ValueError(
+            f"near_dedup must be 'greedy' or 'cluster', got {near_dedup!r}"
+        )
     stats: dict[str, int] = {}
 
     def _stat(key: str, df: DataFrame) -> None:
@@ -110,11 +116,9 @@ def curate_corpus(
 
         assigned = dedup_clusters(deboiled, pairs)
         near = assigned.filter(F.col("doc_id") == F.col("group_id")).drop("group_id")
-    elif near_dedup == "greedy":
+    else:  # "greedy" — validated at entry
         losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
         near = deboiled.join(losers, "doc_id", "left_anti")
-    else:
-        raise ValueError(f"near_dedup must be 'greedy' or 'cluster', got {near_dedup!r}")
     _stat("after_near_dedup", near)
 
     curated = shuffle_corpus(near, seed=shuffle_seed)

@@ -731,7 +731,10 @@ def train_bigram_lm(docs: DataFrame) -> tuple[DataFrame, int]:
     single lookup join — and ``vocab_size`` is |distinct tokens| for the
     smoothing denominator. Shape: one explode + two map-side-combinable
     groupBys + a keyed join of two vocab-bounded tables. The LM table is
-    vocabulary-scale, so Catalyst broadcasts it in ``doc_log_perplexity``."""
+    vocabulary-scale, so Catalyst broadcasts it in ``doc_log_perplexity``.
+    The three aggregations (c12, c1, vocab) each scan the corpus; at training
+    cadence on a large corpus, ``docs.cache()`` first so tokenization runs
+    once."""
     toks = docs.select(tokens(F.col("text")).alias("ts")).filter(
         F.size("ts") >= 2
     )
@@ -779,14 +782,25 @@ def doc_log_perplexity(
             )
         ).alias("bg"),
     ).select("doc_id", F.col("bg.0").alias("w1"), F.col("bg.1").alias("w2"))
-    scored = big.join(lm, ["w1", "w2"], "left").select(
-        "doc_id",
-        (
-            -F.log2(
-                (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(k))
-                / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(k) * vocab_size)
-            )
-        ).alias("nll"),
+    # c1 must join by w1 ALONE: joining the pre-joined lm on (w1, w2) would
+    # null c1 for any held-out bigram of a SEEN w1, scoring it 1/V instead of
+    # the documented k/(c1+kV) — under-penalizing garbage continuations of
+    # common words (r5 second-review finding; held-out case now tested).
+    # Every trained w1 has >=1 bigram row, so (w1, c1) pairs are recoverable
+    # from lm exactly.
+    c1_tbl = lm.select("w1", "c1").distinct()
+    scored = (
+        big.join(lm.select("w1", "w2", "c12"), ["w1", "w2"], "left")
+        .join(c1_tbl, "w1", "left")
+        .select(
+            "doc_id",
+            (
+                -F.log2(
+                    (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(k))
+                    / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(k) * vocab_size)
+                )
+            ).alias("nll"),
+        )
     )
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),

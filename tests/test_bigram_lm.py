@@ -91,3 +91,22 @@ def test_bigram_lm_orders_garbage_above_corpus_text(spark):
         for r in doc_log_perplexity(probe, lm, vocab_size).collect()
     }
     assert scores[900002] > scores[900001] + 3  # bits-per-bigram gap
+
+
+def test_bigram_lm_held_out_bigram_of_seen_word(spark):
+    """The r5 second-review case: a held-out bigram whose w1 WAS seen in
+    training must score k/(c1 + k*V), not the unseen-word fallback 1/V —
+    checked against a hand-computed expectation."""
+    import math
+
+    corpus = spark.createDataFrame(
+        [(0, "a b"), (1, "a b"), (2, "a d")], "doc_id long, text string"
+    )
+    lm, v = train_bigram_lm(corpus)
+    assert v == 3  # vocab {a, b, d}
+    k = BIGRAM_SMOOTH_K
+    probe = spark.createDataFrame([(10, "a c")], "doc_id long, text string")
+    got = doc_log_perplexity(probe, lm, v).first()
+    # w1='a' seen with c1=3 total bigram positions; ('a','c') unseen
+    expect = -math.log2((0 + k) / (3 + k * v))
+    assert abs(got["nll"] - round(expect, 6)) < 1e-9, (got["nll"], expect)

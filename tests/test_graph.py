@@ -79,3 +79,29 @@ def test_dedup_clusters_from_real_pairs(spark, sf_dir):
     for d, g in got.items():
         groups.setdefault(g, set()).add(d)
     assert all(g in members for g, members in groups.items())
+
+
+def test_cc_string_ids_not_cast_to_null(spark):
+    """String doc ids (UUIDs, paths) must cluster correctly — the original
+    long cast turned them into NULLs and silently disabled dedup (r5 second
+    review). group_id = lexicographic min."""
+    edges = [("u-b", "u-a"), ("u-b", "u-c"), ("u-x", "u-y")]
+    df = spark.createDataFrame(edges, "doc_a string, doc_b string")
+    got = {
+        r["doc_id"]: r["group_id"] for r in connected_components(df).collect()
+    }
+    assert got == {
+        "u-a": "u-a",
+        "u-b": "u-a",
+        "u-c": "u-a",
+        "u-x": "u-x",
+        "u-y": "u-x",
+    }
+    # dedup_clusters over string-keyed docs: singletons self-assign
+    docs = spark.createDataFrame(
+        [("u-a",), ("u-b",), ("u-z",)], "doc_id string"
+    )
+    assigned = {
+        r["doc_id"]: r["group_id"] for r in dedup_clusters(docs, df).collect()
+    }
+    assert assigned == {"u-a": "u-a", "u-b": "u-a", "u-z": "u-z"}

@@ -269,3 +269,34 @@ def test_diff_versions_cdc(spark, store_path):
     assert diff_versions(spark, store_path, v2, v2, ["id"]).count() == 0
     with pytest.raises(VersionedStoreError, match="key columns"):
         diff_versions(spark, store_path, v1, v2, ["nope"])
+
+
+def test_diff_versions_null_key_not_phantom(spark, store_path):
+    """An unchanged row whose KEY is NULL must not appear as a phantom
+    delete+insert pair (null-safe key join, r5 second review); a changed
+    NULL-key row surfaces as a single update."""
+    from photo_vector_search_spark.operators.versioned_store import diff_versions
+
+    v1 = commit_overwrite(
+        spark.createDataFrame([(None, "x"), (1, "a")], "id int, text string"),
+        store_path,
+    )
+    v2 = commit_rewrite(
+        spark.createDataFrame([(None, "x"), (1, "b")], "id int, text string"),
+        store_path,
+    )
+    got = [
+        (r["id"], r["change_type"], r["text"])
+        for r in diff_versions(spark, store_path, v1, v2, ["id"]).collect()
+    ]
+    assert got == [(1, "update", "b")]
+
+    v3 = commit_rewrite(
+        spark.createDataFrame([(None, "y"), (1, "b")], "id int, text string"),
+        store_path,
+    )
+    got2 = [
+        (r["id"], r["change_type"], r["text"])
+        for r in diff_versions(spark, store_path, v2, v3, ["id"]).collect()
+    ]
+    assert got2 == [(None, "update", "y")]
