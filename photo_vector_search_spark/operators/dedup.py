@@ -561,6 +561,45 @@ def _uniform_embedding_dim(embeddings: DataFrame, op: str) -> int | None:
     return int(d["hi"])
 
 
+def srp_planes(dim: int, n_planes: int, n_tables: int, seed: int = 42):
+    """The (n_tables, n_planes, dim) hyperplane tensor — a pure function of
+    its arguments (seeded), so independent callers (the batch operator, each
+    STREAMING micro-batch) derive byte-identical planes and their bucket keys
+    compare across calls."""
+    import numpy as np
+
+    return np.random.RandomState(seed).normal(size=(n_tables, n_planes, dim))
+
+
+def srp_bucket_rows(embeddings: DataFrame, planes) -> DataFrame:
+    """(vec_id, table, bkey) SRP bucket rows — the map-only int64-matmul
+    bucketing stage shared by ``srp_lsh_near_dup_pairs`` and the streaming
+    ``incremental_srp_dedup`` (which accumulates these rows as its index
+    state). One Arrow batch computes all tables' keys in BLAS."""
+    import numpy as np
+
+    bc = embeddings.sparkSession.sparkContext.broadcast(planes)
+
+    def _buckets(batches):
+        import pandas as pd
+
+        pl = bc.value
+        for pdf in batches:
+            m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64, copy=False)
+            out_vec, out_tab, out_key = [], [], []
+            for t in range(pl.shape[0]):
+                bits = (m @ pl[t].T) > 0  # (rows, n_planes)
+                keys = bits @ (1 << np.arange(pl.shape[1], dtype=np.int64))
+                out_vec.extend(pdf["vec_id"].tolist())
+                out_tab.extend([t] * len(pdf))
+                out_key.extend(keys.tolist())
+            yield pd.DataFrame({"vec_id": out_vec, "table": out_tab, "bkey": out_key})
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        _buckets, schema="vec_id long, table int, bkey long"
+    )
+
+
 def srp_lsh_near_dup_pairs(
     embeddings: DataFrame,
     tau: float = 0.45,
@@ -606,28 +645,8 @@ def srp_lsh_near_dup_pairs(
         return embeddings.sparkSession.createDataFrame(
             [], "vec_a long, vec_b long, sim double"
         )
-    rng = np.random.RandomState(seed)
-    planes = rng.normal(size=(n_tables, n_planes, dim))
-    bc = embeddings.sparkSession.sparkContext.broadcast(planes)
-
-    def _buckets(batches):
-        import pandas as pd
-
-        pl = bc.value
-        for pdf in batches:
-            m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64, copy=False)
-            out_vec, out_tab, out_key = [], [], []
-            for t in range(pl.shape[0]):
-                bits = (m @ pl[t].T) > 0  # (rows, n_planes)
-                keys = bits @ (1 << np.arange(pl.shape[1], dtype=np.int64))
-                out_vec.extend(pdf["vec_id"].tolist())
-                out_tab.extend([t] * len(pdf))
-                out_key.extend(keys.tolist())
-            yield pd.DataFrame({"vec_id": out_vec, "table": out_tab, "bkey": out_key})
-
-    buckets = embeddings.select("vec_id", "embedding").mapInPandas(
-        _buckets, schema="vec_id long, table int, bkey long"
-    )
+    planes = srp_planes(dim, n_planes=n_planes, n_tables=n_tables, seed=seed)
+    buckets = srp_bucket_rows(embeddings, planes)
     l, r = buckets.alias("l"), buckets.alias("r")
     cand = (
         l.join(

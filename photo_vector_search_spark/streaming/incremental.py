@@ -301,3 +301,113 @@ def incremental_lsh_dedup(
 def read_dedup_pairs(spark: SparkSession, state_path: str) -> DataFrame:
     """The accumulated near-dup pairs found by ``incremental_lsh_dedup``."""
     return spark.read.parquet(f"{state_path}/pairs").drop("batch_id")
+
+
+def incremental_srp_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    state_path: str,
+    checkpoint_dir: str,
+    tau: float = 0.45,
+    n_planes: int = 6,
+    n_tables: int = 16,
+    seed: int = 42,
+    available_now: bool = True,
+):
+    """Streaming EMBEDDING near-dup — the vector twin of
+    ``incremental_lsh_dedup``: each micro-batch of vectors is SRP-bucketed
+    (``srp_planes`` is a pure function of (dim, params, seed), so every batch
+    derives byte-identical planes and its keys compare against history),
+    candidate-joined against the accumulated bucket index plus itself, and
+    exact-cosine verified against the accumulated vector store.
+
+    State layout (all per-batch-partition overwrites — the same exactly-once
+    replay discipline as the text stream, including the exclude-own-batch
+    rule on reads):
+      ``buckets/batch_id=K``  (vec_id, table, bkey) — the LSH index/registry
+      ``vectors/batch_id=K``  (vec_id, embedding) — verify-stage store
+      ``pairs/batch_id=K``    (vec_a, vec_b, sim) — append-only result
+
+    Params are PINNED (not size-derived): a streaming index must bucket
+    every batch identically or old keys would stop matching new ones —
+    re-bucketing history is a REBUILD, not a stream step. All batches must
+    carry one embedding dim (a drifted batch's candidates fail closed: the
+    exact-cosine verify NULLs mismatched-dim pairs). Completeness invariant
+    (tested): streamed pairs over any batch split equal the batch
+    ``srp_lsh_near_dup_pairs`` at the same pinned params on the union."""
+    from pyspark.sql import functions as F
+
+    from photo_vector_search_spark.operators.dedup import (
+        _uniform_embedding_dim,
+        _verify_cosine_candidates,
+        srp_bucket_rows,
+        srp_planes,
+    )
+
+    def _read_state(spark_b, root: str, current_batch: int) -> DataFrame | None:
+        if not os.path.isdir(root):
+            return None
+        df = spark_b.read.parquet(root)
+        if "batch_id" in df.columns:
+            df = df.filter(F.col("batch_id") != current_batch).drop("batch_id")
+        return df
+
+    def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark_b = batch_df.sparkSession
+        new_vecs = batch_df.select("vec_id", "embedding").dropDuplicates(["vec_id"])
+        old_b = _read_state(spark_b, f"{state_path}/buckets", batch_id)
+        if old_b is not None:
+            known = old_b.select("vec_id").distinct()
+            new_vecs = new_vecs.join(known, "vec_id", "left_anti")
+        dim = _uniform_embedding_dim(new_vecs, "incremental_srp_dedup")
+        if dim is None:  # empty batch (or all re-deliveries): idempotent no-op
+            for root in ("pairs", "buckets", "vectors"):
+                spark_b.createDataFrame(
+                    [],
+                    {
+                        "pairs": "vec_a long, vec_b long, sim double",
+                        "buckets": "vec_id long, table int, bkey long",
+                        "vectors": "vec_id long, embedding array<float>",
+                    }[root],
+                ).write.mode("overwrite").parquet(
+                    f"{state_path}/{root}/batch_id={batch_id}"
+                )
+            return
+        planes = srp_planes(dim, n_planes=n_planes, n_tables=n_tables, seed=seed)
+        b_new = srp_bucket_rows(new_vecs, planes).persist()
+        all_b = b_new if old_b is None else b_new.unionByName(old_b)
+        l, r = b_new.alias("l"), all_b.alias("r")
+        cand = (
+            l.join(
+                r,
+                (F.col("l.table") == F.col("r.table"))
+                & (F.col("l.bkey") == F.col("r.bkey"))
+                & (F.col("l.vec_id") != F.col("r.vec_id")),
+            )
+            .select(
+                F.least(F.col("l.vec_id"), F.col("r.vec_id")).alias("vec_a"),
+                F.greatest(F.col("l.vec_id"), F.col("r.vec_id")).alias("vec_b"),
+            )
+            .distinct()
+        )
+        old_v = _read_state(spark_b, f"{state_path}/vectors", batch_id)
+        vec_all = new_vecs if old_v is None else new_vecs.unionByName(old_v)
+        pairs = _verify_cosine_candidates(vec_all, cand, tau)
+        try:
+            # pairs first; buckets last — the bucket write is the commit point
+            # that marks these vec_ids as known (same ordering argument as the
+            # text stream)
+            pairs.write.mode("overwrite").parquet(
+                f"{state_path}/pairs/batch_id={batch_id}"
+            )
+            new_vecs.write.mode("overwrite").parquet(
+                f"{state_path}/vectors/batch_id={batch_id}"
+            )
+            b_new.write.mode("overwrite").parquet(
+                f"{state_path}/buckets/batch_id={batch_id}"
+            )
+        finally:
+            b_new.unpersist(blocking=True)
+
+    stream = spark.readStream.schema(VECTORS_SCHEMA).format("parquet").load(input_dir)
+    return _start_merge_stream(stream, _merge_batch, checkpoint_dir, available_now)

@@ -300,3 +300,29 @@ def test_diff_versions_null_key_not_phantom(spark, store_path):
         for r in diff_versions(spark, store_path, v2, v3, ["id"]).collect()
     ]
     assert got2 == [(None, "update", "y")]
+
+
+def test_diff_versions_separator_shift_not_missed(spark, store_path):
+    """The review's collision case: values shifting across columns
+    ('x\\x1fy','z') -> ('x','y\\x1fz') concatenate identically under a
+    separator-joined hash; the to_json struct hash must catch the update.
+    Likewise NULL vs the literal sentinel string."""
+    from photo_vector_search_spark.operators.versioned_store import diff_versions
+
+    v1 = commit_overwrite(
+        spark.createDataFrame(
+            [(1, "x\x1fy", "z"), (2, None, "q")], "id int, a string, b string"
+        ),
+        store_path,
+    )
+    v2 = commit_rewrite(
+        spark.createDataFrame(
+            [(1, "x", "y\x1fz"), (2, "\x00", "q")], "id int, a string, b string"
+        ),
+        store_path,
+    )
+    got = {
+        r["id"]: r["change_type"]
+        for r in diff_versions(spark, store_path, v1, v2, ["id"]).collect()
+    }
+    assert got == {1: "update", 2: "update"}
