@@ -53,3 +53,42 @@ def test_incremental_srp_dedup_matches_batch(spark, sf_dir):
         assert buckets.select("vec_id").distinct().count() == emb.count()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_incremental_srp_dedup_replay_after_crash(spark, sf_dir):
+    """Same replay contract as the text stream (separately implemented
+    _read_state, separately tested): a crashed batch-0 attempt that committed
+    all three state partitions must be reproducible from a fresh checkpoint
+    without the anti-join suppressing the batch."""
+    from photo_vector_search_spark.operators.dedup import (
+        srp_bucket_rows,
+        srp_planes,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    expected = _pairs(srp_lsh_near_dup_pairs(half, **PARAMS))
+    assert len(expected) > 0
+
+    tmp = tempfile.mkdtemp(prefix="pvs_srpreplay_")
+    in_dir, state, ckpt = f"{tmp}/in", f"{tmp}/state", f"{tmp}/ckpt"
+    try:
+        dim = len(half.first()["embedding"])
+        planes = srp_planes(dim, PARAMS["n_planes"], PARAMS["n_tables"], PARAMS["seed"])
+        srp_bucket_rows(half, planes).write.mode("overwrite").parquet(
+            f"{state}/buckets/batch_id=0"
+        )
+        half.write.mode("overwrite").parquet(f"{state}/vectors/batch_id=0")
+        spark.createDataFrame(
+            sorted(expected), "vec_a long, vec_b long, sim double"
+        ).write.mode("overwrite").parquet(f"{state}/pairs/batch_id=0")
+
+        half.withColumn("label", F.lit(0)).write.mode("append").parquet(in_dir)
+        q = incremental_srp_dedup(spark, in_dir, state, ckpt, **PARAMS)
+        assert q.awaitTermination(600)
+        assert _pairs(spark.read.parquet(f"{state}/pairs").drop("batch_id")) == expected
+        buckets = spark.read.parquet(f"{state}/buckets")
+        assert buckets.select("vec_id").distinct().count() == half.count()
+        assert buckets.select("batch_id").distinct().count() == 1
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
