@@ -575,10 +575,19 @@ def srp_bucket_rows(embeddings: DataFrame, planes) -> DataFrame:
     """(vec_id, table, bkey) SRP bucket rows — the map-only int64-matmul
     bucketing stage shared by ``srp_lsh_near_dup_pairs`` and the streaming
     ``incremental_srp_dedup`` (which accumulates these rows as its index
-    state). One Arrow batch computes all tables' keys in BLAS."""
-    import numpy as np
+    state). One Arrow batch computes all tables' keys in BLAS.
 
-    bc = embeddings.sparkSession.sparkContext.broadcast(planes)
+    ``planes`` may be the ndarray or an existing ``Broadcast`` of it — a
+    continuous stream passes one broadcast created at first batch so
+    thousands of micro-batches don't each re-broadcast an identical tensor."""
+    import numpy as np
+    from pyspark.broadcast import Broadcast
+
+    bc = (
+        planes
+        if isinstance(planes, Broadcast)
+        else embeddings.sparkSession.sparkContext.broadcast(planes)
+    )
 
     def _buckets(batches):
         import pandas as pd

@@ -39,6 +39,23 @@ def _start_merge_stream(stream, merge_fn, checkpoint_dir: str, available_now: bo
     return writer.start()
 
 
+def _read_batch_state(spark_b, root: str, current_batch: int):
+    """Read an accumulated per-batch-partitioned state dir, EXCLUDING the
+    current batch's own partition — the single replay-correctness rule both
+    dedup streams share: a crashed attempt at this batch_id may have committed
+    its partitions before dying, and counting them as history would (a)
+    anti-join the whole batch away — replay would overwrite its pairs with an
+    EMPTY set — and (b) double-count the batch's own rows in verify unions."""
+    from pyspark.sql import functions as F
+
+    if not os.path.isdir(root):
+        return None
+    df = spark_b.read.parquet(root)
+    if "batch_id" in df.columns:
+        df = df.filter(F.col("batch_id") != current_batch).drop("batch_id")
+    return df
+
+
 def incremental_index(
     spark: SparkSession,
     input_dir: str,
@@ -234,23 +251,10 @@ def incremental_lsh_dedup(
         verify_jaccard_pairs,
     )
 
-    def _read_state(spark_b, root: str, current_batch: int) -> DataFrame | None:
-        if not os.path.isdir(root):
-            return None
-        df = spark_b.read.parquet(root)
-        if "batch_id" in df.columns:
-            # NEVER read the current batch's own partition: a crashed attempt
-            # at this batch_id may have committed bands/shingles before dying,
-            # and counting them as history would (a) anti-join the whole batch
-            # away — replay would then overwrite its pairs with an EMPTY set —
-            # and (b) double-count the batch's shingles in the verify union
-            df = df.filter(F.col("batch_id") != current_batch).drop("batch_id")
-        return df
-
     def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark_b = batch_df.sparkSession
         new_docs = batch_df.dropDuplicates(["doc_id"])
-        old_bands = _read_state(spark_b, f"{state_path}/bands", batch_id)
+        old_bands = _read_batch_state(spark_b, f"{state_path}/bands", batch_id)
         if old_bands is not None:
             known = old_bands.select("doc_id").distinct()
             new_docs = new_docs.join(known, "doc_id", "left_anti")
@@ -275,7 +279,7 @@ def incremental_lsh_dedup(
             )
             .distinct()
         )
-        old_sh = _read_state(spark_b, f"{state_path}/shingles", batch_id)
+        old_sh = _read_batch_state(spark_b, f"{state_path}/shingles", batch_id)
         sh_all = sh_new if old_sh is None else sh_new.unionByName(old_sh)
         pairs = verify_jaccard_pairs(cand, sh_all, tau)
         try:
@@ -330,11 +334,17 @@ def incremental_srp_dedup(
 
     Params are PINNED (not size-derived): a streaming index must bucket
     every batch identically or old keys would stop matching new ones —
-    re-bucketing history is a REBUILD, not a stream step. All batches must
-    carry one embedding dim (a drifted batch's candidates fail closed: the
-    exact-cosine verify NULLs mismatched-dim pairs). Completeness invariant
-    (tested): streamed pairs over any batch split equal the batch
-    ``srp_lsh_near_dup_pairs`` at the same pinned params on the union."""
+    re-bucketing history is a REBUILD, not a stream step. NOTE the defaults
+    here are therefore NOT the batch operator's size-derived defaults
+    (``srp_lsh_near_dup_pairs`` auto-picks e.g. (6, 24) at 2k rows and grows
+    with N): to compare streamed against batch results, pass the SAME
+    explicit params to both, as the tests do. Embedding dim is pinned with
+    the params: a batch whose dim differs from accumulated history raises
+    (keys from different-dim planes share an int64 key space but compare
+    garbage — the batch operator raises on the same mixed-dim union).
+    Completeness invariant (tested): streamed pairs over any batch split
+    equal the batch ``srp_lsh_near_dup_pairs`` at the same pinned params on
+    the union."""
     from pyspark.sql import functions as F
 
     from photo_vector_search_spark.operators.dedup import (
@@ -344,18 +354,25 @@ def incremental_srp_dedup(
         srp_planes,
     )
 
-    def _read_state(spark_b, root: str, current_batch: int) -> DataFrame | None:
-        if not os.path.isdir(root):
-            return None
-        df = spark_b.read.parquet(root)
-        if "batch_id" in df.columns:
-            df = df.filter(F.col("batch_id") != current_batch).drop("batch_id")
-        return df
+    # one planes broadcast per STREAM, created at the first non-empty batch —
+    # a continuous stream would otherwise re-broadcast an identical tensor
+    # every micro-batch (dim is pinned with it; see dim check below)
+    shared: dict = {}
 
     def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark_b = batch_df.sparkSession
-        new_vecs = batch_df.select("vec_id", "embedding").dropDuplicates(["vec_id"])
-        old_b = _read_state(spark_b, f"{state_path}/buckets", batch_id)
+        new_vecs = (
+            batch_df.select("vec_id", "embedding")
+            .dropDuplicates(["vec_id"])
+            .persist()  # dim agg + bucketing + verify + write all reuse it
+        )
+        try:
+            _srp_batch(spark_b, new_vecs, batch_id)
+        finally:
+            new_vecs.unpersist(blocking=True)
+
+    def _srp_batch(spark_b, new_vecs: DataFrame, batch_id: int) -> None:
+        old_b = _read_batch_state(spark_b, f"{state_path}/buckets", batch_id)
         if old_b is not None:
             known = old_b.select("vec_id").distinct()
             new_vecs = new_vecs.join(known, "vec_id", "left_anti")
@@ -373,8 +390,24 @@ def incremental_srp_dedup(
                     f"{state_path}/{root}/batch_id={batch_id}"
                 )
             return
-        planes = srp_planes(dim, n_planes=n_planes, n_tables=n_tables, seed=seed)
-        b_new = srp_bucket_rows(new_vecs, planes).persist()
+        if "dim" not in shared:
+            # pin against HISTORY too, not just within the stream's lifetime:
+            # a restarted stream must keep bucketing at the dim its state used
+            old_v0 = _read_batch_state(spark_b, f"{state_path}/vectors", batch_id)
+            hist_row = old_v0.select("embedding").first() if old_v0 is not None else None
+            hist_dim = len(hist_row["embedding"]) if hist_row is not None else dim
+            shared["dim"] = hist_dim
+            shared["planes_bc"] = spark_b.sparkContext.broadcast(
+                srp_planes(hist_dim, n_planes=n_planes, n_tables=n_tables, seed=seed)
+            )
+        if dim != shared["dim"]:
+            raise ValueError(
+                f"incremental_srp_dedup: batch embedding dim {dim} != the "
+                f"stream/state dim {shared['dim']} — a re-embedded corpus "
+                "needs a state REBUILD, not a stream step (old bucket keys "
+                "are meaningless under new-dim planes)"
+            )
+        b_new = srp_bucket_rows(new_vecs, shared["planes_bc"]).persist()
         all_b = b_new if old_b is None else b_new.unionByName(old_b)
         l, r = b_new.alias("l"), all_b.alias("r")
         cand = (
@@ -390,7 +423,7 @@ def incremental_srp_dedup(
             )
             .distinct()
         )
-        old_v = _read_state(spark_b, f"{state_path}/vectors", batch_id)
+        old_v = _read_batch_state(spark_b, f"{state_path}/vectors", batch_id)
         vec_all = new_vecs if old_v is None else new_vecs.unionByName(old_v)
         pairs = _verify_cosine_candidates(vec_all, cand, tau)
         try:

@@ -92,3 +92,32 @@ def test_incremental_srp_dedup_replay_after_crash(spark, sf_dir):
         assert buckets.select("batch_id").distinct().count() == 1
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_incremental_srp_dedup_rejects_dim_drift(spark, sf_dir):
+    """A re-embedded (different-dim) batch must raise loudly — old bucket
+    keys are meaningless under new-dim planes, and silently accepting the
+    batch would permanently lose every cross-batch pair (the batch operator
+    raises on the same mixed-dim union)."""
+    import pytest
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    tmp = tempfile.mkdtemp(prefix="pvs_srpdim_")
+    in_dir, state, ckpt = f"{tmp}/in", f"{tmp}/state", f"{tmp}/ckpt"
+    try:
+        emb.limit(50).withColumn("label", F.lit(0)).write.mode("append").parquet(
+            in_dir
+        )
+        q = incremental_srp_dedup(spark, in_dir, state, ckpt, **PARAMS)
+        assert q.awaitTermination(600)
+
+        drifted = spark.createDataFrame(
+            [(990001, [1.0, 0.0, 0.0], 0)], "vec_id long, embedding array<float>, label int"
+        )
+        drifted.write.mode("append").parquet(in_dir)
+        q2 = incremental_srp_dedup(spark, in_dir, state, ckpt, **PARAMS)
+        with pytest.raises(Exception, match="state REBUILD|stream/state dim"):
+            q2.awaitTermination(600)
+            q2.processAllAvailable()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -75,7 +75,11 @@ def main() -> None:
             batch.write.mode("append").parquet(in_dir)
             t0 = time.perf_counter()
             q = start()
-            q.awaitTermination(600)
+            if not q.awaitTermination(600):
+                # a still-running drain would corrupt every later wall and the
+                # parity check — fail loudly rather than print plausible junk
+                q.stop()
+                raise SystemExit(f"batch {b} drain exceeded 600s; aborting bench")
             walls.append(round(time.perf_counter() - t0, 2))
         streamed = spark.read.parquet(f"{state}/pairs").drop("batch_id").count()
         batch_pairs = batch_count(table)
