@@ -233,14 +233,24 @@ def prune_hot_buckets(bandsdf: DataFrame, max_bucket_size: int) -> DataFrame:
     return bandsdf.join(F.broadcast(hot), ["band", "band_key"], "left_anti")
 
 
-def verify_jaccard_pairs(cand: DataFrame, sh: DataFrame, tau: float) -> DataFrame:
+def verify_jaccard_pairs(
+    cand: DataFrame, sh: DataFrame, tau: float, counts: DataFrame | None = None
+) -> DataFrame:
     """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs against a
     (doc_id, shingle) table: |A∩B| via the inverted-index join RESTRICTED to
     candidate pairs, |A|/|B| from per-doc counts — the shared verify stage of
     the batch LSH pipeline and the streaming incremental dedup (which verifies
     each micro-batch's candidates against history + batch shingles). Keyed
-    joins only; work ∝ candidate shingle rows, never all-pairs."""
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    joins only; work ∝ candidate shingle rows, never all-pairs.
+
+    ``counts``: optional precomputed (doc_id, n_sh) set sizes covering at
+    least every doc that appears in ``cand`` — the streaming path persists
+    these as registry state so per-batch verify never re-aggregates history
+    shingles. Default None re-derives them from ``sh`` (so ``sh`` must then
+    hold the COMPLETE shingle set of every candidate doc, which it does in
+    the batch pipeline and after the stream's candidate semi-join)."""
+    if counts is None:
+        counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("s_a"))
     sb = sh.select(F.col("doc_id").alias("_sb_doc"), F.col("shingle").alias("s_b"))
     common = (

@@ -39,6 +39,23 @@ def _start_merge_stream(stream, merge_fn, checkpoint_dir: str, available_now: bo
     return writer.start()
 
 
+def _state_batches(root: str) -> set[int]:
+    """Batch ids that have committed a partition under a state root — read
+    from the directory names alone (no file scan); used to decide whether the
+    ``docs/`` registry covers every indexed batch (pure-r6 state) or the
+    stream is resuming legacy/mixed state that still needs the band registry."""
+    if not os.path.isdir(root):
+        return set()
+    out = set()
+    for name in os.listdir(root):
+        if name.startswith("batch_id="):
+            try:
+                out.add(int(name.split("=", 1)[1]))
+            except ValueError:
+                continue
+    return out
+
+
 def _read_batch_state(spark_b, root: str, current_batch: int):
     """Read an accumulated per-batch-partitioned state dir, EXCLUDING the
     current batch's own partition — the single replay-correctness rule both
@@ -225,23 +242,48 @@ def incremental_lsh_dedup(
     plus the batch's index rows are committed to ``state_path``.
 
     State layout (all parquet, all partitioned by micro-batch):
-      ``bands/batch_id=K``     (doc_id, band, band_key) — the LSH index; also
-                               the registry of known doc_ids
+      ``docs/batch_id=K``      (doc_id, fp, n_sh) — the REGISTRY: one narrow
+                               row per known doc with a content fingerprint
+                               and its shingle-set size; written LAST (the
+                               commit point that marks the batch as known)
+      ``bands/batch_id=K``     (doc_id, band, band_key) — the LSH index
       ``shingles/batch_id=K``  (doc_id, shingle) — verify-stage inverted index
       ``pairs/batch_id=K``     (doc_a, doc_b, jaccard) — APPEND-ONLY result
 
     Exactly-once without a table format: every state write is an OVERWRITE of
     this batch's own ``batch_id=K`` directory, so a crash-and-replay of batch K
     rewrites the same files instead of duplicating them (the same idempotency
-    discipline as the keyed upsert streams above). Re-delivered doc_ids are
-    anti-joined against the band registry and contribute nothing.
+    discipline as the keyed upsert streams above).
+
+    The streams are APPEND-ONLY: a re-delivered doc_id with IDENTICAL content
+    (fingerprint match against the registry) contributes nothing; a
+    re-delivered doc_id whose content CHANGED raises — silently keeping the
+    stale shingles/bands would make the streamed result diverge from the
+    batch operator on the current corpus. Updating content requires a state
+    REBUILD (re-run the batch operator), not a stream step. Legacy (pre-r6)
+    state without a ``docs/`` registry falls back to the band registry with
+    no fingerprint check.
 
     Completeness invariant (tested): after draining any sequence of batches,
     the accumulated pairs equal the BATCH ``minhash_lsh_pairs`` over the union
     corpus — because every pair has a strictly-newer member, and that member's
-    batch candidate-joins against history ∪ batch. Per-batch cost is
-    new-rows × O(1) bucket probes against the keyed band index — never a
-    recompute over history."""
+    batch candidate-joins against history ∪ batch.
+
+    Per-batch cost — the honest contract: each state family is SCANNED once
+    per batch (O(history) bytes of pruned columnar I/O — the registry is one
+    narrow row per doc, the band index three small columns), but every
+    SHUFFLE and aggregation is bounded by O(batch + collided candidates):
+    history bands are broadcast-semi-joined down to the batch's bucket keys
+    before the candidate join, history shingles are broadcast-semi-joined
+    down to candidate doc_ids before verify, and per-doc set sizes come from
+    the registry instead of re-aggregating history shingles. The residual
+    O(history) scan term is the state-compaction problem every streaming
+    index has; at cluster scale, partition the state by bucket-key range (or
+    keep it in an indexed table format) to turn the probe scan into a pruned
+    read — the shuffle/compute terms are already incremental. The batch's
+    ids, bucket keys and candidate ids are broadcast: micro-batches are
+    driver-bounded by the trigger, the streaming regime's standing
+    assumption."""
     from pyspark.sql import functions as F
 
     from photo_vector_search_spark.operators.dedup import (
@@ -253,15 +295,70 @@ def incremental_lsh_dedup(
 
     def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark_b = batch_df.sparkSession
-        new_docs = batch_df.dropDuplicates(["doc_id"])
-        old_bands = _read_batch_state(spark_b, f"{state_path}/bands", batch_id)
-        if old_bands is not None:
-            known = old_bands.select("doc_id").distinct()
-            new_docs = new_docs.join(known, "doc_id", "left_anti")
+        new_docs = batch_df.dropDuplicates(["doc_id"]).withColumn(
+            "_fp", F.md5(F.coalesce(F.col("text"), F.lit("")))
+        )
+        docs_root, bands_root = f"{state_path}/docs", f"{state_path}/bands"
+        # the registry covers every indexed doc iff each committed bands batch
+        # also committed a docs partition (directory names, no file scan) —
+        # false only when resuming legacy (pre-registry) or mixed state
+        covered = (_state_batches(docs_root) - {batch_id}) >= (
+            _state_batches(bands_root) - {batch_id}
+        )
+        reg = _read_batch_state(spark_b, docs_root, batch_id)
+        hits = None
+        known_parts = []
+        if reg is not None:
+            # registry probe: broadcast the batch's keys so the O(history)
+            # registry scan stays map-only (no history-sized shuffle)
+            hits = reg.join(
+                F.broadcast(new_docs.select("doc_id", "_fp")), "doc_id", "inner"
+            ).persist()
+            clash = (
+                hits.filter(F.col("fp").isNotNull() & (F.col("fp") != F.col("_fp")))
+                .select("doc_id")
+                .take(1)
+            )
+            if clash:
+                hits.unpersist(blocking=True)
+                raise ValueError(
+                    f"incremental_lsh_dedup: re-delivered doc_id "
+                    f"{clash[0]['doc_id']} has DIFFERENT content than the "
+                    "accumulated state — the stream is append-only; changed "
+                    "documents require a state rebuild (re-run the batch "
+                    "operator over the current corpus)"
+                )
+            known_parts.append(hits.select("doc_id"))
+        if not covered:
+            # legacy/mixed state: bands not in the registry still mark their
+            # docs as known (id-only, no fingerprint check possible)
+            ob0 = _read_batch_state(spark_b, bands_root, batch_id)
+            if ob0 is not None:
+                known_parts.append(
+                    ob0.join(
+                        F.broadcast(new_docs.select("doc_id")), "doc_id", "left_semi"
+                    )
+                    .select("doc_id")
+                    .distinct()
+                )
+        if known_parts:
+            known = known_parts[0]
+            for extra in known_parts[1:]:
+                known = known.unionByName(extra).distinct()
+            new_docs = new_docs.join(F.broadcast(known), "doc_id", "left_anti")
         # one cached shingle pass feeds signatures, candidates and verify —
         # same lifecycle as the batch operator
         sh_new = shingle_sets(new_docs, n).persist()
         bands_new = _bands_from_wide(_wide_signatures(sh_new)).persist()
+        old_bands = _read_batch_state(spark_b, bands_root, batch_id)
+        if old_bands is not None:
+            # only history rows in buckets the BATCH touches can collide —
+            # semi-join the index scan down to those keys before any shuffle
+            old_bands = old_bands.join(
+                F.broadcast(bands_new.select("band", "band_key").distinct()),
+                ["band", "band_key"],
+                "left_semi",
+            )
         all_bands = (
             bands_new if old_bands is None else bands_new.unionByName(old_bands)
         )
@@ -278,13 +375,39 @@ def incremental_lsh_dedup(
                 F.greatest(F.col("l.doc_id"), F.col("r.doc_id")).alias("doc_b"),
             )
             .distinct()
+            .persist()
+        )
+        cand_ids = (
+            cand.select(F.col("doc_a").alias("doc_id"))
+            .union(cand.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
         )
         old_sh = _read_batch_state(spark_b, f"{state_path}/shingles", batch_id)
-        sh_all = sh_new if old_sh is None else sh_new.unionByName(old_sh)
-        pairs = verify_jaccard_pairs(cand, sh_all, tau)
+        if old_sh is not None:
+            # verify only ever touches candidate docs' shingles
+            old_sh = old_sh.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+        sh_ver = sh_new if old_sh is None else sh_new.unionByName(old_sh)
+        counts_new = sh_new.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+        counts = None
+        if covered and reg is not None:
+            # per-doc set sizes from the registry state, never re-aggregated
+            # from history shingles; only safe when the registry covers every
+            # indexed doc (otherwise a legacy candidate would be dropped by
+            # verify's inner count join — fall back to deriving counts from
+            # the candidate-semi-joined shingles, which is equally bounded)
+            counts = counts_new.unionByName(
+                reg.select("doc_id", "n_sh").filter(F.col("n_sh").isNotNull())
+            ).join(F.broadcast(cand_ids), "doc_id", "left_semi")
+        pairs = verify_jaccard_pairs(cand, sh_ver, tau, counts=counts)
+        docs_state = new_docs.select(
+            "doc_id", F.col("_fp").alias("fp")
+        ).join(counts_new, "doc_id", "left").select(
+            "doc_id", "fp", F.coalesce(F.col("n_sh"), F.lit(0)).alias("n_sh")
+        )
         try:
             # pairs FIRST: they derive from state that exists either way; the
-            # bands write is the commit point that marks these docs as known
+            # docs (registry) write is the commit point that marks these docs
+            # as known, so it goes LAST
             pairs.write.mode("overwrite").parquet(
                 f"{state_path}/pairs/batch_id={batch_id}"
             )
@@ -294,9 +417,15 @@ def incremental_lsh_dedup(
             bands_new.write.mode("overwrite").parquet(
                 f"{state_path}/bands/batch_id={batch_id}"
             )
+            docs_state.write.mode("overwrite").parquet(
+                f"{state_path}/docs/batch_id={batch_id}"
+            )
         finally:
             sh_new.unpersist(blocking=True)
             bands_new.unpersist(blocking=True)
+            cand.unpersist(blocking=True)
+            if hits is not None:
+                hits.unpersist(blocking=True)
 
     stream = spark.readStream.schema(DOCS_SCHEMA).format("parquet").load(input_dir)
     return _start_merge_stream(stream, _merge_batch, checkpoint_dir, available_now)
@@ -328,9 +457,26 @@ def incremental_srp_dedup(
     State layout (all per-batch-partition overwrites — the same exactly-once
     replay discipline as the text stream, including the exclude-own-batch
     rule on reads):
-      ``buckets/batch_id=K``  (vec_id, table, bkey) — the LSH index/registry
-      ``vectors/batch_id=K``  (vec_id, embedding) — verify-stage store
+      ``buckets/batch_id=K``  (vec_id, table, bkey) — the LSH index
+      ``vectors/batch_id=K``  (vec_id, embedding, fp) — verify-stage store,
+                              doubling as the REGISTRY (one row per known
+                              vec_id + content fingerprint; legacy pre-r6
+                              partitions lack ``fp`` and skip the check)
       ``pairs/batch_id=K``    (vec_a, vec_b, sim) — append-only result
+
+    Append-only contract (same as the text stream): a re-delivered vec_id
+    with identical content is a no-op; one whose embedding CHANGED raises —
+    a re-embedded corpus needs a state rebuild, not a stream step.
+
+    Per-batch cost mirrors the text stream's honest contract: each state
+    family is scanned once per batch (pruned columnar I/O — the registry
+    probe reads only vec_id/fp, never history embeddings), but every shuffle
+    is O(batch + collided candidates): history buckets are broadcast-semi-
+    joined down to the batch's (table, bkey) keys before the candidate join,
+    and history vectors down to candidate vec_ids before the exact-cosine
+    verify. The scan term is the usual streaming-index compaction problem
+    (bucket-key-partitioned state or an indexed table format turns it into a
+    pruned probe); the compute/shuffle terms are incremental.
 
     Params are PINNED (not size-derived): a streaming index must bucket
     every batch identically or old keys would stop matching new ones —
@@ -364,6 +510,7 @@ def incremental_srp_dedup(
         new_vecs = (
             batch_df.select("vec_id", "embedding")
             .dropDuplicates(["vec_id"])
+            .withColumn("_fp", F.md5(F.to_json(F.col("embedding"))))
             .persist()  # dim agg + bucketing + verify + write all reuse it
         )
         try:
@@ -372,19 +519,47 @@ def incremental_srp_dedup(
             new_vecs.unpersist(blocking=True)
 
     def _srp_batch(spark_b, new_vecs: DataFrame, batch_id: int) -> None:
-        old_b = _read_batch_state(spark_b, f"{state_path}/buckets", batch_id)
-        if old_b is not None:
-            known = old_b.select("vec_id").distinct()
-            new_vecs = new_vecs.join(known, "vec_id", "left_anti")
+        reg = _read_batch_state(spark_b, f"{state_path}/vectors", batch_id)
+        hits = None
+        if reg is not None:
+            # registry probe = the vectors state pruned to (vec_id, fp):
+            # broadcast the batch keys so the history scan stays map-only
+            reg_keys = (
+                reg.select("vec_id", "fp")
+                if "fp" in reg.columns  # legacy partitions: id-only registry
+                else reg.select("vec_id").withColumn("fp", F.lit(None).cast("string"))
+            )
+            hits = reg_keys.join(
+                F.broadcast(new_vecs.select("vec_id", "_fp")), "vec_id", "inner"
+            ).persist()
+            clash = (
+                hits.filter(F.col("fp").isNotNull() & (F.col("fp") != F.col("_fp")))
+                .select("vec_id")
+                .take(1)
+            )
+            if clash:
+                hits.unpersist(blocking=True)
+                raise ValueError(
+                    f"incremental_srp_dedup: re-delivered vec_id "
+                    f"{clash[0]['vec_id']} has a DIFFERENT embedding than the "
+                    "accumulated state — the stream is append-only; a "
+                    "re-embedded corpus requires a state rebuild (re-run the "
+                    "batch operator over the current vectors)"
+                )
+            new_vecs = new_vecs.join(
+                F.broadcast(hits.select("vec_id")), "vec_id", "left_anti"
+            )
         dim = _uniform_embedding_dim(new_vecs, "incremental_srp_dedup")
         if dim is None:  # empty batch (or all re-deliveries): idempotent no-op
+            if hits is not None:
+                hits.unpersist(blocking=True)
             for root in ("pairs", "buckets", "vectors"):
                 spark_b.createDataFrame(
                     [],
                     {
                         "pairs": "vec_a long, vec_b long, sim double",
                         "buckets": "vec_id long, table int, bkey long",
-                        "vectors": "vec_id long, embedding array<float>",
+                        "vectors": "vec_id long, embedding array<float>, fp string",
                     }[root],
                 ).write.mode("overwrite").parquet(
                     f"{state_path}/{root}/batch_id={batch_id}"
@@ -393,8 +568,7 @@ def incremental_srp_dedup(
         if "dim" not in shared:
             # pin against HISTORY too, not just within the stream's lifetime:
             # a restarted stream must keep bucketing at the dim its state used
-            old_v0 = _read_batch_state(spark_b, f"{state_path}/vectors", batch_id)
-            hist_row = old_v0.select("embedding").first() if old_v0 is not None else None
+            hist_row = reg.select("embedding").first() if reg is not None else None
             hist_dim = len(hist_row["embedding"]) if hist_row is not None else dim
             shared["dim"] = hist_dim
             shared["planes_bc"] = spark_b.sparkContext.broadcast(
@@ -407,7 +581,17 @@ def incremental_srp_dedup(
                 "needs a state REBUILD, not a stream step (old bucket keys "
                 "are meaningless under new-dim planes)"
             )
-        b_new = srp_bucket_rows(new_vecs, shared["planes_bc"]).persist()
+        b_new = srp_bucket_rows(
+            new_vecs.select("vec_id", "embedding"), shared["planes_bc"]
+        ).persist()
+        old_b = _read_batch_state(spark_b, f"{state_path}/buckets", batch_id)
+        if old_b is not None:
+            # only history rows in buckets the BATCH touches can collide
+            old_b = old_b.join(
+                F.broadcast(b_new.select("table", "bkey").distinct()),
+                ["table", "bkey"],
+                "left_semi",
+            )
         all_b = b_new if old_b is None else b_new.unionByName(old_b)
         l, r = b_new.alias("l"), all_b.alias("r")
         cand = (
@@ -423,17 +607,32 @@ def incremental_srp_dedup(
             )
             .distinct()
         )
-        old_v = _read_batch_state(spark_b, f"{state_path}/vectors", batch_id)
-        vec_all = new_vecs if old_v is None else new_vecs.unionByName(old_v)
+        cand = cand.persist()
+        cand_ids = (
+            cand.select(F.col("vec_a").alias("vec_id"))
+            .union(cand.select(F.col("vec_b").alias("vec_id")))
+            .distinct()
+        )
+        vec_new = new_vecs.select("vec_id", "embedding")
+        if reg is None:
+            vec_all = vec_new
+        else:
+            # verify only ever reads candidate vec_ids' embeddings
+            old_v = reg.select("vec_id", "embedding").join(
+                F.broadcast(cand_ids), "vec_id", "left_semi"
+            )
+            vec_all = vec_new.unionByName(old_v)
         pairs = _verify_cosine_candidates(vec_all, cand, tau)
         try:
-            # pairs first; buckets last — the bucket write is the commit point
-            # that marks these vec_ids as known (same ordering argument as the
-            # text stream)
+            # pairs first (replay safety comes from the exclude-own-batch read
+            # rule, not write order; pairs-first just keeps a concurrent
+            # read_srp_pairs from seeing an index ahead of its results)
             pairs.write.mode("overwrite").parquet(
                 f"{state_path}/pairs/batch_id={batch_id}"
             )
-            new_vecs.write.mode("overwrite").parquet(
+            new_vecs.select(
+                "vec_id", "embedding", F.col("_fp").alias("fp")
+            ).write.mode("overwrite").parquet(
                 f"{state_path}/vectors/batch_id={batch_id}"
             )
             b_new.write.mode("overwrite").parquet(
@@ -441,6 +640,9 @@ def incremental_srp_dedup(
             )
         finally:
             b_new.unpersist(blocking=True)
+            cand.unpersist(blocking=True)
+            if hits is not None:
+                hits.unpersist(blocking=True)
 
     stream = spark.readStream.schema(VECTORS_SCHEMA).format("parquet").load(input_dir)
     return _start_merge_stream(stream, _merge_batch, checkpoint_dir, available_now)

@@ -101,3 +101,33 @@ def test_incremental_lsh_dedup_replay_after_crash(spark, sf_dir):
         assert bands_now.select("batch_id").distinct().count() == 1
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_incremental_lsh_dedup_changed_content_raises(spark, sf_dir):
+    """Append-only contract: a re-delivered doc_id whose TEXT changed must
+    raise (stale shingles/bands would silently diverge from the batch
+    operator on the current corpus — ADVICE r5), not be dropped by the
+    id-only anti-join."""
+    import pytest
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(50)
+
+    tmp = tempfile.mkdtemp(prefix="pvs_lshclash_")
+    in_dir, state, ckpt = f"{tmp}/in", f"{tmp}/state", f"{tmp}/ckpt"
+    try:
+        docs.write.mode("append").parquet(in_dir)
+        q = incremental_lsh_dedup(spark, in_dir, state, ckpt, n=3, tau=0.5)
+        assert q.awaitTermination(600)
+
+        # same ids, mutated text
+        docs.withColumn("text", F.concat(F.col("text"), F.lit(" MUTATED"))).write.mode(
+            "append"
+        ).parquet(in_dir)
+        q = incremental_lsh_dedup(spark, in_dir, state, ckpt, n=3, tau=0.5)
+        with pytest.raises(Exception, match="DIFFERENT content"):
+            q.awaitTermination(600)
+            raise AssertionError("stream accepted changed content silently")
+    finally:
+        for s in spark.streams.active:
+            s.stop()
+        shutil.rmtree(tmp, ignore_errors=True)

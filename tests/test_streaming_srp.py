@@ -121,3 +121,34 @@ def test_incremental_srp_dedup_rejects_dim_drift(spark, sf_dir):
             q2.processAllAvailable()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_incremental_srp_dedup_changed_embedding_raises(spark, sf_dir):
+    """Append-only contract (vector twin): a re-delivered vec_id with a
+    DIFFERENT embedding must raise, not silently keep the stale buckets."""
+    import pytest
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").limit(50)
+
+    tmp = tempfile.mkdtemp(prefix="pvs_srpclash_")
+    in_dir, state, ckpt = f"{tmp}/in", f"{tmp}/state", f"{tmp}/ckpt"
+    try:
+        emb.withColumn("label", F.lit(0)).write.mode("append").parquet(in_dir)
+        q = incremental_srp_dedup(spark, in_dir, state, ckpt, **PARAMS)
+        assert q.awaitTermination(600)
+
+        mutated = emb.withColumn(
+            "embedding",
+            F.transform(F.col("embedding"), lambda x: x + F.lit(1.0)).cast(
+                "array<float>"
+            ),
+        ).withColumn("label", F.lit(0))
+        mutated.write.mode("append").parquet(in_dir)
+        q = incremental_srp_dedup(spark, in_dir, state, ckpt, **PARAMS)
+        with pytest.raises(Exception, match="DIFFERENT embedding"):
+            q.awaitTermination(600)
+            raise AssertionError("stream accepted changed embeddings silently")
+    finally:
+        for s in spark.streams.active:
+            s.stop()
+        shutil.rmtree(tmp, ignore_errors=True)
