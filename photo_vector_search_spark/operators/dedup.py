@@ -313,25 +313,10 @@ def minhash_lsh_pairs(
     ``.unpersist()`` when done. The staged default exists because the pair
     result feeds multiple downstream actions and recomputing the LSH pass per
     action is the expensive path."""
-    import atexit
-    import os
-    import shutil
-    import tempfile
-    import uuid
+    from photo_vector_search_spark.operators.staging import session_staging_dir
 
     if staging_dir is None:
-        shared = os.environ.get("SPARK_GRAFT_STAGING_DIR")
-        if shared:
-            # cluster-safe default: unique subdir of the configured shared scratch
-            staging_dir = f"{shared.rstrip('/')}/pvs_lsh_pairs_{uuid.uuid4().hex}"
-        else:
-            staging_dir = tempfile.mkdtemp(prefix="pvs_lsh_pairs_")
-        # both defaults are session-owned scratch — without cleanup, every call
-        # in a long-lived session leaks one staged parquet until the scratch
-        # fills (shared-scratch paths are driver-reachable by the same POSIX
-        # assumption that makes the os.* staging write work at all). A caller
-        # passing staging_dir explicitly owns its lifecycle.
-        atexit.register(shutil.rmtree, staging_dir, ignore_errors=True)
+        staging_dir = session_staging_dir("pvs_lsh_pairs")
     # one shared, cached shingle table feeds signatures, counts and the verify
     # join — without it the shingling+md5 work runs four times; unpersisted
     # deterministically below once the staged write has consumed it.

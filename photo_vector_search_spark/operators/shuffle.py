@@ -15,8 +15,9 @@ the sort key — so (bucket, h, key) order equals (h, key) order — and
   pos = offset[bucket] + row_number within bucket (ordered by h, key) - 1
 
 where the offsets come from one tiny per-bucket count (≤4096 longs,
-broadcast). One data shuffle total (the per-bucket window), plus a count
-pre-pass over a map-only plan.
+broadcast). The upstream plan executes ONCE: the hashed projection is staged
+to parquet and both the count pre-pass and the numbering window read the
+staged copy. One data shuffle total (the per-bucket window).
 
 Why not ``orderBy(h)`` + per-partition offsets: Spark's RangePartitioner
 SAMPLES the data to pick partition bounds, with a seed derived from the
@@ -38,7 +39,12 @@ from pyspark.sql import functions as F
 N_BUCKETS = 4096  # 3 hex chars; md5 uniformity keeps buckets ~N/4096 rows
 
 
-def shuffle_corpus(df: DataFrame, seed: int = 0, key_col: str = "doc_id") -> DataFrame:
+def shuffle_corpus(
+    df: DataFrame,
+    seed: int = 0,
+    key_col: str = "doc_id",
+    staging_dir: str | None = None,
+) -> DataFrame:
     """Return ``df`` with a ``pos`` column: the row's rank in the seeded
     pseudo-random total order (0-based, dense, deterministic).
 
@@ -48,32 +54,48 @@ def shuffle_corpus(df: DataFrame, seed: int = 0, key_col: str = "doc_id") -> Dat
     the same seed gives byte-identical ``pos`` under ANY input partitioning
     (asserted in tests). Rows are returned bucket-grouped, not pos-sorted —
     ``orderBy('pos')`` (or sharded export, which shuffles anyway) if physical
-    order matters downstream."""
+    order matters downstream.
+
+    Single-scan: the hashed/bucketed projection is STAGED to parquet once and
+    both downstream jobs (the ≤4096-row per-bucket count and the numbering
+    window) read the staged copy — the upstream plan (at the end of a curation
+    pipeline, the whole pipeline) executes exactly once, and the two passes
+    can never observe divergent rows even if an upstream column were
+    nondeterministic. ``staging_dir`` defaults to session scratch
+    (``SPARK_GRAFT_STAGING_DIR`` on a cluster — see ``operators.staging``);
+    the returned DataFrame reads the staged files, so an explicit caller-owned
+    dir must outlive its consumers."""
+    from photo_vector_search_spark.operators.staging import session_staging_dir
+
     h = F.md5(F.concat_ws("-", F.lit(str(seed)), F.col(key_col).cast("string")))
     bucketed = df.withColumn("_h", h).withColumn(
         "_b", F.conv(F.substring(F.col("_h"), 1, 3), 16, 10).cast("int")
     )
+    if staging_dir is None:
+        staging_dir = session_staging_dir("pvs_shuffle")
+    bucketed.write.mode("overwrite").parquet(staging_dir)
+    spark = df.sparkSession
+    staged = spark.read.parquet(staging_dir)
 
-    # per-bucket counts: a map-side-combinable agg over a map-only plan —
-    # deterministic regardless of partitioning, ≤ N_BUCKETS rows collected
+    # per-bucket counts: a map-side-combinable agg over the staged scan —
+    # deterministic by construction, ≤ N_BUCKETS rows collected
     counts = {
         r["_b"]: r["n"]
-        for r in bucketed.groupBy("_b").agg(F.count(F.lit(1)).alias("n")).collect()
+        for r in staged.groupBy("_b").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     offsets, acc = [], 0
     for b in sorted(counts):
         offsets.append((b, acc))
         acc += counts[b]
-    spark = df.sparkSession
     if not offsets:  # empty input: preserve schema, add the pos column
-        return bucketed.drop("_h", "_b").withColumn("pos", F.lit(None).cast("long"))
+        return staged.drop("_h", "_b").withColumn("pos", F.lit(None).cast("long"))
     off = F.broadcast(
         spark.createDataFrame(offsets, "_b int, _off long")
     )
 
     win = Window.partitionBy("_b").orderBy("_h", key_col)
     return (
-        bucketed.join(off, "_b")
+        staged.join(off, "_b")
         .withColumn("pos", F.col("_off") + F.row_number().over(win) - 1)
         .drop("_h", "_b", "_off")
     )

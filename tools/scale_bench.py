@@ -182,6 +182,25 @@ def run(spark, sf_dir: str, only: set[str] | None = None) -> dict[str, float]:
     return timings
 
 
+def _parse_table_rows(path: str) -> list[tuple[str, float | None, float]]:
+    """(name, small_s, big_s) for each data row of an existing output table —
+    the carry-over source for filtered --cases runs. Header/separator rows and
+    anything non-numeric are skipped; 'None' small timings parse to None."""
+    out = []
+    with open(path) as f:
+        for line in f:
+            parts = [p.strip() for p in line.strip().strip("|").split("|")]
+            if len(parts) < 4 or parts[0] in ("query", "---"):
+                continue
+            try:
+                ts = None if parts[1] == "None" else float(parts[1])
+                tb = float(parts[2])
+            except ValueError:
+                continue
+            out.append((parts[0], ts, tb))
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--copies", type=int, default=10)
@@ -189,8 +208,9 @@ def main() -> None:
     ap.add_argument(
         "--cases",
         default=None,
-        help="comma-separated case names: measure only these (new-operator "
-        "runs append to an existing table instead of re-measuring all 25)",
+        help="comma-separated case names: measure only these; rows for cases "
+        "NOT re-measured are carried over from an existing --out table "
+        "(parsed and merged) instead of being discarded",
     )
     args = ap.parse_args()
 
@@ -205,6 +225,13 @@ def main() -> None:
         run(spark, SRC, only)  # untimed warmup: JIT/codegen costs otherwise land
         small = run(spark, SRC, only)  # entirely on the first (small) pass and
         big = run(spark, DST, only)  # deflate every ratio — the classic misattribution
+        # a filtered (--cases) run must not clobber previously recorded rows:
+        # carry over every case in the existing table that was not re-measured
+        # (ADVICE r5 — mode 'w' used to discard them silently)
+        if only is not None and os.path.exists(args.out):
+            for name, ts, tb in _parse_table_rows(args.out):
+                if name not in big:
+                    small[name], big[name] = ts, tb
         rows = []
         for name in big:
             ts, tb = small.get(name), big[name]
