@@ -334,6 +334,15 @@ def vacuum(path: str, keep_last: int = 1, min_age_seconds: float = 3600.0) -> li
     return removed
 
 
+def _read_dirs(spark: SparkSession, path: str, rels: list[str], schema_rels: list[str]) -> DataFrame:
+    """Read a subset of a version's live dirs; empty subset → an empty frame
+    with the version's schema (footer-only read of one live dir)."""
+    if rels:
+        return spark.read.parquet(*[os.path.join(path, rel) for rel in rels])
+    probe = spark.read.parquet(os.path.join(path, schema_rels[0]))
+    return probe.limit(0)
+
+
 def diff_versions(
     spark: SparkSession,
     path: str,
@@ -348,13 +357,37 @@ def diff_versions(
     from time travel (no extra write-path bookkeeping; Delta's CDF trades
     storage for skipping exactly this join).
 
-    Plan: read both versions (each a parquet union of its manifest's dirs,
-    with whatever pruning the consumer's projection pushes down), compare via
-    ONE full outer join on ``key_cols`` — update detection hashes the
-    non-key columns (sorted by name, so schema column order can't flip it)
-    instead of comparing N columns pairwise. Shuffle = two version scans
-    keyed once; nothing driver-sized."""
-    old_df, new_df = read_version(spark, path, v_old), read_version(spark, path, v_new)
+    Manifest-level file pruning (r6): data dirs are immutable, so a dir live
+    in BOTH manifests contributes identical rows to both sides — under the
+    keyed-store precondition (each version has at most one row per key, the
+    same precondition that makes a keyed diff well-defined at all) none of
+    those keys can also appear in a non-shared dir, so shared dirs produce
+    only ``unchanged`` rows and are pruned BEFORE any read. A diff across an
+    append commit therefore reads only the appended dirs (O(delta), verified
+    by inputFiles in tests), exactly how Delta/Iceberg CDC uses its manifest.
+    Stores that violate key uniqueness get garbage from any keyed diff,
+    pruned or not.
+
+    Plan: read both versions' non-shared dirs (with whatever pruning the
+    consumer's projection pushes down), compare via ONE full outer join on
+    ``key_cols`` — update detection hashes the non-key columns (sorted by
+    name, so schema column order can't flip it) instead of comparing N
+    columns pairwise. Shuffle = two pruned scans keyed once; nothing
+    driver-sized."""
+    for v in (v_old, v_new):
+        if v not in _list_versions(path):
+            # surface the same error read_version would
+            read_version(spark, path, v)
+    live_old = _read_manifest(path, v_old)["live"]
+    live_new = _read_manifest(path, v_new)["live"]
+    if not live_old or not live_new:
+        raise VersionedStoreError(
+            f"diff_versions: version {v_old if not live_old else v_new} at "
+            f"{path} has no data dirs (empty commit)"
+        )
+    shared = set(live_old) & set(live_new)
+    old_df = _read_dirs(spark, path, [d for d in live_old if d not in shared], live_old)
+    new_df = _read_dirs(spark, path, [d for d in live_new if d not in shared], live_new)
     if set(old_df.columns) != set(new_df.columns):
         raise VersionedStoreError(
             f"diff_versions requires matching schemas; v{v_old} has "

@@ -326,3 +326,40 @@ def test_diff_versions_separator_shift_not_missed(spark, store_path):
         for r in diff_versions(spark, store_path, v1, v2, ["id"]).collect()
     }
     assert got == {1: "update", 2: "update"}
+
+
+def test_diff_versions_prunes_shared_dirs(spark, store_path):
+    """Manifest-level CDC pruning: across an append commit the diff must
+    physically read ONLY the appended dirs (shared immutable dirs can hold
+    nothing but unchanged rows), and the result must equal the unpruned
+    semantics."""
+    from photo_vector_search_spark.operators.versioned_store import (
+        _read_manifest,
+        diff_versions,
+    )
+
+    v0 = commit_overwrite(_df(spark, range(100)), store_path)
+    v1 = commit_append(_df(spark, range(100, 103)), store_path)
+    base_dirs = set(_read_manifest(store_path, v0)["live"])
+    delta_dirs = set(_read_manifest(store_path, v1)["live"]) - base_dirs
+    assert len(delta_dirs) == 1
+
+    diff = diff_versions(spark, store_path, v0, v1, ["id"])
+    got = {(r["change_type"], r["id"]) for r in diff.collect()}
+    assert got == {("insert", 100), ("insert", 101), ("insert", 102)}
+
+    # physical proof: every input file of the diff plan lives in the delta
+    # dir — the 100-row base dir is never opened
+    files = diff.inputFiles()
+    assert files, "diff plan reports no input files"
+    delta_rel = next(iter(delta_dirs))
+    assert all(delta_rel in f for f in files), files
+
+    # symmetric direction: the appended rows surface as deletes, same pruning
+    back = diff_versions(spark, store_path, v1, v0, ["id"])
+    assert {(r["change_type"], r["id"]) for r in back.collect()} == {
+        ("delete", 100),
+        ("delete", 101),
+        ("delete", 102),
+    }
+    assert all(delta_rel in f for f in back.inputFiles())
