@@ -35,6 +35,8 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iters: int = 30,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 3,
 ) -> DataFrame:
     """(doc_id, group_id) for every node that appears in ``pairs``;
     ``group_id`` = the smallest doc_id in the node's connected component (the
@@ -46,25 +48,43 @@ def connected_components(
     a NULL endpoint are malformed input and are dropped (NULL joins to
     nothing; keeping them would only create phantom isolated labels).
 
+    Durability trade (``checkpoint_dir``): by default each round's labels are
+    ``localCheckpoint``ed — blocks live on EXECUTORS, which truncates lineage
+    fast but means a lost executor after round k kills the job with no
+    recompute path. Fine on local[n]; on a real multi-executor cluster a long
+    CC run should pass ``checkpoint_dir`` (shared storage every executor can
+    reach): every ``checkpoint_every``-th round then uses RELIABLE
+    ``checkpoint`` (HDFS/S3-backed, survives executor loss), with
+    localCheckpoint between — the GraphX/Pregel cadence. Sets the session's
+    checkpoint dir as a side effect (Spark has one per SparkContext).
+    Identical labels either way (asserted in tests).
+
     Raises if ``max_iters`` rounds don't converge (with pointer jumping that
     means a component chain longer than ~2^max_iters — not a real corpus)."""
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _ckpt(df: DataFrame, rnd: int) -> DataFrame:
+        if checkpoint_dir is not None and rnd % max(checkpoint_every, 1) == 0:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
     edges = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
         F.col("a").isNotNull() & F.col("b").isNotNull()
     )
     # symmetrize once; propagation below then only needs one join direction
-    # localCheckpoint: materialize AND truncate lineage — see module docstring
-    edges = (
-        edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .distinct()
-        .localCheckpoint(eager=True)
+    # checkpoint: materialize AND truncate lineage — see module docstring
+    edges = _ckpt(
+        edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct(),
+        0,
     )
-    labels = (
+    labels = _ckpt(
         edges.select(F.col("a").alias("node"))
         .distinct()
-        .withColumn("comp", F.col("node"))
-        .localCheckpoint(eager=True)
+        .withColumn("comp", F.col("node")),
+        0,
     )
-    for _ in range(max_iters):
+    for _rnd in range(max_iters):
         nb = edges.join(labels, edges["a"] == labels["node"]).select(
             F.col("b").alias("node"), "comp"
         )
@@ -77,15 +97,14 @@ def connected_components(
         # pointer jumping: comp(node) <- comp(comp(node)); labels only
         # ever decrease, so the jump is monotone and safe
         m2 = merged.select(F.col("node").alias("jnode"), F.col("comp").alias("jcomp"))
-        new = (
-            merged.join(m2, merged["comp"] == m2["jnode"], "left")
-            .select(
+        new = _ckpt(
+            merged.join(m2, merged["comp"] == m2["jnode"], "left").select(
                 "node",
                 F.least(
                     F.col("comp"), F.coalesce(F.col("jcomp"), F.col("comp"))
                 ).alias("comp"),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            _rnd + 1,
         )
         changed = (
             new.alias("n")
