@@ -672,9 +672,16 @@ def build_vocab(docs: DataFrame, max_size: int = 32_768) -> DataFrame:
     the ≤max_size survivors enter the single-partition rank window. The
     unbounded distinct-token universe (billions of rows on a web corpus)
     never lands in one task; the window's partition holds vocab entries
-    only, bounded by construction."""
+    only, bounded by construction.
+
+    Empty/whitespace-only documents contribute NO tokens: ``tokens('')``
+    splits to ``['']``, so the empty-string token is removed before counting
+    — otherwise it could enter the vocab and empty docs would tokenize to a
+    phantom id (ADVICE r5; the DuckDB twins filter identically)."""
     tf = (
-        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        docs.select(
+            F.explode(F.array_remove(tokens(F.col("text")), "")).alias("tok")
+        )
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -696,21 +703,40 @@ def tokenize_documents(
     then ONE groupBy(doc) reassembling ``array_sort(collect_list(struct(pos,
     id)))`` — per-doc sort, bounded by document length. Unknown tokens map
     to ``oov_id`` (default: one past the largest vocab id) and are counted
-    per document so a corpus-level OOV-rate audit is one sum away."""
+    per document so a corpus-level OOV-rate audit is one sum away.
+
+    Empty/whitespace-only documents emit ``ids=[] , n_oov=0`` (the
+    empty-string token from splitting '' is removed before the explode —
+    mirrors ``build_vocab``); position order is preserved by the removal
+    because '' can only arise from an all-whitespace text, which yields no
+    other tokens."""
     if oov_id is None:
         oov_row = vocab.agg(F.max("id").alias("m")).first()
         oov_id = (oov_row["m"] if oov_row["m"] is not None else -1) + 1
     tok = docs.select(
-        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+        "doc_id",
+        # posexplode_OUTER keeps a (null, null) row for token-less docs so
+        # they surface as (ids=[], n_oov=0) instead of vanishing
+        F.posexplode_outer(F.array_remove(tokens(F.col("text")), "")).alias(
+            "pos", "tok"
+        ),
     )
     joined = tok.join(vocab.select("tok", "id"), "tok", "left").select(
         "doc_id",
         "pos",
-        F.coalesce(F.col("id"), F.lit(oov_id)).cast("int").alias("id"),
+        F.when(
+            F.col("pos").isNotNull(),
+            F.coalesce(F.col("id"), F.lit(oov_id)).cast("int"),
+        ).alias("id"),
     )
     return joined.groupBy("doc_id").agg(
         F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "id"))), lambda x: x["id"]
+            F.array_sort(
+                # when() nulls (the empty-doc placeholder rows) are skipped by
+                # collect_list, leaving a genuinely empty ids array
+                F.collect_list(F.when(F.col("pos").isNotNull(), F.struct("pos", "id")))
+            ),
+            lambda x: x["id"],
         ).alias("ids"),
         F.sum(F.when(F.col("id") == oov_id, 1).otherwise(0)).alias("n_oov"),
     )

@@ -110,3 +110,31 @@ def test_bigram_lm_held_out_bigram_of_seen_word(spark):
     # w1='a' seen with c1=3 total bigram positions; ('a','c') unseen
     expect = -math.log2((0 + k) / (3 + k * v))
     assert abs(got["nll"] - round(expect, 6)) < 1e-9, (got["nll"], expect)
+
+
+def test_bigram_lm_beyond_broadcast_stays_shuffle_join(spark, sf_dir):
+    """Web-scale regime (VERDICT r5 #5): when the bigram table exceeds the
+    broadcast threshold, the scoring lookup must degrade to a keyed SHUFFLE
+    join — never a driver gather or a broadcast nested loop — with values
+    identical to the broadcast plan."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lm, v = train_bigram_lm(docs)
+
+    def _rows(df):
+        return {
+            (r["doc_id"], r["n_bigrams"], r["nll"]) for r in df.collect()
+        }
+
+    baseline = _rows(doc_log_perplexity(docs, lm, v))
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        scored = doc_log_perplexity(docs, lm, v)
+        plan = scored._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in plan, plan
+        assert "BroadcastNestedLoop" not in plan, plan
+        assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan
+        assert _rows(scored) == baseline
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -34,7 +34,7 @@ def test_build_vocab_and_tokenize_match_duckdb(spark, sf_dir):
             con.execute(
                 r"""
                 WITH tok AS (
-                  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+                  SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t <> '')) AS tok
                   FROM documents
                 ),
                 tf AS (SELECT tok, count(*) AS tf FROM tok GROUP BY tok)
@@ -52,7 +52,8 @@ def test_build_vocab_and_tokenize_match_duckdb(spark, sf_dir):
                 WITH tok AS (
                   SELECT doc_id, u.tok, u.pos
                   FROM (SELECT doc_id,
-                               regexp_split_to_array(lower(trim(text)), '\s+') AS ts
+                               list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                                           t -> t <> '') AS ts
                         FROM documents) t,
                        LATERAL (SELECT ts[p] AS tok, p AS pos
                                 FROM unnest(generate_series(1, len(ts))) AS g(p)) u
@@ -84,3 +85,79 @@ def test_build_vocab_and_tokenize_match_duckdb(spark, sf_dir):
     # OOV id defaults to one past the largest vocab id and actually fires
     assert any(n > 0 for _, n in got.values())
     vocab.unpersist()
+
+
+def test_tokenize_empty_and_whitespace_docs(spark):
+    """ADVICE r5: splitting '' yields [''] — the empty-string token must not
+    enter the vocab, and empty/whitespace-only docs must tokenize to
+    (ids=[], n_oov=0) rather than a phantom [oov_id] (or vanish entirely)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha"),
+            (2, ""),
+            (3, "   \t\n "),
+            (4, "beta gamma"),
+        ],
+        "doc_id long, text string",
+    )
+    vocab = build_vocab(docs, max_size=10)
+    vs = {(r["tok"], r["id"], r["tf"]) for r in vocab.collect()}
+    assert "" not in {t for t, _, _ in vs}
+    assert vs == {("alpha", 0, 2), ("beta", 1, 2), ("gamma", 2, 1)}
+
+    got = {
+        r["doc_id"]: (list(r["ids"]), r["n_oov"])
+        for r in tokenize_documents(docs, vocab).collect()
+    }
+    assert got == {
+        1: ([0, 1, 0], 0),
+        2: ([], 0),
+        3: ([], 0),
+        4: ([1, 2], 0),
+    }
+
+    # DuckDB twin of the same corpus agrees on the empty-doc semantics
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE TABLE documents AS SELECT * FROM (VALUES "
+            "(1, 'alpha beta alpha'), (2, ''), (3, '   ' || chr(9)), "
+            "(4, 'beta gamma')) AS t(doc_id, text)"
+        )
+        want = {
+            d: (ids, n)
+            for d, ids, n in con.execute(
+                r"""
+                WITH base AS (
+                  SELECT doc_id,
+                         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                                     t -> t <> '') AS ts
+                  FROM documents
+                ),
+                tok AS (
+                  SELECT doc_id, u.tok, u.pos
+                  FROM base, LATERAL (SELECT ts[p] AS tok, p AS pos
+                                      FROM unnest(generate_series(1, len(ts))) AS g(p)) u
+                ),
+                tf AS (SELECT tok, count(*) AS tf FROM tok GROUP BY tok),
+                vocab AS (
+                  SELECT tok,
+                         CAST(row_number() OVER (ORDER BY tf DESC, tok ASC) - 1 AS INT) AS id
+                  FROM tf QUALIFY id < 10
+                ),
+                per_doc AS (
+                  SELECT t.doc_id,
+                         list(COALESCE(v.id, 3) ORDER BY t.pos) AS ids,
+                         CAST(sum(CASE WHEN v.id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+                  FROM tok t LEFT JOIN vocab v ON t.tok = v.tok
+                  GROUP BY t.doc_id
+                )
+                SELECT b.doc_id, COALESCE(p.ids, []) AS ids,
+                       COALESCE(p.n_oov, 0) AS n_oov
+                FROM base b LEFT JOIN per_doc p USING (doc_id)
+                """
+            ).fetchall()
+        }
+    finally:
+        con.close()
+    assert {d: (list(i), n) for d, (i, n) in want.items()} == got
