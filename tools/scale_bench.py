@@ -127,13 +127,21 @@ def extra_cases(spark, sf_dir: str) -> dict:
     from bench import _force
     from photo_vector_search_spark.operators.ann import ivf_near_dup_pairs
     from photo_vector_search_spark.operators.dedup import srp_lsh_near_dup_sql
+    from photo_vector_search_spark.pipelines.curation import curate_corpus
     from photo_vector_search_spark.plans import relational
     from photo_vector_search_spark.sources.tables import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return {
         "events_resample": lambda: _force(relational.q_events_resample(spark, sf_dir)),
         "events_asof": lambda: _force(relational.q_events_asof(spark, sf_dir)),
+        # end-to-end curation (redact -> gates -> exact dedup -> boilerplate
+        # -> near-dup prune -> deterministic shuffle), stats off so the bench
+        # measures ONE pipeline execution, the 100 TB calling convention
+        "curate_corpus": lambda: _force(
+            curate_corpus(docs, compute_stats=False)[0]
+        ),
         # OVERRIDE bench.py's pinned (6,16) case: the pin exists for DECLARED-
         # query oracle parity at fixture scale; at 10x rows fixed planes make
         # bucket occupancy (hence the candidate join) quadratic — the exact
