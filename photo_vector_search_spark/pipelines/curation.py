@@ -48,6 +48,7 @@ def curate_corpus(
     n_shards: int = 8,
     compute_stats: bool = True,
     near_dedup: str = "greedy",
+    quality_gate: bool = True,
 ) -> tuple[DataFrame, dict[str, int]]:
     """Run the full curation pipeline over ``docs`` (doc_id, text, ...).
 
@@ -68,6 +69,13 @@ def curate_corpus(
       and keep each component's min-id member — witness-correct (every
       removed doc's cluster retains its canonical) at the cost of the
       CC rounds (O(log n), a handful of keyed joins at dedup cadence).
+
+    ``quality_gate=False`` skips the Gopher-rule stage for corpora that
+    arrive pre-filtered (or gate upstream with custom rules); every later
+    stage is gate-agnostic. The scale bench uses this to exercise the
+    downstream stages at full synthetic volume — the synthesized sf1 copies
+    are substitution-ciphered and the English-statistics gate (correctly)
+    rejects them, which would otherwise hide downstream scaling.
 
     ``compute_stats=True`` runs one count action per stage, which re-executes
     the (map-heavy, cheap) upstream stages each time — the expensive LSH stage
@@ -90,10 +98,15 @@ def curate_corpus(
 
     clean = docs.withColumn("text", redact_pii(F.col("text")))
 
-    gated = clean.select("*", *gopher_flags(F.col("text")))
-    # drop exactly the flag columns gopher_flags emitted — a "g_" prefix match
-    # would silently destroy user metadata columns like g_score
-    gated = gated.filter(F.col("gopher_pass")).drop(*GOPHER_FLAG_COLUMNS)
+    if quality_gate:
+        gated = clean.select("*", *gopher_flags(F.col("text")))
+        # drop exactly the flag columns gopher_flags emitted — a "g_" prefix
+        # match would silently destroy user metadata columns like g_score
+        gated = gated.filter(F.col("gopher_pass")).drop(*GOPHER_FLAG_COLUMNS)
+    else:
+        # corpora that arrive pre-filtered (or use a custom gate upstream)
+        # skip the Gopher rules; every later stage is gate-agnostic
+        gated = clean
     _stat("after_quality_gate", gated)
 
     fp = exact_dedup(gated)

