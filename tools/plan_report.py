@@ -153,13 +153,15 @@ NOTES = {
         "aggregate."
     ),
     "shuffle_corpus": (
-        "NOTE: library operator. The data Exchange is hashpartitioning on the "
-        "FIXED md5-prefix bucket (a prefix of the sort key, so bucket order "
-        "equals hash order) feeding a per-bucket row_number window; global "
-        "positions add broadcast per-bucket offsets. No global-window "
-        "single-partition stage, and no range-sampled sort — range bounds are "
-        "seeded from the ephemeral RDD id and can differ between the counts "
-        "and numbering executions (the round-5 self-review catch)."
+        "NOTE: library operator. The single Scan parquet is the STAGED "
+        "hashed projection (r6): the upstream plan executes exactly once — "
+        "the ≤4096-row bucket-count job and this numbering job both read the "
+        "staged copy, so a nondeterministic upstream can never desync the "
+        "offsets. The data Exchange is hashpartitioning on the FIXED "
+        "md5-prefix bucket (a prefix of the sort key, so bucket order equals "
+        "hash order) feeding a per-bucket row_number window; global positions "
+        "add broadcast per-bucket offsets. No global-window single-partition "
+        "stage, and no range-sampled sort."
     ),
     "redact_pii": (
         "NOTE: library operator. Zero exchanges by construction — the entire "
