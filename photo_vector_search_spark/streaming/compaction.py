@@ -1,0 +1,246 @@
+"""Bucket-partitioned compaction for the streaming-dedup state — the piece
+that upgrades the streams' per-batch cost from "one O(history) columnar scan"
+to "a partition-PRUNED probe of the touched buckets".
+
+The incremental dedup streams (`incremental_lsh_dedup` / `incremental_srp_dedup`)
+accumulate state as one parquet partition per micro-batch. Every shuffle is
+already bounded by O(batch + collided candidates), but each state family must
+still be *scanned* per batch because a batch_id layout can't prune by content.
+This module is the LSM-style answer: periodically fold committed batch
+partitions into a BASE table partitioned by a hash prefix of each family's
+probe key, so the per-batch read prunes to the prefixes the batch actually
+touches:
+
+    family             probe key            base partition key (pfx)
+    bands              (band, band_key)     pmod(hash(band, band_key), P)
+    shingles           doc_id               pmod(hash(doc_id), P)
+    docs  (registry)   doc_id               pmod(hash(doc_id), P)
+    buckets            (table, bkey)        pmod(hash(table, bkey), P)
+    vectors (registry) vec_id               pmod(hash(vec_id), P)
+
+``pairs`` is an append-only RESULT, not probe state — never compacted.
+
+Commit protocol (crash-safe, mirrors `operators/versioned_store`'s
+write-data-then-link discipline):
+  1. the new base (old base rows + compacted batch partitions) is written
+     under ``_base_<id>/<family>/pfx=N/`` — invisible to readers;
+  2. the manifest ``_compaction.json`` is atomically replaced (os.replace of
+     a same-directory tempfile) — THE commit point: it names the live
+     base_id and lists every compacted batch id;
+  3. old base dirs and compacted batch partitions are deleted best-effort —
+     readers skip any batch id the manifest lists, so a crash between (2)
+     and (3) leaves inert garbage, never double-counted rows.
+
+Caller contract: run compaction only while the stream is STOPPED (the same
+cadence as an IVF rebalance). The newest batch partition is excluded by
+default — a crashed final attempt may have committed state partitions
+without the checkpoint commit, and folding them into the base would defeat
+the replay rule that re-reads exclude the replayed batch's own partitions.
+
+Reference scope note: the reference (photo_vector_search) re-indexes by hand
+and has no streaming/state surface; this is part of the mandated
+LLM-pipeline extension, designed Spark-first.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST = "_compaction.json"
+
+# family -> (probe-key columns, partition count key is hashed from)
+FAMILY_KEYS = {
+    "bands": ["band", "band_key"],
+    "shingles": ["doc_id"],
+    "docs": ["doc_id"],
+    "buckets": ["table", "bkey"],
+    "vectors": ["vec_id"],
+}
+
+LSH_FAMILIES = ("bands", "shingles", "docs")
+SRP_FAMILIES = ("buckets", "vectors")
+
+
+def pfx_col(family: str, n_prefixes: int):
+    """The deterministic partition prefix for a family's probe key —
+    ``F.hash`` is Spark's seeded Murmur3 (stable across sessions), ``pmod``
+    keeps it non-negative."""
+    return F.pmod(F.hash(*[F.col(c) for c in FAMILY_KEYS[family]]), F.lit(n_prefixes))
+
+
+def load_manifest(state_path: str) -> dict | None:
+    p = os.path.join(state_path, MANIFEST)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _write_manifest(state_path: str, manifest: dict) -> None:
+    fd, tmp = tempfile.mkstemp(dir=state_path, prefix="._compact_")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(state_path, MANIFEST))  # atomic commit
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+
+
+def _batch_dirs(root: str) -> dict[int, str]:
+    if not os.path.isdir(root):
+        return {}
+    out = {}
+    for name in os.listdir(root):
+        if name.startswith("batch_id="):
+            try:
+                out[int(name.split("=", 1)[1])] = os.path.join(root, name)
+            except ValueError:
+                continue
+    return out
+
+
+def base_dir(state_path: str, base_id: str, family: str) -> str:
+    return os.path.join(state_path, f"_base_{base_id}", family)
+
+
+def read_state_family(
+    spark: SparkSession,
+    state_path: str,
+    family: str,
+    current_batch: int,
+    pfx_values: list[int] | None = None,
+) -> DataFrame | None:
+    """The accumulated state of one family: compacted base (partition-PRUNED
+    to ``pfx_values`` when given) unioned with the not-yet-compacted batch
+    partitions — excluding ``current_batch``'s own partition (the replay
+    rule) and excluding any batch the manifest lists as compacted (the
+    crash-window-before-cleanup rule). Returns None when no state exists."""
+    mani = load_manifest(state_path)
+    compacted: set[int] = set(mani["compacted"]) if mani else set()
+    parts: list[DataFrame] = []
+    if mani is not None and family in mani["families"]:
+        bdir = base_dir(state_path, mani["base_id"], family)
+        if os.path.isdir(bdir):
+            base = spark.read.parquet(bdir)
+            if pfx_values is not None:
+                base = base.filter(F.col("pfx").isin([int(v) for v in pfx_values]))
+            parts.append(base.drop("pfx"))
+    root = os.path.join(state_path, family)
+    skip = compacted | {current_batch}
+    deltas = [d for b, d in sorted(_batch_dirs(root).items()) if b not in skip]
+    if deltas:
+        parts.append(spark.read.parquet(*deltas))
+    if not parts:
+        return None
+    out = parts[0]
+    for extra in parts[1:]:
+        out = out.unionByName(extra)
+    return out
+
+
+def state_batches(state_path: str, family: str) -> set[int]:
+    """Batch ids with a live (non-compacted) partition, plus a synthetic
+    coverage marker for compacted history — used by the stream's
+    registry-coverage check. Compaction validates coverage up front, so the
+    compacted prefix is covered by construction."""
+    mani = load_manifest(state_path)
+    compacted: set[int] = set(mani["compacted"]) if mani else set()
+    return set(_batch_dirs(os.path.join(state_path, family))) - compacted
+
+
+def compact_dedup_state(
+    spark: SparkSession,
+    state_path: str,
+    kind: str,
+    n_prefixes: int = 64,
+    keep_latest: bool = True,
+) -> dict:
+    """Fold committed batch partitions into the bucket-partitioned base.
+
+    ``kind``: 'lsh' (bands/shingles/docs) or 'srp' (buckets/vectors).
+    ``keep_latest=True`` (default) excludes the newest batch id — it may be a
+    crashed attempt whose replay depends on the exclude-own-batch read rule;
+    pass False only when the stream is known cleanly stopped (drained with
+    availableNow and terminated). Run ONLY while the stream is stopped.
+
+    Returns a summary dict {compacted: [...], base_id, families}. No-op (and
+    empty summary) when there is nothing eligible."""
+    families = {"lsh": LSH_FAMILIES, "srp": SRP_FAMILIES}.get(kind)
+    if families is None:
+        raise ValueError(f"kind must be 'lsh' or 'srp', got {kind!r}")
+    mani = load_manifest(state_path)
+    already: set[int] = set(mani["compacted"]) if mani else set()
+    # eligible = batches present in EVERY family (a partially-written crash
+    # attempt is missing its later families and must stay a delta so replay
+    # rewrites it)
+    per_family = [set(_batch_dirs(os.path.join(state_path, f))) - already for f in families]
+    eligible = set.intersection(*per_family) if per_family else set()
+    if keep_latest and eligible:
+        # the newest id across ALL families, committed or not, stays a delta
+        newest = max(set.union(*per_family))
+        eligible.discard(newest)
+    if kind == "lsh":
+        # compaction requires the r6 registry format: every bands batch must
+        # have a docs partition, or re-delivered legacy docs would be
+        # re-added once their band partitions are folded away
+        bands_all = set(_batch_dirs(os.path.join(state_path, "bands")))
+        docs_all = set(_batch_dirs(os.path.join(state_path, "docs")))
+        if not bands_all <= docs_all | already:
+            raise ValueError(
+                "compact_dedup_state: legacy state (bands batches without a "
+                "docs registry partition) cannot be compacted — re-run the "
+                "batch operator to rebuild, or keep streaming uncompacted"
+            )
+    if not eligible:
+        return {"compacted": sorted(already), "base_id": mani["base_id"] if mani else None, "families": list(families)}
+
+    new_id = uuid.uuid4().hex[:12]
+    for fam in families:
+        pieces = []
+        if mani is not None and fam in mani["families"]:
+            old_base = base_dir(state_path, mani["base_id"], fam)
+            if os.path.isdir(old_base):
+                pieces.append(spark.read.parquet(old_base).drop("pfx"))
+        root = os.path.join(state_path, fam)
+        dirs = _batch_dirs(root)
+        delta_dirs = [dirs[b] for b in sorted(eligible) if b in dirs]
+        if delta_dirs:
+            pieces.append(spark.read.parquet(*delta_dirs))
+        if not pieces:
+            continue
+        merged = pieces[0]
+        for extra in pieces[1:]:
+            merged = merged.unionByName(extra)
+        (
+            merged.withColumn("pfx", pfx_col(fam, n_prefixes))
+            .repartition("pfx")
+            .write.mode("overwrite")
+            .partitionBy("pfx")
+            .parquet(base_dir(state_path, new_id, fam))
+        )
+    manifest = {
+        "base_id": new_id,
+        "families": list(families),
+        "n_prefixes": n_prefixes,
+        "compacted": sorted(already | eligible),
+    }
+    _write_manifest(state_path, manifest)  # commit point
+    # best-effort cleanup: readers already skip everything deleted here
+    if mani is not None:
+        shutil.rmtree(
+            os.path.join(state_path, f"_base_{mani['base_id']}"), ignore_errors=True
+        )
+    for fam in families:
+        dirs = _batch_dirs(os.path.join(state_path, fam))
+        for b in eligible:
+            if b in dirs:
+                shutil.rmtree(dirs[b], ignore_errors=True)
+    return manifest

@@ -39,38 +39,24 @@ def _start_merge_stream(stream, merge_fn, checkpoint_dir: str, available_now: bo
     return writer.start()
 
 
-def _state_batches(root: str) -> set[int]:
-    """Batch ids that have committed a partition under a state root — read
-    from the directory names alone (no file scan); used to decide whether the
-    ``docs/`` registry covers every indexed batch (pure-r6 state) or the
-    stream is resuming legacy/mixed state that still needs the band registry."""
-    if not os.path.isdir(root):
-        return set()
-    out = set()
-    for name in os.listdir(root):
-        if name.startswith("batch_id="):
-            try:
-                out.add(int(name.split("=", 1)[1]))
-            except ValueError:
-                continue
-    return out
-
-
-def _read_batch_state(spark_b, root: str, current_batch: int):
-    """Read an accumulated per-batch-partitioned state dir, EXCLUDING the
-    current batch's own partition — the single replay-correctness rule both
-    dedup streams share: a crashed attempt at this batch_id may have committed
-    its partitions before dying, and counting them as history would (a)
-    anti-join the whole batch away — replay would overwrite its pairs with an
-    EMPTY set — and (b) double-count the batch's own rows in verify unions."""
-    from pyspark.sql import functions as F
-
-    if not os.path.isdir(root):
+def _touched_pfx(df, family: str, mani: dict | None) -> list[int] | None:
+    """The base-partition prefixes a probe actually touches — collected only
+    when the state HAS a compacted base (manifest present): ≤ n_prefixes
+    ints, one tiny driver job, in exchange for a partition-pruned base read
+    instead of a full state scan. None (no pruning, no extra job) while the
+    state is purely per-batch partitions."""
+    if mani is None:
         return None
-    df = spark_b.read.parquet(root)
-    if "batch_id" in df.columns:
-        df = df.filter(F.col("batch_id") != current_batch).drop("batch_id")
-    return df
+    from photo_vector_search_spark.streaming.compaction import pfx_col
+
+    return [
+        r["p"]
+        for r in df.select(
+            pfx_col(family, mani["n_prefixes"]).alias("p")
+        )
+        .distinct()
+        .collect()
+    ]
 
 
 def incremental_index(
@@ -277,10 +263,12 @@ def incremental_lsh_dedup(
     before the candidate join, history shingles are broadcast-semi-joined
     down to candidate doc_ids before verify, and per-doc set sizes come from
     the registry instead of re-aggregating history shingles. The residual
-    O(history) scan term is the state-compaction problem every streaming
-    index has; at cluster scale, partition the state by bucket-key range (or
-    keep it in an indexed table format) to turn the probe scan into a pruned
-    read — the shuffle/compute terms are already incremental. The batch's
+    O(history) scan term is removed by PERIODIC COMPACTION
+    (``streaming.compaction.compact_dedup_state``, run while the stream is
+    stopped — the IVF-rebalance cadence): batch partitions fold into a base
+    partitioned by a hash prefix of each family's probe key, and every read
+    above then prunes to the prefixes the batch actually touches (proven on
+    runtime scan metrics in tests/test_state_compaction.py). The batch's
     ids, bucket keys and candidate ids are broadcast: micro-batches are
     driver-bounded by the trigger, the streaming regime's standing
     assumption."""
@@ -294,18 +282,32 @@ def incremental_lsh_dedup(
     )
 
     def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from photo_vector_search_spark.streaming.compaction import (
+            load_manifest,
+            read_state_family,
+            state_batches,
+        )
+
         spark_b = batch_df.sparkSession
+        mani = load_manifest(state_path)
         new_docs = batch_df.dropDuplicates(["doc_id"]).withColumn(
             "_fp", F.md5(F.coalesce(F.col("text"), F.lit("")))
         )
-        docs_root, bands_root = f"{state_path}/docs", f"{state_path}/bands"
         # the registry covers every indexed doc iff each committed bands batch
-        # also committed a docs partition (directory names, no file scan) —
-        # false only when resuming legacy (pre-registry) or mixed state
-        covered = (_state_batches(docs_root) - {batch_id}) >= (
-            _state_batches(bands_root) - {batch_id}
+        # also committed a docs partition (directory names, no file scan;
+        # compacted batches are removed from BOTH sets together and compaction
+        # validates coverage up front) — false only when resuming legacy
+        # (pre-registry) or mixed state
+        covered = (state_batches(state_path, "docs") - {batch_id}) >= (
+            state_batches(state_path, "bands") - {batch_id}
         )
-        reg = _read_batch_state(spark_b, docs_root, batch_id)
+        reg = read_state_family(
+            spark_b,
+            state_path,
+            "docs",
+            batch_id,
+            pfx_values=_touched_pfx(new_docs.select("doc_id"), "docs", mani),
+        )
         hits = None
         known_parts = []
         if reg is not None:
@@ -331,8 +333,9 @@ def incremental_lsh_dedup(
             known_parts.append(hits.select("doc_id"))
         if not covered:
             # legacy/mixed state: bands not in the registry still mark their
-            # docs as known (id-only, no fingerprint check possible)
-            ob0 = _read_batch_state(spark_b, bands_root, batch_id)
+            # docs as known (id-only, no fingerprint check possible; never
+            # pruned — compaction refuses legacy state, so no base exists)
+            ob0 = read_state_family(spark_b, state_path, "bands", batch_id)
             if ob0 is not None:
                 known_parts.append(
                     ob0.join(
@@ -350,10 +353,19 @@ def incremental_lsh_dedup(
         # same lifecycle as the batch operator
         sh_new = shingle_sets(new_docs, n).persist()
         bands_new = _bands_from_wide(_wide_signatures(sh_new)).persist()
-        old_bands = _read_batch_state(spark_b, bands_root, batch_id)
+        old_bands = read_state_family(
+            spark_b,
+            state_path,
+            "bands",
+            batch_id,
+            pfx_values=_touched_pfx(
+                bands_new.select("band", "band_key"), "bands", mani
+            ),
+        )
         if old_bands is not None:
             # only history rows in buckets the BATCH touches can collide —
-            # semi-join the index scan down to those keys before any shuffle
+            # semi-join the (pruned) index scan down to those keys before any
+            # shuffle
             old_bands = old_bands.join(
                 F.broadcast(bands_new.select("band", "band_key").distinct()),
                 ["band", "band_key"],
@@ -382,22 +394,38 @@ def incremental_lsh_dedup(
             .union(cand.select(F.col("doc_b").alias("doc_id")))
             .distinct()
         )
-        old_sh = _read_batch_state(spark_b, f"{state_path}/shingles", batch_id)
+        cand_pfx_sh = _touched_pfx(cand_ids, "shingles", mani)
+        old_sh = read_state_family(
+            spark_b, state_path, "shingles", batch_id, pfx_values=cand_pfx_sh
+        )
         if old_sh is not None:
             # verify only ever touches candidate docs' shingles
             old_sh = old_sh.join(F.broadcast(cand_ids), "doc_id", "left_semi")
         sh_ver = sh_new if old_sh is None else sh_new.unionByName(old_sh)
         counts_new = sh_new.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
         counts = None
-        if covered and reg is not None:
+        if covered:
             # per-doc set sizes from the registry state, never re-aggregated
             # from history shingles; only safe when the registry covers every
             # indexed doc (otherwise a legacy candidate would be dropped by
             # verify's inner count join — fall back to deriving counts from
-            # the candidate-semi-joined shingles, which is equally bounded)
-            counts = counts_new.unionByName(
-                reg.select("doc_id", "n_sh").filter(F.col("n_sh").isNotNull())
-            ).join(F.broadcast(cand_ids), "doc_id", "left_semi")
+            # the candidate-semi-joined shingles, which is equally bounded).
+            # NOTE this is a SEPARATE registry read pruned by the CANDIDATE
+            # ids' prefixes — `reg` above is pruned by the batch's own ids
+            # and may not contain history-side candidates' counts.
+            reg_c = read_state_family(
+                spark_b,
+                state_path,
+                "docs",
+                batch_id,
+                pfx_values=_touched_pfx(cand_ids, "docs", mani),
+            )
+            counts = counts_new
+            if reg_c is not None:
+                counts = counts.unionByName(
+                    reg_c.select("doc_id", "n_sh").filter(F.col("n_sh").isNotNull())
+                )
+            counts = counts.join(F.broadcast(cand_ids), "doc_id", "left_semi")
         pairs = verify_jaccard_pairs(cand, sh_ver, tau, counts=counts)
         docs_state = new_docs.select(
             "doc_id", F.col("_fp").alias("fp")
@@ -433,6 +461,12 @@ def incremental_lsh_dedup(
 
 def read_dedup_pairs(spark: SparkSession, state_path: str) -> DataFrame:
     """The accumulated near-dup pairs found by ``incremental_lsh_dedup``."""
+    return spark.read.parquet(f"{state_path}/pairs").drop("batch_id")
+
+
+def read_srp_pairs(spark: SparkSession, state_path: str) -> DataFrame:
+    """The accumulated near-dup pairs found by ``incremental_srp_dedup`` —
+    the vector twin of ``read_dedup_pairs``."""
     return spark.read.parquet(f"{state_path}/pairs").drop("batch_id")
 
 
@@ -474,9 +508,10 @@ def incremental_srp_dedup(
     is O(batch + collided candidates): history buckets are broadcast-semi-
     joined down to the batch's (table, bkey) keys before the candidate join,
     and history vectors down to candidate vec_ids before the exact-cosine
-    verify. The scan term is the usual streaming-index compaction problem
-    (bucket-key-partitioned state or an indexed table format turns it into a
-    pruned probe); the compute/shuffle terms are incremental.
+    verify. The scan term is removed by periodic
+    ``streaming.compaction.compact_dedup_state(kind='srp')`` — the base is
+    partitioned by probe-key hash prefix and per-batch reads prune to the
+    touched prefixes; the compute/shuffle terms are incremental.
 
     Params are PINNED (not size-derived): a streaming index must bucket
     every batch identically or old keys would stop matching new ones —
@@ -519,7 +554,19 @@ def incremental_srp_dedup(
             new_vecs.unpersist(blocking=True)
 
     def _srp_batch(spark_b, new_vecs: DataFrame, batch_id: int) -> None:
-        reg = _read_batch_state(spark_b, f"{state_path}/vectors", batch_id)
+        from photo_vector_search_spark.streaming.compaction import (
+            load_manifest,
+            read_state_family,
+        )
+
+        mani = load_manifest(state_path)
+        reg = read_state_family(
+            spark_b,
+            state_path,
+            "vectors",
+            batch_id,
+            pfx_values=_touched_pfx(new_vecs.select("vec_id"), "vectors", mani),
+        )
         hits = None
         if reg is not None:
             # registry probe = the vectors state pruned to (vec_id, fp):
@@ -567,8 +614,14 @@ def incremental_srp_dedup(
             return
         if "dim" not in shared:
             # pin against HISTORY too, not just within the stream's lifetime:
-            # a restarted stream must keep bucketing at the dim its state used
-            hist_row = reg.select("embedding").first() if reg is not None else None
+            # a restarted stream must keep bucketing at the dim its state used.
+            # UNPRUNED read on purpose — `reg` is pruned to the batch's
+            # prefixes and could be empty even when history exists, which
+            # would silently skip the dim check; one-time cost per stream.
+            reg_any = read_state_family(spark_b, state_path, "vectors", batch_id)
+            hist_row = (
+                reg_any.select("embedding").first() if reg_any is not None else None
+            )
             hist_dim = len(hist_row["embedding"]) if hist_row is not None else dim
             shared["dim"] = hist_dim
             shared["planes_bc"] = spark_b.sparkContext.broadcast(
@@ -584,7 +637,13 @@ def incremental_srp_dedup(
         b_new = srp_bucket_rows(
             new_vecs.select("vec_id", "embedding"), shared["planes_bc"]
         ).persist()
-        old_b = _read_batch_state(spark_b, f"{state_path}/buckets", batch_id)
+        old_b = read_state_family(
+            spark_b,
+            state_path,
+            "buckets",
+            batch_id,
+            pfx_values=_touched_pfx(b_new.select("table", "bkey"), "buckets", mani),
+        )
         if old_b is not None:
             # only history rows in buckets the BATCH touches can collide
             old_b = old_b.join(
@@ -614,11 +673,21 @@ def incremental_srp_dedup(
             .distinct()
         )
         vec_new = new_vecs.select("vec_id", "embedding")
-        if reg is None:
+        # SEPARATE registry read pruned by the CANDIDATE ids' prefixes — `reg`
+        # is pruned by the batch's own ids and may miss history-side
+        # candidates' embeddings
+        reg_v = read_state_family(
+            spark_b,
+            state_path,
+            "vectors",
+            batch_id,
+            pfx_values=_touched_pfx(cand_ids, "vectors", mani),
+        )
+        if reg_v is None:
             vec_all = vec_new
         else:
             # verify only ever reads candidate vec_ids' embeddings
-            old_v = reg.select("vec_id", "embedding").join(
+            old_v = reg_v.select("vec_id", "embedding").join(
                 F.broadcast(cand_ids), "vec_id", "left_semi"
             )
             vec_all = vec_new.unionByName(old_v)
