@@ -17,7 +17,10 @@ the sort key — so (bucket, h, key) order equals (h, key) order — and
 where the offsets come from one tiny per-bucket count (≤4096 longs,
 broadcast). The upstream plan executes ONCE: the hashed projection is staged
 to parquet and both the count pre-pass and the numbering window read the
-staged copy. One data shuffle total (the per-bucket window).
+staged copy — except when the optimized plan is a bare deterministic file
+scan (+ narrow deterministic ops), where re-scanning the immutable files IS
+the cheapest staged read and staging is skipped (plan-inspected, overridable
+via ``stage=``). One data shuffle total (the per-bucket window).
 
 Why not ``orderBy(h)`` + per-partition offsets: Spark's RangePartitioner
 SAMPLES the data to pick partition bounds, with a seed derived from the
@@ -38,12 +41,39 @@ from pyspark.sql import functions as F
 
 N_BUCKETS = 4096  # 3 hex chars; md5 uniformity keeps buckets ~N/4096 rows
 
+# optimized-plan nodes whose re-execution is a bare columnar re-scan: narrow,
+# no shuffle, no recompute beyond the scan itself
+_RESCAN_CHEAP_NODES = {"LogicalRelation", "Project", "Filter", "SubqueryAlias"}
+
+
+def _rescan_safe_and_cheap(df: DataFrame) -> bool:
+    """True iff executing ``df``'s plan twice is both CORRECT (every node
+    deterministic — immutable file scans + deterministic narrow ops cannot
+    diverge between executions) and CHEAP (no join/agg/window/generate whose
+    recompute would double real work). Decides the auto staging mode; any
+    inspection failure conservatively stages."""
+    try:
+        stack = [df._jdf.queryExecution().optimizedPlan()]
+        while stack:
+            node = stack.pop()
+            if node.getClass().getSimpleName() not in _RESCAN_CHEAP_NODES:
+                return False
+            if not node.deterministic():
+                return False
+            children = node.children()
+            for i in range(children.size()):
+                stack.append(children.apply(i))
+        return True
+    except Exception:
+        return False
+
 
 def shuffle_corpus(
     df: DataFrame,
     seed: int = 0,
     key_col: str = "doc_id",
     staging_dir: str | None = None,
+    stage: bool | None = None,
 ) -> DataFrame:
     """Return ``df`` with a ``pos`` column: the row's rank in the seeded
     pseudo-random total order (0-based, dense, deterministic).
@@ -56,26 +86,36 @@ def shuffle_corpus(
     ``orderBy('pos')`` (or sharded export, which shuffles anyway) if physical
     order matters downstream.
 
-    Single-scan: the hashed/bucketed projection is STAGED to parquet once and
-    both downstream jobs (the ≤4096-row per-bucket count and the numbering
-    window) read the staged copy — the upstream plan (at the end of a curation
-    pipeline, the whole pipeline) executes exactly once, and the two passes
-    can never observe divergent rows even if an upstream column were
-    nondeterministic. ``staging_dir`` defaults to session scratch
+    Single upstream execution: by default (``stage=None``) the hashed
+    projection is STAGED to parquet once and both downstream jobs (the
+    ≤4096-row per-bucket count and the numbering window) read the staged
+    copy — the upstream plan (at the end of a curation pipeline, the whole
+    pipeline) executes exactly once, and the two passes can never observe
+    divergent rows even if an upstream column were nondeterministic — UNLESS
+    the optimized plan is a bare deterministic scan (file relation + narrow
+    deterministic project/filter only), where re-executing IS the staged
+    read: two scans of immutable files cannot diverge and cost less than a
+    write+read round trip. ``stage=True``/``False`` overrides the
+    inspection. ``staging_dir`` defaults to session scratch
     (``SPARK_GRAFT_STAGING_DIR`` on a cluster — see ``operators.staging``);
     the returned DataFrame reads the staged files, so an explicit caller-owned
     dir must outlive its consumers."""
     from photo_vector_search_spark.operators.staging import session_staging_dir
 
+    if stage is None:
+        stage = not _rescan_safe_and_cheap(df)
     h = F.md5(F.concat_ws("-", F.lit(str(seed)), F.col(key_col).cast("string")))
     bucketed = df.withColumn("_h", h).withColumn(
         "_b", F.conv(F.substring(F.col("_h"), 1, 3), 16, 10).cast("int")
     )
-    if staging_dir is None:
-        staging_dir = session_staging_dir("pvs_shuffle")
-    bucketed.write.mode("overwrite").parquet(staging_dir)
     spark = df.sparkSession
-    staged = spark.read.parquet(staging_dir)
+    if stage:
+        if staging_dir is None:
+            staging_dir = session_staging_dir("pvs_shuffle")
+        bucketed.write.mode("overwrite").parquet(staging_dir)
+        staged = spark.read.parquet(staging_dir)
+    else:
+        staged = bucketed
 
     # per-bucket counts: a map-side-combinable agg over the staged scan —
     # deterministic by construction, ≤ N_BUCKETS rows collected
