@@ -226,10 +226,23 @@ def compact_dedup_state(
             .partitionBy("pfx")
             .parquet(base_dir(state_path, new_id, fam))
         )
+    # per-family base bytes: lets readers skip the touched-prefix job when
+    # the base is too small for pruning to beat its own overhead
+    fam_bytes: dict[str, int] = {}
+    for fam in families:
+        total = 0
+        for dirpath, _dirnames, filenames in os.walk(base_dir(state_path, new_id, fam)):
+            for fn in filenames:
+                try:
+                    total += os.path.getsize(os.path.join(dirpath, fn))
+                except OSError:
+                    continue
+        fam_bytes[fam] = total
     manifest = {
         "base_id": new_id,
         "families": list(families),
         "n_prefixes": n_prefixes,
+        "bytes": fam_bytes,
         "compacted": sorted(already | eligible),
     }
     _write_manifest(state_path, manifest)  # commit point

@@ -39,13 +39,25 @@ def _start_merge_stream(stream, merge_fn, checkpoint_dir: str, available_now: bo
     return writer.start()
 
 
+# Prune the base read only when the family's base is at least this big:
+# collecting the touched prefixes costs one extra driver job per probe, which
+# only pays off once the avoided scan is substantial. Below the threshold the
+# whole base scans in well under a second anyway (measured: at 50k docs the
+# pruning jobs cost MORE than the full ~tens-of-MB scans they avoid).
+PRUNE_MIN_BASE_BYTES = 256 * 1024 * 1024
+
+
 def _touched_pfx(df, family: str, mani: dict | None) -> list[int] | None:
     """The base-partition prefixes a probe actually touches — collected only
-    when the state HAS a compacted base (manifest present): ≤ n_prefixes
-    ints, one tiny driver job, in exchange for a partition-pruned base read
-    instead of a full state scan. None (no pruning, no extra job) while the
-    state is purely per-batch partitions."""
+    when the state HAS a compacted base (manifest present) AND that family's
+    base is big enough that a pruned read beats the extra driver job
+    (``PRUNE_MIN_BASE_BYTES``): ≤ n_prefixes ints, one tiny driver job, in
+    exchange for a partition-pruned base read instead of a full state scan.
+    None (no pruning, no extra job) while the state is purely per-batch
+    partitions or the base is small."""
     if mani is None:
+        return None
+    if mani.get("bytes", {}).get(family, 0) < PRUNE_MIN_BASE_BYTES:
         return None
     from photo_vector_search_spark.streaming.compaction import pfx_col
 
@@ -268,7 +280,9 @@ def incremental_lsh_dedup(
     stopped — the IVF-rebalance cadence): batch partitions fold into a base
     partitioned by a hash prefix of each family's probe key, and every read
     above then prunes to the prefixes the batch actually touches (proven on
-    runtime scan metrics in tests/test_state_compaction.py). The batch's
+    runtime scan metrics in tests/test_state_compaction.py; size-gated by
+    ``PRUNE_MIN_BASE_BYTES`` — a small base scans whole, since the
+    touched-prefix job would cost more than the scan it avoids). The batch's
     ids, bucket keys and candidate ids are broadcast: micro-batches are
     driver-bounded by the trigger, the streaming regime's standing
     assumption."""
@@ -301,12 +315,13 @@ def incremental_lsh_dedup(
         covered = (state_batches(state_path, "docs") - {batch_id}) >= (
             state_batches(state_path, "bands") - {batch_id}
         )
+        pfx_docs_batch = _touched_pfx(new_docs.select("doc_id"), "docs", mani)
         reg = read_state_family(
             spark_b,
             state_path,
             "docs",
             batch_id,
-            pfx_values=_touched_pfx(new_docs.select("doc_id"), "docs", mani),
+            pfx_values=pfx_docs_batch,
         )
         hits = None
         known_parts = []
@@ -412,14 +427,20 @@ def incremental_lsh_dedup(
             # the candidate-semi-joined shingles, which is equally bounded).
             # NOTE this is a SEPARATE registry read pruned by the CANDIDATE
             # ids' prefixes — `reg` above is pruned by the batch's own ids
-            # and may not contain history-side candidates' counts.
-            reg_c = read_state_family(
-                spark_b,
-                state_path,
-                "docs",
-                batch_id,
-                pfx_values=_touched_pfx(cand_ids, "docs", mani),
-            )
+            # and may not contain history-side candidates' counts. When
+            # NEITHER side prunes (no base / small base), `reg` already is
+            # the whole registry — reuse it instead of a second read.
+            pfx_docs_cand = _touched_pfx(cand_ids, "docs", mani)
+            if pfx_docs_batch is None and pfx_docs_cand is None:
+                reg_c = reg
+            else:
+                reg_c = read_state_family(
+                    spark_b,
+                    state_path,
+                    "docs",
+                    batch_id,
+                    pfx_values=pfx_docs_cand,
+                )
             counts = counts_new
             if reg_c is not None:
                 counts = counts.unionByName(
@@ -511,7 +532,8 @@ def incremental_srp_dedup(
     verify. The scan term is removed by periodic
     ``streaming.compaction.compact_dedup_state(kind='srp')`` — the base is
     partitioned by probe-key hash prefix and per-batch reads prune to the
-    touched prefixes; the compute/shuffle terms are incremental.
+    touched prefixes (size-gated by ``PRUNE_MIN_BASE_BYTES``: a small base
+    scans whole); the compute/shuffle terms are incremental.
 
     Params are PINNED (not size-derived): a streaming index must bucket
     every batch identically or old keys would stop matching new ones —
@@ -560,12 +582,13 @@ def incremental_srp_dedup(
         )
 
         mani = load_manifest(state_path)
+        pfx_vec_batch = _touched_pfx(new_vecs.select("vec_id"), "vectors", mani)
         reg = read_state_family(
             spark_b,
             state_path,
             "vectors",
             batch_id,
-            pfx_values=_touched_pfx(new_vecs.select("vec_id"), "vectors", mani),
+            pfx_values=pfx_vec_batch,
         )
         hits = None
         if reg is not None:
@@ -675,14 +698,19 @@ def incremental_srp_dedup(
         vec_new = new_vecs.select("vec_id", "embedding")
         # SEPARATE registry read pruned by the CANDIDATE ids' prefixes — `reg`
         # is pruned by the batch's own ids and may miss history-side
-        # candidates' embeddings
-        reg_v = read_state_family(
-            spark_b,
-            state_path,
-            "vectors",
-            batch_id,
-            pfx_values=_touched_pfx(cand_ids, "vectors", mani),
-        )
+        # candidates' embeddings. When neither side prunes, `reg` already is
+        # the whole registry — reuse it instead of a second read.
+        pfx_vec_cand = _touched_pfx(cand_ids, "vectors", mani)
+        if pfx_vec_batch is None and pfx_vec_cand is None:
+            reg_v = reg
+        else:
+            reg_v = read_state_family(
+                spark_b,
+                state_path,
+                "vectors",
+                batch_id,
+                pfx_values=pfx_vec_cand,
+            )
         if reg_v is None:
             vec_all = vec_new
         else:

@@ -43,7 +43,12 @@ def _drain_lsh(spark, df, in_dir, state, ckpt):
     assert q.awaitTermination(600)
 
 
-def test_lsh_compaction_preserves_stream_contracts(spark, sf_dir):
+def test_lsh_compaction_preserves_stream_contracts(spark, sf_dir, monkeypatch):
+    # force the pruned-probe read path even on this tiny base — the size
+    # gate (PRUNE_MIN_BASE_BYTES) would otherwise fall back to full scans
+    from photo_vector_search_spark.streaming import incremental as inc
+
+    monkeypatch.setattr(inc, "PRUNE_MIN_BASE_BYTES", 0)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     expected = _pairs(minhash_lsh_pairs(docs, n=3, tau=0.5))
 
@@ -87,7 +92,10 @@ def test_lsh_compaction_preserves_stream_contracts(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def test_srp_compaction_preserves_parity(spark, sf_dir):
+def test_srp_compaction_preserves_parity(spark, sf_dir, monkeypatch):
+    from photo_vector_search_spark.streaming import incremental as inc
+
+    monkeypatch.setattr(inc, "PRUNE_MIN_BASE_BYTES", 0)
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     expected = _pairs(
         srp_lsh_near_dup_pairs(emb, **SRP_PARAMS), "vec_a", "vec_b", "sim"
@@ -165,6 +173,33 @@ def test_compacted_base_read_is_partition_pruned(spark, sf_dir):
 
         want = full.filter(pfx_col("shingles", 16).isin([3, 7])).count()
         assert pruned.count() == want
+    finally:
+        for s in spark.streams.active:
+            s.stop()
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_small_base_skips_prefix_pruning(spark, sf_dir):
+    """Below PRUNE_MIN_BASE_BYTES the touched-prefix driver job is skipped
+    (pfx=None → full base scan): at tiny scale the extra job costs more than
+    the scan it would avoid, and the manifest now carries the per-family
+    bytes that decide this."""
+    from photo_vector_search_spark.streaming.incremental import _touched_pfx
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(100)
+    tmp = tempfile.mkdtemp(prefix="pvs_compact_gate_")
+    in_dir, state, ckpt = f"{tmp}/in", f"{tmp}/state", f"{tmp}/ckpt"
+    try:
+        _drain_lsh(spark, docs, in_dir, state, ckpt)
+        compact_dedup_state(spark, state, "lsh", n_prefixes=8, keep_latest=False)
+        mani = load_manifest(state)
+        assert 0 < mani["bytes"]["bands"] < 256 * 1024 * 1024
+        probe = docs.select("doc_id")
+        assert _touched_pfx(probe, "docs", mani) is None  # gate: skip the job
+        # a big-enough base DOES collect prefixes
+        big = dict(mani, bytes={**mani["bytes"], "docs": 1 << 40})
+        got = _touched_pfx(probe, "docs", big)
+        assert got is not None and 0 < len(got) <= mani["n_prefixes"]
     finally:
         for s in spark.streams.active:
             s.stop()

@@ -2,13 +2,19 @@
 incremental_lsh_dedup: each drain pays for its batch + keyed joins against the
 accumulated index — never a recompute over history).
 
-Usage: python tools/stream_dedup_bench.py [n_batches] [sf_dir] [op]
+Usage: python tools/stream_dedup_bench.py [n_batches] [sf_dir] [op] [compact_every]
 
 ``op`` ∈ {lsh, srp}: text MinHash stream over documents (default) or the
 embedding SRP stream over embeddings. Splits the table into n equal batches
 by id mod n, drains them one at a time through ONE state dir, and prints
 per-batch wall seconds plus the final pair-count parity against the batch
 operator on the union corpus.
+
+``compact_every`` > 0 folds the state into the bucket-partitioned base
+(``streaming.compaction.compact_dedup_state``) after every K drains — the
+offline cadence a production stream would run — so the walls measure the
+pruned-probe read path AND the final parity validates correctness through
+compaction end-to-end.
 """
 
 from __future__ import annotations
@@ -31,6 +37,7 @@ def main() -> None:
     n_batches = int(sys.argv[1]) if len(sys.argv) > 1 else 5
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     op = sys.argv[3] if len(sys.argv) > 3 else "lsh"
+    compact_every = int(sys.argv[4]) if len(sys.argv) > 4 else 0
 
     from photo_vector_search_spark.operators.dedup import (
         minhash_lsh_pairs,
@@ -81,11 +88,21 @@ def main() -> None:
                 q.stop()
                 raise SystemExit(f"batch {b} drain exceeded 600s; aborting bench")
             walls.append(round(time.perf_counter() - t0, 2))
+            if compact_every and (b + 1) % compact_every == 0:
+                from photo_vector_search_spark.streaming.compaction import (
+                    compact_dedup_state,
+                )
+
+                # stream is stopped (drain terminated) — the caller contract;
+                # keep_latest stays True: the NEXT start() replays nothing,
+                # but the exclusion rule must hold for a crashed final attempt
+                compact_dedup_state(spark, state, kind=op)
         streamed = spark.read.parquet(f"{state}/pairs").drop("batch_id").count()
         batch_pairs = batch_count(table)
         print(
             {
                 "op": op,
+                "compact_every": compact_every,
                 "sf_dir": sf_dir,
                 "n_rows": n_rows,
                 "n_batches": n_batches,
