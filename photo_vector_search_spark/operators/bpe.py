@@ -1,0 +1,234 @@
+"""Distributed BPE (byte-pair-encoding) tokenizer training + application.
+
+The subword vocabulary is the one tokenizer artifact an LLM data pipeline
+actually trains from the corpus (word-level `build_vocab` covers frequency
+analysis; model training wants BPE merges). The architecture follows every
+production trainer (Sennrich's subword-nmt, GPT-2, HF tokenizers) split
+Spark-first:
+
+1. **Corpus pass — distributed.** One explode + one map-side-combinable
+   ``groupBy(word)`` turns 100 TB of text into the word-frequency dict. A
+   ``min_count`` threshold (exact counts, not a top-N rank cut — no sampling
+   nondeterminism) bounds the dict: Zipf guarantees the surviving dict is
+   tiny relative to the corpus, and a ``max_words`` guard RAISES rather than
+   silently truncating if it is not.
+2. **Merge learning — driver, on the compact dict.** BPE's greedy argmax is
+   inherently sequential (merge k+1 depends on k); every real trainer runs
+   it on the word dict, never the corpus. The dict is the bounded small side
+   (the same driver-size discipline as the ≤4096-row shuffle offsets). Ties
+   break by (count desc, pair lexicographic) so the merge list is
+   byte-stable across runs, partitionings, and engines.
+3. **Application — distributed, Arrow-batched.** ``apply_bpe`` broadcasts
+   the merge ranks and segments each document's words via the GPT-2
+   lowest-rank-pair loop inside ``mapInPandas``, with a per-batch word
+   cache (Zipf again: the hit rate is enormous, so per-doc cost is near the
+   distinct-word cost).
+
+Training segmentation and application agree exactly: applying the learned
+merges to any dict word reproduces the symbols the trainer left for it
+(tested), so tokenize(train-corpus) is self-consistent.
+
+Reference scope note: the reference (photo_vector_search) has no text
+tokenizer at all — this is part of the mandated LLM-pipeline extension,
+alongside `plans/text_queries.build_vocab` (word-level ids).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from photo_vector_search_spark.functions.text import tokens
+
+EOW = "</w>"  # end-of-word marker: keeps word-final merges distinct
+
+
+def bpe_word_counts(docs: DataFrame, text_col: str = "text", min_count: int = 1) -> DataFrame:
+    """The word-frequency dict — the ONLY corpus-sized job in BPE training.
+
+    One explode + one groupBy(word) with map-side partial aggregation;
+    empty-string tokens (whitespace-only docs) are removed before counting,
+    mirroring ``build_vocab``. ``min_count`` prunes the long tail with exact
+    counts: deterministic under any partitioning, unlike a top-N cut whose
+    boundary ties would depend on sort stability."""
+    wc = (
+        docs.select(F.explode(F.array_remove(tokens(F.col(text_col)), "")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    if min_count > 1:
+        wc = wc.filter(F.col("n") >= min_count)
+    return wc
+
+
+def _learn_merges(
+    word_counts: list[tuple[str, int]], n_merges: int, min_pair_count: int
+) -> list[tuple[str, str]]:
+    """Exact greedy BPE on a word-frequency dict, with incremental pair-count
+    maintenance (only words containing the merged pair are re-scanned) —
+    O(affected words) per merge instead of O(dict)."""
+    words = [list(w) + [EOW] for w, _ in word_counts]
+    counts = [c for _, c in word_counts]
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for i, syms in enumerate(words):
+        c = counts[i]
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] = pair_counts.get(p, 0) + c
+            pair_words.setdefault(p, set()).add(i)
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        if not pair_counts:
+            break
+        # deterministic argmax: count desc, then lexicographic pair
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pair_counts[best] < min_pair_count:
+            break
+        merges.append(best)
+        joined = best[0] + best[1]
+        for i in sorted(pair_words.get(best, ())):
+            syms, c = words[i], counts[i]
+            for p in zip(syms, syms[1:]):
+                pair_counts[p] -= c
+                if pair_counts[p] <= 0:
+                    del pair_counts[p]
+                    pair_words.pop(p, None)
+                else:
+                    s = pair_words.get(p)
+                    if s is not None:
+                        s.discard(i)
+            out, j = [], 0
+            while j < len(syms):
+                if j + 1 < len(syms) and syms[j] == best[0] and syms[j + 1] == best[1]:
+                    out.append(joined)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            words[i] = out
+            for p in zip(out, out[1:]):
+                pair_counts[p] = pair_counts.get(p, 0) + c
+                pair_words.setdefault(p, set()).add(i)
+        # the merged pair itself must be gone regardless of bookkeeping order
+        pair_counts.pop(best, None)
+        pair_words.pop(best, None)
+    return merges
+
+
+def train_bpe(
+    docs: DataFrame,
+    n_merges: int = 1000,
+    text_col: str = "text",
+    min_count: int = 2,
+    min_pair_count: int = 2,
+    max_words: int = 5_000_000,
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges from the corpus. Returns the ordered
+    merge list (earlier = higher priority), byte-stable across runs and
+    input partitionings.
+
+    The corpus collapses to its word-frequency dict in one distributed pass;
+    merges are learned exactly on the dict driver-side (the architecture of
+    every production BPE trainer — the greedy argmax is sequential and the
+    dict is Zipf-bounded). ``max_words`` is the honesty guard: if the
+    ``min_count``-pruned dict still exceeds it, this RAISES with guidance
+    instead of silently degrading — raise ``min_count`` (exact-count
+    pruning keeps determinism) and retry. Learning stops early when the
+    best remaining pair count falls below ``min_pair_count``."""
+    wc = bpe_word_counts(docs, text_col=text_col, min_count=min_count)
+    n_words = wc.count()
+    if n_words > max_words:
+        raise ValueError(
+            f"train_bpe: word dict has {n_words} entries > max_words={max_words}; "
+            f"raise min_count (exact-count pruning, deterministic) or max_words"
+        )
+    rows = wc.collect()  # bounded by the max_words guard just enforced
+    # sort for determinism of the incremental bookkeeping's iteration order
+    # (the algorithm is order-independent, but cheap insurance is cheap)
+    pairs = sorted((r["word"], r["n"]) for r in rows)
+    return _learn_merges(pairs, n_merges, min_pair_count)
+
+
+def _segment_word(word: str, ranks: dict[tuple[str, str], int], cache: dict) -> list[str]:
+    """GPT-2-style greedy segmentation: repeatedly merge the present pair
+    with the LOWEST merge rank until none applies."""
+    hit = cache.get(word)
+    if hit is not None:
+        return hit
+    syms = list(word) + [EOW]
+    while len(syms) > 1:
+        best, best_rank = None, None
+        for p in zip(syms, syms[1:]):
+            r = ranks.get(p)
+            if r is not None and (best_rank is None or r < best_rank):
+                best, best_rank = p, r
+        if best is None:
+            break
+        joined = best[0] + best[1]
+        out, j = [], 0
+        while j < len(syms):
+            if j + 1 < len(syms) and syms[j] == best[0] and syms[j + 1] == best[1]:
+                out.append(joined)
+                j += 2
+            else:
+                out.append(syms[j])
+                j += 1
+        syms = out
+    cache[word] = syms
+    return syms
+
+
+def apply_bpe(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Tokenize each document into BPE subword tokens (ordered, ``</w>``
+    marking word ends). Arrow-batched ``mapInPandas``: the merge ranks ride
+    a broadcast variable, and a per-task word→segmentation cache makes the
+    per-document cost approach the distinct-word cost (Zipf). NULL text →
+    NULL tokens; empty/whitespace-only text → empty array. All other
+    columns pass through."""
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+    spark = docs.sparkSession
+    ranks_bc = spark.sparkContext.broadcast(
+        {tuple(p): i for i, p in enumerate(merges)}
+    )
+    out_schema = StructType(
+        [f for f in docs.schema.fields if f.name != out_col]
+        + [StructField(out_col, ArrayType(StringType()), True)]
+    )
+    in_cols = [f.name for f in docs.schema.fields if f.name != out_col]
+
+    def run(batches: Iterator) -> Iterator:
+        ranks = ranks_bc.value
+        cache: dict[str, list[str]] = {}
+
+        def tokenize(text):
+            if text is None:
+                return None
+            out: list[str] = []
+            for w in text.strip().lower().split():
+                out.extend(_segment_word(w, ranks, cache))
+            return out
+
+        for pdf in batches:
+            pdf = pdf[in_cols].copy()
+            pdf[out_col] = pdf[text_col].map(tokenize)
+            yield pdf
+
+    return docs.mapInPandas(run, schema=out_schema)
+
+
+def bpe_merges_df(spark, merges: list[tuple[str, str]]) -> DataFrame:
+    """The merge list as a (rank, left, right) DataFrame — the persistable
+    model artifact (write it next to the store; ``load`` = read + orderBy
+    rank + collect)."""
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)], "rank int, left string, right string"
+    )

@@ -1,0 +1,143 @@
+"""Distributed BPE training/application vs an independent naive reference.
+
+The naive twin recounts every pair from scratch each iteration (obviously
+correct, O(dict x merges)); the operator maintains counts incrementally.
+Identical merge sequences on real fixture text is the value-parity check.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+
+from photo_vector_search_spark.operators.bpe import (
+    EOW,
+    apply_bpe,
+    bpe_merges_df,
+    bpe_word_counts,
+    train_bpe,
+)
+from photo_vector_search_spark.sources.tables import load_table
+
+
+def _naive_bpe(word_counts: dict[str, int], n_merges: int, min_pair_count: int = 2):
+    """Recount-from-scratch reference: Sennrich's algorithm verbatim."""
+    words = {w: [*w, EOW] for w in word_counts}
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for w, syms in words.items():
+            for p in zip(syms, syms[1:]):
+                pairs[p] += word_counts[w]
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pairs[best] < min_pair_count:
+            break
+        merges.append(best)
+        joined = best[0] + best[1]
+        for w, syms in words.items():
+            out, j = [], 0
+            while j < len(syms):
+                if j + 1 < len(syms) and syms[j] == best[0] and syms[j + 1] == best[1]:
+                    out.append(joined)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            words[w] = out
+    return merges, words
+
+
+def _py_word_counts(texts, min_count=1):
+    c = Counter()
+    for t in texts:
+        if t:
+            c.update(t.strip().lower().split())
+    return {w: n for w, n in c.items() if n >= min_count}
+
+
+def test_word_counts_match_python(spark, sf_correct):
+    docs = load_table(spark, sf_correct, "documents")
+    got = {r["word"]: r["n"] for r in bpe_word_counts(docs, min_count=2).collect()}
+    want = _py_word_counts([r["text"] for r in docs.select("text").collect()], 2)
+    assert got == want
+
+
+def test_merges_match_naive_reference_on_fixture(spark, sf_correct):
+    docs = load_table(spark, sf_correct, "documents")
+    merges = train_bpe(docs, n_merges=60, min_count=2)
+    wc = _py_word_counts([r["text"] for r in docs.select("text").collect()], 2)
+    want, _ = _naive_bpe(wc, 60)
+    assert merges == want
+    assert len(merges) > 0
+
+
+def test_merges_invariant_to_partitioning_and_early_stop(spark, sf_correct):
+    docs = load_table(spark, sf_correct, "documents")
+    a = train_bpe(docs.repartition(13), n_merges=40, min_count=2)
+    b = train_bpe(docs.coalesce(1), n_merges=40, min_count=2)
+    assert a == b
+    # min_pair_count high enough stops learning before n_merges
+    short = train_bpe(docs, n_merges=10_000, min_count=2, min_pair_count=10_000_000)
+    assert short == []
+
+
+def test_apply_matches_training_segmentation(spark, sf_correct):
+    """Segmenting a dict word with the learned ranks reproduces exactly the
+    symbols the trainer left for it — tokenize(train corpus) is
+    self-consistent — and concatenation round-trips the word."""
+    docs = load_table(spark, sf_correct, "documents")
+    wc = _py_word_counts([r["text"] for r in docs.select("text").collect()], 2)
+    merges = train_bpe(docs, n_merges=60, min_count=2)
+    _, trained_words = _naive_bpe(wc, 60)
+
+    out = apply_bpe(docs.select("doc_id", "text"), merges).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    raw = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    checked_words = 0
+    for doc_id, text in raw.items():
+        toks = by_id[doc_id]["bpe_tokens"]
+        # re-split the token stream at </w> boundaries and round-trip
+        words, cur = [], []
+        for t in toks:
+            cur.append(t)
+            if t.endswith(EOW):
+                words.append(cur)
+                cur = []
+        assert cur == []  # every word ends with an EOW-bearing token
+        assert ["".join(w).removesuffix(EOW) for w in words] == text.strip().lower().split()
+        for w_syms, w in zip(words, text.strip().lower().split()):
+            if w in trained_words:  # dict words must match the trainer exactly
+                assert w_syms == trained_words[w]
+                checked_words += 1
+    assert checked_words > 100
+
+
+def test_apply_null_and_empty(spark):
+    df = spark.createDataFrame(
+        [(1, "hello hello world"), (2, ""), (3, "   "), (4, None)],
+        "doc_id int, text string",
+    )
+    merges = [("l", "l"), ("o", EOW)]
+    got = {r["doc_id"]: r["bpe_tokens"] for r in apply_bpe(df, merges).collect()}
+    assert got[2] == [] and got[3] == []
+    assert got[4] is None
+    assert "".join(got[1]).count("ll") == 2
+
+
+def test_max_words_guard_raises(spark, sf_correct):
+    docs = load_table(spark, sf_correct, "documents")
+    with pytest.raises(ValueError, match="max_words"):
+        train_bpe(docs, n_merges=5, min_count=1, max_words=3)
+
+
+def test_merges_df_round_trip(spark, sf_correct):
+    docs = load_table(spark, sf_correct, "documents")
+    merges = train_bpe(docs, n_merges=25, min_count=2)
+    mdf = bpe_merges_df(spark, merges)
+    back = [
+        (r["left"], r["right"]) for r in mdf.orderBy("rank").collect()
+    ]
+    assert back == merges

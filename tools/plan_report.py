@@ -153,11 +153,14 @@ NOTES = {
         "aggregate."
     ),
     "shuffle_corpus": (
-        "NOTE: library operator. The single Scan parquet is the STAGED "
-        "hashed projection (r6): the upstream plan executes exactly once — "
-        "the ≤4096-row bucket-count job and this numbering job both read the "
-        "staged copy, so a nondeterministic upstream can never desync the "
-        "offsets. The data Exchange is hashpartitioning on the FIXED "
+        "NOTE: library operator. This input is a bare deterministic scan, so "
+        "the r6 plan inspection SKIPS parquet staging: the Scan parquet here "
+        "IS the source table, re-read by the ≤4096-row bucket-count job and "
+        "this numbering job — two scans of immutable files cannot diverge "
+        "and beat a write+read round trip. A wide or nondeterministic "
+        "upstream (the curation pipeline) stages the hashed projection "
+        "instead, so IT executes exactly once and the offsets can never "
+        "desync. The data Exchange is hashpartitioning on the FIXED "
         "md5-prefix bucket (a prefix of the sort key, so bucket order equals "
         "hash order) feeding a per-bucket row_number window; global positions "
         "add broadcast per-bucket offsets. No global-window single-partition "

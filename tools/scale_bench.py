@@ -167,7 +167,18 @@ def extra_cases(spark, sf_dir: str) -> dict:
                 n_assign=2,
             )
         ),
+        # r6 BPE: the ciphered sf1 copies multiply DISTINCT words ~10x, so this
+        # measures the real scaling surface — the corpus word-count pass plus
+        # driver merges over a 10x dict (the corpus term is the groupBy; the
+        # merge term scales with dict size, Zipf-bounded at web scale)
+        "bpe_train": lambda: _bpe_train_case(docs),
     }
+
+
+def _bpe_train_case(docs) -> int:
+    from photo_vector_search_spark.operators.bpe import train_bpe
+
+    return len(train_bpe(docs, n_merges=200, min_count=2))
 
 
 def run(spark, sf_dir: str, only: set[str] | None = None) -> dict[str, float]:
