@@ -209,13 +209,32 @@ def run(spark, sf_dir: str, only: set[str] | None = None) -> dict[str, float]:
     return timings
 
 
+def _preserved_tail(path: str) -> str:
+    """Everything from the SECOND section header on — evidence sections other
+    tools/rounds appended after the scale table (IVF recall, stream-cost
+    notes, ...). The rewrite must carry them verbatim: a --cases refresh once
+    silently discarded 300+ lines of recorded evidence."""
+    lines = open(path).read().splitlines(keepends=True)
+    for i, line in enumerate(lines[1:], start=1):
+        if line.startswith("# "):
+            return "".join(lines[i:])
+    return ""
+
+
 def _parse_table_rows(path: str) -> list[tuple[str, float | None, float]]:
-    """(name, small_s, big_s) for each data row of an existing output table —
-    the carry-over source for filtered --cases runs. Header/separator rows and
-    anything non-numeric are skipped; 'None' small timings parse to None."""
+    """(name, small_s, big_s) for each data row of the FIRST table of an
+    existing output file — the carry-over source for filtered --cases runs.
+    Parsing stops at the next section header: later tables (IVF recall etc.)
+    have numeric first columns that would otherwise pollute the carry-over.
+    Header/separator rows and anything non-numeric are skipped; 'None' small
+    timings parse to None."""
     out = []
     with open(path) as f:
+        first_line = True
         for line in f:
+            if line.startswith("# ") and not first_line:
+                break
+            first_line = False
             parts = [p.strip() for p in line.strip().strip("|").split("|")]
             if len(parts) < 4 or parts[0] in ("query", "---"):
                 continue
@@ -270,6 +289,7 @@ def main() -> None:
             flag = "SUPER-LINEAR" if ratio and ratio > args.copies * 1.3 else ""
             rows.append((name, ts, tb, ratio, flag))
         rows.sort(key=lambda r: -(r[3] or 0))
+        tail = _preserved_tail(args.out) if os.path.exists(args.out) else ""
         with open(args.out, "w") as f:
             f.write(
                 f"# Scale-up bench: sf0.1 -> synthesized sf{0.1 * args.copies:g} "
@@ -295,6 +315,8 @@ def main() -> None:
                 "fixed overheads (driver top-k merge, plan time) dominating "
                 "small-scale wall time.\n"
             )
+            if tail:
+                f.write("\n" + tail)
         print(json.dumps({"small": small, "big": big, "synth_sec": synth_sec}))
     finally:
         spark.stop()
