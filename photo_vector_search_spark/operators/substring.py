@@ -1,0 +1,139 @@
+"""Exact repeated-span removal at n-gram resolution — the distributed form of
+"exact substring deduplication" (Lee et al., Deduplicating Training Data
+Makes Language Models Better): any token span of length ≥ n that occurs
+``min_dup``+ times across the corpus is removed everywhere except one
+canonical keeper occurrence.
+
+Suffix-array machinery (the paper's single-node approach) does not
+distribute; the n-gram formulation does, exactly, with three bounded steps:
+
+1. **Gram pass** — per doc, md5 over each n-token window (128-bit keys: a
+   64-bit hash would birthday-collide at web-corpus gram counts). One
+   explode, O(tokens) rows.
+2. **Hot set** — ``groupBy(gram)`` keeping groups with ≥ min_dup
+   occurrences; the canonical keeper is ``min(doc_id, pos)`` so the result
+   is deterministic under any partitioning. Keyed join back to occurrences
+   (never broadcast — the hot set is corpus-sized in the worst case).
+3. **Span mask** — per doc, the non-keeper hot starts form intervals
+   ``[pos, pos+n-1]``; tokens under any interval are dropped via
+   index-aware ``filter`` lambdas (pure Catalyst, no UDF).
+
+A span of length L ≥ n duplicated across docs yields L-n+1 overlapping hot
+grams whose union covers the whole span, so full passages vanish, not just
+their first n tokens. NOT idempotent by design: removal can create new
+adjacencies (also true of the suffix-array original at cut boundaries);
+run-to-fixpoint if that matters. Whitespace is canonicalized by
+tokenization (the same ``tokens()`` every text operator uses).
+
+Reference scope note: the reference (photo_vector_search) has no text dedup
+at all; this extends the mandated LLM-pipeline dedup family (exact /
+MinHash / SimHash / fuzzy / embedding) down to sub-document granularity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from photo_vector_search_spark.functions.text import tokens
+
+
+def repeated_ngram_spans(
+    docs: DataFrame, n: int = 10, min_dup: int = 2, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, pos, gram_hash) for every NON-KEEPER occurrence of an n-gram
+    seen ≥ min_dup times corpus-wide. ``pos`` is the 0-based token index of
+    the window start. The keeper (global min (doc_id, pos) per gram) is
+    excluded — it survives removal."""
+    toked = docs.select(
+        "doc_id", F.array_remove(tokens(F.col(text_col)), "").alias("toks")
+    )
+    grams = toked.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("toks") >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - n),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.md5(
+                            F.concat_ws("", F.slice(F.col("toks"), i + 1, n))
+                        ).alias("h"),
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("g"),
+    ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+    hot = (
+        grams.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.min(F.struct("doc_id", "pos")).alias("keeper"),
+        )
+        .filter(F.col("n_occ") >= min_dup)
+    )
+    return (
+        grams.join(hot, "h")  # keyed equi-join: hot set is never driver-sized
+        .filter(
+            ~(
+                (F.col("doc_id") == F.col("keeper.doc_id"))
+                & (F.col("pos") == F.col("keeper.pos"))
+            )
+        )
+        .select("doc_id", "pos", F.col("h").alias("gram_hash"))
+    )
+
+
+def remove_repeated_ngrams(
+    docs: DataFrame, n: int = 10, min_dup: int = 2, text_col: str = "text"
+) -> DataFrame:
+    """Remove every duplicated n-gram span (except its canonical keeper
+    occurrence) from the corpus. Adds ``{text_col}_deduped`` (tokens joined
+    by single spaces — tokenization canonicalizes whitespace/case) and
+    ``n_removed_tokens``; all input columns pass through. NULL text stays
+    NULL; docs shorter than ``n`` tokens pass through unchanged.
+
+    Plan shape: one gram explode + one groupBy(gram) + one keyed join +
+    one groupBy(doc_id) collecting that doc's hot starts (bounded by the
+    doc's own length) + an index-lambda filter — no UDF, no broadcast of
+    anything corpus-sized, nothing driver-side."""
+    spans = repeated_ngram_spans(docs, n=n, min_dup=min_dup, text_col=text_col)
+    doc_spans = spans.groupBy("doc_id").agg(
+        F.collect_list("pos").alias("_hot_starts")
+    )
+    out = (
+        docs.join(doc_spans, "doc_id", "left")
+        .withColumn("_toks", F.array_remove(tokens(F.col(text_col)), ""))
+        .withColumn(
+            "_kept",
+            F.when(F.col(text_col).isNull(), F.lit(None))
+            .when(F.col("_hot_starts").isNull(), F.col("_toks"))
+            .otherwise(
+                F.filter(
+                    F.col("_toks"),
+                    lambda _x, j: ~F.exists(
+                        F.col("_hot_starts"),
+                        lambda p: (p <= j) & (j <= p + (n - 1)),
+                    ),
+                )
+            ),
+        )
+        .withColumn(
+            f"{text_col}_deduped", F.concat_ws(" ", F.col("_kept"))
+        )
+        .withColumn(
+            f"{text_col}_deduped",
+            F.when(F.col(text_col).isNull(), F.lit(None)).otherwise(
+                F.col(f"{text_col}_deduped")
+            ),
+        )
+        .withColumn(
+            "n_removed_tokens",
+            F.when(F.col(text_col).isNull(), F.lit(None)).otherwise(
+                F.size("_toks") - F.size("_kept")
+            ),
+        )
+        .drop("_hot_starts", "_toks", "_kept")
+    )
+    return out

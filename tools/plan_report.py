@@ -117,10 +117,20 @@ def _extra_redact(spark, sf_dir):
     )
 
 
+def _extra_substring_dedup(spark, sf_dir):
+    from photo_vector_search_spark.operators.substring import remove_repeated_ngrams
+    from photo_vector_search_spark.sources.tables import load_table
+
+    return remove_repeated_ngrams(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), n=5
+    )
+
+
 EXTRA_OPS = {
     "ivf_near_dup_pairs": _extra_ivf_near_dup,
     "shuffle_corpus": _extra_shuffle_corpus,
     "redact_pii": _extra_redact,
+    "remove_repeated_ngrams": _extra_substring_dedup,
 }
 
 # Plan-reader context the tree alone can't show.
@@ -170,6 +180,15 @@ NOTES = {
         "NOTE: library operator. Zero exchanges by construction — the entire "
         "redaction+audit pass is one codegen'd Project over the scan; at any "
         "scale this pipelines into whatever reads follow."
+    ),
+    "remove_repeated_ngrams": (
+        "NOTE: library operator (r6, exact substring dedup at n-gram "
+        "resolution). Exchanges are all keyed on corpus-derived keys: the "
+        "gram groupBy (hot-set discovery), the gram equi-join back to "
+        "occurrences, and the per-doc hot-start collect — never a broadcast "
+        "of anything corpus-sized and no UDF: the span mask is index-lambda "
+        "filter/exists in codegen. The md5 gram key is 128-bit on purpose "
+        "(64-bit birthday-collides at web-corpus gram counts)."
     ),
 }
 
