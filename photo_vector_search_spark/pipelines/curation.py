@@ -49,6 +49,7 @@ def curate_corpus(
     compute_stats: bool = True,
     near_dedup: str = "greedy",
     quality_gate: bool = True,
+    substring_ngram: int | None = None,
 ) -> tuple[DataFrame, dict[str, int]]:
     """Run the full curation pipeline over ``docs`` (doc_id, text, ...).
 
@@ -76,6 +77,19 @@ def curate_corpus(
     downstream stages at full synthetic volume — the synthesized sf1 copies
     are substitution-ciphered and the English-statistics gate (correctly)
     rejects them, which would otherwise hide downstream scaling.
+
+    ``substring_ngram=N`` (opt-in, r6) appends exact repeated-span removal
+    (``operators/substring.remove_repeated_ngrams`` at n-gram length N)
+    AFTER near-dup dedup, before the shuffle — coarse-to-fine, the
+    RefinedWeb ordering: doc-level near-dup must see the original shingles
+    (removing shared spans first would shrink a near-dup pair's Jaccard
+    below τ and hide it), and span removal then cleans the repeated
+    passages that survive between docs that are NOT near-duplicates as
+    wholes. The stage replaces ``text`` with the operator's
+    whitespace/case-canonicalized rebuild (single-space-joined lowercase
+    tokens — the same canonical form every text operator keys on). Default
+    off so measured pipeline walls/survivors of earlier rounds stay
+    comparable.
 
     ``compute_stats=True`` runs one count action per stage, which re-executes
     the (map-heavy, cheap) upstream stages each time — the expensive LSH stage
@@ -133,6 +147,17 @@ def curate_corpus(
         losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
         near = deboiled.join(losers, "doc_id", "left_anti")
     _stat("after_near_dedup", near)
+
+    if substring_ngram is not None:
+        from photo_vector_search_spark.operators.substring import (
+            remove_repeated_ngrams,
+        )
+
+        cleaned = remove_repeated_ngrams(near, n=substring_ngram)
+        near = cleaned.drop("text", "n_removed_tokens").withColumnRenamed(
+            "text_deduped", "text"
+        )
+        _stat("after_substring", near)
 
     curated = shuffle_corpus(near, seed=shuffle_seed)
     if export_path is not None:

@@ -135,3 +135,36 @@ def test_curate_corpus_quality_gate_off(spark, sf_dir):
     for df, n in ((gated, len(on_ids)), (ungated, len(off_ids))):
         poss = [r["pos"] for r in df.select("pos").collect()]
         assert sorted(poss) == list(range(n))
+
+
+def test_curate_corpus_substring_stage(spark, sf_dir):
+    """substring_ngram=N appends span removal after near-dup: survivors'
+    DOC SET is unchanged (no docs dropped, only spans), the stage output
+    equals running the operator standalone on the near-dup survivors, and
+    the shuffle still assigns a dense pos permutation."""
+    from photo_vector_search_spark.operators.substring import (
+        remove_repeated_ngrams,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base, s_base = curate_corpus(docs)
+    cur, s = curate_corpus(docs, substring_ngram=5)
+
+    assert s["after_substring"] == s["after_near_dedup"] == s_base["after_near_dedup"]
+    base_rows = {r["doc_id"]: r["text"] for r in base.select("doc_id", "text").collect()}
+    got = {r["doc_id"]: r["text"] for r in cur.select("doc_id", "text").collect()}
+    assert set(got) == set(base_rows)
+
+    # standalone operator on the near-dup survivors gives the same texts
+    survivors = spark.createDataFrame(
+        [(d, t) for d, t in base_rows.items()], "doc_id long, text string"
+    )
+    want = {
+        r["doc_id"]: r["text_deduped"]
+        for r in remove_repeated_ngrams(survivors, n=5).collect()
+    }
+    assert got == want
+    assert any(got[d] != base_rows[d] for d in got)  # it actually removed spans
+
+    poss = sorted(r["pos"] for r in cur.select("pos").collect())
+    assert poss == list(range(len(got)))

@@ -172,7 +172,19 @@ def extra_cases(spark, sf_dir: str) -> dict:
         # driver merges over a 10x dict (the corpus term is the groupBy; the
         # merge term scales with dict size, Zipf-bounded at web scale)
         "bpe_train": lambda: _bpe_train_case(docs),
+        # r6 substring dedup: gram explode + hot-set groupBy + keyed join +
+        # span mask, all corpus-linear; the fixture's near-dup docs supply
+        # genuine repeated spans at both scales
+        "substring_dedup": lambda: _force(
+            _remove_repeated(docs)
+        ),
     }
+
+
+def _remove_repeated(docs):
+    from photo_vector_search_spark.operators.substring import remove_repeated_ngrams
+
+    return remove_repeated_ngrams(docs, n=5, min_dup=2)
 
 
 def _bpe_train_case(docs) -> int:
