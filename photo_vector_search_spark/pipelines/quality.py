@@ -1,0 +1,130 @@
+"""Learned corpus-quality classifier — the GPT-3/CCNet filtering rung.
+
+The rule-based gates (`functions/text.gopher_flags`) catch structural junk;
+the LEARNED filter catches everything they can't: train a linear classifier
+to separate a high-quality seed corpus (positive) from the raw crawl
+(negative), score every document, and keep probabilistically with the
+GPT-3 Pareto rule so the kept set isn't a hard cliff at the threshold.
+
+Spark-first: features are hashed token counts (``HashingTF`` over the same
+``tokens()`` canonicalization every text operator uses — no vocabulary state,
+any corpus size), the model is MLlib ``LogisticRegression`` (distributed
+L-BFGS, deterministic: no sampling in either stage), and scoring is one
+``transform`` — a map-only stage that pipelines into the scan. The Pareto
+keep-rule uses the engine-portable md5-uniform (the `stratified_sample`
+discipline), NOT ``rand()``: re-partitioning cannot change which docs
+survive.
+
+Reference scope note: the reference (photo_vector_search) has no text
+pipeline; this extends the mandated LLM-pipeline quality family (Gopher
+gates, bigram-LM perplexity) with its learned tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from photo_vector_search_spark.functions.text import tokens
+
+_FEATURES = "_q_features"
+_TOKS = "_q_toks"
+
+
+def train_quality_classifier(
+    positive: DataFrame,
+    negative: DataFrame,
+    text_col: str = "text",
+    n_features: int = 1 << 18,
+    reg_param: float = 1e-3,
+    max_iter: int = 60,
+):
+    """Fit the quality model: positive = high-quality seed corpus, negative =
+    raw/unfiltered corpus (label it all 0 — the GPT-3 recipe tolerates
+    positives hiding in the negative sample). Returns a fitted
+    ``pyspark.ml.PipelineModel`` (persistable with ``.save(path)`` /
+    ``PipelineModel.load``).
+
+    Deterministic end-to-end: hashed term counts involve no vocabulary or
+    sampling, and L-BFGS on a fixed objective converges identically under
+    any partitioning (asserted in tests)."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import HashingTF
+
+    train = positive.select(
+        F.lit(1.0).alias("label"), _tok_col(text_col)
+    ).unionByName(negative.select(F.lit(0.0).alias("label"), _tok_col(text_col)))
+    pipe = Pipeline(
+        stages=[
+            HashingTF(inputCol=_TOKS, outputCol=_FEATURES, numFeatures=n_features),
+            LogisticRegression(
+                featuresCol=_FEATURES,
+                labelCol="label",
+                maxIter=max_iter,
+                regParam=reg_param,
+                standardization=False,
+            ),
+        ]
+    )
+    return pipe.fit(train)
+
+
+def _tok_col(text_col: str):
+    # NULL-safe: HashingTF rejects null arrays; a NULL doc gets no tokens
+    # (and the intercept-only score downstream)
+    return F.coalesce(
+        F.array_remove(tokens(F.col(text_col)), ""), F.array().cast("array<string>")
+    ).alias(_TOKS)
+
+
+def score_quality(
+    docs: DataFrame,
+    model,
+    text_col: str = "text",
+    out_col: str = "quality_score",
+) -> DataFrame:
+    """Add ``out_col`` = P(high quality) ∈ [0,1]. Map-only: hashing +
+    one dot product per doc, no shuffle; all input columns pass through."""
+    from pyspark.ml.functions import vector_to_array
+
+    scored = model.transform(docs.withColumn(_TOKS, _tok_col(text_col)))
+    return scored.withColumn(
+        out_col, vector_to_array(F.col("probability")).getItem(1)
+    ).drop(_TOKS, _FEATURES, "rawPrediction", "probability", "prediction")
+
+
+def pareto_keep(
+    docs: DataFrame,
+    score_col: str = "quality_score",
+    alpha: float = 9.0,
+    seed: int = 0,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """GPT-3's stochastic keep rule: keep a document iff
+
+        score > 1 - pareto(alpha)      pareto(a) = u^(-1/a) - 1
+
+    so high-score docs are (almost) always kept while low-score docs still
+    leak through with small probability — no hard quality cliff, and the
+    negative tail stays represented. ``u`` is the md5-uniform of
+    ``(seed, key_col)`` (deterministic under any partitioning — seeded
+    ``rand()`` is per-partition-seeded and is NOT), so the survivor set is
+    reproducible and re-runnable."""
+    # u ∈ (0,1]: 12 hex chars → uniform over [0, 16^12), shift by 1 to avoid 0
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws("-", F.lit(str(seed)), F.col(key_col).cast("string"))
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(16**12))
+    pareto = F.pow(u, F.lit(-1.0 / alpha)) - F.lit(1.0)
+    return docs.filter(F.col(score_col) > F.lit(1.0) - pareto)

@@ -1,0 +1,90 @@
+"""Learned quality classifier: separability on a synthetic seed-vs-crawl
+split, determinism of training and of the Pareto keep rule, and NULL/empty
+contracts."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from photo_vector_search_spark.pipelines.quality import (
+    pareto_keep,
+    score_quality,
+    train_quality_classifier,
+)
+from photo_vector_search_spark.sources.tables import load_table
+
+
+def _cipher(col):
+    """Substitution-cipher the text (the scale bench's trick): same lengths
+    and whitespace, alien token distribution — a clean 'raw crawl' stand-in."""
+    return F.translate(col, "abcdefghijklmnopqrstuvwxyz", "zyxwvutsrqponmlkjihgfedcba")
+
+
+def _split(spark, sf_correct):
+    docs = load_table(spark, sf_correct, "documents").select("doc_id", "text")
+    pos = docs.filter(F.col("doc_id") % 2 == 0)
+    neg = docs.filter(F.col("doc_id") % 2 == 1).withColumn("text", _cipher(F.col("text")))
+    return docs, pos, neg
+
+
+def test_separates_seed_from_crawl_with_holdout(spark, sf_correct):
+    docs, pos, neg = _split(spark, sf_correct)
+    # train on doc_id % 4 ∈ {0,1}, evaluate on the held-out half
+    model = train_quality_classifier(
+        pos.filter(F.col("doc_id") % 4 == 0), neg.filter(F.col("doc_id") % 4 == 1)
+    )
+    held_pos = pos.filter(F.col("doc_id") % 4 == 2)
+    held_neg = neg.filter(F.col("doc_id") % 4 == 3)
+    sp = [r["quality_score"] for r in score_quality(held_pos, model).collect()]
+    sn = [r["quality_score"] for r in score_quality(held_neg, model).collect()]
+    assert all(0.0 <= s <= 1.0 for s in sp + sn)
+    # strong separation on held-out docs: compare every cross pair (AUC)
+    auc = sum(1 for a in sp for b in sn if a > b) / (len(sp) * len(sn))
+    assert auc > 0.95, auc
+    assert sum(sp) / len(sp) > 0.8 > 0.2 > sum(sn) / len(sn)
+
+
+def test_training_and_scoring_deterministic(spark, sf_correct):
+    _, pos, neg = _split(spark, sf_correct)
+    m1 = train_quality_classifier(pos.repartition(7), neg.repartition(3))
+    m2 = train_quality_classifier(pos.coalesce(1), neg.coalesce(1))
+    probe = pos.limit(40)
+    s1 = {r["doc_id"]: round(r["quality_score"], 9) for r in score_quality(probe, m1).collect()}
+    s2 = {r["doc_id"]: round(r["quality_score"], 9) for r in score_quality(probe, m2).collect()}
+    assert s1 == s2
+
+
+def test_score_passthrough_and_null_empty(spark, sf_correct):
+    _, pos, neg = _split(spark, sf_correct)
+    model = train_quality_classifier(pos, neg)
+    df = spark.createDataFrame(
+        [(1, "some text", "m"), (2, None, "m"), (3, "", "m")],
+        "doc_id int, text string, meta string",
+    )
+    out = score_quality(df, model)
+    assert set(out.columns) == {"doc_id", "text", "meta", "quality_score"}
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # NULL/empty docs hash to no tokens -> the intercept-only score, defined
+    assert 0.0 <= rows[2]["quality_score"] <= 1.0
+    assert rows[2]["quality_score"] == rows[3]["quality_score"]
+    assert rows[2]["text"] is None
+
+
+def test_pareto_keep_deterministic_and_score_monotone(spark):
+    n = 4000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"), (F.col("id") / n).cast("double").alias("quality_score")
+    )
+    a = {r["doc_id"] for r in pareto_keep(df.repartition(11), seed=5).collect()}
+    b = {r["doc_id"] for r in pareto_keep(df.coalesce(1), seed=5).collect()}
+    assert a == b  # md5-uniform: partitioning-invariant, unlike rand()
+    c = {r["doc_id"] for r in pareto_keep(df, seed=6).collect()}
+    assert a != c  # different seed, different survivors
+    # keep-rate matches the rule's analytics: P(keep | score s) = (2-s)^-9,
+    # so the top decile averages ~0.65, the bottom ~0.003, and the overall
+    # rate is ∫(2-s)^-9 ds = (1 - 2^-8)/8 ≈ 0.1245
+    top = sum(1 for d in a if d >= n * 0.9) / (n * 0.1)
+    bot = sum(1 for d in a if d < n * 0.1) / (n * 0.1)
+    assert 0.55 < top < 0.75, top
+    assert bot < 0.02, bot
+    assert 0.10 < len(a) / n < 0.15, len(a) / n
