@@ -232,3 +232,79 @@ def bpe_merges_df(spark, merges: list[tuple[str, str]]) -> DataFrame:
     return spark.createDataFrame(
         [(i, a, b) for i, (a, b) in enumerate(merges)], "rank int, left string, right string"
     )
+
+
+def bpe_vocab(merges: list[tuple[str, str]], corpus_chars: list[str]) -> dict[str, int]:
+    """The symbol → id table a trained model consumes: base symbols first
+    (sorted corpus characters, then ``</w>``), merged symbols after in merge
+    order — the standard BPE id layout, byte-stable given the same merges
+    and character inventory. ``corpus_chars`` is the training corpus's
+    character set (collect it with ``corpus_charset``)."""
+    vocab: dict[str, int] = {}
+    for ch in sorted(set(corpus_chars)):
+        vocab[ch] = len(vocab)
+    vocab[EOW] = len(vocab)
+    for a, b in merges:
+        sym = a + b
+        if sym not in vocab:
+            vocab[sym] = len(vocab)
+    return vocab
+
+
+def corpus_charset(docs: DataFrame, text_col: str = "text") -> list[str]:
+    """Distinct characters of the tokenized corpus — one explode+distinct
+    (bounded: alphabets are small; collect is ≤ thousands of rows even for
+    CJK corpora)."""
+    rows = (
+        docs.select(F.explode(F.array_remove(tokens(F.col(text_col)), "")).alias("w"))
+        .select(F.explode(F.split(F.col("w"), "")).alias("c"))
+        .filter(F.col("c") != "")
+        .distinct()
+        .collect()
+    )
+    return sorted(r["c"] for r in rows)
+
+
+def encode_bpe(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    vocab: dict[str, int],
+    text_col: str = "text",
+    out_col: str = "input_ids",
+) -> DataFrame:
+    """Tokenize to BPE ids — ``apply_bpe`` then the vocab lookup, fused in
+    one Arrow-batched pass. Symbols outside ``vocab`` (characters unseen at
+    training time) map to ``len(vocab)``, the reserved OOV id (mirroring
+    ``tokenize_documents``). NULL text → NULL; empty → empty array."""
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    spark = docs.sparkSession
+    ranks_bc = spark.sparkContext.broadcast(
+        {tuple(p): i for i, p in enumerate(merges)}
+    )
+    vocab_bc = spark.sparkContext.broadcast(dict(vocab))
+    oov = len(vocab)
+    out_schema = StructType(
+        [f for f in docs.schema.fields if f.name != out_col]
+        + [StructField(out_col, ArrayType(IntegerType()), True)]
+    )
+    in_cols = [f.name for f in docs.schema.fields if f.name != out_col]
+
+    def run(batches):
+        ranks, voc = ranks_bc.value, vocab_bc.value
+        cache: dict[str, list[str]] = {}
+
+        def enc(text):
+            if text is None:
+                return None
+            out: list[int] = []
+            for w in text.strip().lower().split():
+                out.extend(voc.get(s, oov) for s in _segment_word(w, ranks, cache))
+            return out
+
+        for pdf in batches:
+            pdf = pdf[in_cols].copy()
+            pdf[out_col] = pdf[text_col].map(enc)
+            yield pdf
+
+    return docs.mapInPandas(run, schema=out_schema)

@@ -141,3 +141,31 @@ def test_merges_df_round_trip(spark, sf_correct):
         (r["left"], r["right"]) for r in mdf.orderBy("rank").collect()
     ]
     assert back == merges
+
+
+def test_encode_ids_round_trip_and_oov(spark, sf_correct):
+    from photo_vector_search_spark.operators.bpe import (
+        bpe_vocab,
+        corpus_charset,
+        encode_bpe,
+    )
+
+    docs = load_table(spark, sf_correct, "documents").select("doc_id", "text")
+    merges = train_bpe(docs, n_merges=40, min_count=2)
+    chars = corpus_charset(docs)
+    vocab = bpe_vocab(merges, chars)
+    # layout: base chars sorted, then EOW, then merged symbols in merge order
+    assert vocab[EOW] == len(set(chars))
+    assert list(vocab.values()) == list(range(len(vocab)))
+
+    probe = docs.limit(50)
+    ids = {r["doc_id"]: r["input_ids"] for r in encode_bpe(probe, merges, vocab).collect()}
+    toks = {r["doc_id"]: r["bpe_tokens"] for r in apply_bpe(probe, merges).collect()}
+    inv = {i: s for s, i in vocab.items()}
+    for d in ids:
+        assert [inv[i] for i in ids[d]] == toks[d]  # ids <-> symbols exactly
+
+    # a character unseen at training time -> OOV id everywhere it appears
+    oov_df = spark.createDataFrame([(1, "héllo")], "doc_id int, text string")
+    got = encode_bpe(oov_df, merges, vocab).collect()[0]["input_ids"]
+    assert len(vocab) in got  # é's symbol can't be in vocab
