@@ -35,6 +35,7 @@ alongside `plans/text_queries.build_vocab` (word-level ids).
 
 from __future__ import annotations
 
+import re
 from typing import Iterator
 
 from pyspark.sql import DataFrame
@@ -43,6 +44,17 @@ from pyspark.sql import functions as F
 from photo_vector_search_spark.functions.text import tokens
 
 EOW = "</w>"  # end-of-word marker: keeps word-final merges distinct
+
+# Python mirror of the Spark-side `tokens()` split: Java's \s is the ASCII
+# class [ \t\n\x0B\f\r] — Python's str.split() additionally splits Unicode
+# whitespace (NBSP etc.), which would segment some documents differently at
+# APPLY time than the TRAINING pass counted them, breaking the
+# apply==training self-consistency contract.
+_JAVA_WS = re.compile("[ \t\n\x0b\f\r]+")
+
+
+def _py_words(text: str) -> list[str]:
+    return [w for w in _JAVA_WS.split(text.lower()) if w]
 
 
 def bpe_word_counts(docs: DataFrame, text_col: str = "text", min_count: int = 1) -> DataFrame:
@@ -213,7 +225,7 @@ def apply_bpe(
             if text is None:
                 return None
             out: list[str] = []
-            for w in text.strip().lower().split():
+            for w in _py_words(text):
                 out.extend(_segment_word(w, ranks, cache))
             return out
 
@@ -298,7 +310,7 @@ def encode_bpe(
             if text is None:
                 return None
             out: list[int] = []
-            for w in text.strip().lower().split():
+            for w in _py_words(text):
                 out.extend(voc.get(s, oov) for s in _segment_word(w, ranks, cache))
             return out
 

@@ -45,6 +45,11 @@ def repeated_ngram_spans(
     seen ≥ min_dup times corpus-wide. ``pos`` is the 0-based token index of
     the window start. The keeper (global min (doc_id, pos) per gram) is
     excluded — it survives removal."""
+    spans, _keepers = _spans_and_keepers(docs, n, min_dup, text_col)
+    return spans
+
+
+def _spans_and_keepers(docs: DataFrame, n: int, min_dup: int, text_col: str):
     toked = docs.select(
         "doc_id", F.array_remove(tokens(F.col(text_col)), "").alias("toks")
     )
@@ -57,8 +62,12 @@ def repeated_ngram_spans(
                     F.sequence(F.lit(0), F.size("toks") - n),
                     lambda i: F.struct(
                         i.alias("pos"),
+                        # single-space join is boundary-exact: tokens are
+                        # whitespace-split and can never contain a space
+                        # (any other separator byte could appear INSIDE a
+                        # token and collide shifted boundaries)
                         F.md5(
-                            F.concat_ws("", F.slice(F.col("toks"), i + 1, n))
+                            F.concat_ws(" ", F.slice(F.col("toks"), i + 1, n))
                         ).alias("h"),
                     ),
                 ),
@@ -73,7 +82,7 @@ def repeated_ngram_spans(
         )
         .filter(F.col("n_occ") >= min_dup)
     )
-    return (
+    spans = (
         grams.join(hot, "h")  # keyed equi-join: hot set is never driver-sized
         .filter(
             ~(
@@ -83,6 +92,10 @@ def repeated_ngram_spans(
         )
         .select("doc_id", "pos", F.col("h").alias("gram_hash"))
     )
+    keepers = hot.select(
+        F.col("keeper.doc_id").alias("doc_id"), F.col("keeper.pos").alias("pos")
+    )
+    return spans, keepers
 
 
 def remove_repeated_ngrams(
@@ -94,16 +107,31 @@ def remove_repeated_ngrams(
     ``n_removed_tokens``; all input columns pass through. NULL text stays
     NULL; docs shorter than ``n`` tokens pass through unchanged.
 
+    KEEPER-SPAN PROTECTION: in a self-overlapping repeat (a run of
+    identical tokens, '- - - -' chrome), the non-keeper windows' intervals
+    overlap the keeper window itself; a token covered by a KEEPER interval
+    therefore always survives, so the canonical occurrence is preserved
+    verbatim even inside runs (the price: a non-keeper span that overlaps a
+    keeper span in the same doc keeps the overlapping tokens).
+
     Plan shape: one gram explode + one groupBy(gram) + one keyed join +
-    one groupBy(doc_id) collecting that doc's hot starts (bounded by the
-    doc's own length) + an index-lambda filter — no UDF, no broadcast of
-    anything corpus-sized, nothing driver-side."""
-    spans = repeated_ngram_spans(docs, n=n, min_dup=min_dup, text_col=text_col)
+    two groupBy(doc_id) collects of that doc's hot/keeper starts (bounded
+    by the doc's own length) + an index-lambda filter — no UDF, no
+    broadcast of anything corpus-sized, nothing driver-side."""
+    spans, keepers = _spans_and_keepers(docs, n, min_dup, text_col)
     doc_spans = spans.groupBy("doc_id").agg(
         F.collect_list("pos").alias("_hot_starts")
     )
+    doc_keeps = keepers.groupBy("doc_id").agg(
+        F.collect_list("pos").alias("_keep_starts")
+    )
     out = (
         docs.join(doc_spans, "doc_id", "left")
+        .join(doc_keeps, "doc_id", "left")
+        .withColumn(
+            "_keep_starts",
+            F.coalesce(F.col("_keep_starts"), F.array().cast("array<int>")),
+        )
         .withColumn("_toks", F.array_remove(tokens(F.col(text_col)), ""))
         .withColumn(
             "_kept",
@@ -115,6 +143,10 @@ def remove_repeated_ngrams(
                     lambda _x, j: ~F.exists(
                         F.col("_hot_starts"),
                         lambda p: (p <= j) & (j <= p + (n - 1)),
+                    )
+                    | F.exists(
+                        F.col("_keep_starts"),
+                        lambda q: (q <= j) & (j <= q + (n - 1)),
                     ),
                 )
             ),
@@ -134,6 +166,6 @@ def remove_repeated_ngrams(
                 F.size("_toks") - F.size("_kept")
             ),
         )
-        .drop("_hot_starts", "_toks", "_kept")
+        .drop("_hot_starts", "_keep_starts", "_toks", "_kept")
     )
     return out

@@ -169,3 +169,17 @@ def test_encode_ids_round_trip_and_oov(spark, sf_correct):
     oov_df = spark.createDataFrame([(1, "héllo")], "doc_id int, text string")
     got = encode_bpe(oov_df, merges, vocab).collect()[0]["input_ids"]
     assert len(vocab) in got  # é's symbol can't be in vocab
+
+
+def test_nbsp_segmentation_matches_training(spark):
+    """Java's \\s (Spark tokens()) does NOT split a non-breaking space;
+    Python's str.split() does. apply/encode must mirror the TRAINING
+    tokenization or NBSP docs segment differently at apply time."""
+    df = spark.createDataFrame([(1, "foo bar foo bar")], "doc_id int, text string")
+    wc = {r["word"]: r["n"] for r in bpe_word_counts(df).collect()}
+    assert wc == {"foo bar": 2}  # one NBSP-joined word, per Java \s
+    toks = apply_bpe(df, merges=[]).collect()[0]["bpe_tokens"]
+    # unmerged segmentation = chars + EOW per WORD: 2 words of 7 chars, not
+    # the 4 words Python whitespace-splitting would produce
+    assert len(toks) == 2 * (7 + 1)
+    assert "".join(toks).count(EOW) == 2

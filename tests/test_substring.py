@@ -28,20 +28,26 @@ def _py_remove(texts: dict[int, str | None], n: int, min_dup: int):
             continue
         for p in range(len(tt) - n + 1):
             occ[tuple(tt[p : p + n])].append((d, p))
-    drop = defaultdict(set)  # doc -> token indexes to remove
+    drop = defaultdict(set)  # doc -> token indexes covered by non-keeper spans
+    keep = defaultdict(set)  # doc -> token indexes covered by KEEPER spans
     for gram, places in occ.items():
         if len(places) < min_dup:
             continue
-        keeper = min(places)
+        kd, kp = min(places)
+        keep[kd].update(range(kp, kp + n))
         for d, p in places:
-            if (d, p) != keeper:
+            if (d, p) != (kd, kp):
                 drop[d].update(range(p, p + n))
     out = {}
     for d, tt in toks.items():
         if tt is None:
             out[d] = (None, None)
         else:
-            kept = [w for j, w in enumerate(tt) if j not in drop[d]]
+            kept = [
+                w
+                for j, w in enumerate(tt)
+                if j not in drop[d] or j in keep[d]  # keeper coverage wins
+            ]
             out[d] = (" ".join(kept), len(tt) - len(kept))
     return out
 
@@ -118,3 +124,38 @@ def test_spans_exclude_keeper_and_count_occurrences(spark):
     got = {(r["doc_id"], r["pos"]) for r in spans}
     # "a b c" occurs at (1,0) keeper, (2,0), (3,1): keeper excluded
     assert got == {(2, 0), (3, 1)}
+
+
+def test_boundary_shifted_tokens_do_not_collide(spark):
+    """["ab","c",...] vs ["a","bc",...]: a separator-less gram join would
+    hash these identically and falsely dedup; the space join must not."""
+    df = spark.createDataFrame(
+        [(1, "ab c d e f"), (2, "a bc d e f")], "doc_id int, text string"
+    )
+    got = {
+        r["doc_id"]: (r["text_deduped"], r["n_removed_tokens"])
+        for r in remove_repeated_ngrams(df, n=5, min_dup=2).collect()
+    }
+    assert got == {1: ("ab c d e f", 0), 2: ("a bc d e f", 0)}
+
+
+def test_identical_token_run_preserves_keeper_span(spark):
+    """Self-overlapping repeat: every window of a 20-token run shares one
+    hash; the non-keeper windows overlap the keeper window, which must
+    still survive verbatim (keeper-span protection)."""
+    run = " ".join(["tok"] * 20)
+    df = spark.createDataFrame(
+        [(1, run), (2, run)], "doc_id int, text string"
+    )
+    got = {
+        r["doc_id"]: (r["text_deduped"], r["n_removed_tokens"])
+        for r in remove_repeated_ngrams(df, n=10, min_dup=2).collect()
+    }
+    # doc 1 holds the keeper window [0,9]: those 10 tokens survive, the
+    # rest of the run (covered only by non-keeper windows) is removed;
+    # doc 2 is entirely non-keeper and vanishes
+    assert got[1] == (" ".join(["tok"] * 10), 10)
+    assert got[2] == ("", 20)
+    # and the generic Python reference agrees
+    want = _py_remove({1: run, 2: run}, n=10, min_dup=2)
+    assert {d: got[d] for d in got} == want
