@@ -59,6 +59,16 @@ def connected_components(
     checkpoint dir as a side effect (Spark has one per SparkContext).
     Identical labels either way (asserted in tests).
 
+    Checkpoint-file lifecycle: reliable checkpoints are DURABLE BY DESIGN —
+    Spark does not delete them unless the context was started with
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (a
+    construction-time conf this library cannot set for you), so each
+    checkpointed round leaves a labels snapshot in ``checkpoint_dir``. Pass
+    a RUN-SCOPED directory and delete it after materializing the result
+    (write the returned labels out first — deleting while the returned
+    DataFrame is still lazy severs its lineage). Auto-deletion here would
+    be unsafe: the dir is SparkContext-global and may be shared.
+
     Raises if ``max_iters`` rounds don't converge (with pointer jumping that
     means a component chain longer than ~2^max_iters — not a real corpus)."""
     if checkpoint_dir is not None:

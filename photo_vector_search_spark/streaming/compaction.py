@@ -178,6 +178,17 @@ def compact_dedup_state(
         raise ValueError(f"kind must be 'lsh' or 'srp', got {kind!r}")
     mani = load_manifest(state_path)
     already: set[int] = set(mani["compacted"]) if mani else set()
+    # sweep orphaned bases: a crash in a previous compaction's
+    # write→commit→cleanup window can leave a _base_<id> dir the manifest
+    # never names (written-but-uncommitted) or no longer names
+    # (committed-over-but-undeleted). Readers only ever follow the manifest,
+    # so anything else is inert garbage — and this is the one safe moment to
+    # reap it (the caller contract: the stream is stopped).
+    live_base = f"_base_{mani['base_id']}" if mani else None
+    if os.path.isdir(state_path):
+        for name in os.listdir(state_path):
+            if name.startswith("_base_") and name != live_base:
+                shutil.rmtree(os.path.join(state_path, name), ignore_errors=True)
     # eligible = batches present in EVERY family (a partially-written crash
     # attempt is missing its later families and must stay a delta so replay
     # rewrites it)
@@ -187,17 +198,36 @@ def compact_dedup_state(
         # the newest id across ALL families, committed or not, stays a delta
         newest = max(set.union(*per_family))
         eligible.discard(newest)
-    if kind == "lsh":
-        # compaction requires the r6 registry format: every bands batch must
-        # have a docs partition, or re-delivered legacy docs would be
-        # re-added once their band partitions are folded away
-        bands_all = set(_batch_dirs(os.path.join(state_path, "bands")))
-        docs_all = set(_batch_dirs(os.path.join(state_path, "docs")))
-        if not bands_all <= docs_all | already:
+    # compaction requires the r6 registry format (the index family's every
+    # batch has a registry partition WITH fingerprints), or re-delivered
+    # legacy docs would be re-added once their index partitions are folded
+    # away. Only batches actually being compacted are checked: a crashed
+    # FINAL attempt legitimately has the index family without the
+    # (later-written) registry partition, and keep_latest already excludes
+    # it — it must not be misdiagnosed as legacy state.
+    index_fam, reg_fam = ("bands", "docs") if kind == "lsh" else ("buckets", "vectors")
+    reg_dirs = _batch_dirs(os.path.join(state_path, reg_fam))
+    index_all = set(_batch_dirs(os.path.join(state_path, index_fam))) - already
+    if keep_latest and any(per_family):
+        # the kept-latest newest id may be a crashed final attempt whose
+        # registry partition was never written — excused, never "legacy"
+        index_all.discard(max(set.union(*per_family)))
+    if not index_all <= set(reg_dirs):
+        raise ValueError(
+            f"compact_dedup_state: legacy state ({index_fam} batches without a "
+            f"{reg_fam} registry partition) cannot be compacted — re-run the "
+            "batch operator to rebuild, or keep streaming uncompacted"
+        )
+    for b in sorted(eligible & set(reg_dirs)):
+        # pre-fingerprint registry partitions (no `fp` column) must stay
+        # deltas: folding them would build a base whose schema diverges from
+        # later deltas (unionByName failure) or silently drop the
+        # changed-content detection for those ids
+        if "fp" not in spark.read.parquet(reg_dirs[b]).columns:
             raise ValueError(
-                "compact_dedup_state: legacy state (bands batches without a "
-                "docs registry partition) cannot be compacted — re-run the "
-                "batch operator to rebuild, or keep streaming uncompacted"
+                f"compact_dedup_state: legacy {reg_fam} partition "
+                f"batch_id={b} has no fingerprint column — rebuild the "
+                "state with the current stream before compacting"
             )
     if not eligible:
         return {"compacted": sorted(already), "base_id": mani["base_id"] if mani else None, "families": list(families)}

@@ -71,6 +71,30 @@ def _touched_pfx(df, family: str, mani: dict | None) -> list[int] | None:
     ]
 
 
+def _raise_on_in_batch_clash(fped, id_col: str) -> None:
+    """Fail loudly when one micro-batch delivers the same id with DIFFERENT
+    content (``_fp`` must already be attached). One batch-sized agg job —
+    the in-batch twin of the cross-batch fingerprint-registry clash check;
+    without it ``dropDuplicates`` would pick a nondeterministic winner."""
+    from pyspark.sql import functions as F
+
+    clash = (
+        fped.groupBy(id_col)
+        .agg(F.count_distinct(F.col("_fp")).alias("_nfp"))
+        .filter(F.col("_nfp") > 1)
+        .limit(5)
+        .collect()
+    )
+    if clash:
+        ids = [r[id_col] for r in clash]
+        raise ValueError(
+            f"incremental dedup stream: {id_col}(s) {ids} appear in ONE "
+            "micro-batch with DIFFERENT content — the stream is append-only "
+            "and cannot pick a winner deterministically; dedupe upstream or "
+            "assign new ids"
+        )
+
+
 def incremental_index(
     spark: SparkSession,
     input_dir: str,
@@ -304,9 +328,15 @@ def incremental_lsh_dedup(
 
         spark_b = batch_df.sparkSession
         mani = load_manifest(state_path)
-        new_docs = batch_df.dropDuplicates(["doc_id"]).withColumn(
+        fped = batch_df.withColumn(
             "_fp", F.md5(F.coalesce(F.col("text"), F.lit("")))
         )
+        # the cross-batch clash check (below) has an in-batch twin: the same
+        # id delivered twice in ONE micro-batch with different content must
+        # raise too, or dropDuplicates would nondeterministically pick a
+        # winner and commit it as the doc's permanent state
+        _raise_on_in_batch_clash(fped, "doc_id")
+        new_docs = fped.dropDuplicates(["doc_id"])
         # the registry covers every indexed doc iff each committed bands batch
         # also committed a docs partition (directory names, no file scan;
         # compacted batches are removed from BOTH sets together and compaction
@@ -487,8 +517,9 @@ def read_dedup_pairs(spark: SparkSession, state_path: str) -> DataFrame:
 
 def read_srp_pairs(spark: SparkSession, state_path: str) -> DataFrame:
     """The accumulated near-dup pairs found by ``incremental_srp_dedup`` —
-    the vector twin of ``read_dedup_pairs``."""
-    return spark.read.parquet(f"{state_path}/pairs").drop("batch_id")
+    the vector twin of ``read_dedup_pairs`` (same pairs-state layout, so it
+    delegates: one place to change if the layout ever does)."""
+    return read_dedup_pairs(spark, state_path)
 
 
 def incremental_srp_dedup(
@@ -564,12 +595,12 @@ def incremental_srp_dedup(
 
     def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark_b = batch_df.sparkSession
-        new_vecs = (
-            batch_df.select("vec_id", "embedding")
-            .dropDuplicates(["vec_id"])
-            .withColumn("_fp", F.md5(F.to_json(F.col("embedding"))))
-            .persist()  # dim agg + bucketing + verify + write all reuse it
+        fped = batch_df.select("vec_id", "embedding").withColumn(
+            "_fp", F.md5(F.to_json(F.col("embedding")))
         )
+        _raise_on_in_batch_clash(fped, "vec_id")
+        new_vecs = fped.dropDuplicates(["vec_id"]).persist()
+        # dim agg + bucketing + verify + write all reuse the persisted batch
         try:
             _srp_batch(spark_b, new_vecs, batch_id)
         finally:

@@ -256,3 +256,96 @@ def test_compaction_refuses_legacy_state(spark, sf_dir):
             compact_dedup_state(spark, state, "lsh", keep_latest=False)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_crashed_final_attempt_is_not_misdiagnosed_as_legacy(spark, sf_dir):
+    """A crash between the bands and docs writes of the FINAL batch leaves
+    bands/batch_id=K without docs/batch_id=K. keep_latest=True exists
+    exactly for that attempt — the legacy check must excuse it and compact
+    the committed prefix."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(120)
+    tmp = tempfile.mkdtemp(prefix="pvs_compact_crashfinal_")
+    in_dir, state, ckpt = f"{tmp}/in", f"{tmp}/state", f"{tmp}/ckpt"
+    try:
+        _drain_lsh(spark, docs.filter(F.col("doc_id") % 2 == 0), in_dir, state, ckpt)
+        _drain_lsh(spark, docs.filter(F.col("doc_id") % 2 == 1), in_dir, state, ckpt)
+        shutil.rmtree(f"{state}/docs/batch_id=1")  # simulate the crash window
+        summary = compact_dedup_state(spark, state, "lsh", n_prefixes=8)
+        assert summary["compacted"] == [0]
+    finally:
+        for s in spark.streams.active:
+            s.stop()
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_srp_compaction_refuses_pre_fingerprint_state(spark, sf_dir):
+    """Legacy SRP vectors state (no fp column) must be refused: folding it
+    would build a base whose schema diverges from later deltas."""
+    import pytest
+
+    from photo_vector_search_spark.operators.dedup import srp_bucket_rows, srp_planes
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").limit(50)
+    tmp = tempfile.mkdtemp(prefix="pvs_compact_srplegacy_")
+    state = f"{tmp}/state"
+    try:
+        dim = len(emb.first()["embedding"])
+        planes = spark.sparkContext.broadcast(
+            __import__(
+                "photo_vector_search_spark.operators.dedup", fromlist=["srp_planes"]
+            ).srp_planes(dim, n_planes=6, n_tables=4, seed=42)
+        )
+        srp_bucket_rows(emb, planes).write.mode("overwrite").parquet(
+            f"{state}/buckets/batch_id=0"
+        )
+        emb.write.mode("overwrite").parquet(f"{state}/vectors/batch_id=0")  # no fp
+        with pytest.raises(ValueError, match="fingerprint"):
+            compact_dedup_state(spark, state, "srp", keep_latest=False)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_orphaned_base_dirs_are_swept(spark, sf_dir):
+    """_base_ dirs not named by the manifest (crash leftovers in the
+    write->commit->cleanup window) are reaped at the next compaction."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(100)
+    tmp = tempfile.mkdtemp(prefix="pvs_compact_orphan_")
+    in_dir, state, ckpt = f"{tmp}/in", f"{tmp}/state", f"{tmp}/ckpt"
+    try:
+        _drain_lsh(spark, docs.filter(F.col("doc_id") % 2 == 0), in_dir, state, ckpt)
+        orphan = os.path.join(state, "_base_deadbeef0000")
+        os.makedirs(os.path.join(orphan, "bands"))
+        summary = compact_dedup_state(spark, state, "lsh", keep_latest=False)
+        assert not os.path.exists(orphan)
+        assert os.path.isdir(base_dir(state, summary["base_id"], "bands"))
+        # the LIVE base survives the next sweep
+        _drain_lsh(spark, docs.filter(F.col("doc_id") % 2 == 1), in_dir, state, ckpt)
+        compact_dedup_state(spark, state, "lsh", keep_latest=False)
+        assert load_manifest(state)["compacted"] == [0, 1]
+    finally:
+        for s in spark.streams.active:
+            s.stop()
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_in_batch_conflicting_content_raises(spark):
+    """The same doc_id twice in ONE micro-batch with different text must
+    raise (the in-batch twin of the fingerprint-registry clash) instead of
+    letting dropDuplicates pick a nondeterministic winner."""
+    import pytest
+
+    tmp = tempfile.mkdtemp(prefix="pvs_inbatch_clash_")
+    in_dir, state, ckpt = f"{tmp}/in", f"{tmp}/state", f"{tmp}/ckpt"
+    try:
+        spark.createDataFrame(
+            [(1, "version one"), (1, "version two"), (2, "fine")],
+            "doc_id long, text string",
+        ).write.mode("append").parquet(in_dir)
+        q = incremental_lsh_dedup(spark, in_dir, state, ckpt, n=3, tau=0.5)
+        with pytest.raises(Exception, match="DIFFERENT content"):
+            q.awaitTermination(600)
+            raise AssertionError("in-batch clash not detected")
+    finally:
+        for s in spark.streams.active:
+            s.stop()
+        shutil.rmtree(tmp, ignore_errors=True)
