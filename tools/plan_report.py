@@ -126,11 +126,34 @@ def _extra_substring_dedup(spark, sf_dir):
     )
 
 
+def _extra_quality_score(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from photo_vector_search_spark.pipelines.quality import (
+        score_quality,
+        train_quality_classifier,
+    )
+    from photo_vector_search_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    model = train_quality_classifier(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1).withColumn(
+            "text",
+            F.translate(
+                F.col("text"), "abcdefghijklmnopqrstuvwxyz", "zyxwvutsrqponmlkjihgfedcba"
+            ),
+        ),
+    )
+    return score_quality(docs, model)
+
+
 EXTRA_OPS = {
     "ivf_near_dup_pairs": _extra_ivf_near_dup,
     "shuffle_corpus": _extra_shuffle_corpus,
     "redact_pii": _extra_redact,
     "remove_repeated_ngrams": _extra_substring_dedup,
+    "score_quality": _extra_quality_score,
 }
 
 # Plan-reader context the tree alone can't show.
@@ -180,6 +203,12 @@ NOTES = {
         "NOTE: library operator. Zero exchanges by construction — the entire "
         "redaction+audit pass is one codegen'd Project over the scan; at any "
         "scale this pipelines into whatever reads follow."
+    ),
+    "score_quality": (
+        "NOTE: library operator (r6, learned quality filter). Scoring is "
+        "map-only — HashingTF + the LR dot product pipeline into the scan "
+        "with zero exchanges; the broadcast is the coefficient vector. "
+        "Training (not shown) is MLlib's treeAggregate L-BFGS."
     ),
     "remove_repeated_ngrams": (
         "NOTE: library operator (r6, exact substring dedup at n-gram "
