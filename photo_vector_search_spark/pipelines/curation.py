@@ -50,6 +50,9 @@ def curate_corpus(
     near_dedup: str = "greedy",
     quality_gate: bool = True,
     substring_ngram: int | None = None,
+    quality_model=None,
+    pareto_alpha: float = 9.0,
+    quality_seed: int = 0,
 ) -> tuple[DataFrame, dict[str, int]]:
     """Run the full curation pipeline over ``docs`` (doc_id, text, ...).
 
@@ -77,6 +80,16 @@ def curate_corpus(
     downstream stages at full synthetic volume — the synthesized sf1 copies
     are substitution-ciphered and the English-statistics gate (correctly)
     rejects them, which would otherwise hide downstream scaling.
+
+    ``quality_model`` (opt-in, r6) runs the LEARNED quality tier right
+    after the rule gate: ``pipelines/quality.score_quality`` with the given
+    fitted model, then the GPT-3 Pareto keep rule (``pareto_alpha``,
+    ``quality_seed``) — filtering early cuts every downstream stage's
+    volume. Train the model once with
+    ``quality.train_quality_classifier(seed_corpus, raw_crawl)`` and reuse
+    it across runs; the survivor set is deterministic (md5-uniform keep
+    rule). The transient ``quality_score`` column is dropped after the
+    stage.
 
     ``substring_ngram=N`` (opt-in, r6) appends exact repeated-span removal
     (``operators/substring.remove_repeated_ngrams`` at n-gram length N)
@@ -122,6 +135,19 @@ def curate_corpus(
         # skip the Gopher rules; every later stage is gate-agnostic
         gated = clean
     _stat("after_quality_gate", gated)
+
+    if quality_model is not None:
+        from photo_vector_search_spark.pipelines.quality import (
+            pareto_keep,
+            score_quality,
+        )
+
+        gated = pareto_keep(
+            score_quality(gated, quality_model),
+            alpha=pareto_alpha,
+            seed=quality_seed,
+        ).drop("quality_score")
+        _stat("after_learned_quality", gated)
 
     fp = exact_dedup(gated)
     exact_survivors = fp.filter(F.col("doc_id") == F.col("canonical_id")).select(

@@ -168,3 +168,52 @@ def test_curate_corpus_substring_stage(spark, sf_dir):
 
     poss = sorted(r["pos"] for r in cur.select("pos").collect())
     assert poss == list(range(len(got)))
+
+
+def test_curate_corpus_learned_quality_stage(spark, sf_dir):
+    """quality_model=... inserts score+Pareto-keep after the rule gate:
+    survivors are a deterministic subset, the stage count is recorded, the
+    transient score column is dropped, and the downstream stages run on the
+    reduced corpus."""
+    from pyspark.sql import functions as F
+
+    from photo_vector_search_spark.pipelines.quality import train_quality_classifier
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    model = train_quality_classifier(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1).withColumn(
+            "text",
+            F.translate(
+                F.col("text"), "abcdefghijklmnopqrstuvwxyz", "zyxwvutsrqponmlkjihgfedcba"
+            ),
+        ),
+    )
+    # a corpus whose last third is ciphered junk; quality_gate=False so the
+    # LEARNED stage is the only quality filter in the run (the rule gate
+    # would otherwise already reject the ciphered docs and the learned
+    # stage would correctly drop ~nothing)
+    n = docs.count()
+    mixed = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 2,
+            F.translate(
+                F.col("text"), "abcdefghijklmnopqrstuvwxyz", "zyxwvutsrqponmlkjihgfedcba"
+            ),
+        ).otherwise(F.col("text")),
+    )
+    cur, s = curate_corpus(mixed, quality_model=model, quality_gate=False)
+    assert 0 < s["after_learned_quality"] < s["after_quality_gate"] == n
+    # the ciphered third is (almost) gone, the clean docs mostly survive
+    kept = {r["doc_id"] for r in cur.select("doc_id").collect()}
+    junk_kept = sum(1 for d in kept if d % 3 == 2)
+    assert junk_kept < n / 3 * 0.05
+    assert s["after_learned_quality"] > n * 0.4
+    assert "quality_score" not in cur.columns
+
+    # deterministic: same model + seed under different partitioning
+    cur2, s2 = curate_corpus(mixed.repartition(17), quality_model=model, quality_gate=False)
+    assert s2["after_learned_quality"] == s["after_learned_quality"]
+    b = {r["doc_id"] for r in cur2.select("doc_id").collect()}
+    assert kept == b
