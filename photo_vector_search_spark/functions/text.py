@@ -51,6 +51,20 @@ def hash32(s: Column) -> Column:
     return F.conv(F.substring(F.md5(s.cast("binary")), 1, 8), 16, 10).cast("long")
 
 
+def md5_uniform(seed: int, key: Column) -> Column:
+    """Seeded uniform draw in (0, 1]: first 12 hex chars of
+    ``md5(seed || '-' || key)`` scaled by 16^12 (shifted by 1 so 0 is
+    excluded — safe under log/pow transforms). The engine-portable,
+    PARTITIONING-INVARIANT replacement for seeded ``rand()`` (whose streams
+    are per-partition-seeded, so a repartition changes every draw) — the
+    same hashing discipline as ``hash32`` and the shuffle/sample buckets,
+    widened to 48 bits for use as a probability."""
+    h = F.md5(F.concat_ws("-", F.lit(str(seed)), key.cast("string")))
+    return (
+        F.conv(F.substring(h, 1, 12), 16, 10).cast("double") + F.lit(1.0)
+    ) / F.lit(float(16**12))
+
+
 def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 

@@ -45,9 +45,14 @@ def train_quality_classifier(
     ``pyspark.ml.PipelineModel`` (persistable with ``.save(path)`` /
     ``PipelineModel.load``).
 
-    Deterministic end-to-end: hashed term counts involve no vocabulary or
-    sampling, and L-BFGS on a fixed objective converges identically under
-    any partitioning (asserted in tests)."""
+    Reproducibility: no stage samples (hashing is stateless, L-BFGS
+    optimizes a fixed objective), so retraining on the same data converges
+    to the same optimum — but the gradient treeAggregate sums floats in
+    partition order, so models trained under DIFFERENT partitionings can
+    differ in low-order bits (scores agree to ~1e-6 in tests, not
+    bit-exactly). Train once and PERSIST the model (``model.save``) when the
+    survivor set must be byte-stable across runs; ``pareto_keep`` itself is
+    exactly deterministic given a model."""
     from pyspark.ml import Pipeline
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import HashingTF
@@ -111,20 +116,8 @@ def pareto_keep(
     ``(seed, key_col)`` (deterministic under any partitioning — seeded
     ``rand()`` is per-partition-seeded and is NOT), so the survivor set is
     reproducible and re-runnable."""
-    # u ∈ (0,1]: 12 hex chars → uniform over [0, 16^12), shift by 1 to avoid 0
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws("-", F.lit(str(seed)), F.col(key_col).cast("string"))
-                ),
-                1,
-                12,
-            ),
-            16,
-            10,
-        ).cast("double")
-        + F.lit(1.0)
-    ) / F.lit(float(16**12))
+    from photo_vector_search_spark.functions.text import md5_uniform
+
+    u = md5_uniform(seed, F.col(key_col))
     pareto = F.pow(u, F.lit(-1.0 / alpha)) - F.lit(1.0)
     return docs.filter(F.col(score_col) > F.lit(1.0) - pareto)

@@ -198,36 +198,41 @@ def compact_dedup_state(
         # the newest id across ALL families, committed or not, stays a delta
         newest = max(set.union(*per_family))
         eligible.discard(newest)
-    # compaction requires the r6 registry format (the index family's every
-    # batch has a registry partition WITH fingerprints), or re-delivered
-    # legacy docs would be re-added once their index partitions are folded
-    # away. Only batches actually being compacted are checked: a crashed
-    # FINAL attempt legitimately has the index family without the
-    # (later-written) registry partition, and keep_latest already excludes
-    # it — it must not be misdiagnosed as legacy state.
+    # Legacy-format guard. Pure pre-registry state (the index family has
+    # batches but the registry family has NONE, and no compacted base that
+    # could hold registry rows) is refused loudly: nothing here is safely
+    # foldable and the caller should rebuild. Anything less than pure —
+    # a crashed attempt's index-without-registry batch, mixed legacy+r6
+    # deltas — is handled by `eligible` itself: a batch missing ANY family
+    # is simply not in the intersection, stays a delta, and the stream's
+    # covered/fallback logic keeps treating it correctly.
     index_fam, reg_fam = ("bands", "docs") if kind == "lsh" else ("buckets", "vectors")
     reg_dirs = _batch_dirs(os.path.join(state_path, reg_fam))
     index_all = set(_batch_dirs(os.path.join(state_path, index_fam))) - already
-    if keep_latest and any(per_family):
-        # the kept-latest newest id may be a crashed final attempt whose
-        # registry partition was never written — excused, never "legacy"
-        index_all.discard(max(set.union(*per_family)))
-    if not index_all <= set(reg_dirs):
+    if index_all and not reg_dirs and not already:
         raise ValueError(
-            f"compact_dedup_state: legacy state ({index_fam} batches without a "
-            f"{reg_fam} registry partition) cannot be compacted — re-run the "
-            "batch operator to rebuild, or keep streaming uncompacted"
+            f"compact_dedup_state: legacy state ({index_fam} batches without "
+            f"any {reg_fam} registry partition) cannot be compacted — re-run "
+            "the batch operator to rebuild, or keep streaming uncompacted"
         )
-    for b in sorted(eligible & set(reg_dirs)):
+    fold_reg = [reg_dirs[b] for b in sorted(eligible) if b in reg_dirs]
+    if fold_reg:
         # pre-fingerprint registry partitions (no `fp` column) must stay
         # deltas: folding them would build a base whose schema diverges from
         # later deltas (unionByName failure) or silently drop the
-        # changed-content detection for those ids
-        if "fp" not in spark.read.parquet(reg_dirs[b]).columns:
+        # changed-content detection for those ids. One merged-schema read +
+        # one limit-1 job over exactly the partitions being folded — not a
+        # per-directory driver round-trip (O(deltas) serial reads).
+        merged = spark.read.option("mergeSchema", "true").parquet(*fold_reg)
+        legacy = (
+            "fp" not in merged.columns
+            or merged.filter(F.col("fp").isNull()).limit(1).count() > 0
+        )
+        if legacy:
             raise ValueError(
-                f"compact_dedup_state: legacy {reg_fam} partition "
-                f"batch_id={b} has no fingerprint column — rebuild the "
-                "state with the current stream before compacting"
+                f"compact_dedup_state: legacy {reg_fam} partition(s) without "
+                "fingerprints among the batches to fold — rebuild the state "
+                "with the current stream before compacting"
             )
     if not eligible:
         return {"compacted": sorted(already), "base_id": mani["base_id"] if mani else None, "families": list(families)}

@@ -595,8 +595,18 @@ def incremental_srp_dedup(
 
     def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark_b = batch_df.sparkSession
-        fped = batch_df.select("vec_id", "embedding").withColumn(
-            "_fp", F.md5(F.to_json(F.col("embedding")))
+        fped = (
+            batch_df.select("vec_id", "embedding")
+            .withColumn(
+                # coalesce: to_json(NULL) is NULL and count_distinct skips
+                # NULLs — without a sentinel a NULL-embedding row could clash
+                # with a real one invisibly (and the registry fp would be
+                # NULL, disabling the cross-batch check for that id too)
+                "_fp",
+                F.md5(F.coalesce(F.to_json(F.col("embedding")), F.lit("null"))),
+            )
+            .persist()  # the clash-check job materializes this, so the md5
+            # pass runs once; new_vecs below reads the cache
         )
         _raise_on_in_batch_clash(fped, "vec_id")
         new_vecs = fped.dropDuplicates(["vec_id"]).persist()
@@ -605,6 +615,7 @@ def incremental_srp_dedup(
             _srp_batch(spark_b, new_vecs, batch_id)
         finally:
             new_vecs.unpersist(blocking=True)
+            fped.unpersist(blocking=True)
 
     def _srp_batch(spark_b, new_vecs: DataFrame, batch_id: int) -> None:
         from photo_vector_search_spark.streaming.compaction import (

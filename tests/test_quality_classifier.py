@@ -45,13 +45,21 @@ def test_separates_seed_from_crawl_with_holdout(spark, sf_correct):
 
 
 def test_training_and_scoring_deterministic(spark, sf_correct):
+    """Same data, different partitionings: the gradient treeAggregate sums
+    floats in partition order, so coefficients may differ in low-order bits
+    — scores must agree closely (1e-6) but bit-exactness is NOT the
+    contract (the docstring prescribes persisting the model for that)."""
     _, pos, neg = _split(spark, sf_correct)
     m1 = train_quality_classifier(pos.repartition(7), neg.repartition(3))
     m2 = train_quality_classifier(pos.coalesce(1), neg.coalesce(1))
     probe = pos.limit(40)
-    s1 = {r["doc_id"]: round(r["quality_score"], 9) for r in score_quality(probe, m1).collect()}
-    s2 = {r["doc_id"]: round(r["quality_score"], 9) for r in score_quality(probe, m2).collect()}
-    assert s1 == s2
+    s1 = {r["doc_id"]: r["quality_score"] for r in score_quality(probe, m1).collect()}
+    s2 = {r["doc_id"]: r["quality_score"] for r in score_quality(probe, m2).collect()}
+    assert set(s1) == set(s2)
+    assert all(abs(s1[d] - s2[d]) < 1e-6 for d in s1)
+    # scoring the SAME model twice IS exact
+    s1b = {r["doc_id"]: r["quality_score"] for r in score_quality(probe, m1).collect()}
+    assert s1 == s1b
 
 
 def test_score_passthrough_and_null_empty(spark, sf_correct):

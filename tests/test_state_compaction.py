@@ -349,3 +349,26 @@ def test_in_batch_conflicting_content_raises(spark):
         for s in spark.streams.active:
             s.stop()
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_in_batch_null_embedding_clash_raises(spark):
+    """A NULL embedding must not hide an in-batch clash: to_json(NULL) is
+    NULL and count_distinct skips NULLs, so the fingerprint coalesces to a
+    sentinel — (id, NULL) + (id, real vector) in one batch raises."""
+    import pytest
+
+    tmp = tempfile.mkdtemp(prefix="pvs_inbatch_nullclash_")
+    in_dir, state, ckpt = f"{tmp}/in", f"{tmp}/state", f"{tmp}/ckpt"
+    try:
+        spark.createDataFrame(
+            [(7, None), (7, [0.1, 0.2, 0.3]), (8, [0.3, 0.2, 0.1])],
+            "vec_id long, embedding array<float>",
+        ).withColumn("label", F.lit(0)).write.mode("append").parquet(in_dir)
+        q = incremental_srp_dedup(spark, in_dir, state, ckpt, **SRP_PARAMS)
+        with pytest.raises(Exception, match="DIFFERENT content"):
+            q.awaitTermination(600)
+            raise AssertionError("NULL-embedding clash not detected")
+    finally:
+        for s in spark.streams.active:
+            s.stop()
+        shutil.rmtree(tmp, ignore_errors=True)
