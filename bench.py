@@ -85,6 +85,7 @@ GROUPS: dict[str, list[str]] = {
     ],
     "lsh_staged": ["fuzzy_levenshtein_blocked", "srp_lsh_near_dup_sql"],
     "r5_new": ["ivf_near_dup_pairs", "shuffle_corpus"],
+    "r6_new": ["substring_dedup", "bpe_train"],
 }
 
 
@@ -187,6 +188,20 @@ def _build_cases(spark, sf_dir: str) -> dict:
         ),
         "shuffle_corpus": lambda: _force(
             shuffle_corpus(load_table(spark, sf_dir, "documents"), seed=7)
+        ),
+        # r6: repeated n-gram span removal + BPE merge training
+        "substring_dedup": lambda: _force(
+            __import__(
+                "photo_vector_search_spark.operators.substring",
+                fromlist=["remove_repeated_ngrams"],
+            ).remove_repeated_ngrams(
+                load_table(spark, sf_dir, "documents").select("doc_id", "text"), n=5
+            )
+        ),
+        "bpe_train": lambda: __import__(
+            "photo_vector_search_spark.operators.bpe", fromlist=["train_bpe"]
+        ).train_bpe(
+            load_table(spark, sf_dir, "documents"), n_merges=200, min_count=2
         ),
     }
 
