@@ -171,26 +171,9 @@ def extra_cases(spark, sf_dir: str) -> dict:
         # measures the real scaling surface — the corpus word-count pass plus
         # driver merges over a 10x dict (the corpus term is the groupBy; the
         # merge term scales with dict size, Zipf-bounded at web scale)
-        "bpe_train": lambda: _bpe_train_case(docs),
-        # r6 substring dedup: gram explode + hot-set groupBy + keyed join +
-        # span mask, all corpus-linear; the fixture's near-dup docs supply
-        # genuine repeated spans at both scales
-        "substring_dedup": lambda: _force(
-            _remove_repeated(docs)
-        ),
+        # bpe_train / substring_dedup now come from bench.py's _build_cases
+        # (identical definitions; recorded per-round since r6)
     }
-
-
-def _remove_repeated(docs):
-    from photo_vector_search_spark.operators.substring import remove_repeated_ngrams
-
-    return remove_repeated_ngrams(docs, n=5, min_dup=2)
-
-
-def _bpe_train_case(docs) -> int:
-    from photo_vector_search_spark.operators.bpe import train_bpe
-
-    return len(train_bpe(docs, n_merges=200, min_count=2))
 
 
 def run(spark, sf_dir: str, only: set[str] | None = None) -> dict[str, float]:
