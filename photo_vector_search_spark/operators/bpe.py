@@ -150,18 +150,33 @@ def train_bpe(
     instead of silently degrading — raise ``min_count`` (exact-count
     pruning keeps determinism) and retry. Learning stops early when the
     best remaining pair count falls below ``min_pair_count``."""
+    pairs = collect_word_dict(docs, text_col=text_col, min_count=min_count, max_words=max_words)
+    return _learn_merges(pairs, n_merges, min_pair_count)
+
+
+def collect_word_dict(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 2,
+    max_words: int = 5_000_000,
+) -> list[tuple[str, int]]:
+    """Materialize the word-frequency dict driver-side in ONE corpus job:
+    ``limit(max_words + 1).collect()`` bounds driver memory identically to a
+    pre-count guard but without executing the explode+groupBy twice (a
+    ``count()`` then ``collect()`` would run the only corpus-sized pass in
+    BPE training two times). Raises when the pruned dict exceeds
+    ``max_words`` — raise ``min_count`` (exact-count pruning, deterministic)
+    and retry. Returns (word, count) sorted by word."""
     wc = bpe_word_counts(docs, text_col=text_col, min_count=min_count)
-    n_words = wc.count()
-    if n_words > max_words:
+    rows = wc.limit(max_words + 1).collect()  # one job; driver holds ≤ max_words+1 rows
+    if len(rows) > max_words:
         raise ValueError(
-            f"train_bpe: word dict has {n_words} entries > max_words={max_words}; "
+            f"collect_word_dict: word dict exceeds max_words={max_words}; "
             f"raise min_count (exact-count pruning, deterministic) or max_words"
         )
-    rows = wc.collect()  # bounded by the max_words guard just enforced
     # sort for determinism of the incremental bookkeeping's iteration order
     # (the algorithm is order-independent, but cheap insurance is cheap)
-    pairs = sorted((r["word"], r["n"]) for r in rows)
-    return _learn_merges(pairs, n_merges, min_pair_count)
+    return sorted((r["word"], r["n"]) for r in rows)
 
 
 def _segment_word(word: str, ranks: dict[tuple[str, str], int], cache: dict) -> list[str]:
@@ -263,10 +278,47 @@ def bpe_vocab(merges: list[tuple[str, str]], corpus_chars: list[str]) -> dict[st
     return vocab
 
 
+def charset_from_word_counts(word_counts: list[tuple[str, int]]) -> list[str]:
+    """Distinct characters of an already-collected word dict — FREE
+    driver-side, no corpus job. This is the charset the encode path should
+    use when the dict is in hand (``collect_word_dict`` / ``train_bpe_model``):
+    a separate ``corpus_charset`` pass would re-scan the corpus a second time
+    for information the dict already contains.
+
+    Exactness caveat: the charset covers the ``min_count``-PRUNED dict, so a
+    character appearing ONLY in pruned (rare) words is absent and its
+    symbols map to the reserved OOV id at encode time — the behavior a
+    trained model wants anyway (a sub-``min_count`` character has no
+    trainable embedding signal). Derive from a ``min_count=1`` dict when
+    full coverage matters."""
+    return sorted({ch for w, _ in word_counts for ch in w})
+
+
+def train_bpe_model(
+    docs: DataFrame,
+    n_merges: int = 1000,
+    text_col: str = "text",
+    min_count: int = 2,
+    min_pair_count: int = 2,
+    max_words: int = 5_000_000,
+) -> tuple[list[tuple[str, str]], dict[str, int]]:
+    """The full training artifact — ``(merges, vocab)`` — in exactly ONE
+    corpus-sized job: the word dict is collected once (``collect_word_dict``),
+    merges are learned on it driver-side, and the vocab's base charset is
+    derived from the same dict (``charset_from_word_counts`` — no separate
+    ``corpus_charset`` pass). Feed the result straight to ``encode_bpe``;
+    the encode pipeline then runs exactly one corpus job beyond
+    ``apply_bpe`` itself (this one)."""
+    wd = collect_word_dict(docs, text_col=text_col, min_count=min_count, max_words=max_words)
+    merges = _learn_merges(wd, n_merges, min_pair_count)
+    return merges, bpe_vocab(merges, charset_from_word_counts(wd))
+
+
 def corpus_charset(docs: DataFrame, text_col: str = "text") -> list[str]:
     """Distinct characters of the tokenized corpus — one explode+distinct
     (bounded: alphabets are small; collect is ≤ thousands of rows even for
-    CJK corpora)."""
+    CJK corpora). Prefer ``charset_from_word_counts`` when the word dict is
+    already collected (training): this pass re-scans the corpus."""
     rows = (
         docs.select(F.explode(F.array_remove(tokens(F.col(text_col)), "")).alias("w"))
         .select(F.explode(F.split(F.col("w"), "")).alias("c"))

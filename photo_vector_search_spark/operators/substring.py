@@ -39,21 +39,29 @@ from photo_vector_search_spark.functions.text import tokens
 
 
 def repeated_ngram_spans(
-    docs: DataFrame, n: int = 10, min_dup: int = 2, text_col: str = "text"
+    docs: DataFrame,
+    n: int = 10,
+    min_dup: int = 2,
+    text_col: str = "text",
+    staging_dir: str | None = None,
+    stage: bool = True,
 ) -> DataFrame:
     """(doc_id, pos, gram_hash) for every NON-KEEPER occurrence of an n-gram
     seen ≥ min_dup times corpus-wide. ``pos`` is the 0-based token index of
     the window start. The keeper (global min (doc_id, pos) per gram) is
     excluded — it survives removal."""
-    spans, _keepers = _spans_and_keepers(docs, n, min_dup, text_col)
-    return spans
+    occ = _hot_occurrences(docs, n, min_dup, text_col, staging_dir, stage)
+    return occ.filter(~F.col("is_keeper")).select(
+        "doc_id", "pos", F.col("h").alias("gram_hash")
+    )
 
 
-def _spans_and_keepers(docs: DataFrame, n: int, min_dup: int, text_col: str):
+def _gram_frame(docs: DataFrame, n: int, text_col: str) -> DataFrame:
+    """One (doc_id, pos, h) row per n-token window — the O(tokens) explode."""
     toked = docs.select(
         "doc_id", F.array_remove(tokens(F.col(text_col)), "").alias("toks")
     )
-    grams = toked.select(
+    return toked.select(
         "doc_id",
         F.explode(
             F.when(
@@ -74,6 +82,38 @@ def _spans_and_keepers(docs: DataFrame, n: int, min_dup: int, text_col: str):
             ).otherwise(F.array())
         ).alias("g"),
     ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+
+
+def _hot_occurrences(
+    docs: DataFrame,
+    n: int,
+    min_dup: int,
+    text_col: str,
+    staging_dir: str | None,
+    stage: bool,
+) -> DataFrame:
+    """(doc_id, pos, h, is_keeper) for every occurrence of a hot (≥ min_dup)
+    gram. The gram frame feeds TWO consumers — the hot-set aggregation and
+    the occurrence probe join — so by default it is STAGED to parquet once
+    (``operators.staging``; the ``shuffle_corpus`` pattern): the explode +
+    md5, the operator's dominant cost at corpus scale, executes exactly once
+    instead of once per consumer. ``stage=False`` opts out (re-derives the
+    explode per consumer — only sensible for tiny inputs); an explicit
+    ``staging_dir`` must outlive the returned DataFrame's consumers.
+
+    Skew posture unchanged: the hot set stays a map-side-combinable groupBy
+    (never a window over h — a mega-hot boilerplate gram would straggle a
+    single window task) and the probe stays a keyed equi-join AQE can
+    skew-split; the hot set is never broadcast-forced (corpus-sized in the
+    worst case)."""
+    grams = _gram_frame(docs, n, text_col)
+    if stage:
+        from photo_vector_search_spark.operators.staging import session_staging_dir
+
+        if staging_dir is None:
+            staging_dir = session_staging_dir("pvs_substring")
+        grams.write.mode("overwrite").parquet(staging_dir)
+        grams = docs.sparkSession.read.parquet(staging_dir)
     hot = (
         grams.groupBy("h")
         .agg(
@@ -82,24 +122,27 @@ def _spans_and_keepers(docs: DataFrame, n: int, min_dup: int, text_col: str):
         )
         .filter(F.col("n_occ") >= min_dup)
     )
-    spans = (
+    return (
         grams.join(hot, "h")  # keyed equi-join: hot set is never driver-sized
-        .filter(
-            ~(
+        .select(
+            "doc_id",
+            "pos",
+            "h",
+            (
                 (F.col("doc_id") == F.col("keeper.doc_id"))
                 & (F.col("pos") == F.col("keeper.pos"))
-            )
+            ).alias("is_keeper"),
         )
-        .select("doc_id", "pos", F.col("h").alias("gram_hash"))
     )
-    keepers = hot.select(
-        F.col("keeper.doc_id").alias("doc_id"), F.col("keeper.pos").alias("pos")
-    )
-    return spans, keepers
 
 
 def remove_repeated_ngrams(
-    docs: DataFrame, n: int = 10, min_dup: int = 2, text_col: str = "text"
+    docs: DataFrame,
+    n: int = 10,
+    min_dup: int = 2,
+    text_col: str = "text",
+    staging_dir: str | None = None,
+    stage: bool = True,
 ) -> DataFrame:
     """Remove every duplicated n-gram span (except its canonical keeper
     occurrence) from the corpus. Adds ``{text_col}_deduped`` (tokens joined
@@ -114,20 +157,22 @@ def remove_repeated_ngrams(
     verbatim even inside runs (the price: a non-keeper span that overlaps a
     keeper span in the same doc keeps the overlapping tokens).
 
-    Plan shape: one gram explode + one groupBy(gram) + one keyed join +
-    two groupBy(doc_id) collects of that doc's hot/keeper starts (bounded
-    by the doc's own length) + an index-lambda filter — no UDF, no
-    broadcast of anything corpus-sized, nothing driver-side."""
-    spans, keepers = _spans_and_keepers(docs, n, min_dup, text_col)
-    doc_spans = spans.groupBy("doc_id").agg(
-        F.collect_list("pos").alias("_hot_starts")
-    )
-    doc_keeps = keepers.groupBy("doc_id").agg(
-        F.collect_list("pos").alias("_keep_starts")
+    Plan shape: one gram explode (STAGED to parquet once — both its
+    consumers, the hot-set agg and the probe join, read the staged copy, so
+    the dominant O(tokens) pass executes exactly once) + one groupBy(gram) +
+    one keyed join + ONE groupBy(doc_id) collecting that doc's hot and
+    keeper starts together (``collect_list`` skips NULLs, so one aggregation
+    splits the flagged occurrences; bounded by the doc's own length) + an
+    index-lambda filter — no UDF, no broadcast of anything corpus-sized,
+    nothing driver-side. ``stage=False`` opts out of staging (tiny inputs);
+    an explicit ``staging_dir`` must outlive the returned DataFrame."""
+    occ = _hot_occurrences(docs, n, min_dup, text_col, staging_dir, stage)
+    doc_marks = occ.groupBy("doc_id").agg(
+        F.collect_list(F.when(~F.col("is_keeper"), F.col("pos"))).alias("_hot_starts"),
+        F.collect_list(F.when(F.col("is_keeper"), F.col("pos"))).alias("_keep_starts"),
     )
     out = (
-        docs.join(doc_spans, "doc_id", "left")
-        .join(doc_keeps, "doc_id", "left")
+        docs.join(doc_marks, "doc_id", "left")
         .withColumn(
             "_keep_starts",
             F.coalesce(F.col("_keep_starts"), F.array().cast("array<int>")),

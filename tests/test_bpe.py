@@ -171,6 +171,36 @@ def test_encode_ids_round_trip_and_oov(spark, sf_correct):
     assert len(vocab) in got  # é's symbol can't be in vocab
 
 
+def test_train_bpe_model_one_pass_matches_assembled_path(spark, sf_correct):
+    """train_bpe_model (ONE corpus job) must equal the assembled
+    train_bpe + corpus_charset + bpe_vocab path — with the documented
+    caveat that its charset covers the min_count-pruned dict."""
+    from photo_vector_search_spark.operators.bpe import (
+        bpe_vocab,
+        charset_from_word_counts,
+        collect_word_dict,
+        corpus_charset,
+        train_bpe_model,
+    )
+
+    docs = load_table(spark, sf_correct, "documents").select("doc_id", "text")
+    merges, vocab = train_bpe_model(docs, n_merges=40, min_count=2)
+    assert merges == train_bpe(docs, n_merges=40, min_count=2)
+    wd = collect_word_dict(docs, min_count=2)
+    assert vocab == bpe_vocab(merges, charset_from_word_counts(wd))
+    # with min_count=1 the dict-derived charset IS the corpus charset
+    wd1 = collect_word_dict(docs, min_count=1)
+    assert charset_from_word_counts(wd1) == corpus_charset(docs)
+
+
+def test_charset_from_pruned_dict_drops_rare_only_chars():
+    from photo_vector_search_spark.operators.bpe import charset_from_word_counts
+
+    # 'z' appears only in a word a min_count=2 prune would have removed
+    assert charset_from_word_counts([("ab", 5)]) == ["a", "b"]
+    assert charset_from_word_counts([("ab", 5), ("za", 1)]) == ["a", "b", "z"]
+
+
 def test_nbsp_segmentation_matches_training(spark):
     """Java's \\s (Spark tokens()) does NOT split a non-breaking space;
     Python's str.split() does. apply/encode must mirror the TRAINING
