@@ -54,10 +54,18 @@ def connected_components(
     recompute path. Fine on local[n]; on a real multi-executor cluster a long
     CC run should pass ``checkpoint_dir`` (shared storage every executor can
     reach): every ``checkpoint_every``-th round then uses RELIABLE
-    ``checkpoint`` (HDFS/S3-backed, survives executor loss), with
-    localCheckpoint between — the GraphX/Pregel cadence. Sets the session's
-    checkpoint dir as a side effect (Spark has one per SparkContext).
-    Identical labels either way (asserted in tests).
+    ``checkpoint`` (HDFS/S3-backed, survives executor loss), and the rounds
+    BETWEEN use ``persist(MEMORY_AND_DISK)`` — NOT localCheckpoint, whose
+    truncated-lineage executor-local blocks are unrecoverable and would void
+    the durability the reliable snapshots bought. Persisted rounds keep
+    RECOMPUTABLE lineage rooted at the last reliable checkpoint, so an
+    executor loss at any point re-derives at most ``checkpoint_every - 1``
+    rounds of (cached, cheap) joins instead of killing the job; lineage/plan
+    depth stays bounded by the same window. Superseded persisted rounds are
+    unpersisted as the iteration advances (peak: two label tables + the last
+    reliable snapshot). Sets the session's checkpoint dir as a side effect
+    (Spark has one per SparkContext). Identical labels either way (asserted
+    in tests).
 
     Checkpoint-file lifecycle: reliable checkpoints are DURABLE BY DESIGN —
     Spark does not delete them unless the context was started with
@@ -74,10 +82,28 @@ def connected_components(
     if checkpoint_dir is not None:
         pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
 
+    # rounds materialized via persist() (reliable-checkpoint mode only) — safe
+    # to unpersist once superseded: their lineage stays recomputable from the
+    # last reliable snapshot, unlike localCheckpoints whose blocks ARE the data
+    _persisted: list[DataFrame] = []
+
+    def _drain_persisted(keep: DataFrame | None) -> None:
+        for df in _persisted[:]:
+            if df is not keep:
+                df.unpersist(blocking=False)
+                _persisted.remove(df)
+
     def _ckpt(df: DataFrame, rnd: int) -> DataFrame:
-        if checkpoint_dir is not None and rnd % max(checkpoint_every, 1) == 0:
+        if checkpoint_dir is None:
+            return df.localCheckpoint(eager=True)
+        if rnd % max(checkpoint_every, 1) == 0:
             return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
+        from pyspark import StorageLevel
+
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        df.count()  # materialize eagerly — same cadence as the checkpoints
+        _persisted.append(df)
+        return df
 
     edges = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
         F.col("a").isNotNull() & F.col("b").isNotNull()
@@ -122,6 +148,9 @@ def connected_components(
             .filter(F.col("n.comp") != F.col("o.comp"))
             .count()
         )
+        # the old round is superseded (and no longer referenced by any
+        # pending job): release its cache; lineage stays recomputable
+        _drain_persisted(keep=new)
         labels = new
         if changed == 0:
             return labels.select(

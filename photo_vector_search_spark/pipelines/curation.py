@@ -98,10 +98,13 @@ def curate_corpus(
     (removing shared spans first would shrink a near-dup pair's Jaccard
     below τ and hide it), and span removal then cleans the repeated
     passages that survive between docs that are NOT near-duplicates as
-    wholes. The stage replaces ``text`` with the operator's
-    whitespace/case-canonicalized rebuild (single-space-joined lowercase
-    tokens — the same canonical form every text operator keys on). Default
-    off so measured pipeline walls/survivors of earlier rounds stay
+    wholes. LOSSINESS: a doc that loses a span gets the operator's
+    whitespace/case-CANONICALIZED rebuild (single-space-joined lowercase
+    tokens — the removal mask is computed on that canonical form, so the
+    rebuilt surface is what the mask provably applies to); docs with no
+    removed span keep their ORIGINAL text verbatim.
+    ``stats["substring_rewritten"]`` reports how many docs were rewritten.
+    Default off so measured pipeline walls/survivors of earlier rounds stay
     comparable.
 
     ``compute_stats=True`` runs one count action per stage, which re-executes
@@ -180,9 +183,23 @@ def curate_corpus(
         )
 
         cleaned = remove_repeated_ngrams(near, n=substring_ngram)
-        near = cleaned.drop("text", "n_removed_tokens").withColumnRenamed(
-            "text_deduped", "text"
-        )
+        # ONLY docs that actually lost a span get the operator's rebuilt text
+        # (LOSSY for those docs: lowercased, whitespace-collapsed token join —
+        # the canonical form the removal mask is computed on); every untouched
+        # doc keeps its ORIGINAL text verbatim, casing and whitespace intact.
+        # stats["substring_rewritten"] counts the rewritten docs so a run can
+        # see exactly how much surface was canonicalized.
+        near = cleaned.withColumn(
+            "text",
+            F.when(
+                F.col("n_removed_tokens") > 0, F.col("text_deduped")
+            ).otherwise(F.col("text")),
+        ).drop("text_deduped")
+        if compute_stats:
+            stats["substring_rewritten"] = near.filter(
+                F.col("n_removed_tokens") > 0
+            ).count()
+        near = near.drop("n_removed_tokens")
         _stat("after_substring", near)
 
     curated = shuffle_corpus(near, seed=shuffle_seed)

@@ -29,6 +29,12 @@ from photo_vector_search_spark.functions.text import tokens
 
 _FEATURES = "_q_features"
 _TOKS = "_q_toks"
+# uniquified ML output columns: Spark ML's defaults (prediction/probability/
+# rawPrediction) would collide with — or silently delete — user metadata
+# columns of those common names in score_quality's passthrough
+_PRED = "_q_prediction"
+_PROB = "_q_probability"
+_RAW = "_q_raw"
 
 
 def train_quality_classifier(
@@ -69,6 +75,9 @@ def train_quality_classifier(
                 maxIter=max_iter,
                 regParam=reg_param,
                 standardization=False,
+                predictionCol=_PRED,
+                probabilityCol=_PROB,
+                rawPredictionCol=_RAW,
             ),
         ]
     )
@@ -90,13 +99,16 @@ def score_quality(
     out_col: str = "quality_score",
 ) -> DataFrame:
     """Add ``out_col`` = P(high quality) ∈ [0,1]. Map-only: hashing +
-    one dot product per doc, no shuffle; all input columns pass through."""
+    one dot product per doc, no shuffle; all input columns pass through —
+    including user columns named ``prediction``/``probability``/
+    ``rawPrediction`` (the model's outputs use uniquified ``_q_*`` names, so
+    ``transform`` can neither collide with nor overwrite user metadata)."""
     from pyspark.ml.functions import vector_to_array
 
     scored = model.transform(docs.withColumn(_TOKS, _tok_col(text_col)))
     return scored.withColumn(
-        out_col, vector_to_array(F.col("probability")).getItem(1)
-    ).drop(_TOKS, _FEATURES, "rawPrediction", "probability", "prediction")
+        out_col, vector_to_array(F.col(_PROB)).getItem(1)
+    ).drop(_TOKS, _FEATURES, _RAW, _PROB, _PRED)
 
 
 def pareto_keep(

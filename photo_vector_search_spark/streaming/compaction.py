@@ -137,12 +137,23 @@ def read_state_family(
     skip = compacted | {current_batch}
     deltas = [d for b, d in sorted(_batch_dirs(root).items()) if b not in skip]
     if deltas:
-        parts.append(spark.read.parquet(*deltas))
+        # mergeSchema: batch partitions written by different library versions
+        # can differ (legacy SRP vectors lack the r6 `fp` column); without it
+        # the surviving schema depends on WHICH footer Spark samples, and a
+        # legacy-file win would silently drop `fp` for every partition —
+        # nondeterministically disabling the changed-embedding clash check.
+        # With it, legacy rows surface as fp=NULL, which the registry's
+        # isNotNull filter already handles. Cost: one footer read per file at
+        # planning time, on dedup-cadence state reads.
+        parts.append(spark.read.option("mergeSchema", "true").parquet(*deltas))
     if not parts:
         return None
     out = parts[0]
     for extra in parts[1:]:
-        out = out.unionByName(extra)
+        # allowMissingColumns: a base compacted from pre-r6 (no-fp) partitions
+        # unioned with r6 deltas (or vice versa) must not throw — the missing
+        # side's fp surfaces as NULL, same fail-safe as the mergeSchema read
+        out = out.unionByName(extra, allowMissingColumns=True)
     return out
 
 
