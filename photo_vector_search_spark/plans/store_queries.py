@@ -73,7 +73,9 @@ def q_delete_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_store_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SC7 — truncate keeps schema, drops all rows (cli.py:149)."""
+    """SC7 — truncate keeps schema, drops all rows (cli.py:149). RETIRED from
+    the declared surface (round 7, for the substring_dedup slot): a limit(0)
+    schema check; still oracle-verified via tests/test_retired_surface.py."""
     return truncate(build_photo_index(spark, sf_dir).select("id", "photo_path"))
 
 
@@ -97,7 +99,9 @@ def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_describe_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Store browse summary (app.py:24-46 View/Manage parity — the non-
     presentation content of the reference's UI pages): per-aspect rows, distinct
-    photos, described fraction, embedding dims."""
+    photos, described fraction, embedding dims. RETIRED from the declared
+    surface (round 7, for the encode_bpe slot): overlaps photo_group_collect /
+    distinct_photos; still oracle-verified via tests/test_retired_surface.py."""
     from photo_vector_search_spark.operators.store import describe_store
 
     return describe_store(build_photo_index(spark, sf_dir, with_embedding=True))
@@ -140,18 +144,36 @@ QUERIES = {
     "photo_group_collect": q_photo_group_collect,
     "upsert_merge": q_upsert_merge,
     "delete_ops": q_delete_ops,
-    "store_truncate": q_store_truncate,
     "scalar_funcs": q_scalar_funcs,
-    "describe_store": q_describe_store,
     "store_partition_pruned": q_store_partition_pruned,
 }
 
+# store_truncate / describe_store RETIRED r7 to free two checked slots for
+# the round-6 operators (substring_dedup, encode_bpe): truncate is a
+# limit(0) schema check and describe_store overlaps photo_group_collect /
+# distinct_photos — both stay implemented and locally oracle-verified via
+# tests/test_retired_surface.py.
 RETIRED_QUERIES = {
     "count_rows": q_count_rows,
+    "store_truncate": q_store_truncate,
+    "describe_store": q_describe_store,
 }
 
 RETIRED_ORACLES = {
     "count_rows": "SELECT count(*) AS n FROM lineitem",
+    "store_truncate": f"""{_PI}
+SELECT id, photo_path FROM photo_index WHERE 1 = 0""",
+    "describe_store": """
+SELECT 'aspect_' || CAST(e.vec_id % 5 AS VARCHAR) AS aspect_name,
+       count(*) AS n_rows,
+       count(DISTINCT '/photos/img_' || CAST(CAST(floor(e.vec_id / 5) AS BIGINT) AS VARCHAR)
+             || '.jpg') AS n_photos,
+       CAST(sum(CASE WHEN length(coalesce(d.text, '')) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_described,
+       min(len(e.embedding)) AS dim_min,
+       max(len(e.embedding)) AS dim_max
+FROM embeddings e LEFT JOIN documents d ON d.doc_id = e.vec_id
+GROUP BY 1""",
 }
 
 ORACLES = {
@@ -176,8 +198,6 @@ SELECT photo_path, count(*) AS n_rows FROM photo_index
 WHERE NOT (photo_path = '/photos/img_3.jpg' AND aspect_name = 'aspect_2')
   AND NOT (photo_path = '/photos/img_4.jpg')
 GROUP BY photo_path""",
-    "store_truncate": f"""{_PI}
-SELECT id, photo_path FROM photo_index WHERE 1 = 0""",
     "scalar_funcs": """
 SELECT doc_id,
        source || '_' || lang AS key,
@@ -188,17 +208,6 @@ SELECT doc_id,
        round(CAST(n_chars AS DOUBLE) / 100, 4) AS chars_h,
        string_split('/photos/img_3.jpg', '/')[-1] AS basename
 FROM documents WHERE doc_id < 50""",
-    "describe_store": """
-SELECT 'aspect_' || CAST(e.vec_id % 5 AS VARCHAR) AS aspect_name,
-       count(*) AS n_rows,
-       count(DISTINCT '/photos/img_' || CAST(CAST(floor(e.vec_id / 5) AS BIGINT) AS VARCHAR)
-             || '.jpg') AS n_photos,
-       CAST(sum(CASE WHEN length(coalesce(d.text, '')) > 0 THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_described,
-       min(len(e.embedding)) AS dim_min,
-       max(len(e.embedding)) AS dim_max
-FROM embeddings e LEFT JOIN documents d ON d.doc_id = e.vec_id
-GROUP BY 1""",
     "store_partition_pruned": """
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
 scored AS (

@@ -614,8 +614,181 @@ WHERE levenshtein(a.p, b.p) <= 20
 """
 
 
+# ---------------------------------------------------------------------------
+# r7 promotions: the two round-6 operators, declared with full DuckDB twins
+# (VERDICT r6 action #1). Constants are shared by the Spark query and the
+# generated oracle SQL so both sides provably compute the same rule.
+
+_SUBSTR_PASSAGE = " the quick brown fox jumps over the lazy dog again and again"
+_SUBSTR_N = 5
+
+# pinned BPE merges: learned once via train_bpe(documents@sf0.01, n_merges=24,
+# min_count=2) and frozen so the oracle can mirror the encode as rank-order
+# exhaustive replaces (for a LEARNED merge list, applying merges in rank
+# order to exhaustion is equivalent to the GPT-2 greedy lowest-rank loop —
+# a later merge cannot re-create an earlier merge's input pair). All 24
+# joined symbols are distinct (asserted below) so the SQL vocab layout
+# matches bpe_vocab's dedup-skipping layout exactly.
+_BPE_MERGES: list[tuple[str, str]] = [
+    ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("er", "</w>"), ("o", "w"),
+    ("ow", "</w>"), ("o", "r"), ("s", "t"), ("h", "</w>"), ("a", "t"),
+    ("l", "u"), ("i", "n"), ("a", "</w>"), ("g", "</w>"), ("y", "</w>"),
+    ("a", "r"), ("p", "ar"), ("t", "</w>"), ("i", "n</w>"), ("j", "o"),
+    ("jo", "in</w>"), ("a", "s"), ("as", "h</w>"), ("h", "ash</w>"),
+]
+assert len({a + b for a, b in _BPE_MERGES}) == len(_BPE_MERGES)
+
+
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 exact substring dedup (Lee et al. n-gram spans) — the r6
+    operator promoted to the checked surface. A shared passage is grafted
+    onto every 7th doc (mirrored in the oracle) so cross-doc spans exist at
+    n=5 regardless of the fixture's natural repetition; ~100 docs lose
+    tokens at sf0.01. Reference scope: the reference has no text dedup at
+    all (SURVEY §2.10 extension)."""
+    from photo_vector_search_spark.operators.substring import remove_repeated_ngrams
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(_SUBSTR_PASSAGE))
+        ).otherwise(F.col("text")),
+    )
+    return remove_repeated_ngrams(docs, n=_SUBSTR_N, min_dup=2).select(
+        "doc_id", "text_deduped", "n_removed_tokens"
+    )
+
+
+def q_encode_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 BPE tokenization to ids — the r6 trainer's encode path promoted
+    to the checked surface: corpus-derived charset (``corpus_charset``) →
+    ``bpe_vocab`` id layout → Arrow-batched ``encode_bpe`` with the pinned
+    merge ranks. Ids are rendered CSV (FIXTURES.md array convention); NULL
+    text stays NULL, empty text encodes to ''."""
+    from photo_vector_search_spark.operators.bpe import (
+        bpe_vocab,
+        corpus_charset,
+        encode_bpe,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    vocab = bpe_vocab(_BPE_MERGES, corpus_charset(docs))
+    enc = encode_bpe(docs, _BPE_MERGES, vocab)
+    return enc.select(
+        "doc_id",
+        F.when(F.col("input_ids").isNull(), F.lit(None).cast("string"))
+        .otherwise(F.concat_ws(",", F.col("input_ids").cast("array<string>")))
+        .alias("input_ids_csv"),
+    )
+
+
+_ORACLE_SUBSTRING_DEDUP = rf"""
+WITH docs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || '{_SUBSTR_PASSAGE}'
+              ELSE text END AS text
+  FROM documents
+),
+toked AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+  FROM docs WHERE text IS NOT NULL
+),
+grams AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+{_SUBSTR_N - 1}], ' ') AS g
+  FROM toked, LATERAL unnest(generate_series(1, len(toks) - {_SUBSTR_N - 1})) AS t(i)
+  WHERE len(toks) >= {_SUBSTR_N}
+),
+marked AS (
+  SELECT doc_id, pos,
+         count(*) OVER (PARTITION BY g) AS n_occ,
+         row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+  FROM grams
+),
+hot AS (SELECT doc_id, pos, rn = 1 AS is_keeper FROM marked WHERE n_occ >= 2),
+tok_idx AS (
+  SELECT doc_id, i - 1 AS j, toks[i] AS w
+  FROM toked, LATERAL unnest(generate_series(1, len(toks))) AS t(i)
+),
+tok_flags AS (
+  SELECT t.doc_id, t.j, t.w,
+         coalesce(bool_or(NOT h.is_keeper), false) AS dropped,
+         coalesce(bool_or(h.is_keeper), false) AS protected
+  FROM tok_idx t
+  LEFT JOIN hot h ON h.doc_id = t.doc_id AND t.j BETWEEN h.pos AND h.pos + {_SUBSTR_N - 1}
+  GROUP BY t.doc_id, t.j, t.w
+),
+kept AS (
+  SELECT doc_id,
+         string_agg(w, ' ' ORDER BY j) FILTER (WHERE NOT dropped OR protected) AS text_deduped,
+         count(*) FILTER (WHERE dropped AND NOT protected) AS n_removed
+  FROM tok_flags GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(k.text_deduped, '') END AS text_deduped,
+       CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(k.n_removed, 0) END AS n_removed_tokens
+FROM docs d LEFT JOIN kept k USING (doc_id)
+"""
+
+
+def _bpe_oracle() -> str:
+    """Generate the encode-BPE twin: each word becomes a marker-wrapped
+    symbol string (\\x02 sym \\x03 per symbol — control chars, absent from
+    the corpus by the fixture's printable-ASCII contract), each pinned merge
+    one exhaustive left-to-right ``replace`` in rank order (equivalent to
+    the greedy lowest-rank loop for a learned merge list), then symbols map
+    to ids through the same charset-sorted ++ EOW ++ merge-order vocab
+    layout as ``bpe_vocab`` (unknown symbol → OOV id = len(vocab))."""
+    so, sc = chr(2), chr(3)
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    sym = (
+        f"{q(so)} || array_to_string(string_split(w, ''), {q(sc + so)}) "
+        f"|| {q(sc)} || {q(so + '</w>' + sc)}"
+    )
+    for a, b in _BPE_MERGES:
+        sym = f"replace({sym}, {q(so + a + sc + so + b + sc)}, {q(so + a + b + sc)})"
+    merged_syms = ", ".join(q(a + b) for a, b in _BPE_MERGES)
+    return f"""
+WITH toked AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS words
+  FROM documents WHERE text IS NOT NULL
+),
+chars AS (
+  SELECT DISTINCT c
+  FROM toked, LATERAL unnest(words) AS uw(w), LATERAL unnest(string_split(w, '')) AS uc(c)
+  WHERE c <> ''
+),
+vocab AS (
+  SELECT list(c ORDER BY c) || ['</w>', {merged_syms}] AS vlist FROM chars
+),
+enc AS (
+  SELECT doc_id,
+         flatten(list_transform(words, w ->
+           string_split(substr({sym}, 2, len({sym}) - 2), {q(sc + so)})
+         )) AS syms
+  FROM toked
+),
+ids AS (
+  SELECT e.doc_id,
+         array_to_string(list_transform(e.syms, s ->
+           CASE WHEN list_position(v.vlist, s) = 0 THEN len(v.vlist)
+                ELSE list_position(v.vlist, s) - 1 END), ',') AS csv
+  FROM enc e CROSS JOIN vocab v
+)
+SELECT d.doc_id,
+       CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(i.csv, '') END AS input_ids_csv
+FROM documents d LEFT JOIN ids i USING (doc_id)
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "substring_dedup": q_substring_dedup,
+    "encode_bpe": q_encode_bpe,
     "fuzzy_levenshtein_blocked": q_fuzzy_levenshtein_blocked,
     "tfidf_top_terms": q_tfidf_top_terms,
     "dedup_jaccard": q_dedup_jaccard,
@@ -631,6 +804,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "substring_dedup": _ORACLE_SUBSTRING_DEDUP,
+    "encode_bpe": _bpe_oracle(),
     "chunk_documents": _ORACLE_CHUNK_DOCUMENTS,
     "fuzzy_levenshtein_blocked": _ORACLE_FUZZY_BLOCKED,
     "tfidf_top_terms": _ORACLE_TFIDF,
