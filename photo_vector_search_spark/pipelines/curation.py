@@ -3,7 +3,7 @@ operators into the standard pretraining cleanup pipeline —
 
     redact PII → quality-gate (Gopher rules) → exact dedup → strip cross-doc
     boilerplate → near-dup dedup (MinHash-LSH) → deterministic shuffle
-    → JSONL shard export
+    → (opt-in) BPE tokenize → JSONL shard export
 
 Exact dedup runs BEFORE boilerplate removal on purpose: a fully-duplicated
 document is one whose every line is cross-doc duplicated, so line-level
@@ -53,6 +53,7 @@ def curate_corpus(
     quality_model=None,
     pareto_alpha: float = 9.0,
     quality_seed: int = 0,
+    bpe_model: tuple[list[tuple[str, str]], dict[str, int]] | None = None,
 ) -> tuple[DataFrame, dict[str, int]]:
     """Run the full curation pipeline over ``docs`` (doc_id, text, ...).
 
@@ -106,6 +107,16 @@ def curate_corpus(
     ``stats["substring_rewritten"]`` reports how many docs were rewritten.
     Default off so measured pipeline walls/survivors of earlier rounds stay
     comparable.
+
+    ``bpe_model`` (opt-in, r7) appends BPE TOKENIZATION as the terminal
+    stage — the ``(merges, vocab)`` artifact ``operators/bpe.train_bpe_model``
+    returns (train once, persist via ``bpe_merges_df``, reuse across runs) is
+    applied with ``encode_bpe`` AFTER the shuffle, so the exported JSONL
+    shards carry ``input_ids`` next to ``text`` — the tokenized-shards
+    product a training run actually consumes. Map-only (Arrow-batched, no
+    shuffle); it reads the shuffle stage's staged projection, not a pipeline
+    re-execution. ``stats["bpe_total_tokens"]`` records the corpus token
+    count when stats are on.
 
     ``compute_stats=True`` runs one count action per stage, which re-executes
     the (map-heavy, cheap) upstream stages each time — the expensive LSH stage
@@ -203,6 +214,17 @@ def curate_corpus(
         _stat("after_substring", near)
 
     curated = shuffle_corpus(near, seed=shuffle_seed)
+
+    if bpe_model is not None:
+        from photo_vector_search_spark.operators.bpe import encode_bpe
+
+        merges, vocab = bpe_model
+        curated = encode_bpe(curated, merges, vocab)
+        if compute_stats:
+            stats["bpe_total_tokens"] = int(
+                curated.agg(F.sum(F.size("input_ids"))).first()[0] or 0
+            )
+
     if export_path is not None:
         from photo_vector_search_spark.sources.jsonl import write_jsonl_shards
 

@@ -217,3 +217,40 @@ def test_curate_corpus_learned_quality_stage(spark, sf_dir):
     assert s2["after_learned_quality"] == s["after_learned_quality"]
     b = {r["doc_id"] for r in cur2.select("doc_id").collect()}
     assert kept == b
+
+
+def test_curate_corpus_bpe_terminal_stage(spark, sf_dir):
+    """bpe_model appends input_ids after the shuffle; exported JSONL shards
+    carry the ids, and reading them back matches a direct encode_bpe of the
+    curated text exactly (the tokenized-shards round trip)."""
+    from photo_vector_search_spark.operators.bpe import encode_bpe, train_bpe_model
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    model = train_bpe_model(docs, n_merges=30, min_count=2)
+    tmp = tempfile.mkdtemp(prefix="pvs_curate_bpe_")
+    try:
+        curated, stats = curate_corpus(
+            docs, bpe_model=model, export_path=f"{tmp}/shards", n_shards=3
+        )
+        rows = curated.select("doc_id", "text", "input_ids", "pos").collect()
+        assert stats["bpe_total_tokens"] == sum(len(r["input_ids"]) for r in rows)
+        assert stats["bpe_total_tokens"] > 0
+
+        back = read_jsonl_shards(
+            spark,
+            f"{tmp}/shards",
+            "doc_id long, text string, input_ids array<int>, pos long",
+        )
+        got = {r["doc_id"]: list(r["input_ids"]) for r in back.collect()}
+        # direct encode of the curated text must agree id-for-id
+        merges, vocab = model
+        want = {
+            r["doc_id"]: list(r["input_ids"])
+            for r in encode_bpe(
+                curated.select("doc_id", "text"), merges, vocab
+            ).collect()
+        }
+        assert got == want
+        assert len(got) == len(rows)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -42,7 +42,7 @@ AUDIT = [
     "source_drift",
     "fuzzy_levenshtein_blocked",
     "srp_lsh_near_dup",
-    "describe_store",
+    "encode_bpe",
     "store_partition_pruned",
     "ivf_topk_exact",
 ]
@@ -204,6 +204,14 @@ NOTES = {
         "redaction+audit pass is one codegen'd Project over the scan; at any "
         "scale this pipelines into whatever reads follow."
     ),
+    "encode_bpe": (
+        "NOTE: declared r7. The plan is ONE MapInPandas over the scan — the "
+        "Arrow-batched greedy segmenter with broadcast merge ranks and a "
+        "per-task word cache; zero exchanges, cost ~ distinct words per task "
+        "(Zipf). The charset/vocab construction ran once at plan-build "
+        "(corpus_charset: explode+distinct, bounded collect) — with a "
+        "trained artifact (train_bpe_model) even that pass disappears."
+    ),
     "score_quality": (
         "NOTE: library operator (r6, learned quality filter). Scoring is "
         "map-only — HashingTF + the LR dot product pipeline into the scan "
@@ -212,12 +220,16 @@ NOTES = {
     ),
     "remove_repeated_ngrams": (
         "NOTE: library operator (r6, exact substring dedup at n-gram "
-        "resolution). Exchanges are all keyed on corpus-derived keys: the "
-        "gram groupBy (hot-set discovery), the gram equi-join back to "
-        "occurrences, and the per-doc hot-start collect — never a broadcast "
-        "of anything corpus-sized and no UDF: the span mask is index-lambda "
-        "filter/exists in codegen. The md5 gram key is 128-bit on purpose "
-        "(64-bit birthday-collides at web-corpus gram counts)."
+        "resolution; r7 single-pass). The gram explode+md5 is STAGED to "
+        "parquet once at call time — the plan below shows ZERO Generate "
+        "nodes because both consumers (the hot-set groupBy and the "
+        "occurrence equi-join) read the staged scan, so the O(tokens) pass "
+        "executes exactly once (the r6 plan re-derived it per consumer). "
+        "Exchanges are all keyed on corpus-derived keys, the per-doc "
+        "hot/keeper starts now come from ONE collect_list groupBy, never a "
+        "broadcast of anything corpus-sized, and no UDF: the span mask is "
+        "index-lambda filter/exists in codegen. The md5 gram key is 128-bit "
+        "on purpose (64-bit birthday-collides at web-corpus gram counts)."
     ),
 }
 

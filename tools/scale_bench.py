@@ -126,13 +126,30 @@ def extra_cases(spark, sf_dir: str) -> dict:
     fixture-scale parameters."""
     from bench import _force
     from photo_vector_search_spark.operators.ann import ivf_near_dup_pairs
+    from photo_vector_search_spark.operators.bpe import train_bpe_model
     from photo_vector_search_spark.operators.dedup import srp_lsh_near_dup_sql
     from photo_vector_search_spark.pipelines.curation import curate_corpus
+    from photo_vector_search_spark.pipelines.quality import (
+        score_quality,
+        train_quality_classifier,
+    )
     from photo_vector_search_spark.plans import relational
     from photo_vector_search_spark.sources.tables import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # r7 fixtures built OUTSIDE the timed lambdas: quality_score times the
+    # map-only scoring pass (the model is a given at serving time), and
+    # curate_corpus_bpe times the pipeline, not tokenizer training. The
+    # even/odd split is a label assignment, not a claim about quality — the
+    # bench measures wall scaling, and the fit's per-iteration cost is
+    # label-independent.
+    q_model = train_quality_classifier(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        max_iter=20,
+    )
+    bpe_artifact = train_bpe_model(docs, n_merges=200, min_count=2)
     return {
         "events_resample": lambda: _force(relational.q_events_resample(spark, sf_dir)),
         "events_asof": lambda: _force(relational.q_events_asof(spark, sf_dir)),
@@ -173,6 +190,28 @@ def extra_cases(spark, sf_dir: str) -> dict:
         # merge term scales with dict size, Zipf-bounded at web scale)
         # bpe_train / substring_dedup now come from bench.py's _build_cases
         # (identical definitions; recorded per-round since r6)
+        # r7: learned quality tier — training is one distributed hashing pass
+        # + L-BFGS treeAggregate rounds (iteration count fixed at 20 across
+        # scales, so the ratio isolates the per-iteration corpus term);
+        # scoring must stay a map-only transform that pipelines into the scan
+        "quality_train": lambda: train_quality_classifier(
+            docs.filter(F.col("doc_id") % 2 == 0),
+            docs.filter(F.col("doc_id") % 2 == 1),
+            max_iter=20,
+        ),
+        "quality_score": lambda: _force(score_quality(docs, q_model)),
+        # r7: the tokenized-shards pipeline product — curation (gate off, the
+        # downstream-scaling variant) with the BPE terminal stage applied to
+        # the shuffled survivors; delta vs curate_corpus_nogate is the
+        # Arrow-batched encode cost
+        "curate_corpus_bpe": lambda: _force(
+            curate_corpus(
+                docs,
+                compute_stats=False,
+                quality_gate=False,
+                bpe_model=bpe_artifact,
+            )[0]
+        ),
     }
 
 
