@@ -86,6 +86,7 @@ GROUPS: dict[str, list[str]] = {
     "lsh_staged": ["fuzzy_levenshtein_blocked", "srp_lsh_near_dup_sql"],
     "r5_new": ["ivf_near_dup_pairs", "shuffle_corpus"],
     "r6_new": ["substring_dedup", "bpe_train"],
+    "r7_new": ["encode_bpe", "quality_score"],
 }
 
 
@@ -203,7 +204,53 @@ def _build_cases(spark, sf_dir: str) -> dict:
         ).train_bpe(
             load_table(spark, sf_dir, "documents"), n_merges=200, min_count=2
         ),
+        # r7: the DECLARED encode shape — corpus charset + vocab construction
+        # is part of the measured wall (with a persisted train_bpe_model
+        # artifact that pass disappears; this records the cold path)
+        "encode_bpe": lambda: _force(
+            __import__(
+                "photo_vector_search_spark.plans.text_queries",
+                fromlist=["q_encode_bpe"],
+            ).q_encode_bpe(spark, sf_dir)
+        ),
+        # r7: map-only learned-quality scoring. The model is trained lazily
+        # ONCE per session (memoized below); min-of-2 therefore records the
+        # warm scoring wall — the serving shape, where the model is a given —
+        # while run 1 absorbs the one-off training.
+        "quality_score": lambda: _force(
+            __import__(
+                "photo_vector_search_spark.pipelines.quality",
+                fromlist=["score_quality"],
+            ).score_quality(
+                load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+                _quality_model(spark, sf_dir),
+            )
+        ),
     }
+
+
+_QUALITY_MODEL_MEMO: dict = {}
+
+
+def _quality_model(spark, sf_dir: str):
+    """Session-memoized quality model — built on first use so only the group
+    that runs quality_score pays the training jobs."""
+    key = sf_dir
+    if key not in _QUALITY_MODEL_MEMO:
+        from pyspark.sql import functions as F
+
+        from photo_vector_search_spark.pipelines.quality import (
+            train_quality_classifier,
+        )
+        from photo_vector_search_spark.sources.tables import load_table
+
+        d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        _QUALITY_MODEL_MEMO[key] = train_quality_classifier(
+            d.filter(F.col("doc_id") % 2 == 0),
+            d.filter(F.col("doc_id") % 2 == 1),
+            max_iter=20,
+        )
+    return _QUALITY_MODEL_MEMO[key]
 
 
 def run_cases(case_names: list[str], sf_dir: str) -> dict[str, float]:

@@ -65,7 +65,11 @@ def shingle_sets(docs: DataFrame, n: int = 3) -> DataFrame:
 
 
 def jaccard_pairs(
-    docs: DataFrame, n: int = 3, tau: float = 0.5, max_df: float | None = None
+    docs: DataFrame,
+    n: int = 3,
+    tau: float = 0.5,
+    max_df: float | None = None,
+    stage: bool | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs via inverted index.
 
@@ -78,8 +82,29 @@ def jaccard_pairs(
     results only for pairs whose overlap is dominated by ubiquitous shingles,
     which τ-useful dedup doesn't care about). The declared oracle query runs with
     max_df=None so Spark and DuckDB agree exactly.
+
+    Fan-out economics (r7): the shingle frame feeds three consumers (per-doc
+    counts, both pair-join sides; plus the df agg and pruning join under
+    ``max_df``) and Spark re-executes its subtree per consumer (no
+    cross-branch reuse — verified on executed adaptive plans). Whether to
+    STAGE it is decided by the ``shuffle_corpus`` plan inspection
+    (``stage=None``, the default): when ``docs`` is a bare deterministic
+    scan, re-deriving the shingles is a cheap columnar re-scan + split and
+    staging was MEASURED SLOWER at sf0.1 (the exploded frame is bulky
+    token-strings — writing it costs more than recomputing it); when
+    ``docs`` is a wide or nondeterministic upstream (mid-pipeline), the
+    frame is staged to parquet once so the upstream executes exactly once.
+    ``stage=True``/``False`` overrides; with ``max_df`` a staged run stages
+    the pruned frame a second time so the fan-out reads the filtered copy.
     """
+    from photo_vector_search_spark.operators.shuffle import _rescan_safe_and_cheap
+    from photo_vector_search_spark.operators.staging import stage_frame
+
+    if stage is None:
+        stage = not _rescan_safe_and_cheap(docs)
     sh = shingle_sets(docs, n)
+    if stage:
+        sh = stage_frame(sh, "pvs_jaccard_sh")
     if max_df is not None:
         n_docs = docs.count()
         keep = (
@@ -89,6 +114,8 @@ def jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(keep, "shingle")
+        if stage:
+            sh = stage_frame(sh, "pvs_jaccard_sh_pruned")
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -435,6 +462,7 @@ def fuzzy_pairs_blocked(
     q: int = 8,
     max_dist: int = 16,
     max_df: float | None = None,
+    stage: bool | None = None,
 ) -> DataFrame:
     """Edit-distance fuzzy pairs via character-q-gram blocking — the scale form
     of Levenshtein matching (the character-level member of the dedup family,
@@ -456,6 +484,16 @@ def fuzzy_pairs_blocked(
     corpus (boilerplate openers) otherwise contributes B²/2 candidate pairs
     inside one join key. Default None keeps the declared oracle exact.
 
+    Fan-out economics (r7): the gram frame feeds both sides of the candidate
+    self-join (plus the df agg and pruning join under ``max_df``) and Spark
+    re-executes the explode per consumer (no cross-branch reuse — verified
+    on executed adaptive plans). ``stage=None`` (default) decides by the
+    ``shuffle_corpus`` plan inspection: bare-scan inputs re-derive (staging
+    the string-valued gram frame was MEASURED SLOWER at sf0.1 than the
+    substring-split recompute), wide/nondeterministic upstreams stage to
+    parquet once. ``stage=True``/``False`` overrides; staged ``max_df`` runs
+    stage the pruned frame a second time.
+
     Output: (doc_a, doc_b, lev) with doc_a < doc_b, lev ≤ max_dist."""
     p = docs.select(
         "doc_id", F.substring(F.lower(F.col("text")), 1, prefix_len).alias("p")
@@ -471,6 +509,13 @@ def fuzzy_pairs_blocked(
             )
         ).alias("gram"),
     )
+    from photo_vector_search_spark.operators.shuffle import _rescan_safe_and_cheap
+    from photo_vector_search_spark.operators.staging import stage_frame
+
+    if stage is None:
+        stage = not _rescan_safe_and_cheap(docs)
+    if stage:
+        grams = stage_frame(grams, "pvs_fuzzy_grams")
     if max_df is not None:
         n_docs = docs.count()
         keep = (
@@ -480,6 +525,8 @@ def fuzzy_pairs_blocked(
             .select("gram")
         )
         grams = grams.join(keep, "gram")
+        if stage:
+            grams = stage_frame(grams, "pvs_fuzzy_grams_pruned")
     a, b = grams.alias("a"), grams.alias("b")
     cand = (
         a.join(

@@ -108,12 +108,9 @@ def _hot_occurrences(
     worst case)."""
     grams = _gram_frame(docs, n, text_col)
     if stage:
-        from photo_vector_search_spark.operators.staging import session_staging_dir
+        from photo_vector_search_spark.operators.staging import stage_frame
 
-        if staging_dir is None:
-            staging_dir = session_staging_dir("pvs_substring")
-        grams.write.mode("overwrite").parquet(staging_dir)
-        grams = docs.sparkSession.read.parquet(staging_dir)
+        grams = stage_frame(grams, "pvs_substring", staging_dir)
     hot = (
         grams.groupBy("h")
         .agg(

@@ -357,7 +357,12 @@ def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shuffle shape: explode distinct bigrams → df agg keyed by bigram → join back
     keyed by bigram → per-doc agg. All partial-agg combinable; same inverted-
-    index skeleton as decontamination, linear in corpus size."""
+    index skeleton as decontamination, linear in corpus size. The bigram frame
+    fans out to the df agg and the join probe, so the explode executes twice
+    from the bare scan — the measured-cheaper choice here (r7: staging the
+    string-valued bigram frame costs more to write than the split recomputes;
+    the jaccard/fuzzy operators' `stage=` auto mode applies the same rule, and
+    a window-over-bigram alternative would straggle on mega-hot bigrams)."""
     docs = load_table(spark, sf_dir, "documents")
     toks_df = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
     # word_shingles carries the short-input guard (Spark's sequence(1,0) is
@@ -471,7 +476,14 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins keyed on doc_id/term → per-doc window. All partial-agg combinable;
     the df table is vocabulary-sized (broadcastable at any corpus scale).
     Ranking uses the ROUNDED score so cross-engine libm ULP differences in ln()
-    cannot flip an ordering; ties break on the term string."""
+    cannot flip an ordering; ties break on the term string.
+
+    Fan-out economics (measured r7): the token explode feeds three branches
+    and re-executes per branch (no cross-branch subtree reuse). Staging or
+    caching the token/counts frame was MEASURED SLOWER at sf0.1 (0.98-1.8 s
+    vs 0.67 s re-derived; a counts-derived doclen times identically — the
+    lineage still re-runs the explode), so the bare-scan re-derive stands,
+    the same rule the jaccard/fuzzy `stage=` auto mode applies."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
