@@ -86,7 +86,7 @@ GROUPS: dict[str, list[str]] = {
     "lsh_staged": ["fuzzy_levenshtein_blocked", "srp_lsh_near_dup_sql"],
     "r5_new": ["ivf_near_dup_pairs", "shuffle_corpus"],
     "r6_new": ["substring_dedup", "bpe_train"],
-    "r7_new": ["encode_bpe", "quality_score"],
+    "r7_new": ["encode_bpe", "quality_score", "pack_windows"],
 }
 
 
@@ -213,6 +213,15 @@ def _build_cases(spark, sf_dir: str) -> dict:
                 fromlist=["q_encode_bpe"],
             ).q_encode_bpe(spark, sf_dir)
         ),
+        # r7: fixed-length sequence packing over a session-staged tokenized
+        # corpus (staged lazily once, so min-of-2 records the packing pass —
+        # encode cost is its own case above)
+        "pack_windows": lambda: _force(
+            __import__(
+                "photo_vector_search_spark.operators.packing",
+                fromlist=["pack_token_windows"],
+            ).pack_token_windows(_staged_ids(spark, sf_dir), 512)
+        ),
         # r7: map-only learned-quality scoring. The model is trained lazily
         # ONCE per session (memoized below); min-of-2 therefore records the
         # warm scoring wall — the serving shape, where the model is a given —
@@ -230,6 +239,30 @@ def _build_cases(spark, sf_dir: str) -> dict:
 
 
 _QUALITY_MODEL_MEMO: dict = {}
+_STAGED_IDS_MEMO: dict = {}
+
+
+def _staged_ids(spark, sf_dir: str):
+    """Session-memoized staged tokenized corpus for the packing case."""
+    if sf_dir not in _STAGED_IDS_MEMO:
+        from pyspark.sql import functions as F
+
+        from photo_vector_search_spark.operators.bpe import (
+            encode_bpe,
+            train_bpe_model,
+        )
+        from photo_vector_search_spark.operators.staging import stage_frame
+        from photo_vector_search_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        merges, vocab = train_bpe_model(docs, n_merges=200, min_count=2)
+        _STAGED_IDS_MEMO[sf_dir] = stage_frame(
+            encode_bpe(docs, merges, vocab).select(
+                F.col("doc_id").alias("pos"), "input_ids"
+            ),
+            "pvs_bench_ids",
+        )
+    return _STAGED_IDS_MEMO[sf_dir]
 
 
 def _quality_model(spark, sf_dir: str):

@@ -1,0 +1,160 @@
+"""Fixed-length sequence packing — the terminal transform of an LLM data
+pipeline: concatenate the tokenized corpus in a deterministic global order
+and re-chunk it into exact ``context_len`` training windows (the GPT-2/
+"packed dataset" convention: documents are joined — optionally with an EOS
+separator — and windows cross document boundaries, so zero tokens are
+wasted to padding).
+
+Spark-first shape, reusing the ``shuffle_corpus`` fixed-bucket discipline:
+
+1. **Per-doc token offsets.** Each doc needs its global token offset
+   ``o_i = sum of n_tokens over all docs ordered before it``. A global
+   window cumsum would serialize on one task; instead docs are bucketed by
+   a PREFIX of the order (``order_col // bucket_width``), per-bucket token
+   sums (≤ ``N_BUCKETS`` longs) are collected and cumsum'd on the driver,
+   and a within-bucket running sum (one bounded window per bucket) adds the
+   local part. Exact, deterministic, one small driver list.
+2. **Window assignment.** A doc's tokens occupy global positions
+   ``[o_i, o_i + n_i)``; the windows it intersects are
+   ``o_i // L .. (o_i + n_i - 1) // L``. Each doc explodes into at most
+   ``n_i / L + 1`` (window, slice) pieces — O(total tokens / L) rows
+   corpus-wide, each carrying its id slice.
+3. **Window rebuild.** groupBy(window) flattens the pieces in order. Each
+   group holds exactly ``L`` ids by construction — bounded memory per key —
+   and the trailing partial window is dropped (``keep_partial=True`` keeps
+   it with its true length; training loaders usually drop it).
+
+Everything is Catalyst (sequence/slice/flatten/window); no UDF, nothing
+driver-sized except the ≤4096 bucket sums. Verified against an independent
+Python reference (collect → concat → rechunk) and partitioning-invariant
+(tests/test_packing.py).
+
+Reference scope note: the reference (photo_vector_search) has no text/token
+surface; this extends the mandated LLM-pipeline family (tokenize → shuffle
+→ pack → export) to the exact shape a pretraining loader consumes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+N_BUCKETS = 4096
+
+
+def pack_token_windows(
+    docs: DataFrame,
+    context_len: int,
+    ids_col: str = "input_ids",
+    order_col: str = "pos",
+    eos_id: int | None = None,
+    keep_partial: bool = False,
+) -> DataFrame:
+    """Pack ``docs[ids_col]`` (array<int>, e.g. ``encode_bpe`` output) into
+    fixed ``context_len`` windows following the total order of ``order_col``
+    (dense or sparse, unique, non-negative — ``shuffle_corpus``'s ``pos`` is
+    the intended producer; any unique long works, order = ascending values).
+
+    ``eos_id`` appends one separator token to every doc before packing (the
+    GPT-2 convention, so a model can learn document boundaries). NULL or
+    empty ``ids_col`` rows contribute nothing (an EOS is still emitted for
+    empty — but not NULL — docs: an empty document is a real, separable
+    document; NULL means absent).
+
+    Returns ``(seq_id, input_ids, n_tokens, n_docs)``: ``seq_id`` the
+    0-based window index in corpus order, ``input_ids`` exactly
+    ``context_len`` ids (the final shorter remainder is dropped unless
+    ``keep_partial``), ``n_docs`` how many documents contributed tokens to
+    the window (packing-density diagnostics)."""
+    if context_len <= 0:
+        raise ValueError(f"context_len must be positive, got {context_len}")
+    spark = docs.sparkSession
+
+    ids = F.coalesce(F.col(ids_col), F.array().cast("array<int>"))
+    if eos_id is not None:
+        ids = F.when(
+            F.col(ids_col).isNull(), F.array().cast("array<int>")
+        ).otherwise(F.concat(ids, F.array(F.lit(int(eos_id)))))
+    toks = docs.select(
+        F.col(order_col).alias("_ord"), ids.alias("_ids")
+    ).withColumn("_n", F.size("_ids"))
+
+    # bucket by an order PREFIX: (bucket, _ord) ascending == _ord ascending,
+    # so per-bucket driver offsets + within-bucket running sums are exact
+    max_ord = toks.agg(F.max("_ord")).first()[0]
+    if max_ord is None:
+        return spark.createDataFrame(
+            [], "seq_id long, input_ids array<int>, n_tokens int, n_docs long"
+        )
+    bucket_width = max(int(max_ord) // N_BUCKETS + 1, 1)
+    # integer DIV, not float division: exact at any order magnitude
+    toks = toks.withColumn("_b", F.expr(f"CAST(_ord DIV {bucket_width} AS INT)"))
+
+    per_bucket = {
+        r["_b"]: r["s"]
+        for r in toks.groupBy("_b").agg(F.sum("_n").alias("s")).collect()
+    }
+    offsets, acc = [], 0
+    for b in sorted(per_bucket):
+        offsets.append((b, acc))
+        acc += per_bucket[b]
+    off = F.broadcast(spark.createDataFrame(offsets, "_b int, _boff long"))
+
+    w = (
+        Window.partitionBy("_b")
+        .orderBy("_ord")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = (
+        toks.join(off, "_b")
+        .withColumn("_o", F.col("_boff") + F.coalesce(F.sum("_n").over(w), F.lit(0)))
+        .filter(F.col("_n") > 0)
+    )
+
+    L = int(context_len)
+    # explode into (window, slice) pieces: windows o//L .. (o+n-1)//L
+    # (integer DIV — float division would round near 2^53; DIV is exact)
+    pieces = placed.select(
+        "_o",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.expr(f"_o DIV {L}"),
+                    F.expr(f"(_o + _n - 1) DIV {L}"),
+                ),
+                lambda win: F.struct(
+                    win.alias("seq_id"),
+                    # slice of _ids covering [max(win*L, o), min((win+1)*L, o+n))
+                    F.slice(
+                        F.col("_ids"),
+                        (F.greatest(win * L, F.col("_o")) - F.col("_o") + 1).cast(
+                            "int"
+                        ),
+                        (
+                            F.least((win + 1) * L, F.col("_o") + F.col("_n"))
+                            - F.greatest(win * L, F.col("_o"))
+                        ).cast("int"),
+                    ).alias("chunk"),
+                ),
+            )
+        ).alias("p"),
+    ).select("_o", F.col("p.seq_id").alias("seq_id"), F.col("p.chunk").alias("chunk"))
+
+    out = (
+        pieces.groupBy("seq_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("_o"), F.col("chunk")))
+                    ),
+                    lambda s: s["chunk"],
+                )
+            ).alias("input_ids"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .withColumn("n_tokens", F.size("input_ids"))
+    )
+    if not keep_partial:
+        out = out.filter(F.col("n_tokens") == L)
+    return out.select("seq_id", "input_ids", "n_tokens", "n_docs")

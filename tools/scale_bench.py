@@ -150,6 +150,18 @@ def extra_cases(spark, sf_dir: str) -> dict:
         max_iter=20,
     )
     bpe_artifact = train_bpe_model(docs, n_merges=200, min_count=2)
+    # tokenized corpus staged once so pack_windows times the packing pass,
+    # not the encode (encode scaling is curate_corpus_bpe's delta)
+    from photo_vector_search_spark.operators.bpe import encode_bpe
+    from photo_vector_search_spark.operators.packing import pack_token_windows
+    from photo_vector_search_spark.operators.staging import stage_frame
+
+    ids_df = stage_frame(
+        encode_bpe(docs, *bpe_artifact).select(
+            F.col("doc_id").alias("pos"), "input_ids"
+        ),
+        "pvs_scale_ids",
+    )
     return {
         "events_resample": lambda: _force(relational.q_events_resample(spark, sf_dir)),
         "events_asof": lambda: _force(relational.q_events_asof(spark, sf_dir)),
@@ -212,6 +224,10 @@ def extra_cases(spark, sf_dir: str) -> dict:
                 bpe_model=bpe_artifact,
             )[0]
         ),
+        # r7: fixed-length sequence packing over the staged tokenized corpus —
+        # one bounded per-bucket cumsum + one piece explode + one window
+        # groupBy; ratio should track total tokens
+        "pack_windows": lambda: _force(pack_token_windows(ids_df, 512)),
     }
 
 
