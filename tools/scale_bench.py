@@ -228,6 +228,19 @@ def extra_cases(spark, sf_dir: str) -> dict:
         # one bounded per-bucket cumsum + one piece explode + one window
         # groupBy; ratio should track total tokens
         "pack_windows": lambda: _force(pack_token_windows(ids_df, 512)),
+        # r7: token-budget mixing — one per-source token agg + map-only
+        # epoch-explode/filter; budget scales with the corpus so rates (and
+        # the emitted fraction) stay comparable across scales
+        "mix_corpus": lambda: _force(
+            __import__(
+                "photo_vector_search_spark.operators.mixing",
+                fromlist=["mix_corpus"],
+            ).mix_corpus(
+                load_table(spark, sf_dir, "documents"),
+                {"src0": 0.6, "src1": 0.3, "src2": 0.1},
+                budget_tokens=300_000 if "sf0.1" in sf_dir else 3_000_000,
+            )
+        ),
     }
 
 
