@@ -86,7 +86,7 @@ GROUPS: dict[str, list[str]] = {
     "lsh_staged": ["fuzzy_levenshtein_blocked", "srp_lsh_near_dup_sql"],
     "r5_new": ["ivf_near_dup_pairs", "shuffle_corpus"],
     "r6_new": ["substring_dedup", "bpe_train"],
-    "r7_new": ["encode_bpe", "quality_score", "pack_windows"],
+    "r7_new": ["encode_bpe", "quality_score", "pack_windows", "mix_corpus"],
 }
 
 
@@ -221,6 +221,14 @@ def _build_cases(spark, sf_dir: str) -> dict:
                 "photo_vector_search_spark.operators.packing",
                 fromlist=["pack_token_windows"],
             ).pack_token_windows(_staged_ids(spark, sf_dir), 512)
+        ),
+        # r7: token-budget mixing in the DECLARED shape (one token-total
+        # pass + map-only epoch-explode/filter + the checksum aggregation)
+        "mix_corpus": lambda: _force(
+            __import__(
+                "photo_vector_search_spark.plans.pipeline_queries",
+                fromlist=["q_mix_corpus"],
+            ).q_mix_corpus(spark, sf_dir)
         ),
         # r7: map-only learned-quality scoring. The model is trained lazily
         # ONCE per session (memoized below); min-of-2 therefore records the

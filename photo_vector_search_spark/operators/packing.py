@@ -49,6 +49,8 @@ def pack_token_windows(
     order_col: str = "pos",
     eos_id: int | None = None,
     keep_partial: bool = False,
+    stage: bool | None = None,
+    staging_dir: str | None = None,
 ) -> DataFrame:
     """Pack ``docs[ids_col]`` (array<int>, e.g. ``encode_bpe`` output) into
     fixed ``context_len`` windows following the total order of ``order_col``
@@ -65,7 +67,16 @@ def pack_token_windows(
     0-based window index in corpus order, ``input_ids`` exactly
     ``context_len`` ids (the final shorter remainder is dropped unless
     ``keep_partial``), ``n_docs`` how many documents contributed tokens to
-    the window (packing-density diagnostics)."""
+    the window (packing-density diagnostics).
+
+    The token frame feeds THREE jobs (max-order probe, per-bucket sums, the
+    window rebuild); Spark re-executes common subtrees per consumer, so by
+    default (``stage=None``) a wide or nondeterministic upstream — the
+    intended producers ``shuffle_corpus``/``encode_bpe`` are both wide — is
+    staged to parquet once (``operators.staging``) and all three jobs read
+    the staged copy, while a bare deterministic scan skips the write
+    (re-scanning immutable files IS the staged read — the ``shuffle_corpus``
+    auto-mode discipline). ``stage=True``/``False`` overrides."""
     if context_len <= 0:
         raise ValueError(f"context_len must be positive, got {context_len}")
     spark = docs.sparkSession
@@ -78,6 +89,14 @@ def pack_token_windows(
     toks = docs.select(
         F.col(order_col).alias("_ord"), ids.alias("_ids")
     ).withColumn("_n", F.size("_ids"))
+
+    from photo_vector_search_spark.operators.shuffle import _rescan_safe_and_cheap
+    from photo_vector_search_spark.operators.staging import stage_frame
+
+    if stage is None:
+        stage = not _rescan_safe_and_cheap(toks)
+    if stage:
+        toks = stage_frame(toks, "pvs_pack", staging_dir)
 
     # bucket by an order PREFIX: (bucket, _ord) ascending == _ord ascending,
     # so per-bucket driver offsets + within-bucket running sums are exact

@@ -703,51 +703,213 @@ FROM q
 """
 
 
+# --- r7 promotions: the fixed-window packer and the token-budget mixer ------
+
+PACK_WIN_CTX = 128  # training context length of the declared packing query
+PACK_WIN_VOCAB = 32768  # hashed-token id space (any deterministic id works)
+PACK_WIN_EOS = 0  # document separator id
+
+
+def q_pack_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-length sequence packing (`operators/packing.pack_token_windows`) —
+    the terminal LLM-pipeline transform: tokenize `documents` (hashed-md5
+    token ids, portable to the oracle), concatenate in doc_id order with an
+    EOS separator, re-chunk into exact 128-token windows. Output keeps arrays
+    out of the compare: per-window position-weighted id checksum (catches any
+    reorder within a window) + first/last id + doc count."""
+    from photo_vector_search_spark.functions.text import hash32, tokens
+    from photo_vector_search_spark.operators.packing import pack_token_windows
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.array_remove(tokens(F.col("text")), "")
+    ids = F.transform(
+        toks, lambda t: (hash32(t) % PACK_WIN_VOCAB).cast("int")
+    )
+    tokenized = docs.select(F.col("doc_id").alias("pos"), ids.alias("input_ids"))
+    packed = pack_token_windows(tokenized, PACK_WIN_CTX, eos_id=PACK_WIN_EOS)
+    wsum = F.aggregate(
+        F.zip_with(
+            F.col("input_ids"),
+            F.sequence(F.lit(1), F.size("input_ids")),
+            lambda x, i: x.cast("long") * i.cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, b: a + b,
+    )
+    return packed.select(
+        "seq_id",
+        "n_tokens",
+        "n_docs",
+        wsum.alias("ids_wsum"),
+        F.element_at("input_ids", 1).alias("first_id"),
+        F.element_at("input_ids", -1).alias("last_id"),
+    )
+
+
+_ORACLE_PACK_WINDOWS = f"""
+WITH ids0 AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL THEN NULL
+              ELSE list_append(
+                list_transform(
+                  list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                              x -> x <> ''),
+                  tok -> CAST(CAST(concat('0x', substring(md5(tok), 1, 8)) AS BIGINT)
+                              % {PACK_WIN_VOCAB} AS INTEGER)),
+                {PACK_WIN_EOS}) END AS ids
+  FROM documents
+),
+off AS (
+  SELECT doc_id, ids, len(ids) AS n,
+         COALESCE(CAST(SUM(len(ids)) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS BIGINT), 0) AS o
+  FROM ids0 WHERE ids IS NOT NULL
+),
+pieces AS (
+  SELECT o,
+         unnest(list_transform(
+           generate_series(o // {PACK_WIN_CTX}, (o + n - 1) // {PACK_WIN_CTX}),
+           win -> struct_pack(
+             seq_id := win,
+             chunk := ids[(greatest(win * {PACK_WIN_CTX}, o) - o + 1):
+                          (least((win + 1) * {PACK_WIN_CTX}, o + n) - o)])))
+         AS p
+  FROM off WHERE n > 0
+),
+flat AS (SELECT o, p.seq_id AS seq_id, p.chunk AS chunk FROM pieces),
+wins AS (
+  SELECT seq_id, flatten(list(chunk ORDER BY o)) AS ids, count(*) AS n_docs
+  FROM flat GROUP BY seq_id
+)
+SELECT seq_id,
+       CAST(len(ids) AS INTEGER) AS n_tokens,
+       n_docs,
+       CAST(list_sum(list_transform(generate_series(1, len(ids)),
+                                    i -> CAST(list_extract(ids, i) AS BIGINT) * i))
+            AS BIGINT) AS ids_wsum,
+       ids[1] AS first_id,
+       ids[len(ids)] AS last_id
+FROM wins WHERE len(ids) = {PACK_WIN_CTX}
+"""
+
+
+MIX_WEIGHTS = {"src0": 0.6, "src1": 0.3, "src2": 0.1}  # DoReMi-style domain mix
+MIX_BUDGET = 60_000  # target emitted tokens; > sf0.01 corpus => upsampling
+
+
+def q_mix_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus mixing (`operators/mixing.mix_corpus`): per-source
+    emission rates from normalized weights over one token-total pass, epoch
+    explode for upsampled sources, md5-uniform partial-epoch membership.
+    Output: per (source, epoch) emitted doc count + id checksum + token sum
+    (membership-exact: any flipped draw moves a row between groups)."""
+    from photo_vector_search_spark.operators.mixing import mix_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    mixed = mix_corpus(docs, MIX_WEIGHTS, MIX_BUDGET)
+    return mixed.groupBy("source", "epoch").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("id_sum"),
+        F.sum(
+            F.coalesce(token_count(F.col("text")), F.lit(0)).cast("long")
+        ).alias("tok_sum"),
+    )
+
+
+def _mix_oracle() -> str:
+    wsum = sum(MIX_WEIGHTS.values())  # same float-sum order as mixture_rates
+    weight_sql = " ".join(
+        f"WHEN source = '{s}' THEN {w}" for s, w in sorted(MIX_WEIGHTS.items())
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, source,
+         CASE WHEN text IS NULL THEN 0
+              ELSE len(regexp_split_to_array(lower(trim(text)), '\\s+')) END AS nt,
+         CASE {weight_sql} ELSE 0.0 END AS w
+  FROM documents
+),
+totals AS (SELECT source, sum(nt) AS n_tokens FROM tok GROUP BY source),
+rated AS (
+  SELECT t.doc_id, t.source, t.nt,
+         (t.w / {wsum!r}) * {MIX_BUDGET} / s.n_tokens AS rate
+  FROM tok t JOIN totals s USING (source) WHERE t.w > 0
+),
+exploded AS (
+  SELECT doc_id, source, nt, rate, CAST(floor(rate) AS INT) AS n_full,
+         unnest(generate_series(0, CAST(floor(rate) AS BIGINT))) AS epoch
+  FROM rated
+),
+kept AS (
+  SELECT * FROM exploded
+  WHERE epoch < n_full
+     OR (CAST(concat('0x', substring(md5('0-' || epoch || '|' || doc_id), 1, 12))
+              AS BIGINT) + 1) / power(16, 12) <= rate - n_full
+)
+SELECT source, CAST(epoch AS INT) AS epoch,
+       count(*) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       CAST(sum(nt) AS BIGINT) AS tok_sum
+FROM kept GROUP BY source, epoch
+"""
+
+
 QUERIES = {
     "distinct_counts": q_distinct_counts,
-    "set_ops": q_set_ops,
     "rollup_events": q_rollup_events,
     "pack_documents_sharded": q_pack_documents_sharded,
     "canonicalize_dups": q_canonicalize_dups,
     "srp_lsh_near_dup": q_srp_lsh_near_dup,
     "data_profile": q_data_profile,
     "label_prototypes": q_label_prototypes,
-    "events_histogram": q_events_histogram,
     "source_drift": q_source_drift,
     "stratified_sample": q_stratified_sample,
     "embedding_quantize": q_embedding_quantize,
+    "pack_windows": q_pack_windows,
+    "mix_corpus": q_mix_corpus,
 }
 
 ORACLES = {
     "distinct_counts": _ORACLE_DISTINCT_COUNTS,
-    "set_ops": _ORACLE_SET_OPS,
     "rollup_events": _ORACLE_ROLLUP_EVENTS,
     "pack_documents_sharded": _ORACLE_PACK_SHARDED,
     "canonicalize_dups": _ORACLE_CANONICALIZE,
     "srp_lsh_near_dup": _srp_oracle(),
     "data_profile": _ORACLE_DATA_PROFILE,
     "label_prototypes": _ORACLE_LABEL_PROTOTYPES,
-    "events_histogram": _ORACLE_EVENTS_HISTOGRAM,
     "source_drift": _ORACLE_SOURCE_DRIFT,
     "stratified_sample": _ORACLE_STRATIFIED_SAMPLE,
     "embedding_quantize": _ORACLE_EMBEDDING_QUANTIZE,
+    "pack_windows": _ORACLE_PACK_WINDOWS,
+    "mix_corpus": _mix_oracle(),
 }
 
 # Retired from the 50-slot declared surface (driver checks exactly 50 entries;
-# see text_queries.RETIRED_QUERIES). Both remain implemented + locally
+# see text_queries.RETIRED_QUERIES). All remain implemented + locally
 # oracle-verified (tests/test_retired_surface.py):
 # - pack_documents: the global-window form is strictly subsumed by
 #   pack_documents_sharded (the declared, 100 TB-shaped variant);
 # - train_test_split: the md5-bucket split is the single-stratum degenerate
-#   case of stratified_sample (same hash32-threshold mechanism).
+#   case of stratified_sample (same hash32-threshold mechanism);
+# - set_ops (retired r7 for pack_windows): INTERSECT/EXCEPT engine
+#   scaffolding with no SURVEY §2 row of its own — distinct/anti-join
+#   semantics stay exercised by dedup_exact/decontaminate/delete_ops;
+# - events_histogram (retired r7 for mix_corpus): width_bucket profiling
+#   rung, no §2 row — min/max + binned groupBy aggregation stays exercised
+#   by events_resample/rollup_events/data_profile.
 RETIRED_QUERIES = {
     "train_test_split": q_train_test_split,
     "pack_documents": q_pack_documents,
+    "set_ops": q_set_ops,
+    "events_histogram": q_events_histogram,
 }
 
 RETIRED_ORACLES = {
     "train_test_split": _ORACLE_TRAIN_TEST_SPLIT,
     "pack_documents": _ORACLE_PACK_DOCUMENTS,
+    "set_ops": _ORACLE_SET_OPS,
+    "events_histogram": _ORACLE_EVENTS_HISTOGRAM,
 }
 
 
