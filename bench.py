@@ -87,6 +87,7 @@ GROUPS: dict[str, list[str]] = {
     "r5_new": ["ivf_near_dup_pairs", "shuffle_corpus"],
     "r6_new": ["substring_dedup", "bpe_train"],
     "r7_new": ["encode_bpe", "quality_score", "pack_windows", "mix_corpus"],
+    "r7_select": ["dsir_weights", "semdedup"],
 }
 
 
@@ -229,6 +230,24 @@ def _build_cases(spark, sf_dir: str) -> dict:
                 "photo_vector_search_spark.plans.pipeline_queries",
                 fromlist=["q_mix_corpus"],
             ).q_mix_corpus(spark, sf_dir)
+        ),
+        # r7: DSIR importance weighting in the DECLARED shape (feature pass
+        # for the count table + broadcast-join scoring pass)
+        "dsir_weights": lambda: _force(
+            __import__(
+                "photo_vector_search_spark.plans.pipeline_queries",
+                fromlist=["q_dsir_weights"],
+            ).q_dsir_weights(spark, sf_dir)
+        ),
+        # r7: SemDeDup in the DECLARED deterministic shape (seeded centroids,
+        # rounded-cosine assignment, relational within-cluster pairs). K is
+        # fixture-pinned like the oracle; the scale table runs the production
+        # rung with N-scaled clusters instead.
+        "semdedup": lambda: _force(
+            __import__(
+                "photo_vector_search_spark.plans.pipeline_queries",
+                fromlist=["q_semdedup"],
+            ).q_semdedup(spark, sf_dir)
         ),
         # r7: map-only learned-quality scoring. The model is trained lazily
         # ONCE per session (memoized below); min-of-2 therefore records the

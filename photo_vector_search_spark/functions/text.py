@@ -28,14 +28,24 @@ def tokens(text: Column) -> Column:
 def word_ngrams(toks: Column, n: int = 3) -> Column:
     """Word n-grams in order (with repeats), joined by single spaces.
 
-    Guarded for short inputs: Spark's ``sequence(1, 0)`` is DESCENDING ``[1, 0]``
-    (not empty like DuckDB's generate_series), which would feed ``slice`` a zero
-    start and error under ANSI — docs with fewer than ``n`` tokens must
-    short-circuit to an empty array explicitly."""
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
+    Built as a zip of ``n`` shifted array slices (``n`` O(size) slices per
+    doc) rather than a per-position ``transform(sequence, i -> slice(toks,
+    i, n))`` — the per-position form allocates one slice per GRAM and
+    measured ~6x slower on the sf0.1 corpus (r7; value-identical, asserted
+    in tests). Each slice start j+1 with length size-n+1 stays in bounds by
+    construction, so nothing trips ANSI mode.
+
+    Guarded for short inputs: docs with fewer than ``n`` tokens
+    short-circuit to an empty array explicitly (matching DuckDB's empty
+    ``generate_series``)."""
+    length = F.size(toks) - F.lit(n - 1)
+    grams = F.slice(toks, 1, length)
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, j + 1, length),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
     empty = F.array().cast("array<string>")
     return F.when(F.size(toks) < n, empty).otherwise(grams)
 

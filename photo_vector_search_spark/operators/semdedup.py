@@ -1,0 +1,187 @@
+"""SemDeDup — semantic deduplication over embeddings (Abbas et al. 2023,
+arXiv:2303.09540): cluster the embedding space, compute pairwise cosine only
+WITHIN clusters, and drop every vector that is ≥ tau similar to another
+vector of lower id in its cluster (the paper's upper-triangular rule: x_i is
+removed iff max_{j<i, same cluster} cos(x_i, x_j) ≥ tau — independent of
+whether x_j itself survives).
+
+Two rungs, same semantics:
+
+- **Production** (``semdedup``): k-means blocking + per-cluster BLAS via the
+  existing ``ann.ivf_near_dup_pairs`` (SemDeDup's own blocking scheme — one
+  shuffle on cluster_id, per-group blocked matmul), then the greedy drop is
+  ONE distinct + ONE left-anti join on the already τ-filtered pair rows.
+  Scales exactly like ivf_near_dup_pairs: Σ_c B_c²/2 work, nothing
+  driver-sized beyond the sampled centroid train.
+- **Deterministic** (``semdedup_deterministic``): centroids = the k lowest-id
+  vectors, assignment = argmax ROUNDED cosine with centroid-id tie-break,
+  pair threshold on rounded cosine — every comparison is 6-dp-stable, so a
+  DuckDB oracle replays the whole pipeline bit-for-bit (the declared-query
+  rung; rounding removes cross-engine last-ulp argmax/threshold flips).
+
+Cf. the reference's single-node HNSW store (photo_vector_search.py:17-20):
+it has no bulk self-dedup surface at all; this is the engine-native
+extension the mandated LLM-pipeline family requires.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from photo_vector_search_spark.functions.vector import (
+    dot_product,
+    l2_normalize,
+)
+
+
+def seed_centroids(
+    emb: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(cid, cvec): the ``k`` lowest-id vectors as centroids — deterministic
+    on any engine (no sampling, no iteration), the seeding rung used by the
+    oracle-checked declared query. Real runs want ``ann.train_centroids``."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    # orderBy+limit, NOT a global row_number window (which would funnel every
+    # row through one task): Spark executes this as TakeOrderedAndProject —
+    # per-partition top-k, driver merges k·partitions rows. Sparse/non-dense
+    # ids still yield exactly min(k, N) centroids.
+    return (
+        emb.select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).cast("array<double>").alias("cvec"),
+        )
+        .orderBy("cid")
+        .limit(k)
+    )
+
+
+def assign_rounded(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Add ``cluster_id`` = argmax over centroids of round(cos, round_to),
+    ties to the smallest centroid id. Pure Catalyst: broadcast the (tiny)
+    centroid table, one map-side cross product of k sims per vector, one
+    row_number window keyed by the vector id. The ROUNDING is the
+    cross-engine stability contract: two centroids within 10^-round_to of
+    each other tie deterministically instead of flipping on last-ulp math.
+
+    Cosine is computed as a dot product of PRE-NORMALIZED vectors (each side
+    normalized once, one fold per sim instead of dot+two norms — 3x less
+    per-pair lambda work; a zero-norm vector normalizes to itself, dots to
+    0, and lands in its lowest-id centroid, the same outcome the NULL-cosine
+    path would give). The k-row window per vector shuffles the k·N sim rows
+    once; the production path (``ann.assign_clusters``) does the same argmax
+    as a map-only NumPy matmul — use it when the assignment needn't be
+    replayed by a SQL oracle."""
+    cent = centroids.select("cid", l2_normalize(F.col("cvec")).alias("_cn"))
+    sims = emb.withColumn(
+        "_en", l2_normalize(F.col(vec_col).cast("array<double>"))
+    ).join(F.broadcast(cent)).withColumn(
+        "_s", F.round(dot_product(F.col("_en"), F.col("_cn")), round_to)
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_s").desc(), F.col("cid"))
+    return (
+        sims.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(emb["*"], F.col("cid").alias("cluster_id"))
+    )
+
+
+def within_cluster_pairs(
+    assigned: DataFrame,
+    tau: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """(cluster_id, vec_a, vec_b, sim) for same-cluster pairs with
+    ``vec_a < vec_b`` and cosine ≥ tau — the cluster-keyed relational
+    self-join (one shuffle on cluster_id; Catalyst picks the join strategy).
+    ``round_to`` rounds the similarity BEFORE the threshold (engine-portable
+    boundaries); None keeps raw doubles. Vectors are normalized ONCE per
+    side before the join, so each pair costs a single dot fold (zero-norm
+    vectors dot to 0 — never a τ-pair — matching the NULL-cosine outcome).
+    For very large clusters prefer the blocked-BLAS pair path in
+    ``ann.ivf_near_dup_pairs``."""
+    norm = l2_normalize(F.col(vec_col).cast("array<double>"))
+    a = assigned.select(
+        "cluster_id",
+        F.col(id_col).alias("vec_a"),
+        norm.alias("_va"),
+    )
+    b = assigned.select(
+        "cluster_id",
+        F.col(id_col).alias("vec_b"),
+        norm.alias("_vb"),
+    )
+    s = dot_product(F.col("_va"), F.col("_vb"))
+    if round_to is not None:
+        s = F.round(s, round_to)
+    return (
+        a.join(b, "cluster_id")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("sim", s)
+        .filter(F.col("sim") >= tau)
+        .select("cluster_id", "vec_a", "vec_b", "sim")
+    )
+
+
+def drop_greedy(
+    emb: DataFrame, pairs: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """Survivors under the paper's upper-triangular rule: a vector is dropped
+    iff it appears as the LARGER id of any τ-pair (so the lowest id of every
+    similar set always survives; mid-chain members drop even when their
+    earlier neighbor also drops — exactly SemDeDup's max_{j<i} test). One
+    distinct over the (output-sized) pair rows + one left-anti join."""
+    dropped = pairs.select(F.col("vec_b").alias(id_col)).distinct()
+    return emb.join(dropped, id_col, "left_anti")
+
+
+def semdedup(
+    emb: DataFrame,
+    tau: float = 0.9,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    **ivf_kwargs,
+) -> DataFrame:
+    """Production SemDeDup: k-means-blocked pair generation
+    (``ann.ivf_near_dup_pairs`` — sampled centroid train, map-only assign,
+    per-cluster blocked BLAS) + the greedy drop. Returns the surviving rows
+    of ``emb`` (all columns). Recall caveat is the blocking trade documented
+    on ivf_near_dup_pairs: a τ-pair split across clusters is missed
+    (``n_assign`` multi-probe narrows the gap)."""
+    from photo_vector_search_spark.operators.ann import ivf_near_dup_pairs
+
+    pairs = ivf_near_dup_pairs(emb, tau=tau, n_clusters=n_clusters, **ivf_kwargs)
+    return drop_greedy(emb, pairs, id_col)
+
+
+def semdedup_deterministic(
+    emb: DataFrame,
+    k: int,
+    tau: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """The oracle-replayable rung: seed centroids → rounded-cosine assignment
+    → rounded within-cluster pairs → greedy drop. Returns ``emb``'s columns
+    plus ``cluster_id`` and ``kept`` (bool) for every vector."""
+    cent = seed_centroids(emb, k, id_col, vec_col)
+    assigned = assign_rounded(emb, cent, id_col, vec_col, round_to)
+    pairs = within_cluster_pairs(assigned, tau, id_col, vec_col, round_to)
+    dropped = pairs.select(F.col("vec_b").alias(id_col)).distinct().withColumn(
+        "_drop", F.lit(True)
+    )
+    return (
+        assigned.join(dropped, id_col, "left")
+        .withColumn("kept", F.col("_drop").isNull())
+        .drop("_drop")
+    )

@@ -855,8 +855,131 @@ FROM kept GROUP BY source, epoch
 """
 
 
+DSIR_BUCKETS = 4096  # hashed-feature space of the declared DSIR query
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weighting (`operators/dsir`): hashed unigram+bigram
+    features, one-pass conditional bucket counts (target = src0 docs standing
+    in for the high-quality seed corpus), add-1-smoothed engine-side
+    log-ratios, decimal-exact per-doc score sums. Output: every doc's feature
+    count + rounded importance score (featureless docs pass through at 0)."""
+    from photo_vector_search_spark.operators.dsir import (
+        dsir_log_ratios,
+        dsir_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    ratios = dsir_log_ratios(
+        docs, target_filter=F.col("source") == "src0", n_buckets=DSIR_BUCKETS
+    )
+    return dsir_scores(docs, ratios, n_buckets=DSIR_BUCKETS).select(
+        "doc_id", "n_feats", F.round("dsir_score", 6).alias("dsir_score")
+    )
+
+
+_ORACLE_DSIR_WEIGHTS = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, source,
+         unnest(t || list_transform(generate_series(1, len(t) - 1),
+                                    i -> t[i] || ' ' || t[i + 1])) AS g
+  FROM toks
+),
+feats AS (
+  SELECT doc_id, source,
+         CAST(CAST(concat('0x', substring(md5(g), 1, 8)) AS BIGINT)
+              % {DSIR_BUCKETS} AS INTEGER) AS bucket
+  FROM grams
+),
+counts AS (
+  SELECT bucket, count(*) AS c_raw,
+         sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS c_tgt
+  FROM feats GROUP BY bucket
+),
+tot AS (SELECT sum(c_raw) AS n_raw, sum(c_tgt) AS n_tgt FROM counts),
+lr AS (
+  SELECT bucket,
+         ln((c_tgt + 1.0) / CAST(n_tgt + {DSIR_BUCKETS} AS DOUBLE))
+           - ln((c_raw + 1.0) / CAST(n_raw + {DSIR_BUCKETS} AS DOUBLE)) AS lr
+  FROM counts CROSS JOIN tot
+),
+scored AS (
+  SELECT f.doc_id, count(*) AS n_feats,
+         sum(CAST(l.lr AS DECIMAL(28,18))) AS s
+  FROM feats f JOIN lr l USING (bucket) GROUP BY f.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(s.n_feats, 0) AS n_feats,
+       round(COALESCE(CAST(s.s AS DOUBLE), 0.0), 6) AS dsir_score
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
+SEM_K = 8  # deterministic seed centroids of the declared SemDeDup query
+SEM_TAU = 0.45  # the fixture corpus's embedding near-dup threshold
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup end-to-end (`operators/semdedup`): seed centroids (the
+    SEM_K lowest-id vectors — deterministic, oracle-replayable; real runs
+    use the sampled k-means train), rounded-cosine argmax assignment with
+    centroid-id tie-break, within-cluster τ-pairs on rounded cosine, and the
+    paper's upper-triangular greedy drop. Output: per-cluster totals,
+    survivor counts and survivor-id checksums (any flipped assignment or
+    keep/drop decision moves a row between groups)."""
+    from photo_vector_search_spark.operators.semdedup import (
+        semdedup_deterministic,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    out = semdedup_deterministic(emb, k=SEM_K, tau=SEM_TAU)
+    return out.groupBy(F.col("cluster_id").alias("cluster")).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        F.sum(F.when(F.col("kept"), F.col("vec_id"))).alias("kept_id_sum"),
+    )
+
+
+_ORACLE_SEMDEDUP = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT {SEM_K}),
+sims AS (
+  SELECT e.vec_id, c.cid,
+         round(list_cosine_similarity(e.v, c.cv), 6) AS s
+  FROM e CROSS JOIN cent c
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+    FROM sims
+  ) WHERE rn = 1
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id AS vb
+  FROM assign a
+  JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
+  WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= {SEM_TAU}
+)
+SELECT a.cid AS cluster,
+       count(*) AS n_vecs,
+       CAST(sum(CASE WHEN d.vb IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN d.vb IS NULL THEN a.vec_id END) AS BIGINT)
+         AS kept_id_sum
+FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vb
+GROUP BY a.cid
+"""
+
+
 QUERIES = {
-    "distinct_counts": q_distinct_counts,
     "rollup_events": q_rollup_events,
     "pack_documents_sharded": q_pack_documents_sharded,
     "canonicalize_dups": q_canonicalize_dups,
@@ -864,14 +987,14 @@ QUERIES = {
     "data_profile": q_data_profile,
     "label_prototypes": q_label_prototypes,
     "source_drift": q_source_drift,
-    "stratified_sample": q_stratified_sample,
     "embedding_quantize": q_embedding_quantize,
     "pack_windows": q_pack_windows,
     "mix_corpus": q_mix_corpus,
+    "dsir_weights": q_dsir_weights,
+    "semdedup": q_semdedup,
 }
 
 ORACLES = {
-    "distinct_counts": _ORACLE_DISTINCT_COUNTS,
     "rollup_events": _ORACLE_ROLLUP_EVENTS,
     "pack_documents_sharded": _ORACLE_PACK_SHARDED,
     "canonicalize_dups": _ORACLE_CANONICALIZE,
@@ -879,10 +1002,11 @@ ORACLES = {
     "data_profile": _ORACLE_DATA_PROFILE,
     "label_prototypes": _ORACLE_LABEL_PROTOTYPES,
     "source_drift": _ORACLE_SOURCE_DRIFT,
-    "stratified_sample": _ORACLE_STRATIFIED_SAMPLE,
     "embedding_quantize": _ORACLE_EMBEDDING_QUANTIZE,
     "pack_windows": _ORACLE_PACK_WINDOWS,
     "mix_corpus": _mix_oracle(),
+    "dsir_weights": _ORACLE_DSIR_WEIGHTS,
+    "semdedup": _ORACLE_SEMDEDUP,
 }
 
 # Retired from the 50-slot declared surface (driver checks exactly 50 entries;
@@ -897,19 +1021,30 @@ ORACLES = {
 #   semantics stay exercised by dedup_exact/decontaminate/delete_ops;
 # - events_histogram (retired r7 for mix_corpus): width_bucket profiling
 #   rung, no §2 row — min/max + binned groupBy aggregation stays exercised
-#   by events_resample/rollup_events/data_profile.
+#   by events_resample/rollup_events/data_profile;
+# - stratified_sample (retired r7 for dsir_weights): the doc-count sampling
+#   rung — mix_corpus (declared) is the token-budget superset of the same
+#   md5-threshold family, and train_test_split (already retired) its
+#   degenerate case;
+# - distinct_counts (retired r7 for semdedup): §2.4 A2 cardinality — still
+#   locally oracle-verified; data_profile keeps exact profiling declared and
+#   the HLL sketch variant stays twin-tested in test_sketches.
 RETIRED_QUERIES = {
+    "distinct_counts": q_distinct_counts,
     "train_test_split": q_train_test_split,
     "pack_documents": q_pack_documents,
     "set_ops": q_set_ops,
     "events_histogram": q_events_histogram,
+    "stratified_sample": q_stratified_sample,
 }
 
 RETIRED_ORACLES = {
+    "distinct_counts": _ORACLE_DISTINCT_COUNTS,
     "train_test_split": _ORACLE_TRAIN_TEST_SPLIT,
     "pack_documents": _ORACLE_PACK_DOCUMENTS,
     "set_ops": _ORACLE_SET_OPS,
     "events_histogram": _ORACLE_EVENTS_HISTOGRAM,
+    "stratified_sample": _ORACLE_STRATIFIED_SAMPLE,
 }
 
 

@@ -161,3 +161,54 @@ def test_tokenize_empty_and_whitespace_docs(spark):
     finally:
         con.close()
     assert {d: (list(i), n) for d, (i, n) in want.items()} == got
+
+
+def test_word_ngrams_zip_form_matches_per_position_reference(spark):
+    """r7 perf rewrite: word_ngrams as a zip of n shifted slices (n slices
+    per doc) must be value-identical to the original per-position
+    transform(sequence, i -> slice(toks, i, n)) form (one slice per GRAM,
+    measured ~6x slower at sf0.1) — including the short-doc, empty-doc and
+    NULL-text corners."""
+    from pyspark.sql import functions as F
+
+    from photo_vector_search_spark.functions.text import tokens, word_ngrams
+
+    def reference_ngrams(toks, n):
+        grams = F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+        return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+            grams
+        )
+
+    rows = [
+        (0, "a b c d e f"),
+        (1, "a b"),
+        (2, "a"),
+        (3, ""),
+        (4, None),
+        (5, "x  y\tz\nw"),
+        (6, "one two one two one"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = F.array_remove(tokens(F.col("text")), "")
+    for n in (2, 3, 5):
+        got = {
+            r["doc_id"]: r["g"]
+            for r in docs.select("doc_id", word_ngrams(toks, n).alias("g")).collect()
+        }
+        want = {
+            r["doc_id"]: r["g"]
+            for r in docs.select(
+                "doc_id", reference_ngrams(toks, n).alias("g")
+            ).collect()
+        }
+        assert got == want, n
+    # dense sanity for the n=2 case
+    got2 = (
+        docs.filter("doc_id = 0")
+        .select(word_ngrams(toks, 2).alias("g"))
+        .first()["g"]
+    )
+    assert got2 == ["a b", "b c", "c d", "d e", "e f"]

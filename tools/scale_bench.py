@@ -241,6 +241,29 @@ def extra_cases(spark, sf_dir: str) -> dict:
                 budget_tokens=300_000 if "sf0.1" in sf_dir else 3_000_000,
             )
         ),
+        # r7: DSIR scoring — the feature/count pass and the broadcast-join
+        # scoring pass are both corpus-linear; n_buckets stays fixed (the
+        # count table is scale-independent by design)
+        "dsir_weights": lambda: _force(
+            __import__(
+                "photo_vector_search_spark.plans.pipeline_queries",
+                fromlist=["q_dsir_weights"],
+            ).q_dsir_weights(spark, sf_dir)
+        ),
+        # r7: SemDeDup production rung with N-scaled clusters (same ~125-row
+        # target as ivf_near_dup_pairs — fixed K would make per-cluster
+        # all-pairs quadratic, the exact knob the docstring prescribes)
+        "semdedup": lambda: _force(
+            __import__(
+                "photo_vector_search_spark.operators.semdedup",
+                fromlist=["semdedup"],
+            ).semdedup(
+                emb,
+                tau=0.45,
+                n_clusters=max(8, emb.count() // 125),
+                n_assign=2,
+            )
+        ),
     }
 
 
