@@ -372,3 +372,45 @@ def encode_bpe(
             yield pdf
 
     return docs.mapInPandas(run, schema=out_schema)
+
+
+def decode_bpe(
+    docs: DataFrame,
+    vocab: dict[str, int],
+    ids_col: str = "input_ids",
+    out_col: str = "text_decoded",
+    oov_token: str = "�",
+) -> DataFrame:
+    """Invert ``encode_bpe``: ids → symbols (inverse vocab lookup) → words
+    (symbols concatenate to ``word</w>`` runs; split on the end-of-word
+    marker) → space-joined text. Exact round trip onto the encoder's
+    canonical surface: ``decode_bpe(encode_bpe(d)) == lower+ws-normalized
+    text`` for every in-vocab doc (asserted in tests) — the validation/debug
+    surface a tokenized-shards pipeline needs. The reserved OOV id (and any
+    out-of-range id) renders as ``oov_token``. NULL ids → NULL text; empty
+    ids → empty string. Map-only Arrow pass, mirroring the encoder."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    spark = docs.sparkSession
+    inv_bc = spark.sparkContext.broadcast({i: s for s, i in vocab.items()})
+    out_schema = StructType(
+        [f for f in docs.schema.fields if f.name != out_col]
+        + [StructField(out_col, StringType(), True)]
+    )
+    in_cols = [f.name for f in docs.schema.fields if f.name != out_col]
+
+    def run(batches):
+        inv = inv_bc.value
+
+        def dec(ids):
+            if ids is None:
+                return None
+            joined = "".join(inv.get(int(i), oov_token) for i in ids)
+            return " ".join(w for w in joined.split(EOW) if w != "")
+
+        for pdf in batches:
+            pdf = pdf[in_cols].copy()
+            pdf[out_col] = pdf[ids_col].map(dec)
+            yield pdf
+
+    return docs.mapInPandas(run, schema=out_schema)

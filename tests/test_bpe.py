@@ -213,3 +213,44 @@ def test_nbsp_segmentation_matches_training(spark):
     # the 4 words Python whitespace-splitting would produce
     assert len(toks) == 2 * (7 + 1)
     assert "".join(toks).count(EOW) == 2
+
+
+def test_decode_round_trip(spark, sf_correct):
+    """decode(encode(text)) recovers the encoder's canonical surface
+    (lowercased, whitespace-normalized) exactly for in-vocab corpora; OOV
+    ids render as the replacement token; NULL/empty contracts hold."""
+    from photo_vector_search_spark.operators.bpe import (
+        decode_bpe,
+        encode_bpe,
+        train_bpe_model,
+    )
+    from photo_vector_search_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_correct, "documents").select("doc_id", "text").limit(80)
+    # min_count=1: every training word stays segmentable from the charset,
+    # so the round trip is exact on the training corpus itself
+    merges, vocab = train_bpe_model(docs, n_merges=80, min_count=1)
+    enc = encode_bpe(docs, merges, vocab)
+    dec = decode_bpe(enc, vocab)
+    rows = dec.select("doc_id", "text", "text_decoded").collect()
+    assert len(rows) == 80
+    import re
+
+    for r in rows:
+        if r["text"] is None:
+            assert r["text_decoded"] is None
+            continue
+        want = " ".join(w for w in re.split(r"\s+", r["text"].lower()) if w)
+        assert r["text_decoded"] == want, r["doc_id"]
+
+    # OOV and empty contracts on a controlled frame
+    small = spark.createDataFrame(
+        [(0, [0, 1]), (1, []), (2, None), (3, [10**6])],
+        "doc_id long, input_ids array<int>",
+    )
+    got = {
+        r["doc_id"]: r["text_decoded"]
+        for r in decode_bpe(small, vocab).collect()
+    }
+    assert got[1] == "" and got[2] is None
+    assert "�" in got[3]
