@@ -54,6 +54,11 @@ def curate_corpus(
     pareto_alpha: float = 9.0,
     quality_seed: int = 0,
     bpe_model: tuple[list[tuple[str, str]], dict[str, int]] | None = None,
+    dsir_target=None,
+    dsir_keep: int | None = None,
+    dsir_temperature: float = 1.0,
+    dsir_seed: int = 0,
+    dsir_buckets: int = 4096,
 ) -> tuple[DataFrame, dict[str, int]]:
     """Run the full curation pipeline over ``docs`` (doc_id, text, ...).
 
@@ -108,6 +113,15 @@ def curate_corpus(
     Default off so measured pipeline walls/survivors of earlier rounds stay
     comparable.
 
+    ``dsir_target`` + ``dsir_keep`` (opt-in, r7) run DSIR importance
+    RESAMPLING right after the quality tiers: hashed-n-gram log-ratios are
+    estimated against ``dsir_target`` (a boolean Column over the gated docs
+    marking the high-quality seed slice), every doc is scored, and
+    ``dsir_keep`` docs are Gumbel-sampled ∝ exp(score/``dsir_temperature``)
+    (``operators/dsir`` — deterministic given ``dsir_seed``, no global sort).
+    Selection-before-dedup, the paper's pool→select order; the transient
+    ``dsir_score``/``n_feats`` columns are dropped after the stage.
+
     ``bpe_model`` (opt-in, r7) appends BPE TOKENIZATION as the terminal
     stage — the ``(merges, vocab)`` artifact ``operators/bpe.train_bpe_model``
     returns (train once, persist via ``bpe_merges_df``, reuse across runs) is
@@ -128,6 +142,11 @@ def curate_corpus(
         # policy would otherwise burn four full-corpus count actions first
         raise ValueError(
             f"near_dedup must be 'greedy' or 'cluster', got {near_dedup!r}"
+        )
+    if (dsir_target is None) != (dsir_keep is None):
+        # same entry-time discipline as the near_dedup check above
+        raise ValueError(
+            "curate_corpus: dsir_target and dsir_keep must be passed together"
         )
     stats: dict[str, int] = {}
 
@@ -162,6 +181,24 @@ def curate_corpus(
             seed=quality_seed,
         ).drop("quality_score")
         _stat("after_learned_quality", gated)
+
+    if dsir_keep is not None:
+        from photo_vector_search_spark.operators.dsir import (
+            dsir_log_ratios,
+            dsir_scores,
+            dsir_select,
+        )
+
+        ratios = dsir_log_ratios(
+            gated, target_filter=dsir_target, n_buckets=dsir_buckets
+        )
+        gated = dsir_select(
+            dsir_scores(gated, ratios, n_buckets=dsir_buckets),
+            n_keep=dsir_keep,
+            temperature=dsir_temperature,
+            seed=dsir_seed,
+        ).drop("dsir_score", "n_feats")
+        _stat("after_dsir", gated)
 
     fp = exact_dedup(gated)
     exact_survivors = fp.filter(F.col("doc_id") == F.col("canonical_id")).select(

@@ -254,3 +254,40 @@ def test_curate_corpus_bpe_terminal_stage(spark, sf_dir):
         assert len(got) == len(rows)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_curate_corpus_dsir_stage(spark, sf_dir):
+    """dsir_target + dsir_keep select exactly n_keep docs right after the
+    quality tiers, deterministically; downstream stages see only the kept
+    pool; the transient score columns are dropped; half-passed params raise
+    at entry."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    curated, stats = curate_corpus(
+        docs,
+        quality_gate=False,
+        dsir_target=F.col("source") == "src0",
+        dsir_keep=40,
+        dsir_seed=3,
+    )
+    assert stats["after_dsir"] == 40
+    assert stats["after_exact_dedup"] <= 40
+    cols = set(curated.columns)
+    assert "dsir_score" not in cols and "n_feats" not in cols
+    # deterministic under re-run
+    curated2, stats2 = curate_corpus(
+        docs,
+        quality_gate=False,
+        dsir_target=F.col("source") == "src0",
+        dsir_keep=40,
+        dsir_seed=3,
+    )
+    a = {r["doc_id"] for r in curated.select("doc_id").collect()}
+    b = {r["doc_id"] for r in curated2.select("doc_id").collect()}
+    assert a == b and len(a) > 0
+    with pytest.raises(ValueError, match="together"):
+        curate_corpus(docs, dsir_keep=10)
+    with pytest.raises(ValueError, match="together"):
+        curate_corpus(docs, dsir_target=F.lit(True))
