@@ -78,13 +78,42 @@ def hashed_ngram_features(
     )
 
 
-def dsir_log_ratios(
+def dsir_featurize(
     docs: DataFrame,
+    target_filter: Column,
+    n_buckets: int = N_BUCKETS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    staging_dir: str | None = None,
+) -> DataFrame:
+    """The STAGED (id, _tgt, bucket) feature frame shared by ratio
+    estimation and scoring — built once, written to parquet
+    (``operators.staging``), both consumers read the staged scan. Without
+    this, ``dsir_log_ratios`` + ``dsir_scores`` each re-derive the gram
+    explode (the corpus-sized work) from ``docs`` — two executions of the
+    pipeline's dominant pass (the multi-consumer fan-out trap; the staged
+    frame is hash-valued and compact, the shape staging measurably wins
+    on). Pass the result as ``feats=`` to both calls."""
+    from photo_vector_search_spark.operators.staging import stage_frame
+
+    feats = hashed_ngram_features(
+        docs.select(F.col(id_col), F.col(text_col), target_filter.alias("_tgt")),
+        n_buckets,
+        text_col,
+        id_col,
+        extra_cols=("_tgt",),
+    )
+    return stage_frame(feats, "pvs_dsir", staging_dir)
+
+
+def dsir_log_ratios(
+    docs: DataFrame | None,
     target_filter: Column | None = None,
     target_docs: DataFrame | None = None,
     n_buckets: int = N_BUCKETS,
     text_col: str = "text",
     id_col: str = "doc_id",
+    feats: DataFrame | None = None,
 ) -> DataFrame:
     """The broadcastable (bucket, lr) importance table.
 
@@ -95,8 +124,13 @@ def dsir_log_ratios(
     finite; totals are exact ints computed from the collected count table
     (≤``n_buckets`` rows — raises if ``n_buckets`` exceeds the driver guard).
     The log expression itself is evaluated by Spark on the re-emitted count
-    table, so an oracle can replay it verbatim."""
-    if (target_filter is None) == (target_docs is None):
+    table, so an oracle can replay it verbatim.
+
+    ``feats`` (a ``dsir_featurize`` result) replaces the target_filter-mode
+    derivation with a read of the already-staged frame — pass the SAME frame
+    to ``dsir_scores`` so the corpus-sized gram explode executes exactly
+    once across the two calls (``dsir_pipeline`` does this)."""
+    if feats is None and (target_filter is None) == (target_docs is None):
         raise ValueError(
             "dsir_log_ratios: pass exactly one of target_filter / target_docs"
         )
@@ -105,17 +139,18 @@ def dsir_log_ratios(
             f"n_buckets must be in (0, {_MAX_BUCKETS}], got {n_buckets} — the "
             "count table is collected to the driver"
         )
-    spark = docs.sparkSession
-    if target_filter is not None:
-        feats = hashed_ngram_features(
-            docs.select(
-                F.col(id_col), F.col(text_col), target_filter.alias("_tgt")
-            ),
-            n_buckets,
-            text_col,
-            id_col,
-            extra_cols=("_tgt",),
-        )
+    spark = (docs if docs is not None else feats).sparkSession
+    if feats is not None or target_filter is not None:
+        if feats is None:
+            feats = hashed_ngram_features(
+                docs.select(
+                    F.col(id_col), F.col(text_col), target_filter.alias("_tgt")
+                ),
+                n_buckets,
+                text_col,
+                id_col,
+                extra_cols=("_tgt",),
+            )
         counts = {
             r["bucket"]: (r["c_raw"], r["c_tgt"])
             for r in feats.groupBy("bucket")
@@ -170,6 +205,7 @@ def dsir_scores(
     text_col: str = "text",
     id_col: str = "doc_id",
     score_col: str = "dsir_score",
+    feats: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc importance score = Σ over the doc's feature occurrences of the
     bucket's log-ratio. All input columns pass through; featureless docs
@@ -178,8 +214,13 @@ def dsir_scores(
     low bits with partition order, which a rounded-output oracle would see).
 
     Plan: map-only explode+hash → broadcast join on the ≤``n_buckets`` ratio
-    table → one groupBy(id) shuffle → broadcast join back onto ``docs``."""
-    feats = hashed_ngram_features(docs, n_buckets, text_col, id_col)
+    table → one groupBy(id) shuffle → broadcast join back onto ``docs``.
+    Pass ``feats`` (the ``dsir_featurize`` frame already fed to
+    ``dsir_log_ratios``) to read the staged gram explode instead of
+    re-deriving it — extra columns like its ``_tgt`` flag are ignored."""
+    if feats is None:
+        feats = hashed_ngram_features(docs, n_buckets, text_col, id_col)
+    feats = feats.select(id_col, "bucket")
     per_doc = (
         feats.join(F.broadcast(ratios), "bucket")
         .groupBy(id_col)
@@ -245,10 +286,17 @@ def dsir_pipeline(
 ) -> DataFrame:
     """ratios → scores → Gumbel top-k in one call (the paper's end-to-end
     selection)."""
-    ratios = dsir_log_ratios(
-        docs, target_filter, target_docs, n_buckets, text_col, id_col
-    )
-    scored = dsir_scores(docs, ratios, n_buckets, text_col, id_col)
+    if target_filter is not None and target_docs is None:
+        # featurize ONCE: the staged gram frame feeds both the count table
+        # and the scoring join (otherwise the corpus-sized explode runs twice)
+        feats = dsir_featurize(docs, target_filter, n_buckets, text_col, id_col)
+        ratios = dsir_log_ratios(None, n_buckets=n_buckets, feats=feats)
+        scored = dsir_scores(docs, ratios, n_buckets, text_col, id_col, feats=feats)
+    else:
+        ratios = dsir_log_ratios(
+            docs, target_filter, target_docs, n_buckets, text_col, id_col
+        )
+        scored = dsir_scores(docs, ratios, n_buckets, text_col, id_col)
     return dsir_select(scored, n_keep, temperature, seed, id_col)
 
 

@@ -184,16 +184,19 @@ def curate_corpus(
 
     if dsir_keep is not None:
         from photo_vector_search_spark.operators.dsir import (
+            dsir_featurize,
             dsir_log_ratios,
             dsir_scores,
             dsir_select,
         )
 
-        ratios = dsir_log_ratios(
-            gated, target_filter=dsir_target, n_buckets=dsir_buckets
-        )
+        # featurize once: the staged gram frame feeds both the count table
+        # and the scoring join (and, with stats on, the upstream stages are
+        # not re-executed by the second DSIR pass either)
+        feats = dsir_featurize(gated, dsir_target, n_buckets=dsir_buckets)
+        ratios = dsir_log_ratios(None, n_buckets=dsir_buckets, feats=feats)
         gated = dsir_select(
-            dsir_scores(gated, ratios, n_buckets=dsir_buckets),
+            dsir_scores(gated, ratios, n_buckets=dsir_buckets, feats=feats),
             n_keep=dsir_keep,
             temperature=dsir_temperature,
             seed=dsir_seed,

@@ -863,17 +863,22 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     features, one-pass conditional bucket counts (target = src0 docs standing
     in for the high-quality seed corpus), add-1-smoothed engine-side
     log-ratios, decimal-exact per-doc score sums. Output: every doc's feature
-    count + rounded importance score (featureless docs pass through at 0)."""
+    count + rounded importance score (featureless docs pass through at 0).
+    The gram explode is featurized ONCE (`dsir_featurize` stages it to
+    parquet; measured 3.8 s -> 2.7 s at sf0.1) and feeds both the count
+    table and the scoring join."""
     from photo_vector_search_spark.operators.dsir import (
+        dsir_featurize,
         dsir_log_ratios,
         dsir_scores,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    ratios = dsir_log_ratios(
-        docs, target_filter=F.col("source") == "src0", n_buckets=DSIR_BUCKETS
+    feats = dsir_featurize(
+        docs, F.col("source") == "src0", n_buckets=DSIR_BUCKETS
     )
-    return dsir_scores(docs, ratios, n_buckets=DSIR_BUCKETS).select(
+    ratios = dsir_log_ratios(None, n_buckets=DSIR_BUCKETS, feats=feats)
+    return dsir_scores(docs, ratios, n_buckets=DSIR_BUCKETS, feats=feats).select(
         "doc_id", "n_feats", F.round("dsir_score", 6).alias("dsir_score")
     )
 

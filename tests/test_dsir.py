@@ -252,3 +252,24 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN scored s USING (doc_id)
 """
     assert_matches(out, oracle, sf_correct)
+
+
+def test_featurize_once_path_matches_rederive_path(spark):
+    """The staged single-explode path (dsir_featurize + feats=) must be
+    value-identical to the re-derive path — decimal sums make this EXACT."""
+    from photo_vector_search_spark.operators.dsir import dsir_featurize
+
+    docs = _fixture_df(spark)
+    flt = F.col("doc_id").isin(*TARGET_IDS)
+    ratios_a = dsir_log_ratios(docs, target_filter=flt, n_buckets=512)
+    a = {
+        r["doc_id"]: (r["n_feats"], r["dsir_score"])
+        for r in dsir_scores(docs, ratios_a, 512).collect()
+    }
+    feats = dsir_featurize(docs, flt, n_buckets=512)
+    ratios_b = dsir_log_ratios(None, n_buckets=512, feats=feats)
+    b = {
+        r["doc_id"]: (r["n_feats"], r["dsir_score"])
+        for r in dsir_scores(docs, ratios_b, 512, feats=feats).collect()
+    }
+    assert a == b
