@@ -45,6 +45,11 @@ AUDIT = [
     "encode_bpe",
     "store_partition_pruned",
     "ivf_topk_exact",
+    # r7 declared additions
+    "pack_windows",
+    "mix_corpus",
+    "dsir_weights",
+    "semdedup",
 ]
 
 
@@ -80,9 +85,31 @@ def _unstaged_ivf_adaptive(spark, sf_dir):
     return knn_topk(indexed.filter(F.col("cluster_id").isin([0])), vec, k=5, raw=True)
 
 
+def _unstaged_dsir(spark, sf_dir):
+    # the declared form stages the gram explode once (dsir_featurize); this
+    # shows the full derive → count-table → scoring plan instead of the
+    # staged-parquet read
+    from pyspark.sql import functions as F
+
+    from photo_vector_search_spark.operators.dsir import (
+        dsir_log_ratios,
+        dsir_scores,
+    )
+    from photo_vector_search_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    ratios = dsir_log_ratios(
+        docs, target_filter=F.col("source") == "src0", n_buckets=4096
+    )
+    return dsir_scores(docs, ratios, n_buckets=4096).select(
+        "doc_id", "n_feats", F.round("dsir_score", 6).alias("dsir_score")
+    )
+
+
 UNSTAGED = {
     "dedup_minhash_lsh": _unstaged_minhash,
     "ivf_topk_exact": _unstaged_ivf_adaptive,
+    "dsir_weights": _unstaged_dsir,
 }
 
 
