@@ -414,3 +414,39 @@ def decode_bpe(
             yield pdf
 
     return docs.mapInPandas(run, schema=out_schema)
+
+
+def save_bpe_model(
+    spark,
+    model: tuple[list[tuple[str, str]], dict[str, int]],
+    path: str,
+) -> None:
+    """Persist a ``train_bpe_model`` artifact as two tiny parquet tables
+    (``{path}/merges``: rank/left/right; ``{path}/vocab``: symbol/id) — the
+    cluster-durable form a 100 TB pipeline trains ONCE and every later run
+    loads (re-training would re-scan the corpus and, worse, could drift the
+    ids under corpus churn)."""
+    merges, vocab = model
+    bpe_merges_df(spark, merges).coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/merges"
+    )
+    spark.createDataFrame(
+        sorted(vocab.items(), key=lambda kv: kv[1]), "symbol string, id int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/vocab")
+
+
+def load_bpe_model(
+    spark, path: str
+) -> tuple[list[tuple[str, str]], dict[str, int]]:
+    """Inverse of ``save_bpe_model``: returns ``(merges, vocab)`` ready for
+    ``encode_bpe``/``decode_bpe``. Byte-exact round trip (asserted in
+    tests); both tables are rank-bounded driver collects."""
+    merge_rows = (
+        spark.read.parquet(f"{path}/merges").orderBy("rank").collect()
+    )
+    merges = [(r["left"], r["right"]) for r in merge_rows]
+    vocab = {
+        r["symbol"]: r["id"]
+        for r in spark.read.parquet(f"{path}/vocab").collect()
+    }
+    return merges, vocab

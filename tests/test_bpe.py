@@ -254,3 +254,31 @@ def test_decode_round_trip(spark, sf_correct):
     }
     assert got[1] == "" and got[2] is None
     assert "�" in got[3]
+
+
+def test_model_persistence_round_trip(spark, sf_correct, tmp_path):
+    """save_bpe_model/load_bpe_model: byte-exact (merges order, vocab ids),
+    and the loaded model encodes identically to the in-memory one."""
+    from photo_vector_search_spark.operators.bpe import (
+        encode_bpe,
+        load_bpe_model,
+        save_bpe_model,
+        train_bpe_model,
+    )
+    from photo_vector_search_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_correct, "documents").select("doc_id", "text").limit(60)
+    model = train_bpe_model(docs, n_merges=50, min_count=1)
+    save_bpe_model(spark, model, str(tmp_path / "bpe"))
+    loaded = load_bpe_model(spark, str(tmp_path / "bpe"))
+    assert loaded[0] == model[0]
+    assert loaded[1] == model[1]
+    a = {
+        r["doc_id"]: list(r["input_ids"])
+        for r in encode_bpe(docs, *model).collect()
+    }
+    b = {
+        r["doc_id"]: list(r["input_ids"])
+        for r in encode_bpe(docs, *loaded).collect()
+    }
+    assert a == b

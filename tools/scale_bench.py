@@ -264,6 +264,35 @@ def extra_cases(spark, sf_dir: str) -> dict:
                 n_assign=2,
             )
         ),
+        # r7: hard-negative mining, N-scaled clusters — candidate merge is
+        # O(N·k·n_assign); per-cluster matmul bounded by the ~125-row target
+        "hard_negatives": lambda: _force(
+            __import__(
+                "photo_vector_search_spark.operators.contrastive",
+                fromlist=["hard_negatives"],
+            ).hard_negatives(
+                load_table(spark, sf_dir, "embeddings"),
+                k=5,
+                n_clusters=max(8, emb.count() // 125),
+                n_assign=2,
+            )
+        ),
+        # r7: Bloom decontamination — build side fixed (bench docs 0-19 at
+        # BOTH scales read 10x more bench rows but dedup to a similar shingle
+        # set); probe side scales with the corpus, map-only bit tests
+        "decontaminate_bloom": lambda: _force(
+            __import__(
+                "photo_vector_search_spark.operators.bloom",
+                fromlist=["decontaminate_bloom"],
+            ).decontaminate_bloom(
+                load_table(spark, sf_dir, "documents"),
+                load_table(spark, sf_dir, "documents")
+                .filter(F.col("doc_id") < 20)
+                .select("doc_id"),
+                n=3,
+                min_overlap=5,
+            )
+        ),
     }
 
 
