@@ -1,0 +1,173 @@
+"""Image near-duplicate detection — perceptual hash (pHash) + hamming-band
+blocking: the image-modality member of the dedup family (exact/MinHash/
+SimHash/embedding cover text and vectors; this covers the decoded image
+rows the multimodal pipeline produces).
+
+pHash (the classic DCT method): grayscale → 32×32 → 2-D DCT-II → the 8×8
+low-frequency block (DC excluded) → median threshold → 64-bit fingerprint.
+Resize/re-encode/brightness changes leave the low-frequency spectrum (and
+so the hash) nearly unchanged; distinct images differ in ~half the bits.
+The DCT is an exact basis-matrix multiply (pure NumPy — no scipy in this
+container) and is verified in tests against an independent O(N²)
+direct-formula DCT.
+
+Pixel source: real codecs are not in this container, so the pixel grid
+comes from Pillow when available and otherwise from the synthetic FAKEIMG
+payload, tiled byte-for-byte into the 32×32 grid — DETERMINISTIC and
+LOCALITY-PRESERVING (a small payload edit changes few pixels, so the fake
+behaves like a real image under pHash: near-identical payloads → small
+hamming distance). The Spark-side plumbing — Arrow map, schema, NULL/error
+handling, band join — is real and tested either way.
+
+Blocking: ``hamming_pairs`` — 8 bands × 8 bits over the 64-bit hash, exact
+band equi-join, then the true ``bit_count(xor)`` check (the simhash_pairs
+skeleton widened to 64 bits). Pigeonhole guarantees a colliding band for
+distance ≤ 7; beyond that recall decays (the standard LSH trade,
+documented on simhash_pairs too). One linear shuffle on (band, key); never
+an all-pairs join.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_FAKE = re.compile(rb"^FAKEIMG:(\d+)x(\d+):")
+GRID = 32  # pHash working resolution
+BLOCK = 8  # low-frequency block (8x8 - DC = 63 bits + 1 pad = 64-bit hash)
+
+
+def _dct_matrix(n: int):
+    """Orthonormal DCT-II basis (numpy)."""
+    import numpy as np
+
+    k = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    m = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * i + 1) * k / (2.0 * n))
+    m[0] /= np.sqrt(2.0)
+    return m
+
+
+def _pixels(content: bytes):
+    """32×32 float grayscale grid from decoded content (Pillow if the bytes
+    are a real image, FAKEIMG payload tiling otherwise). None = undecodable."""
+    import numpy as np
+
+    m = _FAKE.match(content or b"")
+    if m:
+        payload = content[m.end() :]
+        if not payload:
+            payload = b"\x00"
+        reps = -(-(GRID * GRID) // len(payload))  # ceil
+        buf = (payload * reps)[: GRID * GRID]
+        return np.frombuffer(buf, dtype=np.uint8).astype(np.float64).reshape(
+            GRID, GRID
+        )
+    try:
+        import io
+
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(content)).convert("L").resize((GRID, GRID))
+        return np.asarray(img, dtype=np.float64)
+    except Exception:
+        return None
+
+
+def phash_bytes(content: bytes) -> int | None:
+    """64-bit perceptual hash of decoded image bytes (None if undecodable)."""
+    import numpy as np
+
+    px = _pixels(content)
+    if px is None:
+        return None
+    d = _dct_matrix(GRID)
+    spec = d @ px @ d.T
+    block = spec[:BLOCK, :BLOCK].flatten()[1:]  # drop DC
+    med = np.median(block)
+    bits = 0
+    for i, v in enumerate(block):
+        if v > med:
+            bits |= 1 << i
+    return bits - (1 << 64) if bits >= 1 << 63 else bits  # signed long
+
+
+def phash_images(
+    decoded: DataFrame, content_col: str = "content", out_col: str = "phash"
+) -> DataFrame:
+    """Add the 64-bit pHash to decoded image rows (``decode_images`` output
+    or any (…, content binary) frame). Error/empty/undecodable rows get
+    NULL. Map-only Arrow pass."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [f for f in decoded.schema.fields if f.name != out_col]
+        + [StructField(out_col, LongType(), True)]
+    )
+    in_cols = [f.name for f in decoded.schema.fields if f.name != out_col]
+
+    def run(batches):
+        for pdf in batches:
+            pdf = pdf[in_cols].copy()
+            pdf[out_col] = pdf[content_col].map(
+                lambda c: phash_bytes(bytes(c)) if c is not None and len(c) else None
+            )
+            pdf[out_col] = pdf[out_col].astype("object")
+            yield pdf
+
+    return decoded.mapInPandas(run, schema=out_schema)
+
+
+def hamming_pairs(
+    hashed: DataFrame,
+    max_hamming: int = 6,
+    id_col: str = "path",
+    hash_col: str = "phash",
+    n_bands: int = 8,
+) -> DataFrame:
+    """(id_a, id_b, hamming) for pairs with hamming(hash) ≤ max_hamming,
+    found via exact ``n_bands``-band blocking over the 64-bit hash
+    (pigeonhole: distance ≤ n_bands−1 always shares a band; beyond that
+    recall decays). NULL hashes never pair."""
+    if not 1 <= n_bands <= 64 or 64 % n_bands:
+        raise ValueError(f"n_bands must divide 64, got {n_bands}")
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    banded = hashed.filter(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("_id"),
+        F.col(hash_col).alias("_h"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+    ).withColumn(
+        "bkey", F.expr(f"shiftright(_h, band * {width}) & {mask}")
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bkey") == F.col("r.bkey"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.col("l._h").alias("_ha"),
+            F.col("r._h").alias("_hb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+    return cand.filter(ham <= max_hamming).select(
+        "id_a", "id_b", ham.alias("hamming")
+    )
+
+
+def image_near_dup(
+    decoded: DataFrame, max_hamming: int = 6, id_col: str = "path"
+) -> DataFrame:
+    """pHash + hamming blocking in one call over ``decode_images`` output."""
+    return hamming_pairs(
+        phash_images(decoded), max_hamming=max_hamming, id_col=id_col
+    )
