@@ -175,16 +175,73 @@ def _extra_quality_score(spark, sf_dir):
     return score_quality(docs, model)
 
 
+def _extra_hard_negatives(spark, sf_dir):
+    from photo_vector_search_spark.operators.contrastive import hard_negatives
+    from photo_vector_search_spark.sources.tables import load_table
+
+    return hard_negatives(
+        load_table(spark, sf_dir, "embeddings"), k=5, n_clusters=16, n_assign=2
+    )
+
+
+def _extra_decontaminate_bloom(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from photo_vector_search_spark.operators.bloom import decontaminate_bloom
+    from photo_vector_search_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decontaminate_bloom(
+        docs, docs.filter(F.col("doc_id") < 20).select("doc_id")
+    )
+
+
+def _extra_image_near_dup(spark, sf_dir):
+    from photo_vector_search_spark.operators.image_dedup import hamming_pairs
+    from photo_vector_search_spark.sources.tables import load_table
+
+    # fingerprint source is the map-only pHash pass; the plan of interest is
+    # the 64-bit band join, shown here over a derived hash column
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        __import__("pyspark.sql.functions", fromlist=["xxhash64"]).xxhash64(
+            "vec_id"
+        ).alias("phash"),
+    )
+    return hamming_pairs(emb, max_hamming=6, id_col="vec_id")
+
+
 EXTRA_OPS = {
     "ivf_near_dup_pairs": _extra_ivf_near_dup,
     "shuffle_corpus": _extra_shuffle_corpus,
     "redact_pii": _extra_redact,
     "remove_repeated_ngrams": _extra_substring_dedup,
     "score_quality": _extra_quality_score,
+    "hard_negatives": _extra_hard_negatives,
+    "decontaminate_bloom": _extra_decontaminate_bloom,
+    "hamming_pairs": _extra_image_near_dup,
 }
 
 # Plan-reader context the tree alone can't show.
 NOTES = {
+    "hard_negatives": (
+        "NOTE: library operator (contrastive mining). The data-sized Exchange "
+        "is the groupBy(cluster_id) into the per-cluster blocked-matmul "
+        "top-k kernel; the second Exchange moves only O(N·k·n_assign) "
+        "candidate rows into the per-anchor merge window."
+    ),
+    "decontaminate_bloom": (
+        "NOTE: library operator (membership-compression rung). The benchmark "
+        "side collapses to a ONE-ROW broadcast bitmap (BroadcastNestedLoop "
+        "of a single row); probes are codegen bit tests — the only "
+        "corpus-sized shuffle is the per-doc overlap count."
+    ),
+    "hamming_pairs": (
+        "NOTE: library operator (image near-dup). Hash source here is a "
+        "derived column (the real pHash pass is map-only Arrow); the audited "
+        "shape is the 8-band explode → band equi-join → bit_count verify — "
+        "one linear shuffle on (band, key), never all-pairs."
+    ),
     "dedup_minhash_lsh": (
         "NOTE: pre-staging plan (stage=False) — the declared query checkpoints "
         "this result to parquet and returns the staged read; THIS is the compute "
