@@ -291,3 +291,74 @@ def test_curate_corpus_dsir_stage(spark, sf_dir):
         curate_corpus(docs, dsir_keep=10)
     with pytest.raises(ValueError, match="together"):
         curate_corpus(docs, dsir_target=F.lit(True))
+
+
+def test_curate_corpus_all_stages_integration(spark, sf_dir, tmp_path):
+    """Every opt-in stage ON in one run — rule gate, learned quality, DSIR
+    selection, exact/near dedup, boilerplate, substring spans, shuffle, BPE
+    encode, JSONL export — composes without column collisions; stage counts
+    are monotone non-increasing through the filters; the export round-trips."""
+    from pyspark.sql import functions as F
+
+    from photo_vector_search_spark.operators.bpe import train_bpe_model
+    from photo_vector_search_spark.pipelines.quality import (
+        train_quality_classifier,
+    )
+    from photo_vector_search_spark.sources.jsonl import read_jsonl_shards
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    q_model = train_quality_classifier(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1).withColumn(
+            "text",
+            F.translate(
+                F.col("text"),
+                "abcdefghijklmnopqrstuvwxyz",
+                "zyxwvutsrqponmlkjihgfedcba",
+            ),
+        ),
+        max_iter=10,
+    )
+    bpe_model = train_bpe_model(docs, n_merges=30, min_count=1)
+    curated, stats = curate_corpus(
+        docs,
+        quality_model=q_model,
+        pareto_alpha=9.0,
+        dsir_target=F.col("source") == "src0",
+        dsir_keep=60,
+        substring_ngram=8,
+        bpe_model=bpe_model,
+        export_path=str(tmp_path / "shards"),
+        n_shards=2,
+    )
+    # filter stages only shrink the pool
+    order = [
+        "input",
+        "after_quality_gate",
+        "after_learned_quality",
+        "after_dsir",
+        "after_exact_dedup",
+        "after_boilerplate",
+        "after_near_dedup",
+        "after_substring",
+    ]
+    assert all(k in stats for k in order), stats
+    for a, b in zip(order, order[1:]):
+        if b == "after_substring":
+            continue  # span removal rewrites text, never drops docs
+        assert stats[b] <= stats[a], (a, b, stats)
+    assert stats["after_dsir"] == 60
+    assert stats["after_substring"] == stats["after_near_dedup"]
+    assert stats["bpe_total_tokens"] > 0 and stats["shards_written"] == 2
+
+    rows = curated.select("doc_id", "pos", "input_ids").collect()
+    assert len(rows) == stats["after_substring"]
+    assert sorted(r["pos"] for r in rows) == list(range(len(rows)))
+    back = read_jsonl_shards(
+        spark,
+        str(tmp_path / "shards"),
+        "doc_id long, text string, input_ids array<int>, pos long",
+    )
+    assert back.count() == len(rows)
