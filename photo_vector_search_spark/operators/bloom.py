@@ -168,10 +168,17 @@ def decontaminate_bloom(
     against the exact operator in tests."""
     from photo_vector_search_spark.operators.dedup import shingle_sets
 
-    sh = shingle_sets(docs, n=n)
-    bench_sh = sh.join(bench_ids, id_col).select("shingle").distinct()
+    # join each slice BEFORE shingling: a semi-join cannot push below a
+    # Generate, so `shingle_sets(docs).join(bench_ids)` would explode the
+    # WHOLE corpus on the build side and explode it again on the probe side
+    # — two full passes where the slices are disjoint and cover one
+    bench_sh = (
+        shingle_sets(docs.join(bench_ids, id_col), n=n)
+        .select("shingle")
+        .distinct()
+    )
     model = build_bloom(bench_sh, "shingle", fpp=fpp)
-    train_sh = sh.join(bench_ids, id_col, "left_anti")
+    train_sh = shingle_sets(docs.join(bench_ids, id_col, "left_anti"), n=n)
     hits = with_bloom_contains(train_sh, model, "shingle")
     return (
         hits.filter(F.col("bloom_hit"))

@@ -81,6 +81,7 @@ def mix_corpus(
     text_col: str = "text",
     seed: int = 0,
     key_col: str = "doc_id",
+    totals: list[tuple[str, int]] | None = None,
 ) -> DataFrame:
     """Emit the mixed corpus: every output row is one TRAINING INSTANCE of a
     document, tagged with ``epoch`` (0-based repeat index; downsampled
@@ -94,11 +95,17 @@ def mix_corpus(
     partitioning-invariant. Each doc's uniform draw depends only on
     ``(seed, epoch, key)``, never on other docs; corpus changes move a
     source's RATE (totals shift) but cannot reshuffle which side of a fixed
-    threshold any given draw lands on. All input columns pass through."""
-    totals = [
-        (r[source_col], r["n_tokens"])
-        for r in source_token_totals(docs, source_col, text_col).collect()
-    ]
+    threshold any given draw lands on. All input columns pass through.
+
+    Two corpus passes by design (the totals aggregate must finish before the
+    emission rates exist); pass ``totals`` — a previous
+    ``source_token_totals`` result, persisted however the caller likes — to
+    skip the first pass on re-runs over an unchanged corpus."""
+    if totals is None:
+        totals = [
+            (r[source_col], r["n_tokens"])
+            for r in source_token_totals(docs, source_col, text_col).collect()
+        ]
     rates = mixture_rates(totals, weights, budget_tokens)
     spark = docs.sparkSession
     rate_rows = [(s, float(r)) for s, r in sorted(rates.items())]

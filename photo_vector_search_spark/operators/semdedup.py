@@ -239,12 +239,22 @@ def semdedup_deterministic(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    stage: bool = True,
 ) -> DataFrame:
     """The oracle-replayable rung: seed centroids → rounded-cosine assignment
     → rounded within-cluster pairs → greedy drop. Returns ``emb``'s columns
-    plus ``cluster_id`` and ``kept`` (bool) for every vector."""
+    plus ``cluster_id`` and ``kept`` (bool) for every vector.
+
+    The assigned frame feeds TWO consumers (the pair kernel and the output
+    join) and Spark re-executes common subtrees per consumer, so by default
+    it is staged to parquet once (``stage=False`` re-derives — the k·N sim
+    matmul and its aggregate would run twice)."""
+    from photo_vector_search_spark.operators.staging import stage_frame
+
     cent = seed_centroids(emb, k, id_col, vec_col)
     assigned = assign_rounded(emb, cent, id_col, vec_col, round_to)
+    if stage:
+        assigned = stage_frame(assigned, "pvs_semdedup")
     pairs = within_cluster_pairs(assigned, tau, id_col, vec_col, round_to)
     dropped = pairs.select(F.col("vec_b").alias(id_col)).distinct().withColumn(
         "_drop", F.lit(True)

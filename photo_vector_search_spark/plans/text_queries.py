@@ -264,12 +264,16 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from photo_vector_search_spark.operators.dedup import shingle_sets
 
     docs = load_table(spark, sf_dir, "documents")
-    bench_ids = docs.filter(F.col("doc_id") < 20).select("doc_id")
-    sh = shingle_sets(docs, n=3)
+    # filter each slice BEFORE shingling (r7): a join cannot push below a
+    # Generate, so `shingle_sets(docs).join(bench_ids)` would run the full
+    # corpus explode on the bench side and AGAIN on the train side — the
+    # slices are disjoint, so sliced explodes cover the corpus exactly once
     bench_sh = (
-        sh.join(bench_ids, "doc_id").select("shingle").distinct()
+        shingle_sets(docs.filter(F.col("doc_id") < 20), n=3)
+        .select("shingle")
+        .distinct()
     )
-    train_sh = sh.join(bench_ids, "doc_id", "left_anti")
+    train_sh = shingle_sets(docs.filter(F.col("doc_id") >= 20), n=3)
     overlap = (
         train_sh.join(bench_sh, "shingle")
         .groupBy("doc_id")
