@@ -126,13 +126,32 @@ def hamming_pairs(
     id_col: str = "path",
     hash_col: str = "phash",
     n_bands: int = 8,
+    stage: bool | None = None,
 ) -> DataFrame:
     """(id_a, id_b, hamming) for pairs with hamming(hash) ≤ max_hamming,
     found via exact ``n_bands``-band blocking over the 64-bit hash
     (pigeonhole: distance ≤ n_bands−1 always shares a band; beyond that
-    recall decays). NULL hashes never pair."""
+    recall decays). NULL hashes never pair.
+
+    Both sides of the band self-join consume ``hashed``, and Spark
+    re-executes common subtrees per consumer — with the usual producer
+    (``phash_images``, a Python DCT pass over every image) that would hash
+    the corpus TWICE. ``stage=None`` applies the house rule: wide or
+    nondeterministic upstreams are staged to a tiny (id, hash) parquet once;
+    bare scans re-read. ``stage=True``/``False`` overrides."""
     if not 1 <= n_bands <= 64 or 64 % n_bands:
         raise ValueError(f"n_bands must divide 64, got {n_bands}")
+    from photo_vector_search_spark.operators.shuffle import (
+        _rescan_safe_and_cheap,
+    )
+    from photo_vector_search_spark.operators.staging import stage_frame
+
+    slim = hashed.select(id_col, hash_col)
+    if stage is None:
+        stage = not _rescan_safe_and_cheap(slim)
+    if stage:
+        slim = stage_frame(slim, "pvs_phash")
+    hashed = slim
     width = 64 // n_bands
     mask = (1 << width) - 1
     banded = hashed.filter(F.col(hash_col).isNotNull()).select(
