@@ -88,6 +88,7 @@ GROUPS: dict[str, list[str]] = {
     "r6_new": ["substring_dedup", "bpe_train"],
     "r7_new": ["encode_bpe", "quality_score", "pack_windows", "mix_corpus"],
     "r7_select": ["dsir_weights", "semdedup"],
+    "r7_mine": ["hard_negatives", "decontaminate_bloom"],
 }
 
 
@@ -248,6 +249,35 @@ def _build_cases(spark, sf_dir: str) -> dict:
                 "photo_vector_search_spark.plans.pipeline_queries",
                 fromlist=["q_semdedup"],
             ).q_semdedup(spark, sf_dir)
+        ),
+        # r7: contrastive mining + bloom decontamination (library shapes,
+        # scale-table params)
+        "hard_negatives": lambda: _force(
+            __import__(
+                "photo_vector_search_spark.operators.contrastive",
+                fromlist=["hard_negatives"],
+            ).hard_negatives(
+                load_table(spark, sf_dir, "embeddings"),
+                k=5,
+                n_clusters=16,
+                n_assign=2,
+            )
+        ),
+        "decontaminate_bloom": lambda: _force(
+            __import__(
+                "photo_vector_search_spark.operators.bloom",
+                fromlist=["decontaminate_bloom"],
+            ).decontaminate_bloom(
+                load_table(spark, sf_dir, "documents"),
+                load_table(spark, sf_dir, "documents")
+                .filter(
+                    __import__("pyspark.sql.functions", fromlist=["col"]).col(
+                        "doc_id"
+                    )
+                    < 20
+                )
+                .select("doc_id"),
+            )
         ),
         # r7: map-only learned-quality scoring. The model is trained lazily
         # ONCE per session (memoized below); min-of-2 therefore records the
