@@ -62,10 +62,13 @@ FAMILY_KEYS = {
     "docs": ["doc_id"],
     "buckets": ["table", "bkey"],
     "vectors": ["vec_id"],
+    "ibands": ["band", "bkey"],
+    "images": ["path"],
 }
 
 LSH_FAMILIES = ("bands", "shingles", "docs")
 SRP_FAMILIES = ("buckets", "vectors")
+PHASH_FAMILIES = ("ibands", "images")
 
 
 def pfx_col(family: str, n_prefixes: int):
@@ -176,7 +179,8 @@ def compact_dedup_state(
 ) -> dict:
     """Fold committed batch partitions into the bucket-partitioned base.
 
-    ``kind``: 'lsh' (bands/shingles/docs) or 'srp' (buckets/vectors).
+    ``kind``: 'lsh' (bands/shingles/docs), 'srp' (buckets/vectors) or 'phash'
+    (ibands/images).
     ``keep_latest=True`` (default) excludes the newest batch id — it may be a
     crashed attempt whose replay depends on the exclude-own-batch read rule;
     pass False only when the stream is known cleanly stopped (drained with
@@ -184,9 +188,13 @@ def compact_dedup_state(
 
     Returns a summary dict {compacted: [...], base_id, families}. No-op (and
     empty summary) when there is nothing eligible."""
-    families = {"lsh": LSH_FAMILIES, "srp": SRP_FAMILIES}.get(kind)
+    families = {
+        "lsh": LSH_FAMILIES,
+        "srp": SRP_FAMILIES,
+        "phash": PHASH_FAMILIES,
+    }.get(kind)
     if families is None:
-        raise ValueError(f"kind must be 'lsh' or 'srp', got {kind!r}")
+        raise ValueError(f"kind must be 'lsh', 'srp' or 'phash', got {kind!r}")
     mani = load_manifest(state_path)
     already: set[int] = set(mani["compacted"]) if mani else set()
     # sweep orphaned bases: a crash in a previous compaction's
@@ -217,7 +225,11 @@ def compact_dedup_state(
     # deltas — is handled by `eligible` itself: a batch missing ANY family
     # is simply not in the intersection, stays a delta, and the stream's
     # covered/fallback logic keeps treating it correctly.
-    index_fam, reg_fam = ("bands", "docs") if kind == "lsh" else ("buckets", "vectors")
+    index_fam, reg_fam = {
+        "lsh": ("bands", "docs"),
+        "srp": ("buckets", "vectors"),
+        "phash": ("ibands", "images"),
+    }[kind]
     reg_dirs = _batch_dirs(os.path.join(state_path, reg_fam))
     index_all = set(_batch_dirs(os.path.join(state_path, index_fam))) - already
     if index_all and not reg_dirs and not already:
