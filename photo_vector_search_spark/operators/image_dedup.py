@@ -190,3 +190,43 @@ def image_near_dup(
     return hamming_pairs(
         phash_images(decoded), max_hamming=max_hamming, id_col=id_col
     )
+
+
+def video_near_dup(
+    files: DataFrame,
+    max_hamming: int = 6,
+    min_shared_frames: int = 1,
+    every_n: int = 30,
+) -> DataFrame:
+    """Video-level near-duplicates: sample frames
+    (``pipelines.multimodal.sample_video_frames`` — real codec when
+    available, deterministic fakes otherwise), pHash every frame, band-join
+    frame pairs, then roll frame matches up to (video_a, video_b,
+    n_shared_frames) keeping pairs sharing ≥ ``min_shared_frames``
+    near-dup frames. The standard shot-level dedup shape: all corpus-sized
+    steps are the map-only hash pass and ONE linear band shuffle; the
+    rollup aggregates only the (output-sized) frame-pair rows."""
+    from photo_vector_search_spark.pipelines.multimodal import (
+        sample_video_frames,
+    )
+
+    frames = sample_video_frames(files, every_n=every_n).filter(
+        F.col("error") == ""
+    )
+    fids = frames.select(
+        F.concat_ws("#", F.col("path"), F.col("frame_index")).alias("fid"),
+        F.col("frame").alias("content"),
+    )
+    hashed = phash_images(fids, content_col="content")
+    fpairs = hamming_pairs(hashed, max_hamming=max_hamming, id_col="fid")
+    va = F.split(F.col("id_a"), "#").getItem(0)
+    vb = F.split(F.col("id_b"), "#").getItem(0)
+    return (
+        fpairs.select(
+            F.least(va, vb).alias("video_a"), F.greatest(va, vb).alias("video_b")
+        )
+        .filter(F.col("video_a") != F.col("video_b"))
+        .groupBy("video_a", "video_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_frames"))
+        .filter(F.col("n_shared_frames") >= min_shared_frames)
+    )

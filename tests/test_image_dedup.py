@@ -121,3 +121,27 @@ def test_spark_pipeline_and_band_join_parity(spark):
 def test_band_guard():
     with pytest.raises(ValueError, match="divide"):
         hamming_pairs(None, n_bands=7)
+
+
+def test_video_near_dup_composition(spark):
+    """Videos sharing near-identical frames pair up; the '#' frame-id split
+    recovers video ids; distinct videos with unrelated payloads don't pair;
+    undecodable videos never pair."""
+    from photo_vector_search_spark.operators.image_dedup import video_near_dup
+
+    base = _rand_payload(240, seed=6)
+    near = bytearray(base)
+    near[11] ^= 0x04
+    rows = [
+        ("vidA", bytes(_fake(64, 48, base))),
+        ("vidB", bytes(_fake(64, 48, bytes(near)))),     # near-dup of A
+        ("vidC", bytes(_fake(64, 48, _rand_payload(240, seed=77)))),
+        ("vidBAD", b"mp4-soup"),
+    ]
+    df = spark.createDataFrame(rows, "path string, content binary")
+    got = {
+        (r["video_a"], r["video_b"]): r["n_shared_frames"]
+        for r in video_near_dup(df, max_hamming=10, every_n=30).collect()
+    }
+    assert ("vidA", "vidB") in got and got[("vidA", "vidB")] >= 1
+    assert all("vidC" not in k and "vidBAD" not in k for k in got)
