@@ -336,3 +336,78 @@ def test_boilerplate_subset_and_order(spark, line_lists):
     }
     expect = {i: ls for i, ls in expect.items() if ls}
     assert got == expect
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(st.integers(min_value=0, max_value=999), max_size=25),
+        ),
+        min_size=0,
+        max_size=12,
+    ),
+    st.integers(min_value=1, max_value=9),
+    st.booleans(),
+)
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_pack_windows_matches_serial_reference(spark, docs, L, use_eos):
+    """Property form of the r7 packing contract: for ANY doc list (NULLs,
+    empties, ragged lengths) and any context length, the distributed packer
+    equals the obviously-correct serial concat-and-rechunk."""
+    from tests.test_packing import _py_pack
+
+    from photo_vector_search_spark.operators.packing import pack_token_windows
+
+    rows = [(i, ids) for i, ids in enumerate(docs)]
+    df = spark.createDataFrame(rows, "pos long, input_ids array<int>")
+    eos = 1000 if use_eos else None
+    got = {
+        r["seq_id"]: (list(r["input_ids"]), r["n_docs"])
+        for r in pack_token_windows(df, L, eos_id=eos).collect()
+    }
+    want = {
+        k: (chunk, nd) for k, (chunk, _n, nd) in _py_pack(rows, L, eos_id=eos).items()
+    }
+    assert got == want
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=500), min_size=0, max_size=60),
+    st.floats(min_value=0.0, max_value=0.6, exclude_max=True),
+    st.integers(min_value=0, max_value=10**6),
+)
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+def test_span_corruption_lossless_for_any_window(ids, rate, seed):
+    """Property form of the r7 corruption contract: for ANY window, rate and
+    seed, reconstruct(corrupt(w)) == w — driven through the same kernel the
+    Arrow pass runs (layout + splice logic, no Spark needed)."""
+    import hashlib
+    import random
+
+    from photo_vector_search_spark.operators.corruption import (
+        _span_layout,
+        reconstruct_spans,
+    )
+
+    SENT = 32_000
+    rng = random.Random(
+        int.from_bytes(hashlib.md5(f"{seed}|0".encode()).digest()[:8], "big")
+    )
+    spans = _span_layout(rng, len(ids), rate, 3.0)
+    inp, tgt, last = [], [], 0
+    for si, (start, slen) in enumerate(spans):
+        inp.extend(ids[last:start])
+        inp.append(SENT - si)
+        tgt.append(SENT - si)
+        tgt.extend(ids[start : start + slen])
+        last = start + slen
+    inp.extend(ids[last:])
+    assert reconstruct_spans(inp, tgt, SENT) == list(ids)
+    # layout sanity: spans in-bounds, ordered, non-adjacent, never at pos 0
+    pos = 0
+    for start, slen in spans:
+        # strictly after the previous span's end: spans separated by >= 1
+        # kept token, and never at position 0 (leading gap)
+        assert start > pos and slen >= 1 and start + slen <= len(ids)
+        pos = start + slen
