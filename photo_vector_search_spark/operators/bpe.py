@@ -387,8 +387,14 @@ def decode_bpe(
     canonical surface: ``decode_bpe(encode_bpe(d)) == lower+ws-normalized
     text`` for every in-vocab doc (asserted in tests) — the validation/debug
     surface a tokenized-shards pipeline needs. The reserved OOV id (and any
-    out-of-range id) renders as ``oov_token``. NULL ids → NULL text; empty
-    ids → empty string. Map-only Arrow pass, mirroring the encoder."""
+    out-of-range id) renders as ``oov_token``. OOV LIMITATION (inherent, not
+    fixable at decode time): the single OOV id erases which symbol it
+    replaced — including whether it carried the ``</w>`` word-end marker —
+    so a word whose FINAL symbol was out-of-vocab merges with the following
+    word in the decoded surface (``x b`` → ``�b``). Word structure is exact
+    only for in-vocab docs; treat any ``oov_token`` in the output as a
+    boundary-uncertain region. NULL ids → NULL text; empty ids → empty
+    string. Map-only Arrow pass, mirroring the encoder."""
     from pyspark.sql.types import StringType, StructField, StructType
 
     spark = docs.sparkSession

@@ -69,15 +69,21 @@ def hard_negatives(
         train_centroids,
     )
 
+    # train_centroids/assign_clusters hardcode (vec_id, embedding): rename
+    # INTO that contract so non-default id/vec columns neither throw nor —
+    # worse, if a stale 'embedding' column coexists — silently cluster the
+    # wrong space; the output renames back
     labeled = emb.filter(F.col(label_col).isNotNull()).select(
-        id_col, vec_col, label_col
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        F.col(label_col).alias("_lbl"),
     )
     centroids = train_centroids(
         labeled, n_clusters=n_clusters, sample=sample, seed=seed
     )
     assigned = assign_clusters(labeled, centroids, n_assign=n_assign)
     cands = _cluster_hard_negatives(
-        assigned, k, id_col, vec_col, label_col, round_to, block_rows
+        assigned, k, "vec_id", "embedding", "_lbl", round_to, block_rows
     )
     # pairs found via several shared clusters dedup to one row, then the
     # global per-anchor top-k replays the kernel's (sim desc, id asc) order
@@ -163,15 +169,24 @@ def positive_pairs(
     (vec_a, vec_b, sim) with vec_a < vec_b."""
     from photo_vector_search_spark.operators.ann import ivf_near_dup_pairs
 
-    labeled = emb.filter(F.col(label_col).isNotNull())
+    # rename into ivf_near_dup_pairs' hardcoded (vec_id, embedding) contract
+    labeled = emb.filter(F.col(label_col).isNotNull()).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        F.col(label_col).alias("_lbl"),
+    )
     pairs = ivf_near_dup_pairs(
-        labeled, tau=tau, n_clusters=n_clusters, n_assign=n_assign, **ivf_kwargs
+        labeled.select("vec_id", "embedding"),
+        tau=tau,
+        n_clusters=n_clusters,
+        n_assign=n_assign,
+        **ivf_kwargs,
     )
     lab = labeled.select(
-        F.col(id_col).alias("vec_a"), F.col(label_col).alias("_la")
+        F.col("vec_id").alias("vec_a"), F.col("_lbl").alias("_la")
     )
     lab_b = labeled.select(
-        F.col(id_col).alias("vec_b"), F.col(label_col).alias("_lb")
+        F.col("vec_id").alias("vec_b"), F.col("_lbl").alias("_lb")
     )
     return (
         pairs.join(lab, "vec_a")

@@ -97,7 +97,15 @@ def dsir_featurize(
     from photo_vector_search_spark.operators.staging import stage_frame
 
     feats = hashed_ngram_features(
-        docs.select(F.col(id_col), F.col(text_col), target_filter.alias("_tgt")),
+        docs.select(
+            F.col(id_col),
+            F.col(text_col),
+            # NULL-safe: a NULL predicate (e.g. source == 'src0' with NULL
+            # source) must mean "not target", exactly like the oracle's
+            # CASE ... ELSE 0 — an un-coalesced NULL would make F.sum skip
+            # the row and poison the collected counts with None
+            F.coalesce(target_filter, F.lit(False)).alias("_tgt"),
+        ),
         n_buckets,
         text_col,
         id_col,
@@ -130,7 +138,14 @@ def dsir_log_ratios(
     derivation with a read of the already-staged frame — pass the SAME frame
     to ``dsir_scores`` so the corpus-sized gram explode executes exactly
     once across the two calls (``dsir_pipeline`` does this)."""
-    if feats is None and (target_filter is None) == (target_docs is None):
+    if feats is not None:
+        if target_filter is not None or target_docs is not None:
+            raise ValueError(
+                "dsir_log_ratios: feats already embeds the target flag — "
+                "combining it with target_filter/target_docs would silently "
+                "ignore them; pass one or the other"
+            )
+    elif (target_filter is None) == (target_docs is None):
         raise ValueError(
             "dsir_log_ratios: pass exactly one of target_filter / target_docs"
         )
@@ -144,7 +159,9 @@ def dsir_log_ratios(
         if feats is None:
             feats = hashed_ngram_features(
                 docs.select(
-                    F.col(id_col), F.col(text_col), target_filter.alias("_tgt")
+                    F.col(id_col),
+                    F.col(text_col),
+                    F.coalesce(target_filter, F.lit(False)).alias("_tgt"),
                 ),
                 n_buckets,
                 text_col,

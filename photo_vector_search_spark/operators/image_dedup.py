@@ -39,8 +39,15 @@ GRID = 32  # pHash working resolution
 BLOCK = 8  # low-frequency block (8x8 - DC = 63 bits + 1 pad = 64-bit hash)
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=4)
 def _dct_matrix(n: int):
-    """Orthonormal DCT-II basis (numpy)."""
+    """Orthonormal DCT-II basis (numpy). Cached — ``phash_bytes`` runs once
+    per IMAGE in the corpus-sized Arrow pass, and rebuilding the constant
+    1024-cell basis there would be a meaningful share of the per-image work
+    (the real work is just two 32x32 matmuls)."""
     import numpy as np
 
     k = np.arange(n)[:, None]
@@ -120,6 +127,24 @@ def phash_images(
     return decoded.mapInPandas(run, schema=out_schema)
 
 
+def band_rows(
+    hashed: DataFrame, id_col: str, hash_col: str, n_bands: int
+) -> DataFrame:
+    """(id, hash, band, bkey): the ``n_bands`` exact band keys of each
+    non-NULL 64-bit hash — the ONE banding definition shared by the batch
+    join (``hamming_pairs``) and the streaming index
+    (``streaming/images``), so batch/stream parity cannot drift."""
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    return hashed.filter(F.col(hash_col).isNotNull()).select(
+        id_col,
+        hash_col,
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+    ).withColumn(
+        "bkey", F.expr(f"shiftright({hash_col}, band * {width}) & {mask}")
+    )
+
+
 def hamming_pairs(
     hashed: DataFrame,
     max_hamming: int = 6,
@@ -152,15 +177,9 @@ def hamming_pairs(
     if stage:
         slim = stage_frame(slim, "pvs_phash")
     hashed = slim
-    width = 64 // n_bands
-    mask = (1 << width) - 1
-    banded = hashed.filter(F.col(hash_col).isNotNull()).select(
-        F.col(id_col).alias("_id"),
-        F.col(hash_col).alias("_h"),
-        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
-    ).withColumn(
-        "bkey", F.expr(f"shiftright(_h, band * {width}) & {mask}")
-    )
+    banded = band_rows(hashed, id_col, hash_col, n_bands).withColumnRenamed(
+        id_col, "_id"
+    ).withColumnRenamed(hash_col, "_h")
     l, r = banded.alias("l"), banded.alias("r")
     cand = (
         l.join(
@@ -219,14 +238,22 @@ def video_near_dup(
     )
     hashed = phash_images(fids, content_col="content")
     fpairs = hamming_pairs(hashed, max_hamming=max_hamming, id_col="fid")
-    va = F.split(F.col("id_a"), "#").getItem(0)
-    vb = F.split(F.col("id_b"), "#").getItem(0)
+    # the video id is the fid minus OUR appended '#<frame_index>' suffix —
+    # strip at the LAST '#', so paths that themselves contain '#' survive
+    vid_a = F.expr("substring(id_a, 1, length(id_a) - length(substring_index(id_a, '#', -1)) - 1)")
+    vid_b = F.expr("substring(id_b, 1, length(id_b) - length(substring_index(id_b, '#', -1)) - 1)")
+    # count DISTINCT matched frames (of the lexically-first video), not
+    # frame-pair rows — a static shot repeated k times would otherwise
+    # inflate one shared frame into k² "shared frames"
+    first_fid = F.when(vid_a <= vid_b, F.col("id_a")).otherwise(F.col("id_b"))
     return (
         fpairs.select(
-            F.least(va, vb).alias("video_a"), F.greatest(va, vb).alias("video_b")
+            F.least(vid_a, vid_b).alias("video_a"),
+            F.greatest(vid_a, vid_b).alias("video_b"),
+            first_fid.alias("_fa"),
         )
         .filter(F.col("video_a") != F.col("video_b"))
         .groupBy("video_a", "video_b")
-        .agg(F.count(F.lit(1)).alias("n_shared_frames"))
+        .agg(F.count_distinct("_fa").alias("n_shared_frames"))
         .filter(F.col("n_shared_frames") >= min_shared_frames)
     )

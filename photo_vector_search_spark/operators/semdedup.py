@@ -218,6 +218,7 @@ def semdedup(
     tau: float = 0.9,
     n_clusters: int = 16,
     id_col: str = "vec_id",
+    vec_col: str = "embedding",
     **ivf_kwargs,
 ) -> DataFrame:
     """Production SemDeDup: k-means-blocked pair generation
@@ -227,9 +228,25 @@ def semdedup(
     on ivf_near_dup_pairs: a τ-pair split across clusters is missed
     (``n_assign`` multi-probe narrows the gap)."""
     from photo_vector_search_spark.operators.ann import ivf_near_dup_pairs
+    from photo_vector_search_spark.operators.shuffle import (
+        _rescan_safe_and_cheap,
+    )
+    from photo_vector_search_spark.operators.staging import stage_frame
 
-    pairs = ivf_near_dup_pairs(emb, tau=tau, n_clusters=n_clusters, **ivf_kwargs)
-    return drop_greedy(emb, pairs, id_col)
+    # emb feeds TWO consumers (the pair generator and the survivor
+    # anti-join); a wide upstream would re-execute per consumer — the house
+    # plan-inspection rule stages it once, bare scans re-read
+    if not _rescan_safe_and_cheap(emb):
+        emb = stage_frame(emb, "pvs_semdedup_in")
+    # rename into ivf_near_dup_pairs' hardcoded (vec_id, embedding) contract
+    renamed = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    )
+    pairs = ivf_near_dup_pairs(
+        renamed, tau=tau, n_clusters=n_clusters, **ivf_kwargs
+    ).withColumnRenamed("vec_a", "_sd_a").withColumnRenamed("vec_b", "_sd_b")
+    dropped = pairs.select(F.col("_sd_b").alias(id_col)).distinct()
+    return emb.join(dropped, id_col, "left_anti")
 
 
 def semdedup_deterministic(

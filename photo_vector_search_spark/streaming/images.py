@@ -44,18 +44,6 @@ from photo_vector_search_spark.streaming.incremental import (
 IMAGES_SCHEMA = "path string, content binary"
 
 
-def _band_rows(hashed: DataFrame, n_bands: int) -> DataFrame:
-    width = 64 // n_bands
-    mask = (1 << width) - 1
-    return hashed.filter(F.col("phash").isNotNull()).select(
-        "path",
-        "phash",
-        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
-    ).withColumn(
-        "bkey", F.expr(f"shiftright(phash, band * {width}) & {mask}")
-    ).select("path", "band", "bkey")
-
-
 def incremental_phash_dedup(
     spark: SparkSession,
     input_dir: str,
@@ -75,9 +63,10 @@ def incremental_phash_dedup(
         raise ValueError(f"n_bands must divide 64, got {n_bands}")
 
     def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        import pandas as pd
-
-        from photo_vector_search_spark.operators.image_dedup import phash_bytes
+        from photo_vector_search_spark.operators.image_dedup import (
+            band_rows,
+            phash_images,
+        )
         from photo_vector_search_spark.streaming.compaction import (
             load_manifest,
             read_state_family,
@@ -118,26 +107,15 @@ def incremental_phash_dedup(
             finally:
                 hits.unpersist(blocking=True)
 
-        def _hash(batches):
-            for pdf in batches:
-                out = pd.DataFrame(
-                    {
-                        "path": pdf["path"],
-                        "phash": pdf["content"].map(
-                            lambda c: phash_bytes(bytes(c))
-                            if c is not None and len(c)
-                            else None
-                        ),
-                        "fp": pdf["_fp"],
-                    }
-                )
-                out["phash"] = out["phash"].astype("object")
-                yield out
-
-        hashed = new.select("path", "content", "_fp").mapInPandas(
-            _hash, schema="path string, phash long, fp string"
-        ).persist()
-        bands_new = _band_rows(hashed.select("path", "phash"), n_bands).persist()
+        # the BATCH operators are the single source of truth: phash_images
+        # passes every input column through, and band_rows is the one banding
+        # definition hamming_pairs uses — batch/stream parity cannot drift
+        hashed = phash_images(
+            new.select("path", "content", F.col("_fp").alias("fp"))
+        ).select("path", "phash", "fp").persist()
+        bands_new = band_rows(
+            hashed.select("path", "phash"), "path", "phash", n_bands
+        ).select("path", "band", "bkey").persist()
         old_bands = read_state_family(
             spark_b,
             state_path,

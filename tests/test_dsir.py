@@ -273,3 +273,41 @@ def test_featurize_once_path_matches_rederive_path(spark):
         for r in dsir_scores(docs, ratios_b, 512, feats=feats).collect()
     }
     assert a == b
+
+
+def test_null_predicate_docs_are_not_target(spark):
+    """A NULL target predicate (e.g. source == 'src0' with NULL source) must
+    mean NOT-target — matching the oracle's CASE ... ELSE 0 — not poison the
+    collected counts (r7 review fix: un-coalesced NULLs made F.sum return
+    None and the totals sum throw)."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta", "src0"), (2, "zzz qqq www", None), (3, "alpha", "src1")],
+        "doc_id long, text string, source string",
+    )
+    flt = F.col("source") == "src0"
+    ratios = dsir_log_ratios(docs, target_filter=flt, n_buckets=64)
+    scored = {
+        r["doc_id"]: r["dsir_score"]
+        for r in dsir_scores(docs, ratios, 64).collect()
+    }
+    assert set(scored) == {1, 2, 3}
+    assert scored[1] > scored[2]  # target doc outscores the NULL-source doc
+    # the curation stage path (featurize) handles NULLs identically
+    from photo_vector_search_spark.operators.dsir import dsir_featurize
+
+    feats = dsir_featurize(docs, flt, n_buckets=64)
+    ratios2 = dsir_log_ratios(None, n_buckets=64, feats=feats)
+    a = {r["bucket"]: r["lr"] for r in ratios.collect()}
+    b = {r["bucket"]: r["lr"] for r in ratios2.collect()}
+    assert a == b
+
+
+def test_feats_combined_with_target_args_rejected(spark):
+    from photo_vector_search_spark.operators.dsir import dsir_featurize
+
+    docs = _fixture_df(spark)
+    feats = dsir_featurize(docs, F.lit(True), n_buckets=64)
+    with pytest.raises(ValueError, match="embeds the target flag"):
+        dsir_log_ratios(docs, target_filter=F.lit(True), feats=feats)
+    with pytest.raises(ValueError, match="embeds the target flag"):
+        dsir_log_ratios(None, target_docs=docs, feats=feats)

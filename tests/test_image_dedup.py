@@ -145,3 +145,30 @@ def test_video_near_dup_composition(spark):
     }
     assert ("vidA", "vidB") in got and got[("vidA", "vidB")] >= 1
     assert all("vidC" not in k and "vidBAD" not in k for k in got)
+
+
+def test_video_near_dup_counts_distinct_frames_and_hash_paths(spark):
+    """r7 review fixes: a static shot repeated k times counts as ONE shared
+    frame (not k² pair rows), and paths containing '#' keep their identity
+    (the frame id splits at the LAST '#')."""
+    from photo_vector_search_spark.operators.image_dedup import video_near_dup
+
+    base = _rand_payload(300, seed=21)
+    # 3 frames' worth of payload => sample_video_frames emits several
+    # identical fake frames per video (payload repeats per frame)
+    rows = [
+        ("shoot#1.mp4", bytes(_fake(64, 48, base * 2))),
+        ("shoot#2.mp4", bytes(_fake(64, 48, base * 2))),
+    ]
+    df = spark.createDataFrame(rows, "path string, content binary")
+    got = {
+        (r["video_a"], r["video_b"]): r["n_shared_frames"]
+        for r in video_near_dup(df, max_hamming=6, every_n=100).collect()
+    }
+    # the two videos ARE near-dups; their '#' names must survive intact
+    assert list(got) == [("shoot#1.mp4", "shoot#2.mp4")]
+    # identical fake frames per video: distinct-frame counting bounds the
+    # shared count by the number of sampled frames (pair-row counting would
+    # square it)
+    n_frames = max(1, len(base * 2) // 100)
+    assert got[("shoot#1.mp4", "shoot#2.mp4")] <= n_frames
