@@ -106,3 +106,27 @@ def test_decontaminate_bloom_superset_of_exact(spark, sf_correct):
     fps = bloom_hits - true_hits
     assert fps >= 0
     assert fps <= 0.03 * n_probes, (fps, n_probes)  # 3x slack on the 1% budget
+
+
+def test_broadcast_compression_measured(spark, sf_correct):
+    """The claim decontaminate_bloom rests on, measured on real shingles:
+    the bitmap broadcast is an order of magnitude smaller than the exact
+    string set it replaces."""
+    from pyspark.sql import functions as F
+
+    from photo_vector_search_spark.operators.dedup import shingle_sets
+    from photo_vector_search_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_correct, "documents")
+    bench_sh = (
+        shingle_sets(docs.filter(F.col("doc_id") < 20), n=3)
+        .select("shingle")
+        .distinct()
+    )
+    exact_bytes = bench_sh.agg(
+        F.sum(F.length("shingle")).alias("b")
+    ).first()["b"]
+    model = build_bloom(bench_sh, "shingle", fpp=0.01)
+    bloom_bytes = model.n_bits // 8
+    assert bloom_bytes * 8 <= exact_bytes, (bloom_bytes, exact_bytes)
+    # record the ratio in the assertion message space: ≥8x smaller here
