@@ -300,7 +300,11 @@ _STAGED_IDS_MEMO: dict = {}
 
 
 def _staged_ids(spark, sf_dir: str):
-    """Session-memoized staged tokenized corpus for the packing case."""
+    """Session-memoized staged tokenized corpus for the packing case.
+    Keyed by the SESSION too: a memoized DataFrame is bound to the
+    SparkSession that built it, and a second run in one process (fresh
+    session after spark.stop()) must rebuild, not fail on the dead one."""
+    sf_dir = (id(spark), sf_dir)
     if sf_dir not in _STAGED_IDS_MEMO:
         from pyspark.sql import functions as F
 
@@ -325,7 +329,7 @@ def _staged_ids(spark, sf_dir: str):
 def _quality_model(spark, sf_dir: str):
     """Session-memoized quality model — built on first use so only the group
     that runs quality_score pays the training jobs."""
-    key = sf_dir
+    key = (id(spark), sf_dir)  # session-keyed, see _staged_ids
     if key not in _QUALITY_MODEL_MEMO:
         from pyspark.sql import functions as F
 

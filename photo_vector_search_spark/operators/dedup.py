@@ -102,11 +102,28 @@ def jaccard_pairs(
 
     if stage is None:
         stage = not _rescan_safe_and_cheap(docs)
-    sh = shingle_sets(docs, n)
-    if stage:
-        sh = stage_frame(sh, "pvs_jaccard_sh")
+    if stage and max_df is not None:
+        # one execution total: explode_outer keeps shingle-less docs as
+        # NULL-shingle rows, so the staged frame carries the exact doc count
+        # for the max_df threshold — a docs.count() here would re-execute
+        # the very upstream staging exists to run once (r7 review fix)
+        toks_df = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+        sh = stage_frame(
+            toks_df.select(
+                "doc_id",
+                F.explode_outer(word_shingles(F.col("toks"), n)).alias("shingle"),
+            ),
+            "pvs_jaccard_sh",
+        )
+        n_docs = sh.select("doc_id").distinct().count()
+        sh = sh.filter(F.col("shingle").isNotNull())
+    else:
+        sh = shingle_sets(docs, n)
+        if stage:
+            sh = stage_frame(sh, "pvs_jaccard_sh")
     if max_df is not None:
-        n_docs = docs.count()
+        if not stage:
+            n_docs = docs.count()
         keep = (
             sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))
@@ -495,9 +512,22 @@ def fuzzy_pairs_blocked(
     stage the pruned frame a second time.
 
     Output: (doc_a, doc_b, lev) with doc_a < doc_b, lev ≤ max_dist."""
+    from photo_vector_search_spark.operators.shuffle import _rescan_safe_and_cheap
+    from photo_vector_search_spark.operators.staging import stage_frame
+
+    if stage is None:
+        stage = not _rescan_safe_and_cheap(docs)
     p = docs.select(
         "doc_id", F.substring(F.lower(F.col("text")), 1, prefix_len).alias("p")
     )
+    if stage:
+        # the PREFIX frame is what every consumer derives from (grams, both
+        # verify sides, the max_df count) — staging only the gram explode
+        # (pre-r7-review) left the verify joins re-executing the upstream,
+        # so a nondeterministic upstream could verify prefixes that never
+        # produced the blocking grams. Staging p (40 chars/doc, compact)
+        # makes the upstream execute exactly once, as documented.
+        p = stage_frame(p, "pvs_fuzzy_prefix")
     grams = p.select(
         "doc_id",
         F.explode(
@@ -509,15 +539,12 @@ def fuzzy_pairs_blocked(
             )
         ).alias("gram"),
     )
-    from photo_vector_search_spark.operators.shuffle import _rescan_safe_and_cheap
-    from photo_vector_search_spark.operators.staging import stage_frame
-
-    if stage is None:
-        stage = not _rescan_safe_and_cheap(docs)
     if stage:
         grams = stage_frame(grams, "pvs_fuzzy_grams")
     if max_df is not None:
-        n_docs = docs.count()
+        # staged mode counts docs from the staged prefix frame (one row per
+        # doc, NULL-text included) — never a second upstream execution
+        n_docs = p.count() if stage else docs.count()
         keep = (
             grams.groupBy("gram")
             .agg(F.count(F.lit(1)).alias("df"))

@@ -50,10 +50,9 @@ def mixture_rates(
 
     rate < 1 → down-sample (keep that fraction); rate > 1 → UP-sample: emit
     ``floor(rate)`` full epochs plus a ``frac(rate)``-sampled partial epoch.
-    Sources absent from ``weights`` (or with zero weight / zero tokens) rate
-    0 — dropped. Raises if ``weights`` names a source with no tokens in
-    ``totals`` (a silent 0 would under-fill the budget the caller asked
-    for)."""
+    Sources absent from ``weights`` or with zero/negative weight rate 0 —
+    dropped. A POSITIVE-weight source with no tokens in ``totals`` RAISES
+    (a silent 0 would under-fill the budget the caller asked for)."""
     if budget_tokens <= 0:
         raise ValueError(f"budget_tokens must be positive, got {budget_tokens}")
     tok = {s: int(n) for s, n in totals}
@@ -111,19 +110,26 @@ def mix_corpus(
     rate_rows = [(s, float(r)) for s, r in sorted(rates.items())]
     if not rate_rows:
         return docs.filter(F.lit(False)).withColumn("epoch", F.lit(0))
+    if "epoch" in docs.columns or "_mx_rate" in docs.columns:
+        # `epoch` is this operator's OUTPUT column (the repeat index) and
+        # would silently overwrite user data; _mx_rate is the internal name
+        raise ValueError(
+            "mix_corpus: input already has an 'epoch' or '_mx_rate' column — "
+            "rename it first; 'epoch' is the operator's output"
+        )
     rate_df = F.broadcast(
-        spark.createDataFrame(rate_rows, f"{source_col} string, _rate double")
+        spark.createDataFrame(rate_rows, f"{source_col} string, _mx_rate double")
     )
     with_rate = docs.join(rate_df, source_col)  # unweighted sources drop here
     # epochs 0..floor(rate): full epochs always emit; the last (partial)
     # epoch emits iff the per-(doc, epoch) uniform clears frac(rate)
-    n_full = F.floor(F.col("_rate")).cast("int")
-    frac = F.col("_rate") - n_full
+    n_full = F.floor(F.col("_mx_rate")).cast("int")
+    frac = F.col("_mx_rate") - n_full
     exploded = with_rate.withColumn(
         "epoch", F.explode(F.sequence(F.lit(0), n_full))
     )
     u = md5_uniform(seed, F.concat_ws("|", F.col("epoch"), F.col(key_col)))
     return (
         exploded.filter((F.col("epoch") < n_full) | (u <= frac))
-        .drop("_rate")
+        .drop("_mx_rate")
     )

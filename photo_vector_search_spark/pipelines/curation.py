@@ -261,8 +261,18 @@ def curate_corpus(
         merges, vocab = bpe_model
         curated = encode_bpe(curated, merges, vocab)
         if compute_stats:
+            # size() guarded for NULL ids: non-ANSI sessions evaluate
+            # size(NULL) as -1, which would silently subtract one token per
+            # NULL-text doc from the reported total
             stats["bpe_total_tokens"] = int(
-                curated.agg(F.sum(F.size("input_ids"))).first()[0] or 0
+                curated.agg(
+                    F.sum(
+                        F.when(
+                            F.col("input_ids").isNotNull(), F.size("input_ids")
+                        )
+                    )
+                ).first()[0]
+                or 0
             )
 
     if export_path is not None:

@@ -106,9 +106,20 @@ def score_quality(
     from pyspark.ml.functions import vector_to_array
 
     scored = model.transform(docs.withColumn(_TOKS, _tok_col(text_col)))
+    if _PROB in scored.columns:
+        prob, extras = _PROB, (_FEATURES, _RAW, _PROB, _PRED)
+    else:
+        # backward compat: a model persisted BEFORE the r7 _q_* rename emits
+        # MLlib's default output names — score it rather than fail, but only
+        # drop the columns the transform actually ADDED (a default-named
+        # model on docs that already carry e.g. a user `prediction` column
+        # is unresolvable either way and surfaces as Spark's own collision
+        # error at transform time)
+        added = [c for c in scored.columns if c not in docs.columns and c != _TOKS]
+        prob, extras = "probability", added
     return scored.withColumn(
-        out_col, vector_to_array(F.col(_PROB)).getItem(1)
-    ).drop(_TOKS, _FEATURES, _RAW, _PROB, _PRED)
+        out_col, vector_to_array(F.col(prob)).getItem(1)
+    ).drop(_TOKS, *extras)
 
 
 def pareto_keep(

@@ -96,3 +96,38 @@ def test_pareto_keep_deterministic_and_score_monotone(spark):
     assert 0.55 < top < 0.75, top
     assert bot < 0.02, bot
     assert 0.10 < len(a) / n < 0.15, len(a) / n
+
+
+def test_score_quality_accepts_legacy_default_named_model(spark):
+    """A model persisted BEFORE the r7 _q_* output rename emits MLlib's
+    default prediction/probability/rawPrediction columns; score_quality must
+    score it (compat fallback) and drop exactly the columns the transform
+    added."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import HashingTF
+    from pyspark.sql import functions as F
+
+    from photo_vector_search_spark.pipelines.quality import (
+        _FEATURES,
+        _TOKS,
+        score_quality,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "good clean text", 1.0), (1, "zzz qq xx", 0.0)] * 10,
+        "doc_id long, text string, label double",
+    ).withColumn("doc_id", F.monotonically_increasing_id())
+    train = docs.withColumn(
+        _TOKS, F.array_remove(F.split(F.lower("text"), r"\s+"), "")
+    )
+    legacy = Pipeline(
+        stages=[
+            HashingTF(inputCol=_TOKS, outputCol=_FEATURES, numFeatures=64),
+            LogisticRegression(featuresCol=_FEATURES, labelCol="label"),
+        ]
+    ).fit(train)
+    out = score_quality(docs.select("doc_id", "text"), legacy)
+    rows = out.collect()
+    assert set(out.columns) == {"doc_id", "text", "quality_score"}
+    assert all(0.0 <= r["quality_score"] <= 1.0 for r in rows)

@@ -138,30 +138,45 @@ def extra_cases(spark, sf_dir: str) -> dict:
 
     emb = load_table(spark, sf_dir, "embeddings")
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    # r7 fixtures built OUTSIDE the timed lambdas: quality_score times the
-    # map-only scoring pass (the model is a given at serving time), and
-    # curate_corpus_bpe times the pipeline, not tokenizer training. The
-    # even/odd split is a label assignment, not a claim about quality — the
-    # bench measures wall scaling, and the fit's per-iteration cost is
-    # label-independent.
-    q_model = train_quality_classifier(
-        docs.filter(F.col("doc_id") % 2 == 0),
-        docs.filter(F.col("doc_id") % 2 == 1),
-        max_iter=20,
-    )
-    bpe_artifact = train_bpe_model(docs, n_merges=200, min_count=2)
-    # tokenized corpus staged once so pack_windows times the packing pass,
-    # not the encode (encode scaling is curate_corpus_bpe's delta)
+    # r7 fixtures built OUTSIDE the timed lambdas (quality_score times the
+    # map-only scoring pass — the model is a given at serving time — and
+    # curate_corpus_bpe times the pipeline, not tokenizer training) but
+    # LAZILY (r7 review fix): a filtered --cases run must not pay the
+    # classifier fit / BPE train / corpus encode for cases it never runs —
+    # and the warmup+small+big triple would otherwise pay them three times
+    # even unfiltered. The even/odd split is a label assignment, not a
+    # claim about quality.
     from photo_vector_search_spark.operators.bpe import encode_bpe
     from photo_vector_search_spark.operators.packing import pack_token_windows
     from photo_vector_search_spark.operators.staging import stage_frame
 
-    ids_df = stage_frame(
-        encode_bpe(docs, *bpe_artifact).select(
-            F.col("doc_id").alias("pos"), "input_ids"
-        ),
-        "pvs_scale_ids",
-    )
+    _fix: dict = {}
+
+    def q_model():
+        if "q" not in _fix:
+            _fix["q"] = train_quality_classifier(
+                docs.filter(F.col("doc_id") % 2 == 0),
+                docs.filter(F.col("doc_id") % 2 == 1),
+                max_iter=20,
+            )
+        return _fix["q"]
+
+    def bpe_artifact():
+        if "b" not in _fix:
+            _fix["b"] = train_bpe_model(docs, n_merges=200, min_count=2)
+        return _fix["b"]
+
+    def ids_df():
+        # tokenized corpus staged once so pack_windows times the packing
+        # pass, not the encode (encode scaling is curate_corpus_bpe's delta)
+        if "i" not in _fix:
+            _fix["i"] = stage_frame(
+                encode_bpe(docs, *bpe_artifact()).select(
+                    F.col("doc_id").alias("pos"), "input_ids"
+                ),
+                "pvs_scale_ids",
+            )
+        return _fix["i"]
     return {
         "events_resample": lambda: _force(relational.q_events_resample(spark, sf_dir)),
         "events_asof": lambda: _force(relational.q_events_asof(spark, sf_dir)),
@@ -211,7 +226,7 @@ def extra_cases(spark, sf_dir: str) -> dict:
             docs.filter(F.col("doc_id") % 2 == 1),
             max_iter=20,
         ),
-        "quality_score": lambda: _force(score_quality(docs, q_model)),
+        "quality_score": lambda: _force(score_quality(docs, q_model())),
         # r7: the tokenized-shards pipeline product — curation (gate off, the
         # downstream-scaling variant) with the BPE terminal stage applied to
         # the shuffled survivors; delta vs curate_corpus_nogate is the
@@ -221,13 +236,13 @@ def extra_cases(spark, sf_dir: str) -> dict:
                 docs,
                 compute_stats=False,
                 quality_gate=False,
-                bpe_model=bpe_artifact,
+                bpe_model=bpe_artifact(),
             )[0]
         ),
         # r7: fixed-length sequence packing over the staged tokenized corpus —
         # one bounded per-bucket cumsum + one piece explode + one window
         # groupBy; ratio should track total tokens
-        "pack_windows": lambda: _force(pack_token_windows(ids_df, 512)),
+        "pack_windows": lambda: _force(pack_token_windows(ids_df(), 512)),
         # r7: token-budget mixing — one per-source token agg + map-only
         # epoch-explode/filter; budget scales with the corpus so rates (and
         # the emitted fraction) stay comparable across scales
