@@ -304,8 +304,8 @@ def _staged_ids(spark, sf_dir: str):
     Keyed by the SESSION too: a memoized DataFrame is bound to the
     SparkSession that built it, and a second run in one process (fresh
     session after spark.stop()) must rebuild, not fail on the dead one."""
-    sf_dir = (id(spark), sf_dir)
-    if sf_dir not in _STAGED_IDS_MEMO:
+    key = (id(spark), sf_dir)
+    if key not in _STAGED_IDS_MEMO:
         from pyspark.sql import functions as F
 
         from photo_vector_search_spark.operators.bpe import (
@@ -317,13 +317,13 @@ def _staged_ids(spark, sf_dir: str):
 
         docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
         merges, vocab = train_bpe_model(docs, n_merges=200, min_count=2)
-        _STAGED_IDS_MEMO[sf_dir] = stage_frame(
+        _STAGED_IDS_MEMO[key] = stage_frame(
             encode_bpe(docs, merges, vocab).select(
                 F.col("doc_id").alias("pos"), "input_ids"
             ),
             "pvs_bench_ids",
         )
-    return _STAGED_IDS_MEMO[sf_dir]
+    return _STAGED_IDS_MEMO[key]
 
 
 def _quality_model(spark, sf_dir: str):

@@ -54,6 +54,8 @@ def curate_corpus(
     pareto_alpha: float = 9.0,
     quality_seed: int = 0,
     bpe_model: tuple[list[tuple[str, str]], dict[str, int]] | None = None,
+    ppl_lm: tuple[DataFrame, int] | None = None,
+    ppl_by: str | None = None,
     dsir_target=None,
     dsir_keep: int | None = None,
     dsir_temperature: float = 1.0,
@@ -112,6 +114,17 @@ def curate_corpus(
     ``stats["substring_rewritten"]`` reports how many docs were rewritten.
     Default off so measured pipeline walls/survivors of earlier rounds stay
     comparable.
+
+    ``ppl_lm`` (opt-in, r7) runs the CCNet perplexity tier right after the
+    learned-quality tier: ``(lm, vocab_size)`` from
+    ``plans.text_queries.train_bigram_lm`` (train on a trusted corpus once,
+    reuse across runs — scoring the corpus with a model trained on itself
+    still ranks outliers last, but the CCNet setup is a clean-corpus LM)
+    scores every doc, ``perplexity_buckets`` cuts each ``ppl_by`` group
+    (``None`` = global cutoffs; pass ``"lang"`` when the corpus carries it)
+    into head/middle/tail tertiles, and the tail third plus docs too short
+    to score (< 2 tokens) are dropped — the paper's keep rule.
+    ``stats["after_ppl_filter"]`` records survivors.
 
     ``dsir_target`` + ``dsir_keep`` (opt-in, r7) run DSIR importance
     RESAMPLING right after the quality tiers: hashed-n-gram log-ratios are
@@ -181,6 +194,18 @@ def curate_corpus(
             seed=quality_seed,
         ).drop("quality_score")
         _stat("after_learned_quality", gated)
+
+    if ppl_lm is not None:
+        from photo_vector_search_spark.plans.text_queries import (
+            ccnet_keep,
+            perplexity_buckets,
+        )
+
+        lm_df, vocab_size = ppl_lm
+        gated = ccnet_keep(
+            perplexity_buckets(gated, lm_df, vocab_size, by=ppl_by)
+        )
+        _stat("after_ppl_filter", gated)
 
     if dsir_keep is not None:
         from photo_vector_search_spark.operators.dsir import (

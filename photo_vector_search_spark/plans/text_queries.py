@@ -1023,3 +1023,90 @@ def doc_log_perplexity(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.avg("nll"), 6).alias("nll"),
     )
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    lm: DataFrame,
+    vocab_size: int,
+    by: str | None = "lang",
+    bounds: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+    exact: bool = True,
+    accuracy: int = 10_000,
+    k: float = BIGRAM_SMOOTH_K,
+) -> DataFrame:
+    """CCNet head/middle/tail bucketing (Wenzek et al. 2020 §4.3): score every
+    document's LM perplexity, cut each ``by``-group (per-language, like CCNet;
+    ``by=None`` = one global set of cutoffs) at the ``bounds`` quantiles of the
+    score distribution, and label rows ``head`` (most fluent third), ``middle``,
+    or ``tail``. Docs with < 2 tokens have no bigram evidence and get bucket
+    ``unscored`` (CCNet drops them; ``ccnet_keep`` exposes the choice).
+
+    Output: every input column + ``nll`` (6dp, NULL for unscored) + ``bucket``.
+
+    Shape: the scoring pass is ``doc_log_perplexity`` (one explode + one
+    broadcastable LM lookup join + per-doc agg — corpus-linear); the cutoffs
+    are ONE aggregate producing |groups| rows (a handful of languages) that
+    broadcast-joins back for a map-only bucket label. No global sort, no
+    window over the corpus — this is deliberately NOT an ntile(): ranking the
+    whole corpus would shuffle every row into a single global (or per-language)
+    ordering, while quantile CUTOFFS need only an aggregate.
+
+    ``exact=True`` uses Spark's exact ``percentile`` — its aggregation buffer
+    holds each group's values, fine up to ~10^7 scored docs per group. At
+    100 TB set ``exact=False``: ``percentile_approx`` is a fixed-size
+    map-side-combinable sketch (``accuracy`` trades memory for rank error),
+    and a quantile ESTIMATE only moves docs whose score sits within the rank
+    error of a cutoff — the CCNet rule is itself a heuristic band, so the
+    approximation changes which borderline docs land head vs middle, never
+    the semantics. Cutoffs and scores are both rounded to 6dp before the
+    ``<=`` comparisons, so bucket labels are stable across partitionings.
+    """
+    if not (0.0 < bounds[0] < bounds[1] < 1.0):
+        raise ValueError(f"bounds must be 0 < lo < hi < 1, got {bounds}")
+    scored = doc_log_perplexity(docs, lm, vocab_size, k=k)
+    base = docs.join(scored.select("doc_id", "nll"), "doc_id", "left")
+    grp = [by] if by is not None else []
+    pcts = F.array(F.lit(float(bounds[0])), F.lit(float(bounds[1])))
+    cut_expr = (
+        F.percentile("nll", pcts)
+        if exact
+        else F.percentile_approx("nll", pcts, F.lit(int(accuracy)))
+    )
+    cuts = (
+        base.filter(F.col("nll").isNotNull())
+        .groupBy(*grp)
+        .agg(cut_expr.alias("_cuts"))
+        .select(
+            *grp,
+            F.round(F.col("_cuts")[0], 6).alias("_c_head"),
+            F.round(F.col("_cuts")[1], 6).alias("_c_mid"),
+        )
+    )
+    joined = (
+        base.join(F.broadcast(cuts), grp, "left")
+        if grp
+        else base.crossJoin(F.broadcast(cuts))
+    )
+    return joined.withColumn(
+        "bucket",
+        F.when(F.col("nll").isNull(), F.lit("unscored"))
+        .when(F.col("nll") <= F.col("_c_head"), F.lit("head"))
+        .when(F.col("nll") <= F.col("_c_mid"), F.lit("middle"))
+        .otherwise(F.lit("tail")),
+    ).drop("_c_head", "_c_mid")
+
+
+def ccnet_keep(
+    bucketed: DataFrame,
+    keep: tuple[str, ...] = ("head", "middle"),
+    keep_unscored: bool = False,
+) -> DataFrame:
+    """The CCNet keep rule over ``perplexity_buckets`` output: retain the
+    ``keep`` buckets (paper default: head + middle — the tail is the
+    least-fluent-under-the-LM third), dropping the transient ``nll``/``bucket``
+    columns. ``keep_unscored=True`` also retains < 2-token docs (no LM
+    evidence either way); the default drops them, matching the
+    every-kept-doc-was-scored invariant downstream stats rely on."""
+    labels = set(keep) | ({"unscored"} if keep_unscored else set())
+    return bucketed.filter(F.col("bucket").isin(*labels)).drop("nll", "bucket")

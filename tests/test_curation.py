@@ -362,3 +362,31 @@ def test_curate_corpus_all_stages_integration(spark, sf_dir, tmp_path):
         "doc_id long, text string, input_ids array<int>, pos long",
     )
     assert back.count() == len(rows)
+
+
+def test_curate_corpus_ppl_filter_stage(spark, sf_dir):
+    """ppl_lm drops the tail tertile and unscored docs right after the
+    quality tiers: garbage rides into the tail under a fluent-corpus LM,
+    survivors are a strict subset, the transient nll/bucket columns are
+    gone, and the stage composes with the rest of the pipeline."""
+    from photo_vector_search_spark.plans.text_queries import train_bigram_lm
+
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    garbage = spark.createDataFrame(
+        [(10_000 + i, " ".join(f"zz{i}q{j}" for j in range(30)))
+         for i in range(12)],
+        "doc_id long, text string",
+    )
+    docs = base.unionByName(garbage)
+    lm = train_bigram_lm(base)  # clean-corpus LM, CCNet-style
+    curated, stats = curate_corpus(
+        docs, quality_gate=False, ppl_lm=lm, ppl_by=None
+    )
+    assert "after_ppl_filter" in stats
+    assert stats["after_ppl_filter"] < stats["input"]
+    kept = {r["doc_id"] for r in curated.select("doc_id").collect()}
+    # the planted garbage is the worst-scoring slice -> all in the dropped tail
+    assert not (kept & {10_000 + i for i in range(12)})
+    assert len(kept) > 0
+    cols = set(curated.columns)
+    assert "nll" not in cols and "bucket" not in cols
