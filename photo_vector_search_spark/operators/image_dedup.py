@@ -211,6 +211,32 @@ def image_near_dup(
     )
 
 
+def rollup_frame_pairs(
+    fpairs: DataFrame, min_shared_frames: int = 1
+) -> DataFrame:
+    """Frame-level near-dup pairs → track-level pairs: strip OUR appended
+    ``#<frame_index>`` suffix (at the LAST '#', so ids that themselves
+    contain '#' survive), count DISTINCT matched frames of the
+    lexically-first track (a static shot repeated k times would otherwise
+    inflate one shared frame into k² "shared frames"), keep pairs sharing
+    ≥ ``min_shared_frames``. Shared by the video and audio rollups —
+    aggregates only the (output-sized) frame-pair rows."""
+    vid_a = F.expr("substring(id_a, 1, length(id_a) - length(substring_index(id_a, '#', -1)) - 1)")
+    vid_b = F.expr("substring(id_b, 1, length(id_b) - length(substring_index(id_b, '#', -1)) - 1)")
+    first_fid = F.when(vid_a <= vid_b, F.col("id_a")).otherwise(F.col("id_b"))
+    return (
+        fpairs.select(
+            F.least(vid_a, vid_b).alias("track_a"),
+            F.greatest(vid_a, vid_b).alias("track_b"),
+            first_fid.alias("_fa"),
+        )
+        .filter(F.col("track_a") != F.col("track_b"))
+        .groupBy("track_a", "track_b")
+        .agg(F.count_distinct("_fa").alias("n_shared_frames"))
+        .filter(F.col("n_shared_frames") >= min_shared_frames)
+    )
+
+
 def video_near_dup(
     files: DataFrame,
     max_hamming: int = 6,
@@ -238,22 +264,8 @@ def video_near_dup(
     )
     hashed = phash_images(fids, content_col="content")
     fpairs = hamming_pairs(hashed, max_hamming=max_hamming, id_col="fid")
-    # the video id is the fid minus OUR appended '#<frame_index>' suffix —
-    # strip at the LAST '#', so paths that themselves contain '#' survive
-    vid_a = F.expr("substring(id_a, 1, length(id_a) - length(substring_index(id_a, '#', -1)) - 1)")
-    vid_b = F.expr("substring(id_b, 1, length(id_b) - length(substring_index(id_b, '#', -1)) - 1)")
-    # count DISTINCT matched frames (of the lexically-first video), not
-    # frame-pair rows — a static shot repeated k times would otherwise
-    # inflate one shared frame into k² "shared frames"
-    first_fid = F.when(vid_a <= vid_b, F.col("id_a")).otherwise(F.col("id_b"))
     return (
-        fpairs.select(
-            F.least(vid_a, vid_b).alias("video_a"),
-            F.greatest(vid_a, vid_b).alias("video_b"),
-            first_fid.alias("_fa"),
-        )
-        .filter(F.col("video_a") != F.col("video_b"))
-        .groupBy("video_a", "video_b")
-        .agg(F.count_distinct("_fa").alias("n_shared_frames"))
-        .filter(F.col("n_shared_frames") >= min_shared_frames)
+        rollup_frame_pairs(fpairs, min_shared_frames=min_shared_frames)
+        .withColumnRenamed("track_a", "video_a")
+        .withColumnRenamed("track_b", "video_b")
     )
