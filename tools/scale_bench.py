@@ -166,6 +166,16 @@ def extra_cases(spark, sf_dir: str) -> dict:
             _fix["b"] = train_bpe_model(docs, n_merges=200, min_count=2)
         return _fix["b"]
 
+    def _tq():
+        from photo_vector_search_spark.plans import text_queries
+
+        return text_queries
+
+    def ppl_lm():
+        if "p" not in _fix:
+            _fix["p"] = _tq().train_bigram_lm(docs)
+        return _fix["p"]
+
     def ids_df():
         # tokenized corpus staged once so pack_windows times the packing
         # pass, not the encode (encode scaling is curate_corpus_bpe's delta)
@@ -306,6 +316,46 @@ def extra_cases(spark, sf_dir: str) -> dict:
                 .select("doc_id"),
                 n=3,
                 min_overlap=5,
+            )
+        ),
+        # r7b: CCNet perplexity tier — the LM is a given at serving time
+        # (lazy fixture, vocab-bounded broadcast table); the timed pass is
+        # score (explode + broadcast lookup + per-doc agg) + the |langs|-row
+        # cutoff agg + map-only labeling. Corpus-linear by construction.
+        "ppl_filter": lambda: _force(
+            _tq().ccnet_keep(
+                _tq().perplexity_buckets(
+                    load_table(spark, sf_dir, "documents"),
+                    *ppl_lm(),
+                    by="lang",
+                )
+            )
+        ),
+        # r7b: per-domain cap, salted two-phase — documents has a handful of
+        # sources so each domain holds N/|sources| rows: exactly the skew
+        # shape the salt spreads. Cap fixed across scales (output bounded);
+        # the corpus term is the two row_number passes.
+        "domain_cap": lambda: _force(
+            __import__(
+                "photo_vector_search_spark.operators.domains",
+                fromlist=["cap_per_domain"],
+            ).cap_per_domain(load_table(spark, sf_dir, "documents"), 50)
+        ),
+        # r7b: audio near-dup over FAKEAUDIO tracks synthesized from the doc
+        # texts (deterministic; ciphered sf1 copies give unrelated spectra, so
+        # the pair structure stays corpus-proportional) — map-only vectorized
+        # fingerprint pass + one linear band shuffle + output-sized rollup
+        "audio_near_dup": lambda: _force(
+            __import__(
+                "photo_vector_search_spark.operators.audio_dedup",
+                fromlist=["audio_near_dup"],
+            ).audio_near_dup(
+                load_table(spark, sf_dir, "documents").select(
+                    F.col("doc_id").cast("string").alias("path"),
+                    F.encode(
+                        F.concat(F.lit("FAKEAUDIO:"), F.col("text")), "utf-8"
+                    ).alias("content"),
+                )
             )
         ),
     }
