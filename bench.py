@@ -89,6 +89,7 @@ GROUPS: dict[str, list[str]] = {
     "r7_new": ["encode_bpe", "quality_score", "pack_windows", "mix_corpus"],
     "r7_select": ["dsir_weights", "semdedup"],
     "r7_mine": ["hard_negatives", "decontaminate_bloom"],
+    "r7b_new": ["ppl_filter", "domain_cap"],
 }
 
 
@@ -278,6 +279,13 @@ def _build_cases(spark, sf_dir: str) -> dict:
                 )
                 .select("doc_id"),
             )
+        ),
+        # r7b: the declared CCNet perplexity keep (train bigram LM + score +
+        # per-lang cutoffs + filter — the full declared shape, cold) and the
+        # declared salted per-domain cap
+        "ppl_filter": lambda: _force(text_queries.q_ppl_filter(spark, sf_dir)),
+        "domain_cap": lambda: _force(
+            pipeline_queries.q_domain_cap(spark, sf_dir)
         ),
         # r7: map-only learned-quality scoring. The model is trained lazily
         # ONCE per session (memoized below); min-of-2 therefore records the

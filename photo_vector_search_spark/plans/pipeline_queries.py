@@ -984,8 +984,27 @@ GROUP BY a.cid
 """
 
 
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 crawl hygiene, declared r7b — per-domain document cap
+    (`operators/domains.cap_per_domain`, the C4/RefinedWeb host-share bound)
+    through the DEFAULT salted two-phase path, so the declared row verifies
+    the scale shape (salted partial cap -> final cap), not just the textbook
+    single window the oracle states."""
+    from photo_vector_search_spark.operators.domains import cap_per_domain
+
+    return cap_per_domain(load_table(spark, sf_dir, "documents"), 15)
+
+
+_ORACLE_DOMAIN_CAP = """
+SELECT doc_id, text, lang, source, n_chars FROM (
+  SELECT *, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn <= 15
+"""
+
+
 QUERIES = {
-    "rollup_events": q_rollup_events,
+    "domain_cap": q_domain_cap,
     "pack_documents_sharded": q_pack_documents_sharded,
     "canonicalize_dups": q_canonicalize_dups,
     "srp_lsh_near_dup": q_srp_lsh_near_dup,
@@ -1000,7 +1019,7 @@ QUERIES = {
 }
 
 ORACLES = {
-    "rollup_events": _ORACLE_ROLLUP_EVENTS,
+    "domain_cap": _ORACLE_DOMAIN_CAP,
     "pack_documents_sharded": _ORACLE_PACK_SHARDED,
     "canonicalize_dups": _ORACLE_CANONICALIZE,
     "srp_lsh_near_dup": _srp_oracle(),
@@ -1034,7 +1053,11 @@ ORACLES = {
 # - distinct_counts (retired r7 for semdedup): §2.4 A2 cardinality — still
 #   locally oracle-verified; data_profile keeps exact profiling declared and
 #   the HLL sketch variant stays twin-tested in test_sketches.
+# - rollup_events (retired r7b for domain_cap): grouping-set agg over events —
+#   cube_lineitem keeps the regroup_from_finest machinery declared (the
+#   harder 8-set case) and events_resample keeps time-bucketed event aggs.
 RETIRED_QUERIES = {
+    "rollup_events": q_rollup_events,
     "distinct_counts": q_distinct_counts,
     "train_test_split": q_train_test_split,
     "pack_documents": q_pack_documents,
@@ -1044,6 +1067,7 @@ RETIRED_QUERIES = {
 }
 
 RETIRED_ORACLES = {
+    "rollup_events": _ORACLE_ROLLUP_EVENTS,
     "distinct_counts": _ORACLE_DISTINCT_COUNTS,
     "train_test_split": _ORACLE_TRAIN_TEST_SPLIT,
     "pack_documents": _ORACLE_PACK_DOCUMENTS,

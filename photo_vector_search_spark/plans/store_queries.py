@@ -139,7 +139,6 @@ def q_count_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
-    "point_lookup": q_point_lookup,
     "distinct_photos": q_distinct_photos,
     "photo_group_collect": q_photo_group_collect,
     "upsert_merge": q_upsert_merge,
@@ -153,13 +152,21 @@ QUERIES = {
 # limit(0) schema check and describe_store overlaps photo_group_collect /
 # distinct_photos — both stay implemented and locally oracle-verified via
 # tests/test_retired_surface.py.
+# point_lookup retired r7b (for the ppl_filter slot): a single conjunctive
+# point predicate whose pushdown shape is already declared-evidenced by
+# store_partition_pruned (point predicate + partition pruning + top-k) and
+# delete_ops/scalar_funcs (conjunctive filters); stays locally oracle-exact.
 RETIRED_QUERIES = {
+    "point_lookup": q_point_lookup,
     "count_rows": q_count_rows,
     "store_truncate": q_store_truncate,
     "describe_store": q_describe_store,
 }
 
 RETIRED_ORACLES = {
+    "point_lookup": f"""{_PI}
+SELECT id, aspect_name, description, label FROM photo_index
+WHERE photo_path = '/photos/img_7.jpg'""",
     "count_rows": "SELECT count(*) AS n FROM lineitem",
     "store_truncate": f"""{_PI}
 SELECT id, photo_path FROM photo_index WHERE 1 = 0""",
@@ -177,9 +184,6 @@ GROUP BY 1""",
 }
 
 ORACLES = {
-    "point_lookup": f"""{_PI}
-SELECT id, aspect_name, description, label FROM photo_index
-WHERE photo_path = '/photos/img_7.jpg'""",
     "distinct_photos": f"""{_PI}
 SELECT DISTINCT photo_path FROM photo_index""",
     "photo_group_collect": f"""{_PI}

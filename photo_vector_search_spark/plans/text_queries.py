@@ -1110,3 +1110,57 @@ def ccnet_keep(
     every-kept-doc-was-scored invariant downstream stats rely on."""
     labels = set(keep) | ({"unscored"} if keep_unscored else set())
     return bucketed.filter(F.col("bucket").isin(*labels)).drop("nll", "bucket")
+
+
+def q_ppl_filter(spark, sf_dir: str) -> DataFrame:
+    """§2.10 text quality, CCNet rung (declared r7b) — the full LM-perplexity
+    filter as one declared surface: train the corpus bigram LM, bucket every
+    document against its language's head/middle/tail cutoffs, keep
+    head+middle (Wenzek et al. 2020's rule). Self-scoring (train == score
+    corpus) keeps the oracle exact: every bigram is in-vocabulary, so the
+    smoothed probability never hits the unseen-w1 branch."""
+    from photo_vector_search_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    lm, vocab = train_bigram_lm(docs)
+    return ccnet_keep(perplexity_buckets(docs, lm, vocab, by="lang"))
+
+
+# DuckDB twin of the whole train->score->cut->keep pipeline. Mirrors the
+# engine's rounding discipline exactly: per-doc nll rounded 6dp BEFORE the
+# quantile, cutoffs rounded 6dp before the <= comparison (quantile_cont is
+# the same linear-interpolation definition as Spark's exact `percentile`).
+_ORACLE_PPL_FILTER = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ts FROM documents
+),
+pos AS (
+  SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS g
+  FROM toks WHERE len(ts) >= 2
+),
+big AS (SELECT doc_id, ts[g] AS w1, ts[g + 1] AS w2 FROM pos),
+c12 AS (SELECT w1, w2, count(*) AS n12 FROM big GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*) AS n1 FROM big GROUP BY 1),
+v AS (SELECT count(DISTINCT tok) AS vs FROM (
+        SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        FROM documents)),
+scored AS (
+  SELECT b.doc_id,
+         round(avg(-log2((c12.n12 + 0.5) / (c1.n1 + 0.5 * (SELECT vs FROM v)))), 6) AS nll
+  FROM big b JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+             JOIN c1 ON b.w1 = c1.w1
+  GROUP BY b.doc_id
+),
+cuts AS (
+  SELECT d.lang, round(quantile_cont(s.nll, 2.0/3), 6) AS c_mid
+  FROM scored s JOIN documents d USING (doc_id) GROUP BY d.lang
+)
+SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+FROM documents d
+JOIN scored s USING (doc_id)
+JOIN cuts c ON d.lang = c.lang
+WHERE s.nll <= c.c_mid
+"""
+
+QUERIES["ppl_filter"] = q_ppl_filter
+ORACLES["ppl_filter"] = _ORACLE_PPL_FILTER

@@ -75,9 +75,9 @@ _CHECKS: dict[str, list[str]] = {
     "part": [],
     "orders": ["tpch_q3", "range_band_join"],
     "lineitem": ["tpch_q1"],
-    # events_histogram retired from the declared surface r7 — resample keeps
-    # a second declared events-reading query in the variant check
-    "events": ["rollup_events", "events_resample"],
+    # events_histogram retired r7 and rollup_events r7b — sessionize/resample
+    # keep two declared events-reading queries in the variant check
+    "events": ["events_sessionize", "events_resample"],
     "documents": ["text_stats", "dedup_exact"],
     "embeddings": ["knn_topk", "srp_lsh_near_dup"],
 }

@@ -28,7 +28,7 @@ RETIRED = [
 
 @pytest.mark.parametrize("mod,name", RETIRED, ids=[n for _, n in RETIRED])
 def test_retired_query_still_oracle_exact(spark, sf_correct, mod, name):
-    """The five queries retired from the 50-slot declared surface stay verified
+    """Every query retired from the 50-slot declared surface stays verified
     through the same DuckDB compare the driver runs — retirement is a slot
     decision, not a correctness downgrade."""
     df = mod.RETIRED_QUERIES[name](spark, sf_correct)
