@@ -936,7 +936,7 @@ def tokenize_documents(
 BIGRAM_SMOOTH_K = 0.5  # add-k smoothing constant, shared with the SQL twin
 
 
-def train_bigram_lm(docs: DataFrame) -> tuple[DataFrame, int]:
+def train_bigram_lm(docs: DataFrame, stage: bool = True) -> tuple[DataFrame, int]:
     """Corpus bigram language model — the engine-native form of CCNet's
     LM-perplexity quality filter (Wenzek et al. 2020 score corpora with a
     pretrained KenLM; a corpus-trained bigram model is the dependency-free
@@ -944,14 +944,22 @@ def train_bigram_lm(docs: DataFrame) -> tuple[DataFrame, int]:
     pandas UDF).
 
     Returns ``(lm, vocab_size)``: ``lm`` has one row per observed bigram —
-    (w1, w2, c12, c1) with the unigram count pre-joined so scoring needs a
+    (w1, w2, c12, c1) with the unigram count pre-attached so scoring needs a
     single lookup join — and ``vocab_size`` is |distinct tokens| for the
-    smoothing denominator. Shape: one explode + two map-side-combinable
-    groupBys + a keyed join of two vocab-bounded tables. The LM table is
-    vocabulary-scale, so Catalyst broadcasts it in ``doc_log_perplexity``.
-    The three aggregations (c12, c1, vocab) each scan the corpus; at training
-    cadence on a large corpus, ``docs.cache()`` first so tokenization runs
-    once."""
+    smoothing denominator. Corpus-sized work is exactly two passes: the
+    bigram explode+groupBy and the unigram vocab count. c1 is NOT a second
+    corpus aggregation — c1(w1) = Σ_w2 c12(w1, w2) exactly (integer counts),
+    a window sum over the bigram-vocabulary-sized aggregate.
+
+    ``stage=True`` (default) materializes the LM table to session parquet
+    scratch at call time (``operators/staging``): ``doc_log_perplexity``
+    consumes the LM in TWO subtrees (the (w1,w2) probability probe and the
+    distinct (w1,c1) backoff table), and Spark re-executes unstaged common
+    subtrees per consumer — unstaged, every scoring run would re-derive the
+    corpus-sized bigram aggregation twice. Staged, training runs the corpus
+    passes once and every consumer re-scans a bigram-vocabulary-sized
+    parquet. ``stage=False`` keeps the frame fully lazy (tests /
+    composition into a larger staged plan)."""
     toks = docs.select(tokens(F.col("text")).alias("ts")).filter(
         F.size("ts") >= 2
     )
@@ -964,13 +972,19 @@ def train_bigram_lm(docs: DataFrame) -> tuple[DataFrame, int]:
         ).alias("bg")
     ).select(F.col("bg.0").alias("w1"), F.col("bg.1").alias("w2"))
     c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    lm = c12.withColumn(
+        "c1", F.sum("c12").over(Window.partitionBy("w1"))
+    )
+    if stage:
+        from photo_vector_search_spark.operators.staging import stage_frame
+
+        lm = stage_frame(lm, "pvs_bigram_lm")
     vocab_size = (
         docs.select(F.explode(tokens(F.col("text"))).alias("t"))
         .agg(F.count_distinct("t"))
         .first()[0]
     )
-    return c12.join(c1, "w1"), int(vocab_size)
+    return lm, int(vocab_size)
 
 
 def doc_log_perplexity(
