@@ -19,12 +19,16 @@ behaves like a real image under pHash: near-identical payloads → small
 hamming distance). The Spark-side plumbing — Arrow map, schema, NULL/error
 handling, band join — is real and tested either way.
 
-Blocking: ``hamming_pairs`` — 8 bands × 8 bits over the 64-bit hash, exact
+Blocking: ``hamming_pairs`` — band blocking over the 64-bit hash, exact
 band equi-join, then the true ``bit_count(xor)`` check (the simhash_pairs
-skeleton widened to 64 bits). Pigeonhole guarantees a colliding band for
-distance ≤ 7; beyond that recall decays (the standard LSH trade,
-documented on simhash_pairs too). One linear shuffle on (band, key); never
-an all-pairs join.
+skeleton widened to 64 bits). When the threshold leaves slack
+(``max_hamming ≤ n_bands − 2``) the join key is a PAIR of bands (the
+multi-index/HmSearch refinement, Norouzi et al. 2012): distance ≤ d
+corrupts ≤ d bands, so ≥ 2 of 8 survive intact and some band PAIR matches
+— identical recall, but 16-bit buckets instead of 8-bit, which cuts the
+per-bucket candidate mass ~256× (the single-band join is quadratic per
+2^8-value bucket and dominated audio_near_dup's wall). One linear shuffle
+on (band, key); never an all-pairs join.
 """
 
 from __future__ import annotations
@@ -145,6 +149,41 @@ def band_rows(
     )
 
 
+def band_pair_rows(
+    hashed: DataFrame, id_col: str, hash_col: str, n_bands: int
+) -> DataFrame:
+    """(id, hash, band, bkey) where ``band`` indexes an (i, j) band PAIR
+    (i < j) and ``bkey`` packs both bands' bits into one key — the
+    multi-index refinement of ``band_rows``. Valid as an exact blocking
+    whenever distance ≤ n_bands − 2: at most that many bands are corrupted,
+    so at least two survive and their pair key matches. C(n_bands, 2) rows
+    per hash (3.5× the single-band explode at 8 bands) buy buckets that are
+    2^width times finer — the explode is map-side and linear; the join it
+    feeds is per-bucket quadratic, so finer buckets win at any real N."""
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    combos = F.array(
+        *[
+            F.struct(F.lit(i).alias("bi"), F.lit(j).alias("bj"))
+            for i in range(n_bands)
+            for j in range(i + 1, n_bands)
+        ]
+    )
+    return (
+        hashed.filter(F.col(hash_col).isNotNull())
+        .select(id_col, hash_col, F.explode(combos).alias("_bp"))
+        .select(
+            id_col,
+            hash_col,
+            (F.col("_bp.bi") * n_bands + F.col("_bp.bj")).alias("band"),
+            F.expr(
+                f"(shiftright({hash_col}, _bp.bi * {width}) & {mask}) * {mask + 1} "
+                f"+ (shiftright({hash_col}, _bp.bj * {width}) & {mask})"
+            ).alias("bkey"),
+        )
+    )
+
+
 def hamming_pairs(
     hashed: DataFrame,
     max_hamming: int = 6,
@@ -154,9 +193,15 @@ def hamming_pairs(
     stage: bool | None = None,
 ) -> DataFrame:
     """(id_a, id_b, hamming) for pairs with hamming(hash) ≤ max_hamming,
-    found via exact ``n_bands``-band blocking over the 64-bit hash
-    (pigeonhole: distance ≤ n_bands−1 always shares a band; beyond that
-    recall decays). NULL hashes never pair.
+    found via exact band blocking over the 64-bit hash, then verified with
+    the true ``bit_count(xor)``. NULL hashes never pair.
+
+    Blocking key (both EXACT for the given threshold, identical output):
+    - ``max_hamming ≤ n_bands − 2``: pair-of-bands keys (``band_pair_rows``)
+      — ≥ 2 bands survive any allowed distance, so some pair matches; the
+      2^(2·width)-value buckets keep the per-bucket quadratic join tame.
+    - otherwise: single-band keys (``band_rows``; pigeonhole requires only
+      distance ≤ n_bands − 1, which pairs can't guarantee).
 
     Both sides of the band self-join consume ``hashed``, and Spark
     re-executes common subtrees per consumer — with the usual producer
@@ -177,9 +222,20 @@ def hamming_pairs(
     if stage:
         slim = stage_frame(slim, "pvs_phash")
     hashed = slim
-    banded = band_rows(hashed, id_col, hash_col, n_bands).withColumnRenamed(
+    rows_fn = band_pair_rows if max_hamming <= n_bands - 2 else band_rows
+    banded = rows_fn(hashed, id_col, hash_col, n_bands).withColumnRenamed(
         id_col, "_id"
     ).withColumnRenamed(hash_col, "_h")
+    # Pin the join's parallelism by KEY with an explicit partition count:
+    # the banded rows are small (tens of bytes) but the self-join's output
+    # is sum-of-bucket-size² — AQE coalesces post-shuffle partitions by
+    # INPUT bytes and would funnel an exploding join through 1-2 tasks
+    # (measured: the 87M-candidate audio join ran single-task, 37s wall).
+    # An explicit count is exempt from AQE coalescing; both sides share the
+    # partitioning so the join adds no extra exchange.
+    banded = banded.repartition(
+        hashed.sparkSession.sparkContext.defaultParallelism, "band", "bkey"
+    )
     l, r = banded.alias("l"), banded.alias("r")
     cand = (
         l.join(
@@ -194,11 +250,17 @@ def hamming_pairs(
             F.col("l._h").alias("_ha"),
             F.col("r._h").alias("_hb"),
         )
-        .distinct()
     )
     ham = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
-    return cand.filter(ham <= max_hamming).select(
-        "id_a", "id_b", ham.alias("hamming")
+    # verify BEFORE the dedup shuffle: a pair can collide in up to
+    # C(n_bands,2) buckets, and the ham check is a map-side expression —
+    # filtering first means only TRUE pairs (× their band multiplicity)
+    # reach the distinct exchange, instead of every false candidate too.
+    # hamming is a pure function of the pair, so distinct semantics match.
+    return (
+        cand.filter(ham <= max_hamming)
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .distinct()
     )
 
 

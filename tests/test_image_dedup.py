@@ -172,3 +172,44 @@ def test_video_near_dup_counts_distinct_frames_and_hash_paths(spark):
     # square it)
     n_frames = max(1, len(base * 2) // 100)
     assert got[("shoot#1.mp4", "shoot#2.mp4")] <= n_frames
+
+
+def test_band_pair_blocking_parity(spark):
+    """The pair-of-bands key (max_hamming <= n_bands-2) and the single-band
+    key (forced via max_hamming = n_bands-1, then re-filtered) find exactly
+    the same pairs — the multi-index refinement changes the shuffle key, not
+    the result. Random 64-bit hashes plus planted near-dups at every
+    distance 0..8 around the threshold."""
+    import random
+
+    from photo_vector_search_spark.operators.image_dedup import hamming_pairs
+
+    rng = random.Random(17)
+    rows = []
+    base = rng.getrandbits(64)
+    for d in range(9):  # planted: exactly d bits flipped from base
+        h = base
+        for bit in rng.sample(range(64), d):
+            h ^= 1 << bit
+        rows.append((f"plant{d}", _signed(h)))
+    for i in range(200):
+        rows.append((f"rand{i:03d}", _signed(rng.getrandbits(64))))
+    df = spark.createDataFrame(rows, "path string, phash long")
+
+    via_pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hamming_pairs(df, max_hamming=6).collect()  # pair-key path
+    }
+    via_single = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hamming_pairs(df, max_hamming=7).collect()  # single-band path
+        if r["hamming"] <= 6
+    }
+    assert via_pairs == via_single
+    # the planted chain guarantees hits on both sides of the threshold
+    assert ("plant0", "plant6") in via_pairs or ("plant6", "plant0") in via_pairs
+    assert all(v <= 6 for v in via_pairs.values())
+
+
+def _signed(h: int) -> int:
+    return h - (1 << 64) if h >= 1 << 63 else h
