@@ -50,6 +50,9 @@ AUDIT = [
     "mix_corpus",
     "dsir_weights",
     "semdedup",
+    # r7b declared additions
+    "ppl_filter",
+    "domain_cap",
 ]
 
 
@@ -211,6 +214,35 @@ def _extra_image_near_dup(spark, sf_dir):
     return hamming_pairs(emb, max_hamming=6, id_col="vec_id")
 
 
+def _extra_predict_lang(spark, sf_dir):
+    from photo_vector_search_spark.pipelines.langid import (
+        predict_lang,
+        train_langid,
+    )
+    from photo_vector_search_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    return predict_lang(docs, train_langid(docs, max_iter=2))
+
+
+def _extra_audio_near_dup(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from photo_vector_search_spark.operators.audio_dedup import audio_near_dup
+    from photo_vector_search_spark.sources.tables import load_table
+
+    return audio_near_dup(
+        load_table(spark, sf_dir, "documents").select(
+            F.col("doc_id").cast("string").alias("path"),
+            F.encode(
+                F.concat(F.lit("FAKEAUDIO:"), F.col("text")), "utf-8"
+            ).alias("content"),
+        )
+    )
+
+
 EXTRA_OPS = {
     "ivf_near_dup_pairs": _extra_ivf_near_dup,
     "shuffle_corpus": _extra_shuffle_corpus,
@@ -220,6 +252,8 @@ EXTRA_OPS = {
     "hard_negatives": _extra_hard_negatives,
     "decontaminate_bloom": _extra_decontaminate_bloom,
     "hamming_pairs": _extra_image_near_dup,
+    "predict_lang": _extra_predict_lang,
+    "audio_near_dup": _extra_audio_near_dup,
 }
 
 # Plan-reader context the tree alone can't show.
@@ -239,8 +273,25 @@ NOTES = {
     "hamming_pairs": (
         "NOTE: library operator (image near-dup). Hash source here is a "
         "derived column (the real pHash pass is map-only Arrow); the audited "
-        "shape is the 8-band explode → band equi-join → bit_count verify — "
-        "one linear shuffle on (band, key), never all-pairs."
+        "shape is the pair-of-bands explode (r7b multi-index: 28 16-bit keys, "
+        "exact for distance ≤ n_bands−2) → key-repartitioned band equi-join "
+        "(explicit count, exempt from AQE's input-byte coalescing, which "
+        "would funnel the output-exploding join through one task) → map-side "
+        "bit_count verify BEFORE the distinct exchange. Never all-pairs."
+    ),
+    "predict_lang": (
+        "NOTE: library operator (r7b learned lang-ID, scoring path). Map-only "
+        "by design — normalize → gram transform (normalized string "
+        "materialized as a column first: Spark does not CSE into transform() "
+        "lambdas, and the inline form re-ran regexp_replace per gram, 10x "
+        "the pass) → HashingTF → LR matrix-vector; pipelines into the scan, "
+        "no shuffle."
+    ),
+    "audio_near_dup": (
+        "NOTE: library operator (r7b audio near-dup). Corpus-sized work: one "
+        "map-only Arrow fingerprint pass (staged once — both join sides "
+        "re-scan it) and the pair-band hamming join above; the rollup's "
+        "exchange moves only verified frame-pair rows."
     ),
     "dedup_minhash_lsh": (
         "NOTE: pre-staging plan (stage=False) — the declared query checkpoints "

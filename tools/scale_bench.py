@@ -176,6 +176,17 @@ def extra_cases(spark, sf_dir: str) -> dict:
             _fix["p"] = _tq().train_bigram_lm(docs)
         return _fix["p"]
 
+    docs_lang = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+
+    def li_model():
+        if "l" not in _fix:
+            from photo_vector_search_spark.pipelines.langid import train_langid
+
+            _fix["l"] = train_langid(docs_lang, max_iter=20)
+        return _fix["l"]
+
     def ids_df():
         # tokenized corpus staged once so pack_windows times the packing
         # pass, not the encode (encode scaling is curate_corpus_bpe's delta)
@@ -340,6 +351,21 @@ def extra_cases(spark, sf_dir: str) -> dict:
                 "photo_vector_search_spark.operators.domains",
                 fromlist=["cap_per_domain"],
             ).cap_per_domain(load_table(spark, sf_dir, "documents"), 50)
+        ),
+        # r7b: learned lang-ID — training is the quality-classifier shape
+        # (one hashing pass + fixed-iteration L-BFGS, so the ratio isolates
+        # the per-iteration corpus term, here over multinomial K=5 classes);
+        # scoring must stay a map-only transform. The ciphered copies keep
+        # their lang labels, so the label set is scale-invariant.
+        "langid_train": lambda: __import__(
+            "photo_vector_search_spark.pipelines.langid",
+            fromlist=["train_langid"],
+        ).train_langid(docs_lang, max_iter=20),
+        "langid_score": lambda: _force(
+            __import__(
+                "photo_vector_search_spark.pipelines.langid",
+                fromlist=["predict_lang"],
+            ).predict_lang(docs_lang, li_model())
         ),
         # r7b: audio near-dup over FAKEAUDIO tracks synthesized from the doc
         # texts (deterministic; ciphered sf1 copies give unrelated spectra, so
