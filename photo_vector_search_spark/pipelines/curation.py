@@ -53,6 +53,9 @@ def curate_corpus(
     quality_model=None,
     pareto_alpha: float = 9.0,
     quality_seed: int = 0,
+    langid_model=None,
+    langid_keep: tuple[str, ...] | None = None,
+    langid_min_conf: float = 0.0,
     bpe_model: tuple[list[tuple[str, str]], dict[str, int]] | None = None,
     ppl_lm: tuple[DataFrame, int] | None = None,
     ppl_by: str | None = None,
@@ -115,6 +118,16 @@ def curate_corpus(
     Default off so measured pipeline walls/survivors of earlier rounds stay
     comparable.
 
+    ``langid_model`` + ``langid_keep`` (opt-in, r7b) run learned language
+    identification as the FIRST filter after redaction — CCNet's pipeline
+    order (fastText lang-ID is its first stage), and the cheapest place to
+    cut: every downstream stage sees only the target languages. The model
+    is ``pipelines/langid.train_langid`` output (train once on labeled
+    text, persist, reuse); docs whose predicted language is not in
+    ``langid_keep`` — or whose confidence is below ``langid_min_conf`` —
+    are dropped, and the transient ``lang_pred``/``lang_conf`` columns are
+    removed. ``stats["after_langid"]`` records survivors.
+
     ``ppl_lm`` (opt-in, r7) runs the CCNet perplexity tier right after the
     learned-quality tier: ``(lm, vocab_size)`` from
     ``plans.text_queries.train_bigram_lm`` (train on a trusted corpus once,
@@ -161,6 +174,10 @@ def curate_corpus(
         raise ValueError(
             "curate_corpus: dsir_target and dsir_keep must be passed together"
         )
+    if (langid_model is None) != (langid_keep is None):
+        raise ValueError(
+            "curate_corpus: langid_model and langid_keep must be passed together"
+        )
     stats: dict[str, int] = {}
 
     def _stat(key: str, df: DataFrame) -> None:
@@ -170,6 +187,22 @@ def curate_corpus(
     _stat("input", docs)
 
     clean = docs.withColumn("text", redact_pii(F.col("text")))
+
+    if langid_model is not None:
+        from photo_vector_search_spark.pipelines.langid import predict_lang
+
+        keep_langs = tuple(langid_keep)
+        if not keep_langs:
+            raise ValueError("curate_corpus: langid_keep must be non-empty")
+        cond = F.col("lang_pred").isin(*keep_langs)
+        if langid_min_conf > 0.0:
+            cond = cond & (F.col("lang_conf") >= langid_min_conf)
+        clean = (
+            predict_lang(clean, langid_model)
+            .filter(cond)
+            .drop("lang_pred", "lang_conf")
+        )
+        _stat("after_langid", clean)
 
     if quality_gate:
         gated = clean.select("*", *gopher_flags(F.col("text")))

@@ -306,9 +306,18 @@ def test_curate_corpus_all_stages_integration(spark, sf_dir, tmp_path):
     )
     from photo_vector_search_spark.sources.jsonl import read_jsonl_shards
 
+    from photo_vector_search_spark.pipelines.langid import train_langid
+
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "source"
     )
+    li_model = train_langid(
+        load_table(spark, sf_dir, "documents"), max_iter=5
+    )
+    li_langs = tuple(li_model.stages[0].labels)  # keep every label: the
+    # fixture's lang column is text-independent, so this exercises the
+    # stage's plumbing (predict -> filter -> drop transients) without
+    # arbitrarily cutting the pool the later stage assertions rely on
     q_model = train_quality_classifier(
         docs.filter(F.col("doc_id") % 2 == 0),
         docs.filter(F.col("doc_id") % 2 == 1).withColumn(
@@ -324,6 +333,8 @@ def test_curate_corpus_all_stages_integration(spark, sf_dir, tmp_path):
     bpe_model = train_bpe_model(docs, n_merges=30, min_count=1)
     curated, stats = curate_corpus(
         docs,
+        langid_model=li_model,
+        langid_keep=li_langs,
         quality_model=q_model,
         pareto_alpha=9.0,
         dsir_target=F.col("source") == "src0",
@@ -336,6 +347,7 @@ def test_curate_corpus_all_stages_integration(spark, sf_dir, tmp_path):
     # filter stages only shrink the pool
     order = [
         "input",
+        "after_langid",
         "after_quality_gate",
         "after_learned_quality",
         "after_dsir",
@@ -390,3 +402,63 @@ def test_curate_corpus_ppl_filter_stage(spark, sf_dir):
     assert len(kept) > 0
     cols = set(curated.columns)
     assert "nll" not in cols and "bucket" not in cols
+
+
+def test_curate_corpus_langid_stage(spark):
+    """langid_model + langid_keep filter to the target languages FIRST
+    (CCNet order): off-language docs are gone before any later stage, the
+    transient lang_pred/lang_conf columns are dropped, min_conf tightens
+    the keep, and the half-specified call raises before any stage runs."""
+    import numpy as np
+    import pytest
+
+    from photo_vector_search_spark.pipelines.langid import train_langid
+
+    alphabets = {
+        "aa": "abcdefghij",
+        "bb": "klmnopqrst",
+        "cc": "uvwxyzabcd",
+    }
+    rng = np.random.RandomState(5)
+    rows, i = [], 0
+    for lang, alpha in alphabets.items():
+        chars = list(alpha)
+        for _ in range(40):
+            words = [
+                "".join(rng.choice(chars, rng.randint(3, 9)))
+                for _ in range(rng.randint(10, 20))
+            ]
+            rows.append((i, " ".join(words), lang))
+            i += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    model = train_langid(docs, max_iter=30)
+
+    curated, stats = curate_corpus(
+        docs,
+        quality_gate=False,
+        langid_model=model,
+        langid_keep=("aa", "bb"),
+        compute_stats=True,
+    )
+    assert "after_langid" in stats and stats["after_langid"] < stats["input"]
+    kept = {r["doc_id"]: r["lang"] for r in curated.select("doc_id", "lang").collect()}
+    # cc has a disjoint-enough alphabet that no cc doc should survive
+    assert set(kept.values()) <= {"aa", "bb"}, set(kept.values())
+    assert len(kept) > 0
+    assert {"lang_pred", "lang_conf"}.isdisjoint(curated.columns)
+
+    # an (unreachably) high confidence floor empties the keep
+    _, s2 = curate_corpus(
+        docs,
+        quality_gate=False,
+        langid_model=model,
+        langid_keep=("aa", "bb"),
+        langid_min_conf=1.1,
+        compute_stats=True,
+    )
+    assert s2["after_langid"] == 0
+
+    with pytest.raises(ValueError, match="langid_model and langid_keep"):
+        curate_corpus(docs, langid_model=model)
+    with pytest.raises(ValueError, match="non-empty"):
+        curate_corpus(docs, langid_model=model, langid_keep=())
