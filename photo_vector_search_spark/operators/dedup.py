@@ -462,11 +462,17 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
             F.col("l.simhash").alias("sh_a"),
             F.col("r.simhash").alias("sh_b"),
         )
-        .distinct()
     )
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return cand.filter(ham <= max_hamming).select(
-        "doc_a", "doc_b", ham.alias("hamming")
+    # verify BEFORE the dedup shuffle (r7b, the hamming_pairs discipline):
+    # a candidate can collide in up to 4 bands and the hamming check is a
+    # map-side expression — failing candidates die before the distinct
+    # exchange. hamming is a function of the pair, so distinct semantics
+    # (and the DuckDB oracle's result) are unchanged.
+    return (
+        cand.filter(ham <= max_hamming)
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .distinct()
     )
 
 
