@@ -1048,6 +1048,7 @@ def perplexity_buckets(
     exact: bool = True,
     accuracy: int = 10_000,
     k: float = BIGRAM_SMOOTH_K,
+    stage: bool = True,
 ) -> DataFrame:
     """CCNet head/middle/tail bucketing (Wenzek et al. 2020 §4.3): score every
     document's LM perplexity, cut each ``by``-group (per-language, like CCNet;
@@ -1066,6 +1067,13 @@ def perplexity_buckets(
     whole corpus would shuffle every row into a single global (or per-language)
     ordering, while quantile CUTOFFS need only an aggregate.
 
+    ``stage=True`` (default, r7b) materializes the doc-sized (doc_id, nll)
+    score frame to session parquet scratch before use: the cutoff aggregate
+    and the final label join BOTH consume it, and Spark re-executes
+    unstaged common subtrees per consumer — unstaged, the corpus-token-
+    sized scoring explode would run twice. The staged frame is one narrow
+    row per scored doc (linear, tiny next to the corpus).
+
     ``exact=True`` uses Spark's exact ``percentile`` — its aggregation buffer
     holds each group's values, fine up to ~10^7 scored docs per group. At
     100 TB set ``exact=False``: ``percentile_approx`` is a fixed-size
@@ -1078,8 +1086,14 @@ def perplexity_buckets(
     """
     if not (0.0 < bounds[0] < bounds[1] < 1.0):
         raise ValueError(f"bounds must be 0 < lo < hi < 1, got {bounds}")
-    scored = doc_log_perplexity(docs, lm, vocab_size, k=k)
-    base = docs.join(scored.select("doc_id", "nll"), "doc_id", "left")
+    scored = doc_log_perplexity(docs, lm, vocab_size, k=k).select(
+        "doc_id", "nll"
+    )
+    if stage:
+        from photo_vector_search_spark.operators.staging import stage_frame
+
+        scored = stage_frame(scored, "pvs_ppl_scores")
+    base = docs.join(scored, "doc_id", "left")
     grp = [by] if by is not None else []
     pcts = F.array(F.lit(float(bounds[0])), F.lit(float(bounds[1])))
     cut_expr = (
