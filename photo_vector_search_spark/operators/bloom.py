@@ -120,30 +120,46 @@ def with_bloom_contains(
     """Add ``out_col`` (bool): every one of the value's k bits is set. The
     bitmap rides in as a broadcast ONE-ROW table (no plan-embedded literal,
     no Python round trip); each probe is k element_at + shift + mask ops
-    inside codegen. NULL values probe to false."""
+    inside codegen. NULL values probe to false. Probe columns with SQL-hostile
+    names (spaces, dots, hyphens) are backtick-quoted; the internal bitmap
+    column is uniquified against the input schema."""
     spark = df.sparkSession
+    bits_col = "_bloom_bits"
+    while bits_col in df.columns:
+        bits_col = "_" + bits_col
     bdf = spark.createDataFrame(
-        [(model.words,)], "_bloom_bits array<bigint>"
+        [(model.words,)], f"{bits_col} array<bigint>"
     )
     joined = df.crossJoin(F.broadcast(bdf))
-    return joined.withColumn(out_col, _contains_expr(model, col)).drop(
-        "_bloom_bits"
-    )
+    return joined.withColumn(
+        out_col, _contains_expr(model, col, bits_col)
+    ).drop(bits_col)
 
 
-def _contains_expr(model: BloomModel, col: str) -> Column:
+def _quote_ident(name: str) -> str:
+    """Backtick-quote a column name for interpolation into a SQL fragment
+    (internal backticks escape by doubling, the Spark identifier rule)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _contains_expr(
+    model: BloomModel, col: str, bits_col: str = "_bloom_bits"
+) -> Column:
     # SQL fragments rather than the Python helpers: F.shiftright only accepts
     # a LITERAL int shift amount, and the shift here is a per-row column
+    qcol = _quote_ident(col)
+    qbits = _quote_ident(bits_col)
     terms = []
     for i in range(model.n_hashes):
-        p = f"pmod(xxhash64({i}, {col}), {model.n_bits})"
-        word = f"element_at(_bloom_bits, CAST({p} DIV 64 AS INT) + 1)"
+        p = f"pmod(xxhash64({i}, {qcol}), {model.n_bits})"
+        word = f"element_at({qbits}, CAST({p} DIV 64 AS INT) + 1)"
         terms.append(
             F.expr(f"(shiftright({word}, CAST({p} % 64 AS INT)) & 1) = 1")
         )
     # xxhash64 SKIPS null inputs (hashing only the seed), so without the
-    # guard a NULL value would probe a fixed position and could false-hit
-    return F.when(F.col(col).isNull(), F.lit(False)).otherwise(
+    # guard a NULL value would probe a fixed position and could false-hit.
+    # F.col parses bare dots as struct access — quote here too.
+    return F.when(F.col(qcol).isNull(), F.lit(False)).otherwise(
         reduce(lambda a, b: a & b, terms)
     )
 

@@ -818,7 +818,9 @@ def q_mix_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _mix_oracle() -> str:
-    wsum = sum(MIX_WEIGHTS.values())  # same float-sum order as mixture_rates
+    # positive-only, same float-sum order as mixture_rates (operators/mixing.py:59)
+    # — a zero/negative weight must not inflate the normalizer on either side
+    wsum = sum(w for w in MIX_WEIGHTS.values() if w > 0)
     weight_sql = " ".join(
         f"WHEN source = '{s}' THEN {w}" for s, w in sorted(MIX_WEIGHTS.items())
     )

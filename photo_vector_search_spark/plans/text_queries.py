@@ -1111,11 +1111,23 @@ def perplexity_buckets(
             F.round(F.col("_cuts")[1], 6).alias("_c_mid"),
         )
     )
-    joined = (
-        base.join(F.broadcast(cuts), grp, "left")
-        if grp
-        else base.crossJoin(F.broadcast(cuts))
-    )
+    if grp:
+        # null-safe equi-join: groupBy keeps a NULL group (so its cutoffs DO
+        # exist), but a plain equi-join would never match it back (NULL !=
+        # NULL) and silently 'tail'-label the whole NULL-key slice. <=> keeps
+        # the BroadcastHashJoin — null-safe equality is a hashable key.
+        cuts_k = cuts.select(
+            *[F.col(c).alias(f"_cutkey_{c}") for c in grp], "_c_head", "_c_mid"
+        )
+        cond = None
+        for c in grp:
+            t = F.col(c).eqNullSafe(F.col(f"_cutkey_{c}"))
+            cond = t if cond is None else (cond & t)
+        joined = base.join(F.broadcast(cuts_k), cond, "left").drop(
+            *[f"_cutkey_{c}" for c in grp]
+        )
+    else:
+        joined = base.crossJoin(F.broadcast(cuts))
     return joined.withColumn(
         "bucket",
         F.when(F.col("nll").isNull(), F.lit("unscored"))
@@ -1186,7 +1198,7 @@ cuts AS (
 SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
 FROM documents d
 JOIN scored s USING (doc_id)
-JOIN cuts c ON d.lang = c.lang
+JOIN cuts c ON d.lang IS NOT DISTINCT FROM c.lang
 WHERE s.nll <= c.c_mid
 """
 
