@@ -154,6 +154,61 @@ def _cluster_hard_negatives(
     ).applyInPandas(fn, schema)
 
 
+def hard_negatives_deterministic(
+    emb: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_to: int = 6,
+    block_rows: int = 2048,
+    stage: bool = True,
+) -> DataFrame:
+    """The oracle-replayable rung of ``hard_negatives`` (the
+    ``semdedup_deterministic`` pattern): centroids = the ``n_centroids``
+    lowest-id vectors, assignment = argmax ROUNDED cosine with centroid-id
+    tie-break, single assignment per vector (``n_assign=1``), per-cluster
+    different-label top-k on ROUNDED sims with the (sim desc, id asc)
+    tie-break. Every comparison is 6-dp-stable, so a DuckDB window query
+    replays the whole pipeline bit-for-bit. Same output schema as
+    ``hard_negatives``; with a single assignment the per-cluster top-k IS
+    the global top-k, so the merge stage reduces to the rank window.
+
+    The assigned frame feeds TWO consumers (the pair kernel and nothing
+    else here, but the kernel itself is wide); staged once by default so a
+    re-derivation never recomputes the k·N assignment matmul."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    from photo_vector_search_spark.operators.semdedup import (
+        assign_rounded,
+        seed_centroids,
+    )
+
+    labeled = emb.filter(F.col(label_col).isNotNull()).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        F.col(label_col).alias("_lbl"),
+    )
+    cent = seed_centroids(labeled, n_centroids)
+    assigned = assign_rounded(labeled, cent, round_to=round_to)
+    if stage:
+        from photo_vector_search_spark.operators.staging import stage_frame
+
+        assigned = stage_frame(assigned, "pvs_hardneg")
+    cands = _cluster_hard_negatives(
+        assigned, k, "vec_id", "embedding", "_lbl", round_to, block_rows
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("sim").desc(), F.col("neg_id")
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("anchor_id", "neg_id", "label", "neg_label", "sim", "rank")
+    )
+
+
 def positive_pairs(
     emb: DataFrame,
     tau: float,

@@ -986,6 +986,63 @@ GROUP BY a.cid
 """
 
 
+HN_K = 5  # negatives per anchor in the declared hard-negative query
+HN_CENTROIDS = 8  # deterministic seed centroids (the semdedup SEM_K pattern)
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining (`operators/contrastive`), declared
+    r8 through the deterministic rung: seed centroids = lowest-id vectors,
+    rounded-cosine argmax assignment with centroid-id tie-break, per-cluster
+    different-label top-k on rounded sims, (sim desc, id asc) tie-break —
+    the full DuckDB window replay of the production IVF-blocked kernel
+    (which test_contrastive pins against brute-force NumPy). Output: every
+    (anchor, negative) pair with both labels, similarity and rank."""
+    from photo_vector_search_spark.operators.contrastive import (
+        hard_negatives_deterministic,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hard_negatives_deterministic(emb, k=HN_K, n_centroids=HN_CENTROIDS)
+
+
+_ORACLE_HARD_NEGATIVES = f"""
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE label IS NOT NULL
+),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT {HN_CENTROIDS}),
+sims AS (
+  SELECT e.vec_id, c.cid,
+         round(list_cosine_similarity(e.v, c.cv), 6) AS s
+  FROM e CROSS JOIN cent c
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+    FROM sims
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT a.vec_id AS anchor_id, b.vec_id AS neg_id,
+         ea.label AS label, eb.label AS neg_label,
+         round(list_cosine_similarity(ea.v, eb.v), 6) AS sim
+  FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
+  WHERE ea.label <> eb.label
+)
+SELECT anchor_id, neg_id, label, neg_label, sim, CAST(rank AS INT) AS rank
+FROM (
+  SELECT p.*,
+         row_number() OVER (PARTITION BY anchor_id
+                            ORDER BY sim DESC, neg_id) AS rank
+  FROM pairs p
+) WHERE rank <= {HN_K}
+"""
+
+
 def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 crawl hygiene, declared r7b — per-domain document cap
     (`operators/domains.cap_per_domain`, the C4/RefinedWeb host-share bound)
@@ -1008,7 +1065,7 @@ SELECT doc_id, text, lang, source, n_chars FROM (
 QUERIES = {
     "domain_cap": q_domain_cap,
     "pack_documents_sharded": q_pack_documents_sharded,
-    "canonicalize_dups": q_canonicalize_dups,
+    "hard_negatives": q_hard_negatives,
     "srp_lsh_near_dup": q_srp_lsh_near_dup,
     "data_profile": q_data_profile,
     "label_prototypes": q_label_prototypes,
@@ -1023,7 +1080,7 @@ QUERIES = {
 ORACLES = {
     "domain_cap": _ORACLE_DOMAIN_CAP,
     "pack_documents_sharded": _ORACLE_PACK_SHARDED,
-    "canonicalize_dups": _ORACLE_CANONICALIZE,
+    "hard_negatives": _ORACLE_HARD_NEGATIVES,
     "srp_lsh_near_dup": _srp_oracle(),
     "data_profile": _ORACLE_DATA_PROFILE,
     "label_prototypes": _ORACLE_LABEL_PROTOTYPES,
@@ -1058,6 +1115,10 @@ ORACLES = {
 # - rollup_events (retired r7b for domain_cap): grouping-set agg over events —
 #   cube_lineitem keeps the regroup_from_finest machinery declared (the
 #   harder 8-set case) and events_resample keeps time-bucketed event aggs.
+# - canonicalize_dups (retired r8 for hard_negatives): keep-lowest-id group
+#   canonicalization — its distinct/applyInPandas machinery stays declared
+#   via dedup_exact + photo_group_collect, and the operator itself remains
+#   both locally oracle-verified and exercised inside curate_corpus.
 RETIRED_QUERIES = {
     "rollup_events": q_rollup_events,
     "distinct_counts": q_distinct_counts,
@@ -1066,6 +1127,7 @@ RETIRED_QUERIES = {
     "set_ops": q_set_ops,
     "events_histogram": q_events_histogram,
     "stratified_sample": q_stratified_sample,
+    "canonicalize_dups": q_canonicalize_dups,
 }
 
 RETIRED_ORACLES = {
@@ -1076,6 +1138,7 @@ RETIRED_ORACLES = {
     "set_ops": _ORACLE_SET_OPS,
     "events_histogram": _ORACLE_EVENTS_HISTOGRAM,
     "stratified_sample": _ORACLE_STRATIFIED_SAMPLE,
+    "canonicalize_dups": _ORACLE_CANONICALIZE,
 }
 
 

@@ -163,3 +163,46 @@ def test_positive_pairs_same_label_only(spark):
     assert len(rows) > 0
     assert all(lab[r["vec_a"]] == lab[r["vec_b"]] for r in rows)
     assert all(r["vec_a"] < r["vec_b"] and r["sim"] >= 0.9 for r in rows)
+
+
+def test_deterministic_rung_single_centroid_matches_bruteforce(spark):
+    """n_centroids=1 puts every vector in one cluster → the deterministic
+    rung must reproduce the brute-force reference exactly (ids, order,
+    rounded sims), and be invariant under input repartitioning."""
+    from photo_vector_search_spark.operators.contrastive import (
+        hard_negatives_deterministic,
+    )
+
+    x, labels = _mog(n=80)
+    emb = _df(spark, x, labels)
+    got_rows = hard_negatives_deterministic(
+        emb, k=4, n_centroids=1, stage=False
+    ).collect()
+    got = {}
+    for r in sorted(got_rows, key=lambda r: (r["anchor_id"], r["rank"])):
+        got.setdefault(r["anchor_id"], []).append((r["neg_id"], r["sim"]))
+    want = _py_hard_negatives(x, labels, k=4)
+    assert set(got) == set(want)
+    for a in want:
+        assert got[a] == [(j, pytest.approx(s, abs=2e-6)) for j, s in want[a]], a
+
+    again = {
+        (r["anchor_id"], r["neg_id"], r["rank"])
+        for r in hard_negatives_deterministic(
+            emb.repartition(7), k=4, n_centroids=1, stage=False
+        ).collect()
+    }
+    assert again == {
+        (r["anchor_id"], r["neg_id"], r["rank"]) for r in got_rows
+    }
+
+
+def test_deterministic_rung_declared_oracle(spark, sf_dir):
+    """The declared r8 query replays bit-for-bit in DuckDB (the driver's
+    compare, run locally at smoke scale)."""
+    from photo_vector_search_spark.plans import pipeline_queries as pq
+    from tests.oracle import assert_matches
+
+    assert_matches(
+        pq.q_hard_negatives(spark, sf_dir), pq.ORACLES["hard_negatives"], sf_dir
+    )
