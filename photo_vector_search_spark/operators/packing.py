@@ -42,6 +42,130 @@ from pyspark.sql import functions as F
 N_BUCKETS = 4096
 
 
+def pack_sequences(
+    docs: DataFrame,
+    context_len: int,
+    ids_col: str = "input_ids",
+    order_col: str = "doc_id",
+    eos_id: int | None = None,
+    pad_id: int | None = None,
+    n_shards: int = 8,
+    overflow: str = "truncate",
+) -> DataFrame:
+    """Boundary-RESPECTING sequence packing — the SFT/instruction-tuning
+    counterpart of ``pack_token_windows``: documents are greedily binned
+    into ``context_len``-token sequences but NEVER split across sequences
+    (each example's tokens stay contiguous and whole, so per-example loss
+    masks and block-diagonal attention stay trivial).
+
+    Rule: deterministic hash-shard on ``order_col`` (the ``assign_packs``
+    discipline — partitioning-invariant by construction), then NEXT-FIT in
+    ``order_col`` order within each shard: a doc joins the current pack while
+    the pack's fill + the doc's effective length (ids + optional EOS) stays
+    ≤ ``context_len``, else a new pack opens. Next-fit is genuinely
+    sequential (the leftover space at each pack boundary feeds the next
+    decision — no prefix-sum decomposition exists, which is exactly why
+    ``assign_packs``'s cumsum-div-cap rule can overfill a pack), so the scan
+    runs as one Arrow kernel per shard; shards bound both the sequential
+    chain and the kernel's memory, and ``n_shards`` is the 100 TB knob
+    (size shards to ~10⁵-10⁶ docs; every shard packs in parallel). The rule
+    is still SQL-replayable per shard via a recursive CTE — the DuckDB twin
+    in tests/test_packing.py replays it, keeping this a declared-surface
+    candidate.
+
+    ``overflow`` controls docs longer than ``context_len``: ``"truncate"``
+    keeps the first ``context_len`` ids (EOS, when set, survives as the last
+    token), ``"drop"`` removes them, ``"error"`` raises at execution. NULL
+    ``ids_col`` rows contribute nothing; empty arrays pack as bare EOS when
+    ``eos_id`` is set and vanish otherwise (the ``pack_token_windows``
+    NULL-vs-empty contract).
+
+    Returns one row per packed sequence: ``(shard, pack_id, input_ids,
+    n_tokens, n_docs, doc_ids, seq_lens)`` — ``n_tokens`` the real fill
+    before padding, ``seq_lens`` each doc's in-pack token count (EOS
+    included) in order, enough to rebuild position ids and block-diagonal
+    attention masks; ``pad_id`` pads ``input_ids`` to ``context_len``
+    (``None`` leaves ragged sequences)."""
+    if context_len <= 0:
+        raise ValueError(f"context_len must be positive, got {context_len}")
+    if overflow not in ("truncate", "drop", "error"):
+        raise ValueError(
+            f"overflow must be truncate|drop|error, got {overflow!r}"
+        )
+    import pandas as pd
+
+    from photo_vector_search_spark.functions.text import hash32
+
+    L = int(context_len)
+    eos = int(eos_id) if eos_id is not None else None
+    pad = int(pad_id) if pad_id is not None else None
+    ord_type = dict(docs.dtypes)[order_col]
+
+    toks = docs.filter(F.col(ids_col).isNotNull()).select(
+        F.col(order_col).alias("_ord"),
+        F.col(ids_col).cast("array<int>").alias("_ids"),
+        (hash32(F.col(order_col).cast("string")) % n_shards)
+        .cast("int")
+        .alias("_shard"),
+    )
+    schema = (
+        "shard int, pack_id long, input_ids array<int>, n_tokens int, "
+        f"n_docs int, doc_ids array<{ord_type}>, seq_lens array<int>"
+    )
+
+    def fn(key, pdf):
+        pdf = pdf.sort_values("_ord")
+        out = {c: [] for c in (
+            "pack_id", "input_ids", "n_tokens", "n_docs", "doc_ids", "seq_lens"
+        )}
+        cur_ids: list[int] = []
+        cur_docs: list = []
+        cur_lens: list[int] = []
+        pack_id = 0
+
+        def flush():
+            nonlocal pack_id, cur_ids, cur_docs, cur_lens
+            if not cur_docs:
+                return
+            fill = len(cur_ids)
+            out["pack_id"].append(pack_id)
+            out["input_ids"].append(
+                cur_ids + [pad] * (L - fill) if pad is not None else cur_ids
+            )
+            out["n_tokens"].append(fill)
+            out["n_docs"].append(len(cur_docs))
+            out["doc_ids"].append(cur_docs)
+            out["seq_lens"].append(cur_lens)
+            pack_id += 1
+            cur_ids, cur_docs, cur_lens = [], [], []
+
+        for ord_v, ids in zip(pdf["_ord"], pdf["_ids"]):
+            ids = [int(t) for t in ids]
+            if eos is not None:
+                ids = ids + [eos]
+            if not ids:
+                continue  # empty doc without EOS: nothing to pack
+            if len(ids) > L:
+                if overflow == "error":
+                    raise ValueError(
+                        f"doc {ord_v!r} has {len(ids)} tokens > "
+                        f"context_len={L} (overflow='error')"
+                    )
+                if overflow == "drop":
+                    continue
+                ids = ids[: L - 1] + [eos] if eos is not None else ids[:L]
+            if len(cur_ids) + len(ids) > L:
+                flush()
+            cur_ids.extend(ids)
+            cur_docs.append(ord_v)
+            cur_lens.append(len(ids))
+        flush()
+        n = len(out["pack_id"])
+        return pd.DataFrame({"shard": [key[0]] * n, **out})
+
+    return toks.groupBy("_shard").applyInPandas(fn, schema)
+
+
 def pack_token_windows(
     docs: DataFrame,
     context_len: int,

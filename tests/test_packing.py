@@ -118,3 +118,190 @@ def test_empty_input_and_long_doc_spanning_many_windows(spark):
     want = _py_pack(rows, 8)
     assert {k: v[0] for k, v in got.items()} == {k: v[0] for k, v in want.items()}
     assert len(got) == 102 // 8
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences — the boundary-respecting SFT packer
+
+
+def _py_hash32(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def _py_pack_sequences(rows, L, eos_id=None, pad_id=None, n_shards=8,
+                       overflow="truncate"):
+    """Independent serial next-fit packer: shard by md5-prefix hash, walk in
+    order, never split a doc."""
+    shards = {}
+    for o, ids in sorted(rows):
+        if ids is None:
+            continue
+        shards.setdefault(_py_hash32(str(o)) % n_shards, []).append((o, ids))
+    out = {}
+    for sh, docs in shards.items():
+        packs, cur = [], None
+        for o, ids in docs:
+            ids = list(ids) + ([eos_id] if eos_id is not None else [])
+            if not ids:
+                continue
+            if len(ids) > L:
+                if overflow == "drop":
+                    continue
+                ids = (ids[: L - 1] + [eos_id]) if eos_id is not None else ids[:L]
+            if cur is None or cur["fill"] + len(ids) > L:
+                cur = {"fill": 0, "ids": [], "docs": [], "lens": []}
+                packs.append(cur)
+            cur["fill"] += len(ids)
+            cur["ids"].extend(ids)
+            cur["docs"].append(o)
+            cur["lens"].append(len(ids))
+        for pid, p in enumerate(packs):
+            ids = p["ids"] + [pad_id] * (L - p["fill"]) if pad_id is not None else p["ids"]
+            out[(sh, pid)] = (ids, p["fill"], p["docs"], p["lens"])
+    return out
+
+
+def _collect_sequences(df):
+    return {
+        (r["shard"], r["pack_id"]): (
+            list(r["input_ids"]),
+            r["n_tokens"],
+            list(r["doc_ids"]),
+            list(r["seq_lens"]),
+        )
+        for r in df.collect()
+    }
+
+
+def test_pack_sequences_matches_python_reference(spark):
+    from photo_vector_search_spark.operators.packing import pack_sequences
+
+    rows = _fixture_rows()
+    df = spark.createDataFrame(rows, "doc_id long, input_ids array<int>")
+    for kw in (
+        dict(eos_id=0, pad_id=-1),
+        dict(eos_id=None, pad_id=None),
+        dict(eos_id=7, pad_id=None, n_shards=3),
+    ):
+        got = _collect_sequences(pack_sequences(df, 64, **kw))
+        want = _py_pack_sequences(rows, 64, **{
+            "eos_id": kw.get("eos_id"), "pad_id": kw.get("pad_id"),
+            "n_shards": kw.get("n_shards", 8)})
+        assert got == want, kw
+
+
+def test_pack_sequences_invariants_and_partitioning(spark):
+    from photo_vector_search_spark.operators.packing import pack_sequences
+
+    rows = _fixture_rows(n_docs=250, seed=11)
+    df = spark.createDataFrame(rows, "doc_id long, input_ids array<int>")
+    out = pack_sequences(df, 48, eos_id=0, pad_id=-1).collect()
+    # every pack: padded to L, fill ≤ L, seq_lens sum to fill, docs whole
+    by_doc = {o: ids for o, ids in rows if ids is not None}
+    for r in out:
+        assert len(r["input_ids"]) == 48
+        assert r["n_tokens"] <= 48
+        assert sum(r["seq_lens"]) == r["n_tokens"]
+        assert r["n_docs"] == len(r["doc_ids"])
+        # reconstruct: each doc's ids appear contiguously, in doc order
+        off = 0
+        for d, ln in zip(r["doc_ids"], r["seq_lens"]):
+            want = (by_doc[d] + [0])[:ln]
+            assert list(r["input_ids"][off : off + ln]) == want, d
+            off += ln
+        assert all(t == -1 for t in r["input_ids"][r["n_tokens"]:])
+    # no doc lost or duplicated (every non-NULL doc packs: eos makes empties real)
+    packed = [d for r in out for d in r["doc_ids"]]
+    assert sorted(packed) == sorted(by_doc)
+    # partitioning invariance: hash-sharding keys on values, not partitions
+    again = _collect_sequences(
+        pack_sequences(df.repartition(13), 48, eos_id=0, pad_id=-1)
+    )
+    assert again == _collect_sequences(
+        pack_sequences(df.coalesce(1), 48, eos_id=0, pad_id=-1)
+    )
+
+
+def test_pack_sequences_overflow_contracts(spark):
+    import pytest
+
+    from photo_vector_search_spark.operators.packing import pack_sequences
+
+    rows = [(1, list(range(100))), (2, [1, 2, 3])]
+    df = spark.createDataFrame(rows, "doc_id long, input_ids array<int>")
+    # truncate: long doc fills one pack exactly, EOS survives as last token
+    trunc = {r["doc_ids"][0]: r for r in
+             pack_sequences(df, 16, eos_id=0, n_shards=1).collect()}
+    assert trunc[1]["n_tokens"] == 16
+    assert list(trunc[1]["input_ids"])[-1] == 0
+    assert list(trunc[1]["input_ids"])[:15] == list(range(15))
+    # drop: the long doc vanishes
+    dropped = pack_sequences(df, 16, eos_id=0, n_shards=1, overflow="drop")
+    assert [r["doc_ids"] for r in dropped.collect()] == [[2]]
+    # error: raises at execution
+    with pytest.raises(Exception, match="context_len"):
+        pack_sequences(df, 16, eos_id=0, n_shards=1, overflow="error").collect()
+    with pytest.raises(ValueError, match="overflow"):
+        pack_sequences(df, 16, overflow="nope")
+    with pytest.raises(ValueError, match="positive"):
+        pack_sequences(df, 0)
+
+
+def test_pack_sequences_duckdb_recursive_twin(spark):
+    """The next-fit rule replays in SQL (recursive CTE over the sharded,
+    ordered docs) — certifying the operator as a declared-surface candidate."""
+    import duckdb
+
+    from photo_vector_search_spark.operators.packing import pack_sequences
+
+    rows = [(o, ids) for o, ids in _fixture_rows(n_docs=120, seed=3)]
+    df = spark.createDataFrame(rows, "doc_id long, input_ids array<int>")
+    got = {
+        (r["shard"], r["pack_id"], tuple(r["doc_ids"]), r["n_tokens"])
+        for r in pack_sequences(df, 32, eos_id=0, n_shards=4).collect()
+    }
+
+    con = duckdb.connect()
+    try:
+        import pandas as pd
+
+        con.register(
+            "docs",
+            pd.DataFrame(
+                [(o, list(ids)) for o, ids in rows if ids is not None],
+                columns=["doc_id", "input_ids"],
+            ),
+        )
+        twin = con.execute(
+            """
+WITH RECURSIVE lens AS (
+  SELECT doc_id,
+         CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 4 AS INT) AS shard,
+         least(len(input_ids) + 1, 32) AS e,
+         row_number() OVER (
+           PARTITION BY CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                AS BIGINT) % 4 AS INT)
+           ORDER BY doc_id) AS rn
+  FROM docs
+),
+fit AS (
+  SELECT shard, rn, doc_id, e, CAST(0 AS BIGINT) AS pack_id, e AS fill
+  FROM lens WHERE rn = 1
+  UNION ALL
+  SELECT l.shard, l.rn, l.doc_id, l.e,
+         CASE WHEN f.fill + l.e > 32 THEN f.pack_id + 1 ELSE f.pack_id END,
+         CASE WHEN f.fill + l.e > 32 THEN l.e ELSE f.fill + l.e END
+  FROM lens l JOIN fit f ON l.shard = f.shard AND l.rn = f.rn + 1
+)
+SELECT shard, pack_id, list(doc_id ORDER BY rn) AS doc_ids,
+       CAST(sum(e) AS INT) AS n_tokens
+FROM fit GROUP BY shard, pack_id
+            """
+        ).fetchall()
+    finally:
+        con.close()
+    twin_set = {(s, p, tuple(d), n) for s, p, d, n in twin}
+    assert twin_set == got
