@@ -41,6 +41,14 @@ from pyspark.sql import functions as F
 _FAKE_PREFIX = b"FAKEAUDIO:"
 WINDOW = 2048  # FFT frame
 HOP = 1024  # 50% overlap
+# Sign-rule epsilon as a fraction of the track's total spectral energy: the
+# low log-bands of a band-limited signal hold only FFT leakage (~1e-5 of
+# the track energy), where the difference-of-differences sign is junk
+# entropy one float-path change away from flipping (different FFT
+# implementation, summation order, SIMD width). Anything below
+# REL_EPS·energy is a deterministic 0 bit; genuine spectral structure sits
+# orders of magnitude above it (the perceptual-property tests pin that).
+REL_EPS = 1e-6
 N_BANDS = 65  # 65 log-spaced energy bands -> 64-bit subfingerprint
 SAMPLES_PER_BYTE = 64  # fake synthesis: one 64-sample "note" per payload byte
 MIN_NOTES = 48  # >= WINDOW + HOP samples -> at least one subfingerprint
@@ -142,11 +150,12 @@ def audio_fingerprint_bytes(content: bytes) -> list[int] | None:
     if samples is None:
         return None
     e = _band_energies(samples)
-    # bit(n, m) = ((E[n,m]-E[n,m+1]) - (E[n-1,m]-E[n-1,m+1])) > 0, vectorized
+    # bit(n, m) = ((E[n,m]-E[n,m+1]) - (E[n-1,m]-E[n-1,m+1])) > eps,
+    # vectorized; eps = REL_EPS · total energy (see the constant's rationale)
     band_diff = e[:, :-1] - e[:, 1:]  # (n_frames, 64)
     d = band_diff[1:] - band_diff[:-1]  # (n_frames-1, 64)
     po2 = np.left_shift(np.uint64(1), np.arange(64, dtype=np.uint64))
-    vals = (d > 0).astype(np.uint64) @ po2
+    vals = (d > REL_EPS * float(e.sum())).astype(np.uint64) @ po2
     return [int(v) for v in vals.astype(np.int64)]  # signed-long wrap for Spark
 
 
@@ -169,9 +178,19 @@ def audio_fingerprints(
                     continue
                 for i, fp in enumerate(fps):
                     rows.append((path, i, fp, ""))
-            yield pd.DataFrame(
+            out = pd.DataFrame(
                 rows, columns=["path", "frame_index", "afp", "error"]
             )
+            # afp MUST stay integer end-to-end: a None (error row) in the
+            # same pdf flips the column to float64, silently rounding every
+            # 64-bit hash in the Arrow batch to 53-bit precision — corrupted
+            # hashes then miss real near-dup pairs, and WHICH batches were
+            # corrupted depended on where the undecodable rows landed
+            # (caught by the streaming≡batch parity test)
+            out["afp"] = pd.array(
+                [r[2] for r in rows], dtype="Int64"
+            )
+            yield out
 
     return files.select("path", content_col).mapInPandas(
         run, schema="path string, frame_index int, afp long, error string"

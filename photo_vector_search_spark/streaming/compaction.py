@@ -64,11 +64,15 @@ FAMILY_KEYS = {
     "vectors": ["vec_id"],
     "ibands": ["band", "bkey"],
     "images": ["path"],
+    "abands": ["band", "bkey"],
+    "aframes": ["fid"],
+    "atracks": ["path"],
 }
 
 LSH_FAMILIES = ("bands", "shingles", "docs")
 SRP_FAMILIES = ("buckets", "vectors")
 PHASH_FAMILIES = ("ibands", "images")
+AUDIO_FAMILIES = ("abands", "aframes", "atracks")
 
 
 def pfx_col(family: str, n_prefixes: int):
@@ -179,8 +183,8 @@ def compact_dedup_state(
 ) -> dict:
     """Fold committed batch partitions into the bucket-partitioned base.
 
-    ``kind``: 'lsh' (bands/shingles/docs), 'srp' (buckets/vectors) or 'phash'
-    (ibands/images).
+    ``kind``: 'lsh' (bands/shingles/docs), 'srp' (buckets/vectors), 'phash'
+    (ibands/images) or 'audio' (abands/aframes/atracks).
     ``keep_latest=True`` (default) excludes the newest batch id — it may be a
     crashed attempt whose replay depends on the exclude-own-batch read rule;
     pass False only when the stream is known cleanly stopped (drained with
@@ -192,9 +196,12 @@ def compact_dedup_state(
         "lsh": LSH_FAMILIES,
         "srp": SRP_FAMILIES,
         "phash": PHASH_FAMILIES,
+        "audio": AUDIO_FAMILIES,
     }.get(kind)
     if families is None:
-        raise ValueError(f"kind must be 'lsh', 'srp' or 'phash', got {kind!r}")
+        raise ValueError(
+            f"kind must be 'lsh', 'srp', 'phash' or 'audio', got {kind!r}"
+        )
     mani = load_manifest(state_path)
     already: set[int] = set(mani["compacted"]) if mani else set()
     # sweep orphaned bases: a crash in a previous compaction's
@@ -229,6 +236,7 @@ def compact_dedup_state(
         "lsh": ("bands", "docs"),
         "srp": ("buckets", "vectors"),
         "phash": ("ibands", "images"),
+        "audio": ("abands", "atracks"),
     }[kind]
     reg_dirs = _batch_dirs(os.path.join(state_path, reg_fam))
     index_all = set(_batch_dirs(os.path.join(state_path, index_fam))) - already

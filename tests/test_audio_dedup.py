@@ -36,9 +36,12 @@ def _fake(payload: bytes) -> bytes:
 def _reference_fps(payload: bytes):
     """Independent reference: re-synthesize the note waveform and re-derive
     the Haitsma-Kalker bits with straight-line code (own framing loop, own
-    log-band binning, matrix-DFT energies instead of rfft). Bits whose
-    underlying difference is within 1e-9 of zero are DON'T-CARE (the engine
-    and the reference may sum float energies in different orders)."""
+    log-band binning, matrix-DFT energies instead of rfft), applying the
+    engine's sign-rule contract ``d > REL_EPS * total_energy``. Bits whose
+    difference sits within 1e-3 (abs) of the epsilon threshold are
+    DON'T-CARE (the engine and the reference may sum float energies in
+    different orders, so threshold-straddling bits can legitimately
+    disagree)."""
     if not payload:
         payload = b"\x00"
     n_notes = min(max(len(payload), MIN_NOTES), 512)
@@ -68,6 +71,9 @@ def _reference_fps(payload: bytes):
         seg = wave[n * HOP : n * HOP + WINDOW] * win
         mag = np.abs(basis @ seg) ** 2
         energies.append([mag[edges[m] : edges[m + 1]].sum() for m in range(N_BANDS)])
+    from photo_vector_search_spark.operators.audio_dedup import REL_EPS
+
+    eps = REL_EPS * float(np.sum(energies))
     fps, cares = [], []
     for n in range(1, n_frames):
         bits, care = 0, 0
@@ -75,9 +81,9 @@ def _reference_fps(payload: bytes):
             d = (energies[n][m] - energies[n][m + 1]) - (
                 energies[n - 1][m] - energies[n - 1][m + 1]
             )
-            if abs(d) > 1e-9:
+            if abs(d - eps) > 1e-3:
                 care |= 1 << m
-            if d > 0:
+            if d > eps:
                 bits |= 1 << m
         fps.append(bits)
         cares.append(care)
