@@ -57,6 +57,12 @@ def curate_corpus(
     langid_keep: tuple[str, ...] | None = None,
     langid_min_conf: float = 0.0,
     bpe_model: tuple[list[tuple[str, str]], dict[str, int]] | None = None,
+    pack_context_len: int | None = None,
+    pack_eos_id: int | None = None,
+    corrupt_rate: float | None = None,
+    corrupt_mean_span: float = 3.0,
+    corrupt_sentinel_start: int = 32_000,
+    corrupt_seed: int = 0,
     ppl_lm: tuple[DataFrame, int] | None = None,
     ppl_by: str | None = None,
     dsir_target=None,
@@ -158,6 +164,20 @@ def curate_corpus(
     re-execution. ``stats["bpe_total_tokens"]`` records the corpus token
     count when stats are on.
 
+    ``pack_context_len`` (opt-in, r8) re-chunks the tokenized corpus into
+    fixed training windows AFTER tokenization (``operators/packing.
+    pack_token_windows`` in the shuffle's ``pos`` order, optional
+    ``pack_eos_id`` separator) — the output becomes the WINDOW frame
+    ``(seq_id, input_ids, n_tokens, n_docs)``, the shape a pretraining
+    loader consumes; requires ``bpe_model``. ``corrupt_rate`` (opt-in, r8)
+    additionally runs T5 span corruption over the packed windows
+    (``operators/corruption.corrupt_spans`` — deterministic per
+    ``corrupt_seed``), yielding the denoising-dataset columns
+    ``inputs``/``targets``/``n_noise_tokens`` (lossless:
+    ``reconstruct_spans(inputs, targets) == input_ids``, pinned in tests);
+    requires ``pack_context_len``. When packing is on, JSONL export shards
+    by ``seq_id``. ``stats["packed_windows"]`` records the window count.
+
     ``compute_stats=True`` runs one count action per stage, which re-executes
     the (map-heavy, cheap) upstream stages each time — the expensive LSH stage
     is exempt because it stages its pair result to parquet internally. At
@@ -177,6 +197,16 @@ def curate_corpus(
     if (langid_model is None) != (langid_keep is None):
         raise ValueError(
             "curate_corpus: langid_model and langid_keep must be passed together"
+        )
+    if pack_context_len is not None and bpe_model is None:
+        raise ValueError(
+            "curate_corpus: pack_context_len requires bpe_model "
+            "(packing consumes the tokenizer's input_ids)"
+        )
+    if corrupt_rate is not None and pack_context_len is None:
+        raise ValueError(
+            "curate_corpus: corrupt_rate requires pack_context_len "
+            "(span corruption consumes packed windows)"
         )
     stats: dict[str, int] = {}
 
@@ -333,10 +363,38 @@ def curate_corpus(
                 or 0
             )
 
+    shard_key = "doc_id"
+    if pack_context_len is not None:
+        from photo_vector_search_spark.operators.packing import (
+            pack_token_windows,
+        )
+
+        curated = pack_token_windows(
+            curated,
+            pack_context_len,
+            ids_col="input_ids",
+            order_col="pos",
+            eos_id=pack_eos_id,
+        )
+        shard_key = "seq_id"
+        _stat("packed_windows", curated)
+        if corrupt_rate is not None:
+            from photo_vector_search_spark.operators.corruption import (
+                corrupt_spans,
+            )
+
+            curated = corrupt_spans(
+                curated,
+                rate=corrupt_rate,
+                mean_span_len=corrupt_mean_span,
+                sentinel_start=corrupt_sentinel_start,
+                seed=corrupt_seed,
+            )
+
     if export_path is not None:
         from photo_vector_search_spark.sources.jsonl import write_jsonl_shards
 
         stats["shards_written"] = write_jsonl_shards(
-            curated, export_path, n_shards=n_shards
+            curated, export_path, n_shards=n_shards, shard_key=shard_key
         )
     return curated, stats

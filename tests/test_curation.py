@@ -462,3 +462,67 @@ def test_curate_corpus_langid_stage(spark):
         curate_corpus(docs, langid_model=model)
     with pytest.raises(ValueError, match="non-empty"):
         curate_corpus(docs, langid_model=model, langid_keep=())
+
+
+def test_curate_corpus_denoising_terminal_stage(spark, sf_dir):
+    """pack_context_len + corrupt_rate turn the tokenized corpus into a
+    T5-style denoising dataset: windows reconstruct exactly from the
+    exported (inputs, targets) pairs, the export round-trips through JSONL,
+    and the option contracts raise at entry."""
+    import pytest
+
+    from photo_vector_search_spark.operators.bpe import train_bpe_model
+    from photo_vector_search_spark.operators.corruption import (
+        reconstruct_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    model = train_bpe_model(docs, n_merges=30, min_count=2)
+    L, SENT = 128, 32_000
+    tmp = tempfile.mkdtemp(prefix="pvs_curate_denoise_")
+    try:
+        # pack-only run: the ground-truth windows (same seeds => same corpus)
+        windows, wstats = curate_corpus(
+            docs, bpe_model=model, pack_context_len=L, pack_eos_id=0
+        )
+        want = {r["seq_id"]: list(r["input_ids"]) for r in windows.collect()}
+        assert wstats["packed_windows"] == len(want) > 0
+        assert all(len(v) == L for v in want.values())
+
+        corrupted, cstats = curate_corpus(
+            docs,
+            bpe_model=model,
+            pack_context_len=L,
+            pack_eos_id=0,
+            corrupt_rate=0.15,
+            corrupt_sentinel_start=SENT,
+            export_path=f"{tmp}/shards",
+            n_shards=3,
+        )
+        assert cstats["packed_windows"] == len(want)
+        assert cstats["shards_written"] >= 1
+        back = read_jsonl_shards(
+            spark,
+            f"{tmp}/shards",
+            "seq_id long, inputs array<int>, targets array<int>, "
+            "n_noise_tokens int, n_tokens int, n_docs long",
+        )
+        got = {
+            r["seq_id"]: (list(r["inputs"]), list(r["targets"]), r["n_noise_tokens"])
+            for r in back.collect()
+        }
+        assert set(got) == set(want)
+        for sid, (inp, tgt, noise) in got.items():
+            # lossless: reconstruct(corrupt(w)) == w, via the EXPORTED rows
+            assert reconstruct_spans(inp, tgt, SENT) == want[sid], sid
+            # sentinels descend from SENT; real ids here are far below
+            assert noise == sum(1 for t in tgt if t < SENT - 1000)
+        # some corruption actually happened
+        assert sum(n for _, _, n in got.values()) > 0
+
+        with pytest.raises(ValueError, match="requires bpe_model"):
+            curate_corpus(docs, pack_context_len=L)
+        with pytest.raises(ValueError, match="requires pack_context_len"):
+            curate_corpus(docs, bpe_model=model, corrupt_rate=0.15)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
