@@ -198,6 +198,16 @@ def extra_cases(spark, sf_dir: str) -> dict:
                 "pvs_scale_ids",
             )
         return _fix["i"]
+
+    def windows_df():
+        # packed windows staged once so corrupt_spans times the corruption
+        # pass, not the packing (pack scaling is pack_windows' own row)
+        if "w" not in _fix:
+            _fix["w"] = stage_frame(
+                pack_token_windows(ids_df(), 512), "pvs_scale_windows"
+            )
+        return _fix["w"]
+
     return {
         "events_resample": lambda: _force(relational.q_events_resample(spark, sf_dir)),
         "events_asof": lambda: _force(relational.q_events_asof(spark, sf_dir)),
@@ -367,6 +377,61 @@ def extra_cases(spark, sf_dir: str) -> dict:
                 fromlist=["predict_lang"],
             ).predict_lang(docs_lang, li_model())
         ),
+        # r8: the tokenizer's Arrow encode pass alone (curate_corpus_bpe's
+        # delta bundles it with the pipeline) — map-only, broadcast ranks,
+        # per-task trie cache; ratio should track total tokens
+        "encode_bpe": lambda: _force(encode_bpe(docs, *bpe_artifact())),
+        # r8: boundary-respecting SFT packing over the staged tokenized
+        # corpus — deterministic hash shards, per-shard sequential next-fit
+        # Arrow kernel; corpus-linear with shard-bounded parallelism
+        "pack_sequences": lambda: _force(
+            __import__(
+                "photo_vector_search_spark.operators.packing",
+                fromlist=["pack_sequences"],
+            ).pack_sequences(
+                ids_df(), 512, order_col="pos", eos_id=0, pad_id=0
+            )
+        ),
+        # r8: T5 span corruption over staged packed windows — one map-only
+        # Arrow pass, per-row md5-seeded PRNG, no shuffle; the staged input
+        # isolates the corruption cost from the packing cost
+        "corrupt_spans": lambda: _force(
+            __import__(
+                "photo_vector_search_spark.operators.corruption",
+                fromlist=["corrupt_spans"],
+            ).corrupt_spans(windows_df())
+        ),
+        # r8: curation with the denoising terminal stage — delta vs
+        # curate_corpus_bpe is the pack + corrupt tail
+        "curate_corpus_denoise": lambda: _force(
+            curate_corpus(
+                docs,
+                compute_stats=False,
+                quality_gate=False,
+                bpe_model=bpe_artifact(),
+                pack_context_len=512,
+                pack_eos_id=0,
+                corrupt_rate=0.15,
+            )[0]
+        ),
+        # r8: image near-dup over FAKEIMG payloads synthesized from the doc
+        # texts (the audio_near_dup convention: ciphered sf1 copies hash to
+        # unrelated planes, pair structure stays corpus-proportional) —
+        # map-only Arrow hash pass + the pair-band hamming join
+        "image_near_dup": lambda: _force(
+            __import__(
+                "photo_vector_search_spark.operators.image_dedup",
+                fromlist=["image_near_dup"],
+            ).image_near_dup(
+                load_table(spark, sf_dir, "documents").select(
+                    F.col("doc_id").cast("string").alias("path"),
+                    F.encode(
+                        F.concat(F.lit("FAKEIMG:64x32:"), F.col("text")),
+                        "utf-8",
+                    ).alias("content"),
+                )
+            )
+        ),
         # r7b: audio near-dup over FAKEAUDIO tracks synthesized from the doc
         # texts (deterministic; ciphered sf1 copies give unrelated spectra, so
         # the pair structure stays corpus-proportional) — map-only vectorized
@@ -464,6 +529,13 @@ def main() -> None:
         "NOT re-measured are carried over from an existing --out table "
         "(parsed and merged) instead of being discarded",
     )
+    ap.add_argument(
+        "--allow-drop",
+        action="store_true",
+        help="permit the output to lose cases recorded in the previous "
+        "round's table (deliberate retirement); without it the run fails "
+        "loudly when rows would vanish",
+    )
     args = ap.parse_args()
 
     from photo_vector_search_spark.session import get_spark
@@ -474,6 +546,32 @@ def main() -> None:
         synthesize(spark, args.copies)
         synth_sec = round(time.perf_counter() - t0, 1)
         only = set(args.cases.split(",")) if args.cases else None
+        # loses-cases-loudly guard (r8, the no-silent-caps rule), checked
+        # BEFORE measuring: the r7b regeneration ran a narrower case list
+        # over a fresh --out and silently dropped four recorded rows into
+        # git history. A regeneration whose output would lose a case
+        # recorded in the previous round's table (or in the --out file it
+        # rewrites) must fail unless --allow-drop names it a retirement.
+        from bench import _build_cases as _bc
+
+        all_names = set((_bc(spark, SRC) | extra_cases(spark, SRC)).keys())
+        planned = set(only) if only is not None else set(all_names)
+        if only is not None and os.path.exists(args.out):
+            planned |= {n for n, _, _ in _parse_table_rows(args.out)}
+        prev_tables = sorted(
+            f for f in os.listdir(".")
+            if f.startswith("SCALE_TABLE_r") and f.endswith(".md")
+        )
+        refs = [args.out] if os.path.exists(args.out) else prev_tables[-1:]
+        for ref in refs:
+            lost = {n for n, _, _ in _parse_table_rows(ref)} - planned
+            if lost and not args.allow_drop:
+                raise SystemExit(
+                    f"scale_bench: regeneration would DROP rows recorded in "
+                    f"{ref}: {sorted(lost)} — extend the case list (or point "
+                    "--out at the file whose rows carry over), or pass "
+                    "--allow-drop to retire them explicitly"
+                )
         run(spark, SRC, only)  # untimed warmup: JIT/codegen costs otherwise land
         small = run(spark, SRC, only)  # entirely on the first (small) pass and
         big = run(spark, DST, only)  # deflate every ratio — the classic misattribution
