@@ -986,6 +986,78 @@ GROUP BY a.cid
 """
 
 
+PACK_SEQ_LEN = 128  # token budget of the declared SFT-packing query
+PACK_SEQ_SHARDS = 8
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boundary-respecting SFT packing (`operators/packing.pack_sequences`),
+    declared r8: deterministic hash shards, NEXT-FIT in doc_id order within
+    each shard, docs never split across windows, overflow truncated to the
+    budget. Token ids derive from a deterministic surrogate (per-token
+    character lengths — both engines replay it exactly); the declared
+    output pins every packing DECISION (membership, in-pack order, per-doc
+    effective lengths, fills) via the doc_ids/seq_lens arrays, while the id
+    CONTENT concat is pytest-pinned against an independent packer. The
+    oracle replays the sequential next-fit with a recursive CTE."""
+    from photo_vector_search_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.select(
+        "doc_id",
+        F.transform(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+            lambda t: F.length(t),
+        )
+        .cast("array<int>")
+        .alias("input_ids"),
+    )
+    packed = pack_sequences(
+        ids,
+        PACK_SEQ_LEN,
+        order_col="doc_id",
+        eos_id=0,
+        n_shards=PACK_SEQ_SHARDS,
+    )
+    return packed.select(
+        "shard", "pack_id", "n_docs", "n_tokens", "doc_ids", "seq_lens"
+    )
+
+
+_ORACLE_PACK_SEQUENCES = f"""
+WITH RECURSIVE lens AS (
+  SELECT doc_id,
+         CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % {PACK_SEQ_SHARDS} AS INT) AS shard,
+         least(len(regexp_split_to_array(lower(trim(text)), '\\s+')) + 1,
+               {PACK_SEQ_LEN}) AS e
+  FROM documents WHERE text IS NOT NULL
+),
+ordered AS (
+  SELECT shard, doc_id, e,
+         row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+  FROM lens
+),
+fit AS (
+  SELECT shard, rn, doc_id, e, CAST(0 AS BIGINT) AS pack_id, e AS fill
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.shard, o.rn, o.doc_id, o.e,
+         CASE WHEN f.fill + o.e > {PACK_SEQ_LEN} THEN f.pack_id + 1
+              ELSE f.pack_id END,
+         CASE WHEN f.fill + o.e > {PACK_SEQ_LEN} THEN o.e
+              ELSE f.fill + o.e END
+  FROM ordered o JOIN fit f ON o.shard = f.shard AND o.rn = f.rn + 1
+)
+SELECT shard, pack_id,
+       CAST(count(*) AS INT) AS n_docs,
+       CAST(sum(e) AS INT) AS n_tokens,
+       list(doc_id ORDER BY rn) AS doc_ids,
+       list(CAST(e AS INT) ORDER BY rn) AS seq_lens
+FROM fit GROUP BY shard, pack_id
+"""
+
+
 HN_K = 5  # negatives per anchor in the declared hard-negative query
 HN_CENTROIDS = 8  # deterministic seed centroids (the semdedup SEM_K pattern)
 
@@ -1070,7 +1142,7 @@ QUERIES = {
     "data_profile": q_data_profile,
     "label_prototypes": q_label_prototypes,
     "source_drift": q_source_drift,
-    "embedding_quantize": q_embedding_quantize,
+    "pack_sequences": q_pack_sequences,
     "pack_windows": q_pack_windows,
     "mix_corpus": q_mix_corpus,
     "dsir_weights": q_dsir_weights,
@@ -1085,7 +1157,7 @@ ORACLES = {
     "data_profile": _ORACLE_DATA_PROFILE,
     "label_prototypes": _ORACLE_LABEL_PROTOTYPES,
     "source_drift": _ORACLE_SOURCE_DRIFT,
-    "embedding_quantize": _ORACLE_EMBEDDING_QUANTIZE,
+    "pack_sequences": _ORACLE_PACK_SEQUENCES,
     "pack_windows": _ORACLE_PACK_WINDOWS,
     "mix_corpus": _mix_oracle(),
     "dsir_weights": _ORACLE_DSIR_WEIGHTS,
@@ -1115,6 +1187,10 @@ ORACLES = {
 # - rollup_events (retired r7b for domain_cap): grouping-set agg over events —
 #   cube_lineitem keeps the regroup_from_finest machinery declared (the
 #   harder 8-set case) and events_resample keeps time-bucketed event aggs.
+# - embedding_quantize (retired r8 for pack_sequences): int8 scale-quantize
+#   map — a pure per-row arithmetic transform; the vector-function family
+#   stays declared via every knn/cosine oracle and the operator remains
+#   locally oracle-verified + pytest-covered (round-trip error bounds).
 # - canonicalize_dups (retired r8 for hard_negatives): keep-lowest-id group
 #   canonicalization — its distinct/applyInPandas machinery stays declared
 #   via dedup_exact + photo_group_collect, and the operator itself remains
@@ -1128,6 +1204,7 @@ RETIRED_QUERIES = {
     "events_histogram": q_events_histogram,
     "stratified_sample": q_stratified_sample,
     "canonicalize_dups": q_canonicalize_dups,
+    "embedding_quantize": q_embedding_quantize,
 }
 
 RETIRED_ORACLES = {
@@ -1139,6 +1216,7 @@ RETIRED_ORACLES = {
     "events_histogram": _ORACLE_EVENTS_HISTOGRAM,
     "stratified_sample": _ORACLE_STRATIFIED_SAMPLE,
     "canonicalize_dups": _ORACLE_CANONICALIZE,
+    "embedding_quantize": _ORACLE_EMBEDDING_QUANTIZE,
 }
 
 
