@@ -90,6 +90,7 @@ GROUPS: dict[str, list[str]] = {
     "r7_select": ["dsir_weights", "semdedup"],
     "r7_mine": ["hard_negatives", "decontaminate_bloom"],
     "r7b_new": ["ppl_filter", "domain_cap"],
+    "r8_new": ["pack_sequences", "image_near_dup"],
 }
 
 
@@ -286,6 +287,28 @@ def _build_cases(spark, sf_dir: str) -> dict:
         "ppl_filter": lambda: _force(text_queries.q_ppl_filter(spark, sf_dir)),
         "domain_cap": lambda: _force(
             pipeline_queries.q_domain_cap(spark, sf_dir)
+        ),
+        # r8: the declared boundary-respecting SFT packer (full declared
+        # shape: surrogate ids + sharded next-fit + decision aggregate) and
+        # image near-dup over FAKEIMG payloads synthesized from the doc
+        # texts (map-only Arrow hash pass + pair-band hamming join — the
+        # scale-table shape, recorded per-round here)
+        "pack_sequences": lambda: _force(
+            pipeline_queries.q_pack_sequences(spark, sf_dir)
+        ),
+        "image_near_dup": lambda: _force(
+            __import__(
+                "photo_vector_search_spark.operators.image_dedup",
+                fromlist=["image_near_dup"],
+            ).image_near_dup(
+                load_table(spark, sf_dir, "documents").select(
+                    F.col("doc_id").cast("string").alias("path"),
+                    F.encode(
+                        F.concat(F.lit("FAKEIMG:64x32:"), F.col("text")),
+                        "utf-8",
+                    ).alias("content"),
+                )
+            )
         ),
         # r7: map-only learned-quality scoring. The model is trained lazily
         # ONCE per session (memoized below); min-of-2 therefore records the
