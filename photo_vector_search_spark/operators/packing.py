@@ -65,13 +65,15 @@ def pack_sequences(
     ≤ ``context_len``, else a new pack opens. Next-fit is genuinely
     sequential (the leftover space at each pack boundary feeds the next
     decision — no prefix-sum decomposition exists, which is exactly why
-    ``assign_packs``'s cumsum-div-cap rule can overfill a pack), so the scan
-    runs as one Arrow kernel per shard; shards bound both the sequential
-    chain and the kernel's memory, and ``n_shards`` is the 100 TB knob
-    (size shards to ~10⁵-10⁶ docs; every shard packs in parallel). The rule
-    is still SQL-replayable per shard via a recursive CTE — the DuckDB twin
-    in tests/test_packing.py replays it, keeping this a declared-surface
-    candidate.
+    ``assign_packs``'s cumsum-div-cap rule can overfill a pack), so the
+    scan runs as ONE exchange on the shard key + a sorted-partition Arrow
+    pass (``mapInPandas`` with carry-over state across batches, shard
+    changes resetting it — NOT a group-materializing ``applyInPandas``):
+    peak kernel memory is one Arrow batch plus the open pack, independent
+    of shard size, and ``n_shards`` bounds only the sequential chain length
+    / parallelism — the 100 TB knob. The rule is still SQL-replayable per
+    shard via a recursive CTE — the DuckDB twin in tests/test_packing.py
+    replays it, keeping this a declared-surface candidate.
 
     ``overflow`` controls docs longer than ``context_len``: ``"truncate"``
     keeps the first ``context_len`` ids (EOS, when set, survives as the last
@@ -113,22 +115,26 @@ def pack_sequences(
         f"n_docs int, doc_ids array<{ord_type}>, seq_lens array<int>"
     )
 
-    def fn(key, pdf):
-        pdf = pdf.sort_values("_ord")
-        out = {c: [] for c in (
-            "pack_id", "input_ids", "n_tokens", "n_docs", "doc_ids", "seq_lens"
-        )}
+    def fn(batches):
+        # carry-over state across Arrow batches of the sorted partition:
+        # (shard, pack_id, open-pack buffers). A shard-key change — shards
+        # are contiguous after sortWithinPartitions — flushes and resets.
+        state = {"shard": None, "pack_id": 0}
         cur_ids: list[int] = []
         cur_docs: list = []
         cur_lens: list[int] = []
-        pack_id = 0
+        out = {c: [] for c in (
+            "shard", "pack_id", "input_ids", "n_tokens", "n_docs",
+            "doc_ids", "seq_lens",
+        )}
 
         def flush():
-            nonlocal pack_id, cur_ids, cur_docs, cur_lens
+            nonlocal cur_ids, cur_docs, cur_lens
             if not cur_docs:
                 return
             fill = len(cur_ids)
-            out["pack_id"].append(pack_id)
+            out["shard"].append(state["shard"])
+            out["pack_id"].append(state["pack_id"])
             out["input_ids"].append(
                 cur_ids + [pad] * (L - fill) if pad is not None else cur_ids
             )
@@ -136,34 +142,53 @@ def pack_sequences(
             out["n_docs"].append(len(cur_docs))
             out["doc_ids"].append(cur_docs)
             out["seq_lens"].append(cur_lens)
-            pack_id += 1
+            state["pack_id"] += 1
             cur_ids, cur_docs, cur_lens = [], [], []
 
-        for ord_v, ids in zip(pdf["_ord"], pdf["_ids"]):
-            ids = [int(t) for t in ids]
-            if eos is not None:
-                ids = ids + [eos]
-            if not ids:
-                continue  # empty doc without EOS: nothing to pack
-            if len(ids) > L:
-                if overflow == "error":
-                    raise ValueError(
-                        f"doc {ord_v!r} has {len(ids)} tokens > "
-                        f"context_len={L} (overflow='error')"
-                    )
-                if overflow == "drop":
-                    continue
-                ids = ids[: L - 1] + [eos] if eos is not None else ids[:L]
-            if len(cur_ids) + len(ids) > L:
-                flush()
-            cur_ids.extend(ids)
-            cur_docs.append(ord_v)
-            cur_lens.append(len(ids))
-        flush()
-        n = len(out["pack_id"])
-        return pd.DataFrame({"shard": [key[0]] * n, **out})
+        def drain():
+            n = len(out["pack_id"])
+            pdf = pd.DataFrame({c: out[c] for c in out})
+            for c in out:
+                out[c] = []
+            return pdf if n else None
 
-    return toks.groupBy("_shard").applyInPandas(fn, schema)
+        for pdf in batches:
+            for shard, ord_v, ids in zip(pdf["_shard"], pdf["_ord"], pdf["_ids"]):
+                if shard != state["shard"]:
+                    flush()
+                    state["shard"], state["pack_id"] = shard, 0
+                ids = [int(t) for t in ids]
+                if eos is not None:
+                    ids = ids + [eos]
+                if not ids:
+                    continue  # empty doc without EOS: nothing to pack
+                if len(ids) > L:
+                    if overflow == "error":
+                        raise ValueError(
+                            f"doc {ord_v!r} has {len(ids)} tokens > "
+                            f"context_len={L} (overflow='error')"
+                        )
+                    if overflow == "drop":
+                        continue
+                    ids = ids[: L - 1] + [eos] if eos is not None else ids[:L]
+                if len(cur_ids) + len(ids) > L:
+                    flush()
+                cur_ids.extend(ids)
+                cur_docs.append(ord_v)
+                cur_lens.append(len(ids))
+            drained = drain()
+            if drained is not None:
+                yield drained
+        flush()
+        tail = drain()
+        if tail is not None:
+            yield tail
+
+    return (
+        toks.repartition(n_shards, "_shard")
+        .sortWithinPartitions("_shard", "_ord")
+        .mapInPandas(fn, schema)
+    )
 
 
 def pack_token_windows(
