@@ -53,6 +53,9 @@ AUDIT = [
     # r7b declared additions
     "ppl_filter",
     "domain_cap",
+    # r8 declared additions
+    "hard_negatives",
+    "pack_sequences",
 ]
 
 
@@ -109,10 +112,24 @@ def _unstaged_dsir(spark, sf_dir):
     )
 
 
+def _unstaged_hard_negatives(spark, sf_dir):
+    # the declared deterministic rung stages the assigned frame; stage=False
+    # shows the full seed-centroid → rounded-assign → kernel → rank plan
+    from photo_vector_search_spark.operators.contrastive import (
+        hard_negatives_deterministic,
+    )
+    from photo_vector_search_spark.sources.tables import load_table
+
+    return hard_negatives_deterministic(
+        load_table(spark, sf_dir, "embeddings"), k=5, n_centroids=8, stage=False
+    )
+
+
 UNSTAGED = {
     "dedup_minhash_lsh": _unstaged_minhash,
     "ivf_topk_exact": _unstaged_ivf_adaptive,
     "dsir_weights": _unstaged_dsir,
+    "hard_negatives": _unstaged_hard_negatives,
 }
 
 
@@ -243,26 +260,95 @@ def _extra_audio_near_dup(spark, sf_dir):
     )
 
 
+def _extra_video_near_dup(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from photo_vector_search_spark.operators.image_dedup import video_near_dup
+    from photo_vector_search_spark.sources.tables import load_table
+
+    return video_near_dup(
+        load_table(spark, sf_dir, "documents").select(
+            F.col("doc_id").cast("string").alias("path"),
+            F.encode(
+                F.concat(F.lit("FAKEIMG:64x32:"), F.col("text")), "utf-8"
+            ).alias("content"),
+        ),
+        every_n=4,
+    )
+
+
+def _extra_corrupt_spans(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from photo_vector_search_spark.operators.corruption import corrupt_spans
+    from photo_vector_search_spark.operators.packing import pack_token_windows
+    from photo_vector_search_spark.sources.tables import load_table
+
+    # surrogate ids (token char-lengths) keep the plan shape without a BPE
+    # artifact; corruption itself is one map-only Arrow pass over windows
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("pos"),
+        F.transform(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+            lambda t: F.length(t),
+        )
+        .cast("array<int>")
+        .alias("input_ids"),
+    )
+    return corrupt_spans(pack_token_windows(docs, 128, stage=False))
+
+
 EXTRA_OPS = {
     "ivf_near_dup_pairs": _extra_ivf_near_dup,
     "shuffle_corpus": _extra_shuffle_corpus,
     "redact_pii": _extra_redact,
     "remove_repeated_ngrams": _extra_substring_dedup,
     "score_quality": _extra_quality_score,
-    "hard_negatives": _extra_hard_negatives,
+    "hard_negatives_ivf": _extra_hard_negatives,
     "decontaminate_bloom": _extra_decontaminate_bloom,
     "hamming_pairs": _extra_image_near_dup,
     "predict_lang": _extra_predict_lang,
     "audio_near_dup": _extra_audio_near_dup,
+    "video_near_dup": _extra_video_near_dup,
+    "corrupt_spans": _extra_corrupt_spans,
 }
 
 # Plan-reader context the tree alone can't show.
 NOTES = {
     "hard_negatives": (
-        "NOTE: library operator (contrastive mining). The data-sized Exchange "
-        "is the groupBy(cluster_id) into the per-cluster blocked-matmul "
-        "top-k kernel; the second Exchange moves only O(N·k·n_assign) "
-        "candidate rows into the per-anchor merge window."
+        "NOTE: declared r8 (deterministic rung, shown UNSTAGED — the "
+        "declared form stages the assigned frame once). Seed centroids are "
+        "a TakeOrderedAndProject; assignment is a broadcast of the k-row "
+        "centroid table + a partial-aggregable max_by (no window); the "
+        "data-sized Exchange is the groupBy(cluster_id) into the blocked "
+        "different-label top-k kernel, and the rank window moves only "
+        "O(N·k) candidate rows."
+    ),
+    "pack_sequences": (
+        "NOTE: declared r8 (boundary-respecting SFT packing). ONE Exchange "
+        "on the deterministic shard key feeding a sorted-partition "
+        "MapInPandas with carry-over state (peak memory = one Arrow batch + "
+        "the open pack, independent of shard size); next-fit is inherently "
+        "sequential per shard, so n_shards bounds chain length and "
+        "parallelism."
+    ),
+    "hard_negatives_ivf": (
+        "NOTE: library operator (contrastive mining, production rung). The "
+        "data-sized Exchange is the groupBy(cluster_id) into the per-cluster "
+        "blocked-matmul top-k kernel; the second Exchange moves only "
+        "O(N·k·n_assign) candidate rows into the per-anchor merge window."
+    ),
+    "video_near_dup": (
+        "NOTE: library operator (video rollup of the pHash family). "
+        "Frame sampling + pHash are map-only Arrow passes; the corpus-sized "
+        "shuffle is the pair-band hamming join (see hamming_pairs), and the "
+        "rollup exchange moves only verified frame-pair rows."
+    ),
+    "corrupt_spans": (
+        "NOTE: library operator (T5 span corruption, shown over an unstaged "
+        "pack). Corruption itself is the terminal MapInPandas — map-only, "
+        "per-row md5-seeded PRNG, zero added shuffles; everything below it "
+        "is pack_token_windows' audited bucket-cumsum/explode/rebuild plan."
     ),
     "decontaminate_bloom": (
         "NOTE: library operator (membership-compression rung). The benchmark "
