@@ -471,10 +471,12 @@ def ivf_near_dup_pairs(
         F.min(F.size("embedding")).alias("lo"),
         F.max(F.size("embedding")).alias("hi"),
     ).first()
+    # pair schema follows the input id type (string paths and long ids both
+    # flow through — semdedup/photo_curation call with id_col='path')
+    id_type = dict(embeddings.dtypes)["vec_id"]
+    pair_schema = f"vec_a {id_type}, vec_b {id_type}, sim double"
     if not dims["n"]:
-        return embeddings.sparkSession.createDataFrame(
-            [], "vec_a long, vec_b long, sim double"
-        )
+        return embeddings.sparkSession.createDataFrame([], pair_schema)
     if dims["lo"] != dims["hi"]:
         raise ValueError(
             "ivf_near_dup_pairs requires a single embedding dimension, found "
@@ -533,13 +535,18 @@ def ivf_near_dup_pairs(
                 )
             )
         if not out:
-            return pd.DataFrame({"vec_a": [], "vec_b": [], "sim": []}).astype(
-                {"vec_a": "int64", "vec_b": "int64", "sim": "float64"}
+            empty = pd.DataFrame({"vec_a": [], "vec_b": [], "sim": []})
+            return (
+                empty.astype(
+                    {"vec_a": "int64", "vec_b": "int64", "sim": "float64"}
+                )
+                if id_type == "bigint"
+                else empty.astype({"sim": "float64"})
             )
         return pd.concat(out, ignore_index=True)
 
     pairs = assigned.groupBy("cluster_id").applyInPandas(
-        _pairs, schema="vec_a long, vec_b long, sim double"
+        _pairs, schema=pair_schema
     )
     if n_assign <= 1:
         return pairs
