@@ -96,6 +96,21 @@ def cmd_index_photos(args) -> int:
     spark = _spark()
     files = scan_images(spark, args.photo_dir)
     n_files = files.count()
+    if args.dedup or args.dedup_tau is not None:
+        from photo_vector_search_spark.pipelines.photo_curation import (
+            curate_photos,
+        )
+
+        files, dstats = curate_photos(
+            files,
+            tau=args.dedup_tau,
+            embedder=_resolve_embedder(args.model) if args.dedup_tau else None,
+            # reference behavior: every scannable file indexes (undecodable
+            # rows embed via the stub and tally as describe failures)
+            decode_gate=False,
+        )
+        print("dedup: " + " -> ".join(f"{k}={v}" for k, v in dstats.items()))
+        n_files = list(dstats.values())[-1]  # last-stage survivor count
     existing = _read_store_if_exists(spark, args.store)
     state = index_photos(
         files,
@@ -318,6 +333,19 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--aspect-name", default="default")
     sp.add_argument("--prompt", default=DEFAULT_PROMPT)
     sp.add_argument("--model", default=DEFAULT_MODEL)
+    sp.add_argument(
+        "--dedup",
+        action="store_true",
+        help="curate before indexing: drop exact/undecodable/perceptual "
+        "duplicates (pipelines.photo_curation), printing per-stage counts",
+    )
+    sp.add_argument(
+        "--dedup-tau",
+        type=float,
+        default=None,
+        help="also drop semantic duplicates at this cosine threshold "
+        "(embeds with --model; implies --dedup's ladder first)",
+    )
     common(sp)
     sp.set_defaults(fn=cmd_index_photos)
 

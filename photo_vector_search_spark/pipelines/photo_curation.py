@@ -39,13 +39,18 @@ def curate_photos(
     tau: float | None = None,
     embedder=None,
     n_clusters: int | None = None,
+    decode_gate: bool = True,
     compute_stats: bool = True,
 ) -> tuple[DataFrame, dict]:
     """Deduplicate a photo corpus (``files``: path string, content binary,
     extra columns pass through). See the module docstring for the stage
     ladder. ``tau=None`` skips the semantic stage; ``n_clusters=None`` sizes
     the semantic blocking from the survivor count (~125 rows/cluster, the
-    ``ivf_near_dup_pairs`` prescription — one count job)."""
+    ``ivf_near_dup_pairs`` prescription — one count job).
+    ``decode_gate=False`` KEEPS undecodable files (they can't participate in
+    perceptual dedup — NULL hashes never pair — but still exact-dedup and
+    index; the reference indexes every scannable file, so the CLI's
+    ``--dedup`` uses this mode)."""
     from photo_vector_search_spark.operators.image_dedup import (
         hamming_pairs,
         phash_images,
@@ -86,9 +91,10 @@ def curate_photos(
         ),
         "pvs_photo_curation_phash",
     )
-    decodable = hashed.filter(F.col("phash").isNotNull()).select("path")
-    survivors = survivors.join(decodable, "path", "left_semi")
-    _stat("after_decode_gate", survivors)
+    if decode_gate:
+        decodable = hashed.filter(F.col("phash").isNotNull()).select("path")
+        survivors = survivors.join(decodable, "path", "left_semi")
+        _stat("after_decode_gate", survivors)
 
     pairs = hamming_pairs(
         hashed.filter(F.col("phash").isNotNull()), max_hamming=max_hamming

@@ -10,26 +10,27 @@ from photo_vector_search_spark.operators.packing import pack_token_windows
 
 
 def _py_pack(rows, L, eos_id=None, keep_partial=False):
-    """rows: [(order, ids-or-None)] — the obviously-correct serial packer."""
+    """rows: [(order, ids-or-None)] — the obviously-correct serial packer.
+    n_docs counts docs whose token interval [start, end) intersects the
+    window: an EMPTY interval (zero-length doc without EOS) contributes no
+    tokens and is not counted — the engine's contract."""
     stream: list[int] = []
-    bounds: list[int] = []  # doc start offsets in the stream (non-NULL docs)
+    spans: list[tuple[int, int]] = []  # (start, end) per non-NULL doc
     for _o, ids in sorted(rows):
         if ids is None:
             continue
-        bounds.append(len(stream))
+        start = len(stream)
         stream.extend(ids)
         if eos_id is not None:
             stream.append(eos_id)
+        spans.append((start, len(stream)))
     out = {}
     for s in range(0, len(stream), L):
         chunk = stream[s : s + L]
         if len(chunk) < L and not keep_partial:
             continue
         n_docs = sum(
-            1
-            for i, b in enumerate(bounds)
-            if b < s + len(chunk)
-            and (bounds[i + 1] if i + 1 < len(bounds) else len(stream)) > s
+            1 for b, e in spans if b < s + len(chunk) and e > s and e > b
         )
         out[s // L] = (chunk, len(chunk), n_docs)
     return out

@@ -96,3 +96,46 @@ def test_curated_feeds_index_photos(spark):
         "a/p0.img", "a/p1.img", "a/p2.img"
     }
     assert all(r["embedding"] is not None for r in rows)
+
+
+def test_decode_gate_opt_out_keeps_undecodable(spark):
+    rows = [
+        ("a/x.img", _fake(bytes(np.random.RandomState(1).randint(0, 256, 200, dtype=np.uint8)))),
+        ("z/raw.bin", b"IMAGE:raw-bytes"),
+    ]
+    files = spark.createDataFrame(rows, "path string, content binary")
+    kept, stats = curate_photos(files, decode_gate=False)
+    assert {r["path"] for r in kept.collect()} == {"a/x.img", "z/raw.bin"}
+    assert "after_decode_gate" not in stats
+
+
+def test_cli_index_photos_dedup_flag(spark, capsys):
+    import shutil
+    import tempfile
+
+    from photo_vector_search_spark.cli import main
+
+    tmp = tempfile.mkdtemp(prefix="pvs_cli_dedup_")
+    photos, store = f"{tmp}/photos", f"{tmp}/store"
+    import os
+
+    os.makedirs(photos)
+    rng = np.random.RandomState(7)
+    pay = bytes(rng.randint(0, 256, 200, dtype=np.uint8))
+    for name, content in (
+        ("a.jpg", _fake(pay)),
+        ("a_copy.jpg", _fake(pay)),          # exact duplicate
+        ("b.jpg", _fake(bytes(rng.randint(0, 256, 200, dtype=np.uint8)))),
+    ):
+        with open(f"{photos}/{name}", "wb") as f:
+            f.write(content)
+    try:
+        assert main(
+            ["index-photos", "--photo-dir", photos, "--store", store, "--dedup"]
+        ) == 0
+        out = capsys.readouterr().out
+        assert "dedup: input=3" in out
+        assert "indexed 2 files" in out
+        assert spark.read.parquet(store).count() == 2
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
