@@ -51,6 +51,8 @@ def pack_sequences(
     pad_id: int | None = None,
     n_shards: int = 8,
     overflow: str = "truncate",
+    algorithm: str = "nextfit",
+    max_open_bins: int = 1024,
 ) -> DataFrame:
     """Boundary-RESPECTING sequence packing — the SFT/instruction-tuning
     counterpart of ``pack_token_windows``: documents are greedily binned
@@ -82,18 +84,37 @@ def pack_sequences(
     ``eos_id`` is set and vanish otherwise (the ``pack_token_windows``
     NULL-vs-empty contract).
 
+    ``algorithm`` picks the bin rule, both deterministic and
+    partitioning-invariant:
+
+    - ``"nextfit"`` (default): one open pack, order-preserving — the
+      oracle-replayable rung (O(1) kernel state).
+    - ``"ffd"``: first-fit-DECREASING — docs sort by (effective length desc,
+      id asc) within the shard and each joins the FIRST open bin it fits,
+      the classic density heuristic (≤ 11/9·OPT + 1 bins; next-fit only
+      guarantees 2·OPT). Open bins are capped at ``max_open_bins``: past
+      the cap the FULLEST bin closes (descending lengths mean later docs
+      are smaller, so the emptiest bins stay useful) — bounded memory at
+      any shard size, and a closed bin can cost at most its residual slack
+      vs unbounded FFD.
+
     Returns one row per packed sequence: ``(shard, pack_id, input_ids,
     n_tokens, n_docs, doc_ids, seq_lens)`` — ``n_tokens`` the real fill
     before padding, ``seq_lens`` each doc's in-pack token count (EOS
     included) in order, enough to rebuild position ids and block-diagonal
     attention masks; ``pad_id`` pads ``input_ids`` to ``context_len``
-    (``None`` leaves ragged sequences)."""
+    (``None`` leaves ragged sequences); ``pack_id`` numbers packs per shard
+    in emission order."""
     if context_len <= 0:
         raise ValueError(f"context_len must be positive, got {context_len}")
     if overflow not in ("truncate", "drop", "error"):
         raise ValueError(
             f"overflow must be truncate|drop|error, got {overflow!r}"
         )
+    if algorithm not in ("nextfit", "ffd"):
+        raise ValueError(f"algorithm must be nextfit|ffd, got {algorithm!r}")
+    if max_open_bins < 1:
+        raise ValueError(f"max_open_bins must be >= 1, got {max_open_bins}")
     import pandas as pd
 
     from photo_vector_search_spark.functions.text import hash32
@@ -117,33 +138,35 @@ def pack_sequences(
 
     def fn(batches):
         # carry-over state across Arrow batches of the sorted partition:
-        # (shard, pack_id, open-pack buffers). A shard-key change — shards
-        # are contiguous after sortWithinPartitions — flushes and resets.
+        # (shard, pack_id counter, open-bin buffers). A shard-key change —
+        # shards are contiguous after sortWithinPartitions — flushes and
+        # resets. nextfit keeps ONE open bin; ffd keeps ≤ max_open_bins.
         state = {"shard": None, "pack_id": 0}
-        cur_ids: list[int] = []
-        cur_docs: list = []
-        cur_lens: list[int] = []
+        bins: list[dict] = []  # each: {"ids": [], "docs": [], "lens": []}
         out = {c: [] for c in (
             "shard", "pack_id", "input_ids", "n_tokens", "n_docs",
             "doc_ids", "seq_lens",
         )}
 
-        def flush():
-            nonlocal cur_ids, cur_docs, cur_lens
-            if not cur_docs:
-                return
-            fill = len(cur_ids)
+        def emit(b: dict) -> None:
+            fill = len(b["ids"])
             out["shard"].append(state["shard"])
             out["pack_id"].append(state["pack_id"])
             out["input_ids"].append(
-                cur_ids + [pad] * (L - fill) if pad is not None else cur_ids
+                b["ids"] + [pad] * (L - fill) if pad is not None else b["ids"]
             )
             out["n_tokens"].append(fill)
-            out["n_docs"].append(len(cur_docs))
-            out["doc_ids"].append(cur_docs)
-            out["seq_lens"].append(cur_lens)
+            out["n_docs"].append(len(b["docs"]))
+            out["doc_ids"].append(b["docs"])
+            out["seq_lens"].append(b["lens"])
             state["pack_id"] += 1
-            cur_ids, cur_docs, cur_lens = [], [], []
+
+        def flush_all():
+            # remaining bins close in creation order — deterministic
+            for b in bins:
+                if b["docs"]:
+                    emit(b)
+            bins.clear()
 
         def drain():
             n = len(out["pack_id"])
@@ -152,10 +175,35 @@ def pack_sequences(
                 out[c] = []
             return pdf if n else None
 
+        def place(ids: list, ord_v) -> None:
+            need = len(ids)
+            if algorithm == "nextfit":
+                if bins and len(bins[0]["ids"]) + need > L:
+                    emit(bins.pop(0))
+                if not bins:
+                    bins.append({"ids": [], "docs": [], "lens": []})
+                b = bins[0]
+            else:  # ffd: first OPEN bin it fits, in bin-creation order
+                b = next(
+                    (x for x in bins if len(x["ids"]) + need <= L), None
+                )
+                if b is None:
+                    b = {"ids": [], "docs": [], "lens": []}
+                    bins.append(b)
+                    if len(bins) > max_open_bins:
+                        # close the FULLEST (ties: oldest) — later docs are
+                        # no longer than this one, so roomy bins stay useful
+                        full = max(bins, key=lambda x: len(x["ids"]))
+                        emit(full)
+                        bins.remove(full)
+            b["ids"].extend(ids)
+            b["docs"].append(ord_v)
+            b["lens"].append(need)
+
         for pdf in batches:
             for shard, ord_v, ids in zip(pdf["_shard"], pdf["_ord"], pdf["_ids"]):
                 if shard != state["shard"]:
-                    flush()
+                    flush_all()
                     state["shard"], state["pack_id"] = shard, 0
                 ids = [int(t) for t in ids]
                 if eos is not None:
@@ -171,24 +219,29 @@ def pack_sequences(
                     if overflow == "drop":
                         continue
                     ids = ids[: L - 1] + [eos] if eos is not None else ids[:L]
-                if len(cur_ids) + len(ids) > L:
-                    flush()
-                cur_ids.extend(ids)
-                cur_docs.append(ord_v)
-                cur_lens.append(len(ids))
+                place(ids, ord_v)
             drained = drain()
             if drained is not None:
                 yield drained
-        flush()
+        flush_all()
         tail = drain()
         if tail is not None:
             yield tail
 
-    return (
-        toks.repartition(n_shards, "_shard")
-        .sortWithinPartitions("_shard", "_ord")
-        .mapInPandas(fn, schema)
-    )
+    if algorithm == "ffd":
+        # effective length for the DECREASING sort: eos + truncation applied,
+        # so the kernel sees genuinely non-increasing needs; ties break by id
+        e = F.size("_ids") + (F.lit(1) if eos is not None else F.lit(0))
+        sorted_toks = toks.withColumn(
+            "_e", F.least(e, F.lit(L))
+        ).repartition(n_shards, "_shard").sortWithinPartitions(
+            "_shard", F.desc("_e"), "_ord"
+        ).drop("_e")
+    else:
+        sorted_toks = toks.repartition(n_shards, "_shard").sortWithinPartitions(
+            "_shard", "_ord"
+        )
+    return sorted_toks.mapInPandas(fn, schema)
 
 
 def pack_token_windows(

@@ -306,3 +306,98 @@ FROM fit GROUP BY shard, pack_id
         con.close()
     twin_set = {(s, p, tuple(d), n) for s, p, d, n in twin}
     assert twin_set == got
+
+
+def _py_pack_sequences_ffd(rows, L, eos_id=None, n_shards=8, max_open_bins=1024):
+    """Independent FFD reference: per shard sort by (effective len desc, id),
+    first-fit over open bins in creation order, fullest-bin eviction past the
+    cap, remaining bins emitted in creation order."""
+    shards = {}
+    for o, ids in sorted(rows):
+        if ids is None:
+            continue
+        shards.setdefault(_py_hash32(str(o)) % n_shards, []).append((o, ids))
+    out = {}
+    for sh, docs in shards.items():
+        prepped = []
+        for o, ids in docs:
+            ids = list(ids) + ([eos_id] if eos_id is not None else [])
+            if not ids:
+                continue
+            if len(ids) > L:
+                ids = (ids[: L - 1] + [eos_id]) if eos_id is not None else ids[:L]
+            prepped.append((o, ids))
+        prepped.sort(key=lambda t: (-len(t[1]), t[0]))
+        bins, emitted = [], []
+        for o, ids in prepped:
+            b = next((x for x in bins if len(x["ids"]) + len(ids) <= L), None)
+            if b is None:
+                b = {"ids": [], "docs": [], "lens": []}
+                bins.append(b)
+                if len(bins) > max_open_bins:
+                    full = max(bins, key=lambda x: len(x["ids"]))
+                    emitted.append(full)
+                    bins.remove(full)
+            b["ids"].extend(ids)
+            b["docs"].append(o)
+            b["lens"].append(len(ids))
+        emitted.extend(b for b in bins if b["docs"])
+        for pid, b in enumerate(emitted):
+            out[(sh, pid)] = (b["ids"], len(b["ids"]), b["docs"], b["lens"])
+    return out
+
+
+def test_pack_sequences_ffd_matches_reference_and_beats_nextfit(spark):
+    from photo_vector_search_spark.operators.packing import pack_sequences
+
+    rows = _fixture_rows(n_docs=300, seed=21)
+    df = spark.createDataFrame(rows, "doc_id long, input_ids array<int>")
+    got = {
+        (r["shard"], r["pack_id"]): (
+            list(r["input_ids"]), r["n_tokens"], list(r["doc_ids"]),
+            list(r["seq_lens"]),
+        )
+        for r in pack_sequences(df, 48, eos_id=0, algorithm="ffd").collect()
+    }
+    want = _py_pack_sequences_ffd(rows, 48, eos_id=0)
+    assert got == want
+    # density: FFD needs no more bins than next-fit, usually fewer
+    n_nextfit = pack_sequences(df, 48, eos_id=0).count()
+    assert len(got) <= n_nextfit
+    # every bin respects the budget; no doc lost
+    assert all(n <= 48 for _, n, _, _ in got.values())
+    packed = sorted(d for _, _, ds, _ in got.values() for d in ds)
+    assert packed == sorted(o for o, ids in rows if ids is not None)
+    # partitioning invariance
+    again = {
+        (r["shard"], r["pack_id"]): tuple(r["doc_ids"])
+        for r in pack_sequences(
+            df.repartition(11), 48, eos_id=0, algorithm="ffd"
+        ).collect()
+    }
+    assert again == {k: tuple(d) for k, (_, _, d, _) in want.items()}
+
+
+def test_pack_sequences_ffd_bounded_open_bins(spark):
+    from photo_vector_search_spark.operators.packing import pack_sequences
+
+    # lengths engineered so unbounded FFD would hold many open bins: lots of
+    # L-1 docs (each its own bin) followed by 1-token docs that fit them
+    rows = [(i, [7] * 15) for i in range(40)] + [
+        (100 + i, [9]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, input_ids array<int>")
+    bounded = _py_pack_sequences_ffd(rows, 16, n_shards=1, max_open_bins=4)
+    got = {
+        (r["shard"], r["pack_id"]): tuple(r["doc_ids"])
+        for r in pack_sequences(
+            df, 16, n_shards=1, algorithm="ffd", max_open_bins=4
+        ).collect()
+    }
+    assert got == {k: tuple(d) for k, (_, _, d, _) in bounded.items()}
+    import pytest
+
+    with pytest.raises(ValueError, match="algorithm"):
+        pack_sequences(df, 16, algorithm="bestfit")
+    with pytest.raises(ValueError, match="max_open_bins"):
+        pack_sequences(df, 16, algorithm="ffd", max_open_bins=0)
