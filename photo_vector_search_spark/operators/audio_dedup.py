@@ -41,14 +41,17 @@ from pyspark.sql import functions as F
 _FAKE_PREFIX = b"FAKEAUDIO:"
 WINDOW = 2048  # FFT frame
 HOP = 1024  # 50% overlap
-# Sign-rule epsilon as a fraction of the track's total spectral energy: the
-# low log-bands of a band-limited signal hold only FFT leakage (~1e-5 of
-# the track energy), where the difference-of-differences sign is junk
-# entropy one float-path change away from flipping (different FFT
-# implementation, summation order, SIMD width). Anything below
-# REL_EPS·energy is a deterministic 0 bit; genuine spectral structure sits
-# orders of magnitude above it (the perceptual-property tests pin that).
-REL_EPS = 1e-6
+# Sign-rule epsilon as a fraction of the track's total spectral energy:
+# a difference-of-differences within float noise of ZERO has a sign that
+# any FFT-implementation change (summation order, SIMD width) could flip —
+# below REL_EPS·energy the bit is a deterministic 0. The margin sits ~6
+# orders above accumulated FFT noise (~1e-15 relative) yet far below even
+# leakage-band energy differences (~1e-6 relative), so genuinely computed
+# signs — including the low-band leakage structure that feeds the banding
+# entropy — keep their values deterministically. (1e-6 here zeroed the
+# leakage bands wholesale and skewed the hamming band buckets ~3x —
+# measured, reverted.)
+REL_EPS = 1e-9
 N_BANDS = 65  # 65 log-spaced energy bands -> 64-bit subfingerprint
 SAMPLES_PER_BYTE = 64  # fake synthesis: one 64-sample "note" per payload byte
 MIN_NOTES = 48  # >= WINDOW + HOP samples -> at least one subfingerprint

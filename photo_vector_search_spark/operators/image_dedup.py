@@ -131,21 +131,46 @@ def phash_images(
     return decoded.mapInPandas(run, schema=out_schema)
 
 
+def _interleaved_key_sql(
+    hash_col: str, band_sql: str, n_bands: int, width: int
+) -> str:
+    """SQL for band ``band_sql``'s key under the INTERLEAVED bit partition:
+    band k owns bit positions {k + i·n_bands : i < width}. Any fixed
+    partition of the 64 bits into n_bands disjoint sets preserves the
+    pigeonhole exactness argument (distance d corrupts ≤ d bands), so the
+    partition is free to optimize bucket balance: perceptual hashes order
+    bits by frequency band (Haitsma-Kalker) or DCT coefficient (pHash), and
+    ADJACENT bits correlate — contiguous bands concentrate the low-entropy
+    region into near-degenerate keys whose buckets go quadratic (measured
+    3.3x the candidate mass on the audio corpus). Dealing bits round-robin
+    mixes entropy into every band at identical cost and recall."""
+    terms = [
+        f"shiftleft(shiftright({hash_col}, {band_sql} + {i * n_bands}) & 1, {i})"
+        for i in range(width)
+    ]
+    return "(" + " | ".join(terms) + ")"
+
+
 def band_rows(
     hashed: DataFrame, id_col: str, hash_col: str, n_bands: int
 ) -> DataFrame:
     """(id, hash, band, bkey): the ``n_bands`` exact band keys of each
     non-NULL 64-bit hash — the ONE banding definition shared by the batch
-    join (``hamming_pairs``) and the streaming index
-    (``streaming/images``), so batch/stream parity cannot drift."""
+    join (``hamming_pairs``) and the streaming indexes
+    (``streaming/images``, ``streaming/audio``), so batch/stream parity
+    cannot drift. Bands partition the bit positions INTERLEAVED (band k =
+    bits ≡ k mod n_bands — see ``_interleaved_key_sql`` for why); streaming
+    band state persisted under a different partition must be rebuilt via
+    the batch operator (the append-only contract's standing migration
+    path)."""
     width = 64 // n_bands
-    mask = (1 << width) - 1
     return hashed.filter(F.col(hash_col).isNotNull()).select(
         id_col,
         hash_col,
         F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
     ).withColumn(
-        "bkey", F.expr(f"shiftright({hash_col}, band * {width}) & {mask}")
+        "bkey",
+        F.expr(_interleaved_key_sql(hash_col, "band", n_bands, width)),
     )
 
 
@@ -154,12 +179,13 @@ def band_pair_rows(
 ) -> DataFrame:
     """(id, hash, band, bkey) where ``band`` indexes an (i, j) band PAIR
     (i < j) and ``bkey`` packs both bands' bits into one key — the
-    multi-index refinement of ``band_rows``. Valid as an exact blocking
-    whenever distance ≤ n_bands − 2: at most that many bands are corrupted,
-    so at least two survive and their pair key matches. C(n_bands, 2) rows
-    per hash (3.5× the single-band explode at 8 bands) buy buckets that are
-    2^width times finer — the explode is map-side and linear; the join it
-    feeds is per-bucket quadratic, so finer buckets win at any real N."""
+    multi-index refinement of ``band_rows`` (same interleaved bit
+    partition). Valid as an exact blocking whenever distance ≤ n_bands − 2:
+    at most that many bands are corrupted, so at least two survive and
+    their pair key matches. C(n_bands, 2) rows per hash (3.5× the
+    single-band explode at 8 bands) buy buckets that are 2^width times
+    finer — the explode is map-side and linear; the join it feeds is
+    per-bucket quadratic, so finer buckets win at any real N."""
     width = 64 // n_bands
     mask = (1 << width) - 1
     combos = F.array(
@@ -169,6 +195,8 @@ def band_pair_rows(
             for j in range(i + 1, n_bands)
         ]
     )
+    ki = _interleaved_key_sql(hash_col, "_bp.bi", n_bands, width)
+    kj = _interleaved_key_sql(hash_col, "_bp.bj", n_bands, width)
     return (
         hashed.filter(F.col(hash_col).isNotNull())
         .select(id_col, hash_col, F.explode(combos).alias("_bp"))
@@ -176,10 +204,7 @@ def band_pair_rows(
             id_col,
             hash_col,
             (F.col("_bp.bi") * n_bands + F.col("_bp.bj")).alias("band"),
-            F.expr(
-                f"(shiftright({hash_col}, _bp.bi * {width}) & {mask}) * {mask + 1} "
-                f"+ (shiftright({hash_col}, _bp.bj * {width}) & {mask})"
-            ).alias("bkey"),
+            F.expr(f"{ki} * {mask + 1} + {kj}").alias("bkey"),
         )
     )
 
