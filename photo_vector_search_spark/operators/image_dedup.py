@@ -131,21 +131,28 @@ def phash_images(
     return decoded.mapInPandas(run, schema=out_schema)
 
 
-def _interleaved_key_sql(
-    hash_col: str, band_sql: str, n_bands: int, width: int
-) -> str:
-    """SQL for band ``band_sql``'s key under the INTERLEAVED bit partition:
-    band k owns bit positions {k + i·n_bands : i < width}. Any fixed
-    partition of the 64 bits into n_bands disjoint sets preserves the
-    pigeonhole exactness argument (distance d corrupts ≤ d bands), so the
-    partition is free to optimize bucket balance: perceptual hashes order
-    bits by frequency band (Haitsma-Kalker) or DCT coefficient (pHash), and
-    ADJACENT bits correlate — contiguous bands concentrate the low-entropy
-    region into near-degenerate keys whose buckets go quadratic (measured
-    3.3x the candidate mass on the audio corpus). Dealing bits round-robin
-    mixes entropy into every band at identical cost and recall."""
+def _permuted_hash_sql(hash_col: str, n_bands: int, width: int) -> str:
+    """SQL bit-transposing ``hash_col`` so that the INTERLEAVED band
+    partition becomes contiguous slices: permuted bit (k·width + i) = input
+    bit (k + i·n_bands), i.e. band k owns input bit positions
+    {k + i·n_bands : i < width} and reads them back as one cheap
+    shift-and-mask. Any fixed partition of the 64 bits into n_bands
+    disjoint sets preserves the pigeonhole exactness argument (distance d
+    corrupts ≤ d bands), so the partition is free to optimize bucket
+    balance: perceptual hashes order bits by frequency band
+    (Haitsma-Kalker) or DCT coefficient (pHash), and ADJACENT bits
+    correlate — contiguous bands over the RAW hash concentrate the
+    low-entropy region into near-degenerate keys whose buckets go quadratic
+    (measured 3.3x the candidate mass on the audio corpus). Dealing bits
+    round-robin mixes entropy into every band at identical cost and recall.
+    The 64-term transpose is projected ONCE per input row, BEFORE the band
+    explode — per-band keys inside the explode stay the single shift+mask
+    they were under contiguous banding (the inline interleaved form cost
+    width× per exploded row: 448 terms/row in the 28-pair explode)."""
     terms = [
-        f"shiftleft(shiftright({hash_col}, {band_sql} + {i * n_bands}) & 1, {i})"
+        f"shiftleft(shiftright({hash_col}, {k + i * n_bands}) & 1, "
+        f"{k * width + i})"
+        for k in range(n_bands)
         for i in range(width)
     ]
     return "(" + " | ".join(terms) + ")"
@@ -159,18 +166,37 @@ def band_rows(
     join (``hamming_pairs``) and the streaming indexes
     (``streaming/images``, ``streaming/audio``), so batch/stream parity
     cannot drift. Bands partition the bit positions INTERLEAVED (band k =
-    bits ≡ k mod n_bands — see ``_interleaved_key_sql`` for why); streaming
+    bits ≡ k mod n_bands — see ``_permuted_hash_sql`` for why); streaming
     band state persisted under a different partition must be rebuilt via
     the batch operator (the append-only contract's standing migration
     path)."""
     width = 64 // n_bands
-    return hashed.filter(F.col(hash_col).isNotNull()).select(
-        id_col,
-        hash_col,
-        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
-    ).withColumn(
-        "bkey",
-        F.expr(_interleaved_key_sql(hash_col, "band", n_bands, width)),
+    mask = (1 << width) - 1
+    return (
+        hashed.filter(F.col(hash_col).isNotNull())
+        .select(
+            id_col,
+            hash_col,
+            F.expr(_permuted_hash_sql(hash_col, n_bands, width)).alias(
+                "_hperm"
+            ),
+        )
+        .select(
+            id_col,
+            hash_col,
+            "_hperm",
+            F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias(
+                "band"
+            ),
+        )
+        .select(
+            id_col,
+            hash_col,
+            "band",
+            F.expr(f"shiftright(_hperm, band * {width}) & {mask}").alias(
+                "bkey"
+            ),
+        )
     )
 
 
@@ -195,11 +221,18 @@ def band_pair_rows(
             for j in range(i + 1, n_bands)
         ]
     )
-    ki = _interleaved_key_sql(hash_col, "_bp.bi", n_bands, width)
-    kj = _interleaved_key_sql(hash_col, "_bp.bj", n_bands, width)
+    ki = f"(shiftright(_hperm, _bp.bi * {width}) & {mask})"
+    kj = f"(shiftright(_hperm, _bp.bj * {width}) & {mask})"
     return (
         hashed.filter(F.col(hash_col).isNotNull())
-        .select(id_col, hash_col, F.explode(combos).alias("_bp"))
+        .select(
+            id_col,
+            hash_col,
+            F.expr(_permuted_hash_sql(hash_col, n_bands, width)).alias(
+                "_hperm"
+            ),
+        )
+        .select(id_col, hash_col, "_hperm", F.explode(combos).alias("_bp"))
         .select(
             id_col,
             hash_col,

@@ -213,3 +213,41 @@ def test_band_pair_blocking_parity(spark):
 
 def _signed(h: int) -> int:
     return h - (1 << 64) if h >= 1 << 63 else h
+
+
+def test_interleaved_band_keys_match_python_model(spark):
+    """The staged bit-transpose (``_permuted_hash_sql`` projected once
+    before the explode) yields EXACTLY the interleaved partition's keys:
+    band k's key bit i = hash bit (k + i*n_bands), for single bands and for
+    (i, j) pair keys, across random and sign-edge hashes. Pins the key
+    LAYOUT itself — the recall/parity tests above would pass under any
+    disjoint partition, but streaming band state persists keys, so a silent
+    layout change would orphan every persisted bucket."""
+    import random
+
+    from photo_vector_search_spark.operators.image_dedup import (
+        band_pair_rows,
+        band_rows,
+    )
+
+    n_bands, width = 8, 8
+    rng = random.Random(23)
+    hashes = [_signed(rng.getrandbits(64)) for _ in range(64)]
+    hashes += [0, -1, 1, _signed(1 << 63), (1 << 62) - 1]
+    df = spark.createDataFrame(
+        [(str(i), h) for i, h in enumerate(hashes)], "path string, phash long"
+    )
+
+    def model_key(h: int, band: int) -> int:
+        u = h & ((1 << 64) - 1)
+        return sum(
+            ((u >> (band + i * n_bands)) & 1) << i for i in range(width)
+        )
+
+    for r in band_rows(df, "path", "phash", n_bands).collect():
+        assert r.bkey == model_key(r.phash, r.band)
+    for r in band_pair_rows(df, "path", "phash", n_bands).collect():
+        bi, bj = divmod(r.band, n_bands)
+        assert r.bkey == model_key(r.phash, bi) * (1 << width) + model_key(
+            r.phash, bj
+        )
