@@ -70,6 +70,9 @@ def curate_corpus(
     dsir_temperature: float = 1.0,
     dsir_seed: int = 0,
     dsir_buckets: int = 4096,
+    decon_benchmark: DataFrame | None = None,
+    decon_ngram: int = 13,
+    decon_min_fragment: int = 20,
 ) -> tuple[DataFrame, dict[str, int]]:
     """Run the full curation pipeline over ``docs`` (doc_id, text, ...).
 
@@ -177,6 +180,17 @@ def curate_corpus(
     ``reconstruct_spans(inputs, targets) == input_ids``, pinned in tests);
     requires ``pack_context_len``. When packing is on, JSONL export shards
     by ``seq_id``. ``stats["packed_windows"]`` records the window count.
+
+    ``decon_benchmark`` (opt-in, r8) runs SPAN-LEVEL benchmark
+    decontamination (``operators/decontamination.decontaminate_rewrite`` —
+    the GPT-3 appendix-C policy: remove every contaminated
+    ``decon_ngram``-token window, keep the clean fragments, drop fragment
+    shrapnel under ``decon_min_fragment`` tokens) right BEFORE exact dedup:
+    it rewrites text, so it must precede fingerprinting, and it benefits
+    from every volume cut upstream. Docs whose every fragment is shrapnel
+    are dropped; untouched docs keep their text verbatim (the substring
+    stage's contract). ``stats["decon_rewritten"]`` counts rewritten
+    survivors, ``stats["after_decontaminate"]`` the survivor set.
 
     ``compute_stats=True`` runs one count action per stage, which re-executes
     the (map-heavy, cheap) upstream stages each time — the expensive LSH stage
@@ -290,6 +304,24 @@ def curate_corpus(
             seed=dsir_seed,
         ).drop("dsir_score", "n_feats")
         _stat("after_dsir", gated)
+
+    if decon_benchmark is not None:
+        from photo_vector_search_spark.operators.decontamination import (
+            decontaminate_rewrite,
+        )
+
+        gated = decontaminate_rewrite(
+            gated,
+            decon_benchmark,
+            n=decon_ngram,
+            min_fragment_tokens=decon_min_fragment,
+        )
+        if compute_stats:
+            stats["decon_rewritten"] = gated.filter(
+                F.col("n_removed_tokens") > 0
+            ).count()
+        gated = gated.drop("n_removed_tokens")
+        _stat("after_decontaminate", gated)
 
     fp = exact_dedup(gated)
     exact_survivors = fp.filter(F.col("doc_id") == F.col("canonical_id")).select(

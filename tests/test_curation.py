@@ -526,3 +526,35 @@ def test_curate_corpus_denoising_terminal_stage(spark, sf_dir):
             curate_corpus(docs, bpe_model=model, corrupt_rate=0.15)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_curate_corpus_decontamination_stage(spark, sf_dir):
+    """decon_benchmark=... inserts span decontamination before exact dedup:
+    docs wholly contained in the benchmark vanish (full n-gram coverage
+    leaves no fragments), untouched docs keep their text verbatim, and the
+    stage stats are recorded."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base, s_base = curate_corpus(docs)
+    base_rows = {
+        r["doc_id"]: r["text"] for r in base.select("doc_id", "text").collect()
+    }
+    # benchmark = three full documents that survive the base pipeline
+    bench_ids = sorted(base_rows)[:3]
+    bench = spark.createDataFrame(
+        [(i, base_rows[i]) for i in bench_ids], "doc_id long, text string"
+    )
+
+    cur, s = curate_corpus(docs, decon_benchmark=bench)
+    got = {r["doc_id"]: r["text"] for r in cur.select("doc_id", "text").collect()}
+
+    assert "decon_rewritten" in s and "after_decontaminate" in s
+    assert s["after_decontaminate"] <= s_base["after_quality_gate"]
+    # the benchmark members are fully covered by their own 13-grams -> gone
+    assert not (set(bench_ids) & set(got))
+    # survivors are a subset of the base survivor set, texts verbatim or
+    # rewritten-shorter (token count can only shrink)
+    assert set(got) <= set(base_rows)
+    assert any(got[d] == base_rows[d] for d in got)
+    assert all(
+        len(got[d].split()) <= len(base_rows[d].split()) for d in got
+    )
