@@ -391,6 +391,93 @@ def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN-level benchmark decontamination (r8 — the GPT-3 appendix-C
+    policy, the surgical sibling of ``q_decontaminate``'s doc-level drop):
+    remove every 5-gram window of a training doc that appears in the
+    benchmark slice (docs 0-19 stand in), keep clean fragments of ≥ 5
+    tokens as separate rows. Exercises all three output paths on the
+    synthetic corpus: untouched docs (verbatim text), split docs (multiple
+    fragments), and fully-contaminated docs (dropped).
+
+    Scale shape (`operators/decontamination`): broadcast benchmark gram
+    dictionary, map-only hit detection over the corpus gram explode, sparse
+    (doc_id, pos) hit shuffle, closed-form clean-fragment complement —
+    equal-length windows make interval merging unnecessary."""
+    from photo_vector_search_spark.operators.decontamination import (
+        decontaminate_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 20)
+    train = docs.filter(F.col("doc_id") >= 20)
+    return decontaminate_spans(train, bench, n=5, min_fragment_tokens=5)
+
+
+_ORACLE_DECONTAMINATE_SPANS = r"""
+WITH btoks AS (
+  SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS t
+  FROM documents WHERE doc_id < 20
+),
+bgrams AS (
+  SELECT DISTINCT unnest(list_transform(
+           generate_series(1, greatest(0, len(t) - 4)),
+           i -> array_to_string(list_slice(t, i, i + 4), ' '))) AS gram
+  FROM btoks
+),
+dtoks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks, text
+  FROM documents WHERE doc_id >= 20
+),
+dgrams AS (
+  SELECT doc_id, u.pos AS pos, u.gram AS gram FROM (
+    SELECT doc_id, unnest(list_transform(
+             generate_series(1, greatest(0, len(toks) - 4)),
+             i -> struct_pack(pos := i - 1,
+                    gram := array_to_string(
+                      list_transform(list_slice(toks, i, i + 4),
+                                     x -> lower(x)), ' ')))) AS u
+    FROM dtoks)
+),
+hits AS (
+  SELECT doc_id, list_sort(list(pos)) AS starts
+  FROM dgrams JOIN bgrams USING (gram) GROUP BY doc_id
+),
+marked AS (
+  SELECT d.doc_id, d.toks, d.text, h.starts FROM dtoks d
+  LEFT JOIN hits h USING (doc_id)
+),
+gaps AS (
+  SELECT doc_id, toks,
+         list_filter(
+           list_transform(
+             generate_series(0, len(starts)),
+             i -> struct_pack(
+               lo := CASE WHEN i = 0 THEN 0 ELSE starts[i] + 5 END,
+               hi := CASE WHEN i = len(starts) THEN len(toks)
+                          ELSE starts[i + 1] END)),
+           g -> g.hi - g.lo >= 5) AS frags
+  FROM marked WHERE starts IS NOT NULL
+),
+split_rows AS (
+  SELECT doc_id, u.frag_idx AS frag_idx, u.n_tokens AS n_tokens,
+         u.text AS text FROM (
+    SELECT doc_id, unnest(list_transform(
+             generate_series(1, len(frags)),
+             i -> struct_pack(frag_idx := i - 1,
+                    n_tokens := frags[i].hi - frags[i].lo,
+                    text := array_to_string(
+                      list_slice(toks, frags[i].lo + 1, frags[i].hi),
+                      ' ')))) AS u
+    FROM gaps)
+)
+SELECT doc_id, 0 AS frag_idx, len(toks) AS n_tokens, text
+FROM marked WHERE starts IS NULL
+UNION ALL
+SELECT doc_id, frag_idx, n_tokens, text FROM split_rows
+"""
+
+
 _ORACLE_DOC_NOVELTY = f"""
 WITH toks AS ({_SQL_TOKS}),
 bg0 AS (
@@ -815,7 +902,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "vocab_top_tokens": q_vocab_top_tokens,
     "doc_repetition": q_doc_repetition,
-    "doc_novelty": q_doc_novelty,
+    "decontaminate_spans": q_decontaminate_spans,
     "chunk_documents": q_chunk_documents,
 }
 
@@ -828,7 +915,7 @@ ORACLES = {
     "decontaminate": _ORACLE_DECONTAMINATE,
     "vocab_top_tokens": _ORACLE_VOCAB_TOP,
     "doc_repetition": _ORACLE_DOC_REPETITION,
-    "doc_novelty": _ORACLE_DOC_NOVELTY,
+    "decontaminate_spans": _ORACLE_DECONTAMINATE_SPANS,
     "dedup_exact": _ORACLE_DEDUP_EXACT,
     "dedup_jaccard": _ORACLE_DEDUP_JACCARD,
     "dedup_minhash_lsh": _minhash_oracle(),
@@ -843,10 +930,15 @@ ORACLES = {
 # these pairs through the same DuckDB compare the driver uses.
 RETIRED_QUERIES = {
     "fuzzy_levenshtein": q_fuzzy_levenshtein,
+    # r8 rotation: doc_novelty's slot went to decontaminate_spans — the
+    # contamination family's surgical rung supersedes its inverse-metric
+    # sibling in the checked window; novelty stays verified here
+    "doc_novelty": q_doc_novelty,
 }
 
 RETIRED_ORACLES = {
     "fuzzy_levenshtein": _ORACLE_FUZZY_LEV,
+    "doc_novelty": _ORACLE_DOC_NOVELTY,
 }
 
 
