@@ -91,6 +91,7 @@ GROUPS: dict[str, list[str]] = {
     "r7_mine": ["hard_negatives", "decontaminate_bloom"],
     "r7b_new": ["ppl_filter", "domain_cap"],
     "r8_new": ["pack_sequences", "image_near_dup"],
+    "r8b_new": ["decontaminate_spans", "unigram_train", "encode_unigram"],
 }
 
 
@@ -310,6 +311,32 @@ def _build_cases(spark, sf_dir: str) -> dict:
                 )
             )
         ),
+        # r8: the declared span-level decontamination (broadcast benchmark
+        # gram dictionary + map-only hit detection + closed-form fragment
+        # complement) and the unigram tokenizer family — train records the
+        # one-corpus-job + driver-EM wall on the real word dict; encode is
+        # the map-only Viterbi Arrow pass with a session-memoized model (the
+        # serving shape, mirroring quality_score)
+        "decontaminate_spans": lambda: _force(
+            text_queries.q_decontaminate_spans(spark, sf_dir)
+        ),
+        "unigram_train": lambda: __import__(
+            "photo_vector_search_spark.operators.unigram",
+            fromlist=["train_unigram_model"],
+        ).train_unigram_model(
+            load_table(spark, sf_dir, "documents"),
+            vocab_size=2000,
+            min_count=2,
+        ),
+        "encode_unigram": lambda: _force(
+            __import__(
+                "photo_vector_search_spark.operators.unigram",
+                fromlist=["encode_unigram"],
+            ).encode_unigram(
+                load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+                *_unigram_model(spark, sf_dir),
+            )
+        ),
         # r7: map-only learned-quality scoring. The model is trained lazily
         # ONCE per session (memoized below); min-of-2 therefore records the
         # warm scoring wall — the serving shape, where the model is a given —
@@ -328,6 +355,23 @@ def _build_cases(spark, sf_dir: str) -> dict:
 
 _QUALITY_MODEL_MEMO: dict = {}
 _STAGED_IDS_MEMO: dict = {}
+_UNIGRAM_MODEL_MEMO: dict = {}
+
+
+def _unigram_model(spark, sf_dir: str):
+    """Session-memoized unigram model — encode_unigram records the serving
+    shape (model a given); run 1 absorbs the one-off training."""
+    key = (id(spark), sf_dir)  # session-keyed, see _staged_ids
+    if key not in _UNIGRAM_MODEL_MEMO:
+        from photo_vector_search_spark.operators.unigram import (
+            train_unigram_model,
+        )
+        from photo_vector_search_spark.sources.tables import load_table
+
+        _UNIGRAM_MODEL_MEMO[key] = train_unigram_model(
+            load_table(spark, sf_dir, "documents"), vocab_size=2000, min_count=2
+        )
+    return _UNIGRAM_MODEL_MEMO[key]
 
 
 def _staged_ids(spark, sf_dir: str):

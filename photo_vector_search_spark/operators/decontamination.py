@@ -110,7 +110,7 @@ def decontaminate_spans(
     m = F.size("_starts")
     length = F.size("_toks")
     # gap i (0-based, i = 0..m): [prev window end, next hit start)
-    frags = F.filter(
+    gap_frags = F.filter(
         F.transform(
             F.sequence(F.lit(0), m),
             lambda i: F.struct(
@@ -127,27 +127,37 @@ def decontaminate_spans(
         # only artifact
         lambda g: (g.hi - g.lo) >= F.lit(max(min_fragment_tokens, 1)),
     )
-
-    split_docs = (
-        marked.filter(F.col("_starts").isNotNull())
-        .select(id_col, "_toks", F.posexplode(frags).alias("frag_idx", "_g"))
-        .select(
-            id_col,
-            "frag_idx",
-            (F.col("_g.hi") - F.col("_g.lo")).alias("n_tokens"),
-            F.array_join(
-                F.slice("_toks", F.col("_g.lo") + 1, F.col("_g.hi") - F.col("_g.lo")),
-                " ",
-            ).alias("text"),
-        )
-    )
-    clean_docs = marked.filter(F.col("_starts").isNull()).select(
+    # ONE branch for clean and split docs — a union of filtered branches
+    # would re-execute the whole hits subtree (the corpus-sized gram
+    # explode) once per branch, the exact double-execution the plan audit
+    # exists to catch. Clean docs are the degenerate single-fragment case
+    # (no floor: untouched docs pass verbatim regardless of length).
+    untouched = F.col("_starts").isNull()
+    frags = F.when(
+        untouched,
+        F.array(F.struct(F.lit(0).alias("lo"), length.alias("hi"))),
+    ).otherwise(gap_frags)
+    return marked.select(
         id_col,
-        F.lit(0).alias("frag_idx"),
-        F.size("_toks").alias("n_tokens"),
-        F.col(text_col).alias("text"),
+        text_col,
+        "_toks",
+        untouched.alias("_untouched"),
+        F.posexplode(frags).alias("frag_idx", "_g"),
+    ).select(
+        id_col,
+        "frag_idx",
+        (F.col("_g.hi") - F.col("_g.lo")).alias("n_tokens"),
+        F.when(F.col("_untouched"), F.col(text_col))
+        .otherwise(
+            F.array_join(
+                F.slice(
+                    "_toks", F.col("_g.lo") + 1, F.col("_g.hi") - F.col("_g.lo")
+                ),
+                " ",
+            )
+        )
+        .alias("text"),
     )
-    return clean_docs.unionByName(split_docs)
 
 
 def decontaminate_rewrite(

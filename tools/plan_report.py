@@ -56,6 +56,7 @@ AUDIT = [
     # r8 declared additions
     "hard_negatives",
     "pack_sequences",
+    "decontaminate_spans",
 ]
 
 
@@ -231,6 +232,18 @@ def _extra_image_near_dup(spark, sf_dir):
     return hamming_pairs(emb, max_hamming=6, id_col="vec_id")
 
 
+def _extra_encode_unigram(spark, sf_dir):
+    from photo_vector_search_spark.operators.unigram import (
+        encode_unigram,
+        train_unigram_model,
+    )
+    from photo_vector_search_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    logp, vocab = train_unigram_model(docs, vocab_size=500, min_count=2)
+    return encode_unigram(docs, logp, vocab)
+
+
 def _extra_predict_lang(spark, sf_dir):
     from photo_vector_search_spark.pipelines.langid import (
         predict_lang,
@@ -311,6 +324,7 @@ EXTRA_OPS = {
     "audio_near_dup": _extra_audio_near_dup,
     "video_near_dup": _extra_video_near_dup,
     "corrupt_spans": _extra_corrupt_spans,
+    "encode_unigram": _extra_encode_unigram,
 }
 
 # Plan-reader context the tree alone can't show.
@@ -364,6 +378,22 @@ NOTES = {
         "(explicit count, exempt from AQE's input-byte coalescing, which "
         "would funnel the output-exploding join through one task) → map-side "
         "bit_count verify BEFORE the distinct exchange. Never all-pairs."
+    ),
+    "decontaminate_spans": (
+        "NOTE: declared r8 (span-level benchmark decontamination). The "
+        "benchmark gram dictionary is an explicit broadcast (eval sets are "
+        "tiny), so hit detection is map-only over the corpus gram explode; "
+        "the only hit-sized Exchange is the per-doc position collect_list, "
+        "and the fragment rebuild join is AQE-sized (broadcast in the "
+        "common sparse-hits case). Clean-fragment complement is closed-form "
+        "array math — no interval-merge fold, no window."
+    ),
+    "encode_unigram": (
+        "NOTE: library operator (r8 unigram-LM tokenizer, serving path). "
+        "Map-only by construction — one MapInPandas over the scan with the "
+        "(piece → logprob, id) tables broadcast and a per-task word cache; "
+        "training is driver-side over the one-job word dict, so no training "
+        "plan exists to audit."
     ),
     "predict_lang": (
         "NOTE: library operator (r7b learned lang-ID, scoring path). Map-only "
