@@ -262,6 +262,146 @@ def viterbi_segment(
     return pieces[::-1]
 
 
+def sample_segment(
+    word: str,
+    logp: dict[str, float],
+    rng,
+    alpha: float = 0.5,
+    max_piece_len: int = 8,
+) -> list[str] | None:
+    """One segmentation SAMPLED from the lattice posterior with temperature
+    ``alpha`` — P(seg) ∝ (Π p(piece))^alpha — by forward-filtering
+    backward-sampling (exact: forward alphas under the alpha-scaled model,
+    then each boundary drawn from its true conditional). alpha → ∞ recovers
+    Viterbi; alpha = 0 is uniform over segmentations. None when the word is
+    uncoverable (same contract as ``viterbi_segment``)."""
+    L = len(word)
+    alphas = [-math.inf] * (L + 1)
+    alphas[0] = 0.0
+    for i in range(1, L + 1):
+        terms = []
+        for j in range(max(0, i - max_piece_len), i):
+            lp = logp.get(word[j:i])
+            if lp is not None and alphas[j] != -math.inf:
+                terms.append(alphas[j] + alpha * lp)
+        if terms:
+            alphas[i] = _logsumexp(terms)
+    if alphas[L] == -math.inf:
+        return None
+    pieces: list[str] = []
+    i = L
+    while i > 0:
+        opts, weights = [], []
+        for j in range(max(0, i - max_piece_len), i):
+            lp = logp.get(word[j:i])
+            if lp is not None and alphas[j] != -math.inf:
+                opts.append(j)
+                weights.append(math.exp(alphas[j] + alpha * lp - alphas[i]))
+        # weights sum to 1 by construction of alphas[i]; guard float dust
+        r = rng.random() * sum(weights)
+        acc = 0.0
+        pick = opts[-1]
+        for j, w in zip(opts, weights):
+            acc += w
+            if r <= acc:
+                pick = j
+                break
+        pieces.append(word[pick:i])
+        i = pick
+    return pieces[::-1]
+
+
+def encode_unigram_sampled(
+    docs: DataFrame,
+    logp: dict[str, float],
+    vocab: dict[str, int],
+    alpha: float = 0.5,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "input_ids",
+    max_piece_len: int = 8,
+) -> DataFrame:
+    """Subword regularization (Kudo 2018 §3): tokenize with a SAMPLED
+    segmentation per word occurrence instead of Viterbi — the stochastic
+    tokenization that regularizes subword models in training. Each word
+    occurrence draws independently from the exact lattice posterior at
+    temperature ``alpha`` (``sample_segment``).
+
+    Distributed determinism: the corruption-operator convention — every
+    row's draws depend ONLY on (seed, row id), via a per-row md5-seeded
+    PRNG, so output is partitioning-invariant (Spark's seeded rand streams
+    are not). Same OOV/NULL contracts and map-only Arrow shape as
+    ``encode_unigram``; no per-task cache (samples must stay independent
+    per occurrence)."""
+    import hashlib
+    import random as _random
+
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    spark = docs.sparkSession
+    logp_bc = spark.sparkContext.broadcast(dict(logp))
+    vocab_bc = spark.sparkContext.broadcast(dict(vocab))
+    oov = len(vocab)
+    out_schema = StructType(
+        [f for f in docs.schema.fields if f.name != out_col]
+        + [StructField(out_col, ArrayType(IntegerType()), True)]
+    )
+    in_cols = [f.name for f in docs.schema.fields if f.name != out_col]
+
+    def run(batches):
+        lp, voc = logp_bc.value, vocab_bc.value
+
+        def enc(text, rid):
+            if text is None:
+                return None
+            rng = _random.Random(
+                int.from_bytes(
+                    hashlib.md5(f"{seed}|{rid}".encode()).digest()[:8],
+                    "big",
+                )
+            )
+            out: list[int] = []
+            for w in text.strip().lower().split():
+                marked = WORD_MARK + w
+                seg = sample_segment(marked, lp, rng, alpha, max_piece_len)
+                if seg is None:
+                    # uncovered chars -> OOV id; covered runs sampled
+                    run_start = 0
+                    for k, ch in enumerate(marked):
+                        if ch not in lp:
+                            if k > run_start:
+                                sub = sample_segment(
+                                    marked[run_start:k], lp, rng, alpha,
+                                    max_piece_len,
+                                )
+                                out.extend(voc.get(s, oov) for s in sub)
+                            out.append(oov)
+                            run_start = k + 1
+                    if run_start < len(marked):
+                        sub = sample_segment(
+                            marked[run_start:], lp, rng, alpha, max_piece_len
+                        )
+                        out.extend(voc.get(s, oov) for s in sub)
+                else:
+                    out.extend(voc.get(s, oov) for s in seg)
+            return out
+
+        for pdf in batches:
+            pdf = pdf[in_cols].copy()
+            pdf[out_col] = [
+                enc(t, r) for t, r in zip(pdf[text_col], pdf[id_col])
+            ]
+            yield pdf
+
+    return docs.mapInPandas(run, schema=out_schema)
+
+
 def encode_unigram(
     docs: DataFrame,
     logp: dict[str, float],

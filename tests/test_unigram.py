@@ -200,3 +200,100 @@ def test_curation_unigram_terminal_stage(spark):
 
     with pytest.raises(ValueError, match="mutually"):
         curate_corpus(docs, bpe_model=([], {}), unigram_model=(logp, vocab))
+
+
+# --- subword regularization (sampled segmentations) -----------------------
+def _toy_logp():
+    import math as m
+
+    raw = {WORD_MARK: 1.0, "a": 1.0, "b": 0.8, "ab": 1.5, "ba": 0.6,
+           WORD_MARK + "a": 1.2, "aba": 0.9}
+    z = sum(raw.values())
+    return {p: m.log(v / z) for p, v in raw.items()}
+
+
+def _all_segmentations(word, logp):
+    L = len(word)
+    out = []
+    for mask in range(1 << max(L - 1, 0)):
+        cuts = [0] + [i + 1 for i in range(L - 1) if mask >> i & 1] + [L]
+        pieces = [word[a:b] for a, b in zip(cuts, cuts[1:])]
+        if all(p in logp for p in pieces):
+            out.append(tuple(pieces))
+    return out
+
+
+def test_sampler_matches_lattice_posterior():
+    """Empirical segmentation frequencies over many draws match the analytic
+    alpha-tempered posterior — the FFBS sampler is exact, not approximate."""
+    import math as m
+    import random as r
+
+    from photo_vector_search_spark.operators.unigram import sample_segment
+
+    logp = _toy_logp()
+    word = WORD_MARK + "aba"
+    alpha = 0.7
+    segs = _all_segmentations(word, logp)
+    w = {s: m.exp(alpha * sum(logp[p] for p in s)) for s in segs}
+    z = sum(w.values())
+    want = {s: v / z for s, v in w.items()}
+
+    rng = r.Random(123)
+    n = 20_000
+    counts: dict = {}
+    for _ in range(n):
+        s = tuple(sample_segment(word, logp, rng, alpha=alpha))
+        counts[s] = counts.get(s, 0) + 1
+    assert set(counts) <= set(want)
+    for s, p in want.items():
+        got = counts.get(s, 0) / n
+        assert abs(got - p) < 0.02, (s, got, p)
+
+
+def test_high_alpha_recovers_viterbi():
+    import random as r
+
+    from photo_vector_search_spark.operators.unigram import (
+        sample_segment,
+        viterbi_segment,
+    )
+
+    logp = _toy_logp()
+    rng = r.Random(7)
+    for word in (WORD_MARK + "aba", WORD_MARK + "abab", WORD_MARK + "ba"):
+        vit = viterbi_segment(word, logp, 8)
+        for _ in range(25):
+            assert sample_segment(word, logp, rng, alpha=60.0) == vit
+
+
+def test_sampled_encode_deterministic_invariant_and_round_trips(spark):
+    from photo_vector_search_spark.operators.unigram import (
+        encode_unigram_sampled,
+    )
+
+    docs = _docs(spark)
+    logp, vocab = train_unigram_model(
+        docs, vocab_size=80, min_count=1, max_piece_len=6
+    )
+    e1 = {
+        r["doc_id"]: list(r["input_ids"])
+        for r in encode_unigram_sampled(docs, logp, vocab, seed=3).collect()
+    }
+    e2 = {
+        r["doc_id"]: list(r["input_ids"])
+        for r in encode_unigram_sampled(
+            docs.repartition(7), logp, vocab, seed=3
+        ).collect()
+    }
+    assert e1 == e2  # partitioning-invariant given the seed
+    e3 = {
+        r["doc_id"]: list(r["input_ids"])
+        for r in encode_unigram_sampled(docs, logp, vocab, seed=4).collect()
+    }
+    assert e3 != e1  # a different seed actually re-samples
+    # every sampled tokenization still decodes to the canonical text
+    enc = encode_unigram_sampled(docs, logp, vocab, seed=3)
+    dec = {r["doc_id"]: r["text_decoded"] for r in decode_unigram(enc, vocab).collect()}
+    for i, t in enumerate(CORPUS):
+        assert dec[i] == " ".join(t.lower().split())
