@@ -91,7 +91,12 @@ GROUPS: dict[str, list[str]] = {
     "r7_mine": ["hard_negatives", "decontaminate_bloom"],
     "r7b_new": ["ppl_filter", "domain_cap"],
     "r8_new": ["pack_sequences", "image_near_dup"],
-    "r8b_new": ["decontaminate_spans", "unigram_train", "encode_unigram"],
+    "r8b_new": [
+        "decontaminate_spans",
+        "unigram_train",
+        "encode_unigram",
+        "pq_topk_rerank",
+    ],
 }
 
 
@@ -337,6 +342,22 @@ def _build_cases(spark, sf_dir: str) -> dict:
                 *_unigram_model(spark, sf_dir),
             )
         ),
+        # r8: the PQ serving path — ADC LUT scoring over session-memoized
+        # codes (encode cost is the one-off first run) + exact rerank of the
+        # top-50: the IVF-ADC+R shape, map-only into TakeOrderedAndProject
+        "pq_topk_rerank": lambda: _force(
+            __import__(
+                "photo_vector_search_spark.operators.pq",
+                fromlist=["pq_topk"],
+            ).pq_topk(
+                _pq_coded(spark, sf_dir)[0],
+                _pq_coded(spark, sf_dir)[1],
+                fetch_query_vector(spark, sf_dir, 0),
+                k=5,
+                rerank=50,
+                embeddings=load_table(spark, sf_dir, "embeddings"),
+            )
+        ),
         # r7: map-only learned-quality scoring. The model is trained lazily
         # ONCE per session (memoized below); min-of-2 therefore records the
         # warm scoring wall — the serving shape, where the model is a given —
@@ -356,6 +377,25 @@ def _build_cases(spark, sf_dir: str) -> dict:
 _QUALITY_MODEL_MEMO: dict = {}
 _STAGED_IDS_MEMO: dict = {}
 _UNIGRAM_MODEL_MEMO: dict = {}
+_PQ_MEMO: dict = {}
+
+
+def _pq_coded(spark, sf_dir: str):
+    """Session-memoized (coded frame, codebooks) — pq_topk_rerank records
+    the serving wall over at-rest codes, the operator's design point."""
+    key = (id(spark), sf_dir)  # session-keyed, see _staged_ids
+    if key not in _PQ_MEMO:
+        from photo_vector_search_spark.operators.pq import encode_pq, train_pq
+        from photo_vector_search_spark.operators.staging import stage_frame
+        from photo_vector_search_spark.sources.tables import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        books = train_pq(emb, m=8, k=256, sample=4096)
+        coded = stage_frame(
+            encode_pq(emb, books).select("vec_id", "pq_code"), "pvs_bench_pq"
+        )
+        _PQ_MEMO[key] = (coded, books)
+    return _PQ_MEMO[key]
 
 
 def _unigram_model(spark, sf_dir: str):

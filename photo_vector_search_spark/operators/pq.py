@@ -1,0 +1,280 @@
+"""Product quantization (Jégou, Douze, Schmid 2011) — the memory rung of
+the similarity-search ladder.
+
+The IVF family (`operators/ann`) prunes WHICH vectors a query scans; PQ
+compresses WHAT is scanned: each vector splits into ``m`` subvectors, each
+quantized to its nearest per-subspace centroid, so a d-dim float vector
+(4d bytes) becomes ``m`` one-byte codes — 32× smaller at d=64, m=8. Queries
+score candidates with ASYMMETRIC DISTANCE COMPUTATION (ADC): one m×k
+lookup table of exact query-to-centroid sub-distances per query, then each
+candidate's approximate distance is m table lookups — no float vector is
+ever read. The standard serving pipeline reranks the ADC top-R with exact
+distances (IVF-ADC+R in the paper), restoring near-exact recall at R ≪ N.
+
+Reference parity note: the reference delegates ANN to ChromaDB's HNSW
+(vector_store.py:16-36, an in-process library); PQ is the SURVEY §2.10
+"ANN at scale" family's compression rung, where HNSW's pointer-chasing
+graph doesn't distribute but partition-pruned scans do.
+
+Scale design (100 TB):
+- Training mirrors ``ann.train_centroids``: a bounded SAMPLE collects to
+  the driver (k-means needs ~k·100 rows per subspace, independent of corpus
+  size) and Lloyd runs per-subspace in NumPy — deterministic seed, no
+  corpus-sized driver state.
+- Encoding is a map-only Arrow pass against the broadcast codebooks
+  (vectorized argmin per subspace); codes live next to the row as
+  ``array<smallint>`` — at rest a 100 TB float corpus becomes ~3 TB of
+  codes, the difference between spilling and RAM-resident scans.
+- ADC scoring is map-only (broadcast LUT, per-batch NumPy gather-sum) into
+  a TakeOrderedAndProject top-k — no shuffle, no N×N anything. Rerank
+  joins the R winners back to the float table by id: R-row broadcast
+  semi-join against the partition-pruned store.
+- Cosine space: inputs are L2-normalized before training/encoding, so
+  squared-L2 ADC ordering equals cosine ordering (‖a−b‖² = 2−2·cos on the
+  unit sphere) — the same convention the IVF family pins.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _normalize(x: np.ndarray) -> np.ndarray:
+    return x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-300)
+
+
+def train_pq(
+    embeddings: DataFrame,
+    m: int = 8,
+    k: int = 256,
+    sample: int = 4096,
+    iters: int = 10,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Per-subspace Lloyd k-means on a bounded driver sample → codebooks of
+    shape ``(m, k_eff, d/m)`` (k_eff ≤ k when the sample is small).
+    Deterministic: seeded init, argmin ties break to the lowest centroid id
+    (NumPy argmin), empty clusters keep their previous centroid."""
+    rows = embeddings.select(vec_col).limit(sample).collect()
+    if not rows:
+        raise ValueError("train_pq: empty embeddings")
+    x = _normalize(
+        np.vstack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    )
+    d = x.shape[1]
+    if d % m != 0:
+        raise ValueError(f"train_pq: dim {d} not divisible by m={m}")
+    sub = d // m
+    k_eff = min(k, len(x))
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, k_eff, sub), dtype=np.float64)
+    for j in range(m):
+        xj = x[:, j * sub : (j + 1) * sub]
+        cent = xj[rng.choice(len(xj), size=k_eff, replace=False)].copy()
+        for _ in range(iters):
+            d2 = (
+                (xj**2).sum(1)[:, None]
+                + (cent**2).sum(1)[None, :]
+                - 2.0 * xj @ cent.T
+            )
+            assign = np.argmin(d2, axis=1)
+            for c in range(k_eff):
+                members = xj[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[j] = cent
+    return books
+
+
+def _encode_rows(x: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, d) float rows → (n, m) int16 codes; vectorized per subspace."""
+    m, _, sub = books.shape
+    codes = np.empty((len(x), m), dtype=np.int16)
+    for j in range(m):
+        xj = x[:, j * sub : (j + 1) * sub]
+        cent = books[j]
+        d2 = (
+            (xj**2).sum(1)[:, None]
+            + (cent**2).sum(1)[None, :]
+            - 2.0 * xj @ cent.T
+        )
+        codes[:, j] = np.argmin(d2, axis=1).astype(np.int16)
+    return codes
+
+
+def encode_pq(
+    embeddings: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Add ``out_col`` = the vector's m one-byte codes (``array<smallint>``
+    — 256 ≤ k ≤ 32767 supported; parquet stores them in one byte each after
+    dictionary/bit-packing). Map-only Arrow pass, broadcast codebooks;
+    NULL vectors → NULL codes."""
+    from pyspark.sql.types import ArrayType, ShortType, StructField, StructType
+
+    spark = embeddings.sparkSession
+    bc = spark.sparkContext.broadcast(codebooks)
+    out_schema = StructType(
+        [f for f in embeddings.schema.fields if f.name != out_col]
+        + [StructField(out_col, ArrayType(ShortType()), True)]
+    )
+    in_cols = [f.name for f in embeddings.schema.fields if f.name != out_col]
+
+    def run(batches):
+        books = bc.value
+        for pdf in batches:
+            pdf = pdf[in_cols].copy()
+            mask = pdf[vec_col].notna()
+            codes = [None] * len(pdf)
+            if mask.any():
+                x = _normalize(
+                    np.vstack(pdf.loc[mask, vec_col].to_numpy()).astype(
+                        np.float64, copy=False
+                    )
+                )
+                enc = _encode_rows(x, books)
+                it = iter(enc)
+                codes = [
+                    next(it).tolist() if ok else None for ok in mask.to_numpy()
+                ]
+            pdf[out_col] = codes
+            yield pdf
+
+    return embeddings.mapInPandas(run, schema=out_schema)
+
+
+def adc_table(query_vec: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """The (m, k) table of exact squared-L2 sub-distances from the
+    normalized query to every centroid — ONE table per query; every
+    candidate then costs m lookups."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-300)
+    m, _, sub = codebooks.shape
+    return np.stack(
+        [
+            ((codebooks[j] - q[j * sub : (j + 1) * sub]) ** 2).sum(axis=1)
+            for j in range(m)
+        ]
+    )
+
+
+def pq_topk(
+    coded: DataFrame,
+    codebooks: np.ndarray,
+    query_vec,
+    k: int = 5,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+    rerank: int | None = None,
+    embeddings: DataFrame | None = None,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k: map-only LUT scoring into a TakeOrderedAndProject.
+
+    Without ``rerank``: returns (id, adc_dist) — approximate ordering,
+    ranked by the quantized distance. With ``rerank=R`` (requires
+    ``embeddings``): the ADC top-R candidates are re-scored with EXACT
+    cosine against the float table (R-row broadcast join — the IVF-ADC+R
+    serving shape) and the exact top-k returned as (id, sim): identical
+    schema/values to exact search whenever the true top-k survive the
+    R-candidate prune (recall pinned in tests)."""
+    from pyspark.sql.types import (
+        DoubleType,
+        StructField,
+        StructType,
+    )
+
+    spark = coded.sparkSession
+    lut_bc = spark.sparkContext.broadcast(adc_table(query_vec, codebooks))
+    id_field = [f for f in coded.schema.fields if f.name == id_col][0]
+    out_schema = StructType([id_field, StructField("adc_dist", DoubleType(), True)])
+
+    def score(batches):
+        lut = lut_bc.value
+        cols = np.arange(lut.shape[0])
+        import pandas as pd
+
+        for pdf in batches:
+            pdf = pdf[pdf[code_col].notna()]
+            if not len(pdf):
+                continue
+            codes = np.vstack(pdf[code_col].to_numpy()).astype(np.int64)
+            dist = lut[cols[None, :], codes].sum(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col], "adc_dist": dist})
+
+    scored = coded.mapInPandas(score, schema=out_schema)
+    n_cand = k if rerank is None else max(rerank, k)
+    top = scored.orderBy(F.col("adc_dist").asc(), F.col(id_col).asc()).limit(
+        n_cand
+    )
+    if rerank is None:
+        return top.select(id_col, F.round("adc_dist", 6).alias("adc_dist"))
+    if embeddings is None:
+        raise ValueError("pq_topk: rerank requires the float embeddings table")
+    from photo_vector_search_spark.functions.vector import (
+        cosine_similarity,
+        query_vector_literal,
+    )
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    exact = (
+        embeddings.join(F.broadcast(top.select(id_col)), id_col)
+        .select(
+            id_col,
+            F.round(
+                cosine_similarity(
+                    F.col(vec_col).cast("array<double>"),
+                    query_vector_literal(q.tolist()),
+                ),
+                6,
+            ).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    return exact
+
+
+def ivf_pq_topk(
+    indexed_coded: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    query_vec,
+    k: int = 5,
+    nprobe: int = 4,
+    rerank: int | None = None,
+    embeddings: DataFrame | None = None,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """The composed serving path — IVF partition pruning THEN ADC scoring
+    (+ optional exact rerank): ``indexed_coded`` is ``assign_clusters``
+    output with ``encode_pq`` codes (at rest: partitioned by cluster, codes
+    instead of floats). The probe filter prunes file partitions; the
+    scanned bytes per probe are m code bytes per row."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-300)
+    order = np.argsort(-(centroids @ qn))[: min(nprobe, len(centroids))]
+    probed = indexed_coded.filter(
+        F.col(cluster_col).isin([int(c) for c in order])
+    )
+    if rerank is not None:
+        # dedup multi-assign duplicates AFTER scoring (pq_topk orders by id
+        # tie-break, duplicates collapse in the rerank join's distinct ids)
+        probed = probed.dropDuplicates([id_col])
+    return pq_topk(
+        probed,
+        codebooks,
+        query_vec,
+        k=k,
+        id_col=id_col,
+        code_col=code_col,
+        rerank=rerank,
+        embeddings=embeddings,
+    )

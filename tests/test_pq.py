@@ -1,0 +1,179 @@
+"""Product quantization: encode parity vs an independently-written per-row
+reference, reconstruction-error properties, ADC-vs-exact distance fidelity,
+recall floors (raw ADC and the exact-rerank serving path, alone and composed
+with IVF), determinism + partitioning invariance, NULL contracts."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from photo_vector_search_spark.operators.pq import (
+    adc_table,
+    encode_pq,
+    ivf_pq_topk,
+    pq_topk,
+    train_pq,
+)
+
+
+def _mog(n=400, d=64, n_modes=8, seed=3):
+    """Clustered mixture-of-Gaussians vectors — the realistic embedding
+    geometry (same generator family as the IVF recall tests)."""
+    rng = np.random.RandomState(seed)
+    modes = rng.randn(n_modes, d) * 3.0
+    x = modes[rng.randint(0, n_modes, size=n)] + rng.randn(n, d) * 0.7
+    return x.astype(np.float64)
+
+
+def _df(spark, x):
+    return spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(x)],
+        "vec_id long, embedding array<double>",
+    )
+
+
+# --- independent reference: per-row, per-subspace loops -------------------
+def _ref_encode(x, books):
+    xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-300)
+    m, _, sub = books.shape
+    out = []
+    for row in xn:
+        code = []
+        for j in range(m):
+            seg = row[j * sub : (j + 1) * sub]
+            best, best_d = 0, None
+            for c, cent in enumerate(books[j]):
+                dist = float(((seg - cent) ** 2).sum())
+                if best_d is None or dist < best_d:
+                    best, best_d = c, dist
+            code.append(best)
+        out.append(code)
+    return out
+
+
+def test_encode_matches_independent_reference_and_is_invariant(spark):
+    x = _mog(n=120)
+    df = _df(spark, x)
+    books = train_pq(df, m=8, k=32, sample=120, seed=1)
+    got = {
+        r["vec_id"]: list(r["pq_code"])
+        for r in encode_pq(df, books).collect()
+    }
+    want = _ref_encode(x, books)
+    assert got == {i: want[i] for i in range(len(x))}
+    got2 = {
+        r["vec_id"]: list(r["pq_code"])
+        for r in encode_pq(df.repartition(7), books).collect()
+    }
+    assert got2 == got
+
+
+def test_reconstruction_improves_with_codebook_size(spark):
+    x = _mog(n=300)
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    df = _df(spark, x)
+    errs = {}
+    for k in (4, 16, 64):
+        books = train_pq(df, m=8, k=k, sample=300, seed=1)
+        codes = np.array(_ref_encode(x, books))
+        m, _, sub = books.shape
+        recon = np.hstack([books[j][codes[:, j]] for j in range(m)])
+        errs[k] = float(((xn - recon) ** 2).sum(axis=1).mean())
+    assert errs[64] < errs[16] < errs[4]
+    # and far below the trivial zero-vector quantizer (MSE == 1 on the sphere)
+    assert errs[64] < 0.15
+
+
+def test_adc_approximates_exact_distance(spark):
+    x = _mog(n=300)
+    df = _df(spark, x)
+    books = train_pq(df, m=8, k=64, sample=300, seed=1)
+    q = x[7]
+    qn = q / np.linalg.norm(q)
+    lut = adc_table(q, books)
+    codes = np.array(_ref_encode(x, books))
+    adc = lut[np.arange(8)[None, :], codes].sum(axis=1)
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    exact = ((xn - qn) ** 2).sum(axis=1)
+    # mean absolute ADC error well under the exact-distance spread
+    assert np.abs(adc - exact).mean() < 0.25 * exact.std()
+
+
+def _exact_topk_ids(x, qi, k):
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    sims = xn @ xn[qi]
+    order = np.argsort(-sims, kind="stable")
+    return list(order[:k])
+
+
+def test_rerank_recall_and_raw_adc_floor(spark):
+    x = _mog(n=400)
+    df = _df(spark, x)
+    books = train_pq(df, m=8, k=64, sample=400, seed=1)
+    coded = encode_pq(df, books)
+    coded.persist().count()
+    hits_rerank = hits_raw = total = 0
+    for qi in (0, 17, 99, 250, 333):
+        want = set(_exact_topk_ids(x, qi, 5))
+        rer = pq_topk(
+            coded, books, x[qi], k=5, rerank=50, embeddings=df
+        ).collect()
+        raw = pq_topk(coded, books, x[qi], k=5).collect()
+        hits_rerank += len(want & {r["vec_id"] for r in rer})
+        hits_raw += len(want & {r["vec_id"] for r in raw})
+        total += 5
+        # reranked sims are EXACT cosines, descending
+        sims = [r["sim"] for r in rer]
+        assert sims == sorted(sims, reverse=True)
+    coded.unpersist()
+    assert hits_rerank / total >= 0.9   # the serving path
+    assert hits_raw / total >= 0.5      # raw quantized ordering
+
+
+def test_ivf_pq_composition_recall(spark):
+    from photo_vector_search_spark.operators.ann import (
+        assign_clusters,
+        train_centroids,
+    )
+
+    x = _mog(n=400)
+    df = _df(spark, x)
+    cents = train_centroids(df, n_clusters=8, sample=400)
+    books = train_pq(df, m=8, k=64, sample=400, seed=1)
+    indexed = encode_pq(assign_clusters(df, cents, n_assign=2), books)
+    indexed.persist().count()
+    hits = total = 0
+    for qi in (3, 44, 150, 301):
+        want = set(_exact_topk_ids(x, qi, 5))
+        got = ivf_pq_topk(
+            indexed,
+            cents,
+            books,
+            x[qi],
+            k=5,
+            nprobe=4,
+            rerank=50,
+            embeddings=df,
+        ).collect()
+        hits += len(want & {r["vec_id"] for r in got})
+        total += 5
+    indexed.unpersist()
+    assert hits / total >= 0.85
+
+
+def test_null_vectors_and_guards(spark):
+    x = _mog(n=40)
+    rows = [(i, r.tolist()) for i, r in enumerate(x)] + [(99, None)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = train_pq(df.filter("embedding IS NOT NULL"), m=8, k=8, sample=40)
+    coded = {r["vec_id"]: r["pq_code"] for r in encode_pq(df, books).collect()}
+    assert coded[99] is None
+    assert all(v is not None for i, v in coded.items() if i != 99)
+    # NULL codes are skipped by scoring, not crashed on
+    out = pq_topk(encode_pq(df, books), books, x[0], k=3).collect()
+    assert len(out) == 3 and all(r["vec_id"] != 99 for r in out)
+    with pytest.raises(ValueError, match="divisible"):
+        train_pq(_df(spark, _mog(n=20, d=60)), m=8, sample=20)
+    with pytest.raises(ValueError, match="rerank requires"):
+        pq_topk(encode_pq(df, books), books, x[0], k=3, rerank=10)

@@ -232,6 +232,20 @@ def _extra_image_near_dup(spark, sf_dir):
     return hamming_pairs(emb, max_hamming=6, id_col="vec_id")
 
 
+def _extra_pq_topk(spark, sf_dir):
+    from photo_vector_search_spark.operators.pq import (
+        encode_pq,
+        pq_topk,
+        train_pq,
+    )
+    from photo_vector_search_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = train_pq(emb, m=8, k=64, sample=512)
+    q = emb.select("embedding").first()["embedding"]
+    return pq_topk(encode_pq(emb, books), books, q, k=5, rerank=50, embeddings=emb)
+
+
 def _extra_encode_unigram(spark, sf_dir):
     from photo_vector_search_spark.operators.unigram import (
         encode_unigram,
@@ -325,6 +339,7 @@ EXTRA_OPS = {
     "video_near_dup": _extra_video_near_dup,
     "corrupt_spans": _extra_corrupt_spans,
     "encode_unigram": _extra_encode_unigram,
+    "pq_topk": _extra_pq_topk,
 }
 
 # Plan-reader context the tree alone can't show.
@@ -387,6 +402,13 @@ NOTES = {
         "and the fragment rebuild join is AQE-sized (broadcast in the "
         "common sparse-hits case). Clean-fragment complement is closed-form "
         "array math — no interval-merge fold, no window."
+    ),
+    "pq_topk": (
+        "NOTE: library operator (r8 product quantization, IVF-ADC+R serving "
+        "path shown unstaged — at rest the codes are a written table). ADC "
+        "scoring is a map-only MapInPandas against the broadcast LUT into a "
+        "TakeOrderedAndProject; the rerank is an R-row broadcast join back "
+        "to the float table. No shuffle anywhere on the scan path."
     ),
     "encode_unigram": (
         "NOTE: library operator (r8 unigram-LM tokenizer, serving path). "
