@@ -240,6 +240,117 @@ def pq_topk(
     return exact
 
 
+def build_ivfpq_store(
+    embeddings: DataFrame,
+    path: str,
+    n_clusters: int = 16,
+    m: int = 8,
+    k: int = 256,
+    sample: int = 4096,
+    seed: int = 42,
+    n_assign: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Write-path half of IVF-PQ: train centroids + codebooks, persist ONLY
+    ``(id, cluster_id, pq_code, build_id)`` hive-partitioned by cluster — the
+    float vectors deliberately do NOT land in the index (codes at rest are
+    the operator's point: the scan path reads m bytes/row; rerank reads the
+    SOURCE embeddings table by id). One ``.pqmeta`` sidecar carries both the
+    coarse centroids and the sub-codebooks, stamped with the same
+    ``build_id`` as every store row — ``load_ivfpq_store`` refuses a torn
+    pair, the ``build_ivf_store`` crash-consistency contract
+    (`operators/ann.py`)."""
+    import hashlib
+
+    from photo_vector_search_spark.operators.ann import (
+        assign_clusters,
+        train_centroids,
+    )
+    from photo_vector_search_spark.operators.store import snapshot_overwrite
+
+    centroids = train_centroids(embeddings, n_clusters, sample, seed=seed)
+    books = train_pq(
+        embeddings, m=m, k=k, sample=sample, seed=seed, vec_col=vec_col
+    )
+    build_id = hashlib.md5(
+        centroids.tobytes() + books.tobytes()
+    ).hexdigest()[:16]
+    indexed = encode_pq(
+        assign_clusters(embeddings, centroids, n_assign=n_assign),
+        books,
+        vec_col=vec_col,
+    ).select(
+        id_col,
+        "cluster_id",
+        "pq_code",
+        F.lit(build_id).alias("build_id"),
+    )
+    snapshot_overwrite(indexed, path, partition_by=["cluster_id"])
+    spark = embeddings.sparkSession
+    meta = [
+        ("cent", int(i), 0, [float(x) for x in c], build_id, n_assign)
+        for i, c in enumerate(centroids)
+    ] + [
+        ("code", int(j), int(c), [float(x) for x in books[j, c]], build_id, n_assign)
+        for j in range(books.shape[0])
+        for c in range(books.shape[1])
+    ]
+    snapshot_overwrite(
+        spark.createDataFrame(
+            meta,
+            "kind string, i int, j int, vec array<double>, "
+            "build_id string, n_assign int",
+        ),
+        path + ".pqmeta",
+    )
+    return centroids, books
+
+
+def load_ivfpq_store(
+    spark, path: str
+) -> tuple[DataFrame, np.ndarray, np.ndarray]:
+    """(codes store, centroids, codebooks) — recovers either half of a
+    crashed snapshot swap, then verifies both halves share one build."""
+    from photo_vector_search_spark.operators.store import recover_store
+
+    recover_store(path)
+    recover_store(path + ".pqmeta")
+    store = spark.read.parquet(path)
+    meta = spark.read.parquet(path + ".pqmeta").orderBy("kind", "i", "j").collect()
+    meta_build = {r["build_id"] for r in meta}
+    store_build = {
+        r["build_id"] for r in store.select("build_id").distinct().collect()
+    }
+    if not store_build or not meta_build:
+        raise ValueError(
+            f"IVF-PQ store at {path!r} is empty "
+            f"(store rows: {'yes' if store_build else 'no'}, sidecar: "
+            f"{'yes' if meta_build else 'no'}) — run build_ivfpq_store first"
+        )
+    if meta_build != store_build:
+        raise ValueError(
+            f"IVF-PQ store {path!r} is from build {sorted(store_build)} but "
+            f"its sidecar is from build {sorted(meta_build)} — a rebuild "
+            "crashed between the two snapshot swaps; re-run build_ivfpq_store"
+        )
+    cents = np.vstack(
+        [
+            np.asarray(r["vec"], dtype=np.float64)
+            for r in meta
+            if r["kind"] == "cent"
+        ]
+    )
+    code_rows = [r for r in meta if r["kind"] == "code"]
+    m = max(r["i"] for r in code_rows) + 1
+    k_eff = max(r["j"] for r in code_rows) + 1
+    sub = len(code_rows[0]["vec"])
+    books = np.empty((m, k_eff, sub), dtype=np.float64)
+    for r in code_rows:
+        books[r["i"], r["j"]] = np.asarray(r["vec"], dtype=np.float64)
+    return store, cents, books
+
+
 def ivf_pq_topk(
     indexed_coded: DataFrame,
     centroids: np.ndarray,

@@ -177,3 +177,61 @@ def test_null_vectors_and_guards(spark):
         train_pq(_df(spark, _mog(n=20, d=60)), m=8, sample=20)
     with pytest.raises(ValueError, match="rerank requires"):
         pq_topk(encode_pq(df, books), books, x[0], k=3, rerank=10)
+
+
+def test_ivfpq_store_round_trip_and_query(spark, tmp_path):
+    """build -> load returns byte-equal centroids/codebooks, the at-rest
+    store carries CODES ONLY (no float column), and a query through the
+    loaded store matches querying the in-memory build."""
+    x = _mog(n=300)
+    df = _df(spark, x)
+    path = str(tmp_path / "ivfpq")
+    cents, books = __import__(
+        "photo_vector_search_spark.operators.pq", fromlist=["build_ivfpq_store"]
+    ).build_ivfpq_store(df, path, n_clusters=8, m=8, k=32, sample=300, n_assign=2)
+    from photo_vector_search_spark.operators.pq import load_ivfpq_store
+
+    store, cents2, books2 = load_ivfpq_store(spark, path)
+    assert np.array_equal(cents, cents2)
+    assert np.array_equal(books, books2)
+    assert set(store.columns) == {"vec_id", "cluster_id", "pq_code", "build_id"}
+
+    want = ivf_pq_topk(
+        encode_pq(
+            __import__(
+                "photo_vector_search_spark.operators.ann",
+                fromlist=["assign_clusters"],
+            ).assign_clusters(df, cents, n_assign=2),
+            books,
+        ),
+        cents, books, x[11], k=5, nprobe=4, rerank=30, embeddings=df,
+    ).collect()
+    got = ivf_pq_topk(
+        store, cents2, books2, x[11], k=5, nprobe=4, rerank=30, embeddings=df
+    ).collect()
+    assert [(r["vec_id"], r["sim"]) for r in got] == [
+        (r["vec_id"], r["sim"]) for r in want
+    ]
+
+
+def test_ivfpq_store_refuses_torn_build(spark, tmp_path):
+    from photo_vector_search_spark.operators.pq import (
+        build_ivfpq_store,
+        load_ivfpq_store,
+    )
+    from photo_vector_search_spark.operators.store import snapshot_overwrite
+
+    x = _mog(n=80)
+    df = _df(spark, x)
+    path = str(tmp_path / "ivfpq_torn")
+    build_ivfpq_store(df, path, n_clusters=4, m=8, k=8, sample=80)
+    # simulate a crash between swaps: sidecar from a DIFFERENT build
+    meta = spark.read.parquet(path + ".pqmeta")
+    import pyspark.sql.functions as SF
+
+    snapshot_overwrite(
+        meta.withColumn("build_id", SF.lit("deadbeef00000000")),
+        path + ".pqmeta",
+    )
+    with pytest.raises(ValueError, match="crashed between"):
+        load_ivfpq_store(spark, path)
