@@ -348,3 +348,28 @@ def test_window_topk_hot_key_bounded_by_group_limit(spark):
         f"shuffle carried {shuffled} rows of {n_input} input — WindowGroupLimit "
         "should have pre-limited per map task"
     )
+
+
+def test_ivfpq_store_prunes_files_and_scans_codes_only(spark, sf_dir, tmp_path):
+    """The IVF-PQ codes store inherits the IVF layout's file-level pruning
+    (runtime scan metrics, not plan text) AND the scanned relation carries no
+    float vector column — the 32x at-rest compression is real, not a schema
+    that still drags the embeddings along."""
+    from photo_vector_search_spark.operators.pq import (
+        build_ivfpq_store,
+        load_ivfpq_store,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivfpq_store")
+    build_ivfpq_store(emb, path, n_clusters=8, m=8, k=32)
+    store, _cents, _books = load_ivfpq_store(spark, path)
+    assert "embedding" not in store.columns
+
+    probe = [1, 4]
+    probed = store.filter(F.col("cluster_id").isin(probe))
+    metrics = _scan_metrics(probed)
+    assert metrics["numPartitions"] == len(probe), metrics
+    full = _scan_metrics(store)
+    assert metrics["numFiles"] < full["numFiles"], (metrics, full)
+    assert store.select("cluster_id").distinct().count() > len(probe)
