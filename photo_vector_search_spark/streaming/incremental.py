@@ -246,6 +246,72 @@ def incremental_ivf_index(
     return _start_merge_stream(stream, _merge_batch, checkpoint_dir, available_now)
 
 
+def incremental_ivfpq_index(
+    spark: SparkSession,
+    input_dir: str,
+    store_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Stream vector batches into an EXISTING IVF-PQ store (built by
+    ``pq.build_ivfpq_store``): each micro-batch is assigned to the store's
+    frozen coarse centroids AND encoded against its frozen sub-codebooks
+    (both map-only against broadcast matrices), then merge-upserted by
+    vec_id keeping the cluster_id partition layout — the float vectors
+    still never land in the index; only m code bytes per row are written.
+
+    Same frozen-codebook discipline as ``incremental_ivf_index``: quantizer
+    drift is a rebuild decision, not a per-batch one; the build_id captured
+    WITH the codebooks rides every appended row, so a mid-stream rebuild
+    yields mixed build_ids and ``load_ivfpq_store`` fails loudly instead of
+    pairing new codes with old codebooks."""
+    from pyspark.sql import functions as F
+
+    from photo_vector_search_spark.operators.ann import assign_clusters
+    from photo_vector_search_spark.operators.pq import (
+        encode_pq,
+        load_ivfpq_store,
+    )
+    from photo_vector_search_spark.operators.store import merge_upsert
+
+    store0, centroids, books = load_ivfpq_store(spark, store_path)
+    meta_first = (
+        spark.read.parquet(store_path + ".pqmeta").select("n_assign").first()
+    )
+    n_assign = (
+        int(meta_first["n_assign"])
+        if meta_first and meta_first["n_assign"] is not None
+        else 1
+    )
+    build_id = store0.select("build_id").first()["build_id"]
+    store_cols = store0.columns
+
+    stream = (
+        spark.readStream.schema(VECTORS_SCHEMA).format("parquet").load(input_dir)
+    )
+
+    def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark_b = batch_df.sparkSession
+        recover_store(store_path)
+        store = spark_b.read.parquet(store_path)
+        coded = (
+            encode_pq(
+                assign_clusters(
+                    batch_df.dropDuplicates(["vec_id"]),
+                    centroids,
+                    n_assign=n_assign,
+                ),
+                books,
+            )
+            .withColumn("build_id", F.lit(build_id))
+            .select(*store_cols)
+        )
+        new_state = merge_upsert(store, coded, ["vec_id"])
+        snapshot_overwrite(new_state, store_path, partition_by=["cluster_id"])
+
+    return _start_merge_stream(stream, _merge_batch, checkpoint_dir, available_now)
+
+
 DOCS_SCHEMA = "doc_id long, text string"
 
 

@@ -235,3 +235,74 @@ def test_ivfpq_store_refuses_torn_build(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="crashed between"):
         load_ivfpq_store(spark, path)
+
+
+def test_incremental_ivfpq_stream(spark, tmp_path):
+    """Streamed vectors join an existing IVF-PQ store: assigned to the frozen
+    coarse centroids, encoded against the frozen codebooks, merged by vec_id
+    — streamed codes are byte-identical to the batch encode, the store stays
+    codes-only, and the build stamp survives (torn-pair check passes)."""
+    from photo_vector_search_spark.operators.ann import assign_clusters
+    from photo_vector_search_spark.operators.pq import (
+        build_ivfpq_store,
+        load_ivfpq_store,
+    )
+    from photo_vector_search_spark.streaming.incremental import (
+        incremental_ivfpq_index,
+    )
+
+    x = _mog(n=120)
+    rows = [(i, r.tolist(), 0) for i, r in enumerate(x)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    in_dir = str(tmp_path / "in")
+    store_path = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    base = df.filter("vec_id < 80")
+    cents, books = build_ivfpq_store(
+        base, store_path, n_clusters=4, m=8, k=16, sample=200, n_assign=2
+    )
+    new = df.filter("vec_id >= 80")
+    new.write.mode("append").parquet(in_dir)
+    q = incremental_ivfpq_index(spark, in_dir, store_path, ckpt)
+    assert q.awaitTermination(600)
+
+    grown, cents2, books2 = load_ivfpq_store(spark, store_path)
+    assert np.array_equal(cents, cents2) and np.array_equal(books, books2)
+    assert set(grown.columns) == {"vec_id", "cluster_id", "pq_code", "build_id"}
+    # streamed rows == batch path (assignment AND codes), incl. multi-assign
+    want = {
+        (r["vec_id"], r["cluster_id"]): list(r["pq_code"])
+        for r in encode_pq(
+            assign_clusters(new, cents, n_assign=2), books
+        ).collect()
+    }
+    got = {
+        (r["vec_id"], r["cluster_id"]): list(r["pq_code"])
+        for r in grown.filter("vec_id >= 80").collect()
+    }
+    assert got == want
+    # upsert: re-streaming vec 80-89 with CHANGED vectors replaces their codes
+    changed = spark.createDataFrame(
+        [(i, (-x[i]).tolist(), 0) for i in range(80, 90)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    changed.write.mode("append").parquet(in_dir)
+    q = incremental_ivfpq_index(spark, in_dir, store_path, ckpt)
+    assert q.awaitTermination(600)
+    grown2, _, _ = load_ivfpq_store(spark, store_path)
+    n_ids = grown2.select("vec_id").distinct().count()
+    assert n_ids == 120
+    new_codes = {
+        (r["vec_id"], r["cluster_id"]): list(r["pq_code"])
+        for r in grown2.filter("vec_id >= 80 AND vec_id < 90").collect()
+    }
+    flipped = {
+        (r["vec_id"], r["cluster_id"]): list(r["pq_code"])
+        for r in encode_pq(
+            assign_clusters(changed, cents, n_assign=2), books
+        ).collect()
+    }
+    assert new_codes == flipped
