@@ -58,18 +58,31 @@ def train_pq(
     shape ``(m, k_eff, d/m)`` (k_eff ≤ k when the sample is small).
     Deterministic: seeded init, argmin ties break to the lowest centroid id
     (NumPy argmin), empty clusters keep their previous centroid."""
+    x = _collect_sample(embeddings, vec_col, sample, m)
+    return _train_books(x, m, k, iters, np.random.RandomState(seed))
+
+
+def _collect_sample(
+    embeddings: DataFrame, vec_col: str, sample: int, m: int
+) -> np.ndarray:
     rows = embeddings.select(vec_col).limit(sample).collect()
     if not rows:
         raise ValueError("train_pq: empty embeddings")
     x = _normalize(
         np.vstack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
     )
-    d = x.shape[1]
-    if d % m != 0:
-        raise ValueError(f"train_pq: dim {d} not divisible by m={m}")
-    sub = d // m
+    if x.shape[1] % m != 0:
+        raise ValueError(
+            f"train_pq: dim {x.shape[1]} not divisible by m={m}"
+        )
+    return x
+
+
+def _train_books(
+    x: np.ndarray, m: int, k: int, iters: int, rng: np.random.RandomState
+) -> np.ndarray:
+    sub = x.shape[1] // m
     k_eff = min(k, len(x))
-    rng = np.random.RandomState(seed)
     books = np.empty((m, k_eff, sub), dtype=np.float64)
     for j in range(m):
         xj = x[:, j * sub : (j + 1) * sub]
@@ -87,6 +100,48 @@ def train_pq(
                     cent[c] = members.mean(axis=0)
         books[j] = cent
     return books
+
+
+def train_opq(
+    embeddings: DataFrame,
+    m: int = 8,
+    k: int = 256,
+    sample: int = 4096,
+    iters: int = 10,
+    opq_iters: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Optimized Product Quantization (Ge, He, Ke, Sun 2013): learn an
+    ORTHOGONAL rotation R jointly with the codebooks so the subspace split
+    aligns with the data's correlation structure — plain PQ quantizes each
+    fixed coordinate block independently and wastes its code budget when
+    variance concentrates across blocks. Alternating minimization on the
+    driver sample: (1) fix R, retrain codebooks on the rotated sample;
+    (2) fix codes, solve the orthogonal Procrustes problem
+    min_R ‖XR − recon‖² via one SVD (R = UVᵀ of Xᵀ·recon). Quantization
+    error is non-increasing per half-step by construction; the tests pin
+    that plus R's orthogonality.
+
+    Returns ``(R, codebooks)`` — pass both to ``encode_pq``/``pq_topk``
+    via their ``rotation=`` parameter (distances are rotation-invariant, so
+    IVF coarse assignment stays in the original space)."""
+    x = _collect_sample(embeddings, vec_col, sample, m)
+    d = x.shape[1]
+    rng = np.random.RandomState(seed)
+    rot = np.eye(d)
+    books = None
+    for _ in range(max(opq_iters, 1)):
+        xr = x @ rot
+        books = _train_books(xr, m, k, iters, rng)
+        codes = _encode_rows(xr, books)
+        sub = d // m
+        recon = np.hstack(
+            [books[j][codes[:, j]] for j in range(m)]
+        )
+        u, _s, vt = np.linalg.svd(x.T @ recon)
+        rot = u @ vt
+    return rot, books
 
 
 def _encode_rows(x: np.ndarray, books: np.ndarray) -> np.ndarray:
@@ -110,6 +165,7 @@ def encode_pq(
     codebooks: np.ndarray,
     vec_col: str = "embedding",
     out_col: str = "pq_code",
+    rotation: np.ndarray | None = None,
 ) -> DataFrame:
     """Add ``out_col`` = the vector's m one-byte codes (``array<smallint>``
     — 256 ≤ k ≤ 32767 supported; parquet stores them in one byte each after
@@ -119,6 +175,7 @@ def encode_pq(
 
     spark = embeddings.sparkSession
     bc = spark.sparkContext.broadcast(codebooks)
+    rot_bc = spark.sparkContext.broadcast(rotation)
     out_schema = StructType(
         [f for f in embeddings.schema.fields if f.name != out_col]
         + [StructField(out_col, ArrayType(ShortType()), True)]
@@ -126,7 +183,7 @@ def encode_pq(
     in_cols = [f.name for f in embeddings.schema.fields if f.name != out_col]
 
     def run(batches):
-        books = bc.value
+        books, rot = bc.value, rot_bc.value
         for pdf in batches:
             pdf = pdf[in_cols].copy()
             mask = pdf[vec_col].notna()
@@ -137,6 +194,8 @@ def encode_pq(
                         np.float64, copy=False
                     )
                 )
+                if rot is not None:
+                    x = x @ rot
                 enc = _encode_rows(x, books)
                 it = iter(enc)
                 codes = [
@@ -148,12 +207,18 @@ def encode_pq(
     return embeddings.mapInPandas(run, schema=out_schema)
 
 
-def adc_table(query_vec: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+def adc_table(
+    query_vec: np.ndarray,
+    codebooks: np.ndarray,
+    rotation: np.ndarray | None = None,
+) -> np.ndarray:
     """The (m, k) table of exact squared-L2 sub-distances from the
     normalized query to every centroid — ONE table per query; every
     candidate then costs m lookups."""
     q = np.asarray(query_vec, dtype=np.float64)
     q = q / max(np.linalg.norm(q), 1e-300)
+    if rotation is not None:
+        q = q @ rotation
     m, _, sub = codebooks.shape
     return np.stack(
         [
@@ -173,6 +238,7 @@ def pq_topk(
     rerank: int | None = None,
     embeddings: DataFrame | None = None,
     vec_col: str = "embedding",
+    rotation: np.ndarray | None = None,
 ) -> DataFrame:
     """ADC top-k: map-only LUT scoring into a TakeOrderedAndProject.
 
@@ -190,7 +256,9 @@ def pq_topk(
     )
 
     spark = coded.sparkSession
-    lut_bc = spark.sparkContext.broadcast(adc_table(query_vec, codebooks))
+    lut_bc = spark.sparkContext.broadcast(
+        adc_table(query_vec, codebooks, rotation=rotation)
+    )
     id_field = [f for f in coded.schema.fields if f.name == id_col][0]
     out_schema = StructType([id_field, StructField("adc_dist", DoubleType(), True)])
 
@@ -363,6 +431,7 @@ def ivf_pq_topk(
     id_col: str = "vec_id",
     code_col: str = "pq_code",
     cluster_col: str = "cluster_id",
+    rotation: np.ndarray | None = None,
 ) -> DataFrame:
     """The composed serving path — IVF partition pruning THEN ADC scoring
     (+ optional exact rerank): ``indexed_coded`` is ``assign_clusters``
@@ -388,4 +457,5 @@ def ivf_pq_topk(
         code_col=code_col,
         rerank=rerank,
         embeddings=embeddings,
+        rotation=rotation,
     )

@@ -1,9 +1,10 @@
 """End-to-end corpus curation: the composition of the engine's training-data
 operators into the standard pretraining cleanup pipeline —
 
-    redact PII → quality-gate (Gopher rules) → exact dedup → strip cross-doc
-    boilerplate → near-dup dedup (MinHash-LSH) → deterministic shuffle
-    → (opt-in) BPE tokenize → JSONL shard export
+    redact PII → quality-gate (Gopher rules) → (opt-in) span decontamination
+    → exact dedup → strip cross-doc boilerplate → near-dup dedup
+    (MinHash-LSH) → deterministic shuffle → (opt-in) BPE/unigram tokenize
+    → JSONL shard export
 
 Exact dedup runs BEFORE boilerplate removal on purpose: a fully-duplicated
 document is one whose every line is cross-doc duplicated, so line-level
