@@ -317,9 +317,10 @@ def build_ivfpq_store(
     sample: int = 4096,
     seed: int = 42,
     n_assign: int = 1,
+    opq: bool = False,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> tuple[np.ndarray, np.ndarray]:
+) -> tuple[np.ndarray, np.ndarray, np.ndarray | None]:
     """Write-path half of IVF-PQ: train centroids + codebooks, persist ONLY
     ``(id, cluster_id, pq_code, build_id)`` hive-partitioned by cluster — the
     float vectors deliberately do NOT land in the index (codes at rest are
@@ -338,16 +339,25 @@ def build_ivfpq_store(
     from photo_vector_search_spark.operators.store import snapshot_overwrite
 
     centroids = train_centroids(embeddings, n_clusters, sample, seed=seed)
-    books = train_pq(
-        embeddings, m=m, k=k, sample=sample, seed=seed, vec_col=vec_col
-    )
+    if opq:
+        rot, books = train_opq(
+            embeddings, m=m, k=k, sample=sample, seed=seed, vec_col=vec_col
+        )
+    else:
+        rot = None
+        books = train_pq(
+            embeddings, m=m, k=k, sample=sample, seed=seed, vec_col=vec_col
+        )
     build_id = hashlib.md5(
-        centroids.tobytes() + books.tobytes()
+        centroids.tobytes()
+        + books.tobytes()
+        + (rot.tobytes() if rot is not None else b"")
     ).hexdigest()[:16]
     indexed = encode_pq(
         assign_clusters(embeddings, centroids, n_assign=n_assign),
         books,
         vec_col=vec_col,
+        rotation=rot,
     ).select(
         id_col,
         "cluster_id",
@@ -363,7 +373,14 @@ def build_ivfpq_store(
         ("code", int(j), int(c), [float(x) for x in books[j, c]], build_id, n_assign)
         for j in range(books.shape[0])
         for c in range(books.shape[1])
-    ]
+    ] + (
+        [
+            ("rot", int(i), 0, [float(x) for x in rot[i]], build_id, n_assign)
+            for i in range(rot.shape[0])
+        ]
+        if rot is not None
+        else []
+    )
     snapshot_overwrite(
         spark.createDataFrame(
             meta,
@@ -372,14 +389,16 @@ def build_ivfpq_store(
         ),
         path + ".pqmeta",
     )
-    return centroids, books
+    return centroids, books, rot
 
 
 def load_ivfpq_store(
     spark, path: str
-) -> tuple[DataFrame, np.ndarray, np.ndarray]:
-    """(codes store, centroids, codebooks) — recovers either half of a
-    crashed snapshot swap, then verifies both halves share one build."""
+) -> tuple[DataFrame, np.ndarray, np.ndarray, np.ndarray | None]:
+    """(codes store, centroids, codebooks, rotation-or-None) — recovers
+    either half of a crashed snapshot swap, then verifies both halves share
+    one build. ``rotation`` is None for stores built without ``opq=True``;
+    pass it straight to ``ivf_pq_topk(rotation=...)``."""
     from photo_vector_search_spark.operators.store import recover_store
 
     recover_store(path)
@@ -416,7 +435,13 @@ def load_ivfpq_store(
     books = np.empty((m, k_eff, sub), dtype=np.float64)
     for r in code_rows:
         books[r["i"], r["j"]] = np.asarray(r["vec"], dtype=np.float64)
-    return store, cents, books
+    rot_rows = [r for r in meta if r["kind"] == "rot"]
+    rot = (
+        np.vstack([np.asarray(r["vec"], dtype=np.float64) for r in rot_rows])
+        if rot_rows
+        else None
+    )
+    return store, cents, books, rot
 
 
 def ivf_pq_topk(

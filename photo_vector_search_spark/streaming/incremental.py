@@ -274,7 +274,7 @@ def incremental_ivfpq_index(
     )
     from photo_vector_search_spark.operators.store import merge_upsert
 
-    store0, centroids, books = load_ivfpq_store(spark, store_path)
+    store0, centroids, books, rot = load_ivfpq_store(spark, store_path)
     meta_first = (
         spark.read.parquet(store_path + ".pqmeta").select("n_assign").first()
     )
@@ -302,6 +302,7 @@ def incremental_ivfpq_index(
                     n_assign=n_assign,
                 ),
                 books,
+                rotation=rot,
             )
             .withColumn("build_id", F.lit(build_id))
             .select(*store_cols)

@@ -186,12 +186,14 @@ def test_ivfpq_store_round_trip_and_query(spark, tmp_path):
     x = _mog(n=300)
     df = _df(spark, x)
     path = str(tmp_path / "ivfpq")
-    cents, books = __import__(
+    cents, books, rot = __import__(
         "photo_vector_search_spark.operators.pq", fromlist=["build_ivfpq_store"]
     ).build_ivfpq_store(df, path, n_clusters=8, m=8, k=32, sample=300, n_assign=2)
+    assert rot is None  # plain build persists no rotation
     from photo_vector_search_spark.operators.pq import load_ivfpq_store
 
-    store, cents2, books2 = load_ivfpq_store(spark, path)
+    store, cents2, books2, rot2 = load_ivfpq_store(spark, path)
+    assert rot2 is None
     assert np.array_equal(cents, cents2)
     assert np.array_equal(books, books2)
     assert set(store.columns) == {"vec_id", "cluster_id", "pq_code", "build_id"}
@@ -261,7 +263,7 @@ def test_incremental_ivfpq_stream(spark, tmp_path):
     ckpt = str(tmp_path / "ckpt")
 
     base = df.filter("vec_id < 80")
-    cents, books = build_ivfpq_store(
+    cents, books, _rot = build_ivfpq_store(
         base, store_path, n_clusters=4, m=8, k=16, sample=200, n_assign=2
     )
     new = df.filter("vec_id >= 80")
@@ -269,7 +271,7 @@ def test_incremental_ivfpq_stream(spark, tmp_path):
     q = incremental_ivfpq_index(spark, in_dir, store_path, ckpt)
     assert q.awaitTermination(600)
 
-    grown, cents2, books2 = load_ivfpq_store(spark, store_path)
+    grown, cents2, books2, _ = load_ivfpq_store(spark, store_path)
     assert np.array_equal(cents, cents2) and np.array_equal(books, books2)
     assert set(grown.columns) == {"vec_id", "cluster_id", "pq_code", "build_id"}
     # streamed rows == batch path (assignment AND codes), incl. multi-assign
@@ -292,7 +294,7 @@ def test_incremental_ivfpq_stream(spark, tmp_path):
     changed.write.mode("append").parquet(in_dir)
     q = incremental_ivfpq_index(spark, in_dir, store_path, ckpt)
     assert q.awaitTermination(600)
-    grown2, _, _ = load_ivfpq_store(spark, store_path)
+    grown2, _, _, _ = load_ivfpq_store(spark, store_path)
     n_ids = grown2.select("vec_id").distinct().count()
     assert n_ids == 120
     new_codes = {
@@ -371,3 +373,55 @@ def test_opq_end_to_end_search(spark):
         for r in encode_pq(df, books_p, rotation=eye).collect()
     }
     assert a == b
+
+
+def test_ivfpq_store_opq_round_trip_and_stream(spark, tmp_path):
+    """opq=True persists the rotation in the sidecar; load returns it
+    byte-equal, queries through the loaded triple work, and streamed
+    increments encode against the SAME rotation (streamed == batch codes)."""
+    from photo_vector_search_spark.operators.ann import assign_clusters
+    from photo_vector_search_spark.operators.pq import (
+        build_ivfpq_store,
+        load_ivfpq_store,
+    )
+    from photo_vector_search_spark.streaming.incremental import (
+        incremental_ivfpq_index,
+    )
+
+    x = _aniso(n=150)
+    df = spark.createDataFrame(
+        [(i, r.tolist(), 0) for i, r in enumerate(x)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    path = str(tmp_path / "opq_store")
+    cents, books, rot = build_ivfpq_store(
+        df.filter("vec_id < 120"), path, n_clusters=4, m=8, k=16,
+        sample=300, opq=True,
+    )
+    assert rot is not None
+    store, c2, b2, r2 = load_ivfpq_store(spark, path)
+    assert np.array_equal(rot, r2) and np.array_equal(books, b2)
+
+    got = ivf_pq_topk(
+        store, c2, b2, x[3], k=5, nprobe=4, rerank=30,
+        embeddings=df, rotation=r2,
+    ).collect()
+    assert len(got) == 5
+
+    in_dir = str(tmp_path / "in")
+    df.filter("vec_id >= 120").write.mode("append").parquet(in_dir)
+    q = incremental_ivfpq_index(spark, in_dir, path, str(tmp_path / "ck"))
+    assert q.awaitTermination(600)
+    grown, _, _, _ = load_ivfpq_store(spark, path)
+    want = {
+        (r["vec_id"], r["cluster_id"]): list(r["pq_code"])
+        for r in encode_pq(
+            assign_clusters(df.filter("vec_id >= 120"), cents), books,
+            rotation=rot,
+        ).collect()
+    }
+    got2 = {
+        (r["vec_id"], r["cluster_id"]): list(r["pq_code"])
+        for r in grown.filter("vec_id >= 120").collect()
+    }
+    assert got2 == want

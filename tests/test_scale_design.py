@@ -363,7 +363,7 @@ def test_ivfpq_store_prunes_files_and_scans_codes_only(spark, sf_dir, tmp_path):
     emb = load_table(spark, sf_dir, "embeddings")
     path = str(tmp_path / "ivfpq_store")
     build_ivfpq_store(emb, path, n_clusters=8, m=8, k=32)
-    store, _cents, _books = load_ivfpq_store(spark, path)
+    store, _cents, _books, _rot = load_ivfpq_store(spark, path)
     assert "embedding" not in store.columns
 
     probe = [1, 4]
