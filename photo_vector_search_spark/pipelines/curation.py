@@ -65,6 +65,9 @@ def curate_corpus(
     corrupt_mean_span: float = 3.0,
     corrupt_sentinel_start: int = 32_000,
     corrupt_seed: int = 0,
+    fim_rate: float | None = None,
+    fim_spm_fraction: float = 0.5,
+    fim_seed: int = 0,
     ppl_lm: tuple[DataFrame, int] | None = None,
     ppl_by: str | None = None,
     dsir_target=None,
@@ -185,8 +188,12 @@ def curate_corpus(
     ``corrupt_seed``), yielding the denoising-dataset columns
     ``inputs``/``targets``/``n_noise_tokens`` (lossless:
     ``reconstruct_spans(inputs, targets) == input_ids``, pinned in tests);
-    requires ``pack_context_len``. When packing is on, JSONL export shards
-    by ``seq_id``. ``stats["packed_windows"]`` records the window count.
+    requires ``pack_context_len``. ``fim_rate`` (opt-in, r8; mutually
+    exclusive with ``corrupt_rate``) instead applies the fill-in-the-middle
+    layout (``operators/fim.fim_transform`` — the paper's joint-training
+    Bernoulli gate; ``stats["fim_transformed"]`` counts transformed
+    windows). When packing is on, JSONL export shards by ``seq_id``.
+    ``stats["packed_windows"]`` records the window count.
 
     ``decon_benchmark`` (opt-in, r8) runs SPAN-LEVEL benchmark
     decontamination (``operators/decontamination.decontaminate_rewrite`` —
@@ -233,6 +240,16 @@ def curate_corpus(
         raise ValueError(
             "curate_corpus: corrupt_rate requires pack_context_len "
             "(span corruption consumes packed windows)"
+        )
+    if fim_rate is not None and pack_context_len is None:
+        raise ValueError(
+            "curate_corpus: fim_rate requires pack_context_len "
+            "(FIM consumes packed windows)"
+        )
+    if fim_rate is not None and corrupt_rate is not None:
+        raise ValueError(
+            "curate_corpus: fim_rate and corrupt_rate are mutually "
+            "exclusive — pick one denoising objective"
         )
     stats: dict[str, int] = {}
 
@@ -451,6 +468,20 @@ def curate_corpus(
                 sentinel_start=corrupt_sentinel_start,
                 seed=corrupt_seed,
             )
+        if fim_rate is not None:
+            from photo_vector_search_spark.operators.fim import fim_transform
+
+            curated = fim_transform(
+                curated,
+                rate=fim_rate,
+                spm_fraction=fim_spm_fraction,
+                sentinel_start=corrupt_sentinel_start,
+                seed=fim_seed,
+            )
+            if compute_stats:
+                stats["fim_transformed"] = curated.filter(
+                    F.col("fim_applied")
+                ).count()
 
     if export_path is not None:
         from photo_vector_search_spark.sources.jsonl import write_jsonl_shards

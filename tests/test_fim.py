@@ -89,3 +89,43 @@ def test_null_and_guards(spark):
     assert reconstruct_fim(list(got[1]["input_ids"]), SENT) == [5]
     with pytest.raises(ValueError, match="rate"):
         fim_transform(df, rate=1.5)
+
+
+def test_curation_fim_terminal_stage(spark):
+    """fim_rate slots in after packing exactly like corrupt_rate: windows
+    carry the sentinel layout on a rate-subset, the stat records it, and
+    mixing both objectives is rejected at entry."""
+    import pytest
+
+    from photo_vector_search_spark.operators.bpe import train_bpe_model
+    from photo_vector_search_spark.pipelines.curation import curate_corpus
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "pack my box with five dozen liquor jugs for the long journey",
+        "how quickly daft jumping zebras vex the watching crowd today",
+    ] * 6
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    bpe = train_bpe_model(docs, n_merges=50, min_count=1)
+    cur, stats = curate_corpus(
+        docs,
+        quality_gate=False,
+        bpe_model=bpe,
+        pack_context_len=32,
+        pack_eos_id=0,
+        fim_rate=1.0,
+    )
+    rows = cur.collect()
+    assert rows and stats["fim_transformed"] == len(rows)
+    for r in rows:
+        assert r["fim_applied"]
+        assert 32_000 - 2 in list(r["input_ids"])  # [MID] present
+
+    with pytest.raises(ValueError, match="mutually"):
+        curate_corpus(
+            docs, quality_gate=False, bpe_model=bpe,
+            pack_context_len=32, pack_eos_id=0,
+            fim_rate=0.5, corrupt_rate=0.15,
+        )
