@@ -37,7 +37,7 @@ Scale design (100 TB):
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -306,6 +306,104 @@ def pq_topk(
         .limit(k)
     )
     return exact
+
+
+def pq_batch_topk(
+    coded: DataFrame,
+    codebooks: np.ndarray,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+    rotation: np.ndarray | None = None,
+    max_queries: int = 65_536,
+) -> DataFrame:
+    """Batched ADC top-k — the ``knn_batch_fast`` shape over codes: ALL Q
+    query LUTs broadcast together (Q·m·k doubles, guarded), one gather-sum
+    per Arrow batch scores every query against every candidate without
+    reading a float vector, per-batch per-query top-k caps the shuffle at
+    O(batches·Q·k), and a final window ranks survivors. ``queries`` is
+    ``(query_id, query_vec)``; returns (query_id, id, adc_dist, rank) —
+    approximate ADC ordering (compose with an exact rerank downstream when
+    serving needs it, as ``pq_topk(rerank=)`` does for one query)."""
+    import pandas as pd
+
+    qrows = queries.select("query_id", "query_vec").limit(
+        max_queries + 1
+    ).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"pq_batch_topk: >{max_queries} queries — the LUT broadcast is "
+            "Q·m·k doubles; split the query set or raise max_queries"
+        )
+    qids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
+    luts = np.stack(
+        [
+            adc_table(np.asarray(r["query_vec"], dtype=np.float64),
+                      codebooks, rotation=rotation)
+            for r in qrows
+        ]
+    )  # (Q, m, k)
+    spark = coded.sparkSession
+    bq = spark.sparkContext.broadcast((qids, luts))
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    id_field = [f for f in coded.schema.fields if f.name == id_col][0]
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType(), False),
+            id_field,
+            StructField("adc_dist", DoubleType(), True),
+        ]
+    )
+
+    def score(batches):
+        ids, tabs = bq.value
+        nq, m, _kk = tabs.shape
+        cols = np.arange(m)
+        for pdf in batches:
+            pdf = pdf[pdf[code_col].notna()]
+            if not len(pdf):
+                continue
+            # same tie-break discipline as knn_batch_fast: stable sort by id
+            # so per-query argsort ties resolve to the ascending id even when
+            # the tie straddles the top-k boundary
+            pdf = pdf.sort_values(id_col, kind="stable").reset_index(drop=True)
+            codes = np.vstack(pdf[code_col].to_numpy()).astype(np.int64)
+            # (Q, rows): gather each query's m sub-distances, sum — one
+            # vectorized pass, no per-row Python
+            dist = tabs[:, cols[None, :], codes].sum(axis=2)
+            kk = min(k, len(pdf))
+            vid = pdf[id_col].to_numpy()
+            out = {"query_id": [], id_col: [], "adc_dist": []}
+            for j in range(nq):
+                take = np.argsort(dist[j], kind="stable")[:kk]
+                out["query_id"].extend([ids[j]] * len(take))
+                out[id_col].extend(vid[take])
+                out["adc_dist"].extend(dist[j][take])
+            yield pd.DataFrame(out)
+
+    survivors = coded.select(id_col, code_col).mapInPandas(
+        score, schema=out_schema
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        survivors.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            id_col,
+            F.round("adc_dist", 6).alias("adc_dist"),
+            "rank",
+        )
+    )
 
 
 def build_ivfpq_store(

@@ -425,3 +425,37 @@ def test_ivfpq_store_opq_round_trip_and_stream(spark, tmp_path):
         for r in grown.filter("vec_id >= 120").collect()
     }
     assert got2 == want
+
+
+def test_pq_batch_topk_matches_single_query_path(spark):
+    """The batched ADC path returns exactly the single-query pq_topk result
+    for every query (same distances, same id tie-break), and the guard
+    rejects oversized query sets."""
+    x = _mog(n=250)
+    df = _df(spark, x)
+    books = train_pq(df, m=8, k=32, sample=250, seed=1)
+    coded = encode_pq(df, books)
+    coded.persist().count()
+    qids = [0, 7, 99, 200]
+    queries = spark.createDataFrame(
+        [(int(i), x[i].tolist()) for i in qids],
+        "query_id long, query_vec array<double>",
+    )
+    from photo_vector_search_spark.operators.pq import pq_batch_topk
+
+    batch = pq_batch_topk(coded, books, queries, k=5)
+    got = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["adc_dist"])
+        for r in batch.collect()
+    }
+    assert len(got) == len(qids) * 5
+    for qi in qids:
+        single = pq_topk(coded, books, x[qi], k=5).collect()
+        for rank, r in enumerate(single, start=1):
+            assert got[(qi, rank)] == (r["vec_id"], r["adc_dist"]), (qi, rank)
+    coded.unpersist()
+
+    import pytest
+
+    with pytest.raises(ValueError, match="queries"):
+        pq_batch_topk(coded, books, queries, k=5, max_queries=2)
