@@ -456,3 +456,62 @@ def load_bpe_model(
         for r in spark.read.parquet(f"{path}/vocab").collect()
     }
     return merges, vocab
+
+
+def tokenizer_stats(
+    encoded: DataFrame,
+    by: str | None = None,
+    ids_col: str = "input_ids",
+    text_col: str = "text",
+    oov_id: int | None = None,
+) -> DataFrame:
+    """Tokenizer evaluation aggregate over an encoded corpus (works for BPE
+    and unigram output alike — anything with ``ids_col`` next to the source
+    text): per ``by``-group (or one global row) —
+
+    - ``fertility``: pieces per whitespace word (the standard tokenizer
+      quality number; lower = better compression of the language),
+    - ``chars_per_piece``: source characters per piece,
+    - ``oov_rate``: share of ids equal to ``oov_id`` (0.0 when not given),
+    - ``n_docs / n_pieces / n_words / n_chars``: the raw sums.
+
+    One map-side-combinable aggregation, all JVM-side expressions — the
+    corpus-wide audit a tokenizer rollout gates on (a fertility regression
+    on one language is invisible in global averages; pass ``by='lang'``).
+    NULL-ids docs (NULL text) are excluded from every sum."""
+    from photo_vector_search_spark.functions.text import token_count
+
+    rows = encoded.filter(F.col(ids_col).isNotNull()).select(
+        *([F.col(by)] if by else []),
+        F.size(ids_col).alias("_p"),
+        token_count(F.col(text_col)).alias("_w"),
+        F.length(text_col).alias("_c"),
+        (
+            F.size(F.filter(ids_col, lambda x: x == F.lit(oov_id)))
+            if oov_id is not None
+            else F.lit(0)
+        ).alias("_o"),
+    )
+    agg = rows.groupBy(*([by] if by else [])).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_p").alias("n_pieces"),
+        F.sum("_w").alias("n_words"),
+        F.sum("_c").alias("n_chars"),
+        F.sum("_o").alias("_n_oov"),
+    )
+    return agg.select(
+        *([by] if by else []),
+        "n_docs",
+        "n_pieces",
+        "n_words",
+        "n_chars",
+        F.round(F.try_divide(F.col("n_pieces"), F.col("n_words")), 6).alias(
+            "fertility"
+        ),
+        F.round(F.try_divide(F.col("n_chars"), F.col("n_pieces")), 6).alias(
+            "chars_per_piece"
+        ),
+        F.round(F.try_divide(F.col("_n_oov"), F.col("n_pieces")), 6).alias(
+            "oov_rate"
+        ),
+    )

@@ -297,3 +297,49 @@ def test_sampled_encode_deterministic_invariant_and_round_trips(spark):
     dec = {r["doc_id"]: r["text_decoded"] for r in decode_unigram(enc, vocab).collect()}
     for i, t in enumerate(CORPUS):
         assert dec[i] == " ".join(t.lower().split())
+
+
+def test_tokenizer_stats_matches_independent_computation(spark):
+    """tokenizer_stats agrees with a pure-Python recount for both tokenizer
+    families, per-group and globally, with the OOV share counted."""
+    from photo_vector_search_spark.operators.bpe import tokenizer_stats
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox", "en"),
+            (1, "pack my box", "en"),
+            (2, "qüick zebras näh", "de"),   # ü/ä unseen -> OOV ids
+            (3, None, "en"),                  # NULL text -> excluded
+        ],
+        "doc_id long, text string, lang string",
+    )
+    logp, vocab = train_unigram_model(
+        docs.filter("doc_id < 2"), vocab_size=60, min_count=1, max_piece_len=6
+    )
+    enc = encode_unigram(docs, logp, vocab)
+    got = {
+        r["lang"]: r
+        for r in tokenizer_stats(enc, by="lang", oov_id=len(vocab)).collect()
+    }
+    rows = {r["doc_id"]: r for r in enc.collect()}
+    for lang in ("en", "de"):
+        keep = [
+            i for i, r in rows.items()
+            if r["lang"] == lang and r["input_ids"] is not None
+        ]
+        pieces = sum(len(rows[i]["input_ids"]) for i in keep)
+        words = sum(len(rows[i]["text"].split()) for i in keep)
+        chars = sum(len(rows[i]["text"]) for i in keep)
+        oov = sum(
+            1 for i in keep for t in rows[i]["input_ids"] if t == len(vocab)
+        )
+        g = got[lang]
+        assert (g["n_docs"], g["n_pieces"], g["n_words"], g["n_chars"]) == (
+            len(keep), pieces, words, chars
+        )
+        assert g["fertility"] == round(pieces / words, 6)
+        assert g["oov_rate"] == round(oov / pieces, 6)
+    assert got["de"]["oov_rate"] > 0
+    # global (no `by`): one row covering the 3 non-NULL docs
+    g = tokenizer_stats(enc, oov_id=len(vocab)).collect()
+    assert len(g) == 1 and g[0]["n_docs"] == 3
