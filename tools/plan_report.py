@@ -232,6 +232,40 @@ def _extra_image_near_dup(spark, sf_dir):
     return hamming_pairs(emb, max_hamming=6, id_col="vec_id")
 
 
+def _extra_fim_transform(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from photo_vector_search_spark.operators.fim import fim_transform
+    from photo_vector_search_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("seq_id"),
+        F.transform(
+            F.split(F.trim("text"), r"\s+"), lambda w: F.length(w)
+        ).alias("input_ids"),
+    )
+    return fim_transform(docs, rate=0.5)
+
+
+def _extra_pq_batch_topk(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from photo_vector_search_spark.operators.pq import (
+        encode_pq,
+        pq_batch_topk,
+        train_pq,
+    )
+    from photo_vector_search_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = train_pq(emb, m=8, k=64, sample=512)
+    queries = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("query_vec"),
+    )
+    return pq_batch_topk(encode_pq(emb, books), books, queries, k=5)
+
+
 def _extra_pq_topk(spark, sf_dir):
     from photo_vector_search_spark.operators.pq import (
         encode_pq,
@@ -340,6 +374,8 @@ EXTRA_OPS = {
     "corrupt_spans": _extra_corrupt_spans,
     "encode_unigram": _extra_encode_unigram,
     "pq_topk": _extra_pq_topk,
+    "pq_batch_topk": _extra_pq_batch_topk,
+    "fim_transform": _extra_fim_transform,
 }
 
 # Plan-reader context the tree alone can't show.
@@ -402,6 +438,17 @@ NOTES = {
         "and the fragment rebuild join is AQE-sized (broadcast in the "
         "common sparse-hits case). Clean-fragment complement is closed-form "
         "array math — no interval-merge fold, no window."
+    ),
+    "pq_batch_topk": (
+        "NOTE: library operator (r8 batched ADC). All Q query LUTs ride one "
+        "broadcast; the MapInPandas emits only per-batch per-query top-k "
+        "rows, so the single Exchange under the rank window carries "
+        "O(batches*Q*k) — the knn_batch_fast discipline over codes."
+    ),
+    "fim_transform": (
+        "NOTE: library operator (r8 fill-in-the-middle). One map-only "
+        "MapInPandas — per-row md5-seeded PRNG, zero shuffles; the plan is "
+        "scan -> project -> Arrow map, nothing else."
     ),
     "pq_topk": (
         "NOTE: library operator (r8 product quantization, IVF-ADC+R serving "
