@@ -432,6 +432,35 @@ def extra_cases(spark, sf_dir: str) -> dict:
                 )
             )
         ),
+        # r8b: fill-in-the-middle over the staged tokenized corpus — one
+        # map-only Arrow pass, per-row seeded PRNG; ratio tracks total tokens
+        "fim_transform": lambda: _force(
+            __import__(
+                "photo_vector_search_spark.operators.fim",
+                fromlist=["fim_transform"],
+            ).fim_transform(
+                ids_df().withColumnRenamed("pos", "seq_id"), rate=0.5
+            )
+        ),
+        # r8b: batched ADC over session-trained codes — 16 query LUTs ride
+        # one broadcast; the only exchange carries per-batch per-query top-k
+        "pq_batch_topk": lambda: _force(
+            (lambda pq, emb_q: pq.pq_batch_topk(
+                pq.encode_pq(emb, pq.train_pq(emb, m=8, k=256, sample=4096)),
+                pq.train_pq(emb, m=8, k=256, sample=4096),
+                emb_q,
+                k=5,
+            ))(
+                __import__(
+                    "photo_vector_search_spark.operators.pq",
+                    fromlist=["pq_batch_topk"],
+                ),
+                emb.filter(F.col("vec_id") < 16).select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("embedding").cast("array<double>").alias("query_vec"),
+                ),
+            )
+        ),
         # r7b: audio near-dup over FAKEAUDIO tracks synthesized from the doc
         # texts (deterministic; ciphered sf1 copies give unrelated spectra, so
         # the pair structure stays corpus-proportional) — map-only vectorized
