@@ -199,6 +199,25 @@ def extra_cases(spark, sf_dir: str) -> dict:
             )
         return _fix["i"]
 
+    def pq_coded():
+        # codes staged once so pq_batch_topk times the ADC scan, not the
+        # one-off train+encode (the at-rest serving shape)
+        if "pq" not in _fix:
+            from photo_vector_search_spark.operators.pq import (
+                encode_pq,
+                train_pq,
+            )
+
+            books = train_pq(emb, m=8, k=256, sample=4096)
+            _fix["pq"] = (
+                stage_frame(
+                    encode_pq(emb, books).select("vec_id", "pq_code"),
+                    "pvs_scale_pq",
+                ),
+                books,
+            )
+        return _fix["pq"]
+
     def windows_df():
         # packed windows staged once so corrupt_spans times the corruption
         # pass, not the packing (pack scaling is pack_windows' own row)
@@ -442,23 +461,22 @@ def extra_cases(spark, sf_dir: str) -> dict:
                 ids_df().withColumnRenamed("pos", "seq_id"), rate=0.5
             )
         ),
-        # r8b: batched ADC over session-trained codes — 16 query LUTs ride
-        # one broadcast; the only exchange carries per-batch per-query top-k
+        # r8b: batched ADC over session-staged codes (codebooks + coded
+        # frame built lazily ONCE — the serving shape, where the index is a
+        # given); 16 query LUTs ride one broadcast and the only exchange
+        # carries per-batch per-query top-k
         "pq_batch_topk": lambda: _force(
-            (lambda pq, emb_q: pq.pq_batch_topk(
-                pq.encode_pq(emb, pq.train_pq(emb, m=8, k=256, sample=4096)),
-                pq.train_pq(emb, m=8, k=256, sample=4096),
-                emb_q,
-                k=5,
-            ))(
-                __import__(
-                    "photo_vector_search_spark.operators.pq",
-                    fromlist=["pq_batch_topk"],
-                ),
+            __import__(
+                "photo_vector_search_spark.operators.pq",
+                fromlist=["pq_batch_topk"],
+            ).pq_batch_topk(
+                pq_coded()[0],
+                pq_coded()[1],
                 emb.filter(F.col("vec_id") < 16).select(
                     F.col("vec_id").alias("query_id"),
                     F.col("embedding").cast("array<double>").alias("query_vec"),
                 ),
+                k=5,
             )
         ),
         # r7b: audio near-dup over FAKEAUDIO tracks synthesized from the doc
