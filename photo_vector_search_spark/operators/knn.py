@@ -177,3 +177,69 @@ def knn_batch_fast(embeddings: DataFrame, queries: DataFrame, k: int = 5) -> Dat
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "label", F.round("_dist", 6).alias("dist"), "rank")
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    embeddings: DataFrame,
+    query_vec,
+    k: int = 5,
+    lambda_: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_candidates: int = 4096,
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998) diversity
+    re-ranking over a BOUNDED candidate set — the serving tail after any
+    top-R retrieval (``knn_topk``, ``pq_topk(rerank=R)``, ``ivf_topk``):
+    greedily pick the candidate maximizing
+    ``lambda * sim(q, d) - (1 - lambda) * max_{s in picked} sim(d, s)``,
+    so near-duplicate results stop crowding out distinct ones.
+    ``lambda_=1`` reduces to plain relevance order.
+
+    Scale shape: the candidate ids drive ONE broadcast semi-join into the
+    (partition-prunable) float table, and the R surviving vectors collect
+    to the driver — R is the caller's rerank budget, guarded at
+    ``max_candidates``; the greedy loop is O(R·k) NumPy on R rows, the same
+    driver footprint as the top-k merge every search already pays. Returns
+    (id, sim, rank) with rank in MMR pick order; ties break to the lowest
+    id (deterministic)."""
+    if not 0.0 <= lambda_ <= 1.0:
+        raise ValueError(f"lambda_ must be in [0, 1], got {lambda_}")
+    ids_df = candidates.select(id_col).distinct()
+    rows = (
+        embeddings.join(F.broadcast(ids_df), id_col)
+        .select(id_col, vec_col)
+        .limit(max_candidates + 1)
+        .collect()
+    )
+    if len(rows) > max_candidates:
+        raise ValueError(
+            f"mmr_rerank: >{max_candidates} candidates — MMR is the tail "
+            "AFTER a top-R retrieval; shrink R or raise max_candidates"
+        )
+    spark = candidates.sparkSession
+    if not rows:
+        return spark.createDataFrame(
+            [], f"{id_col} long, sim double, rank int"
+        )
+    # deterministic input order: greedy argmax ties resolve to lowest id
+    rows = sorted(rows, key=lambda r: r[id_col])
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    mat = np.vstack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-300)
+    rel = mat @ q
+    picked: list[int] = []
+    max_red = np.full(len(ids), -np.inf)
+    out = []
+    for rank in range(min(k, len(ids))):
+        red = np.where(np.isinf(max_red), 0.0, max_red)
+        score = lambda_ * rel - (1.0 - lambda_) * red
+        score[picked] = -np.inf
+        best = int(np.argmax(score))  # first (lowest-id) argmax on ties
+        picked.append(best)
+        out.append((int(ids[best]), round(float(rel[best]), 6), rank + 1))
+        max_red = np.maximum(max_red, mat @ mat[best])
+    return spark.createDataFrame(out, f"{id_col} long, sim double, rank int")

@@ -459,3 +459,37 @@ def test_pq_batch_topk_matches_single_query_path(spark):
 
     with pytest.raises(ValueError, match="queries"):
         pq_batch_topk(coded, books, queries, k=5, max_queries=2)
+
+
+def test_mmr_rerank_diversifies_and_reduces_to_topk_at_lambda_one(spark):
+    """MMR picks the most relevant candidate first, defers a near-duplicate
+    of an already-picked result behind a distinct one, reduces to plain
+    relevance order at lambda=1, and guards its candidate budget."""
+    import pytest
+
+    from photo_vector_search_spark.operators.knn import mmr_rerank
+
+    rng = np.random.RandomState(4)
+    q = rng.randn(64)
+    a = q + 0.05 * rng.randn(64)          # most relevant
+    a_dup = a + 0.01 * rng.randn(64)      # near-duplicate of a
+    b = rng.randn(64) + 0.3 * q           # distinct, less relevant
+    x = np.vstack([a, a_dup, b])
+    df = _df(spark, x)
+    cands = df.select("vec_id")
+
+    top = mmr_rerank(cands, df, q, k=3, lambda_=0.5).collect()
+    order = [r["vec_id"] for r in sorted(top, key=lambda r: r["rank"])]
+    assert order[0] == 0          # relevance first
+    assert order[1] == 2          # the duplicate is deferred behind b
+    assert order[2] == 1
+
+    plain = mmr_rerank(cands, df, q, k=3, lambda_=1.0).collect()
+    rels = {r["vec_id"]: r["sim"] for r in plain}
+    order1 = [r["vec_id"] for r in sorted(plain, key=lambda r: r["rank"])]
+    assert order1 == sorted(rels, key=lambda i: (-rels[i], i))
+
+    with pytest.raises(ValueError, match="candidates"):
+        mmr_rerank(cands, df, q, k=2, max_candidates=1)
+    with pytest.raises(ValueError, match="lambda"):
+        mmr_rerank(cands, df, q, k=2, lambda_=1.5)
