@@ -312,6 +312,37 @@ def cmd_describe_store(args) -> int:
     return 0
 
 
+def cmd_curate_corpus(args) -> int:
+    """Text-corpus curation end-to-end from the CLI: documents parquet in
+    (doc_id, text, ...), per-stage survivor counts on stdout, JSONL shards
+    out — the library pipeline (`pipelines/curation.curate_corpus`) with its
+    defaults, plus the common opt-ins as flags."""
+    from photo_vector_search_spark.pipelines.curation import curate_corpus
+
+    spark = _spark()
+    docs = spark.read.parquet(args.docs)
+    if "doc_id" not in docs.columns or "text" not in docs.columns:
+        print(
+            f"--docs must have doc_id and text columns, got {docs.columns}",
+            file=sys.stderr,
+        )
+        return 2
+    _, stats = curate_corpus(
+        docs,
+        quality_gate=not args.no_quality_gate,
+        near_dedup=args.near_dedup,
+        lsh_tau=args.tau,
+        substring_ngram=args.substring_ngram,
+        shuffle_seed=args.seed,
+        export_path=args.out,
+        n_shards=args.shards,
+    )
+    for key, val in stats.items():
+        print(f"{key}: {val}")
+    print(f"shards written to {args.out}")
+    return 0
+
+
 def cmd_list_models(args) -> int:
     from photo_vector_search_spark.pipelines.embed import available_models
 
@@ -405,6 +436,28 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("describe-store")
     common(sp)
     sp.set_defaults(fn=cmd_describe_store)
+
+    sp = sub.add_parser(
+        "curate-corpus",
+        help="curate a documents parquet into shuffled JSONL shards",
+    )
+    sp.add_argument("--docs", required=True, help="documents parquet path")
+    sp.add_argument("--out", required=True, help="output JSONL shard dir")
+    sp.add_argument("--shards", type=int, default=8)
+    sp.add_argument("--tau", type=float, default=0.5, help="near-dup LSH tau")
+    sp.add_argument(
+        "--near-dedup", choices=("greedy", "cluster"), default="greedy"
+    )
+    sp.add_argument(
+        "--substring-ngram", type=int, default=None,
+        help="also remove exact repeated n-gram spans at this length",
+    )
+    sp.add_argument(
+        "--no-quality-gate", action="store_true",
+        help="skip the Gopher rule gate (pre-filtered corpora)",
+    )
+    sp.add_argument("--seed", type=int, default=0, help="shuffle seed")
+    sp.set_defaults(fn=cmd_curate_corpus)
 
     sp = sub.add_parser("list-models")
     sp.set_defaults(fn=cmd_list_models)

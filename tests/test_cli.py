@@ -101,3 +101,36 @@ def test_cli_missing_store_exits_2(spark):
     with pytest.raises(SystemExit) as e:
         main(["list-photos", "--store", "/nonexistent/store"])
     assert e.value.code == 2
+
+
+def test_cli_curate_corpus(tmp_path, capsys, spark, sf_dir):
+    """curate-corpus runs the text pipeline end-to-end from the CLI: stage
+    stats on stdout, JSONL shards on disk, and the shard contents reload."""
+    docs = str(tmp_path / "docs")
+    out = str(tmp_path / "shards")
+    spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).write.parquet(docs)
+
+    rc = main(
+        [
+            "curate-corpus",
+            "--docs", docs,
+            "--out", out,
+            "--shards", "2",
+            "--substring-ngram", "5",
+        ]
+    )
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "after_near_dedup:" in printed and "shards_written: 2" in printed
+    from photo_vector_search_spark.sources.jsonl import read_jsonl_shards
+
+    reloaded = read_jsonl_shards(spark, out)
+    assert reloaded.count() > 0
+    assert {"doc_id", "text", "pos"} <= set(reloaded.columns)
+
+    # schema guard: a parquet without doc_id/text exits 2
+    bad = str(tmp_path / "bad")
+    spark.range(3).write.parquet(bad)
+    assert main(["curate-corpus", "--docs", bad, "--out", out]) == 2
