@@ -11,6 +11,7 @@ Parquet-backed store.
     python -m photo_vector_search_spark.cli clear-store --store S
     python -m photo_vector_search_spark.cli delete-store --store S --yes
     python -m photo_vector_search_spark.cli list-models
+    python -m photo_vector_search_spark.cli curate-corpus --docs D.parquet --out shards/
 
 Differences from the reference, by design: the store is a Parquet snapshot
 (ChromaDB replaced), models default to the deterministic stubs (CLIP/Ollama plug
