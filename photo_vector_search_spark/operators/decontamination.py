@@ -32,11 +32,16 @@ Scale design (100 TB):
   so the complement of ∪[s_i, s_i+n) is exactly [0, s_1) ∪ [s_i+n, s_{i+1})
   ∪ [s_m+n, L) with empty gaps dropping out — no interval-merge fold, no
   per-doc quadratic accumulator, all JVM-side array expressions.
+- Both rungs (fragment rows / in-place rewrite) share ONE hit-detection and
+  gap-complement implementation (``_hits_and_gaps``), and each emits its
+  output from a SINGLE branch — a union of filtered branches would
+  re-execute the corpus-sized gram explode once per branch (caught in the
+  r8 plan audit: the fused plan is 2 exchanges / 1 explode, down from 4/2).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from photo_vector_search_spark.functions.text import tokens, word_ngrams
@@ -55,45 +60,24 @@ def benchmark_ngrams(benchmark: DataFrame, n: int, text_col: str = "text") -> Da
     )
 
 
-def decontaminate_spans(
-    docs: DataFrame,
+def _hits_and_gaps(
+    toks: DataFrame,
     benchmark: DataFrame,
-    n: int = 13,
-    min_fragment_tokens: int = 20,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> DataFrame:
-    """Remove every length-``n`` token window of ``docs`` that appears (as a
-    lowercased n-gram) anywhere in ``benchmark``; return the clean fragments.
+    n: int,
+    min_fragment_tokens: int,
+    id_col: str,
+    text_col: str,
+) -> tuple[DataFrame, Column, Column]:
+    """The shared core of both rungs: ``toks`` (any frame carrying a
+    ``_toks`` case-preserving token array) left-joined with each doc's
+    sorted hit starts (``_starts``), plus the closed-form clean-gap
+    complement and the NULL-safe token length.
 
-    Output: one row per surviving fragment —
-    ``(id_col, frag_idx int, n_tokens int, text string)``. Documents with no
-    contamination yield one fragment (``frag_idx = 0``) whose text is the
-    original string VERBATIM (whitespace and all). Contaminated documents
-    are split at the removed windows; fragments shorter than
-    ``min_fragment_tokens`` are discarded (GPT-3's floor), and fragment text
-    is rebuilt from the doc's whitespace tokens joined by single spaces —
-    case PRESERVED (only the match is case-insensitive), whitespace
-    normalized (token space is the operator's working resolution).
-
-    Exactness: matching tokenization and reconstruction tokenization both
-    split the same trimmed text on ``\\s+``, so gram positions index both
-    arrays identically; the complement construction in the module docstring
-    covers overlapping and adjacent hits without an interval-merge fold.
-    """
-    if n < 1:
-        raise ValueError(f"n must be >= 1, got {n}")
+    Matching tokenization = lower() of the SAME ``_toks`` array, so gram
+    positions index it identically. NULL text → NULL ``_toks``, whose
+    size() is NULL (ANSI) or -1 (legacy) — clamped to 0 so a NULL doc's
+    untouched fragment is (0, 0), never garbage negative-length rows."""
     bench = F.broadcast(benchmark_ngrams(benchmark, n, text_col=text_col))
-
-    # Case-preserving token array for reconstruction; the lowercased view
-    # (= lower() of the same array) only for matching. Computed ONCE here —
-    # both the gram explode and the fragment slice read this staged column.
-    toks = docs.select(
-        id_col,
-        text_col,
-        F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks"),
-    )
-
     grams = toks.select(
         id_col,
         F.posexplode(
@@ -105,10 +89,9 @@ def decontaminate_spans(
         .groupBy(id_col)
         .agg(F.sort_array(F.collect_list("pos")).alias("_starts"))
     )
-
     marked = toks.join(hits, id_col, "left")
     m = F.size("_starts")
-    length = F.size("_toks")
+    length = F.coalesce(F.greatest(F.size("_toks"), F.lit(0)), F.lit(0))
     # gap i (0-based, i = 0..m): [prev window end, next hit start)
     gap_frags = F.filter(
         F.transform(
@@ -126,6 +109,46 @@ def decontaminate_spans(
         # overlapping hits produce (hi < lo) — the closed-form complement's
         # only artifact
         lambda g: (g.hi - g.lo) >= F.lit(max(min_fragment_tokens, 1)),
+    )
+    return marked, gap_frags, length
+
+
+def decontaminate_spans(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    min_fragment_tokens: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove every length-``n`` token window of ``docs`` that appears (as a
+    lowercased n-gram) anywhere in ``benchmark``; return the clean fragments.
+
+    Output: one row per surviving fragment —
+    ``(id_col, frag_idx int, n_tokens int, text string)``. Documents with no
+    contamination yield one fragment (``frag_idx = 0``) whose text is the
+    original string VERBATIM (whitespace and all; NULL text yields one
+    ``(0, 0, NULL)`` fragment). Contaminated documents are split at the
+    removed windows; fragments shorter than ``min_fragment_tokens`` are
+    discarded (GPT-3's floor), and fragment text is rebuilt from the doc's
+    whitespace tokens joined by single spaces — case PRESERVED (only the
+    match is case-insensitive), whitespace normalized (token space is the
+    operator's working resolution).
+
+    Exactness: matching tokenization and reconstruction tokenization both
+    split the same trimmed text on ``\\s+``, so gram positions index both
+    arrays identically; the complement construction in the module docstring
+    covers overlapping and adjacent hits without an interval-merge fold.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    toks = docs.select(
+        id_col,
+        text_col,
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks"),
+    )
+    marked, gap_frags, length = _hits_and_gaps(
+        toks, benchmark, n, min_fragment_tokens, id_col, text_col
     )
     # ONE branch for clean and split docs — a union of filtered branches
     # would re-execute the whole hits subtree (the corpus-sized gram
@@ -182,42 +205,13 @@ def decontaminate_rewrite(
     All non-text columns pass through. Adds ``n_removed_tokens`` (0 for
     untouched docs) so callers can count rewrites and removed volume.
     Same matching, hit aggregation, and closed-form gap complement as
-    ``decontaminate_spans`` — see the module docstring for the 100 TB
-    shape (broadcast benchmark grams, sparse hit shuffle, AQE-sized
-    rebuild join)."""
+    ``decontaminate_spans`` (shared ``_hits_and_gaps``) — see the module
+    docstring for the 100 TB shape."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    bench = F.broadcast(benchmark_ngrams(benchmark, n, text_col=text_col))
     toks = docs.withColumn("_toks", F.split(F.trim(F.col(text_col)), r"\s+"))
-
-    grams = toks.select(
-        id_col,
-        F.posexplode(
-            word_ngrams(F.transform(F.col("_toks"), F.lower), n)
-        ).alias("pos", "gram"),
-    )
-    hits = (
-        grams.join(bench, "gram")
-        .groupBy(id_col)
-        .agg(F.sort_array(F.collect_list("pos")).alias("_starts"))
-    )
-
-    marked = toks.join(hits, id_col, "left")
-    m = F.size("_starts")
-    length = F.size("_toks")
-    frags = F.filter(
-        F.transform(
-            F.sequence(F.lit(0), m),
-            lambda i: F.struct(
-                F.when(i == 0, F.lit(0))
-                .otherwise(F.element_at("_starts", i) + n)
-                .alias("lo"),
-                F.when(i == m, length)
-                .otherwise(F.element_at("_starts", i + 1))
-                .alias("hi"),
-            ),
-        ),
-        lambda g: (g.hi - g.lo) >= F.lit(max(min_fragment_tokens, 1)),
+    marked, frags, length = _hits_and_gaps(
+        toks, benchmark, n, min_fragment_tokens, id_col, text_col
     )
     kept = F.aggregate(
         frags, F.lit(0), lambda acc, g: acc + (g.hi - g.lo)

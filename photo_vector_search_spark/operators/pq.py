@@ -79,14 +79,25 @@ def _collect_sample(
 
 
 def _train_books(
-    x: np.ndarray, m: int, k: int, iters: int, rng: np.random.RandomState
+    x: np.ndarray,
+    m: int,
+    k: int,
+    iters: int,
+    rng: np.random.RandomState,
+    init: np.ndarray | None = None,
 ) -> np.ndarray:
+    """Per-subspace Lloyd; ``init`` warm-starts from existing codebooks
+    (OPQ's alternating rounds) — Lloyd from a given init never increases
+    quantization error, which is what makes the alternation monotone."""
     sub = x.shape[1] // m
     k_eff = min(k, len(x))
     books = np.empty((m, k_eff, sub), dtype=np.float64)
     for j in range(m):
         xj = x[:, j * sub : (j + 1) * sub]
-        cent = xj[rng.choice(len(xj), size=k_eff, replace=False)].copy()
+        if init is not None:
+            cent = init[j].copy()
+        else:
+            cent = xj[rng.choice(len(xj), size=k_eff, replace=False)].copy()
         for _ in range(iters):
             d2 = (
                 (xj**2).sum(1)[:, None]
@@ -133,7 +144,13 @@ def train_opq(
     books = None
     for _ in range(max(opq_iters, 1)):
         xr = x @ rot
-        books = _train_books(xr, m, k, iters, rng)
+        # warm-start from the previous round's books (round 1: random init
+        # == plain PQ): Lloyd from a given init never increases error, and
+        # the Procrustes step minimizes over R with books fixed — together
+        # the alternation is monotone non-increasing, the docstring's claim.
+        # (A fresh random init per round could land in a WORSE local minimum
+        # than the previous round — review finding.)
+        books = _train_books(xr, m, k, iters, rng, init=books)
         codes = _encode_rows(xr, books)
         sub = d // m
         recon = np.hstack(
@@ -566,11 +583,13 @@ def ivf_pq_topk(
     order = np.argsort(-(centroids @ qn))[: min(nprobe, len(centroids))]
     probed = indexed_coded.filter(
         F.col(cluster_col).isin([int(c) for c in order])
-    )
-    if rerank is not None:
-        # dedup multi-assign duplicates AFTER scoring (pq_topk orders by id
-        # tie-break, duplicates collapse in the rerank join's distinct ids)
-        probed = probed.dropDuplicates([id_col])
+    ).dropDuplicates([id_col])
+    # the dedup is UNCONDITIONAL: a multi-assign store (n_assign > 1) scores
+    # a vector once per probed home cluster with identical codes, so without
+    # it the no-rerank top-k returns duplicate rows and fewer than k
+    # distinct neighbors (review finding; ann.ivf_topk handles the same case
+    # with an over-fetch + dropDuplicates). Codes are identical across a
+    # vector's copies, so dropping before scoring changes nothing else.
     return pq_topk(
         probed,
         codebooks,

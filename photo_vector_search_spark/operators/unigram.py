@@ -237,9 +237,13 @@ def viterbi_segment(
             lp = logp.get(word[j:i])
             if lp is None or best[j][0] == -math.inf:
                 continue
+            # best[j][1] already holds -n_pieces; appending a piece is -1
+            # more (the first cut re-negated it, flipping the fewer-pieces
+            # tie-break on every odd/even count boundary — caught by review,
+            # pinned in test_viterbi_tie_breaks_to_fewer_pieces)
             cand = (
                 best[j][0] + lp,
-                -(best[j][1] + 1),
+                best[j][1] - 1,
                 word[j:i],
             )
             # maximize (logprob, -n_pieces); ties -> lexicographically

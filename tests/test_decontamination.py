@@ -272,3 +272,35 @@ def test_rewrite_min_fragment_floor(spark):
     got = _run_rw(spark, docs, bench, n=3, min_frag=3)
     # the 2-token head is shrapnel (dropped AND counted as removed)
     assert got["d0"] == ("t3 t4 t5 t6 t7 t8 t9 t10", 5, 0)
+
+
+def test_null_text_passes_through_both_rungs(spark):
+    """NULL-text docs yield one (0, 0, NULL) fragment in the spans rung
+    (regression: size(NULL) is -1/-NULL and once produced a negative-length
+    garbage fragment) and pass verbatim through the rewrite rung."""
+    from photo_vector_search_spark.operators.decontamination import (
+        decontaminate_rewrite,
+    )
+
+    bench = spark.createDataFrame(
+        [("b0", "a b c")], "doc_id string, text string"
+    )
+    docs = spark.createDataFrame(
+        [("nul", None), ("ok", "x y z")], "doc_id string, text string"
+    )
+    frags = {
+        r["doc_id"]: r
+        for r in decontaminate_spans(docs, bench, n=3, min_fragment_tokens=1).collect()
+    }
+    assert frags["nul"]["frag_idx"] == 0
+    assert frags["nul"]["n_tokens"] == 0
+    assert frags["nul"]["text"] is None
+    assert frags["ok"]["text"] == "x y z"
+
+    rw = {
+        r["doc_id"]: r
+        for r in decontaminate_rewrite(
+            docs, bench, n=3, min_fragment_tokens=1
+        ).collect()
+    }
+    assert rw["nul"]["text"] is None and rw["nul"]["n_removed_tokens"] == 0

@@ -493,3 +493,40 @@ def test_mmr_rerank_diversifies_and_reduces_to_topk_at_lambda_one(spark):
         mmr_rerank(cands, df, q, k=2, max_candidates=1)
     with pytest.raises(ValueError, match="lambda"):
         mmr_rerank(cands, df, q, k=2, lambda_=1.5)
+
+
+def test_opq_error_is_monotone_over_rounds(spark):
+    """Each additional OPQ round can only lower (or hold) sample
+    quantization error — the warm-started alternation's invariant (a fresh
+    random re-init per round broke it)."""
+    from photo_vector_search_spark.operators.pq import train_opq
+
+    x = _aniso(n=250, seed=21)
+    df = _df(spark, x)
+    errs = []
+    for rounds in (1, 2, 4, 8):
+        rot, books = train_opq(
+            df, m=8, k=16, sample=250, seed=3, opq_iters=rounds
+        )
+        errs.append(_mse(x, books, rot))
+    for a, b in zip(errs, errs[1:]):
+        assert b <= a + 1e-9, errs
+
+
+def test_ivf_pq_no_rerank_returns_k_distinct_on_multiassign_store(spark):
+    """nprobe covering both home clusters of multi-assigned vectors must
+    still return k DISTINCT neighbors on the raw-ADC path (regression: the
+    dedup only ran with rerank set, so duplicates crowded out results)."""
+    from photo_vector_search_spark.operators.ann import (
+        assign_clusters,
+        train_centroids,
+    )
+
+    x = _mog(n=200)
+    df = _df(spark, x)
+    cents = train_centroids(df, n_clusters=4, sample=200)
+    books = train_pq(df, m=8, k=32, sample=200, seed=1)
+    indexed = encode_pq(assign_clusters(df, cents, n_assign=2), books)
+    got = ivf_pq_topk(indexed, cents, books, x[9], k=5, nprobe=4).collect()
+    ids = [r["vec_id"] for r in got]
+    assert len(ids) == 5 and len(set(ids)) == 5

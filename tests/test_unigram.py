@@ -343,3 +343,20 @@ def test_tokenizer_stats_matches_independent_computation(spark):
     # global (no `by`): one row covering the 3 non-NULL docs
     g = tokenizer_stats(enc, oov_id=len(vocab)).collect()
     assert len(g) == 1 and g[0]["n_docs"] == 3
+
+
+def test_viterbi_tie_breaks_to_fewer_pieces():
+    """On exact log-prob ties the FEWER-pieces segmentation wins (the
+    documented contract; a sign error once made even piece counts beat odd
+    ones regardless of length)."""
+    import math as m
+
+    # p(a)=1/2, p(aa)=1/4, p(aaa)=1/8: every segmentation of 'aaa' scores
+    # exactly log(1/8) — the tie must resolve to the single piece
+    logp = {"a": m.log(0.5), "aa": m.log(0.25), "aaa": m.log(0.125)}
+    assert viterbi_segment("aaa", logp, 8) == ["aaa"]
+    assert viterbi_segment("aa", logp, 8) == ["aa"]
+    # and a 4-char word: ['aaa','a'] / ['a','aaa'] / ['aa','aa'] all tie at
+    # 2 pieces; lexicographic last-boundary tie-break picks deterministically
+    got = viterbi_segment("aaaa", logp, 8)
+    assert len(got) == 2 and "".join(got) == "aaaa"
