@@ -104,6 +104,25 @@ def _force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def fake_media_docs(spark, sf_dir: str, kind: str):
+    """(path, content) rows synthesizing the documents table into FAKEIMG /
+    FAKEAUDIO payloads — ONE definition shared by the per-round bench, the
+    scale bench, and the plan audit, so they all measure/inspect the same
+    corpus shape (the synthesis was once copy-pasted in three places —
+    review finding)."""
+    from pyspark.sql import functions as F
+
+    from photo_vector_search_spark.sources.tables import load_table
+
+    prefix = {"image": "FAKEIMG:64x32:", "audio": "FAKEAUDIO:"}[kind]
+    return load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("path"),
+        F.encode(F.concat(F.lit(prefix), F.col("text")), "utf-8").alias(
+            "content"
+        ),
+    )
+
+
 def _build_cases(spark, sf_dir: str) -> dict:
     from pyspark.sql import functions as F
 
@@ -306,15 +325,7 @@ def _build_cases(spark, sf_dir: str) -> dict:
             __import__(
                 "photo_vector_search_spark.operators.image_dedup",
                 fromlist=["image_near_dup"],
-            ).image_near_dup(
-                load_table(spark, sf_dir, "documents").select(
-                    F.col("doc_id").cast("string").alias("path"),
-                    F.encode(
-                        F.concat(F.lit("FAKEIMG:64x32:"), F.col("text")),
-                        "utf-8",
-                    ).alias("content"),
-                )
-            )
+            ).image_near_dup(fake_media_docs(spark, sf_dir, "image"))
         ),
         # r8: the declared span-level decontamination (broadcast benchmark
         # gram dictionary + map-only hit detection + closed-form fragment

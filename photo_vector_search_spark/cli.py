@@ -105,7 +105,11 @@ def cmd_index_photos(args) -> int:
         files, dstats = curate_photos(
             files,
             tau=args.dedup_tau,
-            embedder=_resolve_embedder(args.model) if args.dedup_tau else None,
+            # `is not None`, NOT truthiness: --dedup-tau 0.0 must still use
+            # the requested model, not fall back to the stub (review finding)
+            embedder=_resolve_embedder(args.model)
+            if args.dedup_tau is not None
+            else None,
             # reference behavior: every scannable file indexes (undecodable
             # rows embed via the stub and tally as describe failures)
             decode_gate=False,

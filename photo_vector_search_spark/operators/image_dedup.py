@@ -158,6 +158,22 @@ def _permuted_hash_sql(hash_col: str, n_bands: int, width: int) -> str:
     return "(" + " | ".join(terms) + ")"
 
 
+def check_band_completeness(max_hamming: int, n_bands: int) -> None:
+    """Fail LOUDLY when the pigeonhole precondition doesn't hold: single-band
+    blocking is exact only for distance ≤ n_bands − 1 (a pair at distance
+    n_bands can corrupt every band and silently never become a candidate —
+    review finding: the old guard checked only that n_bands divides 64).
+    Shared by the batch join and both streaming indexes."""
+    if not 1 <= n_bands <= 64 or 64 % n_bands:
+        raise ValueError(f"n_bands must divide 64, got {n_bands}")
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the pigeonhole completeness "
+            f"bound for n_bands={n_bands} (exact only for distance <= "
+            f"{n_bands - 1}) — raise n_bands or lower max_hamming"
+        )
+
+
 def band_rows(
     hashed: DataFrame, id_col: str, hash_col: str, n_bands: int
 ) -> DataFrame:
@@ -267,8 +283,7 @@ def hamming_pairs(
     the corpus TWICE. ``stage=None`` applies the house rule: wide or
     nondeterministic upstreams are staged to a tiny (id, hash) parquet once;
     bare scans re-read. ``stage=True``/``False`` overrides."""
-    if not 1 <= n_bands <= 64 or 64 % n_bands:
-        raise ValueError(f"n_bands must divide 64, got {n_bands}")
+    check_band_completeness(max_hamming, n_bands)
     from photo_vector_search_spark.operators.shuffle import (
         _rescan_safe_and_cheap,
     )
@@ -323,11 +338,17 @@ def hamming_pairs(
 
 
 def image_near_dup(
-    decoded: DataFrame, max_hamming: int = 6, id_col: str = "path"
+    decoded: DataFrame,
+    max_hamming: int = 6,
+    id_col: str = "path",
+    n_bands: int = 8,
 ) -> DataFrame:
     """pHash + hamming blocking in one call over ``decode_images`` output."""
     return hamming_pairs(
-        phash_images(decoded), max_hamming=max_hamming, id_col=id_col
+        phash_images(decoded),
+        max_hamming=max_hamming,
+        id_col=id_col,
+        n_bands=n_bands,
     )
 
 
@@ -362,6 +383,7 @@ def video_near_dup(
     max_hamming: int = 6,
     min_shared_frames: int = 1,
     every_n: int = 30,
+    n_bands: int = 8,
 ) -> DataFrame:
     """Video-level near-duplicates: sample frames
     (``pipelines.multimodal.sample_video_frames`` — real codec when
@@ -383,7 +405,11 @@ def video_near_dup(
         F.col("frame").alias("content"),
     )
     hashed = phash_images(fids, content_col="content")
-    fpairs = hamming_pairs(hashed, max_hamming=max_hamming, id_col="fid")
+    # n_bands rides through so thresholds past n_bands-1 stay expressible
+    # (the completeness guard demands n_bands > max_hamming)
+    fpairs = hamming_pairs(
+        hashed, max_hamming=max_hamming, id_col="fid", n_bands=n_bands
+    )
     return (
         rollup_frame_pairs(fpairs, min_shared_frames=min_shared_frames)
         .withColumnRenamed("track_a", "video_a")

@@ -118,6 +118,50 @@ def base_dir(state_path: str, base_id: str, family: str) -> str:
     return os.path.join(state_path, f"_base_{base_id}", family)
 
 
+BANDING_MARKER = "_banding.json"
+BAND_LAYOUT = "interleaved-v1"  # image_dedup._permuted_hash_sql's partition
+
+
+def check_band_layout(state_path: str, family: str, n_bands: int) -> None:
+    """Refuse to stream against persisted band state written under a
+    DIFFERENT band-key definition — keys are a compatibility contract, not
+    an implementation detail: the r8 interleaved partition (or a changed
+    ``n_bands``) makes every previously persisted (band, bkey) row match
+    nothing, so the semi-join silently misses every old-vs-new pair while
+    the stream keeps committing (review finding). First use on an empty
+    family stamps ``_banding.json``; state without the stamp predates the
+    interleaved layout and must be rebuilt via the batch operator."""
+    marker = os.path.join(state_path, BANDING_MARKER)
+    if os.path.exists(marker):
+        with open(marker) as f:
+            rec = json.load(f)
+        if rec.get("layout") != BAND_LAYOUT or rec.get("n_bands") != n_bands:
+            raise ValueError(
+                f"band state at {state_path!r} was written with layout="
+                f"{rec.get('layout')!r} n_bands={rec.get('n_bands')} but this "
+                f"stream uses layout={BAND_LAYOUT!r} n_bands={n_bands} — "
+                "band keys are incompatible; rebuild the state with the "
+                "batch operator over the current corpus"
+            )
+        return
+    mani = load_manifest(state_path)
+    has_state = bool(_batch_dirs(os.path.join(state_path, family))) or (
+        mani is not None and family in mani.get("families", [])
+    )
+    if has_state:
+        raise ValueError(
+            f"band state at {state_path!r} has no banding marker — it "
+            "predates the interleaved band layout, and its persisted keys "
+            "would silently match nothing; rebuild the state with the batch "
+            "operator over the current corpus"
+        )
+    os.makedirs(state_path, exist_ok=True)
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"layout": BAND_LAYOUT, "n_bands": n_bands}, f)
+    os.replace(tmp, marker)
+
+
 def read_state_family(
     spark: SparkSession,
     state_path: str,

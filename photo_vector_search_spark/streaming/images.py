@@ -59,8 +59,16 @@ def incremental_phash_dedup(
     identical re-delivery is a no-op, changed content raises (rebuild via
     the batch operator). ``n_bands`` must divide 64; pigeonhole completeness
     holds for ``max_hamming ≤ n_bands − 1``."""
-    if not 1 <= n_bands <= 64 or 64 % n_bands:
-        raise ValueError(f"n_bands must divide 64, got {n_bands}")
+    from photo_vector_search_spark.operators.image_dedup import (
+        check_band_completeness,
+    )
+
+    check_band_completeness(max_hamming, n_bands)
+    from photo_vector_search_spark.streaming.compaction import (
+        check_band_layout,
+    )
+
+    check_band_layout(state_path, "ibands", n_bands)
 
     def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         from photo_vector_search_spark.operators.image_dedup import (

@@ -141,7 +141,12 @@ def test_video_near_dup_composition(spark):
     df = spark.createDataFrame(rows, "path string, content binary")
     got = {
         (r["video_a"], r["video_b"]): r["n_shared_frames"]
-        for r in video_near_dup(df, max_hamming=10, every_n=30).collect()
+        # max_hamming=10 needs n_bands=16 (single-band completeness bound
+        # is n_bands-1; the old default-8 call was silently incomplete and
+        # is now rejected by check_band_completeness)
+        for r in video_near_dup(
+            df, max_hamming=10, every_n=30, n_bands=16
+        ).collect()
     }
     assert ("vidA", "vidB") in got and got[("vidA", "vidB")] >= 1
     assert all("vidC" not in k and "vidBAD" not in k for k in got)

@@ -157,3 +157,46 @@ def test_compaction_preserves_parity(spark):
         assert _pairs(read_image_pairs(spark, state)) == expected
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_band_layout_guard(spark, tmp_path):
+    """Persisted band state is keyed by the band LAYOUT: an unstamped
+    pre-existing state (pre-interleaving) and a stamped-but-mismatched one
+    are both refused loudly; a fresh state gets the marker."""
+    import json
+    import os
+
+    import pytest
+
+    from photo_vector_search_spark.streaming.compaction import (
+        BANDING_MARKER,
+        check_band_layout,
+    )
+
+    fresh = str(tmp_path / "fresh")
+    check_band_layout(fresh, "ibands", 8)
+    assert os.path.exists(f"{fresh}/{BANDING_MARKER}")
+    check_band_layout(fresh, "ibands", 8)  # idempotent
+    with pytest.raises(ValueError, match="incompatible"):
+        check_band_layout(fresh, "ibands", 16)  # n_bands mismatch
+
+    legacy = str(tmp_path / "legacy" )
+    os.makedirs(f"{legacy}/ibands/batch_id=0")
+    with pytest.raises(ValueError, match="predates"):
+        check_band_layout(legacy, "ibands", 8)
+
+
+def test_completeness_guard_rejects_uncoverable_threshold(spark):
+    import pytest
+
+    from photo_vector_search_spark.operators.image_dedup import hamming_pairs
+    from photo_vector_search_spark.streaming.images import (
+        incremental_phash_dedup,
+    )
+
+    df = spark.createDataFrame([("p", 1)], "path string, phash long")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        hamming_pairs(df, max_hamming=8, n_bands=8)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        incremental_phash_dedup(spark, "/tmp/x", "/tmp/y", "/tmp/z",
+                                max_hamming=9, n_bands=8)

@@ -306,36 +306,17 @@ def _extra_predict_lang(spark, sf_dir):
 
 
 def _extra_audio_near_dup(spark, sf_dir):
-    from pyspark.sql import functions as F
-
+    from bench import fake_media_docs
     from photo_vector_search_spark.operators.audio_dedup import audio_near_dup
-    from photo_vector_search_spark.sources.tables import load_table
 
-    return audio_near_dup(
-        load_table(spark, sf_dir, "documents").select(
-            F.col("doc_id").cast("string").alias("path"),
-            F.encode(
-                F.concat(F.lit("FAKEAUDIO:"), F.col("text")), "utf-8"
-            ).alias("content"),
-        )
-    )
+    return audio_near_dup(fake_media_docs(spark, sf_dir, "audio"))
 
 
 def _extra_video_near_dup(spark, sf_dir):
-    from pyspark.sql import functions as F
-
+    from bench import fake_media_docs
     from photo_vector_search_spark.operators.image_dedup import video_near_dup
-    from photo_vector_search_spark.sources.tables import load_table
 
-    return video_near_dup(
-        load_table(spark, sf_dir, "documents").select(
-            F.col("doc_id").cast("string").alias("path"),
-            F.encode(
-                F.concat(F.lit("FAKEIMG:64x32:"), F.col("text")), "utf-8"
-            ).alias("content"),
-        ),
-        every_n=4,
-    )
+    return video_near_dup(fake_media_docs(spark, sf_dir, "image"), every_n=4)
 
 
 def _extra_corrupt_spans(spark, sf_dir):

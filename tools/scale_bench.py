@@ -120,6 +120,12 @@ def synthesize(spark, copies: int, src: str = SRC, dst: str = DST) -> None:
     open(f"{dst}/_DONE_{copies}", "w").close()
 
 
+def _fake_docs(spark, sf_dir: str, kind: str):
+    from bench import fake_media_docs
+
+    return fake_media_docs(spark, sf_dir, kind)
+
+
 def extra_cases(spark, sf_dir: str) -> dict:
     """Queries the judge flagged for super-linearity watch, not in bench.py,
     plus scale-path OVERRIDES of bench cases whose recorded form pins
@@ -441,15 +447,7 @@ def extra_cases(spark, sf_dir: str) -> dict:
             __import__(
                 "photo_vector_search_spark.operators.image_dedup",
                 fromlist=["image_near_dup"],
-            ).image_near_dup(
-                load_table(spark, sf_dir, "documents").select(
-                    F.col("doc_id").cast("string").alias("path"),
-                    F.encode(
-                        F.concat(F.lit("FAKEIMG:64x32:"), F.col("text")),
-                        "utf-8",
-                    ).alias("content"),
-                )
-            )
+            ).image_near_dup(_fake_docs(spark, sf_dir, "image"))
         ),
         # r8b: fill-in-the-middle over the staged tokenized corpus — one
         # map-only Arrow pass, per-row seeded PRNG; ratio tracks total tokens
@@ -487,14 +485,7 @@ def extra_cases(spark, sf_dir: str) -> dict:
             __import__(
                 "photo_vector_search_spark.operators.audio_dedup",
                 fromlist=["audio_near_dup"],
-            ).audio_near_dup(
-                load_table(spark, sf_dir, "documents").select(
-                    F.col("doc_id").cast("string").alias("path"),
-                    F.encode(
-                        F.concat(F.lit("FAKEAUDIO:"), F.col("text")), "utf-8"
-                    ).alias("content"),
-                )
-            )
+            ).audio_near_dup(_fake_docs(spark, sf_dir, "audio"))
         ),
     }
 
@@ -605,9 +596,14 @@ def main() -> None:
         planned = set(only) if only is not None else set(all_names)
         if only is not None and os.path.exists(args.out):
             planned |= {n for n, _, _ in _parse_table_rows(args.out)}
+        # NUMERIC round sort: lexicographic ordering puts r10 before r9
+        # and would silently compare against a stale table (review finding)
         prev_tables = sorted(
-            f for f in os.listdir(".")
-            if f.startswith("SCALE_TABLE_r") and f.endswith(".md")
+            (
+                f for f in os.listdir(".")
+                if f.startswith("SCALE_TABLE_r") and f.endswith(".md")
+            ),
+            key=lambda f: int("".join(c for c in f if c.isdigit()) or 0),
         )
         refs = [args.out] if os.path.exists(args.out) else prev_tables[-1:]
         for ref in refs:
