@@ -219,13 +219,28 @@ def mmr_rerank(
             "AFTER a top-R retrieval; shrink R or raise max_candidates"
         )
     spark = candidates.sparkSession
+    # Output id field copies the input's type (the pq_topk id_field
+    # pattern) so string ids — e.g. the photo surfaces' `path` — work too.
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    id_field = [f for f in candidates.schema.fields if f.name == id_col][0]
+    out_schema = StructType(
+        [
+            StructField(id_col, id_field.dataType, True),
+            StructField("sim", DoubleType(), True),
+            StructField("rank", IntegerType(), True),
+        ]
+    )
     if not rows:
-        return spark.createDataFrame(
-            [], f"{id_col} long, sim double, rank int"
-        )
+        return spark.createDataFrame([], out_schema)
     # deterministic input order: greedy argmax ties resolve to lowest id
     rows = sorted(rows, key=lambda r: r[id_col])
-    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    ids = [r[id_col] for r in rows]
     mat = np.vstack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
     mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
     q = np.asarray(query_vec, dtype=np.float64)
@@ -240,6 +255,6 @@ def mmr_rerank(
         score[picked] = -np.inf
         best = int(np.argmax(score))  # first (lowest-id) argmax on ties
         picked.append(best)
-        out.append((int(ids[best]), round(float(rel[best]), 6), rank + 1))
+        out.append((ids[best], round(float(rel[best]), 6), rank + 1))
         max_red = np.maximum(max_red, mat @ mat[best])
-    return spark.createDataFrame(out, f"{id_col} long, sim double, rank int")
+    return spark.createDataFrame(out, out_schema)

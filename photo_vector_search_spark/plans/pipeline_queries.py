@@ -997,9 +997,11 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget. Token ids derive from a deterministic surrogate (per-token
     character lengths — both engines replay it exactly); the declared
     output pins every packing DECISION (membership, in-pack order, per-doc
-    effective lengths, fills) via the doc_ids/seq_lens arrays, while the id
-    CONTENT concat is pytest-pinned against an independent packer. The
-    oracle replays the sequential next-fit with a recursive CTE."""
+    effective lengths, fills) via CSV-joined doc_ids/seq_lens — scalar
+    strings, because the driver's canonicalizer sorts result frames with
+    pandas and list-typed columns are unhashable there (the r8 regression).
+    The id CONTENT concat is pytest-pinned against an independent packer.
+    The oracle replays the sequential next-fit with a recursive CTE."""
     from photo_vector_search_spark.operators.packing import pack_sequences
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1020,7 +1022,16 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_shards=PACK_SEQ_SHARDS,
     )
     return packed.select(
-        "shard", "pack_id", "n_docs", "n_tokens", "doc_ids", "seq_lens"
+        "shard",
+        "pack_id",
+        "n_docs",
+        "n_tokens",
+        F.concat_ws(",", F.col("doc_ids").cast("array<string>")).alias(
+            "doc_ids_csv"
+        ),
+        F.concat_ws(",", F.col("seq_lens").cast("array<string>")).alias(
+            "seq_lens_csv"
+        ),
     )
 
 
@@ -1052,8 +1063,9 @@ fit AS (
 SELECT shard, pack_id,
        CAST(count(*) AS INT) AS n_docs,
        CAST(sum(e) AS INT) AS n_tokens,
-       list(doc_id ORDER BY rn) AS doc_ids,
-       list(CAST(e AS INT) ORDER BY rn) AS seq_lens
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY rn) AS doc_ids_csv,
+       string_agg(CAST(CAST(e AS INT) AS VARCHAR), ',' ORDER BY rn)
+         AS seq_lens_csv
 FROM fit GROUP BY shard, pack_id
 """
 

@@ -129,20 +129,41 @@ def check_band_layout(state_path: str, family: str, n_bands: int) -> None:
     ``n_bands``) makes every previously persisted (band, bkey) row match
     nothing, so the semi-join silently misses every old-vs-new pair while
     the stream keeps committing (review finding). First use on an empty
-    family stamps ``_banding.json``; state without the stamp predates the
-    interleaved layout and must be rebuilt via the batch operator."""
+    family stamps its record into ``_banding.json``; state without the
+    stamp predates the interleaved layout and must be rebuilt via the batch
+    operator.
+
+    The marker is keyed BY FAMILY (``{family: {layout, n_bands}}``): an
+    image stream (``ibands``) and an audio stream (``abands``) sharing one
+    ``state_path`` have disjoint band families, so each checks — and may
+    differ in — its own ``n_bands``. A flat legacy record (pre-r9 single
+    ``{layout, n_bands}``) is treated as whichever family reads it first
+    and migrated in place."""
     marker = os.path.join(state_path, BANDING_MARKER)
+    records: dict[str, dict] = {}
     if os.path.exists(marker):
         with open(marker) as f:
             rec = json.load(f)
-        if rec.get("layout") != BAND_LAYOUT or rec.get("n_bands") != n_bands:
+        # legacy flat record: one stream family stamped it pre-r9; claim it
+        # for the first family that checks (the stamping family in every
+        # pre-r9 layout, since sharing was exactly the bug being fixed)
+        records = {family: rec} if "layout" in rec else rec
+    mine = records.get(family)
+    if mine is not None:
+        if mine.get("layout") != BAND_LAYOUT or mine.get("n_bands") != n_bands:
             raise ValueError(
-                f"band state at {state_path!r} was written with layout="
-                f"{rec.get('layout')!r} n_bands={rec.get('n_bands')} but this "
-                f"stream uses layout={BAND_LAYOUT!r} n_bands={n_bands} — "
-                "band keys are incompatible; rebuild the state with the "
-                "batch operator over the current corpus"
+                f"band state at {state_path!r} family {family!r} was written "
+                f"with layout={mine.get('layout')!r} "
+                f"n_bands={mine.get('n_bands')} but this stream uses "
+                f"layout={BAND_LAYOUT!r} n_bands={n_bands} — band keys are "
+                "incompatible; rebuild the state with the batch operator "
+                "over the current corpus"
             )
+        if os.path.exists(marker):
+            with open(marker) as f:
+                on_disk = json.load(f)
+            if "layout" in on_disk:  # persist the legacy->keyed migration
+                _write_banding(marker, records)
         return
     mani = load_manifest(state_path)
     has_state = bool(_batch_dirs(os.path.join(state_path, family))) or (
@@ -150,15 +171,20 @@ def check_band_layout(state_path: str, family: str, n_bands: int) -> None:
     )
     if has_state:
         raise ValueError(
-            f"band state at {state_path!r} has no banding marker — it "
-            "predates the interleaved band layout, and its persisted keys "
-            "would silently match nothing; rebuild the state with the batch "
-            "operator over the current corpus"
+            f"band state at {state_path!r} has no banding marker for family "
+            f"{family!r} — it predates the interleaved band layout, and its "
+            "persisted keys would silently match nothing; rebuild the state "
+            "with the batch operator over the current corpus"
         )
     os.makedirs(state_path, exist_ok=True)
+    records[family] = {"layout": BAND_LAYOUT, "n_bands": n_bands}
+    _write_banding(marker, records)
+
+
+def _write_banding(marker: str, records: dict) -> None:
     tmp = marker + ".tmp"
     with open(tmp, "w") as f:
-        json.dump({"layout": BAND_LAYOUT, "n_bands": n_bands}, f)
+        json.dump(records, f)
     os.replace(tmp, marker)
 
 

@@ -28,6 +28,21 @@ def test_every_query_has_callable_and_oracle_keys_subset():
 
 
 @pytest.mark.parametrize("name", QUERY_KEYS)
+def test_query_schema_is_scalar(spark, sf_dir, name):
+    """The driver canonicalizes result frames via a pandas sort; array/map/
+    struct cells raise `TypeError: unhashable type` there (the r8
+    `pack_sequences` regression). Every declared query must emit only
+    scalar columns — CSV-join or checksum anything array-shaped."""
+    df = entrymod.queries()[name](spark, sf_dir)
+    for f in df.schema.fields:
+        t = f.dataType.simpleString()
+        assert not t.startswith(("array", "map", "struct")), (
+            f"{name}: declared column {f.name!r} has non-scalar type {t}; "
+            "the driver's pandas canonicalizer cannot sort it"
+        )
+
+
+@pytest.mark.parametrize("name", QUERY_KEYS)
 def test_query_matches_oracle(spark, sf_correct, name):
     q = entrymod.queries()[name]
     oracles = entrymod.oracle_sql()

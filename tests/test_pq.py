@@ -495,6 +495,33 @@ def test_mmr_rerank_diversifies_and_reduces_to_topk_at_lambda_one(spark):
         mmr_rerank(cands, df, q, k=2, lambda_=1.5)
 
 
+def test_mmr_rerank_string_ids(spark):
+    """The output id column copies the input's type (the pq_topk id_field
+    pattern) — string ids like the photo surfaces' `path` must work, and
+    the empty-candidate schema must carry the same id type (r8 ADVICE)."""
+    from photo_vector_search_spark.operators.knn import mmr_rerank
+
+    rng = np.random.RandomState(7)
+    q = rng.randn(16)
+    vecs = [q + 0.02 * rng.randn(16), rng.randn(16), rng.randn(16)]
+    rows = [(f"/photos/img_{i}.jpg", [float(v) for v in vec])
+            for i, vec in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "path string, embedding array<double>")
+    cands = df.select("path")
+
+    top = mmr_rerank(cands, df, q, k=2, lambda_=0.7, id_col="path")
+    assert dict(top.dtypes)["path"] == "string"
+    got = sorted(top.collect(), key=lambda r: r["rank"])
+    assert got[0]["path"] == "/photos/img_0.jpg"  # most relevant first
+    assert all(isinstance(r["path"], str) for r in got)
+
+    empty = mmr_rerank(
+        cands.filter("path = 'none'"), df, q, k=2, id_col="path"
+    )
+    assert dict(empty.dtypes)["path"] == "string"
+    assert empty.count() == 0
+
+
 def test_opq_error_is_monotone_over_rounds(spark):
     """Each additional OPQ round can only lower (or hold) sample
     quantization error — the warm-started alternation's invariant (a fresh

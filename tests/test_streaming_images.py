@@ -185,6 +185,28 @@ def test_band_layout_guard(spark, tmp_path):
     with pytest.raises(ValueError, match="predates"):
         check_band_layout(legacy, "ibands", 8)
 
+    # families are independent: an image stream (ibands) and an audio
+    # stream (abands) sharing one state_path may use different n_bands
+    # without tripping each other's guard (r8 ADVICE finding)
+    shared = str(tmp_path / "shared")
+    check_band_layout(shared, "ibands", 8)
+    check_band_layout(shared, "abands", 12)  # must NOT raise
+    check_band_layout(shared, "ibands", 8)  # still idempotent per family
+    with pytest.raises(ValueError, match="incompatible"):
+        check_band_layout(shared, "abands", 16)  # per-family mismatch
+
+    # pre-r9 flat marker: claimed by the first family that reads it, then
+    # migrated to the keyed form so later families stamp independently
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    with open(f"{flat}/{BANDING_MARKER}", "w") as f:
+        json.dump({"layout": "interleaved-v1", "n_bands": 8}, f)
+    check_band_layout(flat, "ibands", 8)
+    with open(f"{flat}/{BANDING_MARKER}") as f:
+        migrated = json.load(f)
+    assert migrated == {"ibands": {"layout": "interleaved-v1", "n_bands": 8}}
+    check_band_layout(flat, "abands", 12)  # new family stamps alongside
+
 
 def test_completeness_guard_rejects_uncoverable_threshold(spark):
     import pytest

@@ -22,9 +22,34 @@ rows = df.collect()
 print(f"SMOKE entry(): {len(rows)} rows, schema={df.columns}")
 assert len(rows) > 0
 
+_SCALAR_OK = ("array", "map", "struct")
+
+
+def assert_scalar_schema(name, sdf):
+    """The real driver canonicalizes result frames with a pandas sort;
+    list/dict-typed cells raise `TypeError: unhashable type` there (the r8
+    `pack_sequences` regression). Reject them at sim time."""
+    for f in sdf.schema.fields:
+        t = f.dataType.simpleString()
+        if any(t.startswith(p) for p in _SCALAR_OK):
+            raise AssertionError(
+                f"{name}: declared column {f.name!r} has non-scalar type {t}; "
+                "the driver's pandas canonicalizer cannot sort it — CSV-join "
+                "or checksum it instead"
+            )
+
+
 def value_hash(cols, rows):
+    # Mirror the real driver: build a pandas frame and sort_values over all
+    # columns (this is exactly the step that crashes on list cells).
+    import pandas as pd
+
     cols = sorted(cols)
-    out = [tuple(str(r.asDict()[c]) for c in cols) for r in rows]
+    pdf = pd.DataFrame([{c: r[i] for i, c in enumerate(cols)}
+                        for r in [[row.asDict()[c] for c in cols] for row in rows]])
+    if len(pdf):
+        pdf = pdf.sort_values(by=cols, kind="mergesort")
+    out = [tuple(str(v) for v in row) for row in pdf.itertuples(index=False)]
     return hashlib.sha256(json.dumps(sorted(out)).encode()).hexdigest()[:12]
 
 sf = "/root/testdata/sf0.01"
@@ -36,6 +61,7 @@ qs, os_ = m.queries(), m.oracle_sql()
 results = {}
 for name, fn in qs.items():
     sdf = fn(spark, sf)
+    assert_scalar_schema(name, sdf)
     srows = sdf.collect()
     scols = sdf.columns
     if name not in os_:
