@@ -618,6 +618,8 @@ def ivf_search(
     k: int = 5,
     nprobe: int | None = None,
     max_probe: int | None = None,
+    mmr_lambda: float | None = None,
+    mmr_candidates: int | None = None,
 ):
     """One-call serving API over a persisted IVF store: loads the store, the
     centroid/radius sidecars, and the build's recorded ``n_assign`` (so the
@@ -629,6 +631,14 @@ def ivf_search(
       (recall 1.0 by construction, cost adapts to the data's geometry;
       ``max_probe`` optionally caps the scan).
 
+    ``mmr_lambda`` adds the MMR diversity tail (`operators/knn.mmr_rerank`)
+    to either route: the probe path over-fetches ``mmr_candidates``
+    (default ``4*k``) candidates and the greedy MMR pass re-ranks them down
+    to k — one call reaches the whole serving ladder instead of the caller
+    hand-composing retrieval + rerank. Output switches to MMR's
+    (vec_id, sim, rank) shape (similarity, not distance — the re-ranker's
+    native scale).
+
     This is the reference's `search_photo(s)` call-shape
     (photo_vector_search/photo_vector_search.py:17-20, ChromaDB query)
     re-expressed over the partition-pruned store — per-call load cost is ONE
@@ -638,17 +648,42 @@ def ivf_search(
     per query."""
     store, centroids = load_ivf_store(spark, path)
     n_assign = stored_n_assign(spark, path)
+    fetch_k = k
+    if mmr_lambda is not None:
+        fetch_k = mmr_candidates if mmr_candidates is not None else 4 * k
+        if fetch_k < k:
+            raise ValueError(
+                f"ivf_search: mmr_candidates={fetch_k} must be >= k={k}"
+            )
     if nprobe is not None:
-        return ivf_topk(
-            store, centroids, query_vec, k=k, nprobe=nprobe, n_assign=n_assign
+        top = ivf_topk(
+            store,
+            centroids,
+            query_vec,
+            k=fetch_k,
+            nprobe=nprobe,
+            n_assign=n_assign,
         )
-    radii = load_cluster_radii(spark, path, loaded=(store, centroids))
-    return ivf_topk_adaptive(
-        store,
-        centroids,
-        radii,
+    else:
+        radii = load_cluster_radii(spark, path, loaded=(store, centroids))
+        top = ivf_topk_adaptive(
+            store,
+            centroids,
+            radii,
+            query_vec,
+            k=fetch_k,
+            max_probe=max_probe,
+            n_assign=n_assign,
+        )
+    if mmr_lambda is None:
+        return top
+    from photo_vector_search_spark.operators.knn import mmr_rerank
+
+    floats = store.select("vec_id", "embedding").dropDuplicates(["vec_id"])
+    return mmr_rerank(
+        top.select("vec_id"),
+        floats,
         query_vec,
         k=k,
-        max_probe=max_probe,
-        n_assign=n_assign,
+        lambda_=mmr_lambda,
     )

@@ -334,6 +334,9 @@ def pq_batch_topk(
     code_col: str = "pq_code",
     rotation: np.ndarray | None = None,
     max_queries: int = 65_536,
+    cluster_col: str | None = None,
+    allowed: dict | None = None,
+    n_assign: int = 1,
 ) -> DataFrame:
     """Batched ADC top-k — the ``knn_batch_fast`` shape over codes: ALL Q
     query LUTs broadcast together (Q·m·k doubles, guarded), one gather-sum
@@ -342,7 +345,19 @@ def pq_batch_topk(
     O(batches·Q·k), and a final window ranks survivors. ``queries`` is
     ``(query_id, query_vec)``; returns (query_id, id, adc_dist, rank) —
     approximate ADC ordering (compose with an exact rerank downstream when
-    serving needs it, as ``pq_topk(rerank=)`` does for one query)."""
+    serving needs it, as ``pq_topk(rerank=)`` does for one query).
+
+    ``allowed`` (with ``cluster_col``) adds PER-QUERY IVF probe masking:
+    ``{query_id: iterable-of-cluster-ids}``. Each query only scores rows
+    whose cluster is in its own probe set — the kernel gathers a broadcast
+    (Q, n_clusters) bool matrix by the row's cluster column, so a batch of
+    queries shares ONE union-pruned scan instead of Q per-query scans while
+    keeping exact per-query IVF-PQ semantics (`ivf_pq_batch_search` is the
+    one-call wrapper). Multi-assign stores (``n_assign > 1``) keep their
+    duplicate (id, cluster) rows through the scan — a copy in an unprobed
+    cluster must not hide the copy in a probed one — so the per-batch cap
+    over-fetches ``k*n_assign`` and the final window dedups, the
+    ``ann.ivf_topk`` discipline."""
     import pandas as pd
 
     qrows = queries.select("query_id", "query_vec").limit(
@@ -353,6 +368,10 @@ def pq_batch_topk(
             f"pq_batch_topk: >{max_queries} queries — the LUT broadcast is "
             "Q·m·k doubles; split the query set or raise max_queries"
         )
+    if (allowed is None) != (cluster_col is None):
+        raise ValueError(
+            "pq_batch_topk: allowed and cluster_col must be given together"
+        )
     qids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
     luts = np.stack(
         [
@@ -361,8 +380,18 @@ def pq_batch_topk(
             for r in qrows
         ]
     )  # (Q, m, k)
+    allow_mat = None
+    if allowed is not None:
+        n_clusters = 1 + max(
+            (int(c) for probes in allowed.values() for c in probes),
+            default=0,
+        )
+        allow_mat = np.zeros((len(qids), n_clusters), dtype=bool)
+        for j, qid in enumerate(qids):
+            for c in allowed.get(int(qid), ()):
+                allow_mat[j, int(c)] = True
     spark = coded.sparkSession
-    bq = spark.sparkContext.broadcast((qids, luts))
+    bq = spark.sparkContext.broadcast((qids, luts, allow_mat))
     from pyspark.sql.types import (
         DoubleType,
         LongType,
@@ -378,9 +407,10 @@ def pq_batch_topk(
             StructField("adc_dist", DoubleType(), True),
         ]
     )
+    per_batch_k = k * max(1, n_assign)
 
     def score(batches):
-        ids, tabs = bq.value
+        ids, tabs, amat = bq.value
         nq, m, _kk = tabs.shape
         cols = np.arange(m)
         for pdf in batches:
@@ -395,19 +425,29 @@ def pq_batch_topk(
             # (Q, rows): gather each query's m sub-distances, sum — one
             # vectorized pass, no per-row Python
             dist = tabs[:, cols[None, :], codes].sum(axis=2)
-            kk = min(k, len(pdf))
+            if amat is not None:
+                cid = pdf[cluster_col].to_numpy().astype(np.int64)
+                in_range = cid < amat.shape[1]
+                mask = np.zeros((nq, len(pdf)), dtype=bool)
+                mask[:, in_range] = amat[:, cid[in_range]]
+                dist = np.where(mask, dist, np.inf)
+            kk = min(per_batch_k, len(pdf))
             vid = pdf[id_col].to_numpy()
             out = {"query_id": [], id_col: [], "adc_dist": []}
             for j in range(nq):
                 take = np.argsort(dist[j], kind="stable")[:kk]
+                take = take[np.isfinite(dist[j][take])]
                 out["query_id"].extend([ids[j]] * len(take))
                 out[id_col].extend(vid[take])
                 out["adc_dist"].extend(dist[j][take])
             yield pd.DataFrame(out)
 
-    survivors = coded.select(id_col, code_col).mapInPandas(
-        score, schema=out_schema
-    )
+    proj = [id_col, code_col] + ([cluster_col] if cluster_col else [])
+    survivors = coded.select(*proj).mapInPandas(score, schema=out_schema)
+    if n_assign > 1:
+        # multi-assign copies carry identical codes → identical adc_dist;
+        # drop before ranking so the window returns k DISTINCT neighbors
+        survivors = survivors.dropDuplicates(["query_id", id_col])
     win = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col(id_col).asc()
     )
@@ -600,4 +640,141 @@ def ivf_pq_topk(
         rerank=rerank,
         embeddings=embeddings,
         rotation=rotation,
+    )
+
+
+def stored_pq_n_assign(spark, path: str) -> int:
+    """The ``n_assign`` the IVF-PQ build recorded in its ``.pqmeta``
+    sidecar — the `ann.stored_n_assign` contract: serving must dedup with
+    the window the BUILD used, not whatever the caller guesses."""
+    row = spark.read.parquet(path + ".pqmeta").select("n_assign").first()
+    return int(row["n_assign"])
+
+
+def ivf_pq_search(
+    spark,
+    path: str,
+    query_vec,
+    k: int = 5,
+    nprobe: int = 4,
+    rerank: int | None = None,
+    embeddings: DataFrame | None = None,
+    mmr_lambda: float | None = None,
+    mmr_candidates: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One-call serving over a persisted IVF-PQ store — the full ladder in
+    one call, mirroring ``ann.ivf_search`` for the codes-at-rest store:
+    load + torn-build check, probe-pruned ADC scan (``ivf_pq_topk``),
+    optional exact rerank of the ADC top-R against the float source table
+    (``rerank=R`` requires ``embeddings``), optional MMR diversity tail
+    (``mmr_lambda`` requires ``embeddings`` too — MMR needs floats, and the
+    store deliberately holds none). With MMR the candidate budget is
+    ``mmr_candidates`` (default ``4*k``) and the output switches to
+    (id, sim, rank) in MMR pick order.
+
+    Per-call cost beyond the search itself is one ``load_ivfpq_store``
+    consistency check; at scale hold the loaded pieces and call the
+    lower-level operators per query."""
+    store, cents, books, rot = load_ivfpq_store(spark, path)
+    if mmr_lambda is None:
+        return ivf_pq_topk(
+            store,
+            cents,
+            books,
+            query_vec,
+            k=k,
+            nprobe=nprobe,
+            rerank=rerank,
+            embeddings=embeddings,
+            id_col=id_col,
+            rotation=rot,
+        )
+    if embeddings is None:
+        raise ValueError(
+            "ivf_pq_search: mmr_lambda requires the float embeddings table "
+            "— the IVF-PQ store holds codes only"
+        )
+    fetch_k = mmr_candidates if mmr_candidates is not None else 4 * k
+    if fetch_k < k:
+        raise ValueError(
+            f"ivf_pq_search: mmr_candidates={fetch_k} must be >= k={k}"
+        )
+    candidates = ivf_pq_topk(
+        store,
+        cents,
+        books,
+        query_vec,
+        k=fetch_k,
+        nprobe=nprobe,
+        rerank=fetch_k if rerank is not None else None,
+        embeddings=embeddings if rerank is not None else None,
+        id_col=id_col,
+        rotation=rot,
+    )
+    from photo_vector_search_spark.operators.knn import mmr_rerank
+
+    return mmr_rerank(
+        candidates.select(id_col),
+        embeddings,
+        query_vec,
+        k=k,
+        lambda_=mmr_lambda,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+
+
+def ivf_pq_batch_search(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    max_queries: int = 65_536,
+) -> DataFrame:
+    """Batched one-call IVF-PQ serving: Q queries share ONE union-pruned
+    scan of the codes store while each keeps exact per-query probe
+    semantics — per-query nearest-``nprobe`` cluster lists are computed
+    driver-side from the sidecar centroids (Q·nprobe ints), the scan is
+    pruned to the UNION of all probe sets (an IN-list over the cluster
+    partition column → file-level pruning), and ``pq_batch_topk``'s
+    broadcast (Q, n_clusters) mask restricts each query's scoring to its
+    own probes. Result ≡ a Python loop of ``ivf_pq_topk`` per query
+    (pinned in tests), at one scan instead of Q.
+
+    Returns (query_id, id, adc_dist, rank) — approximate ADC ordering,
+    same contract as ``pq_batch_topk``."""
+    store, cents, books, rot = load_ivfpq_store(spark, path)
+    n_assign = stored_pq_n_assign(spark, path)
+    qrows = queries.select("query_id", "query_vec").limit(
+        max_queries + 1
+    ).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"ivf_pq_batch_search: >{max_queries} queries — split the "
+            "query set or raise max_queries"
+        )
+    np_probe = min(nprobe, len(cents))
+    allowed: dict[int, list[int]] = {}
+    for r in qrows:
+        q = np.asarray(r["query_vec"], dtype=np.float64)
+        qn = q / max(np.linalg.norm(q), 1e-300)
+        order = np.argsort(-(cents @ qn))[:np_probe]
+        allowed[int(r["query_id"])] = [int(c) for c in order]
+    union = sorted({c for probes in allowed.values() for c in probes})
+    pruned = store.filter(F.col("cluster_id").isin(union))
+    return pq_batch_topk(
+        pruned,
+        books,
+        queries,
+        k=k,
+        id_col=id_col,
+        rotation=rot,
+        max_queries=max_queries,
+        cluster_col="cluster_id",
+        allowed=allowed,
+        n_assign=n_assign,
     )

@@ -557,3 +557,96 @@ def test_ivf_pq_no_rerank_returns_k_distinct_on_multiassign_store(spark):
     got = ivf_pq_topk(indexed, cents, books, x[9], k=5, nprobe=4).collect()
     ids = [r["vec_id"] for r in got]
     assert len(ids) == 5 and len(set(ids)) == 5
+
+
+def test_ivf_pq_search_one_call_ladder(spark, tmp_path):
+    """ivf_pq_search = load + route: the plain call equals the manual
+    ivf_pq_topk composition; mmr_lambda reaches the MMR tail exactly as the
+    hand-built retrieval + mmr_rerank pipeline; MMR without the float table
+    is refused (the store holds codes only)."""
+    from photo_vector_search_spark.operators.knn import mmr_rerank
+    from photo_vector_search_spark.operators.pq import (
+        build_ivfpq_store,
+        ivf_pq_search,
+        load_ivfpq_store,
+    )
+
+    x = _mog(n=250)
+    df = _df(spark, x)
+    path = str(tmp_path / "ivfpq_search")
+    build_ivfpq_store(df, path, n_clusters=6, m=8, k=16, sample=250, n_assign=2)
+    q = x[17]
+
+    got = ivf_pq_search(spark, path, q, k=5, nprobe=3).collect()
+    store, cents, books, rot = load_ivfpq_store(spark, path)
+    want = ivf_pq_topk(store, cents, books, q, k=5, nprobe=3, rotation=rot).collect()
+    assert [(r["vec_id"], r["adc_dist"]) for r in got] == [
+        (r["vec_id"], r["adc_dist"]) for r in want
+    ]
+
+    k, lam = 3, 0.5
+    mmr_got = ivf_pq_search(
+        spark, path, q, k=k, nprobe=3, mmr_lambda=lam, embeddings=df
+    ).collect()
+    cands = ivf_pq_topk(store, cents, books, q, k=4 * k, nprobe=3, rotation=rot)
+    mmr_want = mmr_rerank(
+        cands.select("vec_id"), df, q, k=k, lambda_=lam
+    ).collect()
+    assert [(r["vec_id"], r["sim"], r["rank"]) for r in mmr_got] == [
+        (r["vec_id"], r["sim"], r["rank"]) for r in mmr_want
+    ]
+
+    with pytest.raises(ValueError, match="embeddings"):
+        ivf_pq_search(spark, path, q, k=3, mmr_lambda=0.5)
+
+
+def test_ivf_pq_batch_search_matches_per_query_loop(spark, tmp_path):
+    """One union-pruned scan with the per-query probe mask returns exactly
+    what a Python loop of per-query ivf_pq_topk calls returns — including
+    on a multi-assign store, where duplicate (id, cluster) rows must
+    neither hide a probed copy nor rank twice."""
+    from photo_vector_search_spark.operators.pq import (
+        build_ivfpq_store,
+        ivf_pq_batch_search,
+        load_ivfpq_store,
+    )
+
+    x = _mog(n=250, seed=9)
+    df = _df(spark, x)
+    path = str(tmp_path / "ivfpq_batch")
+    build_ivfpq_store(df, path, n_clusters=6, m=8, k=16, sample=250, n_assign=2)
+    store, cents, books, rot = load_ivfpq_store(spark, path)
+
+    qidx = [3, 40, 111, 200]
+    queries = spark.createDataFrame(
+        [(int(i), x[i].tolist()) for i in qidx],
+        "query_id long, query_vec array<double>",
+    )
+    got = ivf_pq_batch_search(spark, path, queries, k=5, nprobe=3).collect()
+    got_by_q = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        got_by_q.setdefault(r["query_id"], []).append(
+            (r["vec_id"], r["adc_dist"])
+        )
+    for i in qidx:
+        want = ivf_pq_topk(
+            store, cents, books, x[i], k=5, nprobe=3, rotation=rot
+        ).collect()
+        assert got_by_q[i] == [(r["vec_id"], r["adc_dist"]) for r in want], i
+        assert len({v for v, _ in got_by_q[i]}) == 5  # deduped, k distinct
+
+
+def test_pq_batch_topk_mask_args_must_pair(spark):
+    from photo_vector_search_spark.operators.pq import pq_batch_topk
+
+    x = _mog(n=60)
+    df = _df(spark, x)
+    books = train_pq(df, m=8, k=8, sample=60)
+    coded = encode_pq(df, books)
+    queries = spark.createDataFrame(
+        [(0, x[0].tolist())], "query_id long, query_vec array<double>"
+    )
+    with pytest.raises(ValueError, match="together"):
+        pq_batch_topk(coded, books, queries, allowed={0: [0]})
+    with pytest.raises(ValueError, match="together"):
+        pq_batch_topk(coded, books, queries, cluster_col="cluster_id")

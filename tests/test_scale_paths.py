@@ -762,5 +762,27 @@ def test_ivf_search_one_call_api(spark):
         assert [(r["vec_id"], r["dist"]) for r in adaptive] == [
             (r["vec_id"], r["dist"]) for r in exact
         ]
+
+        # mmr_lambda reaches the MMR tail: one call ≡ the hand-built
+        # over-fetch + mmr_rerank composition (r8 verdict item #7)
+        from photo_vector_search_spark.operators.knn import mmr_rerank
+
+        k, lam = 3, 0.5
+        mmr_got = ivf_search(
+            spark, store_path, q, k=k, nprobe=2, mmr_lambda=lam
+        ).collect()
+        cands = ivf_topk(store, cent, q, k=4 * k, nprobe=2, n_assign=2)
+        floats = store.select("vec_id", "embedding").dropDuplicates(["vec_id"])
+        mmr_want = mmr_rerank(
+            cands.select("vec_id"), floats, q, k=k, lambda_=lam
+        ).collect()
+        assert [(r["vec_id"], r["sim"], r["rank"]) for r in mmr_got] == [
+            (r["vec_id"], r["sim"], r["rank"]) for r in mmr_want
+        ]
+        import pytest
+
+        with pytest.raises(ValueError, match="mmr_candidates"):
+            ivf_search(spark, store_path, q, k=5, mmr_lambda=0.5,
+                       mmr_candidates=2)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
