@@ -172,6 +172,19 @@ def extra_cases(spark, sf_dir: str) -> dict:
             _fix["b"] = train_bpe_model(docs, n_merges=200, min_count=2)
         return _fix["b"]
 
+    def unigram_artifact():
+        # model trained once outside the timed lambda (the bench.py
+        # _unigram_model convention: encode rows time the serving pass)
+        if "u" not in _fix:
+            from photo_vector_search_spark.operators.unigram import (
+                train_unigram_model,
+            )
+
+            _fix["u"] = train_unigram_model(
+                docs, vocab_size=2000, min_count=2
+            )
+        return _fix["u"]
+
     def _tq():
         from photo_vector_search_spark.plans import text_queries
 
@@ -416,6 +429,32 @@ def extra_cases(spark, sf_dir: str) -> dict:
             ).pack_sequences(
                 ids_df(), 512, order_col="pos", eos_id=0, pad_id=0
             )
+        ),
+        # r9: the FFD packing rung over the same staged corpus — sorted
+        # next-fit-decreasing with the open-bin cap; same ONE exchange on
+        # the shard key, kernel cost bounded by max_open_bins per batch
+        "pack_sequences_ffd": lambda: _force(
+            __import__(
+                "photo_vector_search_spark.operators.packing",
+                fromlist=["pack_sequences"],
+            ).pack_sequences(
+                ids_df(), 512, order_col="pos", eos_id=0, pad_id=0,
+                algorithm="ffd",
+            )
+        ),
+        # r9: sampled unigram encode (subword regularization) — the same
+        # map-only Arrow shape as encode_unigram plus the per-word FFBS
+        # draw; model is a session-staged given (the serving shape). The
+        # explicit repartition makes the ratio measure the KERNEL: the
+        # sf0.1 table is one parquet file, so without it the small pass
+        # serializes this Python-heavy kernel on one core while the
+        # synthesized big input fans out — inverting the ratio (0.16x
+        # observed). Output is partitioning-invariant (per-row md5 PRNG).
+        "encode_unigram_sampled": lambda: _force(
+            __import__(
+                "photo_vector_search_spark.operators.unigram",
+                fromlist=["encode_unigram_sampled"],
+            ).encode_unigram_sampled(docs.repartition(64), *unigram_artifact())
         ),
         # r8: T5 span corruption over staged packed windows — one map-only
         # Arrow pass, per-row md5-seeded PRNG, no shuffle; the staged input
