@@ -97,6 +97,7 @@ GROUPS: dict[str, list[str]] = {
         "encode_unigram",
         "pq_topk_rerank",
     ],
+    "r9_new": ["align_filter", "ivf_pq_batch_topk"],
 }
 
 
@@ -382,6 +383,47 @@ def _build_cases(spark, sf_dir: str) -> dict:
                 _quality_model(spark, sf_dir),
             )
         ),
+        # r9: the CLIP-score alignment gate over FAKEIMG (content, caption)
+        # pairs — two per-worker-amortized embed UDFs + the JVM cosine +
+        # filter, one map-only pass, zero shuffle
+        "align_filter": lambda: _force(
+            __import__(
+                "photo_vector_search_spark.operators.alignment",
+                fromlist=["filter_aligned"],
+            ).filter_aligned(
+                _align_pairs(spark, sf_dir),
+                __import__(
+                    "photo_vector_search_spark.pipelines.embed",
+                    fromlist=["stub_embedder"],
+                ).stub_embedder(),
+                __import__(
+                    "photo_vector_search_spark.pipelines.embed",
+                    fromlist=["stub_embedder"],
+                ).stub_embedder(),
+            )
+        ),
+        # r9: batched IVF-PQ serving over a session-staged persisted store —
+        # 16 queries share ONE union-pruned codes scan under the per-query
+        # probe mask (exact per-query semantics, see ivf_pq_batch_search)
+        "ivf_pq_batch_topk": lambda: _force(
+            __import__(
+                "photo_vector_search_spark.operators.pq",
+                fromlist=["ivf_pq_batch_search"],
+            ).ivf_pq_batch_search(
+                spark,
+                _ivfpq_store(spark, sf_dir),
+                load_table(spark, sf_dir, "embeddings")
+                .filter(F.col("vec_id") < 16)
+                .select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("embedding").cast("array<double>").alias(
+                        "query_vec"
+                    ),
+                ),
+                k=5,
+                nprobe=4,
+            )
+        ),
     }
 
 
@@ -389,6 +431,48 @@ _QUALITY_MODEL_MEMO: dict = {}
 _STAGED_IDS_MEMO: dict = {}
 _UNIGRAM_MODEL_MEMO: dict = {}
 _PQ_MEMO: dict = {}
+_IVFPQ_STORE_MEMO: dict = {}
+
+
+def _align_pairs(spark, sf_dir: str):
+    """(path, content, caption) pairs synthesized from the documents table —
+    the fake_media_docs image payloads with the source text as the
+    caption, so matched/mismatched structure scales with the corpus."""
+    from pyspark.sql import functions as F
+
+    from photo_vector_search_spark.sources.tables import load_table
+
+    return load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("path"),
+        F.encode(
+            F.concat(F.lit("FAKEIMG:64x32:"), F.col("text")), "utf-8"
+        ).alias("content"),
+        F.col("text").alias("caption"),
+    )
+
+
+def _ivfpq_store(spark, sf_dir: str) -> str:
+    """Session-memoized persisted IVF-PQ store — ivf_pq_batch_topk records
+    the serving wall over the at-rest codes store, the operator's design
+    point; run 1 absorbs the one-off build."""
+    key = (id(spark), sf_dir)  # session-keyed, see _staged_ids
+    if key not in _IVFPQ_STORE_MEMO:
+        import tempfile
+
+        from photo_vector_search_spark.operators.pq import build_ivfpq_store
+        from photo_vector_search_spark.sources.tables import load_table
+
+        path = tempfile.mkdtemp(prefix="pvs_bench_ivfpq_") + "/store"
+        build_ivfpq_store(
+            load_table(spark, sf_dir, "embeddings"),
+            path,
+            n_clusters=16,
+            m=8,
+            k=256,
+            sample=4096,
+        )
+        _IVFPQ_STORE_MEMO[key] = path
+    return _IVFPQ_STORE_MEMO[key]
 
 
 def _pq_coded(spark, sf_dir: str):
