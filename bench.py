@@ -97,7 +97,7 @@ GROUPS: dict[str, list[str]] = {
         "encode_unigram",
         "pq_topk_rerank",
     ],
-    "r9_new": ["align_filter", "ivf_pq_batch_topk"],
+    "r9_new": ["align_filter", "ivf_pq_batch_topk", "prune_prototypes"],
 }
 
 
@@ -400,6 +400,19 @@ def _build_cases(spark, sf_dir: str) -> dict:
                     "photo_vector_search_spark.pipelines.embed",
                     fromlist=["stub_embedder"],
                 ).stub_embedder(),
+            )
+        ),
+        # r9: prototype-difficulty pruning (keep the hardest half per
+        # cluster) — bounded-sample k-means + map-only difficulty + ONE
+        # cluster_id exchange for the quota window
+        "prune_prototypes": lambda: _force(
+            __import__(
+                "photo_vector_search_spark.operators.pruning",
+                fromlist=["prune_prototypes"],
+            ).prune_prototypes(
+                load_table(spark, sf_dir, "embeddings"),
+                keep_frac=0.5,
+                n_clusters=16,
             )
         ),
         # r9: batched IVF-PQ serving over a session-staged persisted store —

@@ -1,0 +1,182 @@
+"""Prototype-difficulty data pruning (Sorscher et al. 2022, "Beyond neural
+scaling laws: beating power law scaling via data pruning", arXiv:2206.14486):
+cluster the embedding space with k-means, score each example by its cosine
+distance to its assigned prototype (§4's self-supervised metric — far from
+the prototype = hard/atypical, close = easy/redundant), and keep a fixed
+fraction PER CLUSTER ranked by that difficulty. The paper's headline rule:
+prune EASY examples when data is abundant (the 100 TB regime this engine
+targets), prune HARD ones when data is scarce; per-cluster quotas keep the
+pruned corpus covering the space instead of collapsing onto dense modes.
+
+Two rungs, same semantics (the `semdedup` pattern):
+
+- **Production** (``prune_prototypes``): ``ann.train_centroids`` (bounded
+  driver sample) + a map-only broadcast-matmul difficulty pass + ONE
+  exchange on cluster_id for the per-cluster rank window. Nothing
+  driver-sized beyond the sampled centroid train.
+- **Deterministic** (``prune_prototypes_deterministic``): centroids = the k
+  lowest-id vectors (`semdedup.seed_centroids`), assignment + difficulty on
+  ROUNDED cosine with centroid-id tie-break — every comparison 6-dp-stable,
+  so a DuckDB twin replays the whole pipeline bit-for-bit (pinned in
+  tests/test_pruning.py).
+
+Scale shape (100 TB): difficulty is map-only; the only exchange is the
+hash partition on cluster_id for the window. k-means clusters are
+size-bounded in expectation (k chosen as N/target_cluster_rows — the
+``ivf_near_dup_pairs`` sizing rule), so no window partition outgrows an
+executor; the window itself is rank-only (no full sort spill beyond the
+per-cluster sort). Output is the surviving rows plus (cluster_id,
+difficulty, rank) lineage columns for downstream mixing/audit.
+
+Cf. the reference: no bulk curation surface at all (photo_vector_search.py
+delegates storage to ChromaDB, one row at a time) — this is part of the
+mandated LLM-pipeline extension.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from photo_vector_search_spark.functions.vector import (
+    dot_product,
+    l2_normalize,
+)
+
+
+def prototype_difficulty(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Append ``cluster_id`` (argmax-cosine prototype) and ``difficulty``
+    (= 1 − cos to that prototype, rounded 6dp) to every row — one map-only
+    Arrow pass against the broadcast centroid matrix, the
+    ``ann.assign_clusters`` kernel extended to emit the winning similarity.
+    Zero-norm vectors normalize to themselves, score cos 0 against every
+    prototype, and land in prototype 0 with difficulty 1.0 (kept as
+    maximally atypical rather than crashed on)."""
+    bc = embeddings.sparkSession.sparkContext.broadcast(
+        centroids / np.maximum(
+            np.linalg.norm(centroids, axis=1, keepdims=True), 1e-300
+        )
+    )
+
+    def _score(batches):
+        cent = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.vstack(pdf[vec_col].to_numpy()).astype(
+                np.float64, copy=False
+            )
+            m = m / np.maximum(
+                np.linalg.norm(m, axis=1, keepdims=True), 1e-300
+            )
+            sims = m @ cent.T
+            pdf = pdf.copy()
+            best = np.argmax(sims, axis=1)
+            pdf["cluster_id"] = best.astype(np.int32)
+            pdf["difficulty"] = np.round(
+                1.0 - sims[np.arange(len(m)), best], 6
+            )
+            yield pdf
+
+    schema = (
+        ", ".join(f"{c} {t}" for c, t in embeddings.dtypes)
+        + ", cluster_id int, difficulty double"
+    )
+    return embeddings.mapInPandas(_score, schema=schema)
+
+
+def _rank_and_keep(
+    scored: DataFrame, keep_frac: float, keep: str, id_col: str
+) -> DataFrame:
+    """Per-cluster quota: rank by (difficulty, id) — hardest-first for
+    ``keep='hard'``, easiest-first for ``keep='easy'`` — and keep
+    ``ceil(keep_frac · cluster_size)`` rows. One exchange: rank and count
+    share the cluster_id window partition."""
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
+    if keep not in ("hard", "easy"):
+        raise ValueError(f"keep must be 'hard' or 'easy', got {keep!r}")
+    direction = (
+        F.col("difficulty").desc() if keep == "hard"
+        else F.col("difficulty").asc()
+    )
+    win = Window.partitionBy("cluster_id").orderBy(
+        direction, F.col(id_col).asc()
+    )
+    sized = scored.withColumn("rank", F.row_number().over(win)).withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
+    )
+    return sized.filter(
+        F.col("rank") <= F.ceil(F.lit(float(keep_frac)) * F.col("_n"))
+    ).drop("_n")
+
+
+def prune_prototypes(
+    embeddings: DataFrame,
+    keep_frac: float = 0.5,
+    n_clusters: int = 16,
+    keep: str = "hard",
+    sample: int = 4096,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The production rung: sampled k-means prototypes, map-only difficulty,
+    per-cluster quota keep. Returns survivors with (cluster_id, difficulty,
+    rank)."""
+    from photo_vector_search_spark.operators.ann import train_centroids
+
+    cents = train_centroids(
+        embeddings, n_clusters=n_clusters, sample=sample, seed=seed
+    )
+    scored = prototype_difficulty(
+        embeddings, cents, id_col=id_col, vec_col=vec_col
+    )
+    return _rank_and_keep(scored, keep_frac, keep, id_col)
+
+
+def prune_prototypes_deterministic(
+    embeddings: DataFrame,
+    keep_frac: float = 0.5,
+    n_clusters: int = 8,
+    keep: str = "hard",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """The SQL-replayable rung: prototypes = the ``n_clusters`` lowest-id
+    vectors, assignment/difficulty on ROUNDED cosine, centroid-id
+    tie-break — pure Catalyst (broadcast centroid join + max_by), no NumPy,
+    so a DuckDB window query reproduces every kept row exactly. Use
+    ``prune_prototypes`` for real runs."""
+    from photo_vector_search_spark.operators.semdedup import seed_centroids
+
+    cent = seed_centroids(embeddings, n_clusters, id_col, vec_col).select(
+        "cid", l2_normalize(F.col("cvec")).alias("_cn")
+    )
+    sims = (
+        embeddings.withColumn(
+            "_en", l2_normalize(F.col(vec_col).cast("array<double>"))
+        )
+        .join(F.broadcast(cent))
+        .withColumn(
+            "_s", F.round(dot_product(F.col("_en"), F.col("_cn")), round_to)
+        )
+    )
+    best = sims.groupBy(id_col).agg(
+        F.max(
+            F.struct(F.col("_s").alias("s"), (-F.col("cid")).alias("nc"))
+        ).alias("_b")
+    )
+    scored = embeddings.join(best, id_col).select(
+        *embeddings.columns,
+        (-F.col("_b.nc")).cast("int").alias("cluster_id"),
+        F.round(F.lit(1.0) - F.col("_b.s"), round_to).alias("difficulty"),
+    )
+    return _rank_and_keep(scored, keep_frac, keep, id_col)
