@@ -97,7 +97,12 @@ GROUPS: dict[str, list[str]] = {
         "encode_unigram",
         "pq_topk_rerank",
     ],
-    "r9_new": ["align_filter", "ivf_pq_batch_topk", "prune_prototypes"],
+    "r9_new": [
+        "align_filter",
+        "ivf_pq_batch_topk",
+        "prune_prototypes",
+        "kn_score",
+    ],
 }
 
 
@@ -402,6 +407,21 @@ def _build_cases(spark, sf_dir: str) -> dict:
                 ).stub_embedder(),
             )
         ),
+        # r9: Kneser-Ney perplexity scoring — the CCNet-grade smoothing
+        # behind the same scoring contract as the add-k LM; the staged
+        # session-memoized model makes this the serving-pass wall (one
+        # explode + three broadcastable probes + per-doc agg)
+        "kn_score": lambda: _force(
+            __import__(
+                "photo_vector_search_spark.operators.kneser_ney",
+                fromlist=["doc_log_perplexity_kn"],
+            ).doc_log_perplexity_kn(
+                load_table(spark, sf_dir, "documents").select(
+                    "doc_id", "text"
+                ),
+                *_kn_model(spark, sf_dir),
+            )
+        ),
         # r9: prototype-difficulty pruning (keep the hardest half per
         # cluster) — bounded-sample k-means + map-only difficulty + ONE
         # cluster_id exchange for the quota window
@@ -445,6 +465,21 @@ _STAGED_IDS_MEMO: dict = {}
 _UNIGRAM_MODEL_MEMO: dict = {}
 _PQ_MEMO: dict = {}
 _IVFPQ_STORE_MEMO: dict = {}
+_KN_MODEL_MEMO: dict = {}
+
+
+def _kn_model(spark, sf_dir: str):
+    """Session-memoized staged KN LM — kn_score records the warm scoring
+    wall (the serving shape); run 1 absorbs the one-off training."""
+    key = (id(spark), sf_dir)  # session-keyed, see _staged_ids
+    if key not in _KN_MODEL_MEMO:
+        from photo_vector_search_spark.operators.kneser_ney import train_kn_lm
+        from photo_vector_search_spark.sources.tables import load_table
+
+        _KN_MODEL_MEMO[key] = train_kn_lm(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        )
+    return _KN_MODEL_MEMO[key]
 
 
 def _align_pairs(spark, sf_dir: str):
