@@ -70,6 +70,13 @@ def curate_corpus(
     fim_seed: int = 0,
     ppl_lm: tuple[DataFrame, int] | None = None,
     ppl_by: str | None = None,
+    kn_lm: tuple[DataFrame, dict] | None = None,
+    kn_keep_frac: float = 0.67,
+    kn_exact: bool = False,
+    prototype_keep_frac: float | None = None,
+    prototype_clusters: int = 16,
+    prototype_keep: str = "hard",
+    prototype_embedder=None,
     dsir_target=None,
     dsir_keep: int | None = None,
     dsir_temperature: float = 1.0,
@@ -152,6 +159,23 @@ def curate_corpus(
     into head/middle/tail tertiles, and the tail third plus docs too short
     to score (< 2 tokens) are dropped — the paper's keep rule.
     ``stats["after_ppl_filter"]`` records survivors.
+
+    ``kn_lm`` (opt-in, r9) runs the Kneser-Ney perplexity tier right after
+    the add-k tier (use either or both): ``(lm, consts)`` from
+    ``operators.kneser_ney.train_kn_lm``, the most-fluent ``kn_keep_frac``
+    of scoreable docs survive (sketch cutoff by default, ``kn_exact=True``
+    for the exact percentile). Docs too short to score (< 2 tokens) drop,
+    the CCNet rule. ``stats["after_kn_ppl"]`` records survivors.
+
+    ``prototype_keep_frac`` (opt-in, r9) runs prototype-difficulty pruning
+    (Sorscher et al. 2022, ``operators.pruning``) after ALL dedup stages,
+    just before the shuffle: embed the survivors (``prototype_embedder``
+    or the deterministic stub), k-means prototypes, keep the
+    ``prototype_keep='hard'`` (atypical) or ``'easy'`` fraction PER
+    CLUSTER. This is the abundant-data "prune easy/redundant" rule at
+    corpus scale; it runs last among filters because near-duplicate groups
+    must be collapsed before they can vote their shared prototype easy.
+    ``stats["after_prototype_prune"]`` records survivors.
 
     ``dsir_target`` + ``dsir_keep`` (opt-in, r7) run DSIR importance
     RESAMPLING right after the quality tiers: hashed-n-gram log-ratios are
@@ -313,6 +337,18 @@ def curate_corpus(
         )
         _stat("after_ppl_filter", gated)
 
+    if kn_lm is not None:
+        from photo_vector_search_spark.operators.kneser_ney import (
+            kn_ppl_filter,
+        )
+
+        kn_df, kn_consts = kn_lm
+        kept = kn_ppl_filter(
+            gated, kn_df, kn_consts, keep_frac=kn_keep_frac, exact=kn_exact
+        )
+        gated = gated.join(kept.select("doc_id"), "doc_id", "left_semi")
+        _stat("after_kn_ppl", gated)
+
     if dsir_keep is not None:
         from photo_vector_search_spark.operators.dsir import (
             dsir_featurize,
@@ -401,6 +437,33 @@ def curate_corpus(
             ).count()
         near = near.drop("n_removed_tokens")
         _stat("after_substring", near)
+
+    if prototype_keep_frac is not None:
+        # coarse-to-fine, after ALL dedup: exact/near dedup first removes
+        # literal copies, then the Sorscher metric prunes what remains by
+        # semantic redundancy — pruning first would let near-duplicate
+        # groups vote their shared prototype easy and survive dedup thinner
+        from photo_vector_search_spark.operators.pruning import (
+            prune_prototypes,
+        )
+        from photo_vector_search_spark.pipelines.embed import (
+            embed_documents,
+            stub_embedder,
+        )
+
+        emb = embed_documents(
+            near.select("doc_id", "text"),
+            prototype_embedder or stub_embedder(),
+        ).select("doc_id", "embedding")
+        survivors = prune_prototypes(
+            emb,
+            keep_frac=prototype_keep_frac,
+            n_clusters=prototype_clusters,
+            keep=prototype_keep,
+            id_col="doc_id",
+        )
+        near = near.join(survivors.select("doc_id"), "doc_id", "left_semi")
+        _stat("after_prototype_prune", near)
 
     curated = shuffle_corpus(near, seed=shuffle_seed)
 

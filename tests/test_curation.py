@@ -558,3 +558,63 @@ def test_curate_corpus_decontamination_stage(spark, sf_dir):
     assert all(
         len(got[d].split()) <= len(base_rows[d].split()) for d in got
     )
+
+
+def test_curate_corpus_kn_ppl_stage(spark, sf_dir):
+    """kn_lm keeps the most-fluent kn_keep_frac under the Kneser-Ney LM:
+    planted gibberish lands past the cutoff, survivors are a subset, and
+    the stage composes after the add-k tier without column residue."""
+    from photo_vector_search_spark.operators.kneser_ney import train_kn_lm
+
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    garbage = spark.createDataFrame(
+        [(20_000 + i, " ".join(f"qx{i}v{j}" for j in range(30)))
+         for i in range(10)],
+        "doc_id long, text string",
+    )
+    docs = base.unionByName(garbage)
+    lm = train_kn_lm(base)  # clean-corpus LM, the CCNet setup
+    curated, stats = curate_corpus(
+        docs, quality_gate=False, kn_lm=lm, kn_keep_frac=0.6, kn_exact=True
+    )
+    assert "after_kn_ppl" in stats
+    assert stats["after_kn_ppl"] < stats["input"]
+    kept = {r["doc_id"] for r in curated.select("doc_id").collect()}
+    assert not (kept & {20_000 + i for i in range(10)})
+    assert len(kept) > 0
+    assert "nll" not in set(curated.columns)
+
+
+def test_curate_corpus_prototype_prune_stage(spark, sf_dir):
+    """prototype_keep_frac prunes per-cluster under the Sorscher difficulty
+    metric over stub embeddings: the survivor count matches the quota sum
+    of a standalone prune over the same pre-stage survivors, and the stage
+    leaves no lineage columns on the curated output."""
+    from photo_vector_search_spark.operators.pruning import prune_prototypes
+    from photo_vector_search_spark.pipelines.embed import embed_documents
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base, _ = curate_corpus(docs, quality_gate=False)
+    curated, stats = curate_corpus(
+        docs,
+        quality_gate=False,
+        prototype_keep_frac=0.5,
+        prototype_clusters=4,
+    )
+    assert "after_prototype_prune" in stats
+    kept = {r["doc_id"] for r in curated.select("doc_id").collect()}
+
+    # standalone replay over the same pre-stage survivor set
+    emb = embed_documents(base.select("doc_id", "text")).select(
+        "doc_id", "embedding"
+    )
+    want = {
+        r["doc_id"]
+        for r in prune_prototypes(
+            emb, keep_frac=0.5, n_clusters=4, id_col="doc_id"
+        ).collect()
+    }
+    assert kept == want
+    assert stats["after_prototype_prune"] == len(want)
+    cols = set(curated.columns)
+    assert not {"cluster_id", "difficulty", "rank", "embedding"} & cols
