@@ -1207,6 +1207,23 @@ ORACLES = {
 #   canonicalization — its distinct/applyInPandas machinery stays declared
 #   via dedup_exact + photo_group_collect, and the operator itself remains
 #   both locally oracle-verified and exercised inside curate_corpus.
+#
+# Deliberately pytest-only (no declared row, r9 decision):
+# - fim_transform: the layout draw consumes a VARIABLE number of md5-PRNG
+#   uniforms per row (apply?→layout?→split points), so a SQL twin would
+#   have to replay the exact draw SEQUENCE — unlike mix/shuffle, whose
+#   single-draw-per-row md5 rule IS the oracle-able trick. The transform's
+#   contract is losslessness, which SQL can't strengthen: the
+#   reconstruct∘transform=id inverse is pinned per row in pytest alongside
+#   rate/layout-mix/partitioning-invariance checks (test_fim.py).
+# - corrupt_spans: same variable-draw PRNG shape; its round-trip inverse
+#   (reconstruct_spans over exported pairs) is the pinned contract.
+# - encode_unigram_sampled / FFD packing / batched-ADC / PQ-family rungs:
+#   approximate or stochastic by construction — each is twin-pinned in
+#   pytest against an independent reference (analytic sampler posterior,
+#   serial packer, per-row ADC) rather than a DuckDB value hash; declared
+#   siblings (encode_bpe, pack_sequences, knn/ivf oracles) keep the
+#   deterministic machinery in the checked window.
 RETIRED_QUERIES = {
     "rollup_events": q_rollup_events,
     "distinct_counts": q_distinct_counts,
