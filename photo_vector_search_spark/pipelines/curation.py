@@ -50,6 +50,7 @@ def curate_corpus(
     compute_stats: bool = True,
     near_dedup: str = "greedy",
     quality_gate: bool = True,
+    compression_bounds: tuple[float, float] | None = None,
     substring_ngram: int | None = None,
     quality_model=None,
     pareto_alpha: float = 9.0,
@@ -159,6 +160,12 @@ def curate_corpus(
     into head/middle/tail tertiles, and the tail third plus docs too short
     to score (< 2 tokens) are dropped — the paper's keep rule.
     ``stats["after_ppl_filter"]`` records survivors.
+
+    ``compression_bounds=(lo, hi)`` (opt-in, r9) runs the zlib
+    compression-ratio gate right after the rule gate — docs compressing
+    below ``lo`` (template spam, token floods) or above ``hi``
+    (incompressible noise) drop, the Dolma-style two-sided signal.
+    ``stats["after_compression_gate"]`` records survivors.
 
     ``kn_lm`` (opt-in, r9) runs the Kneser-Ney perplexity tier right after
     the add-k tier (use either or both): ``(lm, consts)`` from
@@ -311,6 +318,15 @@ def curate_corpus(
         # skip the Gopher rules; every later stage is gate-agnostic
         gated = clean
     _stat("after_quality_gate", gated)
+
+    if compression_bounds is not None:
+        from photo_vector_search_spark.pipelines.quality import (
+            compression_gate,
+        )
+
+        lo, hi = compression_bounds
+        gated = compression_gate(gated, min_ratio=lo, max_ratio=hi)
+        _stat("after_compression_gate", gated)
 
     if quality_model is not None:
         from photo_vector_search_spark.pipelines.quality import (

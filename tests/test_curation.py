@@ -618,3 +618,29 @@ def test_curate_corpus_prototype_prune_stage(spark, sf_dir):
     assert stats["after_prototype_prune"] == len(want)
     cols = set(curated.columns)
     assert not {"cluster_id", "difficulty", "rank", "embedding"} & cols
+
+
+def test_curate_corpus_compression_gate_stage(spark, sf_dir):
+    """compression_bounds drops incompressible noise and token floods right
+    after the rule gate; the fixture prose passes a wide bracket."""
+    import base64
+    import hashlib
+
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    noise = base64.b64encode(
+        b"".join(hashlib.sha256(bytes([i])).digest() for i in range(40))
+    ).decode()  # high-entropy, non-repeating: zlib ratio ~0.77
+    planted = spark.createDataFrame(
+        [(30_000, "word " * 200),  # floods compress ~nothing-left (~0.02)
+         (30_001, noise)],
+        "doc_id long, text string",
+    )
+    docs = base.unionByName(planted)
+    curated, stats = curate_corpus(
+        docs, quality_gate=False, compression_bounds=(0.12, 0.7)
+    )
+    assert "after_compression_gate" in stats
+    kept = {r["doc_id"] for r in curated.select("doc_id").collect()}
+    assert 30_000 not in kept and 30_001 not in kept
+    assert len(kept) > 0
+    assert "zlib_ratio" not in curated.columns
