@@ -340,6 +340,72 @@ def _extra_corrupt_spans(spark, sf_dir):
     return corrupt_spans(pack_token_windows(docs, 128, stage=False))
 
 
+def _extra_filter_aligned(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from photo_vector_search_spark.operators.alignment import filter_aligned
+    from photo_vector_search_spark.pipelines.embed import stub_embedder
+    from photo_vector_search_spark.sources.tables import load_table
+
+    pairs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("path"),
+        F.encode(
+            F.concat(F.lit("FAKEIMG:64x32:"), F.col("text")), "utf-8"
+        ).alias("content"),
+        F.col("text").alias("caption"),
+    )
+    return filter_aligned(pairs, stub_embedder(), stub_embedder())
+
+
+def _extra_prune_prototypes(spark, sf_dir):
+    from photo_vector_search_spark.operators.pruning import prune_prototypes
+    from photo_vector_search_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return prune_prototypes(emb, keep_frac=0.5, n_clusters=8, sample=512)
+
+
+def _extra_kn_score(spark, sf_dir):
+    from photo_vector_search_spark.operators.kneser_ney import (
+        doc_log_perplexity_kn,
+        train_kn_lm,
+    )
+    from photo_vector_search_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lm, consts = train_kn_lm(docs)  # staged: the serving plan is the audit
+    return doc_log_perplexity_kn(docs, lm, consts)
+
+
+def _extra_compression_gate(spark, sf_dir):
+    from photo_vector_search_spark.pipelines.quality import compression_gate
+    from photo_vector_search_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return compression_gate(docs)
+
+
+def _extra_ivf_pq_batch_search(spark, sf_dir):
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from photo_vector_search_spark.operators.pq import (
+        build_ivfpq_store,
+        ivf_pq_batch_search,
+    )
+    from photo_vector_search_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="pvs_plan_ivfpq_") + "/store"
+    build_ivfpq_store(emb, path, n_clusters=8, m=8, k=64, sample=512)
+    queries = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("query_vec"),
+    )
+    return ivf_pq_batch_search(spark, path, queries, k=5, nprobe=4)
+
+
 EXTRA_OPS = {
     "ivf_near_dup_pairs": _extra_ivf_near_dup,
     "shuffle_corpus": _extra_shuffle_corpus,
@@ -357,10 +423,52 @@ EXTRA_OPS = {
     "pq_topk": _extra_pq_topk,
     "pq_batch_topk": _extra_pq_batch_topk,
     "fim_transform": _extra_fim_transform,
+    "filter_aligned": _extra_filter_aligned,
+    "prune_prototypes": _extra_prune_prototypes,
+    "kn_score": _extra_kn_score,
+    "compression_gate": _extra_compression_gate,
+    "ivf_pq_batch_search": _extra_ivf_pq_batch_search,
 }
 
 # Plan-reader context the tree alone can't show.
 NOTES = {
+    "filter_aligned": (
+        "NOTE: library operator (r9 CLIP-score pair gate). Zero exchanges — "
+        "both embed UDFs and the JVM cosine + threshold filter are one "
+        "ArrowEvalPython + Project over the scan; binary payloads never "
+        "shuffle, and the transient embedding columns are consumed inside "
+        "the projection (output schema = input + align_score)."
+    ),
+    "prune_prototypes": (
+        "NOTE: library operator (r9 Sorscher prototype pruning, production "
+        "rung). Difficulty is the map-only MapInPandas against the broadcast "
+        "centroid matrix; the ONE data Exchange is hashpartitioning on "
+        "cluster_id feeding the rank+count window that enforces the "
+        "per-cluster quota. Centroid training ran at plan-build (bounded "
+        "driver sample, the train_centroids contract)."
+    ),
+    "kn_score": (
+        "NOTE: library operator (r9 Kneser-Ney perplexity, serving path "
+        "over the staged LM). The corpus-sized work is the bigram explode "
+        "feeding three lookup joins against bigram-VOCABULARY-sized staged "
+        "reads (the (w1,w2) probe, the w1 marginal, the w2 continuation) "
+        "plus the per-doc aggregate; at 100 TB the three probe tables "
+        "broadcast (they scale with vocabulary, not corpus)."
+    ),
+    "compression_gate": (
+        "NOTE: library operator (r9 zlib quality gate). Zero exchanges — "
+        "the ratio kernel and the two-sided filter are one MapInPandas + "
+        "Filter over the scan; zlib runs in stdlib C per Arrow batch."
+    ),
+    "ivf_pq_batch_search": (
+        "NOTE: library operator (r9 batched IVF-PQ serving). ONE "
+        "union-pruned codes scan (the cluster IN-filter prunes partition "
+        "directories) feeds the masked batch-ADC MapInPandas — the "
+        "broadcast carries Q LUTs + the (Q, n_clusters) probe mask — and "
+        "the only exchange moves O(batches*Q*k*n_assign) survivor rows "
+        "into the per-query rank window; per-query probe semantics are "
+        "exact (pinned vs the per-query loop)."
+    ),
     "hard_negatives": (
         "NOTE: declared r8 (deterministic rung, shown UNSTAGED — the "
         "declared form stages the assigned frame once). Seed centroids are "
