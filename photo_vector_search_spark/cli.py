@@ -332,12 +332,28 @@ def cmd_curate_corpus(args) -> int:
             file=sys.stderr,
         )
         return 2
+    kn_lm = None
+    if args.kn_keep_frac is not None:
+        # CCNet setup wants a clean-corpus LM; self-trained still ranks
+        # outliers last, which is what the keep-fraction rule consumes
+        from photo_vector_search_spark.operators.kneser_ney import train_kn_lm
+
+        kn_lm = train_kn_lm(docs.select("doc_id", "text"))
     _, stats = curate_corpus(
         docs,
         quality_gate=not args.no_quality_gate,
+        compression_bounds=(
+            tuple(args.compression_bounds)
+            if args.compression_bounds
+            else None
+        ),
         near_dedup=args.near_dedup,
         lsh_tau=args.tau,
         substring_ngram=args.substring_ngram,
+        kn_lm=kn_lm,
+        kn_keep_frac=args.kn_keep_frac if kn_lm else 0.67,
+        prototype_keep_frac=args.prototype_keep_frac,
+        prototype_clusters=args.prototype_clusters,
         shuffle_seed=args.seed,
         export_path=args.out,
         n_shards=args.shards,
@@ -461,6 +477,22 @@ def build_parser() -> argparse.ArgumentParser:
         "--no-quality-gate", action="store_true",
         help="skip the Gopher rule gate (pre-filtered corpora)",
     )
+    sp.add_argument(
+        "--compression-bounds", type=float, nargs=2, default=None,
+        metavar=("LO", "HI"),
+        help="also drop docs whose zlib ratio falls outside [LO, HI]",
+    )
+    sp.add_argument(
+        "--kn-keep-frac", type=float, default=None,
+        help="also run the Kneser-Ney perplexity tier, keeping this "
+        "fraction of the most fluent docs (LM trained on the corpus)",
+    )
+    sp.add_argument(
+        "--prototype-keep-frac", type=float, default=None,
+        help="also run prototype-difficulty pruning after dedup, keeping "
+        "this fraction of the hardest docs per cluster",
+    )
+    sp.add_argument("--prototype-clusters", type=int, default=16)
     sp.add_argument("--seed", type=int, default=0, help="shuffle seed")
     sp.set_defaults(fn=cmd_curate_corpus)
 

@@ -134,3 +134,24 @@ def test_cli_curate_corpus(tmp_path, capsys, spark, sf_dir):
     bad = str(tmp_path / "bad")
     spark.range(3).write.parquet(bad)
     assert main(["curate-corpus", "--docs", bad, "--out", out]) == 2
+
+    # the r9 opt-in stages reach the pipeline from flags and report stats
+    out2 = str(tmp_path / "shards2")
+    rc = main(
+        [
+            "curate-corpus",
+            "--docs", docs,
+            "--out", out2,
+            "--shards", "2",
+            "--no-quality-gate",
+            "--compression-bounds", "0.05", "0.95",
+            "--kn-keep-frac", "0.8",
+            "--prototype-keep-frac", "0.5",
+            "--prototype-clusters", "4",
+        ]
+    )
+    assert rc == 0
+    printed = capsys.readouterr().out
+    for key in ("after_compression_gate:", "after_kn_ppl:",
+                "after_prototype_prune:"):
+        assert key in printed, key
