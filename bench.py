@@ -110,23 +110,28 @@ def _force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
-def fake_media_docs(spark, sf_dir: str, kind: str):
-    """(path, content) rows synthesizing the documents table into FAKEIMG /
-    FAKEAUDIO payloads — ONE definition shared by the per-round bench, the
-    scale bench, and the plan audit, so they all measure/inspect the same
-    corpus shape (the synthesis was once copy-pasted in three places —
-    review finding)."""
+def fake_media_docs(spark, sf_dir: str, kind: str, with_caption: bool = False):
+    """(path, content[, caption]) rows synthesizing the documents table into
+    FAKEIMG / FAKEAUDIO payloads — ONE definition shared by the per-round
+    bench, the scale bench, and the plan audit, so they all
+    measure/inspect the same corpus shape (the synthesis was once
+    copy-pasted in three places — review finding). ``with_caption=True``
+    keeps the source text as a ``caption`` column (the alignment-gate pair
+    shape)."""
     from pyspark.sql import functions as F
 
     from photo_vector_search_spark.sources.tables import load_table
 
     prefix = {"image": "FAKEIMG:64x32:", "audio": "FAKEAUDIO:"}[kind]
-    return load_table(spark, sf_dir, "documents").select(
+    cols = [
         F.col("doc_id").cast("string").alias("path"),
         F.encode(F.concat(F.lit(prefix), F.col("text")), "utf-8").alias(
             "content"
         ),
-    )
+    ]
+    if with_caption:
+        cols.append(F.col("text").alias("caption"))
+    return load_table(spark, sf_dir, "documents").select(*cols)
 
 
 def _build_cases(spark, sf_dir: str) -> dict:
@@ -483,20 +488,9 @@ def _kn_model(spark, sf_dir: str):
 
 
 def _align_pairs(spark, sf_dir: str):
-    """(path, content, caption) pairs synthesized from the documents table —
-    the fake_media_docs image payloads with the source text as the
-    caption, so matched/mismatched structure scales with the corpus."""
-    from pyspark.sql import functions as F
-
-    from photo_vector_search_spark.sources.tables import load_table
-
-    return load_table(spark, sf_dir, "documents").select(
-        F.col("doc_id").cast("string").alias("path"),
-        F.encode(
-            F.concat(F.lit("FAKEIMG:64x32:"), F.col("text")), "utf-8"
-        ).alias("content"),
-        F.col("text").alias("caption"),
-    )
+    """The alignment-gate pair shape: fake_media_docs image payloads with
+    the source text kept as the caption (one shared synthesis)."""
+    return fake_media_docs(spark, sf_dir, "image", with_caption=True)
 
 
 def _ivfpq_store(spark, sf_dir: str) -> str:

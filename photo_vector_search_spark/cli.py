@@ -332,6 +332,15 @@ def cmd_curate_corpus(args) -> int:
             file=sys.stderr,
         )
         return 2
+    # validate BEFORE the expensive KN training pass: a bad fraction must be
+    # a usage error (stderr + exit 2), not a post-training traceback
+    for flag, val in (
+        ("--kn-keep-frac", args.kn_keep_frac),
+        ("--prototype-keep-frac", args.prototype_keep_frac),
+    ):
+        if val is not None and not 0.0 < val <= 1.0:
+            print(f"{flag} must be in (0, 1], got {val}", file=sys.stderr)
+            return 2
     kn_lm = None
     if args.kn_keep_frac is not None:
         # CCNet setup wants a clean-corpus LM; self-trained still ranks

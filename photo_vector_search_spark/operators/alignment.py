@@ -104,7 +104,12 @@ def alignment_stats(
     return scored.agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.count(s).alias("n_scored"),
-        F.sum((s >= F.lit(float(threshold))).cast("long")).alias("n_kept"),
+        # coalesce: a shard with ZERO scoreable pairs must report n_kept=0,
+        # not NULL — sum over all-NULL input is NULL (review finding), and
+        # downstream per-shard rollups would drop or propagate it
+        F.coalesce(
+            F.sum((s >= F.lit(float(threshold))).cast("long")), F.lit(0)
+        ).alias("n_kept"),
         F.round(F.avg(s), 6).alias("mean_score"),
         F.round(F.min(s), 6).alias("min_score"),
         F.round(F.max(s), 6).alias("max_score"),

@@ -337,6 +337,7 @@ def pq_batch_topk(
     cluster_col: str | None = None,
     allowed: dict | None = None,
     n_assign: int = 1,
+    qrows: list | None = None,
 ) -> DataFrame:
     """Batched ADC top-k — the ``knn_batch_fast`` shape over codes: ALL Q
     query LUTs broadcast together (Q·m·k doubles, guarded), one gather-sum
@@ -360,9 +361,15 @@ def pq_batch_topk(
     ``ann.ivf_topk`` discipline."""
     import pandas as pd
 
-    qrows = queries.select("query_id", "query_vec").limit(
-        max_queries + 1
-    ).collect()
+    if qrows is None:
+        # ``qrows`` lets a caller that already collected the query set (the
+        # ivf_pq_batch_search probe pass) hand it down — re-collecting here
+        # would run a second driver job AND could disagree with the first
+        # collect on a nondeterministic source, leaving query_ids with an
+        # empty probe mask that silently return zero rows (review finding)
+        qrows = queries.select("query_id", "query_vec").limit(
+            max_queries + 1
+        ).collect()
     if len(qrows) > max_queries:
         raise ValueError(
             f"pq_batch_topk: >{max_queries} queries — the LUT broadcast is "
@@ -701,6 +708,10 @@ def ivf_pq_search(
         raise ValueError(
             f"ivf_pq_search: mmr_candidates={fetch_k} must be >= k={k}"
         )
+    # with rerank=R: the ADC pool widens to max(R, fetch_k) and the exact
+    # rerank narrows it back to the fetch_k MMR candidates — R < fetch_k
+    # would make the rerank a set-level no-op (review finding), so it is
+    # clamped up rather than silently dropped
     candidates = ivf_pq_topk(
         store,
         cents,
@@ -708,7 +719,7 @@ def ivf_pq_search(
         query_vec,
         k=fetch_k,
         nprobe=nprobe,
-        rerank=fetch_k if rerank is not None else None,
+        rerank=max(rerank, fetch_k) if rerank is not None else None,
         embeddings=embeddings if rerank is not None else None,
         id_col=id_col,
         rotation=rot,
@@ -766,6 +777,9 @@ def ivf_pq_batch_search(
         allowed[int(r["query_id"])] = [int(c) for c in order]
     union = sorted({c for probes in allowed.values() for c in probes})
     pruned = store.filter(F.col("cluster_id").isin(union))
+    # qrows handed down: the probe dict above and the LUT broadcast below
+    # must come from the SAME collected query set (one driver job, no
+    # re-collect divergence on a nondeterministic source)
     return pq_batch_topk(
         pruned,
         books,
@@ -777,4 +791,5 @@ def ivf_pq_batch_search(
         cluster_col="cluster_id",
         allowed=allowed,
         n_assign=n_assign,
+        qrows=qrows,
     )

@@ -137,17 +137,31 @@ def check_band_layout(state_path: str, family: str, n_bands: int) -> None:
     image stream (``ibands``) and an audio stream (``abands``) sharing one
     ``state_path`` have disjoint band families, so each checks — and may
     differ in — its own ``n_bands``. A flat legacy record (pre-r9 single
-    ``{layout, n_bands}``) is treated as whichever family reads it first
-    and migrated in place."""
+    ``{layout, n_bands}``) is migrated to the families that actually HAVE
+    state under this path — the stamping family necessarily does, while a
+    brand-new family must NOT inherit the old record (it would spuriously
+    fail a different n_bands despite having nothing to protect)."""
     marker = os.path.join(state_path, BANDING_MARKER)
     records: dict[str, dict] = {}
     if os.path.exists(marker):
         with open(marker) as f:
             rec = json.load(f)
-        # legacy flat record: one stream family stamped it pre-r9; claim it
-        # for the first family that checks (the stamping family in every
-        # pre-r9 layout, since sharing was exactly the bug being fixed)
-        records = {family: rec} if "layout" in rec else rec
+        if "layout" in rec:  # legacy flat record
+            mani0 = load_manifest(state_path)
+            mani_fams = set(mani0.get("families", [])) if mani0 else set()
+            stamped = [
+                f
+                for f in FAMILY_KEYS
+                if f in mani_fams
+                or _batch_dirs(os.path.join(state_path, f))
+            ]
+            # no state at all (marker stamped, then nothing written before
+            # the upgrade): the record still belongs to SOME pre-r9 family;
+            # keep it for the checking family so an n_bands change on truly
+            # empty state stays harmless either way
+            records = {f: rec for f in (stamped or [family])}
+        else:
+            records = rec
     mine = records.get(family)
     if mine is not None:
         if mine.get("layout") != BAND_LAYOUT or mine.get("n_bands") != n_bands:

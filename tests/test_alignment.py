@@ -167,3 +167,22 @@ def test_partitioning_invariance(spark):
         ).collect()
     }
     assert one == many
+
+
+def test_alignment_stats_all_null_shard_reports_zero_kept(spark):
+    """A shard with zero scoreable pairs must report n_kept=0, not NULL
+    (review finding: sum over all-NULL input is NULL)."""
+
+    def make_fn():
+        def embed(s: pd.Series) -> pd.Series:
+            return s.map(lambda t: None)
+
+        return embed
+
+    broken = Embedder(dim=64, make_fn=make_fn)
+    pairs = _pairs(spark)
+    scored = image_text_alignment(pairs, broken, broken)
+    row = alignment_stats(scored).collect()[0]
+    assert row["n_scored"] == 0
+    assert row["n_kept"] == 0
+    assert row["mean_score"] is None

@@ -222,3 +222,36 @@ def test_completeness_guard_rejects_uncoverable_threshold(spark):
     with pytest.raises(ValueError, match="pigeonhole"):
         incremental_phash_dedup(spark, "/tmp/x", "/tmp/y", "/tmp/z",
                                 max_hamming=9, n_bands=8)
+
+
+def test_band_layout_legacy_marker_goes_to_stamping_family(spark, tmp_path):
+    """A pre-r9 flat marker migrates to the family that HAS state, not to
+    whichever family checks first (review finding): a brand-new family with
+    a different n_bands must pass, and the stamping family's record must
+    survive that other family's check."""
+    import json
+    import os
+
+    import pytest
+
+    from photo_vector_search_spark.streaming.compaction import (
+        BANDING_MARKER,
+        check_band_layout,
+    )
+
+    root = str(tmp_path / "legacy_owner")
+    os.makedirs(f"{root}/ibands/batch_id=0")  # ibands is the stamping family
+    with open(f"{root}/{BANDING_MARKER}", "w") as f:
+        json.dump({"layout": "interleaved-v1", "n_bands": 8}, f)
+
+    # a NEW family with different n_bands checks FIRST — must not claim the
+    # flat record and must stamp its own
+    check_band_layout(root, "abands", 12)
+    # ...and the stamping family's protection is intact afterwards
+    check_band_layout(root, "ibands", 8)
+    with pytest.raises(ValueError, match="incompatible"):
+        check_band_layout(root, "ibands", 16)
+    with open(f"{root}/{BANDING_MARKER}") as f:
+        rec = json.load(f)
+    assert rec["ibands"]["n_bands"] == 8
+    assert rec["abands"]["n_bands"] == 12

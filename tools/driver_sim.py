@@ -22,7 +22,7 @@ rows = df.collect()
 print(f"SMOKE entry(): {len(rows)} rows, schema={df.columns}")
 assert len(rows) > 0
 
-_SCALAR_OK = ("array", "map", "struct")
+_NON_SCALAR_PREFIXES = ("array", "map", "struct")
 
 
 def assert_scalar_schema(name, sdf):
@@ -31,7 +31,7 @@ def assert_scalar_schema(name, sdf):
     `pack_sequences` regression). Reject them at sim time."""
     for f in sdf.schema.fields:
         t = f.dataType.simpleString()
-        if any(t.startswith(p) for p in _SCALAR_OK):
+        if any(t.startswith(p) for p in _NON_SCALAR_PREFIXES):
             raise AssertionError(
                 f"{name}: declared column {f.name!r} has non-scalar type {t}; "
                 "the driver's pandas canonicalizer cannot sort it — CSV-join "
@@ -39,17 +39,25 @@ def assert_scalar_schema(name, sdf):
             )
 
 
-def value_hash(cols, rows):
-    # Mirror the real driver: build a pandas frame and sort_values over all
-    # columns (this is exactly the step that crashes on list cells).
+def pandas_sort_probe(cols, rows):
+    """Replicate the real driver's pandas sort_values as a CRASH PROBE only
+    — its output is discarded. Hashing must NOT flow through pandas: a NULL
+    in a numeric column coerces the whole column to float64 there ('1.0' /
+    'nan') while the DuckDB side str()s raw values ('1' / 'None'), so a
+    pandas-derived hash would MISMATCH on correct queries."""
     import pandas as pd
 
     cols = sorted(cols)
-    pdf = pd.DataFrame([{c: r[i] for i, c in enumerate(cols)}
-                        for r in [[row.asDict()[c] for c in cols] for row in rows]])
+    pdf = pd.DataFrame(
+        [{c: row.asDict()[c] for c in cols} for row in rows]
+    )
     if len(pdf):
-        pdf = pdf.sort_values(by=cols, kind="mergesort")
-    out = [tuple(str(v) for v in row) for row in pdf.itertuples(index=False)]
+        pdf.sort_values(by=cols, kind="mergesort")
+
+
+def value_hash(cols, rows):
+    cols = sorted(cols)
+    out = [tuple(str(r.asDict()[c]) for c in cols) for r in rows]
     return hashlib.sha256(json.dumps(sorted(out)).encode()).hexdigest()[:12]
 
 sf = "/root/testdata/sf0.01"
@@ -63,6 +71,7 @@ for name, fn in qs.items():
     sdf = fn(spark, sf)
     assert_scalar_schema(name, sdf)
     srows = sdf.collect()
+    pandas_sort_probe(sdf.columns, srows)
     scols = sdf.columns
     if name not in os_:
         results[name] = f"rows-only: {len(srows)} rows"

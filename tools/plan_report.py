@@ -341,19 +341,12 @@ def _extra_corrupt_spans(spark, sf_dir):
 
 
 def _extra_filter_aligned(spark, sf_dir):
-    from pyspark.sql import functions as F
+    from bench import fake_media_docs
 
     from photo_vector_search_spark.operators.alignment import filter_aligned
     from photo_vector_search_spark.pipelines.embed import stub_embedder
-    from photo_vector_search_spark.sources.tables import load_table
 
-    pairs = load_table(spark, sf_dir, "documents").select(
-        F.col("doc_id").cast("string").alias("path"),
-        F.encode(
-            F.concat(F.lit("FAKEIMG:64x32:"), F.col("text")), "utf-8"
-        ).alias("content"),
-        F.col("text").alias("caption"),
-    )
+    pairs = fake_media_docs(spark, sf_dir, "image", with_caption=True)
     return filter_aligned(pairs, stub_embedder(), stub_embedder())
 
 
