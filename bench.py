@@ -102,6 +102,7 @@ GROUPS: dict[str, list[str]] = {
         "ivf_pq_batch_topk",
         "prune_prototypes",
         "kn_score",
+        "curriculum_order",
     ],
 }
 
@@ -410,6 +411,19 @@ def _build_cases(spark, sf_dir: str) -> dict:
                     "photo_vector_search_spark.pipelines.embed",
                     fromlist=["stub_embedder"],
                 ).stub_embedder(),
+            )
+        ),
+        # r9: tiered curriculum export — fixed cuts keep the run
+        # comparable across rounds; one composite-bucket window shuffle,
+        # same machinery as shuffle_corpus
+        "curriculum_order": lambda: _force(
+            __import__(
+                "photo_vector_search_spark.operators.shuffle",
+                fromlist=["curriculum_order"],
+            ).curriculum_order(
+                load_table(spark, sf_dir, "documents"),
+                "n_chars",
+                cuts=[150.0, 250.0, 400.0],
             )
         ),
         # r9: Kneser-Ney perplexity scoring — the CCNet-grade smoothing

@@ -139,3 +139,109 @@ def shuffle_corpus(
         .withColumn("pos", F.col("_off") + F.row_number().over(win) - 1)
         .drop("_h", "_b", "_off")
     )
+
+
+def curriculum_order(
+    df: DataFrame,
+    by_col: str,
+    n_tiers: int = 10,
+    seed: int = 0,
+    key_col: str = "doc_id",
+    cuts: list[float] | None = None,
+    ascending: bool = True,
+    staging_dir: str | None = None,
+    stage: bool | None = None,
+) -> DataFrame:
+    """Curriculum training order: global positions that walk difficulty
+    TIERS in ``by_col`` order (easy→hard for ``ascending=True``) with the
+    seeded pseudo-random shuffle WITHIN each tier — the standard curriculum
+    export (Bengio et al. 2009 practice: coarse difficulty bands, shuffled
+    inside the band, so the model sees a stable difficulty ramp without a
+    deterministic per-example order).
+
+    Mechanics are ``shuffle_corpus``'s exactly, with the tier prepended to
+    the fixed-prefix sort key: full order = (tier, md5(seed||'-'||key),
+    key), buckets = (tier, 3-hex-prefix) — still a PREFIX of the sort key,
+    so per-composite-bucket row_number + broadcast offsets reproduce the
+    global rank with ONE data shuffle and a ≤ ``n_tiers``·4096-row offset
+    collect. No range-sampled sort, no global window; deterministic under
+    any partitioning GIVEN the cuts.
+
+    ``cuts``: the ``n_tiers-1`` ascending tier boundaries (tier =
+    #{cuts below-or-equal score}; rows with NULL ``by_col`` go to the LAST
+    tier — unscoreable examples train last, not first). ``cuts=None``
+    estimates them once via ``percentile_approx`` — a bounded driver
+    artifact, the ``train_centroids`` pattern: PERSIST the returned cuts
+    (``df_out.cuts``) to reproduce the exact order across sessions, since
+    the sketch depends on the input split. ``ascending=False`` reverses
+    the tier walk (hard→easy), keeping within-tier shuffle identical.
+
+    DuckDB twin (value-verified in tests):
+    ``row_number() OVER (ORDER BY tier, md5(seed||'-'||key), key) - 1``.
+    """
+    from photo_vector_search_spark.operators.staging import session_staging_dir
+
+    if n_tiers < 2:
+        raise ValueError(f"n_tiers must be >= 2, got {n_tiers}")
+    spark = df.sparkSession
+    if cuts is None:
+        qs = [i / n_tiers for i in range(1, n_tiers)]
+        row = df.agg(
+            F.percentile_approx(F.col(by_col), qs).alias("c")
+        ).first()
+        cuts = [float(c) for c in (row["c"] or [])]
+    if sorted(cuts) != list(cuts):
+        raise ValueError(f"cuts must be ascending, got {cuts}")
+    tier = F.lit(0)
+    for c in cuts:
+        tier = tier + (F.col(by_col) > F.lit(float(c))).cast("int")
+    last = len(cuts)  # NULL scores: comparisons yield NULL -> force last
+    tier = F.when(F.col(by_col).isNull(), F.lit(last)).otherwise(tier)
+    if not ascending:
+        tier = F.lit(last) - tier
+    if stage is None:
+        stage = not _rescan_safe_and_cheap(df)
+    h = F.md5(
+        F.concat_ws("-", F.lit(str(seed)), F.col(key_col).cast("string"))
+    )
+    bucketed = (
+        df.withColumn("_t", tier.cast("int"))
+        .withColumn("_h", h)
+        .withColumn(
+            "_b", F.conv(F.substring(F.col("_h"), 1, 3), 16, 10).cast("int")
+        )
+    )
+    if stage:
+        if staging_dir is None:
+            staging_dir = session_staging_dir("pvs_curriculum")
+        bucketed.write.mode("overwrite").parquet(staging_dir)
+        staged = spark.read.parquet(staging_dir)
+    else:
+        staged = bucketed
+    counts = {
+        (r["_t"], r["_b"]): r["n"]
+        for r in staged.groupBy("_t", "_b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    offsets, acc = [], 0
+    for t, b in sorted(counts):
+        offsets.append((t, b, acc))
+        acc += counts[(t, b)]
+    if not offsets:
+        out = staged.drop("_t", "_h", "_b").withColumn(
+            "pos", F.lit(None).cast("long")
+        )
+        out.cuts = cuts
+        return out
+    off = F.broadcast(
+        spark.createDataFrame(offsets, "_t int, _b int, _off long")
+    )
+    win = Window.partitionBy("_t", "_b").orderBy("_h", key_col)
+    out = (
+        staged.join(off, ["_t", "_b"])
+        .withColumn("pos", F.col("_off") + F.row_number().over(win) - 1)
+        .drop("_t", "_h", "_b", "_off")
+    )
+    out.cuts = cuts  # the reproducibility artifact — persist with the run
+    return out

@@ -119,3 +119,108 @@ def test_shuffle_seed_changes_order_and_keeps_rows(spark, sf_correct):
         "source",
         "pos",
     }
+
+
+def _duck_curriculum(sf_dir: str, seed: int, cuts: list[float]) -> list:
+    """Full-order twin: tier walks the cut boundaries (NULLs last), md5
+    shuffle within tier."""
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    tier = " + ".join(
+        f"(CASE WHEN n_chars > {c} THEN 1 ELSE 0 END)" for c in cuts
+    )
+    return con.execute(f"""
+SELECT doc_id,
+       row_number() OVER (
+         ORDER BY (CASE WHEN n_chars IS NULL THEN {len(cuts)}
+                        ELSE {tier} END),
+                  md5(concat('{seed}', '-', CAST(doc_id AS VARCHAR))),
+                  doc_id
+       ) - 1 AS pos
+FROM documents ORDER BY doc_id
+""").fetchall()
+
+
+def test_curriculum_order_matches_duckdb_twin(spark, sf_correct):
+    from photo_vector_search_spark.operators.shuffle import curriculum_order
+
+    docs = load_table(spark, sf_correct, "documents")
+    cuts = [150.0, 250.0, 400.0]
+    out = curriculum_order(docs, "n_chars", seed=5, cuts=cuts)
+    got = sorted(
+        (r["doc_id"], r["pos"]) for r in out.select("doc_id", "pos").collect()
+    )
+    assert got == [(d, p) for d, p in _duck_curriculum(sf_correct, 5, cuts)]
+    assert out.cuts == cuts
+
+
+def test_curriculum_order_semantics(spark, sf_correct):
+    """Walking pos ascending, the difficulty tier is non-decreasing; within
+    a tier the order equals shuffle_corpus's seeded order restricted to the
+    tier; descending reverses the tier walk; partitioning-invariant."""
+    from photo_vector_search_spark.operators.shuffle import curriculum_order
+
+    docs = load_table(spark, sf_correct, "documents")
+    cuts = [200.0, 350.0]
+    out = curriculum_order(docs, "n_chars", seed=3, cuts=cuts)
+    rows = sorted(
+        out.select("doc_id", "n_chars", "pos").collect(),
+        key=lambda r: r["pos"],
+    )
+    tiers = [sum(r["n_chars"] > c for c in cuts) for r in rows]
+    assert tiers == sorted(tiers)  # difficulty ramp, never down
+    assert [r["pos"] for r in rows] == list(range(len(rows)))  # dense
+
+    # within-tier order == the seeded shuffle order restricted to the tier
+    shuf = {
+        r["doc_id"]: r["pos"]
+        for r in shuffle_corpus(docs, seed=3).collect()
+    }
+    for t in range(len(cuts) + 1):
+        members = [r["doc_id"] for r in rows
+                   if sum(r["n_chars"] > c for c in cuts) == t]
+        assert members == sorted(members, key=lambda d: (shuf[d], d))
+
+    desc = curriculum_order(docs, "n_chars", seed=3, cuts=cuts,
+                            ascending=False)
+    drows = sorted(
+        desc.select("doc_id", "n_chars", "pos").collect(),
+        key=lambda r: r["pos"],
+    )
+    dtiers = [sum(r["n_chars"] > c for c in cuts) for r in drows]
+    assert dtiers == sorted(dtiers, reverse=True)
+
+    # partitioning invariance
+    repart = curriculum_order(
+        docs.repartition(13), "n_chars", seed=3, cuts=cuts
+    )
+    got2 = {r["doc_id"]: r["pos"] for r in repart.collect()}
+    assert got2 == {r["doc_id"]: r["pos"] for r in rows}
+
+
+def test_curriculum_order_auto_cuts_and_guards(spark, sf_correct):
+    import pytest
+
+    from photo_vector_search_spark.operators.shuffle import curriculum_order
+
+    docs = load_table(spark, sf_correct, "documents")
+    out = curriculum_order(docs, "n_chars", n_tiers=4, seed=1)
+    assert len(out.cuts) == 3  # the persistable artifact
+    n = docs.count()
+    assert out.count() == n
+    # sketch cuts give roughly balanced tiers (each within 2x of n/4)
+    rows = out.select("n_chars").collect()
+    for t in range(4):
+        size = sum(
+            1 for r in rows
+            if sum(r["n_chars"] > c for c in out.cuts) == t
+        )
+        assert n / 8 <= size <= n / 2, (t, size)
+
+    with pytest.raises(ValueError, match="n_tiers"):
+        curriculum_order(docs, "n_chars", n_tiers=1)
+    with pytest.raises(ValueError, match="ascending"):
+        curriculum_order(docs, "n_chars", cuts=[5.0, 2.0])
