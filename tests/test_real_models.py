@@ -7,7 +7,12 @@ sandbox cannot (no torch/clip wheels, no Ollama server).
 Opt-in + availability gated: set SPARK_GRAFT_REAL_MODELS=1 AND have the
 runtimes installed; otherwise every test skips cleanly (the expected state in
 CI/this container). The fake-torch seam tests in test_clip_batching.py remain
-the hermetic coverage of the adapter logic."""
+the hermetic coverage of the adapter logic.
+
+Re-attempt log (the standing round item): r9 re-ran with
+SPARK_GRAFT_REAL_MODELS=1 — both tests still skip, torch/clip wheels and an
+Ollama endpoint remain absent in this container. Environment-blocked, not
+code-blocked; the adapters stay exercised through the fake-torch seam."""
 
 from __future__ import annotations
 
