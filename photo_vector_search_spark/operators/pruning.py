@@ -180,3 +180,133 @@ def prune_prototypes_deterministic(
         F.round(F.lit(1.0) - F.col("_b.s"), round_to).alias("difficulty"),
     )
     return _rank_and_keep(scored, keep_frac, keep, id_col)
+
+
+def prune_ivf_store(
+    spark,
+    path: str,
+    keep_frac: float = 0.5,
+    keep: str = "hard",
+    rewrite: bool = True,
+) -> DataFrame:
+    """Prototype-prune a PERSISTED IVF store in place — the maintenance form
+    of ``prune_prototypes`` for a corpus that already lives behind an index:
+    the store's own cluster assignments and centroid sidecar ARE the
+    prototypes, so no k-means retrain and no re-assignment pass runs.
+
+    Semantics: per VECTOR (a multi-assign store holds one row per assigned
+    cluster), difficulty = cosine distance to its NEAREST assigned centroid
+    (= its primary prototype; ties to the lowest cluster id), and the
+    per-cluster quota keeps ``ceil(keep_frac · |primary members|)`` ranked
+    hardest/easiest-first. A surviving vector keeps ALL its multi-assign
+    copies — pruning must not degrade the store's probe-recall contract.
+
+    ``rewrite=True`` snapshot-swaps the pruned store back (same
+    hive-partitioning, same build_id — the centroids did not change) and
+    REFRESHES the radius sidecar from the written rows: pruning can only
+    shrink per-cluster radii, but ``load_cluster_radii`` verifies the
+    store's content signature, so a stale sidecar would refuse to serve
+    rather than serve wrongly — the refresh keeps the adaptive exact probe
+    live. ``rewrite=False`` returns the survivor frame without touching
+    disk (dry-run / lineage export).
+
+    Cost: one map-only difficulty pass, one vec_id exchange (the
+    per-vector primary reduction), one cluster exchange (the quota
+    window), and with ``rewrite`` the partitioned snapshot write + the
+    build-time radii pass — strictly less than a rebuild (no sample
+    collect, no Lloyd iterations, no assignment matmul over d·k).
+
+    Returns (vec_id, cluster_id, difficulty, rank) for the SURVIVORS,
+    where cluster_id is the primary prototype."""
+    import hashlib as _hashlib  # noqa: F401  (parity with ann's imports)
+
+    from photo_vector_search_spark.operators.ann import (
+        _store_signature,
+        cluster_radii,
+        load_ivf_store,
+        stored_n_assign,
+    )
+    from photo_vector_search_spark.operators.store import snapshot_overwrite
+
+    store, centroids = load_ivf_store(spark, path)
+    n_assign = stored_n_assign(spark, path)
+    bc = spark.sparkContext.broadcast(
+        centroids
+        / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-300)
+    )
+
+    def _diff(batches):
+        cent = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.vstack(pdf["embedding"].to_numpy()).astype(
+                np.float64, copy=False
+            )
+            m = m / np.maximum(
+                np.linalg.norm(m, axis=1, keepdims=True), 1e-300
+            )
+            cid = pdf["cluster_id"].to_numpy()
+            sims = np.einsum("ij,ij->i", m, cent[cid])
+            yield pdf[["vec_id", "cluster_id"]].assign(
+                difficulty=np.round(1.0 - sims, 6)
+            )
+
+    per_row = store.select("vec_id", "cluster_id", "embedding").mapInPandas(
+        _diff, schema="vec_id long, cluster_id int, difficulty double"
+    )
+    # per-vector primary prototype: the nearest ASSIGNED centroid (min
+    # difficulty), ties to the lowest cluster id — one vec_id exchange
+    per_vec = per_row.groupBy("vec_id").agg(
+        F.min(
+            F.struct(F.col("difficulty"), F.col("cluster_id"))
+        ).alias("_p")
+    ).select(
+        "vec_id",
+        F.col("_p.cluster_id").alias("cluster_id"),
+        F.col("_p.difficulty").alias("difficulty"),
+    )
+    survivors = _rank_and_keep(per_vec, keep_frac, keep, "vec_id")
+    if not rewrite:
+        return survivors
+    # STAGE the survivor decision before the swap: the frame is lazy over
+    # the store path being overwritten — unstaged, a post-rewrite collect
+    # would re-derive quotas over the already-pruned store and silently
+    # shrink the returned set; staged, both the rewrite below and the
+    # caller read one immutable copy of the decision
+    from photo_vector_search_spark.operators.staging import stage_frame
+
+    survivors = stage_frame(survivors, "pvs_ivf_prune")
+    pruned = store.join(
+        survivors.select("vec_id"), "vec_id", "left_semi"
+    )
+    # the swap itself is safe: snapshot_overwrite writes a tmp dir (reads
+    # still serve the old snapshot) and renames at the end
+    snapshot_overwrite(pruned, path, partition_by=["cluster_id"])
+    written = spark.read.parquet(path)
+    radii = cluster_radii(written, centroids)
+    built_rows = written.count()
+    sig = _store_signature(path)
+    build_id = written.select("build_id").first()["build_id"]
+    cent_rows = [
+        (
+            i,
+            [float(x) for x in c],
+            float(radii[i]),
+            built_rows,
+            build_id,
+            sig,
+            n_assign,
+        )
+        for i, c in enumerate(centroids)
+    ]
+    snapshot_overwrite(
+        spark.createDataFrame(
+            cent_rows,
+            "centroid_id int, centroid array<double>, radius double, "
+            "built_rows long, build_id string, store_sig string, "
+            "n_assign int",
+        ),
+        path + ".centroids",
+    )
+    return survivors

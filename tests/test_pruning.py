@@ -206,3 +206,112 @@ def test_prototype_difficulty_zero_norm_contract(spark):
     assert got[0] == (0, 0.0)
     assert got[1] == (0, 1.0)  # zero-norm: cos 0 everywhere, prototype 0
     assert got[2] == (1, pytest.approx(1.0 - 0.8, abs=1e-6))
+
+
+def test_prune_ivf_store_single_assign_matches_composition(spark, tmp_path):
+    """On a single-assign store, in-place pruning keeps exactly what
+    prototype_difficulty + the quota rule keep with the store's own
+    centroids — and the rewritten store still loads, still serves the
+    adaptive EXACT probe (fresh radii sidecar), and shrank on disk."""
+    from photo_vector_search_spark.operators.ann import (
+        build_ivf_store,
+        ivf_search,
+        load_ivf_store,
+    )
+    from photo_vector_search_spark.operators.knn import knn_topk
+    from photo_vector_search_spark.operators.pruning import (
+        _rank_and_keep,
+        prune_ivf_store,
+    )
+    from photo_vector_search_spark.sources.synthetic import mog_embeddings
+
+    emb = mog_embeddings(spark, n=200, dim=16, n_components=4, noise=0.05)
+    path = str(tmp_path / "store")
+    cents = build_ivf_store(emb, path, n_clusters=4)
+
+    want = {
+        r["vec_id"]
+        for r in _rank_and_keep(
+            prototype_difficulty(emb.select("vec_id", "embedding"), cents),
+            0.5, "hard", "vec_id",
+        ).collect()
+    }
+    got = prune_ivf_store(spark, path, keep_frac=0.5, keep="hard")
+    got_ids = {r["vec_id"] for r in got.collect()}
+    assert got_ids == want
+
+    store, cents2 = load_ivf_store(spark, path)  # torn-pair check passes
+    assert np.array_equal(cents, cents2)
+    assert store.count() == len(want)
+    assert {r["vec_id"] for r in store.select("vec_id").collect()} == want
+
+    # adaptive probe (exact by construction) over the pruned store equals
+    # brute-force exact search over the surviving vectors — the refreshed
+    # radii sidecar is both accepted and correct
+    survivors = emb.join(
+        spark.createDataFrame([(i,) for i in sorted(want)], "vec_id long"),
+        "vec_id",
+    )
+    q = emb.filter(F.col("vec_id") == 3).first()["embedding"]
+    adaptive = ivf_search(spark, path, q, k=5).collect()
+    exact = knn_topk(survivors, q, k=5).collect()
+    assert [(r["vec_id"], r["dist"]) for r in adaptive] == [
+        (r["vec_id"], r["dist"]) for r in exact
+    ]
+
+
+def test_prune_ivf_store_multi_assign_semantics(spark, tmp_path):
+    """Multi-assign: per-vector difficulty is the distance to the NEAREST
+    assigned centroid, quotas count distinct vectors per primary cluster,
+    survivors keep ALL their copies, and rewrite=False leaves disk alone."""
+    from photo_vector_search_spark.operators.ann import (
+        build_ivf_store,
+        load_ivf_store,
+    )
+    from photo_vector_search_spark.operators.pruning import prune_ivf_store
+    from photo_vector_search_spark.sources.synthetic import mog_embeddings
+
+    emb = mog_embeddings(spark, n=150, dim=16, n_components=4, noise=0.05)
+    path = str(tmp_path / "store_ma")
+    cents = build_ivf_store(emb, path, n_clusters=4, n_assign=2)
+    before = spark.read.parquet(path).count()
+    assert before == 300  # 2 rows per vector
+
+    dry = prune_ivf_store(spark, path, keep_frac=0.5, rewrite=False)
+    rows = dry.collect()
+    assert spark.read.parquet(path).count() == before  # disk untouched
+
+    # NumPy reference: nearest centroid overall (for n_assign=2 over
+    # 4 clusters the top-2 always contains the argmax), quota per primary
+    xs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    prim, diff = {}, {}
+    for vid, v in xs.items():
+        vv = v / max(np.linalg.norm(v), 1e-300)
+        sims = cn @ vv
+        c = int(np.argmax(sims))
+        prim[vid], diff[vid] = c, round(1.0 - float(sims[c]), 6)
+    want = set()
+    for c in range(4):
+        members = sorted(
+            (vid for vid in xs if prim[vid] == c),
+            key=lambda v: (-diff[v], v),
+        )
+        quota = int(np.ceil(0.5 * len(members)))
+        want.update(members[:quota])
+    assert {r["vec_id"] for r in rows} == want
+    for r in rows:
+        assert r["cluster_id"] == prim[r["vec_id"]]
+        assert r["difficulty"] == pytest.approx(diff[r["vec_id"]], abs=2e-6)
+
+    # now rewrite: every survivor keeps BOTH multi-assign copies
+    prune_ivf_store(spark, path, keep_frac=0.5)
+    store, _ = load_ivf_store(spark, path)
+    per_vec = (
+        store.groupBy("vec_id").count().select("count").distinct().collect()
+    )
+    assert [r["count"] for r in per_vec] == [2]
+    assert store.select("vec_id").distinct().count() == len(want)
