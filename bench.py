@@ -424,7 +424,7 @@ def _build_cases(spark, sf_dir: str) -> dict:
                 load_table(spark, sf_dir, "documents"),
                 "n_chars",
                 cuts=[150.0, 250.0, 400.0],
-            )
+            ).df
         ),
         # r9: Kneser-Ney perplexity scoring — the CCNet-grade smoothing
         # behind the same scoring contract as the add-k LM; the staged
@@ -513,12 +513,15 @@ def _ivfpq_store(spark, sf_dir: str) -> str:
     point; run 1 absorbs the one-off build."""
     key = (id(spark), sf_dir)  # session-keyed, see _staged_ids
     if key not in _IVFPQ_STORE_MEMO:
-        import tempfile
-
         from photo_vector_search_spark.operators.pq import build_ivfpq_store
+        from photo_vector_search_spark.operators.staging import (
+            session_staging_dir,
+        )
         from photo_vector_search_spark.sources.tables import load_table
 
-        path = tempfile.mkdtemp(prefix="pvs_bench_ivfpq_") + "/store"
+        # session staging scratch: atexit-cleaned, so repeated bench runs
+        # don't leak store directories (round-10 review fix)
+        path = session_staging_dir("pvs_bench_ivfpq") + "/store"
         build_ivfpq_store(
             load_table(spark, sf_dir, "embeddings"),
             path,

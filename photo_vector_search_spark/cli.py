@@ -341,6 +341,13 @@ def cmd_curate_corpus(args) -> int:
         if val is not None and not 0.0 < val <= 1.0:
             print(f"{flag} must be in (0, 1], got {val}", file=sys.stderr)
             return 2
+    if args.prototype_clusters < 1:
+        print(
+            f"--prototype-clusters must be >= 1, got "
+            f"{args.prototype_clusters}",
+            file=sys.stderr,
+        )
+        return 2
     kn_lm = None
     if args.kn_keep_frac is not None:
         # CCNet setup wants a clean-corpus LM; self-trained still ranks

@@ -134,8 +134,7 @@ def build_ivf_store(
     # build (streaming increments keep build_id frozen by design) — a stale
     # radius UNDER-covers and would let the adaptive probe prune wrongly.
     written = spark.read.parquet(path)
-    radii = cluster_radii(written, centroids)
-    built_rows = written.count()
+    radii, built_rows = cluster_stats(written, centroids)
     # store_sig: content marker of the just-written store (see _store_signature)
     # — lets the radii loader detect ANY later rewrite, not just count changes.
     # n_assign: the build's multi-probe knob, persisted so streamed increments
@@ -324,6 +323,51 @@ def cluster_radii(indexed: DataFrame, centroids: np.ndarray) -> np.ndarray:
     for row in parts.groupBy("cluster_id").agg(F.max("r").alias("r")).collect():
         radii[row["cluster_id"]] = row["r"]
     return radii
+
+
+def cluster_stats(
+    indexed: DataFrame, centroids: np.ndarray
+) -> tuple[np.ndarray, int]:
+    """``cluster_radii`` plus the store row count in ONE scan — the sidecar
+    pass for build/rewrite paths, which need both and should not pay two
+    jobs for them (round-10 review fix: ``prune_ivf_store`` previously
+    re-read the written store twice, once for radii and once for count).
+    Same kernel: per-Arrow-batch partial (max radius, row count) per
+    cluster, then a k-row final agg; returns (radii, total_rows)."""
+    import pandas as pd
+
+    bc = indexed.sparkSession.sparkContext.broadcast(centroids)
+
+    def _partial(batches):
+        cent = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.vstack(pdf["embedding"].to_numpy()).astype(
+                np.float64, copy=False
+            )
+            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+            cid = pdf["cluster_id"].to_numpy()
+            d = np.linalg.norm(m - cent[cid], axis=1)
+            yield (
+                pd.DataFrame({"cluster_id": cid, "r": d})
+                .groupby("cluster_id", as_index=False)
+                .agg(r=("r", "max"), n=("r", "size"))
+            )
+
+    parts = indexed.mapInPandas(
+        _partial, schema="cluster_id int, r double, n long"
+    )
+    radii = np.zeros(len(centroids), dtype=np.float64)
+    total = 0
+    for row in (
+        parts.groupBy("cluster_id")
+        .agg(F.max("r").alias("r"), F.sum("n").alias("n"))
+        .collect()
+    ):
+        radii[row["cluster_id"]] = row["r"]
+        total += row["n"]
+    return radii, total
 
 
 def ivf_topk_adaptive(

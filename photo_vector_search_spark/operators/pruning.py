@@ -203,17 +203,21 @@ def prune_ivf_store(
 
     ``rewrite=True`` snapshot-swaps the pruned store back (same
     hive-partitioning, same build_id — the centroids did not change) and
-    REFRESHES the radius sidecar from the written rows: pruning can only
-    shrink per-cluster radii, but ``load_cluster_radii`` verifies the
-    store's content signature, so a stale sidecar would refuse to serve
-    rather than serve wrongly — the refresh keeps the adaptive exact probe
-    live. ``rewrite=False`` returns the survivor frame without touching
-    disk (dry-run / lineage export).
+    REFRESHES the radius sidecar: pruning can only shrink per-cluster
+    radii, but ``load_cluster_radii`` verifies the store's content
+    signature, so a stale sidecar would refuse to serve rather than serve
+    wrongly — the refresh keeps the adaptive exact probe live. The radii
+    and row count come from ONE ``cluster_stats`` pass over the ``pruned``
+    frame BEFORE the swap (the survivor decision is staged, so the frame
+    is deterministic and row-identical to what gets written) — not from
+    re-reading the written store, which cost two extra full-store jobs
+    (round-10 review fix). ``rewrite=False`` returns the survivor frame
+    without touching disk (dry-run / lineage export).
 
     Cost: one map-only difficulty pass, one vec_id exchange (the
     per-vector primary reduction), one cluster exchange (the quota
-    window), and with ``rewrite`` the partitioned snapshot write + the
-    build-time radii pass — strictly less than a rebuild (no sample
+    window), and with ``rewrite`` one pre-swap stats scan + the
+    partitioned snapshot write — strictly less than a rebuild (no sample
     collect, no Lloyd iterations, no assignment matmul over d·k).
 
     Returns (vec_id, cluster_id, difficulty, rank) for the SURVIVORS,
@@ -222,7 +226,7 @@ def prune_ivf_store(
 
     from photo_vector_search_spark.operators.ann import (
         _store_signature,
-        cluster_radii,
+        cluster_stats,
         load_ivf_store,
         stored_n_assign,
     )
@@ -280,14 +284,15 @@ def prune_ivf_store(
     pruned = store.join(
         survivors.select("vec_id"), "vec_id", "left_semi"
     )
+    # sidecar stats from the pre-swap pruned frame — staged survivors +
+    # the still-immutable old snapshot make it row-identical to what the
+    # write below produces, in one scan instead of two post-write jobs
+    radii, built_rows = cluster_stats(pruned, centroids)
+    build_id = store.select("build_id").first()["build_id"]
     # the swap itself is safe: snapshot_overwrite writes a tmp dir (reads
     # still serve the old snapshot) and renames at the end
     snapshot_overwrite(pruned, path, partition_by=["cluster_id"])
-    written = spark.read.parquet(path)
-    radii = cluster_radii(written, centroids)
-    built_rows = written.count()
     sig = _store_signature(path)
-    build_id = written.select("build_id").first()["build_id"]
     cent_rows = [
         (
             i,

@@ -36,8 +36,21 @@ DuckDB twin (value-verified in tests/test_shuffle.py):
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+class CurriculumOrder(NamedTuple):
+    """``curriculum_order``'s result: the positioned frame plus the tier
+    cuts that reproduce the exact order across sessions. A real field, not
+    a dynamic DataFrame attribute — transformations and cross-session
+    handoffs can't silently drop the reproducibility artifact (round-10
+    review fix)."""
+
+    df: DataFrame
+    cuts: list[float]
 
 N_BUCKETS = 4096  # 3 hex chars; md5 uniformity keeps buckets ~N/4096 rows
 
@@ -151,7 +164,7 @@ def curriculum_order(
     ascending: bool = True,
     staging_dir: str | None = None,
     stage: bool | None = None,
-) -> DataFrame:
+) -> CurriculumOrder:
     """Curriculum training order: global positions that walk difficulty
     TIERS in ``by_col`` order (easy→hard for ``ascending=True``) with the
     seeded pseudo-random shuffle WITHIN each tier — the standard curriculum
@@ -168,13 +181,17 @@ def curriculum_order(
     any partitioning GIVEN the cuts.
 
     ``cuts``: the ``n_tiers-1`` ascending tier boundaries (tier =
-    #{cuts below-or-equal score}; rows with NULL ``by_col`` go to the LAST
-    tier — unscoreable examples train last, not first). ``cuts=None``
-    estimates them once via ``percentile_approx`` — a bounded driver
-    artifact, the ``train_centroids`` pattern: PERSIST the returned cuts
-    (``df_out.cuts``) to reproduce the exact order across sessions, since
-    the sketch depends on the input split. ``ascending=False`` reverses
-    the tier walk (hard→easy), keeping within-tier shuffle identical.
+    #{cuts below-or-equal score}; rows with NULL ``by_col`` go to a
+    strictly-final extra tier in EITHER walk direction — unscoreable
+    examples train last, not first). ``cuts=None`` estimates them once via
+    ``percentile_approx`` — a bounded driver artifact, the
+    ``train_centroids`` pattern: PERSIST the returned ``.cuts`` to
+    reproduce the exact order across sessions, since the sketch depends on
+    the input split. ``ascending=False`` reverses the tier walk
+    (hard→easy), keeping within-tier shuffle identical.
+
+    Returns ``CurriculumOrder(df, cuts)`` — the positioned frame and the
+    reproducibility artifact as explicit fields.
 
     DuckDB twin (value-verified in tests):
     ``row_number() OVER (ORDER BY tier, md5(seed||'-'||key), key) - 1``.
@@ -195,10 +212,14 @@ def curriculum_order(
     tier = F.lit(0)
     for c in cuts:
         tier = tier + (F.col(by_col) > F.lit(float(c))).cast("int")
-    last = len(cuts)  # NULL scores: comparisons yield NULL -> force last
-    tier = F.when(F.col(by_col).isNull(), F.lit(last)).otherwise(tier)
+    last = len(cuts)
     if not ascending:
         tier = F.lit(last) - tier
+    # NULL scores go to a strictly-final extra tier in EITHER direction —
+    # applied after the reversal so descending cannot promote unscoreable
+    # rows to train first (round-10 review fix; previously the reversal
+    # flipped the NULL tier to 0)
+    tier = F.when(F.col(by_col).isNull(), F.lit(last + 1)).otherwise(tier)
     if stage is None:
         stage = not _rescan_safe_and_cheap(df)
     h = F.md5(
@@ -232,8 +253,7 @@ def curriculum_order(
         out = staged.drop("_t", "_h", "_b").withColumn(
             "pos", F.lit(None).cast("long")
         )
-        out.cuts = cuts
-        return out
+        return CurriculumOrder(out, cuts)
     off = F.broadcast(
         spark.createDataFrame(offsets, "_t int, _b int, _off long")
     )
@@ -243,5 +263,4 @@ def curriculum_order(
         .withColumn("pos", F.col("_off") + F.row_number().over(win) - 1)
         .drop("_t", "_h", "_b", "_off")
     )
-    out.cuts = cuts  # the reproducibility artifact — persist with the run
-    return out
+    return CurriculumOrder(out, cuts)

@@ -155,3 +155,26 @@ def test_cli_curate_corpus(tmp_path, capsys, spark, sf_dir):
     for key in ("after_compression_gate:", "after_kn_ppl:",
                 "after_prototype_prune:"):
         assert key in printed, key
+
+
+def test_cli_curate_corpus_usage_errors(tmp_path, capsys, spark, sf_dir):
+    """Bad stage parameters are pre-flight usage errors (stderr + exit 2),
+    never a mid-pipeline traceback — including --prototype-clusters < 1
+    (round-10 review fix: it previously failed later inside k-means)."""
+    docs = str(tmp_path / "docs")
+    out = str(tmp_path / "shards")
+    spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).write.parquet(docs)
+
+    base = ["curate-corpus", "--docs", docs, "--out", out]
+    for extra, msg in (
+        (["--kn-keep-frac", "0"], "--kn-keep-frac"),
+        (["--prototype-keep-frac", "1.5"], "--prototype-keep-frac"),
+        (["--prototype-keep-frac", "0.5", "--prototype-clusters", "0"],
+         "--prototype-clusters"),
+        (["--prototype-keep-frac", "0.5", "--prototype-clusters", "-3"],
+         "--prototype-clusters"),
+    ):
+        assert main(base + extra) == 2
+        assert msg in capsys.readouterr().err

@@ -315,3 +315,42 @@ def test_prune_ivf_store_multi_assign_semantics(spark, tmp_path):
     )
     assert [r["count"] for r in per_vec] == [2]
     assert store.select("vec_id").distinct().count() == len(want)
+
+
+def test_prune_ivf_store_sidecar_stats_match_written_store(spark, tmp_path):
+    """The rewrite's radii/count/signature sidecar — now computed in ONE
+    pre-swap cluster_stats pass over the pruned frame (round-10 fix) — is
+    bit-identical to what a post-write recompute would produce, and is
+    ACCEPTED by the loader (no silent fallback recompute): radius equals
+    cluster_radii over the written rows, built_rows equals the written
+    count, store_sig matches the directory signature, n_assign survives."""
+    from photo_vector_search_spark.operators.ann import (
+        _store_signature,
+        build_ivf_store,
+        cluster_radii,
+        cluster_stats,
+        load_ivf_store,
+        stored_n_assign,
+    )
+    from photo_vector_search_spark.operators.pruning import prune_ivf_store
+    from photo_vector_search_spark.sources.synthetic import mog_embeddings
+
+    emb = mog_embeddings(spark, n=160, dim=16, n_components=4, noise=0.05)
+    path = str(tmp_path / "store_sc")
+    build_ivf_store(emb, path, n_clusters=4, n_assign=2)
+    prune_ivf_store(spark, path, keep_frac=0.5)
+
+    store, cents = load_ivf_store(spark, path)
+    sidecar = {
+        r["centroid_id"]: r
+        for r in spark.read.parquet(path + ".centroids").collect()
+    }
+    want_radii = cluster_radii(store, cents)
+    for cid, row in sidecar.items():
+        assert row["radius"] == pytest.approx(want_radii[cid], abs=0)
+        assert row["built_rows"] == store.count()
+        assert row["store_sig"] == _store_signature(path)
+        assert row["n_assign"] == 2
+    # the fused helper itself agrees with its two-pass ancestors
+    r2, n2 = cluster_stats(store, cents)
+    assert np.allclose(r2, want_radii) and n2 == store.count()

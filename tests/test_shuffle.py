@@ -122,8 +122,8 @@ def test_shuffle_seed_changes_order_and_keeps_rows(spark, sf_correct):
 
 
 def _duck_curriculum(sf_dir: str, seed: int, cuts: list[float]) -> list:
-    """Full-order twin: tier walks the cut boundaries (NULLs last), md5
-    shuffle within tier."""
+    """Full-order twin: tier walks the cut boundaries (NULLs in a
+    strictly-final extra tier), md5 shuffle within tier."""
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW documents AS SELECT * FROM "
@@ -135,7 +135,7 @@ def _duck_curriculum(sf_dir: str, seed: int, cuts: list[float]) -> list:
     return con.execute(f"""
 SELECT doc_id,
        row_number() OVER (
-         ORDER BY (CASE WHEN n_chars IS NULL THEN {len(cuts)}
+         ORDER BY (CASE WHEN n_chars IS NULL THEN {len(cuts) + 1}
                         ELSE {tier} END),
                   md5(concat('{seed}', '-', CAST(doc_id AS VARCHAR))),
                   doc_id
@@ -149,12 +149,16 @@ def test_curriculum_order_matches_duckdb_twin(spark, sf_correct):
 
     docs = load_table(spark, sf_correct, "documents")
     cuts = [150.0, 250.0, 400.0]
-    out = curriculum_order(docs, "n_chars", seed=5, cuts=cuts)
+    res = curriculum_order(docs, "n_chars", seed=5, cuts=cuts)
     got = sorted(
-        (r["doc_id"], r["pos"]) for r in out.select("doc_id", "pos").collect()
+        (r["doc_id"], r["pos"])
+        for r in res.df.select("doc_id", "pos").collect()
     )
     assert got == [(d, p) for d, p in _duck_curriculum(sf_correct, 5, cuts)]
-    assert out.cuts == cuts
+    assert res.cuts == cuts
+    # the result is an explicit (df, cuts) pair — unpackable, no dynamic attrs
+    df2, cuts2 = res
+    assert cuts2 == cuts and df2 is res.df
 
 
 def test_curriculum_order_semantics(spark, sf_correct):
@@ -165,7 +169,7 @@ def test_curriculum_order_semantics(spark, sf_correct):
 
     docs = load_table(spark, sf_correct, "documents")
     cuts = [200.0, 350.0]
-    out = curriculum_order(docs, "n_chars", seed=3, cuts=cuts)
+    out = curriculum_order(docs, "n_chars", seed=3, cuts=cuts).df
     rows = sorted(
         out.select("doc_id", "n_chars", "pos").collect(),
         key=lambda r: r["pos"],
@@ -185,7 +189,7 @@ def test_curriculum_order_semantics(spark, sf_correct):
         assert members == sorted(members, key=lambda d: (shuf[d], d))
 
     desc = curriculum_order(docs, "n_chars", seed=3, cuts=cuts,
-                            ascending=False)
+                            ascending=False).df
     drows = sorted(
         desc.select("doc_id", "n_chars", "pos").collect(),
         key=lambda r: r["pos"],
@@ -196,9 +200,40 @@ def test_curriculum_order_semantics(spark, sf_correct):
     # partitioning invariance
     repart = curriculum_order(
         docs.repartition(13), "n_chars", seed=3, cuts=cuts
-    )
+    ).df
     got2 = {r["doc_id"]: r["pos"] for r in repart.collect()}
     assert got2 == {r["doc_id"]: r["pos"] for r in rows}
+
+
+def test_curriculum_order_nulls_train_last_both_directions(spark, sf_correct):
+    """Unscoreable (NULL-score) rows occupy a strictly-final tier whether the
+    walk is easy→hard or hard→easy — the descending reversal must not flip
+    them to train first (round-10 review fix)."""
+    from pyspark.sql import functions as F
+
+    from photo_vector_search_spark.operators.shuffle import curriculum_order
+
+    docs = (
+        load_table(spark, sf_correct, "documents")
+        .withColumn(
+            "score",
+            F.when(F.col("doc_id") % 7 == 0, F.lit(None)).otherwise(
+                F.col("n_chars").cast("double")
+            ),
+        )
+        .select("doc_id", "score")
+    )
+    cuts = [200.0, 350.0]
+    for ascending in (True, False):
+        out = curriculum_order(
+            docs, "score", seed=11, cuts=cuts, ascending=ascending
+        ).df
+        rows = sorted(out.collect(), key=lambda r: r["pos"])
+        n_null = sum(1 for r in rows if r["score"] is None)
+        assert n_null > 0
+        # every NULL-score row sits in the final contiguous block
+        assert all(r["score"] is None for r in rows[-n_null:])
+        assert all(r["score"] is not None for r in rows[:-n_null])
 
 
 def test_curriculum_order_auto_cuts_and_guards(spark, sf_correct):
@@ -207,16 +242,16 @@ def test_curriculum_order_auto_cuts_and_guards(spark, sf_correct):
     from photo_vector_search_spark.operators.shuffle import curriculum_order
 
     docs = load_table(spark, sf_correct, "documents")
-    out = curriculum_order(docs, "n_chars", n_tiers=4, seed=1)
-    assert len(out.cuts) == 3  # the persistable artifact
+    res = curriculum_order(docs, "n_chars", n_tiers=4, seed=1)
+    assert len(res.cuts) == 3  # the persistable artifact
     n = docs.count()
-    assert out.count() == n
+    assert res.df.count() == n
     # sketch cuts give roughly balanced tiers (each within 2x of n/4)
-    rows = out.select("n_chars").collect()
+    rows = res.df.select("n_chars").collect()
     for t in range(4):
         size = sum(
             1 for r in rows
-            if sum(r["n_chars"] > c for c in out.cuts) == t
+            if sum(r["n_chars"] > c for c in res.cuts) == t
         )
         assert n / 8 <= size <= n / 2, (t, size)
 

@@ -379,18 +379,18 @@ def _extra_compression_gate(spark, sf_dir):
 
 
 def _extra_ivf_pq_batch_search(spark, sf_dir):
-    import tempfile
-
     from pyspark.sql import functions as F
 
     from photo_vector_search_spark.operators.pq import (
         build_ivfpq_store,
         ivf_pq_batch_search,
     )
+    from photo_vector_search_spark.operators.staging import session_staging_dir
     from photo_vector_search_spark.sources.tables import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
-    path = tempfile.mkdtemp(prefix="pvs_plan_ivfpq_") + "/store"
+    # atexit-cleaned session scratch — audit runs don't leak stores
+    path = session_staging_dir("pvs_plan_ivfpq") + "/store"
     build_ivfpq_store(emb, path, n_clusters=8, m=8, k=64, sample=512)
     queries = emb.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("query_id"),
