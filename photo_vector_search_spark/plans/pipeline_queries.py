@@ -1145,8 +1145,50 @@ SELECT doc_id, text, lang, source, n_chars FROM (
 ) WHERE rn <= 15
 """
 
+_CURRICULUM_CUTS = [150.0, 250.0, 400.0]
+_CURRICULUM_SEED = 5
+
+
+def q_curriculum_order(spark, sf_dir: str) -> DataFrame:
+    """§2.10 training-order export, curriculum rung (declared r10, promoted
+    from pytest-only — the full-order DuckDB window twin already existed in
+    tests/test_shuffle.py): walk difficulty tiers over ``n_chars`` at fixed
+    cuts, seeded md5 shuffle within each tier, positions dense 0..N-1 and
+    deterministic under any partitioning (the fixed-prefix-bucket machinery
+    of ``shuffle_corpus`` with the tier prepended — ONE data exchange, a
+    ≤ n_tiers·4096-row offset collect, no global window)."""
+    from photo_vector_search_spark.operators.shuffle import curriculum_order
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return curriculum_order(
+        docs, "n_chars", seed=_CURRICULUM_SEED, cuts=_CURRICULUM_CUTS
+    ).df.select("doc_id", "pos")
+
+
+def _curriculum_oracle() -> str:
+    """Full-order twin: one global window ordered by (tier, md5, key) — the
+    semantics the distributed bucket/offset machinery must reproduce. NULL
+    scores sit in a strictly-final extra tier (none in the fixture, but the
+    twin states the whole contract)."""
+    tier = " + ".join(
+        f"(CASE WHEN n_chars > {c} THEN 1 ELSE 0 END)"
+        for c in _CURRICULUM_CUTS
+    )
+    return f"""
+SELECT doc_id,
+       row_number() OVER (
+         ORDER BY (CASE WHEN n_chars IS NULL THEN {len(_CURRICULUM_CUTS) + 1}
+                        ELSE {tier} END),
+                  md5(concat('{_CURRICULUM_SEED}', '-',
+                             CAST(doc_id AS VARCHAR))),
+                  doc_id
+       ) - 1 AS pos
+FROM documents
+"""
+
 
 QUERIES = {
+    "curriculum_order": q_curriculum_order,
     "domain_cap": q_domain_cap,
     "pack_documents_sharded": q_pack_documents_sharded,
     "hard_negatives": q_hard_negatives,
@@ -1162,6 +1204,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "curriculum_order": _curriculum_oracle(),
     "domain_cap": _ORACLE_DOMAIN_CAP,
     "pack_documents_sharded": _ORACLE_PACK_SHARDED,
     "hard_negatives": _ORACLE_HARD_NEGATIVES,

@@ -142,8 +142,6 @@ QUERIES = {
     "distinct_photos": q_distinct_photos,
     "photo_group_collect": q_photo_group_collect,
     "upsert_merge": q_upsert_merge,
-    "delete_ops": q_delete_ops,
-    "scalar_funcs": q_scalar_funcs,
     "store_partition_pruned": q_store_partition_pruned,
 }
 
@@ -156,11 +154,18 @@ QUERIES = {
 # point predicate whose pushdown shape is already declared-evidenced by
 # store_partition_pruned (point predicate + partition pruning + top-k) and
 # delete_ops/scalar_funcs (conjunctive filters); stays locally oracle-exact.
+# delete_ops / scalar_funcs retired r10 (for the curriculum_order / kn_score
+# slots): both are thin — delete_ops is two NOT-predicates + a groupBy count
+# whose machinery stays declared via dedup_exact/upsert_merge, and
+# scalar_funcs is a pure scalar projection already pytest-pinned per
+# function; both remain locally oracle-verified here.
 RETIRED_QUERIES = {
     "point_lookup": q_point_lookup,
     "count_rows": q_count_rows,
     "store_truncate": q_store_truncate,
     "describe_store": q_describe_store,
+    "delete_ops": q_delete_ops,
+    "scalar_funcs": q_scalar_funcs,
 }
 
 RETIRED_ORACLES = {
@@ -181,6 +186,21 @@ SELECT 'aspect_' || CAST(e.vec_id % 5 AS VARCHAR) AS aspect_name,
        max(len(e.embedding)) AS dim_max
 FROM embeddings e LEFT JOIN documents d ON d.doc_id = e.vec_id
 GROUP BY 1""",
+    "delete_ops": f"""{_PI}
+SELECT photo_path, count(*) AS n_rows FROM photo_index
+WHERE NOT (photo_path = '/photos/img_3.jpg' AND aspect_name = 'aspect_2')
+  AND NOT (photo_path = '/photos/img_4.jpg')
+GROUP BY photo_path""",
+    "scalar_funcs": """
+SELECT doc_id,
+       source || '_' || lang AS key,
+       lower(source) AS source_lc,
+       length(text) AS text_len,
+       to_base64(substring(text, 1, 16)::BLOB) AS b64_prefix,
+       trim(substring(text, 1, 20)) AS trimmed,
+       round(CAST(n_chars AS DOUBLE) / 100, 4) AS chars_h,
+       string_split('/photos/img_3.jpg', '/')[-1] AS basename
+FROM documents WHERE doc_id < 50""",
 }
 
 ORACLES = {
@@ -197,21 +217,6 @@ updates AS (SELECT id, photo_path, aspect_name, 'UPDATED:' || id AS description
             FROM photo_index WHERE vec_id < 25)
 SELECT e.* FROM existing e ANTI JOIN updates u ON e.id = u.id
 UNION ALL SELECT * FROM updates""",
-    "delete_ops": f"""{_PI}
-SELECT photo_path, count(*) AS n_rows FROM photo_index
-WHERE NOT (photo_path = '/photos/img_3.jpg' AND aspect_name = 'aspect_2')
-  AND NOT (photo_path = '/photos/img_4.jpg')
-GROUP BY photo_path""",
-    "scalar_funcs": """
-SELECT doc_id,
-       source || '_' || lang AS key,
-       lower(source) AS source_lc,
-       length(text) AS text_len,
-       to_base64(substring(text, 1, 16)::BLOB) AS b64_prefix,
-       trim(substring(text, 1, 20)) AS trimmed,
-       round(CAST(n_chars AS DOUBLE) / 100, 4) AS chars_h,
-       string_split('/photos/img_3.jpg', '/')[-1] AS basename
-FROM documents WHERE doc_id < 50""",
     "store_partition_pruned": """
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
 scored AS (

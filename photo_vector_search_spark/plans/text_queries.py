@@ -1296,3 +1296,92 @@ WHERE s.nll <= c.c_mid
 
 QUERIES["ppl_filter"] = q_ppl_filter
 ORACLES["ppl_filter"] = _ORACLE_PPL_FILTER
+
+
+def q_kn_score(spark, sf_dir: str) -> DataFrame:
+    """§2.10 text quality, Kneser-Ney rung (declared r10, promoted from
+    pytest-only — the full DuckDB twin already existed in
+    tests/test_kneser_ney.py): train the interpolated-KN bigram LM on the
+    even-doc half and score EVERY document — the held-out split exercises
+    both backoff branches (unseen context → continuation-only, unseen
+    continuation of a seen context → discount + interpolation), unlike a
+    self-scored corpus where every bigram is in-vocabulary. Output
+    (doc_id, n_bigrams, nll) with nll rounded 6dp; verified bit-exact
+    against the SQL twin at sf0.01 before promotion."""
+    from photo_vector_search_spark.operators.kneser_ney import (
+        doc_log_perplexity_kn,
+        train_kn_lm,
+    )
+    from photo_vector_search_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    lm, consts = train_kn_lm(train)
+    return doc_log_perplexity_kn(docs, lm, consts)
+
+
+def _kn_score_oracle() -> str:
+    """The KN twin as a self-contained oracle: re-derives every model
+    statistic (bigram types, both N1+ marginals, counts-of-counts, the
+    Chen-Goodman discount, vocabulary size) in SQL from the same even-doc
+    training half, then replays the interpolated probability per scored
+    bigram. The continuation epsilon is formatted from the engine's own
+    constant so the two can never drift."""
+    from photo_vector_search_spark.operators.kneser_ney import KN_CONT_K
+
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ts
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS g
+  FROM toks WHERE len(ts) >= 2
+),
+big AS (SELECT doc_id, ts[g] AS w1, ts[g + 1] AS w2 FROM pos),
+c12 AS (
+  SELECT w1, w2, count(*) AS c12 FROM big
+  WHERE doc_id % 2 = 0 GROUP BY 1, 2
+),
+w1t AS (SELECT w1, sum(c12) AS c1, count(*) AS ncont1 FROM c12 GROUP BY 1),
+w2t AS (SELECT w2, count(*) AS npred2 FROM c12 GROUP BY 1),
+nt AS (
+  SELECT count(*) AS n_types,
+         sum(CASE WHEN c12 = 1 THEN 1 ELSE 0 END) AS n1,
+         sum(CASE WHEN c12 = 2 THEN 1 ELSE 0 END) AS n2
+  FROM c12
+),
+v AS (
+  SELECT count(DISTINCT tok) AS vs FROM (
+    SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+    FROM documents WHERE doc_id % 2 = 0)
+),
+d AS (
+  SELECT CASE WHEN n1 + 2 * n2 > 0
+              THEN least(0.95, greatest(0.05, n1 / (n1 + 2.0 * n2)))
+              ELSE 0.75 END AS dd,
+         n_types
+  FROM nt
+)
+SELECT b.doc_id, count(*) AS n_bigrams,
+       round(avg(-log2(
+         CASE WHEN w1t.c1 IS NOT NULL
+           THEN greatest(coalesce(c12.c12, 0) - (SELECT dd FROM d), 0)
+                  / w1t.c1
+                + (SELECT dd FROM d) * w1t.ncont1 / w1t.c1
+                  * ((coalesce(w2t.npred2, 0) + {KN_CONT_K})
+                     / ((SELECT n_types FROM d)
+                        + {KN_CONT_K} * (SELECT vs FROM v)))
+           ELSE (coalesce(w2t.npred2, 0) + {KN_CONT_K})
+                / ((SELECT n_types FROM d) + {KN_CONT_K} * (SELECT vs FROM v))
+         END)), 6) AS nll
+FROM big b
+LEFT JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+LEFT JOIN w1t ON b.w1 = w1t.w1
+LEFT JOIN w2t ON b.w2 = w2t.w2
+GROUP BY b.doc_id
+"""
+
+
+QUERIES["kn_score"] = q_kn_score
+ORACLES["kn_score"] = _kn_score_oracle()
