@@ -57,6 +57,8 @@ AUDIT = [
     "hard_negatives",
     "pack_sequences",
     "decontaminate_spans",
+    # r10 declared additions (kn_score already audited via EXTRA_OPS)
+    "curriculum_order",
 ]
 
 
@@ -378,6 +380,21 @@ def _extra_compression_gate(spark, sf_dir):
     return compression_gate(docs)
 
 
+def _extra_prune_ivf_store(spark, sf_dir):
+    from photo_vector_search_spark.operators.ann import build_ivf_store
+    from photo_vector_search_spark.operators.pruning import prune_ivf_store
+    from photo_vector_search_spark.operators.staging import session_staging_dir
+    from photo_vector_search_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # atexit-cleaned session scratch; dry-run (rewrite=False) audits the
+    # survivor-decision plan — the rewrite tail is a partitioned snapshot
+    # write + the fused cluster_stats scan, measured in the scale table
+    path = session_staging_dir("pvs_plan_pruneivf") + "/store"
+    build_ivf_store(emb, path, n_clusters=8, n_assign=2)
+    return prune_ivf_store(spark, path, keep_frac=0.5, rewrite=False)
+
+
 def _extra_ivf_pq_batch_search(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -421,10 +438,31 @@ EXTRA_OPS = {
     "kn_score": _extra_kn_score,
     "compression_gate": _extra_compression_gate,
     "ivf_pq_batch_search": _extra_ivf_pq_batch_search,
+    "prune_ivf_store": _extra_prune_ivf_store,
 }
 
 # Plan-reader context the tree alone can't show.
 NOTES = {
+    "curriculum_order": (
+        "NOTE: declared r10 (tiered curriculum export). shuffle_corpus's "
+        "fixed-prefix-bucket machinery with the difficulty tier prepended "
+        "to the composite bucket key: the ONE data Exchange is the "
+        "(tier, bucket) window partition; offsets are a broadcast of the "
+        "≤ n_tiers·4096-row per-bucket counts collected in a separate "
+        "map-side-combinable agg job (not in this tree). No global window, "
+        "no range-sampled sort."
+    ),
+    "prune_ivf_store": (
+        "NOTE: library operator (r9 in-place IVF-store pruning), audited "
+        "in dry-run form — the survivor-decision plan. Difficulty is the "
+        "map-only MapInPandas against the store's own centroid sidecar "
+        "(no retrain, no re-assignment); the vec_id Exchange is the "
+        "per-vector primary-prototype reduction and the cluster_id "
+        "Exchange the quota window. The rewrite tail (survivor staging, "
+        "ONE fused pre-swap cluster_stats scan, partitioned snapshot "
+        "write, sidecar swap) is measured in the scale table "
+        "(prune_ivf_store row)."
+    ),
     "filter_aligned": (
         "NOTE: library operator (r9 CLIP-score pair gate). Zero exchanges — "
         "both embed UDFs and the JVM cosine + threshold filter are one "
