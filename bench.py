@@ -104,6 +104,7 @@ GROUPS: dict[str, list[str]] = {
         "kn_score",
         "curriculum_order",
     ],
+    "r10_new": ["url_filter"],
 }
 
 
@@ -133,6 +134,43 @@ def fake_media_docs(spark, sf_dir: str, kind: str, with_caption: bool = False):
     if with_caption:
         cols.append(F.col("text").alias("caption"))
     return load_table(spark, sf_dir, "documents").select(*cols)
+
+
+URL_BLOCKLIST = ("example0.com", "example1.com", "tracker.net")
+
+
+def fake_url_docs(spark, sf_dir: str):
+    """(doc_id, url) rows synthesizing the documents table into
+    deterministic URLs — ONE definition shared by the bench, the scale
+    bench, the plan audit, and the DuckDB twin tests (the fake_media_docs
+    rule). Hosts cycle through every match class of ``filter_urls`` vs
+    ``URL_BLOCKLIST``: exact blocked host, subdomain of a blocked host,
+    same-STRING-suffix sibling that must NOT match (label boundaries),
+    clean host, and a malformed URL with no parseable host."""
+    from pyspark.sql import functions as F
+
+    from photo_vector_search_spark.sources.tables import load_table
+
+    sel = F.col("doc_id") % 5
+    two = (F.col("doc_id") % 2).cast("string")
+    host = (
+        F.when(sel == 0, F.concat(F.lit("example"), two, F.lit(".com")))
+        .when(sel == 1, F.concat(F.lit("cdn.example"), two, F.lit(".com")))
+        .when(sel == 2, F.concat(F.lit("notexample"), two, F.lit(".com")))
+        .otherwise(
+            F.concat(F.lit("docs"), (F.col("doc_id") % 4).cast("string"),
+                     F.lit(".org"))
+        )
+    )
+    url = F.when(
+        sel == 4, F.concat(F.lit("::not a url::"), F.col("doc_id").cast("string"))
+    ).otherwise(
+        F.concat(F.lit("https://"), host, F.lit("/d/"),
+                 F.col("doc_id").cast("string"))
+    )
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", url.alias("url")
+    )
 
 
 def _build_cases(spark, sf_dir: str) -> dict:
@@ -475,6 +513,16 @@ def _build_cases(spark, sf_dir: str) -> dict:
                 k=5,
                 nprobe=4,
             )
+        ),
+        # r10: UT1-style URL blocklist gate over the deterministic synthetic
+        # URLs (fake_url_docs) — codegen try_parse_url host extraction +
+        # one map-only Arrow pass testing label-boundary suffixes against
+        # the broadcast blocklist set; zero shuffles
+        "url_filter": lambda: _force(
+            __import__(
+                "photo_vector_search_spark.operators.domains",
+                fromlist=["filter_urls"],
+            ).filter_urls(fake_url_docs(spark, sf_dir), URL_BLOCKLIST)
         ),
     }
 

@@ -29,6 +29,9 @@ form is skew-proof and EXACT:
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -80,3 +83,87 @@ def cap_per_domain(
         .filter(F.col("_dc_rn") <= cap)
         .drop("_dc_rn")
     )
+
+
+def host_suffixes(host: Column) -> Column:
+    """Array of dot-suffixes of a host, pure Catalyst (split + sequence +
+    transform + slice — no UDF): ``a.b.example.com`` →
+    ``[a.b.example.com, b.example.com, example.com]``. The bare final label
+    (``com``) is EXCLUDED — UT1-style blocklists carry host/registered-
+    domain entries, and a TLD entry would nuke the corpus; a single-label
+    host (``localhost``) yields itself so explicit entries still match.
+    NULL host → NULL (the caller decides what an unparseable URL means)."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    multi = F.transform(
+        F.sequence(F.lit(1), n - F.lit(1)),
+        lambda i: F.array_join(F.slice(labels, i, n - i + F.lit(1)), "."),
+    )
+    return F.when(host.isNull(), F.lit(None).cast("array<string>")).otherwise(
+        F.when(n >= 2, multi).otherwise(F.array(host))
+    )
+
+
+def filter_urls(
+    docs: DataFrame,
+    hosts: list[str] | set[str],
+    url_col: str = "url",
+    mode: str = "block",
+    keep_unparseable: bool | None = None,
+) -> DataFrame:
+    """Block/allow-list URL filtering — the CommonCrawl-pipeline rung C4 and
+    RefinedWeb run before any content gate (RefinedWeb §3.1 filters against
+    the UT1 blocklist; an entry ``example.com`` covers every subdomain). A
+    document matches when its URL's host OR ANY parent domain of it (label-
+    boundary suffixes — ``notexample.com`` never matches ``example.com``)
+    is in ``hosts``; ``mode='block'`` drops matches, ``mode='allow'`` keeps
+    only matches.
+
+    ``keep_unparseable`` decides rows whose URL yields no host (defaults to
+    the mode's natural reading: kept under a blocklist — an unparseable
+    host cannot be ON the list — and dropped under an allow-list).
+
+    Scale shape (100 TB): ZERO shuffles — host extraction is the codegen
+    ``try_parse_url``, and membership is one map-only Arrow pass testing
+    each row's ≤ label-count suffixes against the broadcast frozen set
+    (UT1's adult list is ~4M hosts ≈ low-hundreds MB as a Python set —
+    executor-memory bounded, never a join). A pure-Catalyst twin (explode
+    suffixes + broadcast join + per-key agg) would add an exchange for the
+    doc-level verdict; the broadcast-set kernel keeps the filter fully
+    pipelined into the scan. DuckDB twin in tests/test_url_filter.py
+    replays the suffix semantics in SQL.
+
+    Cf. reference scope: the reference has no corpus-curation surface at
+    all (photo_vector_search.py delegates storage row-at-a-time) — this is
+    part of the mandated LLM-pipeline extension."""
+    if mode not in ("block", "allow"):
+        raise ValueError(f"mode must be 'block' or 'allow', got {mode!r}")
+    if keep_unparseable is None:
+        keep_unparseable = mode == "block"
+    blocked = frozenset(h.lower().strip().strip(".") for h in hosts) - {""}
+    bc = docs.sparkSession.sparkContext.broadcast(blocked)
+
+    @F.pandas_udf("boolean")
+    def _listed(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        listed = bc.value
+        for hosts_ser in it:
+            out = []
+            for h in hosts_ser:
+                if h is None:
+                    out.append(None)
+                    continue
+                labels = h.split(".")
+                out.append(
+                    any(
+                        ".".join(labels[i:]) in listed
+                        for i in range(max(1, len(labels) - 1))
+                    )
+                )
+            yield pd.Series(out, dtype="object")
+
+    hit = _listed(url_host(F.col(url_col)))
+    if mode == "block":
+        keep = ~F.coalesce(hit, F.lit(not keep_unparseable))
+    else:
+        keep = F.coalesce(hit, F.lit(keep_unparseable))
+    return docs.filter(keep)

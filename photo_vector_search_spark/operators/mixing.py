@@ -43,6 +43,31 @@ def source_token_totals(
     )
 
 
+def temperature_weights(
+    totals: list[tuple[str, int]], alpha: float = 0.3
+) -> dict[str, float]:
+    """Temperature-scaled sampling weights over observed source sizes —
+    the multilingual-pretraining rule (XLM-R / mT5, both α=0.3; exponential
+    smoothing of the natural distribution): ``w_s = n_s^α / Σ_t n_t^α``.
+
+    α=1 reproduces the natural (proportional) mix, α=0 the uniform mix;
+    0<α<1 up-weights small sources without letting any source vanish —
+    the standard fix for high-resource languages drowning the tail.
+    Feed the result straight into ``mix_corpus``/``mixture_rates`` (reuse
+    the same ``totals`` so the corpus pass runs once). Sources with zero
+    tokens are dropped (they cannot fill any share — ``mixture_rates``
+    would raise on them). Driver-side arithmetic over the |sources|-row
+    totals — no distributed work of its own."""
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    sized = [(s, int(n)) for s, n in totals if int(n) > 0]
+    if not sized:
+        raise ValueError("temperature_weights: no source has tokens")
+    powed = {s: float(n) ** alpha for s, n in sized}
+    z = sum(powed.values())
+    return {s: p / z for s, p in powed.items()}
+
+
 def mixture_rates(
     totals: list[tuple[str, int]], weights: dict[str, float], budget_tokens: int
 ) -> dict[str, float]:

@@ -88,7 +88,7 @@ _REPRESENTATIVES = {
     "corruption": ["corrupt_spans"],
     "decontamination": ["decontaminate", "decontaminate_spans"],
     "dedup": ["dedup_minhash_lsh", "embedding_near_dup", "srp_lsh_near_dup"],
-    "domains": ["domain_cap"],
+    "domains": ["domain_cap", "filter_urls"],
     "dsir": ["dsir_weights"],
     "fim": ["fim_transform"],
     "image_dedup": ["hamming_pairs", "image_near_dup"],

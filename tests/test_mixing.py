@@ -116,3 +116,65 @@ WHERE epoch < n_full
       / power(16, 12) <= rate - n_full
 """
     assert_matches(out, oracle, sf_correct)
+
+
+def test_temperature_weights_math():
+    """w_s = n_s^alpha / sum n^alpha against a direct computation; the two
+    endpoints (alpha=1 natural, alpha=0 uniform); monotone tail lift."""
+    from photo_vector_search_spark.operators.mixing import temperature_weights
+
+    totals = [("big", 900_000), ("mid", 90_000), ("tail", 10_000)]
+    for alpha in (0.0, 0.3, 0.5, 1.0, 2.0):
+        got = temperature_weights(totals, alpha)
+        z = sum(n ** alpha for _, n in totals)
+        for s, n in totals:
+            assert got[s] == pytest.approx(n ** alpha / z, rel=1e-12)
+        assert sum(got.values()) == pytest.approx(1.0, abs=1e-12)
+    nat = temperature_weights(totals, 1.0)
+    assert nat["big"] == pytest.approx(0.9)
+    uni = temperature_weights(totals, 0.0)
+    assert all(w == pytest.approx(1 / 3) for w in uni.values())
+    # XLM-R's alpha=0.3 sits strictly between natural and uniform for
+    # every source: the tail is lifted, the head damped, order preserved
+    t = temperature_weights(totals, 0.3)
+    assert uni["tail"] > t["tail"] > nat["tail"]
+    assert nat["big"] > t["big"] > uni["big"]
+    assert t["big"] > t["mid"] > t["tail"]
+    # zero-token sources are dropped; all-zero raises; negative alpha raises
+    assert "empty" not in temperature_weights(totals + [("empty", 0)], 0.3)
+    with pytest.raises(ValueError, match="tokens"):
+        temperature_weights([("a", 0)], 0.3)
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_weights(totals, -0.1)
+
+
+def test_temperature_weights_compose_with_mix_corpus(spark, sf_correct):
+    """The alpha-sampled mix reuses the SAME totals pass and lands each
+    source's expected token share at w_s(alpha) of the budget."""
+    from photo_vector_search_spark.operators.mixing import (
+        mix_corpus,
+        source_token_totals,
+        temperature_weights,
+    )
+
+    docs = load_table(spark, sf_correct, "documents")
+    totals = [
+        (r["source"], r["n_tokens"])
+        for r in source_token_totals(docs).collect()
+    ]
+    weights = temperature_weights(totals, alpha=0.3)
+    budget = 30_000
+    out = mix_corpus(docs, weights, budget, totals=totals)
+    got = {
+        r["source"]: r["n"]
+        for r in out.withColumn(
+            "tok", F.coalesce(token_count(F.col("text")), F.lit(0))
+        )
+        .groupBy("source")
+        .agg(F.sum("tok").alias("n"))
+        .collect()
+    }
+    for s, w in weights.items():
+        want = w * budget
+        # doc-length granularity + per-doc Bernoulli draws: generous band
+        assert want * 0.5 <= got.get(s, 0) <= want * 1.6, (s, got.get(s), want)

@@ -395,6 +395,14 @@ def _extra_prune_ivf_store(spark, sf_dir):
     return prune_ivf_store(spark, path, keep_frac=0.5, rewrite=False)
 
 
+def _extra_filter_urls(spark, sf_dir):
+    from bench import URL_BLOCKLIST, fake_url_docs
+
+    from photo_vector_search_spark.operators.domains import filter_urls
+
+    return filter_urls(fake_url_docs(spark, sf_dir), URL_BLOCKLIST)
+
+
 def _extra_ivf_pq_batch_search(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -439,10 +447,21 @@ EXTRA_OPS = {
     "compression_gate": _extra_compression_gate,
     "ivf_pq_batch_search": _extra_ivf_pq_batch_search,
     "prune_ivf_store": _extra_prune_ivf_store,
+    "filter_urls": _extra_filter_urls,
 }
 
 # Plan-reader context the tree alone can't show.
 NOTES = {
+    "filter_urls": (
+        "NOTE: library operator (r10 UT1-style URL blocklist gate, the "
+        "RefinedWeb pre-content rung). ZERO exchanges — host extraction "
+        "is the codegen try_parse_url and list membership one "
+        "ArrowEvalPython pass probing each host's label-boundary "
+        "dot-suffixes against the broadcast frozen blocklist set (a "
+        "UT1-sized list is low-hundreds MB as a set — executor-memory "
+        "bounded, never a join); the verdict filter pipelines into the "
+        "scan."
+    ),
     "curriculum_order": (
         "NOTE: declared r10 (tiered curriculum export). shuffle_corpus's "
         "fixed-prefix-bucket machinery with the difficulty tier prepended "
