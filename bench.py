@@ -104,7 +104,7 @@ GROUPS: dict[str, list[str]] = {
         "kn_score",
         "curriculum_order",
     ],
-    "r10_new": ["url_filter"],
+    "r10_new": ["url_filter", "budget_select", "leakage_safe_split"],
 }
 
 
@@ -523,6 +523,43 @@ def _build_cases(spark, sf_dir: str) -> dict:
                 "photo_vector_search_spark.operators.domains",
                 fromlist=["filter_urls"],
             ).filter_urls(fake_url_docs(spark, sf_dir), URL_BLOCKLIST)
+        ),
+        # r10: token-budget selection (take the best ~45% of corpus tokens by
+        # n_chars) — two map-side-combinable sketch/total passes + ONE
+        # boundary-bucket exchange carrying ~N/256 rows; budget scales with
+        # the corpus so the crossing stays mid-corpus at 10x
+        "budget_select": lambda: _force(
+            __import__(
+                "photo_vector_search_spark.operators.selection",
+                fromlist=["budget_select"],
+            ).budget_select(
+                load_table(spark, sf_dir, "documents").withColumn(
+                    "score", F.col("n_chars").cast("double")
+                ),
+                budget_tokens=120_000 if "sf0.1" in sf_dir else 1_200_000,
+                score_col="score",
+            )
+        ),
+        # r10: leakage-safe split — LSH candidate pairs closed into
+        # connected components, md5 split drawn on the group id (map-only
+        # assignment; the cost term is the LSH pass + CC closure + the
+        # docs-side join, each sub-quadratic by construction)
+        "leakage_safe_split": lambda: _force(
+            __import__(
+                "photo_vector_search_spark.operators.splits",
+                fromlist=["leakage_safe_split"],
+            ).leakage_safe_split(
+                load_table(spark, sf_dir, "documents"),
+                __import__(
+                    "photo_vector_search_spark.operators.dedup",
+                    fromlist=["minhash_lsh_pairs"],
+                )
+                .minhash_lsh_pairs(
+                    load_table(spark, sf_dir, "documents"), n=3, tau=0.5
+                )
+                .select("doc_a", "doc_b"),
+                {"train": 0.8, "val": 0.1, "test": 0.1},
+            )
         ),
     }
 

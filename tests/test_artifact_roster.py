@@ -99,6 +99,8 @@ _REPRESENTATIVES = {
     "packing": ["pack_sequences", "pack_windows"],
     "pq": ["pq_topk", "ivf_pq_batch_search"],
     "pruning": ["prune_prototypes", "prune_ivf_store"],
+    "selection": ["budget_select"],
+    "splits": ["leakage_safe_split"],
     "semdedup": ["semdedup"],
     "shuffle": ["shuffle_corpus", "curriculum_order"],
     "store": ["upsert_merge", "store_partition_pruned"],

@@ -403,6 +403,33 @@ def _extra_filter_urls(spark, sf_dir):
     return filter_urls(fake_url_docs(spark, sf_dir), URL_BLOCKLIST)
 
 
+def _extra_budget_select(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from photo_vector_search_spark.operators.selection import budget_select
+    from photo_vector_search_spark.sources.tables import load_table
+
+    return budget_select(
+        load_table(spark, sf_dir, "documents").withColumn(
+            "score", F.col("n_chars").cast("double")
+        ),
+        budget_tokens=12_000,
+        score_col="score",
+    )
+
+
+def _extra_leakage_safe_split(spark, sf_dir):
+    from photo_vector_search_spark.operators.dedup import minhash_lsh_pairs
+    from photo_vector_search_spark.operators.splits import leakage_safe_split
+    from photo_vector_search_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, n=3, tau=0.5).select("doc_a", "doc_b")
+    return leakage_safe_split(
+        docs, pairs, {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+
+
 def _extra_ivf_pq_batch_search(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -448,10 +475,34 @@ EXTRA_OPS = {
     "ivf_pq_batch_search": _extra_ivf_pq_batch_search,
     "prune_ivf_store": _extra_prune_ivf_store,
     "filter_urls": _extra_filter_urls,
+    "budget_select": _extra_budget_select,
+    "leakage_safe_split": _extra_leakage_safe_split,
 }
 
 # Plan-reader context the tree alone can't show.
 NOTES = {
+    "leakage_safe_split": (
+        "NOTE: library operator (r10 leakage-safe train/val/test split — "
+        "near-dup pairs closed into connected components, split drawn on "
+        "the GROUP id so no pair straddles eval/train). The audited plan "
+        "composes the LSH candidate pass (audited standalone as "
+        "dedup_minhash_lsh) with the CC closure's final docs-side join; "
+        "the split assignment itself is the map-only md5_uniform "
+        "when-chain — zero exchanges of its own, partitioning-invariant "
+        "and insertion-stable where randomSplit is neither."
+    ),
+    "budget_select": (
+        "NOTE: library operator (r10 token-budget selection — the 'keep the "
+        "best 1T tokens' cut). The audited plan is the kept-rows frame: the "
+        "fully-in buckets pipeline map-only off the scan (isin on the "
+        "driver-classified bucket ids), and the SINGLE Exchange is the "
+        "boundary-bucket window cumsum carrying ~N/n_buckets rows seeded "
+        "with the broadcast running offset. The two driver passes it "
+        "consumed first (percentile_approx score cuts; per-bucket token "
+        "totals, <= n_buckets+2 rows collected) are map-side-combinable "
+        "aggs — no global sort anywhere, unlike the textbook full-corpus "
+        "window cumsum."
+    ),
     "filter_urls": (
         "NOTE: library operator (r10 UT1-style URL blocklist gate, the "
         "RefinedWeb pre-content rung). ZERO exchanges — host extraction "
