@@ -104,7 +104,7 @@ GROUPS: dict[str, list[str]] = {
         "kn_score",
         "curriculum_order",
     ],
-    "r10_new": ["url_filter", "budget_select", "leakage_safe_split"],
+    "r10_new": ["url_filter", "budget_select", "leakage_safe_split", "retrieval_eval"],
 }
 
 
@@ -539,6 +539,15 @@ def _build_cases(spark, sf_dir: str) -> dict:
                 budget_tokens=120_000 if "sf0.1" in sf_dir else 1_200_000,
                 score_col="score",
             )
+        ),
+        # r10: retrieval eval in the DECLARED shape — leave-one-out label
+        # gold, 16 queries, k=10: broadcast crossJoin scoring + per-query
+        # window + one results-gold join + per-query agg
+        "retrieval_eval": lambda: _force(
+            __import__(
+                "photo_vector_search_spark.plans.embed_queries",
+                fromlist=["q_retrieval_eval"],
+            ).q_retrieval_eval(spark, sf_dir)
         ),
         # r10: leakage-safe split — LSH candidate pairs closed into
         # connected components, md5 split drawn on the group id (map-only

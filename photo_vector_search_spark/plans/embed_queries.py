@@ -86,12 +86,108 @@ FROM scored ORDER BY d ASC, vec_id ASC LIMIT 5
 """
 
 
+_EVAL_K = 10
+_EVAL_N_QUERIES = 16
+
+
+def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out label-retrieval eval (`operators/evaluation`): the first
+    16 vectors query the corpus (self excluded), gold = same-label others,
+    per-query recall/precision/hit/MRR/nDCG at k=10. The eval half the
+    reference's retrieval engine never had (SURVEY §2.10 similarity-search
+    extension); one results⋈gold join + one per-query agg, both broadcast/
+    map-side-combinable at scale."""
+    from pyspark.sql import Window
+
+    from photo_vector_search_spark.operators.evaluation import retrieval_metrics
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _EVAL_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("vec_id").asc()
+    )
+    results = (
+        emb.crossJoin(F.broadcast(queries.drop("query_label")))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_distance(
+                F.col("embedding").cast("array<double>"), F.col("query_vec")
+            ).alias("dist"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _EVAL_K)
+    )
+    gold = (
+        emb.select("vec_id", "label")
+        .join(
+            F.broadcast(queries.select("query_id", "query_label")),
+            F.col("label") == F.col("query_label"),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    return retrieval_metrics(results, gold, _EVAL_K, doc_col="vec_id")
+
+
+_ORACLE_RETRIEVAL_EVAL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS ql
+  FROM embeddings WHERE vec_id < {_EVAL_N_QUERIES}
+),
+ranked AS (
+  SELECT q.query_id, e.vec_id,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY 1.0 - list_cosine_similarity(e.embedding::DOUBLE[], q.qv) ASC,
+                    e.vec_id ASC
+         ) AS rank
+  FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+),
+res AS (SELECT * FROM ranked WHERE rank <= {_EVAL_K}),
+gold AS (
+  SELECT q.query_id, e.vec_id
+  FROM embeddings e JOIN q ON e.label = q.ql AND e.vec_id <> q.query_id
+),
+gn AS (SELECT query_id, count(*) AS n_gold FROM gold GROUP BY query_id),
+h AS (
+  SELECT r.query_id, count(*) AS n_hits, min(r.rank) AS first_rank,
+         sum(1.0 / log2(r.rank + 1.0)) AS dcg
+  FROM res r JOIN gold g ON g.query_id = r.query_id AND g.vec_id = r.vec_id
+  GROUP BY r.query_id
+),
+idcg AS (
+  SELECT gn.query_id, sum(1.0 / log2(ri.i + 1.0)) AS v
+  FROM gn JOIN (SELECT unnest(generate_series(1, {_EVAL_K})) AS i) ri
+    ON ri.i <= least({_EVAL_K}, gn.n_gold)
+  GROUP BY gn.query_id
+)
+SELECT gn.query_id, gn.n_gold,
+       coalesce(h.n_hits, 0) AS n_hits,
+       round(coalesce(h.n_hits, 0) * 1.0 / gn.n_gold, 6) AS recall,
+       round(coalesce(h.n_hits, 0) * 1.0 / {_EVAL_K}, 6) AS precision,
+       CASE WHEN coalesce(h.n_hits, 0) > 0 THEN 1 ELSE 0 END AS hit,
+       round(coalesce(1.0 / h.first_rank, 0.0), 6) AS mrr,
+       round(coalesce(h.dcg, 0.0) / idcg.v, 6) AS ndcg
+FROM gn
+LEFT JOIN h ON h.query_id = gn.query_id
+JOIN idcg ON idcg.query_id = gn.query_id
+"""
+
+
 QUERIES = {
     "embed_documents": q_embed_documents,
     "search_by_text": q_search_by_text,
+    "retrieval_eval": q_retrieval_eval,
 }
 
 ORACLES = {
     "embed_documents": _ORACLE_EMBED_DOCS,
     "search_by_text": _ORACLE_SEARCH_BY_TEXT,
+    "retrieval_eval": _ORACLE_RETRIEVAL_EVAL,
 }

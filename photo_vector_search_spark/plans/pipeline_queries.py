@@ -1187,7 +1187,44 @@ FROM documents
 """
 
 
+BUDGET_SELECT_TOKENS = 12_000  # mid-corpus crossing at sf0.01 (~27k tokens)
+
+
+def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget selection (`operators/selection.budget_select`): keep the
+    highest-n_chars documents whose cumulative whitespace-token count fits a
+    12k budget — the 'take the best N tokens' cut every curation pipeline
+    ends with (DSIR §5 / FineWeb budget releases). Declared through the
+    bucketed two-sketch-pass + boundary-window form (ONE exchange carrying
+    ~N/256 rows); the oracle replays the total order as the textbook global
+    window cumsum DuckDB can afford at sf0.01."""
+    from photo_vector_search_spark.operators.selection import budget_select
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "score", F.col("n_chars").cast("double")
+    )
+    kept = budget_select(docs, BUDGET_SELECT_TOKENS, score_col="score")
+    return kept.select("doc_id", "lang", "source", "n_chars")
+
+
+_ORACLE_BUDGET_SELECT = f"""
+WITH d AS (
+  SELECT doc_id, lang, source, n_chars,
+         CAST(n_chars AS DOUBLE) AS score,
+         coalesce(len(regexp_split_to_array(lower(trim(text)), '\\s+')), 0) AS tok
+  FROM documents
+),
+c AS (
+  SELECT *, sum(tok) OVER (ORDER BY score DESC NULLS LAST, doc_id ASC
+                           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM d
+)
+SELECT doc_id, lang, source, n_chars FROM c WHERE cum <= {BUDGET_SELECT_TOKENS}
+"""
+
+
 QUERIES = {
+    "budget_select": q_budget_select,
     "curriculum_order": q_curriculum_order,
     "domain_cap": q_domain_cap,
     "pack_documents_sharded": q_pack_documents_sharded,
@@ -1204,6 +1241,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "budget_select": _ORACLE_BUDGET_SELECT,
     "curriculum_order": _curriculum_oracle(),
     "domain_cap": _ORACLE_DOMAIN_CAP,
     "pack_documents_sharded": _ORACLE_PACK_SHARDED,

@@ -139,8 +139,6 @@ def q_count_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
-    "distinct_photos": q_distinct_photos,
-    "photo_group_collect": q_photo_group_collect,
     "upsert_merge": q_upsert_merge,
     "store_partition_pruned": q_store_partition_pruned,
 }
@@ -159,6 +157,12 @@ QUERIES = {
 # whose machinery stays declared via dedup_exact/upsert_merge, and
 # scalar_funcs is a pure scalar projection already pytest-pinned per
 # function; both remain locally oracle-verified here.
+# distinct_photos / photo_group_collect retired r10b (for the retrieval_eval /
+# budget_select slots): a bare DISTINCT and a collect_list/concat_ws rollup,
+# the thinnest declared entries left — their machinery stays declared via
+# dedup_exact (distinct/group canonicalization) and pack_sequences (ordered
+# array-to-CSV aggregation); both remain locally oracle-verified here and
+# photo_group_collect keeps its bench/scale rows.
 RETIRED_QUERIES = {
     "point_lookup": q_point_lookup,
     "count_rows": q_count_rows,
@@ -166,6 +170,8 @@ RETIRED_QUERIES = {
     "describe_store": q_describe_store,
     "delete_ops": q_delete_ops,
     "scalar_funcs": q_scalar_funcs,
+    "distinct_photos": q_distinct_photos,
+    "photo_group_collect": q_photo_group_collect,
 }
 
 RETIRED_ORACLES = {
@@ -201,9 +207,6 @@ SELECT doc_id,
        round(CAST(n_chars AS DOUBLE) / 100, 4) AS chars_h,
        string_split('/photos/img_3.jpg', '/')[-1] AS basename
 FROM documents WHERE doc_id < 50""",
-}
-
-ORACLES = {
     "distinct_photos": f"""{_PI}
 SELECT DISTINCT photo_path FROM photo_index""",
     "photo_group_collect": f"""{_PI}
@@ -211,6 +214,9 @@ SELECT photo_path,
        array_to_string(list_sort(list(aspect_name)), ',') AS aspects_csv,
        count(*) AS n_aspects
 FROM photo_index GROUP BY photo_path""",
+}
+
+ORACLES = {
     "upsert_merge": f"""{_PI},
 existing AS (SELECT id, photo_path, aspect_name, description FROM photo_index),
 updates AS (SELECT id, photo_path, aspect_name, 'UPDATED:' || id AS description

@@ -59,6 +59,8 @@ AUDIT = [
     "decontaminate_spans",
     # r10 declared additions (kn_score already audited via EXTRA_OPS)
     "curriculum_order",
+    # r10b declared additions (budget_select already audited via EXTRA_OPS)
+    "retrieval_eval",
 ]
 
 
