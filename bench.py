@@ -104,7 +104,13 @@ GROUPS: dict[str, list[str]] = {
         "kn_score",
         "curriculum_order",
     ],
-    "r10_new": ["url_filter", "budget_select", "leakage_safe_split", "retrieval_eval"],
+    "r10_new": [
+        "url_filter",
+        "budget_select",
+        "leakage_safe_split",
+        "retrieval_eval",
+        "pca_whiten",
+    ],
 }
 
 
@@ -548,6 +554,21 @@ def _build_cases(spark, sf_dir: str) -> dict:
                 "photo_vector_search_spark.plans.embed_queries",
                 fromlist=["q_retrieval_eval"],
             ).q_retrieval_eval(spark, sf_dir)
+        ),
+        # r10: PCA whitening — fit (one Arrow moment pass + driver eigh) +
+        # map-only apply matmul; the corpus term is two scans
+        "pca_whiten": lambda: _force(
+            (lambda m: __import__(
+                "photo_vector_search_spark.operators.embeddings",
+                fromlist=["apply_whitening"],
+            ).apply_whitening(load_table(spark, sf_dir, "embeddings"), m))(
+                __import__(
+                    "photo_vector_search_spark.operators.embeddings",
+                    fromlist=["fit_pca_whitening"],
+                ).fit_pca_whitening(
+                    load_table(spark, sf_dir, "embeddings"), dim=16
+                )
+            )
         ),
         # r10: leakage-safe split — LSH candidate pairs closed into
         # connected components, md5 split drawn on the group id (map-only

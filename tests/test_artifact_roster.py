@@ -90,6 +90,7 @@ _REPRESENTATIVES = {
     "dedup": ["dedup_minhash_lsh", "embedding_near_dup", "srp_lsh_near_dup"],
     "domains": ["domain_cap", "filter_urls"],
     "dsir": ["dsir_weights"],
+    "embeddings": ["pca_whiten"],
     "evaluation": ["retrieval_eval"],
     "fim": ["fim_transform"],
     "image_dedup": ["hamming_pairs", "image_near_dup"],

@@ -420,6 +420,18 @@ def _extra_budget_select(spark, sf_dir):
     )
 
 
+def _extra_pca_whiten(spark, sf_dir):
+    from photo_vector_search_spark.operators.embeddings import (
+        apply_whitening,
+        fit_pca_whitening,
+    )
+    from photo_vector_search_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = fit_pca_whitening(emb, dim=16)
+    return apply_whitening(emb, model)
+
+
 def _extra_leakage_safe_split(spark, sf_dir):
     from photo_vector_search_spark.operators.dedup import minhash_lsh_pairs
     from photo_vector_search_spark.operators.splits import leakage_safe_split
@@ -479,10 +491,21 @@ EXTRA_OPS = {
     "filter_urls": _extra_filter_urls,
     "budget_select": _extra_budget_select,
     "leakage_safe_split": _extra_leakage_safe_split,
+    "pca_whiten": _extra_pca_whiten,
 }
 
 # Plan-reader context the tree alone can't show.
 NOTES = {
+    "pca_whiten": (
+        "NOTE: library operator (r10 PCA whitening, the BERT-whitening/"
+        "OPQ-preconditioning rung). The audited plan is the APPLY half: one "
+        "map-only MapInPandas matmul pass under broadcast (mean, W) — zero "
+        "exchanges, pipelines off the scan. The fit half it consumed first "
+        "is one Arrow moment-partial pass whose driver collect is bounded "
+        "by partition count (64-dim sums + 64x64 outer products per batch), "
+        "then a driver-side eigh with pinned eigenvector signs so results "
+        "are partitioning-invariant."
+    ),
     "leakage_safe_split": (
         "NOTE: library operator (r10 leakage-safe train/val/test split — "
         "near-dup pairs closed into connected components, split drawn on "
