@@ -110,6 +110,7 @@ GROUPS: dict[str, list[str]] = {
         "leakage_safe_split",
         "retrieval_eval",
         "pca_whiten",
+        "sq8_topk",
     ],
 }
 
@@ -568,6 +569,21 @@ def _build_cases(spark, sf_dir: str) -> dict:
                 ).fit_pca_whitening(
                     load_table(spark, sf_dir, "embeddings"), dim=16
                 )
+            )
+        ),
+        # r10: SQ8 serving ladder — fit (one Arrow min/max pass) + map-only
+        # encode + coarse decode-matmul top-50 + exact broadcast rerank
+        "sq8_topk": lambda: _force(
+            (lambda sq, emb: (lambda m: sq.sq8_topk(
+                sq.encode_sq8(emb, m), m,
+                [float(v) for v in emb.filter("vec_id = 3").first()["embedding"]],
+                k=5, rerank=50,
+            ))(sq.fit_sq8(emb)))(
+                __import__(
+                    "photo_vector_search_spark.operators.sq",
+                    fromlist=["fit_sq8"],
+                ),
+                load_table(spark, sf_dir, "embeddings"),
             )
         ),
         # r10: leakage-safe split — LSH candidate pairs closed into

@@ -1,0 +1,205 @@
+"""Scalar quantization (SQ8): 8-bit-per-component embedding compression and
+asymmetric top-k search over the codes — the FAISS ``IndexScalarQuantizer``
+(QT_8bit) rung of the serving ladder, sitting between raw floats (knn
+family) and product quantization (pq family): 8× smaller than float64 at
+~none of PQ's training cost, with reconstruction error bounded per
+component by half a quantization step.
+
+Model: per-COMPONENT min/max over the corpus (one Arrow partial pass, the
+same bounded-by-partition-count driver collect as `embeddings.fit_pca_whitening`);
+encode: ``c_i = round((x_i - vmin_i) / (vmax_i - vmin_i) * 255)`` clipped to
+[0, 255], stored ``array<smallint>`` (the pq code convention — parquet
+byte-packs); decode: ``x̂_i = vmin_i + c_i · (vmax_i - vmin_i)/255`` (exact
+at both endpoints). Constant components (vmax == vmin) encode to 0 and
+decode exactly.
+
+Search (`sq8_topk`) is asymmetric — float query against decoded codes —
+via the knn_batch_fast shape: map-side per-batch decode + BLAS matmul +
+per-batch top-k, shuffle O(batches·k), then the global TakeOrdered merge.
+``rerank`` widens the candidate pool to ``rerank`` by SQ8 distance and
+re-scores survivors EXACTLY from the float column — with a pool a few
+multiples of k, the result matches exact knn at a fraction of the scan
+bytes (100 TB of float64 embeddings is 12.5 TB of codes).
+
+Cf. reference scope: the reference's ChromaDB/HNSW store
+(photo_vector_search.py:17-20) keeps raw float vectors; this extends the
+mandated similarity-search family's storage/serving axis.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, NamedTuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+class SQ8Model(NamedTuple):
+    vmin: np.ndarray  # per-component minima, float64 (d,)
+    vmax: np.ndarray  # per-component maxima, float64 (d,)
+
+    @property
+    def scale(self) -> np.ndarray:
+        """Per-component step (vmax-vmin)/255; 0 where the component is
+        constant (those components decode exactly to vmin)."""
+        return (self.vmax - self.vmin) / 255.0
+
+
+def fit_sq8(emb: DataFrame, vec_col: str = "embedding") -> SQ8Model:
+    """Per-component min/max in ONE map-side Arrow pass (driver collect
+    bounded by batch count, 2 d-vectors each). NULL vectors are skipped."""
+
+    def _partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vals = pdf[vec_col].dropna()
+            if not len(vals):
+                continue
+            x = np.vstack(vals.to_numpy()).astype(np.float64)
+            yield pd.DataFrame({"lo": [x.min(axis=0)], "hi": [x.max(axis=0)]})
+
+    parts = (
+        emb.select(F.col(vec_col).cast("array<double>").alias(vec_col))
+        .mapInPandas(_partials, schema="lo array<double>, hi array<double>")
+        .collect()
+    )
+    if not parts:
+        raise ValueError("cannot fit SQ8: empty frame or no non-NULL vectors")
+    vmin = np.min([np.asarray(r["lo"]) for r in parts], axis=0)
+    vmax = np.max([np.asarray(r["hi"]) for r in parts], axis=0)
+    return SQ8Model(vmin=vmin, vmax=vmax)
+
+
+def encode_sq8(
+    emb: DataFrame,
+    model: SQ8Model,
+    vec_col: str = "embedding",
+    out_col: str = "sq8",
+) -> DataFrame:
+    """Map-only encode under the broadcast model; values outside the fitted
+    range (vectors added after the fit) clip to the range edges — the FAISS
+    convention. NULL vectors → NULL codes."""
+    sc = emb.sparkSession.sparkContext
+    b = sc.broadcast((model.vmin, model.scale))
+    out_fields = emb.schema.fieldNames() + [out_col]
+    out_schema = (
+        ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in emb.schema)
+        + f", `{out_col}` array<smallint>"
+    )
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        vmin, step = b.value
+        safe = np.where(step > 0, step, 1.0)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pdf = pdf.reset_index(drop=True)
+            mask = pdf[vec_col].notna().to_numpy()
+            codes = pd.Series([None] * len(pdf), dtype=object)
+            if mask.any():
+                x = np.vstack(pdf.loc[mask, vec_col].to_numpy()).astype(np.float64)
+                c = np.rint((x - vmin) / safe)
+                c[:, step == 0] = 0.0
+                c = np.clip(c, 0, 255).astype(np.int16)
+                codes[np.flatnonzero(mask)] = list(c)
+            pdf = pdf.copy()
+            pdf[out_col] = codes
+            yield pdf[out_fields]
+
+    return emb.mapInPandas(_encode, schema=out_schema)
+
+
+def sq8_topk(
+    coded: DataFrame,
+    model: SQ8Model,
+    query_vec,
+    k: int = 5,
+    code_col: str = "sq8",
+    rerank: int | None = None,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cosine top-k of a float query over SQ8 codes: per-batch decode +
+    dot product + local top-c, global TakeOrdered merge — (vec_id, label,
+    dist, rank), dist = asymmetric SQ8 cosine distance rounded 6dp (or the
+    EXACT float distance when ``rerank`` is set). ``rerank`` keeps the top
+    ``rerank`` (>= k) candidates by code distance, then re-scores them from
+    ``vec_col`` — the standard coarse-then-exact ladder. NULL / zero-norm
+    rows never rank (the knn discipline)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    c = rerank if rerank is not None else k
+    if c < k:
+        raise ValueError(f"rerank pool ({c}) must be >= k ({k})")
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = np.linalg.norm(q)
+    if not qn > 0:
+        raise ValueError("query vector must have positive norm")
+    sc = coded.sparkSession.sparkContext
+    b = sc.broadcast((model.vmin, model.scale, q, qn))
+
+    def _local_topc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        vmin, step, qv, qnorm = b.value
+        for pdf in batches:
+            pdf = pdf.dropna(subset=["_code"])
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values("vec_id", kind="stable").reset_index(drop=True)
+            codes = np.vstack(pdf["_code"].to_numpy()).astype(np.float64)
+            x = vmin + codes * step
+            nrm = np.linalg.norm(x, axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                dist = 1.0 - (x @ qv) / (nrm * qnorm)
+            order = np.argsort(dist, kind="stable")[: min(c, len(pdf))]
+            order = order[np.isfinite(dist[order])]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy()[order],
+                    "label": pdf["label"].to_numpy()[order],
+                    "_dist": dist[order],
+                }
+            )
+
+    survivors = coded.select(
+        "vec_id", "label", F.col(code_col).alias("_code")
+    ).mapInPandas(_local_topc, schema="vec_id long, label int, _dist double")
+    pool = survivors.orderBy(F.col("_dist").asc(), F.col("vec_id").asc()).limit(c)
+
+    if rerank is None:
+        return (
+            pool.withColumn(
+                "rank",
+                F.row_number().over(
+                    Window.orderBy(F.col("_dist").asc(), F.col("vec_id").asc())
+                ),
+            )
+            .select("vec_id", "label", F.round("_dist", 6).alias("dist"), "rank")
+        )
+
+    # exact re-score of the pool from the float column (broadcast-size join)
+    from ..functions.vector import cosine_distance
+    from ..operators.knn import _valid_dist
+
+    qlit = F.array(*[F.lit(float(v)) for v in q])
+    exact = (
+        coded.join(F.broadcast(pool.select("vec_id")), "vec_id")
+        .select(
+            "vec_id",
+            "label",
+            cosine_distance(F.col(vec_col).cast("array<double>"), qlit).alias(
+                "_dist"
+            ),
+        )
+        .filter(_valid_dist(F.col("_dist")))
+    )
+    return (
+        exact.orderBy(F.col("_dist").asc(), F.col("vec_id").asc())
+        .limit(k)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("_dist").asc(), F.col("vec_id").asc())
+            ),
+        )
+        .select("vec_id", "label", F.round("_dist", 6).alias("dist"), "rank")
+    )

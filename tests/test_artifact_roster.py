@@ -103,6 +103,7 @@ _REPRESENTATIVES = {
     "pruning": ["prune_prototypes", "prune_ivf_store"],
     "selection": ["budget_select"],
     "splits": ["leakage_safe_split"],
+    "sq": ["sq8_topk"],
     "semdedup": ["semdedup"],
     "shuffle": ["shuffle_corpus", "curriculum_order"],
     "store": ["upsert_merge", "store_partition_pruned"],

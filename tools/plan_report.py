@@ -432,6 +432,21 @@ def _extra_pca_whiten(spark, sf_dir):
     return apply_whitening(emb, model)
 
 
+def _extra_sq8_topk(spark, sf_dir):
+    from photo_vector_search_spark.operators.sq import (
+        encode_sq8,
+        fit_sq8,
+        sq8_topk,
+    )
+    from photo_vector_search_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = fit_sq8(emb)
+    coded = encode_sq8(emb, model)
+    qv = [float(v) for v in emb.filter("vec_id = 3").first()["embedding"]]
+    return sq8_topk(coded, model, qv, k=5, rerank=50)
+
+
 def _extra_leakage_safe_split(spark, sf_dir):
     from photo_vector_search_spark.operators.dedup import minhash_lsh_pairs
     from photo_vector_search_spark.operators.splits import leakage_safe_split
@@ -492,10 +507,20 @@ EXTRA_OPS = {
     "budget_select": _extra_budget_select,
     "leakage_safe_split": _extra_leakage_safe_split,
     "pca_whiten": _extra_pca_whiten,
+    "sq8_topk": _extra_sq8_topk,
 }
 
 # Plan-reader context the tree alone can't show.
 NOTES = {
+    "sq8_topk": (
+        "NOTE: library operator (r10 SQ8 scalar quantization, the FAISS "
+        "QT_8bit serving rung — 8x smaller scans than float64). The "
+        "audited plan is the rerank ladder's exact half: the broadcast "
+        "top-50 candidate join back to the float column + TakeOrdered. "
+        "The coarse half it consumed is one map-only MapInPandas pass "
+        "(per-batch decode + BLAS dot + local top-c, shuffle O(batches·c)); "
+        "fit is one Arrow min/max partial pass collected bounded-by-batch."
+    ),
     "pca_whiten": (
         "NOTE: library operator (r10 PCA whitening, the BERT-whitening/"
         "OPQ-preconditioning rung). The audited plan is the APPLY half: one "
