@@ -111,6 +111,7 @@ GROUPS: dict[str, list[str]] = {
         "retrieval_eval",
         "pca_whiten",
         "sq8_topk",
+        "dedup_paragraphs",
     ],
 }
 
@@ -584,6 +585,28 @@ def _build_cases(spark, sf_dir: str) -> dict:
                     fromlist=["fit_sq8"],
                 ),
                 load_table(spark, sf_dir, "embeddings"),
+            )
+        ),
+        # r10: Dolma paragraph keep-first dedup over synthesized repeated
+        # paragraphs (same rule as the plan audit): explode + winner
+        # groupBy + join-back + per-doc rebuild
+        "dedup_paragraphs": lambda: _force(
+            __import__(
+                "photo_vector_search_spark.operators.dedup",
+                fromlist=["dedup_paragraphs"],
+            ).dedup_paragraphs(
+                load_table(spark, sf_dir, "documents").select(
+                    "doc_id",
+                    F.concat_ws(
+                        "\n",
+                        F.when(
+                            F.col("doc_id") % 10 == 0,
+                            F.lit("A widely reblogged quote."),
+                        ),
+                        F.col("text"),
+                    ).alias("text"),
+                ),
+                min_chars=5,
             )
         ),
         # r10: leakage-safe split — LSH candidate pairs closed into

@@ -348,8 +348,14 @@ def cmd_curate_corpus(args) -> int:
             file=sys.stderr,
         )
         return 2
+    if args.budget_tokens is not None and args.budget_tokens < 0:
+        print(
+            f"--budget-tokens must be >= 0, got {args.budget_tokens}",
+            file=sys.stderr,
+        )
+        return 2
     kn_lm = None
-    if args.kn_keep_frac is not None:
+    if args.kn_keep_frac is not None or args.budget_tokens is not None:
         # CCNet setup wants a clean-corpus LM; self-trained still ranks
         # outliers last, which is what the keep-fraction rule consumes
         from photo_vector_search_spark.operators.kneser_ney import train_kn_lm
@@ -367,7 +373,8 @@ def cmd_curate_corpus(args) -> int:
         lsh_tau=args.tau,
         substring_ngram=args.substring_ngram,
         kn_lm=kn_lm,
-        kn_keep_frac=args.kn_keep_frac if kn_lm else 0.67,
+        kn_keep_frac=args.kn_keep_frac,  # None = budget-only: no KN filter
+        budget_tokens=args.budget_tokens,
         prototype_keep_frac=args.prototype_keep_frac,
         prototype_clusters=args.prototype_clusters,
         shuffle_seed=args.seed,
@@ -507,6 +514,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--prototype-keep-frac", type=float, default=None,
         help="also run prototype-difficulty pruning after dedup, keeping "
         "this fraction of the hardest docs per cluster",
+    )
+    sp.add_argument(
+        "--budget-tokens", type=int, default=None,
+        help="terminal cut: keep only the most-fluent prefix (KN-ranked) "
+        "whose cumulative token count fits this budget",
     )
     sp.add_argument("--prototype-clusters", type=int, default=16)
     sp.add_argument("--seed", type=int, default=0, help="shuffle seed")

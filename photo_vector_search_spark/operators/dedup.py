@@ -1151,3 +1151,71 @@ def remove_boilerplate_lines(
             "\n",
         ).alias("clean")
     )
+
+
+def dedup_paragraphs(
+    docs: DataFrame,
+    min_chars: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Paragraph-level keep-FIRST dedup across the corpus (Dolma's paragraph
+    dedup rung — Soldaini et al. 2024 §2.2): every repeated non-blank
+    paragraph keeps exactly its EARLIEST occurrence (lowest ``(doc_id,
+    pos)``) and every later copy is removed; each document is rebuilt from
+    its surviving paragraphs in original order.
+
+    Distinct from ``remove_boilerplate_lines``: that rung removes a hot line
+    from EVERY document (chrome has no canonical owner); this one preserves
+    one canonical copy (real content quoted or mirrored downstream must
+    survive somewhere). Compose both: boilerplate first (frequency rule),
+    then paragraph dedup for what remains.
+
+    Semantics shared with the DuckDB twin (tests/test_paragraph_dedup.py):
+    paragraphs are newline-delimited; blank paragraphs are structure — never
+    counted, never removed; paragraphs under ``min_chars`` (trimmed) are
+    exempt (too short to meaningfully dedup — "Yes." should not vanish
+    corpus-wide); repeats WITHIN one document also collapse to the first
+    position; a document whose every paragraph is removed drops from the
+    output; NULL text explodes to no rows and likewise drops.
+
+    Plan (the boilerplate skeleton, nothing quadratic): map-only
+    posexplode; ONE groupBy(paragraph) computing the min (doc_id, pos)
+    winner (map-side-combinable min of a struct); one keyed join back
+    (AQE broadcasts when the dup dictionary is small); ONE per-doc rebuild
+    groupBy whose sort is bounded by document length. At 100 TB every
+    shuffle is keyed on paragraph hash or doc id — the same inverted-index
+    shape as decontaminate/boilerplate."""
+    lines = docs.select(
+        id_col, F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line")
+    )
+    eligible = F.length(F.trim(F.col("line"))) > F.greatest(
+        F.lit(0), F.lit(min_chars) - 1
+    )
+    winners = (
+        lines.filter(eligible)
+        .groupBy("line")
+        .agg(F.min(F.struct(F.col(id_col), F.col("pos"))).alias("w"))
+        .select(
+            "line",
+            F.col(f"w.{id_col}").alias("_w_doc"),
+            F.col("w.pos").alias("_w_pos"),
+        )
+    )
+    kept = (
+        lines.join(winners, "line", "left")
+        .filter(
+            F.col("_w_doc").isNull()  # blank / under-min: always kept
+            | ((F.col(id_col) == F.col("_w_doc")) & (F.col("pos") == F.col("_w_pos")))
+        )
+        .select(id_col, "pos", "line")
+    )
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+            "\n",
+        ).alias("clean")
+    )

@@ -72,8 +72,9 @@ def curate_corpus(
     ppl_lm: tuple[DataFrame, int] | None = None,
     ppl_by: str | None = None,
     kn_lm: tuple[DataFrame, dict] | None = None,
-    kn_keep_frac: float = 0.67,
+    kn_keep_frac: float | None = 0.67,
     kn_exact: bool = False,
+    budget_tokens: int | None = None,
     prototype_keep_frac: float | None = None,
     prototype_clusters: int = 16,
     prototype_keep: str = "hard",
@@ -173,6 +174,19 @@ def curate_corpus(
     of scoreable docs survive (sketch cutoff by default, ``kn_exact=True``
     for the exact percentile). Docs too short to score (< 2 tokens) drop,
     the CCNet rule. ``stats["after_kn_ppl"]`` records survivors.
+    ``kn_keep_frac=None`` skips this FILTER while the LM still feeds the
+    ``budget_tokens`` ranking (budget-only callers keep short docs).
+
+    ``budget_tokens`` (opt-in, r10) is the TERMINAL volume cut before the
+    shuffle: rank the surviving docs most-fluent-first under the KN LM
+    (``kn_lm`` is required — a budget cut without a quality ranking is just
+    id-order truncation) and keep the maximal prefix whose cumulative
+    whitespace-token count fits the budget
+    (``operators/selection.budget_select`` — the 'release the best N
+    tokens' cut; FineWeb/DSIR §5). Docs too short to score (< 2 tokens,
+    no KN row) order last and are taken only if every scored doc fits.
+    Runs after ALL filters so the budget buys the best of what SURVIVED
+    curation. ``stats["after_budget_select"]`` records survivors.
 
     ``prototype_keep_frac`` (opt-in, r9) runs prototype-difficulty pruning
     (Sorscher et al. 2022, ``operators.pruning``) after ALL dedup stages,
@@ -257,6 +271,17 @@ def curate_corpus(
         raise ValueError(
             "curate_corpus: langid_model and langid_keep must be passed together"
         )
+    if budget_tokens is not None:
+        if kn_lm is None:
+            raise ValueError(
+                "curate_corpus: budget_tokens requires kn_lm — the budget cut "
+                "ranks docs by KN fluency; without a ranking it would just "
+                "truncate by doc_id"
+            )
+        if budget_tokens < 0:
+            raise ValueError(
+                f"curate_corpus: budget_tokens must be >= 0, got {budget_tokens}"
+            )
     if bpe_model is not None and unigram_model is not None:
         raise ValueError(
             "curate_corpus: bpe_model and unigram_model are mutually "
@@ -353,7 +378,9 @@ def curate_corpus(
         )
         _stat("after_ppl_filter", gated)
 
-    if kn_lm is not None:
+    if kn_lm is not None and kn_keep_frac is not None:
+        # kn_keep_frac=None skips the FILTER while kn_lm still feeds the
+        # budget_tokens ranking below (budget-only callers)
         from photo_vector_search_spark.operators.kneser_ney import (
             kn_ppl_filter,
         )
@@ -480,6 +507,39 @@ def curate_corpus(
         )
         near = near.join(survivors.select("doc_id"), "doc_id", "left_semi")
         _stat("after_prototype_prune", near)
+
+    if budget_tokens is not None:
+        # terminal volume cut: most-fluent-first prefix that fits the token
+        # budget — after every filter, so the budget buys curated survivors.
+        # The survivor frame is STAGED first: budget_select drives two
+        # driver actions (score cuts, bucket totals) plus the final
+        # assembly, and without staging each one would re-execute the whole
+        # upstream ladder (the LSH stage's multi-consumer rule).
+        from photo_vector_search_spark.operators.kneser_ney import (
+            doc_log_perplexity_kn,
+        )
+        from photo_vector_search_spark.operators.selection import budget_select
+        from photo_vector_search_spark.operators.staging import stage_frame
+
+        kn_df, kn_consts = kn_lm
+        near = stage_frame(near, "pvs_budget_survivors")
+        scored = doc_log_perplexity_kn(
+            near.select("doc_id", "text"), kn_df, kn_consts
+        )
+        near = budget_select(
+            stage_frame(
+                near.join(
+                    scored.select("doc_id", F.col("nll").alias("_budget_nll")),
+                    "doc_id",
+                    "left",  # unscoreable docs keep a row: NULL orders last
+                ),
+                "pvs_budget_scored",
+            ),
+            budget_tokens,
+            score_col="_budget_nll",
+            ascending=True,  # LOW perplexity = most fluent first
+        ).drop("_budget_nll")
+        _stat("after_budget_select", near)
 
     curated = shuffle_corpus(near, seed=shuffle_seed)
 

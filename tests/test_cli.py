@@ -148,12 +148,13 @@ def test_cli_curate_corpus(tmp_path, capsys, spark, sf_dir):
             "--kn-keep-frac", "0.8",
             "--prototype-keep-frac", "0.5",
             "--prototype-clusters", "4",
+            "--budget-tokens", "2000",
         ]
     )
     assert rc == 0
     printed = capsys.readouterr().out
     for key in ("after_compression_gate:", "after_kn_ppl:",
-                "after_prototype_prune:"):
+                "after_prototype_prune:", "after_budget_select:"):
         assert key in printed, key
 
 
@@ -175,6 +176,7 @@ def test_cli_curate_corpus_usage_errors(tmp_path, capsys, spark, sf_dir):
          "--prototype-clusters"),
         (["--prototype-keep-frac", "0.5", "--prototype-clusters", "-3"],
          "--prototype-clusters"),
+        (["--budget-tokens", "-5"], "--budget-tokens"),
     ):
         assert main(base + extra) == 2
         assert msg in capsys.readouterr().err

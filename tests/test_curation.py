@@ -644,3 +644,69 @@ def test_curate_corpus_compression_gate_stage(spark, sf_dir):
     assert 30_000 not in kept and 30_001 not in kept
     assert len(kept) > 0
     assert "zlib_ratio" not in curated.columns
+
+
+def test_curate_corpus_budget_select_stage(spark, sf_dir):
+    """budget_tokens is the terminal pre-shuffle cut: survivors fit the
+    budget, form the most-fluent (lowest-KN-nll) prefix of the no-budget
+    run's survivors, and the stage requires a ranking LM."""
+    from photo_vector_search_spark.functions.text import token_count
+    from photo_vector_search_spark.operators.kneser_ney import (
+        doc_log_perplexity_kn,
+        train_kn_lm,
+    )
+    from photo_vector_search_spark.operators.selection import budget_select
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lm = train_kn_lm(docs)
+    budget = 1_500
+
+    # budget-only: kn_keep_frac=None must SKIP the KN filter (short docs
+    # survive curation and order last in the budget walk)
+    curated, stats = curate_corpus(
+        docs, quality_gate=False, kn_lm=lm, kn_keep_frac=None,
+        budget_tokens=budget,
+    )
+    assert "after_kn_ppl" not in stats
+    assert "after_budget_select" in stats
+    total = curated.agg(
+        F.sum(F.coalesce(token_count(F.col("text")), F.lit(0)))
+    ).first()[0]
+    assert total <= budget
+    assert "_budget_nll" not in curated.columns
+
+    # prefix property: replay budget_select over the no-budget run
+    base, _ = curate_corpus(
+        docs, quality_gate=False, kn_lm=lm, kn_keep_frac=None,
+    )
+    kn_df, kn_consts = lm
+    scored = doc_log_perplexity_kn(base.select("doc_id", "text"), kn_df, kn_consts)
+    expected = {
+        r["doc_id"]
+        for r in budget_select(
+            base.select("doc_id", "text").join(
+                scored.select("doc_id", F.col("nll").alias("s")), "doc_id", "left"
+            ),
+            budget,
+            score_col="s",
+            ascending=True,
+        ).collect()
+    }
+    got = {r["doc_id"] for r in curated.select("doc_id").collect()}
+    assert got == expected
+
+    # budget with the KN filter on composes (filter first, then budget)
+    both, stats2 = curate_corpus(
+        docs, quality_gate=False, kn_lm=lm, kn_keep_frac=0.8,
+        budget_tokens=budget,
+    )
+    assert "after_kn_ppl" in stats2 and "after_budget_select" in stats2
+    assert stats2["after_budget_select"] <= stats2["after_kn_ppl"]
+
+    # usage errors are entry-time
+    import pytest
+
+    with pytest.raises(ValueError, match="requires kn_lm"):
+        curate_corpus(docs, budget_tokens=100)
+    with pytest.raises(ValueError, match="budget_tokens must be"):
+        curate_corpus(docs, kn_lm=lm, budget_tokens=-1)

@@ -432,6 +432,25 @@ def _extra_pca_whiten(spark, sf_dir):
     return apply_whitening(emb, model)
 
 
+def _extra_dedup_paragraphs(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from photo_vector_search_spark.operators.dedup import dedup_paragraphs
+    from photo_vector_search_spark.sources.tables import load_table
+
+    # the fixture docs are single-line; synthesize repeated paragraphs the
+    # same way the bench case does (ONE shared definition rule)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.when(F.col("doc_id") % 10 == 0, F.lit("A widely reblogged quote.")),
+            F.col("text"),
+        ).alias("text"),
+    )
+    return dedup_paragraphs(docs, min_chars=5)
+
+
 def _extra_sq8_topk(spark, sf_dir):
     from photo_vector_search_spark.operators.sq import (
         encode_sq8,
@@ -508,10 +527,22 @@ EXTRA_OPS = {
     "leakage_safe_split": _extra_leakage_safe_split,
     "pca_whiten": _extra_pca_whiten,
     "sq8_topk": _extra_sq8_topk,
+    "dedup_paragraphs": _extra_dedup_paragraphs,
 }
 
 # Plan-reader context the tree alone can't show.
 NOTES = {
+    "dedup_paragraphs": (
+        "NOTE: library operator (r10 Dolma-style paragraph keep-first "
+        "dedup — repeated paragraphs keep their earliest (doc_id, pos) "
+        "copy; distinct from remove_boilerplate_lines, which removes hot "
+        "lines from EVERY doc). The boilerplate skeleton: map-only "
+        "posexplode, ONE paragraph-keyed groupBy for the min-struct "
+        "winner (map-side combinable), one keyed join back "
+        "(AQE-broadcast when the dup dictionary is small), ONE per-doc "
+        "rebuild whose sort is bounded by document length — nothing "
+        "quadratic, nothing global."
+    ),
     "sq8_topk": (
         "NOTE: library operator (r10 SQ8 scalar quantization, the FAISS "
         "QT_8bit serving rung — 8x smaller scans than float64). The "

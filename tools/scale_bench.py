@@ -604,6 +604,22 @@ def extra_cases(spark, sf_dir: str) -> dict:
                 prototype_clusters=max(8, docs.count() // 125),
             )[0]
         ),
+        # r10b: the r9 composition plus the terminal token-budget cut
+        # (budget scales with the corpus so the crossing stays mid-survivor
+        # set at 10x; the added term is one KN scoring pass + the two
+        # budget sketch aggs + the boundary window)
+        "curate_corpus_r10": lambda: _force(
+            curate_corpus(
+                docs,
+                compute_stats=False,
+                quality_gate=False,
+                compression_bounds=(0.05, 0.95),
+                kn_lm=kn_artifact(),
+                prototype_keep_frac=0.5,
+                prototype_clusters=max(8, docs.count() // 125),
+                budget_tokens=60_000 if "sf0.1" in sf_dir else 600_000,
+            )[0]
+        ),
     }
 
 
