@@ -112,6 +112,7 @@ GROUPS: dict[str, list[str]] = {
         "pca_whiten",
         "sq8_topk",
         "dedup_paragraphs",
+        "wet_ingest",
     ],
 }
 
@@ -179,6 +180,45 @@ def fake_url_docs(spark, sf_dir: str):
     return load_table(spark, sf_dir, "documents").select(
         "doc_id", url.alias("url")
     )
+
+
+_WET_DIR_MEMO: dict = {}
+
+
+def fake_wet_dir(spark, sf_dir: str, n_files: int = 8) -> str:
+    """Write the documents table as ``n_files`` gzipped WET files under the
+    session staging dir (once per sf_dir — memoized) and return the
+    directory — ONE fixture definition shared by the bench, the scale
+    bench, and the plan audit (the fake_media_docs rule). Records carry
+    deterministic example.com URIs so wet_to_documents' host extraction is
+    exercised."""
+    import gzip as _gzip
+    import os as _os
+
+    key = (spark.sparkContext.applicationId, sf_dir, n_files)
+    if key in _WET_DIR_MEMO:
+        return _WET_DIR_MEMO[key]
+    from photo_vector_search_spark.operators.staging import session_staging_dir
+    from photo_vector_search_spark.sources.tables import load_table
+
+    out = session_staging_dir("pvs_bench_wet")
+    rows = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    buckets: list[list[bytes]] = [[] for _ in range(n_files)]
+    for r in rows:
+        body = (r["text"] or "").encode("utf-8")
+        hdr = (
+            "WARC/1.0\r\nWARC-Type: conversion\r\n"
+            f"WARC-Record-ID: <urn:uuid:doc-{r['doc_id']}>\r\n"
+            "WARC-Date: 2024-01-15T12:00:00Z\r\n"
+            f"WARC-Target-URI: https://host{r['doc_id'] % 7}.example.com/d/{r['doc_id']}\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode()
+        buckets[r["doc_id"] % n_files].append(hdr + body + b"\r\n\r\n")
+    for i, recs in enumerate(buckets):
+        with open(_os.path.join(out, f"part-{i:03d}.warc.wet.gz"), "wb") as f:
+            f.write(_gzip.compress(b"".join(recs)))
+    _WET_DIR_MEMO[key] = out
+    return out
 
 
 def _build_cases(spark, sf_dir: str) -> dict:
@@ -585,6 +625,20 @@ def _build_cases(spark, sf_dir: str) -> dict:
                     fromlist=["fit_sq8"],
                 ),
                 load_table(spark, sf_dir, "embeddings"),
+            )
+        ),
+        # r10: WET ingestion — per-file gunzip+parse (one task per file, the
+        # gzip-honest plan) through the documents-contract adapter; fixture
+        # files staged once per session (untimed), so the case measures the
+        # parse+adapt pass
+        "wet_ingest": lambda: _force(
+            (lambda w: w.wet_to_documents(
+                w.read_wet(spark, fake_wet_dir(spark, sf_dir))
+            ))(
+                __import__(
+                    "photo_vector_search_spark.sources.warc",
+                    fromlist=["read_wet"],
+                )
             )
         ),
         # r10: Dolma paragraph keep-first dedup over synthesized repeated

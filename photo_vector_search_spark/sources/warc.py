@@ -1,0 +1,165 @@
+"""WARC / WET ingestion — the CommonCrawl container every web-scale
+training pipeline starts from (C4, RefinedWeb, Dolma, FineWeb all begin at
+WET/WARC records). Pure-stdlib parsing (the ISO 28500 framing is a text
+header block + a Content-Length-delimited payload), no external wheels.
+
+Format (ISO 28500 / WARC 1.0 — implemented from the public spec):
+each record is ``WARC/1.x CRLF`` + ``Name: value`` header lines + blank
+line + exactly ``Content-Length`` payload bytes + ``CRLF CRLF``. WET files
+are WARC files whose ``conversion`` records carry extracted plain text.
+
+Scale shape (100 TB): CommonCrawl ships a crawl as ~90k independent
+``.warc.wet.gz`` files — the parallelism unit is the FILE. gzip is not
+splittable, so one task per file is the honest physical plan (exactly how
+every production CC pipeline schedules it); ``binaryFile`` + one Arrow
+pass per file keeps parsing executor-side with zero shuffles — rows flow
+straight into the curation ladder's first map stage. Memory: a WET file
+is ~150 MB compressed / ~400 MB raw — bounded per task, far under
+executor budgets; the parser never materializes more than one file.
+
+Malformed trailing records (truncated uploads — real crawls contain them)
+stop the parse of THAT file at the last whole record under the default
+``strict=False`` (the standard tolerant-reader posture); ``strict=True``
+raises with the file path for forensic runs.
+
+Cf. reference scope: the reference ingests only a local photo directory
+(photo_vector_search.py:41-42); this extends the mandated
+training-pipeline source axis.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+WET_SCHEMA = (
+    "path string, record_id string, record_type string, target_uri string, "
+    "warc_date string, content_length long, text string"
+)
+
+_HEADER_ENCODING = "utf-8"  # WARC headers are UTF-8 per ISO 28500 §4
+
+
+def parse_warc_bytes(
+    raw: bytes, path: str = "", strict: bool = False
+) -> list[dict]:
+    """Parse one WARC/WET file's bytes into record dicts — the single
+    definition shared by the Spark reader and the tests' reference calls.
+    Payload is decoded as UTF-8 with replacement (WET conversion records
+    are text; binary WARC payloads survive as lossy text — pass-through of
+    raw bytes is the read_warc_raw variant's job if ever needed)."""
+    if raw[:2] == b"\x1f\x8b":  # gzip magic — .warc.wet.gz
+        raw = gzip.decompress(raw)
+    out: list[dict] = []
+    pos, n = 0, len(raw)
+    while pos < n:
+        # skip inter-record CRLFs
+        while pos < n and raw[pos : pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= n:
+            break
+        end_hdr = raw.find(b"\r\n\r\n", pos)
+        if end_hdr < 0 or not raw.startswith(b"WARC/", pos):
+            if strict:
+                raise ValueError(
+                    f"malformed WARC framing at byte {pos} in {path!r}"
+                )
+            break
+        headers: dict[str, str] = {}
+        lines = raw[pos:end_hdr].decode(_HEADER_ENCODING, "replace").split("\r\n")
+        for line in lines[1:]:  # line 0 is the WARC/1.x version
+            k, _, v = line.partition(":")
+            if _:
+                headers[k.strip().lower()] = v.strip()
+        try:
+            clen = int(headers.get("content-length", ""))
+        except ValueError:
+            if strict:
+                raise ValueError(
+                    f"record without Content-Length at byte {pos} in {path!r}"
+                )
+            break
+        body_start = end_hdr + 4
+        if body_start + clen > n:
+            if strict:
+                raise ValueError(
+                    f"truncated payload (want {clen} bytes) at byte {pos} "
+                    f"in {path!r}"
+                )
+            break
+        body = raw[body_start : body_start + clen]
+        out.append(
+            {
+                "path": path,
+                "record_id": headers.get("warc-record-id", ""),
+                "record_type": headers.get("warc-type", ""),
+                "target_uri": headers.get("warc-target-uri"),
+                "warc_date": headers.get("warc-date", ""),
+                "content_length": clen,
+                "text": body.decode("utf-8", "replace"),
+            }
+        )
+        pos = body_start + clen
+    return out
+
+
+def read_wet(
+    spark: SparkSession,
+    path: str,
+    record_types: tuple[str, ...] = ("conversion",),
+    glob: str = "*.warc.wet*",
+    strict: bool = False,
+) -> DataFrame:
+    """WET records under ``path`` as (path, record_id, record_type,
+    target_uri, warc_date, content_length, text) — one task per file (the
+    gzip-honest plan), zero shuffles; ``record_types`` keeps ``conversion``
+    (the extracted text) by default and drops ``warcinfo`` preambles.
+    Pass ``record_types=()`` to keep every record type."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", "true")
+        .load(path)
+        .select("path", "content")
+    )
+    keep = tuple(record_types)
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                recs = parse_warc_bytes(
+                    bytes(row["content"]), path=row["path"], strict=strict
+                )
+                if keep:
+                    recs = [r for r in recs if r["record_type"] in keep]
+                if recs:
+                    yield pd.DataFrame(recs)
+
+    return files.mapInPandas(_parse, schema=WET_SCHEMA)
+
+
+def wet_to_documents(wet: DataFrame, min_chars: int = 1) -> DataFrame:
+    """Adapt WET records to the curation ladder's (doc_id, text, source)
+    contract: doc_id = a 63-bit hash of the record id (deterministic,
+    collision-audited by the caller at corpus scale — CC record UUIDs are
+    unique by construction), source = the registered domain of the target
+    URI (the domain-cap key). Empty extractions drop."""
+    from pyspark.sql import functions as F
+
+    from ..operators.domains import url_host
+
+    return (
+        wet.filter(F.length("text") >= min_chars)
+        .select(
+            F.pmod(F.xxhash64("record_id"), F.lit(1 << 62)).alias("doc_id"),
+            "text",
+            F.coalesce(url_host(F.col("target_uri")), F.lit("<unknown>")).alias(
+                "source"
+            ),
+            F.col("target_uri").alias("url"),
+        )
+    )

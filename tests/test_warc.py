@@ -1,0 +1,102 @@
+"""WET/WARC ingestion: exact ISO 28500 framing (Content-Length-delimited
+payloads incl. multibyte text), gzip and plain files, record-type
+filtering, tolerant/strict truncation handling, and the adapter into the
+curation ladder's documents contract."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+from pyspark.sql import functions as F
+
+from photo_vector_search_spark.sources.warc import (
+    parse_warc_bytes,
+    read_wet,
+    wet_to_documents,
+)
+
+
+def _record(rtype: str, uri: str | None, body: str, rid: str) -> bytes:
+    payload = body.encode("utf-8")
+    headers = [
+        "WARC/1.0",
+        f"WARC-Type: {rtype}",
+        f"WARC-Record-ID: <urn:uuid:{rid}>",
+        "WARC-Date: 2024-01-15T12:00:00Z",
+    ]
+    if uri is not None:
+        headers.append(f"WARC-Target-URI: {uri}")
+    headers.append(f"Content-Length: {len(payload)}")
+    return "\r\n".join(headers).encode() + b"\r\n\r\n" + payload + b"\r\n\r\n"
+
+
+BODY_A = "First page text.\nSecond line with an em—dash and café."
+BODY_B = "Another page.\r\n\r\nWARC/1.0 looks like a header but is payload."
+WET_BYTES = (
+    _record("warcinfo", None, "software: test-crawler 1.0", "info-1")
+    + _record("conversion", "https://example.com/a", BODY_A, "rec-a")
+    + _record("conversion", "https://sub.example.org/b?x=1", BODY_B, "rec-b")
+)
+
+
+def test_parse_exact_framing_and_multibyte():
+    recs = parse_warc_bytes(WET_BYTES, path="mem")
+    assert [r["record_type"] for r in recs] == ["warcinfo", "conversion", "conversion"]
+    a = recs[1]
+    assert a["text"] == BODY_A  # byte-exact despite multibyte chars
+    assert a["content_length"] == len(BODY_A.encode("utf-8"))
+    assert a["target_uri"] == "https://example.com/a"
+    assert a["warc_date"] == "2024-01-15T12:00:00Z"
+    # a payload CONTAINING "WARC/1.0" must not split the record
+    assert recs[2]["text"] == BODY_B
+
+
+def test_truncated_tail_tolerant_and_strict():
+    # cut mid-PAYLOAD (the trailing CRLFs + 2 payload bytes): headers whole
+    truncated = WET_BYTES + _record("conversion", "https://x.y/c", "tail", "rec-c")[:-6]
+    recs = parse_warc_bytes(truncated, path="mem")
+    assert len(recs) == 3  # whole records survive, the torn tail drops
+    with pytest.raises(ValueError, match="truncated payload"):
+        parse_warc_bytes(truncated, path="mem", strict=True)
+    with pytest.raises(ValueError, match="malformed WARC framing"):
+        parse_warc_bytes(b"not a warc at all", strict=True)
+    assert parse_warc_bytes(b"not a warc at all") == []
+
+
+def test_read_wet_gz_and_plain(spark, tmp_path):
+    (tmp_path / "a.warc.wet").write_bytes(WET_BYTES)
+    (tmp_path / "b.warc.wet.gz").write_bytes(gzip.compress(WET_BYTES))
+    (tmp_path / "ignored.txt").write_bytes(b"not picked up by the glob")
+
+    out = read_wet(spark, str(tmp_path))
+    rows = out.collect()
+    # conversion-only by default, from BOTH files
+    assert len(rows) == 4
+    assert {r["record_type"] for r in rows} == {"conversion"}
+    texts = sorted({r["text"] for r in rows})
+    assert texts == sorted({BODY_A, BODY_B})
+
+    # record_types=() keeps warcinfo preambles too
+    all_rows = read_wet(spark, str(tmp_path), record_types=()).collect()
+    assert len(all_rows) == 6
+    assert sum(r["record_type"] == "warcinfo" for r in all_rows) == 2
+
+
+def test_wet_to_documents_adapter(spark, tmp_path):
+    (tmp_path / "a.warc.wet").write_bytes(WET_BYTES)
+    docs = wet_to_documents(read_wet(spark, str(tmp_path)))
+    rows = {r["url"]: r for r in docs.collect()}
+    assert set(rows) == {"https://example.com/a", "https://sub.example.org/b?x=1"}
+    assert rows["https://example.com/a"]["source"] == "example.com"
+    assert rows["https://sub.example.org/b?x=1"]["source"] == "sub.example.org"
+    ids = [r["doc_id"] for r in rows.values()]
+    assert len(set(ids)) == 2 and all(i >= 0 for i in ids)
+    # deterministic ids: re-reading yields the same mapping
+    again = {
+        r["url"]: r["doc_id"]
+        for r in wet_to_documents(read_wet(spark, str(tmp_path))).collect()
+    }
+    assert again == {u: r["doc_id"] for u, r in rows.items()}
+    # the adapter's frame drives the curation entry contract
+    assert {"doc_id", "text", "source"} <= set(docs.columns)

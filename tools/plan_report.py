@@ -432,6 +432,14 @@ def _extra_pca_whiten(spark, sf_dir):
     return apply_whitening(emb, model)
 
 
+def _extra_wet_ingest(spark, sf_dir):
+    from bench import fake_wet_dir
+
+    from photo_vector_search_spark.sources.warc import read_wet, wet_to_documents
+
+    return wet_to_documents(read_wet(spark, fake_wet_dir(spark, sf_dir)))
+
+
 def _extra_dedup_paragraphs(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -528,10 +536,21 @@ EXTRA_OPS = {
     "pca_whiten": _extra_pca_whiten,
     "sq8_topk": _extra_sq8_topk,
     "dedup_paragraphs": _extra_dedup_paragraphs,
+    "wet_ingest": _extra_wet_ingest,
 }
 
 # Plan-reader context the tree alone can't show.
 NOTES = {
+    "wet_ingest": (
+        "NOTE: library source (r10 CommonCrawl WET/WARC ingestion, "
+        "pure-stdlib ISO 28500 parsing). One task per .warc.wet.gz file — "
+        "gzip is not splittable, so per-FILE parallelism is the honest "
+        "physical plan (CommonCrawl ships ~90k files per crawl: natural "
+        "task fan-out at cluster scale). The plan is binaryFile scan → one "
+        "MapInPandas gunzip+parse pass → the codegen documents adapter "
+        "(xxhash64 ids + try_parse_url hosts): ZERO exchanges; rows "
+        "pipeline straight into the curation ladder's first map stage."
+    ),
     "dedup_paragraphs": (
         "NOTE: library operator (r10 Dolma-style paragraph keep-first "
         "dedup — repeated paragraphs keep their earliest (doc_id, pos) "
