@@ -107,6 +107,24 @@ def parse_warc_bytes(
     return out
 
 
+def _parse_files(keep: tuple[str, ...], strict: bool):
+    """mapInPandas closure over (path, content) file rows — ONE parser
+    shared by the batch reader and the streaming reader."""
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                recs = parse_warc_bytes(
+                    bytes(row["content"]), path=row["path"], strict=strict
+                )
+                if keep:
+                    recs = [r for r in recs if r["record_type"] in keep]
+                if recs:
+                    yield pd.DataFrame(recs)
+
+    return _parse
+
+
 def read_wet(
     spark: SparkSession,
     path: str,
@@ -126,20 +144,43 @@ def read_wet(
         .load(path)
         .select("path", "content")
     )
-    keep = tuple(record_types)
+    return files.mapInPandas(
+        _parse_files(tuple(record_types), strict), schema=WET_SCHEMA
+    )
 
-    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            for _, row in pdf.iterrows():
-                recs = parse_warc_bytes(
-                    bytes(row["content"]), path=row["path"], strict=strict
-                )
-                if keep:
-                    recs = [r for r in recs if r["record_type"] in keep]
-                if recs:
-                    yield pd.DataFrame(recs)
 
-    return files.mapInPandas(_parse, schema=WET_SCHEMA)
+_BINARY_FILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+
+
+def stream_wet(
+    spark: SparkSession,
+    path: str,
+    record_types: tuple[str, ...] = ("conversion",),
+    glob: str = "*.warc.wet*",
+    strict: bool = False,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """STREAMING WET ingestion: the same per-file parse over Structured
+    Streaming's file source — a crawl landing zone becomes an incremental
+    pipeline (each new ``.warc.wet.gz`` is one exactly-once micro-batch
+    unit; compose with ``wet_to_documents`` — stateless, stream-safe — and
+    the streaming dedup/upsert family downstream). ``max_files_per_trigger``
+    bounds a micro-batch (the backfill-vs-latency knob when pointing at a
+    90k-file crawl directory)."""
+    reader = (
+        spark.readStream.format("binaryFile")
+        .schema(_BINARY_FILE_SCHEMA)  # streaming sources require one
+        .option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", "true")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    files = reader.load(path).select("path", "content")
+    return files.mapInPandas(
+        _parse_files(tuple(record_types), strict), schema=WET_SCHEMA
+    )
 
 
 def wet_to_documents(wet: DataFrame, min_chars: int = 1) -> DataFrame:

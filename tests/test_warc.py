@@ -100,3 +100,52 @@ def test_wet_to_documents_adapter(spark, tmp_path):
     assert again == {u: r["doc_id"] for u, r in rows.items()}
     # the adapter's frame drives the curation entry contract
     assert {"doc_id", "text", "source"} <= set(docs.columns)
+
+
+def test_stream_wet_incremental(spark, tmp_path):
+    """Streaming WET: each new file is one exactly-once micro-batch unit —
+    the batch parser's rows arrive incrementally and compose with the
+    stateless documents adapter."""
+    import gzip as _gzip
+
+    from photo_vector_search_spark.sources.warc import stream_wet
+
+    in_dir = tmp_path / "landing"
+    in_dir.mkdir()
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    (in_dir / "a.warc.wet").write_bytes(WET_BYTES)
+
+    stream = wet_to_documents(stream_wet(spark, str(in_dir)))
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    first = spark.read.parquet(out_dir)
+    assert first.count() == 2  # the two conversion records
+
+    # a new file landing is picked up incrementally, old rows not re-emitted
+    more = _record("conversion", "https://late.example.net/c", "Late page.", "rec-c")
+    (in_dir / "b.warc.wet.gz").write_bytes(_gzip.compress(more))
+    q2 = (
+        wet_to_documents(stream_wet(spark, str(in_dir)))
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(600)
+    rows = spark.read.parquet(out_dir).collect()
+    assert len(rows) == 3
+    assert sum(r["source"] == "late.example.net" for r in rows) == 1
+    # batch and stream parse identically (shared _parse_files closure)
+    batch = {
+        (r["doc_id"], r["text"])
+        for r in wet_to_documents(read_wet(spark, str(in_dir))).collect()
+    }
+    assert {(r["doc_id"], r["text"]) for r in rows} == batch
