@@ -113,6 +113,7 @@ GROUPS: dict[str, list[str]] = {
         "sq8_topk",
         "dedup_paragraphs",
         "wet_ingest",
+        "mad_outlier_gate",
     ],
 }
 
@@ -625,6 +626,16 @@ def _build_cases(spark, sf_dir: str) -> dict:
                     fromlist=["fit_sq8"],
                 ),
                 load_table(spark, sf_dir, "embeddings"),
+            )
+        ),
+        # r10: robust MAD outlier gate — two grouped percentile sketches +
+        # broadcast-back map-only filter
+        "mad_outlier_gate": lambda: _force(
+            __import__(
+                "photo_vector_search_spark.pipelines.quality",
+                fromlist=["mad_outlier_gate"],
+            ).mad_outlier_gate(
+                load_table(spark, sf_dir, "documents"), "n_chars", by="lang", k=3.0
             )
         ),
         # r10: WET ingestion — per-file gunzip+parse (one task per file, the

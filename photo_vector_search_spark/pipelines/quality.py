@@ -217,3 +217,60 @@ def compression_gate(
             F.lit(float(min_ratio)), F.lit(float(max_ratio))
         )
     ).drop("zlib_ratio")
+
+
+def mad_outlier_gate(
+    docs: DataFrame,
+    signal_col: str,
+    by: str | None = None,
+    k: float = 3.0,
+    exact: bool = False,
+    null_pass: bool = True,
+) -> DataFrame:
+    """Robust outlier gate over a quality signal: keep rows within
+    ``k`` robust standard deviations of the (per-``by``-group) median,
+    scale = 1.4826·MAD (the normal-consistency constant) — the
+    median/MAD discipline corpus reports use because web-scale quality
+    signals are heavy-tailed and a mean/stddev gate lets one 10^6-token
+    monster doc move its own cutoff.
+
+    Two aggregation passes (median, then MAD of the residuals), both
+    grouped map-side-combinable sketches by default (`percentile_approx`
+    — the 100 TB posture; ``exact=True`` swaps in the exact percentile
+    for oracle replays), each producing a |groups|-row frame broadcast
+    back into a map-only filter — no windows, no global sort.
+
+    Degenerate spread (MAD == 0: over half the group shares one value)
+    keeps the whole group — zero spread is zero evidence of outlierness,
+    and dropping everything off-median would let a constant-signal group
+    self-destruct. NULL signals pass by default (a gate drops only on
+    evidence; ``null_pass=False`` for strict pipelines). NULL ``by``
+    groups gate like any other group (null-safe equality join)."""
+    if k <= 0:
+        raise ValueError(f"k must be > 0, got {k}")
+    fn = F.percentile if exact else F.percentile_approx
+    x = F.col(signal_col).cast("double")
+    keys = [by] if by else []
+    med = docs.filter(x.isNotNull()).groupBy(*keys).agg(
+        fn(x, F.lit(0.5)).alias("_med")
+    )
+
+    def _join(left, stats):
+        if not keys:
+            return left.crossJoin(F.broadcast(stats))
+        return left.join(
+            F.broadcast(stats), on=[left[by].eqNullSafe(stats[by])], how="left"
+        ).drop(stats[by])
+
+    with_med = _join(docs, med)
+    mad = (
+        with_med.filter(x.isNotNull())
+        .groupBy(*keys)
+        .agg(fn(F.abs(x - F.col("_med")), F.lit(0.5)).alias("_mad"))
+    )
+    gated = _join(with_med, mad)
+    scale = F.lit(1.4826) * F.col("_mad")
+    keep = F.when(x.isNull(), F.lit(null_pass)).otherwise(
+        (F.col("_mad") == 0) | (F.abs(x - F.col("_med")) <= F.lit(k) * scale)
+    )
+    return gated.filter(keep).drop("_med", "_mad")

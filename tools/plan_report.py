@@ -432,6 +432,15 @@ def _extra_pca_whiten(spark, sf_dir):
     return apply_whitening(emb, model)
 
 
+def _extra_mad_outlier_gate(spark, sf_dir):
+    from photo_vector_search_spark.pipelines.quality import mad_outlier_gate
+    from photo_vector_search_spark.sources.tables import load_table
+
+    return mad_outlier_gate(
+        load_table(spark, sf_dir, "documents"), "n_chars", by="lang", k=3.0
+    )
+
+
 def _extra_wet_ingest(spark, sf_dir):
     from bench import fake_wet_dir
 
@@ -537,10 +546,20 @@ EXTRA_OPS = {
     "sq8_topk": _extra_sq8_topk,
     "dedup_paragraphs": _extra_dedup_paragraphs,
     "wet_ingest": _extra_wet_ingest,
+    "mad_outlier_gate": _extra_mad_outlier_gate,
 }
 
 # Plan-reader context the tree alone can't show.
 NOTES = {
+    "mad_outlier_gate": (
+        "NOTE: library operator (r10 robust median/MAD outlier gate — the "
+        "heavy-tail-safe alternative to mean/stddev gating for corpus "
+        "quality signals). TWO grouped percentile sketches (median, then "
+        "MAD of residuals), each a map-side-combinable agg whose "
+        "|groups|-row result broadcasts back into a map-only filter — no "
+        "windows, no global sort; zero-spread groups keep everything and "
+        "NULL signals pass by default (gates drop only on evidence)."
+    ),
     "wet_ingest": (
         "NOTE: library source (r10 CommonCrawl WET/WARC ingestion, "
         "pure-stdlib ISO 28500 parsing). One task per .warc.wet.gz file — "
