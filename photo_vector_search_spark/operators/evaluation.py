@@ -26,12 +26,13 @@ metric (a system that returns nothing for a query must not be dropped from
 the mean — silent-cap rule). Queries in ``results`` with NO gold entry are
 excluded (undefined denominators), matching trec_eval.
 
-Scale shape (100 TB): one inner join results⋈gold on (query_id, doc_id) —
-gold is usually the small side (broadcast; AQE handles it), results are
-already partitioned by query batch; then ONE exchange for the per-query
-agg keyed on query_id (k rows per query in, 1 row out, map-side
-combinable), and the corpus-level mean is a one-row final agg. No windows,
-no driver data beyond the metric row.
+Scale shape (100 TB): ONE gold-left-join on (query_id, doc_id) — results
+at the cutoff are the small side at any scale (≤ k rows per query; AQE
+broadcasts when they fit), and every metric numerator AND denominator
+falls out of ONE per-query aggregation over the joined rows (≤ |gold| per
+query in, 1 row out, map-side combinable); the corpus-level mean is a
+one-row final agg. No windows, no second pass, no driver data beyond the
+metric row.
 
 Cf. reference scope: the reference (rianders/photo-vector-search) never
 measures retrieval quality — this extends the mandated similarity-search
@@ -69,14 +70,17 @@ def retrieval_metrics(
         F.col(query_col).alias("_q"), F.col(doc_col).alias("_d")
     ).distinct()
 
-    # per-query gold size (the recall/IDCG denominators)
-    gold_n = g.groupBy("_q").agg(F.count(F.lit(1)).alias("n_gold"))
-
-    # hits = retrieved@k ∩ gold; left join from GOLD side so zero-hit (or
-    # entirely missing) queries keep a row and score 0
-    hits = res.join(g, ["_q", "_d"], "inner")
-    per_hit = hits.groupBy("_q").agg(
-        F.count(F.lit(1)).alias("n_hits"),
+    # ONE gold-left-join + ONE per-query agg: each gold pair either finds
+    # its retrieved rank (hit) or carries a NULL rank (miss), so the gold
+    # count, hit count, first rank and DCG all fall out of a single
+    # aggregation — zero-hit (or entirely missing) queries keep their row
+    # and score 0. (Results must be unique per (query, doc) within the
+    # cutoff — every ranker here emits exactly that; duplicate result rows
+    # would double-join their gold pair.)
+    joined = g.join(res, ["_q", "_d"], "left")
+    per_q = joined.groupBy("_q").agg(
+        F.count(F.lit(1)).alias("n_gold"),
+        F.count("_r").alias("n_hits"),
         F.min("_r").alias("first_rank"),
         F.sum(1.0 / F.log2(F.col("_r") + 1.0)).alias("dcg"),
     )
@@ -90,8 +94,7 @@ def retrieval_metrics(
     )
 
     out = (
-        gold_n.join(per_hit, "_q", "left")
-        .na.fill({"n_hits": 0, "dcg": 0.0})
+        per_q.na.fill({"n_hits": 0, "dcg": 0.0})
         .select(
             F.col("_q").alias(query_col),
             "n_gold",
