@@ -118,14 +118,18 @@ def sq8_topk(
     code_col: str = "sq8",
     rerank: int | None = None,
     vec_col: str = "embedding",
+    rerank_source: DataFrame | None = None,
 ) -> DataFrame:
     """Cosine top-k of a float query over SQ8 codes: per-batch decode +
     dot product + local top-c, global TakeOrdered merge — (vec_id, label,
     dist, rank), dist = asymmetric SQ8 cosine distance rounded 6dp (or the
     EXACT float distance when ``rerank`` is set). ``rerank`` keeps the top
     ``rerank`` (>= k) candidates by code distance, then re-scores them from
-    ``vec_col`` — the standard coarse-then-exact ladder. NULL / zero-norm
-    rows never rank (the knn discipline)."""
+    ``vec_col`` — the standard coarse-then-exact ladder; ``rerank_source``
+    points the exact pass at a SEPARATE float frame (id + vec_col + label —
+    the source-corpus join a codes-only store uses; default: ``coded``
+    itself carries the floats). NULL / zero-norm rows never rank (the knn
+    discipline)."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     c = rerank if rerank is not None else k
@@ -180,9 +184,10 @@ def sq8_topk(
     from ..functions.vector import cosine_distance
     from ..operators.knn import _valid_dist
 
+    src = rerank_source if rerank_source is not None else coded
     qlit = F.array(*[F.lit(float(v)) for v in q])
     exact = (
-        coded.join(F.broadcast(pool.select("vec_id")), "vec_id")
+        src.join(F.broadcast(pool.select("vec_id")), "vec_id")
         .select(
             "vec_id",
             "label",
@@ -202,4 +207,104 @@ def sq8_topk(
             ),
         )
         .select("vec_id", "label", F.round("_dist", 6).alias("dist"), "rank")
+    )
+
+
+def build_sq8_store(
+    embeddings: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_cols: tuple[str, ...] = ("label",),
+) -> SQ8Model:
+    """Persist an SQ8 index at ``path``: codes-only rows ``(id, keep_cols,
+    sq8, build_id)`` — the float vectors deliberately do NOT land in the
+    store (codes at rest are the point: 1 byte/component; rerank reads the
+    SOURCE embeddings by id via ``rerank_source``) — plus a ``.sqmeta``
+    sidecar carrying (vmin, vmax) stamped with the same content-hash
+    ``build_id`` as every row. Two snapshot swaps; ``load_sq8_store``
+    refuses a torn pair (the build_ivf_store crash-consistency contract,
+    `operators/ann.py:110`)."""
+    import hashlib
+
+    from photo_vector_search_spark.operators.store import snapshot_overwrite
+
+    model = fit_sq8(embeddings, vec_col=vec_col)
+    build_id = hashlib.md5(
+        model.vmin.tobytes() + model.vmax.tobytes()
+    ).hexdigest()[:16]
+    coded = encode_sq8(embeddings, model, vec_col=vec_col).select(
+        id_col, *keep_cols, "sq8", F.lit(build_id).alias("build_id")
+    )
+    snapshot_overwrite(coded, path)
+    spark = embeddings.sparkSession
+    meta = [
+        ("vmin", [float(x) for x in model.vmin], build_id),
+        ("vmax", [float(x) for x in model.vmax], build_id),
+    ]
+    snapshot_overwrite(
+        spark.createDataFrame(meta, "kind string, vec array<double>, build_id string"),
+        path + ".sqmeta",
+    )
+    return model
+
+
+def load_sq8_store(spark, path: str) -> tuple[DataFrame, SQ8Model]:
+    """(codes frame, model) — recovers either half of a crashed snapshot
+    swap, then verifies store rows and sidecar share one build."""
+    import numpy as _np
+
+    from photo_vector_search_spark.operators.store import recover_store
+
+    recover_store(path)
+    recover_store(path + ".sqmeta")
+    store = spark.read.parquet(path)
+    meta = {r["kind"]: r for r in spark.read.parquet(path + ".sqmeta").collect()}
+    store_build = {
+        r["build_id"] for r in store.select("build_id").distinct().collect()
+    }
+    meta_build = {r["build_id"] for r in meta.values()}
+    if not store_build or not meta_build:
+        raise ValueError(
+            f"SQ8 store at {path!r} is empty (store rows: "
+            f"{'yes' if store_build else 'no'}, sidecar: "
+            f"{'yes' if meta_build else 'no'}) — run build_sq8_store first"
+        )
+    if store_build != meta_build:
+        raise ValueError(
+            f"SQ8 store {path!r} is from build {sorted(store_build)} but its "
+            f"sidecar is from build {sorted(meta_build)} — a rebuild crashed "
+            "between the two snapshot swaps; re-run build_sq8_store"
+        )
+    model = SQ8Model(
+        vmin=_np.asarray(meta["vmin"]["vec"], dtype=_np.float64),
+        vmax=_np.asarray(meta["vmax"]["vec"], dtype=_np.float64),
+    )
+    return store, model
+
+
+def sq8_store_topk(
+    spark,
+    path: str,
+    query_vec,
+    k: int = 5,
+    rerank: int | None = None,
+    rerank_source: DataFrame | None = None,
+) -> DataFrame:
+    """One-call serving read path: load the persisted codes + model and
+    search. ``rerank`` requires ``rerank_source`` (the store is codes-only —
+    there are no floats to re-score from)."""
+    if rerank is not None and rerank_source is None:
+        raise ValueError(
+            "rerank over a persisted SQ8 store needs rerank_source — the "
+            "store holds codes only; pass the source embeddings frame"
+        )
+    coded, model = load_sq8_store(spark, path)
+    return sq8_topk(
+        coded,
+        model,
+        query_vec,
+        k=k,
+        rerank=rerank,
+        rerank_source=rerank_source,
     )

@@ -123,3 +123,66 @@ def test_validation(spark, sf_correct):
         sq8_topk(coded, model, [0.0] * 64, k=5)
     with pytest.raises(ValueError, match="non-NULL"):
         fit_sq8(emb.withColumn("embedding", F.lit(None).cast("array<double>")))
+
+
+def test_persisted_store_roundtrip_and_rerank(spark, sf_correct, tmp_path):
+    from photo_vector_search_spark.operators.sq import (
+        build_sq8_store,
+        load_sq8_store,
+        sq8_store_topk,
+    )
+
+    emb = load_table(spark, sf_correct, "embeddings")
+    path = str(tmp_path / "sq8_store")
+    model = build_sq8_store(emb, path)
+
+    codes, loaded = load_sq8_store(spark, path)
+    np.testing.assert_allclose(loaded.vmin, model.vmin, atol=0)
+    np.testing.assert_allclose(loaded.vmax, model.vmax, atol=0)
+    assert "embedding" not in codes.columns  # codes-only at rest
+    assert codes.count() == emb.count()
+
+    qv = [float(v) for v in emb.filter(F.col("vec_id") == 3).first()["embedding"]]
+    # store search == in-memory search on the same model
+    mem = sq8_topk(encode_sq8(emb, model).select("vec_id", "label", "sq8"),
+                   model, qv, k=5).collect()
+    st = sq8_store_topk(spark, path, qv, k=5).collect()
+    assert [tuple(r) for r in st] == [tuple(r) for r in mem]
+
+    # rerank from the SOURCE corpus reproduces exact knn
+    ladder = sq8_store_topk(
+        spark, path, qv, k=5, rerank=50, rerank_source=emb
+    ).collect()
+    exact = knn_topk(emb, qv, k=5).collect()
+    assert [(r["vec_id"], r["dist"]) for r in ladder] == [
+        (r["vec_id"], r["dist"]) for r in exact
+    ]
+
+    # rerank without a source is a usage error (the store has no floats)
+    with pytest.raises(ValueError, match="rerank_source"):
+        sq8_store_topk(spark, path, qv, k=5, rerank=50)
+
+
+def test_persisted_store_torn_pair_refused(spark, sf_correct, tmp_path):
+    from photo_vector_search_spark.operators.sq import (
+        build_sq8_store,
+        load_sq8_store,
+    )
+
+    emb = load_table(spark, sf_correct, "embeddings")
+    path = str(tmp_path / "sq8_torn")
+    build_sq8_store(emb, path)
+    # simulate a rebuild that crashed between the two snapshot swaps:
+    # rebuild the SIDECAR from a different fit (shifted range) only
+    shifted = emb.withColumn(
+        "embedding",
+        F.transform(F.col("embedding").cast("array<double>"), lambda x: x * 2.0),
+    )
+    other = str(tmp_path / "sq8_other")
+    build_sq8_store(shifted, other)
+    import shutil
+
+    shutil.rmtree(path + ".sqmeta")
+    shutil.copytree(other + ".sqmeta", path + ".sqmeta")
+    with pytest.raises(ValueError, match="crashed between"):
+        load_sq8_store(spark, path)
