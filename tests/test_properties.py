@@ -411,3 +411,143 @@ def test_span_corruption_lossless_for_any_window(ids, rate, seed):
         # kept token, and never at position 0 (leading gap)
         assert start > pos and slen >= 1 and start + slen <= len(ids)
         pos = start + slen
+
+
+# ------------------------------------------------ round-10b operator properties
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(-5, 5).map(float)),  # score (ties!)
+            st.integers(0, 20),  # token cost
+        ),
+        min_size=0,
+        max_size=18,
+    ),
+    st.integers(0, 60),  # budget
+    st.booleans(),  # walk direction
+    st.sampled_from([1, 3, 256]),  # bucket counts incl. degenerate
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_budget_select_matches_prefix_reference(
+    spark_session_holder, rows, budget, ascending, n_buckets
+):
+    """budget_select == the plain-Python global prefix walk for ANY scores
+    (NULLs, heavy ties), token costs (zeros), budget, direction and
+    bucketing — the bucketed two-pass form is provably order-equivalent."""
+    from photo_vector_search_spark.operators.selection import budget_select
+
+    spark = spark_session_holder
+    df = spark.createDataFrame(
+        [(i, s, t, "x") for i, (s, t) in enumerate(rows)],
+        "doc_id long, score double, tok long, text string",
+    )
+    got = {
+        r["doc_id"]
+        for r in budget_select(
+            df, budget, score_col="score", token_col="tok",
+            ascending=ascending, n_buckets=n_buckets,
+        ).collect()
+    }
+    # reference: sort by (score with NULLs last, id), keep while cum <= budget
+    def key(i_s_t):
+        i, (s, t) = i_s_t
+        k = float("inf") if s is None else (s if ascending else -s)
+        return (k, i)
+
+    want, cum = set(), 0
+    for i, (s, t) in sorted(enumerate(rows), key=key):
+        cum += t
+        if cum > budget:
+            break
+        want.add(i)
+    assert got == want
+
+
+@given(
+    st.lists(st.tuples(st.integers(0, 12), st.integers(0, 12)), max_size=14),
+    st.integers(13, 20),  # number of docs (every pair endpoint exists)
+)
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_leakage_split_matches_union_find(spark_session_holder, pairs, n_docs):
+    """leakage_safe_split's group ids == plain union-find components (min
+    member), and no pair ever straddles a split."""
+    from photo_vector_search_spark.operators.splits import leakage_safe_split
+
+    spark = spark_session_holder
+    pairs = [(a, b) for a, b in pairs if a != b]
+    docs = spark.createDataFrame(
+        [(i, "t") for i in range(n_docs)], "doc_id long, text string"
+    )
+    pdf = spark.createDataFrame(
+        pairs or [(0, 0)], "doc_a long, doc_b long"
+    ).filter("doc_a != doc_b")
+    out = {
+        r["doc_id"]: (r["group_id"], r["split"])
+        for r in leakage_safe_split(
+            docs, pdf, {"train": 0.7, "test": 0.3}
+        ).collect()
+    }
+    # union-find reference
+    parent = list(range(n_docs))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for i in range(n_docs):
+        comp.setdefault(find(i), []).append(i)
+    want_group = {i: min(comp[find(i)]) for i in range(n_docs)}
+    assert {i: g for i, (g, _) in out.items()} == want_group
+    for a, b in pairs:
+        assert out[a][1] == out[b][1], (a, b)
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["aaaa", "bbbb", "cc", "dddd", ""]),
+                 min_size=0, max_size=5),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_dedup_paragraphs_matches_keep_first_reference(
+    spark_session_holder, paragraph_lists
+):
+    """dedup_paragraphs == the plain keep-first walk over (doc_id, pos) for
+    arbitrary repeated/blank/short paragraphs."""
+    from photo_vector_search_spark.operators.dedup import dedup_paragraphs
+
+    spark = spark_session_holder
+    min_chars = 3  # "cc" is exempt, "" is blank structure
+    docs = spark.createDataFrame(
+        [(i, "\n".join(ps)) for i, ps in enumerate(paragraph_lists)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["clean"] for r in dedup_paragraphs(docs, min_chars).collect()
+    }
+    seen, want = set(), {}
+    for i, ps in enumerate(paragraph_lists):
+        # model the operator's framing exactly: the doc's text is the JOIN,
+        # re-split on newline — an empty text is ONE blank paragraph
+        ps = "\n".join(ps).split("\n")
+        kept = []
+        for p in ps:
+            if len(p.strip()) < min_chars:
+                kept.append(p)  # blank/short: structure, always kept
+            elif p not in seen:
+                seen.add(p)
+                kept.append(p)
+        if kept:
+            want[i] = "\n".join(kept)
+    assert got == want
