@@ -168,3 +168,49 @@ def test_cc_giant_component_skew(spark):
     # a small multiple of the uniform run — not a hot-key blowup
     assert wall_skew < max(5.0 * wall_uni, 60.0), (wall_skew, wall_uni)
     print(f"CC skew evidence: giant={wall_skew:.1f}s uniform={wall_uni:.1f}s")
+
+
+def test_cc_matches_duckdb_recursive_cte_on_real_pairs(spark, sf_correct):
+    """Cross-ENGINE twin of the component closure: DuckDB replays the
+    min-id transitive reachability with a recursive CTE over the SAME
+    MinHash-LSH pairs the dedup family produces at sf0.01 — a fully
+    independent formulation (fixpoint recursion vs alternating star
+    joins), so an error in either converges differently."""
+    import duckdb
+    import pandas as pd
+
+    from photo_vector_search_spark.operators.dedup import minhash_lsh_pairs
+    from photo_vector_search_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_correct, "documents")
+    pairs = minhash_lsh_pairs(docs, n=3, tau=0.5).select("doc_a", "doc_b")
+    ppdf = pairs.toPandas()
+    assert len(ppdf) > 0
+
+    got = {
+        (r["doc_id"], r["group_id"])
+        for r in connected_components(pairs).collect()
+    }
+
+    con = duckdb.connect()
+    try:
+        con.register("pairs", ppdf)
+        rows = con.execute(
+            """
+            WITH RECURSIVE
+            edges AS (
+              SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs
+            ),
+            nodes AS (SELECT DISTINCT a AS n FROM edges),
+            reach(n, r) AS (
+              SELECT n, n FROM nodes
+              UNION
+              SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.n
+            )
+            SELECT n AS doc_id, min(r) AS group_id FROM reach GROUP BY n
+            """
+        ).fetchall()
+    finally:
+        con.close()
+    assert got == set(rows)
