@@ -319,13 +319,25 @@ def cmd_describe_store(args) -> int:
 
 def cmd_curate_corpus(args) -> int:
     """Text-corpus curation end-to-end from the CLI: documents parquet in
-    (doc_id, text, ...), per-stage survivor counts on stdout, JSONL shards
-    out — the library pipeline (`pipelines/curation.curate_corpus`) with its
-    defaults, plus the common opt-ins as flags."""
+    (doc_id, text, ...) — or raw CommonCrawl WET files via ``--wet`` —
+    per-stage survivor counts on stdout, JSONL shards out: the library
+    pipeline (`pipelines/curation.curate_corpus`) with its defaults, plus
+    the common opt-ins as flags."""
     from photo_vector_search_spark.pipelines.curation import curate_corpus
 
+    if (args.docs is None) == (args.wet is None):
+        print("pass exactly one of --docs or --wet", file=sys.stderr)
+        return 2
     spark = _spark()
-    docs = spark.read.parquet(args.docs)
+    if args.wet is not None:
+        from photo_vector_search_spark.sources.warc import (
+            read_wet,
+            wet_to_documents,
+        )
+
+        docs = wet_to_documents(read_wet(spark, args.wet))
+    else:
+        docs = spark.read.parquet(args.docs)
     if "doc_id" not in docs.columns or "text" not in docs.columns:
         print(
             f"--docs must have doc_id and text columns, got {docs.columns}",
@@ -485,7 +497,12 @@ def build_parser() -> argparse.ArgumentParser:
         "curate-corpus",
         help="curate a documents parquet into shuffled JSONL shards",
     )
-    sp.add_argument("--docs", required=True, help="documents parquet path")
+    sp.add_argument("--docs", default=None, help="documents parquet path")
+    sp.add_argument(
+        "--wet", default=None,
+        help="CommonCrawl WET directory (*.warc.wet[.gz]) to curate instead "
+        "of a documents parquet",
+    )
     sp.add_argument("--out", required=True, help="output JSONL shard dir")
     sp.add_argument("--shards", type=int, default=8)
     sp.add_argument("--tau", type=float, default=0.5, help="near-dup LSH tau")

@@ -180,3 +180,49 @@ def test_cli_curate_corpus_usage_errors(tmp_path, capsys, spark, sf_dir):
     ):
         assert main(base + extra) == 2
         assert msg in capsys.readouterr().err
+
+
+def test_cli_curate_corpus_from_wet(tmp_path, capsys, spark):
+    """--wet points the curation ladder at raw CommonCrawl WET files: the
+    crawl-to-shards story in one command. Exactly one of --docs/--wet."""
+    import gzip
+
+    from tests.test_warc import WET_BYTES, _record
+
+    wet_dir = tmp_path / "wet"
+    wet_dir.mkdir()
+    (wet_dir / "a.warc.wet").write_bytes(WET_BYTES)
+    # enough distinct docs that the gates keep something: synthesize more
+    recs = b"".join(
+        _record(
+            "conversion",
+            f"https://site{i % 5}.example.org/p/{i}",
+            "The quick brown fox jumps over the lazy dog number %d and then "
+            "walks home through the quiet town in the early evening light." % i,
+            f"gen-{i}",
+        )
+        for i in range(40)
+    )
+    (wet_dir / "b.warc.wet.gz").write_bytes(gzip.compress(recs))
+    out = str(tmp_path / "shards")
+
+    rc = main(
+        ["curate-corpus", "--wet", str(wet_dir), "--out", out, "--shards", "2",
+         "--no-quality-gate"]
+    )
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "input: 42" in printed  # 2 fixture + 40 synthesized conversions
+    from photo_vector_search_spark.sources.jsonl import read_jsonl_shards
+
+    reloaded = read_jsonl_shards(spark, out)
+    assert reloaded.count() > 0
+    assert {"doc_id", "text", "pos"} <= set(reloaded.columns)
+
+    # exactly one input source
+    assert main(["curate-corpus", "--out", out]) == 2
+    assert "exactly one of" in capsys.readouterr().err
+    assert (
+        main(["curate-corpus", "--docs", "x", "--wet", str(wet_dir), "--out", out])
+        == 2
+    )
