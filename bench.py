@@ -114,6 +114,7 @@ GROUPS: dict[str, list[str]] = {
         "dedup_paragraphs",
         "wet_ingest",
         "mad_outlier_gate",
+        "ivf_sq8_topk",
     ],
 }
 
@@ -624,6 +625,28 @@ def _build_cases(spark, sf_dir: str) -> dict:
                 __import__(
                     "photo_vector_search_spark.operators.sq",
                     fromlist=["fit_sq8"],
+                ),
+                load_table(spark, sf_dir, "embeddings"),
+            )
+        ),
+        # r10: IVF,SQ8 composition — coarse probe prunes to 2/8 clusters,
+        # then the map-only decode-matmul top-k over the pruned codes
+        "ivf_sq8_topk": lambda: _force(
+            (lambda sq, ann, emb: (lambda cents, m: sq.ivf_sq8_topk(
+                sq.encode_sq8(ann.assign_clusters(emb, cents), m).select(
+                    "vec_id", "label", "cluster_id", "sq8"
+                ),
+                cents, m,
+                [float(v) for v in emb.filter("vec_id = 3").first()["embedding"]],
+                k=5, nprobe=2,
+            ))(ann.train_centroids(emb, n_clusters=8), sq.fit_sq8(emb)))(
+                __import__(
+                    "photo_vector_search_spark.operators.sq",
+                    fromlist=["fit_sq8"],
+                ),
+                __import__(
+                    "photo_vector_search_spark.operators.ann",
+                    fromlist=["train_centroids"],
                 ),
                 load_table(spark, sf_dir, "embeddings"),
             )

@@ -308,3 +308,48 @@ def sq8_store_topk(
         rerank=rerank,
         rerank_source=rerank_source,
     )
+
+
+def ivf_sq8_topk(
+    coded: DataFrame,
+    centroids: np.ndarray,
+    model: SQ8Model,
+    query_vec,
+    k: int = 5,
+    nprobe: int = 4,
+    rerank: int | None = None,
+    rerank_source: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-pruned SQ8 search — the FAISS ``IVF,SQ8`` composition: probe the
+    ``nprobe`` nearest coarse clusters (driver argsort over the broadcast
+    centroid matrix — the `ann.ivf_topk` rule) and run the asymmetric
+    decode-matmul top-k over ONLY those clusters' codes. ``coded`` is
+    `encode_sq8` over `ann.assign_clusters` output (columns vec_id, label,
+    cluster_id, sq8); written ``partitionBy('cluster_id')``, the probe
+    filter prunes Parquet PARTITIONS, so the scan reads
+    nprobe/n_clusters of the (already 8x-compressed) bytes. Probing all
+    clusters degenerates to exactly ``sq8_topk`` (pinned in tests);
+    recall at nprobe < n_clusters follows IVF geometry (see
+    tools/ivf_recall.py — clustered corpora probe a fraction, uniform is
+    the honest worst case)."""
+    if not 1 <= nprobe <= len(centroids):
+        raise ValueError(
+            f"nprobe must be in [1, {len(centroids)}], got {nprobe}"
+        )
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = np.linalg.norm(q)
+    if not qn > 0:
+        raise ValueError("query vector must have positive norm")
+    cn = np.linalg.norm(centroids, axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sims = (centroids @ q) / (cn * qn)
+    probe = [int(i) for i in np.argsort(-sims)[:nprobe]]
+    pruned = coded.filter(F.col("cluster_id").isin(probe))
+    return sq8_topk(
+        pruned,
+        model,
+        query_vec,
+        k=k,
+        rerank=rerank,
+        rerank_source=rerank_source,
+    )

@@ -186,3 +186,52 @@ def test_persisted_store_torn_pair_refused(spark, sf_correct, tmp_path):
     shutil.copytree(other + ".sqmeta", path + ".sqmeta")
     with pytest.raises(ValueError, match="crashed between"):
         load_sq8_store(spark, path)
+
+
+def test_ivf_sq8_full_probe_equals_flat_and_prunes(spark, sf_correct):
+    from photo_vector_search_spark.operators.ann import (
+        assign_clusters,
+        train_centroids,
+    )
+    from photo_vector_search_spark.operators.sq import ivf_sq8_topk
+    from photo_vector_search_spark.sources.synthetic import mog_embeddings
+
+    emb = load_table(spark, sf_correct, "embeddings")
+    cents = train_centroids(emb, n_clusters=8)
+    model = fit_sq8(emb)
+    coded = encode_sq8(assign_clusters(emb, cents), model).select(
+        "vec_id", "label", "cluster_id", "sq8"
+    )
+    qv = [float(v) for v in emb.filter(F.col("vec_id") == 3).first()["embedding"]]
+
+    # probing EVERY cluster degenerates to the flat SQ8 scan exactly
+    full = ivf_sq8_topk(coded, cents, model, qv, k=5, nprobe=8).collect()
+    flat = sq8_topk(coded.drop("cluster_id"), model, qv, k=5).collect()
+    assert [tuple(r) for r in full] == [tuple(r) for r in flat]
+
+    # nprobe=1 scans only the query's own cluster (pruning is real)
+    one = ivf_sq8_topk(coded, cents, model, qv, k=5, nprobe=1)
+    probed_rows = one.count()
+    assert 0 < probed_rows <= 5
+
+    # clustered geometry (the regime IVF earns its keep): nprobe=2 of 8
+    # reproduces the flat-SQ8 top-5 with the exact rerank on top
+    mog = mog_embeddings(spark, n=800, n_components=8).withColumn(
+        "label", F.lit(0)
+    )
+    mcents = train_centroids(mog, n_clusters=8)
+    mmodel = fit_sq8(mog)
+    mcoded = encode_sq8(assign_clusters(mog, mcents), mmodel).select(
+        "vec_id", "label", "cluster_id", "sq8"
+    )
+    mq = [float(v) for v in mog.filter(F.col("vec_id") == 11).first()["embedding"]]
+    got = ivf_sq8_topk(
+        mcoded, mcents, mmodel, mq, k=5, nprobe=2, rerank=30, rerank_source=mog
+    ).collect()
+    exact = knn_topk(mog, mq, k=5).collect()
+    hit = {r["vec_id"] for r in got} & {r["vec_id"] for r in exact}
+    assert len(hit) >= 4, (sorted(r["vec_id"] for r in got),
+                           sorted(r["vec_id"] for r in exact))
+
+    with pytest.raises(ValueError, match="nprobe"):
+        ivf_sq8_topk(coded, cents, model, qv, k=5, nprobe=0)

@@ -432,6 +432,28 @@ def _extra_pca_whiten(spark, sf_dir):
     return apply_whitening(emb, model)
 
 
+def _extra_ivf_sq8_topk(spark, sf_dir):
+    from photo_vector_search_spark.operators.ann import (
+        assign_clusters,
+        train_centroids,
+    )
+    from photo_vector_search_spark.operators.sq import (
+        encode_sq8,
+        fit_sq8,
+        ivf_sq8_topk,
+    )
+    from photo_vector_search_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = train_centroids(emb, n_clusters=8)
+    model = fit_sq8(emb)
+    coded = encode_sq8(assign_clusters(emb, cents), model).select(
+        "vec_id", "label", "cluster_id", "sq8"
+    )
+    qv = [float(v) for v in emb.filter("vec_id = 3").first()["embedding"]]
+    return ivf_sq8_topk(coded, cents, model, qv, k=5, nprobe=2)
+
+
 def _extra_mad_outlier_gate(spark, sf_dir):
     from photo_vector_search_spark.pipelines.quality import mad_outlier_gate
     from photo_vector_search_spark.sources.tables import load_table
@@ -547,10 +569,21 @@ EXTRA_OPS = {
     "dedup_paragraphs": _extra_dedup_paragraphs,
     "wet_ingest": _extra_wet_ingest,
     "mad_outlier_gate": _extra_mad_outlier_gate,
+    "ivf_sq8_topk": _extra_ivf_sq8_topk,
 }
 
 # Plan-reader context the tree alone can't show.
 NOTES = {
+    "ivf_sq8_topk": (
+        "NOTE: library operator (r10 FAISS-style IVF,SQ8 composition). "
+        "nprobe nearest clusters chosen driver-side against the broadcast "
+        "centroid matrix; the cluster_id IN-list filter prunes Parquet "
+        "partitions when the store is written partitionBy(cluster_id), so "
+        "the scan reads nprobe/n_clusters of the already-8x-compressed "
+        "bytes before the same map-only decode-matmul + TakeOrdered as "
+        "sq8_topk. nprobe = n_clusters degenerates to the flat scan "
+        "bit-for-bit (pinned in tests)."
+    ),
     "mad_outlier_gate": (
         "NOTE: library operator (r10 robust median/MAD outlier gate — the "
         "heavy-tail-safe alternative to mean/stddev gating for corpus "
