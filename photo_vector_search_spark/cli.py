@@ -332,10 +332,23 @@ def cmd_curate_corpus(args) -> int:
     if args.wet is not None:
         from photo_vector_search_spark.sources.warc import (
             read_wet,
+            wet_id_collisions,
             wet_to_documents,
         )
 
-        docs = wet_to_documents(read_wet(spark, args.wet))
+        wet = read_wet(spark, args.wet)
+        audit = wet_id_collisions(wet)
+        print(
+            f"wet ingest: {audit['record_ids']} record id(s) -> "
+            f"{audit['doc_ids']} doc id(s), {audit['collisions']} collision(s)"
+        )
+        if audit["collisions"]:
+            print(
+                "WARNING: doc_id hash collisions — colliding records will "
+                "merge downstream; consider keeping record_id alongside",
+                file=sys.stderr,
+            )
+        docs = wet_to_documents(wet)
     else:
         docs = spark.read.parquet(args.docs)
     if "doc_id" not in docs.columns or "text" not in docs.columns:

@@ -1112,13 +1112,17 @@ def remove_boilerplate_lines(
     Plan (all shuffles keyed, nothing quadratic):
       1. ``posexplode(split(text, '\\n'))`` — map-only line table with
          in-document positions;
-      2. line document-frequency — ONE groupBy(line) with map-side partial
-         ``count(distinct doc)`` (the same inverted-index skeleton as
-         ``decontaminate``'s shingle join);
-      3. anti-join lines against the hot set — keyed on ``line``; Catalyst/AQE
-         broadcasts the hot side when it is small, and at web scale (where
-         boilerplate volume can be arbitrarily large) it degrades to a
-         shuffle join, never a driver gather;
+      2. line document-frequency — ONE groupBy over a 128-bit line hash pair
+         ``(xxhash64(line), xxhash64(1, line))`` with map-side partial
+         ``count(distinct doc)`` (the substring-dedup key discipline: the
+         shuffle and the hot dictionary carry 16 bytes per line, not the
+         line's bytes — hot boilerplate lines are kilobytes on a web corpus;
+         a 64-bit key alone would birthday-collide at web line counts);
+      3. anti-join lines against the hot set — keyed on the hash pair;
+         Catalyst/AQE broadcasts the hot side when it is small, and at web
+         scale (where boilerplate volume can be arbitrarily large) it
+         degrades to a shuffle join, never a driver gather; line TEXT rides
+         only on the lines side, for the rebuild;
       4. rebuild — ONE groupBy(doc) re-assembling
          ``array_join(array_sort(collect_list(struct(pos, line))))``; the sort
          is per-document (bounded by document length), not global.
@@ -1133,15 +1137,21 @@ def remove_boilerplate_lines(
     the dedup family."""
     lines = docs.select(
         id_col, F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line")
+    ).select(
+        id_col,
+        "pos",
+        "line",
+        F.xxhash64("line").alias("_h1"),
+        F.xxhash64(F.lit(1), F.col("line")).alias("_h2"),
     )
     hot = (
         lines.filter(F.trim(F.col("line")) != "")
-        .groupBy("line")
+        .groupBy("_h1", "_h2")
         .agg(F.countDistinct(id_col).alias("df"))
         .filter(F.col("df") >= min_docs)
-        .select("line")
+        .select("_h1", "_h2")
     )
-    kept = lines.join(hot, "line", "left_anti")
+    kept = lines.join(hot, ["_h1", "_h2"], "left_anti")
     return kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(
@@ -1180,30 +1190,42 @@ def dedup_paragraphs(
     output; NULL text explodes to no rows and likewise drops.
 
     Plan (the boilerplate skeleton, nothing quadratic): map-only
-    posexplode; ONE groupBy(paragraph) computing the min (doc_id, pos)
-    winner (map-side-combinable min of a struct); one keyed join back
-    (AQE broadcasts when the dup dictionary is small); ONE per-doc rebuild
+    posexplode; ONE groupBy over a 128-bit paragraph hash pair
+    ``(xxhash64(line), xxhash64(1, line))`` computing the min (doc_id, pos)
+    winner (map-side-combinable min of a struct — the substring-dedup key
+    discipline: the winner dictionary and the join comparison carry 16
+    bytes per paragraph, never the paragraph's bytes, which on a web
+    corpus are kilobytes for hot paragraphs); one keyed join back on the
+    hash pair (AQE broadcasts when the dup dictionary is small) with text
+    riding only on the lines side for the rebuild; ONE per-doc rebuild
     groupBy whose sort is bounded by document length. At 100 TB every
     shuffle is keyed on paragraph hash or doc id — the same inverted-index
     shape as decontaminate/boilerplate."""
     lines = docs.select(
         id_col, F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line")
+    ).select(
+        id_col,
+        "pos",
+        "line",
+        F.xxhash64("line").alias("_h1"),
+        F.xxhash64(F.lit(1), F.col("line")).alias("_h2"),
     )
     eligible = F.length(F.trim(F.col("line"))) > F.greatest(
         F.lit(0), F.lit(min_chars) - 1
     )
     winners = (
         lines.filter(eligible)
-        .groupBy("line")
+        .groupBy("_h1", "_h2")
         .agg(F.min(F.struct(F.col(id_col), F.col("pos"))).alias("w"))
         .select(
-            "line",
+            "_h1",
+            "_h2",
             F.col(f"w.{id_col}").alias("_w_doc"),
             F.col("w.pos").alias("_w_pos"),
         )
     )
     kept = (
-        lines.join(winners, "line", "left")
+        lines.join(winners, ["_h1", "_h2"], "left")
         .filter(
             F.col("_w_doc").isNull()  # blank / under-min: always kept
             | ((F.col(id_col) == F.col("_w_doc")) & (F.col("pos") == F.col("_w_pos")))

@@ -61,11 +61,22 @@ def retrieval_metrics(
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
 
-    res = results.select(
-        F.col(query_col).alias("_q"),
-        F.col(doc_col).alias("_d"),
-        F.col(rank_col).cast("long").alias("_r"),
-    ).filter(F.col("_r") <= k)
+    # Duplicate (query, doc) rows within the cutoff collapse to their BEST
+    # rank here, structurally: eval operators get pointed at arbitrary
+    # ranker output, and a duplicate-emitting ranker must not double-join
+    # its gold pair and inflate DCG/hit counts (trec_eval counts the first
+    # occurrence). The agg is keyed on the same (_q, _d) as the join below,
+    # so the join reuses its exchange — no extra shuffle in the plan.
+    res = (
+        results.select(
+            F.col(query_col).alias("_q"),
+            F.col(doc_col).alias("_d"),
+            F.col(rank_col).cast("long").alias("_r"),
+        )
+        .filter(F.col("_r") <= k)
+        .groupBy("_q", "_d")
+        .agg(F.min("_r").alias("_r"))
+    )
     g = gold.select(
         F.col(query_col).alias("_q"), F.col(doc_col).alias("_d")
     ).distinct()
@@ -74,9 +85,7 @@ def retrieval_metrics(
     # its retrieved rank (hit) or carries a NULL rank (miss), so the gold
     # count, hit count, first rank and DCG all fall out of a single
     # aggregation — zero-hit (or entirely missing) queries keep their row
-    # and score 0. (Results must be unique per (query, doc) within the
-    # cutoff — every ranker here emits exactly that; duplicate result rows
-    # would double-join their gold pair.)
+    # and score 0.
     joined = g.join(res, ["_q", "_d"], "left")
     per_q = joined.groupBy("_q").agg(
         F.count(F.lit(1)).alias("n_gold"),

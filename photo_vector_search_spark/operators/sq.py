@@ -336,6 +336,12 @@ def ivf_sq8_topk(
         raise ValueError(
             f"nprobe must be in [1, {len(centroids)}], got {nprobe}"
         )
+    if rerank is not None and rerank_source is None and "embedding" not in coded.columns:
+        raise ValueError(
+            "rerank over a codes-only IVF,SQ8 frame needs rerank_source — "
+            "the coded frame carries no float column to re-score from; pass "
+            "the source embeddings frame (the sq8_store_topk contract)"
+        )
     q = np.asarray(query_vec, dtype=np.float64)
     qn = np.linalg.norm(q)
     if not qn > 0:

@@ -250,17 +250,22 @@ def mad_outlier_gate(
         raise ValueError(f"k must be > 0, got {k}")
     fn = F.percentile if exact else F.percentile_approx
     x = F.col(signal_col).cast("double")
-    keys = [by] if by else []
+    # Aggregate frames carry the key under a fresh name (`_by`) so the join
+    # condition never references two lineage-shared attributes — the
+    # ambiguous-self-join shape that breaks on some Spark versions.
+    keys = [F.col(by).alias("_by")] if by else []
     med = docs.filter(x.isNotNull()).groupBy(*keys).agg(
         fn(x, F.lit(0.5)).alias("_med")
     )
 
     def _join(left, stats):
-        if not keys:
+        if not by:
             return left.crossJoin(F.broadcast(stats))
         return left.join(
-            F.broadcast(stats), on=[left[by].eqNullSafe(stats[by])], how="left"
-        ).drop(stats[by])
+            F.broadcast(stats),
+            on=[F.col(by).eqNullSafe(stats["_by"])],
+            how="left",
+        ).drop("_by")
 
     with_med = _join(docs, med)
     mad = (

@@ -183,12 +183,17 @@ def stream_wet(
     )
 
 
-def wet_to_documents(wet: DataFrame, min_chars: int = 1) -> DataFrame:
+def wet_to_documents(
+    wet: DataFrame, min_chars: int = 1, id_bits: int = 62
+) -> DataFrame:
     """Adapt WET records to the curation ladder's (doc_id, text, source)
-    contract: doc_id = a 63-bit hash of the record id (deterministic,
-    collision-audited by the caller at corpus scale — CC record UUIDs are
+    contract: doc_id = a 62-bit hash of the record id (``pmod(xxhash64,
+    2^62)`` — deterministic; audit collisions with ``wet_id_collisions``,
+    which a 100 TB crawl run should check by default; CC record UUIDs are
     unique by construction), source = the registered domain of the target
-    URI (the domain-cap key). Empty extractions drop."""
+    URI (the domain-cap key). Empty extractions drop. ``id_bits`` narrows
+    the fold width — production keeps the default; tests force collisions
+    deterministically with tiny widths."""
     from pyspark.sql import functions as F
 
     from ..operators.domains import url_host
@@ -196,7 +201,7 @@ def wet_to_documents(wet: DataFrame, min_chars: int = 1) -> DataFrame:
     return (
         wet.filter(F.length("text") >= min_chars)
         .select(
-            F.pmod(F.xxhash64("record_id"), F.lit(1 << 62)).alias("doc_id"),
+            F.pmod(F.xxhash64("record_id"), F.lit(1 << id_bits)).alias("doc_id"),
             "text",
             F.coalesce(url_host(F.col("target_uri")), F.lit("<unknown>")).alias(
                 "source"
@@ -204,3 +209,29 @@ def wet_to_documents(wet: DataFrame, min_chars: int = 1) -> DataFrame:
             F.col("target_uri").alias("url"),
         )
     )
+
+
+def wet_id_collisions(
+    wet: DataFrame, min_chars: int = 1, id_bits: int = 62
+) -> dict:
+    """Audit the ``wet_to_documents`` 62-bit doc_id folding: counts of
+    distinct record_ids vs the distinct doc_ids they fold to, over the same
+    ``min_chars`` gate the adapter applies. A collision (``collisions > 0``)
+    means two crawl records silently share a doc_id downstream — at CC scale
+    the birthday bound keeps P(any) ~ n²/2^63 (~2·10⁻⁴ at 10⁹ records), but
+    the audit is one cheap agg, so ingest surfaces it by default (the
+    curate-corpus CLI prints it per run)."""
+    from pyspark.sql import functions as F
+
+    row = (
+        wet.filter(F.length("text") >= min_chars)
+        .select(
+            F.countDistinct("record_id").alias("record_ids"),
+            F.countDistinct(
+                F.pmod(F.xxhash64("record_id"), F.lit(1 << id_bits))
+            ).alias("doc_ids"),
+        )
+        .first()
+    )
+    rec, doc = int(row["record_ids"]), int(row["doc_ids"])
+    return {"record_ids": rec, "doc_ids": doc, "collisions": rec - doc}

@@ -213,6 +213,8 @@ def test_cli_curate_corpus_from_wet(tmp_path, capsys, spark):
     assert rc == 0
     printed = capsys.readouterr().out
     assert "input: 42" in printed  # 2 fixture + 40 synthesized conversions
+    # the ingest surfaces the doc_id collision audit by default
+    assert "wet ingest: 42 record id(s) -> 42 doc id(s), 0 collision(s)" in printed
     from photo_vector_search_spark.sources.jsonl import read_jsonl_shards
 
     reloaded = read_jsonl_shards(spark, out)

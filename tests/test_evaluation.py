@@ -190,6 +190,43 @@ ORDER BY gn.query_id
         assert got[col].tolist() == pytest.approx(want[col].tolist(), abs=1e-6), col
 
 
+def test_duplicate_result_rows_collapse_to_best_rank(spark):
+    """A duplicate-emitting ranker must not double-join its gold pair: dup
+    (query, doc) rows within the cutoff collapse to their best rank, so the
+    metrics equal the clean ranker's exactly (trec_eval first-occurrence
+    semantics) — the enforced form of the old documented precondition."""
+    clean = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "query_id": [1, 1, 1],
+                "doc_id": ["a", "x", "b"],
+                "rank": [1, 2, 3],
+            }
+        )
+    )
+    # same list but 'a' re-emitted at ranks 2 and 3, 'b' duplicated at 3
+    dup = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "query_id": [1, 1, 1, 1, 1, 1],
+                "doc_id": ["a", "a", "x", "b", "a", "b"],
+                "rank": [1, 2, 2, 3, 3, 3],
+            }
+        )
+    )
+    gold = spark.createDataFrame(
+        pd.DataFrame({"query_id": [1, 1, 1], "doc_id": ["a", "b", "c"]})
+    )
+    want = {r["query_id"]: r.asDict() for r in retrieval_metrics(clean, gold, 3).collect()}
+    got = {r["query_id"]: r.asDict() for r in retrieval_metrics(dup, gold, 3).collect()}
+    assert got == want
+    # n_hits counts UNIQUE gold docs retrieved (2), never join multiplicity
+    assert got[1]["n_hits"] == 2
+    dcg = 1 / math.log2(2) + 1 / math.log2(4)
+    idcg = sum(1 / math.log2(i + 1) for i in (1, 2, 3))
+    assert got[1]["ndcg"] == pytest.approx(round(dcg / idcg, 6), abs=1e-6)
+
+
 def test_k_validation(spark):
     results, gold = _fixture(spark)
     with pytest.raises(ValueError, match="k must be"):

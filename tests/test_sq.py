@@ -235,3 +235,14 @@ def test_ivf_sq8_full_probe_equals_flat_and_prunes(spark, sf_correct):
 
     with pytest.raises(ValueError, match="nprobe"):
         ivf_sq8_topk(coded, cents, model, qv, k=5, nprobe=0)
+
+    # codes-only frame + rerank but no rerank_source: a clear ValueError at
+    # plan time, not a missing-column AnalysisException at execution
+    with pytest.raises(ValueError, match="rerank_source"):
+        ivf_sq8_topk(coded, cents, model, qv, k=5, nprobe=2, rerank=20)
+    # ... but a frame that still carries the floats reranks from itself
+    with_floats = encode_sq8(assign_clusters(emb, cents), model)
+    self_rr = ivf_sq8_topk(
+        with_floats, cents, model, qv, k=5, nprobe=8, rerank=30
+    ).collect()
+    assert len(self_rr) == 5

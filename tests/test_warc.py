@@ -102,6 +102,44 @@ def test_wet_to_documents_adapter(spark, tmp_path):
     assert {"doc_id", "text", "source"} <= set(docs.columns)
 
 
+def test_wet_id_collision_audit(spark, tmp_path):
+    """The 62-bit doc_id fold ships with a one-agg collision audit: clean at
+    the default width on distinct record ids, and detecting EVERY collision
+    when a tiny fold width forces them (the deterministic forced-collision
+    fixture — modulus 2^0 folds all ids to 0)."""
+    from photo_vector_search_spark.sources.warc import wet_id_collisions
+
+    recs = b"".join(
+        _record("conversion", f"https://example.com/{i}", f"Body {i}.", f"r-{i}")
+        for i in range(20)
+    )
+    (tmp_path / "a.warc.wet").write_bytes(recs)
+    wet = read_wet(spark, str(tmp_path))
+
+    clean = wet_id_collisions(wet)
+    assert clean == {"record_ids": 20, "doc_ids": 20, "collisions": 0}
+
+    forced = wet_id_collisions(wet, id_bits=0)  # modulus 1: all ids collide
+    assert forced == {"record_ids": 20, "doc_ids": 1, "collisions": 19}
+
+    # the audit counts the SAME fold the adapter applies: distinct doc_ids in
+    # the adapted frame equals the audit's doc_ids at every width
+    for bits in (0, 2, 62):
+        audit = wet_id_collisions(wet, id_bits=bits)
+        adapted = (
+            wet_to_documents(wet, id_bits=bits)
+            .select("doc_id").distinct().count()
+        )
+        assert audit["doc_ids"] == adapted
+        assert audit["collisions"] == audit["record_ids"] - audit["doc_ids"]
+
+    # min_chars gate is shared too: empty bodies drop from both sides
+    empty = _record("conversion", "https://example.com/e", "", "r-empty")
+    (tmp_path / "b.warc.wet").write_bytes(empty)
+    wet2 = read_wet(spark, str(tmp_path))
+    assert wet_id_collisions(wet2)["record_ids"] == 20
+
+
 def test_stream_wet_incremental(spark, tmp_path):
     """Streaming WET: each new file is one exactly-once micro-batch unit —
     the batch parser's rows arrive incrementally and compose with the
