@@ -116,6 +116,9 @@ GROUPS: dict[str, list[str]] = {
         "mad_outlier_gate",
         "ivf_sq8_topk",
     ],
+    "r11_new": [
+        "ivf_sq8_store",
+    ],
 }
 
 
@@ -697,6 +700,28 @@ def _build_cases(spark, sf_dir: str) -> dict:
                 min_chars=5,
             )
         ),
+        # r11: persisted IVF,SQ8 store — the serving wall over the at-rest,
+        # cluster-partitioned codes store (load verifies the build pair, the
+        # probe filter prunes Parquet partitions, decode-matmul top-k over
+        # 2/8 clusters of 8x-compressed codes); run 1 absorbs the one-off
+        # build via the session memo, the _ivfpq_store rule
+        "ivf_sq8_store": lambda: _force(
+            __import__(
+                "photo_vector_search_spark.operators.sq",
+                fromlist=["ivf_sq8_store_topk"],
+            ).ivf_sq8_store_topk(
+                spark,
+                _ivf_sq8_store(spark, sf_dir),
+                [
+                    float(v)
+                    for v in load_table(spark, sf_dir, "embeddings")
+                    .filter("vec_id = 3")
+                    .first()["embedding"]
+                ],
+                k=5,
+                nprobe=2,
+            )
+        ),
         # r10: leakage-safe split — LSH candidate pairs closed into
         # connected components, md5 split drawn on the group id (map-only
         # assignment; the cost term is the LSH pass + CC closure + the
@@ -726,6 +751,7 @@ _STAGED_IDS_MEMO: dict = {}
 _UNIGRAM_MODEL_MEMO: dict = {}
 _PQ_MEMO: dict = {}
 _IVFPQ_STORE_MEMO: dict = {}
+_IVFSQ8_STORE_MEMO: dict = {}
 _KN_MODEL_MEMO: dict = {}
 
 
@@ -774,6 +800,26 @@ def _ivfpq_store(spark, sf_dir: str) -> str:
         )
         _IVFPQ_STORE_MEMO[key] = path
     return _IVFPQ_STORE_MEMO[key]
+
+
+def _ivf_sq8_store(spark, sf_dir: str) -> str:
+    """Session-memoized persisted IVF,SQ8 store — ivf_sq8_store records the
+    serving wall over the at-rest cluster-partitioned codes store, the
+    operator's design point; run 1 absorbs the one-off build."""
+    key = (id(spark), sf_dir)  # session-keyed, see _staged_ids
+    if key not in _IVFSQ8_STORE_MEMO:
+        from photo_vector_search_spark.operators.sq import build_ivf_sq8_store
+        from photo_vector_search_spark.operators.staging import (
+            session_staging_dir,
+        )
+        from photo_vector_search_spark.sources.tables import load_table
+
+        path = session_staging_dir("pvs_bench_ivfsq8") + "/store"
+        build_ivf_sq8_store(
+            load_table(spark, sf_dir, "embeddings"), path, n_clusters=8
+        )
+        _IVFSQ8_STORE_MEMO[key] = path
+    return _IVFSQ8_STORE_MEMO[key]
 
 
 def _pq_coded(spark, sf_dir: str):

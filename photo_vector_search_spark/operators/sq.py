@@ -310,6 +310,171 @@ def sq8_store_topk(
     )
 
 
+def build_ivf_sq8_store(
+    embeddings: DataFrame,
+    path: str,
+    n_clusters: int = 16,
+    sample: int = 4096,
+    iters: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_cols: tuple[str, ...] = ("label",),
+) -> tuple[np.ndarray, SQ8Model]:
+    """Write-path half of the FAISS ``IVF,SQ8`` composition: train coarse
+    centroids, assign every vector to its nearest cluster, SQ8-encode, and
+    persist the CODES-ONLY rows ``(id, keep_cols, sq8, build_id)``
+    hive-partitioned by ``cluster_id`` — so ``ivf_sq8_topk``'s probe
+    IN-filter prunes whole cluster DIRECTORIES at file-listing time over
+    rows that are already 8× smaller than the floats (the two scan-byte
+    levers composed at rest). Returns ``(centroids, SQ8Model)``.
+
+    One sidecar table at ``path + '.ivfsqmeta'`` carries the centroid
+    matrix AND the (vmin, vmax) quantization range, all stamped with one
+    content-hash ``build_id`` (md5 over centroid+range bytes) that every
+    store row also carries. Store and sidecar are two snapshot swaps that
+    cannot be made atomic together, so ``load_ivf_sq8_store`` refuses a
+    torn pair — the `build_ivf_store` crash-consistency contract
+    (`operators/ann.py:92`); without it a crash between the swaps would
+    silently pair NEW cluster assignments with OLD centroids/ranges and
+    collapse probe recall (or decode garbage).
+
+    Cf. reference scope: the reference's whole value is a PERSISTENT index
+    (photo_vector_search.py:16-20, ChromaDB's on-disk store); this is that
+    rung for the IVF,SQ8 composition, which previously had to be hand-rolled
+    from build_sq8_store (flat, no cluster_id) + build_ivf_store (floats)."""
+    import hashlib
+
+    from photo_vector_search_spark.operators.ann import (
+        assign_clusters,
+        train_centroids,
+    )
+    from photo_vector_search_spark.operators.store import snapshot_overwrite
+
+    emb = embeddings
+    if vec_col != "embedding":  # assign_clusters reads the canonical name
+        emb = emb.withColumnRenamed(vec_col, "embedding")
+    centroids = train_centroids(emb, n_clusters, sample, iters, seed)
+    model = fit_sq8(emb)
+    build_id = hashlib.md5(
+        centroids.tobytes() + model.vmin.tobytes() + model.vmax.tobytes()
+    ).hexdigest()[:16]
+    coded = encode_sq8(assign_clusters(emb, centroids), model).select(
+        id_col,
+        *keep_cols,
+        "cluster_id",
+        "sq8",
+        F.lit(build_id).alias("build_id"),  # constant: dictionary-encoded
+    )
+    snapshot_overwrite(coded, path, partition_by=["cluster_id"])
+    spark = embeddings.sparkSession
+    meta = [
+        ("centroid", i, [float(x) for x in c], build_id)
+        for i, c in enumerate(centroids)
+    ] + [
+        ("vmin", None, [float(x) for x in model.vmin], build_id),
+        ("vmax", None, [float(x) for x in model.vmax], build_id),
+    ]
+    snapshot_overwrite(
+        spark.createDataFrame(
+            meta,
+            "kind string, centroid_id int, vec array<double>, build_id string",
+        ),
+        path + ".ivfsqmeta",
+    )
+    return centroids, model
+
+
+def load_ivf_sq8_store(spark, path: str) -> tuple[DataFrame, np.ndarray, SQ8Model]:
+    """(codes frame partitioned by cluster_id, centroid matrix, SQ8Model) —
+    recovers either half of a crashed snapshot swap, then verifies store
+    rows and sidecar share ONE build before returning anything a query
+    could consume."""
+    import os
+
+    from photo_vector_search_spark.operators.store import recover_store
+
+    recover_store(path)
+    recover_store(path + ".ivfsqmeta")
+    if not os.path.isdir(path) or not os.path.isdir(path + ".ivfsqmeta"):
+        raise ValueError(
+            f"no IVF,SQ8 store at {path!r} (store dir: "
+            f"{'yes' if os.path.isdir(path) else 'no'}, sidecar: "
+            f"{'yes' if os.path.isdir(path + '.ivfsqmeta') else 'no'}) — "
+            "run build_ivf_sq8_store first"
+        )
+    store = spark.read.parquet(path)
+    side = spark.read.parquet(path + ".ivfsqmeta").collect()
+    store_build = {
+        r["build_id"] for r in store.select("build_id").distinct().collect()
+    }
+    meta_build = {r["build_id"] for r in side}
+    if not store_build or not meta_build:
+        raise ValueError(
+            f"IVF,SQ8 store at {path!r} is empty (store rows: "
+            f"{'yes' if store_build else 'no'}, sidecar: "
+            f"{'yes' if meta_build else 'no'}) — run build_ivf_sq8_store first"
+        )
+    if store_build != meta_build:
+        raise ValueError(
+            f"IVF,SQ8 store {path!r} is from build {sorted(store_build)} but "
+            f"its sidecar is from build {sorted(meta_build)} — a rebuild "
+            "crashed between the two snapshot swaps; re-run build_ivf_sq8_store"
+        )
+    by_kind: dict[str, list] = {}
+    for r in side:
+        by_kind.setdefault(r["kind"], []).append(r)
+    cents = sorted(by_kind.get("centroid", []), key=lambda r: r["centroid_id"])
+    if not cents or "vmin" not in by_kind or "vmax" not in by_kind:
+        raise ValueError(
+            f"IVF,SQ8 sidecar at {path!r}.ivfsqmeta is missing "
+            f"{'centroids' if not cents else 'the quantization range'} — "
+            "not a build_ivf_sq8_store sidecar"
+        )
+    centroids = np.vstack(
+        [np.asarray(r["vec"], dtype=np.float64) for r in cents]
+    )
+    model = SQ8Model(
+        vmin=np.asarray(by_kind["vmin"][0]["vec"], dtype=np.float64),
+        vmax=np.asarray(by_kind["vmax"][0]["vec"], dtype=np.float64),
+    )
+    return store, centroids, model
+
+
+def ivf_sq8_store_topk(
+    spark,
+    path: str,
+    query_vec,
+    k: int = 5,
+    nprobe: int = 4,
+    rerank: int | None = None,
+    rerank_source: DataFrame | None = None,
+) -> DataFrame:
+    """One-call serving read path over a persisted IVF,SQ8 store: load
+    (with torn-pair verification) and run the probe-pruned asymmetric
+    search. Because the store is hive-partitioned by cluster_id, the probe
+    filter prunes Parquet PARTITIONS — the scan reads ~nprobe/n_clusters of
+    the already-8×-compressed bytes (both levers audited in
+    tests/test_ivf_sq8_store.py on runtime scan metrics). ``rerank``
+    requires ``rerank_source``: the store holds codes only."""
+    if rerank is not None and rerank_source is None:
+        raise ValueError(
+            "rerank over a persisted IVF,SQ8 store needs rerank_source — the "
+            "store holds codes only; pass the source embeddings frame"
+        )
+    coded, centroids, model = load_ivf_sq8_store(spark, path)
+    return ivf_sq8_topk(
+        coded,
+        centroids,
+        model,
+        query_vec,
+        k=k,
+        nprobe=nprobe,
+        rerank=rerank,
+        rerank_source=rerank_source,
+    )
+
+
 def ivf_sq8_topk(
     coded: DataFrame,
     centroids: np.ndarray,
@@ -325,8 +490,9 @@ def ivf_sq8_topk(
     centroid matrix — the `ann.ivf_topk` rule) and run the asymmetric
     decode-matmul top-k over ONLY those clusters' codes. ``coded`` is
     `encode_sq8` over `ann.assign_clusters` output (columns vec_id, label,
-    cluster_id, sq8); written ``partitionBy('cluster_id')``, the probe
-    filter prunes Parquet PARTITIONS, so the scan reads
+    cluster_id, sq8); over a store written ``partitionBy('cluster_id')`` —
+    which ``build_ivf_sq8_store`` writes and ``ivf_sq8_store_topk`` serves —
+    the probe filter prunes Parquet PARTITIONS, so the scan reads
     nprobe/n_clusters of the (already 8x-compressed) bytes. Probing all
     clusters degenerates to exactly ``sq8_topk`` (pinned in tests);
     recall at nprobe < n_clusters follows IVF geometry (see

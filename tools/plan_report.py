@@ -454,6 +454,21 @@ def _extra_ivf_sq8_topk(spark, sf_dir):
     return ivf_sq8_topk(coded, cents, model, qv, k=5, nprobe=2)
 
 
+def _extra_ivf_sq8_store(spark, sf_dir):
+    from photo_vector_search_spark.operators.sq import (
+        build_ivf_sq8_store,
+        ivf_sq8_store_topk,
+    )
+    from photo_vector_search_spark.operators.staging import session_staging_dir
+    from photo_vector_search_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = session_staging_dir("pvs_plan_ivfsq8") + "/store"
+    build_ivf_sq8_store(emb, path, n_clusters=8)
+    qv = [float(v) for v in emb.filter("vec_id = 3").first()["embedding"]]
+    return ivf_sq8_store_topk(spark, path, qv, k=5, nprobe=2)
+
+
 def _extra_mad_outlier_gate(spark, sf_dir):
     from photo_vector_search_spark.pipelines.quality import mad_outlier_gate
     from photo_vector_search_spark.sources.tables import load_table
@@ -570,10 +585,24 @@ EXTRA_OPS = {
     "wet_ingest": _extra_wet_ingest,
     "mad_outlier_gate": _extra_mad_outlier_gate,
     "ivf_sq8_topk": _extra_ivf_sq8_topk,
+    "ivf_sq8_store": _extra_ivf_sq8_store,
 }
 
 # Plan-reader context the tree alone can't show.
 NOTES = {
+    "ivf_sq8_store": (
+        "NOTE: library operator (r11 persisted IVF,SQ8 store — the "
+        "engine-written realization of ivf_sq8_topk's partition-prune "
+        "claim). build trains centroids + fits the SQ8 range, writes the "
+        "CODES-ONLY rows partitionBy(cluster_id) plus ONE sidecar "
+        "(centroids + vmin/vmax) under a shared content-hash build_id; "
+        "load refuses a torn store/sidecar pair (the build_ivf_store "
+        "crash-consistency contract). The audited plan is the serving "
+        "read: the probe IN-list prunes Parquet PARTITIONS (runtime scan "
+        "metrics asserted in tests/test_ivf_sq8_store.py), so the scan "
+        "reads nprobe/n_clusters of already-8x-compressed bytes before "
+        "the map-only decode-matmul + TakeOrdered."
+    ),
     "ivf_sq8_topk": (
         "NOTE: library operator (r10 FAISS-style IVF,SQ8 composition). "
         "nprobe nearest clusters chosen driver-side against the broadcast "
