@@ -1223,14 +1223,111 @@ SELECT doc_id, lang, source, n_chars FROM c WHERE cum <= {BUDGET_SELECT_TOKENS}
 """
 
 
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe group-aware split (`operators/splits.leakage_safe_split`):
+    MinHash-LSH near-dup pairs closed into connected components, the md5
+    split draw taken on the GROUP id so no near-dup pair straddles
+    eval/train. Output: every doc's (doc_id, group_id, split) — membership
+    exact (any flipped draw or mis-closed component moves a row)."""
+    from photo_vector_search_spark.operators.dedup import minhash_lsh_pairs
+    from photo_vector_search_spark.operators.splits import leakage_safe_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, n=3, tau=0.5).select("doc_a", "doc_b")
+    out = leakage_safe_split(
+        docs, pairs, {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return out.select("doc_id", "group_id", "split")
+
+
+def _leakage_split_oracle() -> str:
+    """DuckDB twin of the WHOLE chain: the dedup_minhash_lsh oracle's pair
+    CTEs (same md5-prefix hashing + shared permutation constants), the
+    recursive-CTE component closure (tests/test_graph.py's independent
+    fixpoint formulation vs Spark's alternating star joins), and the
+    md5_uniform draw cut at the cumulative boundaries (the mix/shuffle
+    oracle rule)."""
+    from photo_vector_search_spark.operators.dedup import (
+        MINHASH_P,
+        minhash_perms,
+    )
+
+    from .text_queries import _SQL_SHINGLES, _SQL_TOKS
+
+    perm_values = ", ".join(f"({i}, {a}, {b})" for i, a, b in minhash_perms())
+    draw = (
+        "(CAST(concat('0x', substring(md5('0-' || CAST(group_id AS VARCHAR)), "
+        "1, 12)) AS BIGINT) + 1) / power(16, 12)"
+    )
+    return f"""
+WITH RECURSIVE toks AS ({_SQL_TOKS}),
+sh AS ({_SQL_SHINGLES}),
+hashed AS (
+  SELECT doc_id, shingle,
+         CAST(concat('0x', substring(md5(shingle), 1, 8)) AS BIGINT) AS h
+  FROM sh
+),
+perms(i, a, b) AS (VALUES {perm_values}),
+sig AS (
+  SELECT doc_id, i, min((a * h + b) % {MINHASH_P}) AS mh
+  FROM hashed CROSS JOIN perms GROUP BY doc_id, i
+),
+bands AS (
+  SELECT doc_id, CAST(i // 2 AS INT) AS band,
+         md5(array_to_string(list(CAST(mh AS VARCHAR) ORDER BY i ASC), ',')) AS band_key
+  FROM sig GROUP BY doc_id, CAST(i // 2 AS INT)
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+),
+common AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS common
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+),
+cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM common
+  JOIN cnt ca ON ca.doc_id = doc_a
+  JOIN cnt cb ON cb.doc_id = doc_b
+  WHERE common * 1.0 / (ca.n_sh + cb.n_sh - common) >= 0.5
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS n FROM edges),
+reach(n, r) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.n
+),
+comp AS (SELECT n AS doc_id, min(r) AS group_id FROM reach GROUP BY n),
+assigned AS (
+  SELECT d.doc_id, coalesce(c.group_id, d.doc_id) AS group_id
+  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+)
+SELECT doc_id, group_id,
+       CASE WHEN {draw} <= 0.8 THEN 'train'
+            WHEN {draw} <= 0.9 THEN 'val'
+            ELSE 'test' END AS split
+FROM assigned
+"""
+
+
 QUERIES = {
     "budget_select": q_budget_select,
+    "leakage_safe_split": q_leakage_safe_split,
     "curriculum_order": q_curriculum_order,
     "domain_cap": q_domain_cap,
     "pack_documents_sharded": q_pack_documents_sharded,
     "hard_negatives": q_hard_negatives,
     "srp_lsh_near_dup": q_srp_lsh_near_dup,
-    "data_profile": q_data_profile,
     "label_prototypes": q_label_prototypes,
     "source_drift": q_source_drift,
     "pack_sequences": q_pack_sequences,
@@ -1247,7 +1344,7 @@ ORACLES = {
     "pack_documents_sharded": _ORACLE_PACK_SHARDED,
     "hard_negatives": _ORACLE_HARD_NEGATIVES,
     "srp_lsh_near_dup": _srp_oracle(),
-    "data_profile": _ORACLE_DATA_PROFILE,
+    "leakage_safe_split": _leakage_split_oracle(),
     "label_prototypes": _ORACLE_LABEL_PROTOTYPES,
     "source_drift": _ORACLE_SOURCE_DRIFT,
     "pack_sequences": _ORACLE_PACK_SEQUENCES,
@@ -1305,7 +1402,13 @@ ORACLES = {
 #   serial packer, per-row ADC) rather than a DuckDB value hash; declared
 #   siblings (encode_bpe, pack_sequences, knn/ivf oracles) keep the
 #   deterministic machinery in the checked window.
+# - data_profile (retired r11 for leakage_safe_split): exact one-row numeric
+#   profiling (min/max/avg/exact percentiles over events) — the percentile
+#   machinery stays declared via mad_outlier_gate's grouped sketches and
+#   budget_select's percentile cuts, the KLL sketch variant stays twin-tested
+#   in test_sketches, and the pair remains locally DuckDB-verified here.
 RETIRED_QUERIES = {
+    "data_profile": q_data_profile,
     "rollup_events": q_rollup_events,
     "distinct_counts": q_distinct_counts,
     "train_test_split": q_train_test_split,
@@ -1318,6 +1421,7 @@ RETIRED_QUERIES = {
 }
 
 RETIRED_ORACLES = {
+    "data_profile": _ORACLE_DATA_PROFILE,
     "rollup_events": _ORACLE_ROLLUP_EVENTS,
     "distinct_counts": _ORACLE_DISTINCT_COUNTS,
     "train_test_split": _ORACLE_TRAIN_TEST_SPLIT,

@@ -558,7 +558,6 @@ QUERIES = {
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
     "window_topk_orders": q_window_topk_orders,
-    "events_json": q_events_json,
     "events_sessionize": q_events_sessionize,
     "events_asof": q_events_asof,
     "events_resample": q_events_resample,
@@ -574,7 +573,6 @@ ORACLES = {
     "tpch_q3": _ORACLE_Q3,
     "tpch_q5": _ORACLE_Q5,
     "window_topk_orders": _ORACLE_WINDOW_TOPK,
-    "events_json": _ORACLE_EVENTS_JSON,
     "events_sessionize": _ORACLE_EVENTS_SESSIONIZE,
 }
 
@@ -586,12 +584,18 @@ ORACLES = {
 # - events_hourly: tumbling groupBy-count — subsumed by rollup_events
 #   (same keyed agg at (type, day) + subtotals) and events_resample
 #   (finer-grained time bucketing).
+# - events_json (retired r11 for dedup_paragraphs): from_json projection over
+#   the events payload — a pure map/scan shape whose pushdown evidence lives
+#   in events_resample/sessionize and the store point-lookup plans; stays
+#   locally DuckDB-verified here.
 RETIRED_QUERIES = {
     "tpch_q6": q_tpch_q6,
     "events_hourly": q_events_hourly,
+    "events_json": q_events_json,
 }
 
 RETIRED_ORACLES = {
     "tpch_q6": _ORACLE_Q6,
     "events_hourly": _ORACLE_EVENTS_HOURLY,
+    "events_json": _ORACLE_EVENTS_JSON,
 }

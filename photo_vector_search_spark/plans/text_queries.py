@@ -888,8 +888,64 @@ FROM documents d LEFT JOIN ids i USING (doc_id)
 """
 
 
+def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dolma-style paragraph keep-first dedup (`operators/dedup.dedup_paragraphs`):
+    repeated non-blank paragraphs keep exactly their earliest (doc_id, pos)
+    occurrence; each doc rebuilds from its survivors in order. The fixture
+    docs are single-line, so the query synthesizes repeated paragraphs the
+    same way the bench/plan-audit cases do (ONE shared synthesis rule):
+    every 10th doc is prefixed with a shared quote paragraph — the quote
+    must survive only in the lowest carrier doc."""
+    from photo_vector_search_spark.operators.dedup import dedup_paragraphs
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.when(F.col("doc_id") % 10 == 0, F.lit("A widely reblogged quote.")),
+            F.col("text"),
+        ).alias("text"),
+    )
+    return dedup_paragraphs(docs, min_chars=5)
+
+
+# the tests/test_paragraph_dedup.py twin, re-pointed at the synthesized corpus
+_ORACLE_DEDUP_PARAGRAPHS = """
+WITH docs2 AS (
+  SELECT doc_id,
+         concat_ws(chr(10),
+                   CASE WHEN doc_id % 10 = 0 THEN 'A widely reblogged quote.' END,
+                   text) AS text
+  FROM documents
+),
+arr AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM docs2),
+lines AS (
+  SELECT doc_id, ls[pos] AS line, pos
+  FROM arr, LATERAL unnest(generate_series(1, len(ls))) AS g(pos)
+),
+winners AS (
+  SELECT line, doc_id AS w_doc, pos AS w_pos
+  FROM (SELECT line, doc_id, pos,
+               row_number() OVER (PARTITION BY line
+                                  ORDER BY doc_id, pos) AS rn
+        FROM lines WHERE length(trim(line)) >= 5)
+  WHERE rn = 1
+),
+kept AS (
+  SELECT l.doc_id, l.pos, l.line
+  FROM lines l LEFT JOIN winners w ON l.line = w.line
+  WHERE w.w_doc IS NULL
+     OR (l.doc_id = w.w_doc AND l.pos = w.w_pos)
+)
+SELECT doc_id,
+       array_to_string(list(line ORDER BY pos), chr(10)) AS clean
+FROM kept GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "dedup_paragraphs": q_dedup_paragraphs,
     "substring_dedup": q_substring_dedup,
     "encode_bpe": q_encode_bpe,
     "fuzzy_levenshtein_blocked": q_fuzzy_levenshtein_blocked,
@@ -917,6 +973,7 @@ ORACLES = {
     "doc_repetition": _ORACLE_DOC_REPETITION,
     "decontaminate_spans": _ORACLE_DECONTAMINATE_SPANS,
     "dedup_exact": _ORACLE_DEDUP_EXACT,
+    "dedup_paragraphs": _ORACLE_DEDUP_PARAGRAPHS,
     "dedup_jaccard": _ORACLE_DEDUP_JACCARD,
     "dedup_minhash_lsh": _minhash_oracle(),
     "dedup_simhash": _ORACLE_DEDUP_SIMHASH,
