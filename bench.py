@@ -118,6 +118,9 @@ GROUPS: dict[str, list[str]] = {
     ],
     "r11_new": [
         "ivf_sq8_store",
+        "bm25_topk",
+        "rrf_fuse",
+        "cross_dedup",
     ],
 }
 
@@ -722,6 +725,38 @@ def _build_cases(spark, sf_dir: str) -> dict:
                 nprobe=2,
             )
         ),
+        # r11: BM25 lexical top-k — one stats agg + query-term-filtered
+        # explode + per-(doc,term) tf agg + broadcast idf join + TakeOrdered
+        "bm25_topk": lambda: _force(
+            __import__(
+                "photo_vector_search_spark.operators.bm25",
+                fromlist=["bm25_topk"],
+            ).bm25_topk(
+                load_table(spark, sf_dir, "documents"),
+                "the quick brown fox",
+                k=10,
+            )
+        ),
+        # r11: RRF hybrid fusion — vector (knn_batch) + lexical (bm25) runs
+        # fused rank-side; the cost term is both rankers + the keyed (q,d)
+        # agg + the per-query bounded window
+        "rrf_fuse": lambda: _force(_rrf_hybrid(spark, sf_dir)),
+        # r11: cross-corpus MinHash dedup — even-id docs deduped against the
+        # odd-id half as the reference corpus (two-sided band join + exact
+        # Jaccard verify; nothing broadcasts, both sides corpus-scale)
+        "cross_dedup": lambda: _force(
+            __import__(
+                "photo_vector_search_spark.operators.cross_dedup",
+                fromlist=["minhash_dedup_against"],
+            ).minhash_dedup_against(
+                load_table(spark, sf_dir, "documents")
+                .select("doc_id", "text")
+                .filter(F.col("doc_id") % 2 == 0),
+                load_table(spark, sf_dir, "documents")
+                .select("doc_id", "text")
+                .filter(F.col("doc_id") % 2 == 1),
+            )
+        ),
         # r10: leakage-safe split — LSH candidate pairs closed into
         # connected components, md5 split drawn on the group id (map-only
         # assignment; the cost term is the LSH pass + CC closure + the
@@ -800,6 +835,30 @@ def _ivfpq_store(spark, sf_dir: str) -> str:
         )
         _IVFPQ_STORE_MEMO[key] = path
     return _IVFPQ_STORE_MEMO[key]
+
+
+def _rrf_hybrid(spark, sf_dir: str):
+    """The hybrid-retrieval fusion shape: 4 vector queries (knn_batch) +
+    one lexical BM25 list fanned out per query, RRF-fused — ONE definition
+    shared by the bench, the scale bench, and the plan audit."""
+    from pyspark.sql import functions as F
+
+    from photo_vector_search_spark.operators.bm25 import bm25_topk
+    from photo_vector_search_spark.operators.fusion import rrf_fuse
+    from photo_vector_search_spark.operators.knn import knn_batch
+    from photo_vector_search_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    vec_run = knn_batch(emb, queries, k=16).select(
+        "query_id", F.col("vec_id").alias("doc_id"), "rank"
+    )
+    lex = bm25_topk(docs, "the quick brown fox", k=16).select("doc_id", "rank")
+    lex_run = queries.select("query_id").crossJoin(lex)
+    return rrf_fuse([vec_run, lex_run], k=60)
 
 
 def _ivf_sq8_store(spark, sf_dir: str) -> str:

@@ -1,0 +1,149 @@
+"""BM25 lexical retrieval — the keyword half of the similarity-search
+family (Robertson & Zaragoza 2009, "The Probabilistic Relevance Framework:
+BM25 and Beyond"; the Lucene/Elasticsearch default ranking function, using
+Lucene's always-positive idf variant ``ln(1 + (N - df + 0.5)/(df + 0.5))``).
+
+The embedding rungs (knn/ivf/pq/sq families) answer "semantically close";
+BM25 answers "contains these words" — production retrieval serves BOTH and
+fuses them (`operators/fusion.rrf_fuse`). The reference
+(rianders/photo-vector-search) searches only by CLIP embedding
+(photo_vector_search.py:84-108); this extends the mandated similarity-search
+family with its lexical sibling, the retrieval-eval operator's second
+natural input.
+
+Scale shape (100 TB):
+- ONE corpus stats agg (N, avgdl) — a single broadcastable row; no second
+  pass materializes a full inverted index for a query: the token explode is
+  filtered to the QUERY's terms before any shuffle (predicate on the
+  exploded term, evaluated map-side), so the per-(doc, term) tf aggregation
+  moves only matching rows — for a q-term query that is q postings lists,
+  exactly what a search engine reads.
+- document length rides WITH the exploded rows (computed once per doc in
+  the same projection), so scoring needs no corpus-sized join back.
+- per-term df is an agg over the tf frame (≤ q rows out), broadcast-joined
+  back; the final score is one per-doc sum + a global TakeOrdered top-k.
+- NULL-text docs never match (no tokens, no rows) — the knn NULL rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from photo_vector_search_spark.functions.text import tokens
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def query_terms(query: str) -> list[str]:
+    """The query-side tokenization: distinct whitespace tokens of the
+    lowercased query — the Python twin of ``functions.text.tokens`` (same
+    \\s+ split, same lowercasing), sorted for determinism."""
+    return sorted({t for t in str(query).strip().lower().split() if t})
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query: str,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stage: bool = True,
+) -> DataFrame:
+    """Per-document BM25 scores for ``query``: one row per document
+    containing ≥1 query term — (id, bm25 rounded 6dp, n_terms matched).
+    Documents matching nothing are absent (their score is exactly 0);
+    query terms absent from the corpus contribute nothing (df = 0 rows
+    never reach the join). ``k1`` saturates term frequency; ``b`` in [0, 1]
+    is the length-normalization strength.
+
+    ``stage``: the tf frame feeds TWO consumers (the df aggregation and the
+    scoring join) and Spark re-executes the corpus explode per consumer (the
+    stage_frame fan-out trap, plan-audited). Staged — the default — the
+    corpus is exploded ONCE and both consumers re-scan the tiny staged
+    postings (bounded by matching docs × query terms, never corpus-sized).
+    ``stage=False`` keeps the pure plan for audits/composition."""
+    if k1 < 0:
+        raise ValueError(f"k1 must be >= 0, got {k1}")
+    if not 0.0 <= b <= 1.0:
+        raise ValueError(f"b must be in [0, 1], got {b}")
+    terms = query_terms(query)
+    if not terms:
+        raise ValueError("query has no terms after tokenization")
+
+    base = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.array_remove(tokens(F.col(text_col)), "").alias("_toks"),
+    )
+    row = base.agg(
+        F.count(F.lit(1)).alias("n"), F.avg(F.size("_toks")).alias("avgdl")
+    ).first()
+    n_docs = int(row["n"])
+    avgdl = float(row["avgdl"]) if row["avgdl"] is not None else 0.0
+    if n_docs == 0 or avgdl == 0.0:
+        # empty / all-empty corpus: nothing can match
+        return base.sparkSession.createDataFrame(
+            [], f"`{id_col}` long, bm25 double, n_terms long"
+        )
+
+    # dl rides with every exploded row (computed once per doc in the same
+    # projection) — scoring needs no corpus-sized join back for lengths
+    tf = (
+        base.select(
+            id_col,
+            F.size("_toks").alias("_dl"),
+            F.explode("_toks").alias("_term"),
+        )
+        .filter(F.col("_term").isin(terms))  # map-side, before any shuffle
+        .groupBy(id_col, "_term")
+        .agg(F.count(F.lit(1)).alias("_tf"), F.first("_dl").alias("_dl"))
+    )
+    if stage:
+        from photo_vector_search_spark.operators.staging import stage_frame
+
+        tf = stage_frame(tf, "pvs_bm25_tf")
+    df = tf.groupBy("_term").agg(F.count(F.lit(1)).alias("_df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("_df") + F.lit(0.5))
+        / (F.col("_df") + F.lit(0.5))
+    )
+    scored = tf.join(F.broadcast(df.select("_term", idf.alias("_idf"))), "_term")
+    num = F.col("_tf") * F.lit(k1 + 1.0)
+    den = F.col("_tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.lit(avgdl)
+    )
+    return scored.groupBy(id_col).agg(
+        F.round(F.sum(F.col("_idf") * num / den), 6).alias("bm25"),
+        F.count(F.lit(1)).alias("n_terms"),
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stage: bool = True,
+) -> DataFrame:
+    """Top-k documents by BM25 — (id, bm25, rank), rank 1-based, ties broken
+    by ascending id (the knn ordering discipline, so results are
+    partitioning-invariant). The plan ends in TakeOrderedAndProject: no
+    global sort, no window over the corpus."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    scores = bm25_scores(
+        docs, query, k1=k1, b=b, id_col=id_col, text_col=text_col, stage=stage
+    )
+    top = scores.orderBy(F.col("bm25").desc(), F.col(id_col).asc()).limit(k)
+    return top.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+        ),
+    ).select(id_col, "bm25", "n_terms", "rank")

@@ -81,6 +81,9 @@ def test_every_bench_case_has_a_scale_table_row(spark):
 _REPRESENTATIVES = {
     "alignment": ["filter_aligned"],
     "ann": ["ivf_topk_exact", "ivf_near_dup_pairs"],
+    "bm25": ["bm25_topk"],
+    "cross_dedup": ["cross_dedup"],
+    "fusion": ["rrf_fuse"],
     "audio_dedup": ["audio_near_dup"],
     "bloom": ["decontaminate_bloom"],
     "bpe": ["encode_bpe", "bpe_train"],

@@ -1,0 +1,130 @@
+"""BM25 lexical retrieval: full-formula DuckDB twin over the real documents
+table, hand-computed tiny-corpus values, NULL/empty discipline, top-k rank
+ordering, partitioning invariance, and parameter validation."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from photo_vector_search_spark.operators.bm25 import (
+    bm25_scores,
+    bm25_topk,
+    query_terms,
+)
+from photo_vector_search_spark.sources.tables import load_table
+from tests.oracle import assert_matches
+
+QUERY = "the quick brown fox"
+
+
+def _twin_sql(query: str, k1: float = 1.2, b: float = 0.75) -> str:
+    terms = ", ".join(f"'{t}'" for t in query_terms(query))
+    return rf"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+stats AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl FROM base),
+tf AS (
+  SELECT doc_id, len(toks) AS dl, t.term, count(*) AS tf
+  FROM base, LATERAL unnest(toks) AS t(term)
+  WHERE t.term IN ({terms})
+  GROUP BY doc_id, len(toks), t.term
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+SELECT tf.doc_id,
+       round(sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                 * tf.tf * ({k1} + 1.0)
+                 / (tf.tf + {k1} * (1.0 - {b} + {b} * tf.dl / s.avgdl))), 6)
+         AS bm25,
+       count(*) AS n_terms
+FROM tf JOIN df USING (term) CROSS JOIN stats s
+GROUP BY tf.doc_id
+"""
+
+
+def test_matches_duckdb_twin_on_fixture_corpus(spark, sf_correct):
+    docs = load_table(spark, sf_correct, "documents")
+    got = bm25_scores(docs, QUERY)
+    assert got.count() > 0  # the query must actually match something
+    assert_matches(got, _twin_sql(QUERY), sf_correct)
+    # a second parameterization exercises k1/b in both engines
+    got2 = bm25_scores(docs, QUERY, k1=0.9, b=0.4)
+    assert_matches(got2, _twin_sql(QUERY, k1=0.9, b=0.4), sf_correct)
+
+
+def test_hand_computed_tiny_corpus(spark):
+    """One term, three docs, closed-form check of the Lucene-idf BM25."""
+    docs = spark.createDataFrame(
+        [
+            (0, "fox fox jumps"),   # tf=2, dl=3
+            (1, "fox sleeps"),      # tf=1, dl=2
+            (2, "no match here"),   # absent from output
+            (3, None),              # NULL: never matches
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in bm25_scores(docs, "fox").collect()}
+    assert set(out) == {0, 1}
+    n, avgdl = 3, (3 + 2 + 3) / 3  # NULL doc excluded everywhere
+    idf = math.log(1 + (n - 2 + 0.5) / (2 + 0.5))
+    k1, b = 1.2, 0.75
+
+    def s(tf, dl):
+        return round(idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl)), 6)
+
+    assert out[0]["bm25"] == pytest.approx(s(2, 3), abs=1e-6)
+    assert out[1]["bm25"] == pytest.approx(s(1, 2), abs=1e-6)
+    assert out[0]["n_terms"] == out[1]["n_terms"] == 1
+    # term saturation: tf=2 scores more than tf=1 but less than 2x
+    assert out[1]["bm25"] < out[0]["bm25"] < 2 * out[1]["bm25"]
+
+
+def test_topk_ordering_and_consistency(spark, sf_correct):
+    docs = load_table(spark, sf_correct, "documents")
+    top = bm25_topk(docs, QUERY, k=10).collect()
+    assert 0 < len(top) <= 10
+    assert [r["rank"] for r in top] == list(range(1, len(top) + 1))
+    scores = [r["bm25"] for r in top]
+    assert scores == sorted(scores, reverse=True)
+    # top-k is exactly the k best rows of the full score frame
+    full = bm25_scores(docs, QUERY).collect()
+    want = sorted(full, key=lambda r: (-r["bm25"], r["doc_id"]))[: len(top)]
+    assert [(r["doc_id"], r["bm25"]) for r in top] == [
+        (r["doc_id"], r["bm25"]) for r in want
+    ]
+
+
+def test_partitioning_invariant(spark, sf_correct):
+    docs = load_table(spark, sf_correct, "documents")
+    a = sorted(map(tuple, bm25_scores(docs.repartition(13), QUERY).collect()))
+    b = sorted(map(tuple, bm25_scores(docs.coalesce(1), QUERY).collect()))
+    assert a == b
+
+
+def test_absent_terms_and_validation(spark):
+    docs = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "beta gamma")], "doc_id long, text string"
+    )
+    # a query term missing from the corpus contributes nothing; others score
+    out = bm25_scores(docs, "alpha zzz_nowhere").collect()
+    assert {r["doc_id"] for r in out} == {0}
+    # all-absent query: empty result, not an error
+    assert bm25_scores(docs, "zzz_nowhere").count() == 0
+    with pytest.raises(ValueError, match="no terms"):
+        bm25_scores(docs, "   ")
+    with pytest.raises(ValueError, match="k1"):
+        bm25_scores(docs, "alpha", k1=-0.1)
+    with pytest.raises(ValueError, match="b must"):
+        bm25_scores(docs, "alpha", b=1.5)
+    with pytest.raises(ValueError, match="k must"):
+        bm25_topk(docs, "alpha", k=0)
+    # empty corpus: empty frame with the right schema
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    out = bm25_scores(empty, "alpha")
+    assert out.count() == 0 and set(out.columns) == {"doc_id", "bm25", "n_terms"}

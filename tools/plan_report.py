@@ -61,6 +61,8 @@ AUDIT = [
     "curriculum_order",
     # r10b declared additions (budget_select already audited via EXTRA_OPS)
     "retrieval_eval",
+    # r11 rotation: dedup_paragraphs and leakage_safe_split joined the
+    # declared window — both already audited via EXTRA_OPS since r10
 ]
 
 
@@ -469,6 +471,42 @@ def _extra_ivf_sq8_store(spark, sf_dir):
     return ivf_sq8_store_topk(spark, path, qv, k=5, nprobe=2)
 
 
+def _extra_bm25_topk(spark, sf_dir):
+    # stage=False: the default stages the tf postings (one corpus explode
+    # total); the audit shows the PRE-STAGING compute, the _unstaged_minhash
+    # rule
+    from photo_vector_search_spark.operators.bm25 import bm25_topk
+    from photo_vector_search_spark.sources.tables import load_table
+
+    return bm25_topk(
+        load_table(spark, sf_dir, "documents"),
+        "the quick brown fox",
+        k=10,
+        stage=False,
+    )
+
+
+def _extra_rrf_fuse(spark, sf_dir):
+    from bench import _rrf_hybrid
+
+    return _rrf_hybrid(spark, sf_dir)
+
+
+def _extra_cross_dedup(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from photo_vector_search_spark.operators.cross_dedup import (
+        minhash_dedup_against,
+    )
+    from photo_vector_search_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return minhash_dedup_against(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    )
+
+
 def _extra_mad_outlier_gate(spark, sf_dir):
     from photo_vector_search_spark.pipelines.quality import mad_outlier_gate
     from photo_vector_search_spark.sources.tables import load_table
@@ -586,10 +624,50 @@ EXTRA_OPS = {
     "mad_outlier_gate": _extra_mad_outlier_gate,
     "ivf_sq8_topk": _extra_ivf_sq8_topk,
     "ivf_sq8_store": _extra_ivf_sq8_store,
+    "bm25_topk": _extra_bm25_topk,
+    "rrf_fuse": _extra_rrf_fuse,
+    "cross_dedup": _extra_cross_dedup,
 }
 
 # Plan-reader context the tree alone can't show.
 NOTES = {
+    "bm25_topk": (
+        "NOTE: library operator (r11 BM25 lexical retrieval — the Lucene "
+        "ranking function, the keyword half the embedding rungs lack). ONE "
+        "corpus stats agg (N, avgdl: a single row), then the token explode "
+        "is filtered to the QUERY's terms map-side BEFORE any shuffle, so "
+        "the per-(doc, term) tf agg moves only matching postings; doc "
+        "length rides with the exploded rows (no corpus join back); df is "
+        "a <=|query|-row agg broadcast-joined; the top-k is "
+        "TakeOrderedAndProject. The tf postings stage to parquet by "
+        "default (two consumers — df agg + scoring join — would otherwise "
+        "re-explode the corpus; this audit shows the pre-staging plan, the "
+        "unstaged-minhash rule). Full-formula DuckDB twin in "
+        "tests/test_bm25.py."
+    ),
+    "rrf_fuse": (
+        "NOTE: library operator (r11 Reciprocal Rank Fusion, the "
+        "Elasticsearch hybrid-search default — rank-based, so BM25 and "
+        "cosine runs fuse without score calibration). Inputs are rank "
+        "lists (<= k rows per query per run, never corpus-sized); per-run "
+        "(q,d) min-rank collapse (the retrieval_metrics duplicate "
+        "discipline), one keyed (q,d) sum, one per-QUERY window bounded by "
+        "runs*k rows. The audited plan includes both real rankers "
+        "(knn_batch + bm25) feeding the fusion."
+    ),
+    "cross_dedup": (
+        "NOTE: library operator (r11 cross-corpus MinHash dedup — the "
+        "incremental-crawl rung: snapshot N deduped against kept snapshot "
+        "N-1, the FineWeb cross-snapshot pass). BOTH sides are "
+        "corpus-scale so nothing broadcasts: each side computes wide "
+        "signatures + band keys with the SHARED permutation family, "
+        "candidates come from the new x ref (band, band_key) equi-join "
+        "(bucket collisions only), exact-Jaccard verify joins each side's "
+        "shingles by its OWN doc id (id spaces may overlap), survivors "
+        "anti-join. Twin: the full two-sided chain in DuckDB plus the "
+        "split-corpus identity vs declared in-corpus LSH pairs "
+        "(tests/test_cross_dedup.py)."
+    ),
     "ivf_sq8_store": (
         "NOTE: library operator (r11 persisted IVF,SQ8 store — the "
         "engine-written realization of ivf_sq8_topk's partition-prune "
