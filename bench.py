@@ -121,6 +121,9 @@ GROUPS: dict[str, list[str]] = {
         "bm25_topk",
         "rrf_fuse",
         "cross_dedup",
+        "bm25_batch_topk",
+        "ivf_sq8_batch",
+        "c4_clean",
     ],
 }
 
@@ -737,6 +740,54 @@ def _build_cases(spark, sf_dir: str) -> dict:
                 k=10,
             )
         ),
+        # r11: batched BM25 — 3 queries share one corpus pass (union-term
+        # postings staged once, broadcast fan-out join, per-query window)
+        "bm25_batch_topk": lambda: _force(
+            __import__(
+                "photo_vector_search_spark.operators.bm25",
+                fromlist=["bm25_batch_topk"],
+            ).bm25_batch_topk(
+                load_table(spark, sf_dir, "documents"),
+                spark.createDataFrame(
+                    [
+                        (0, "the quick brown fox"),
+                        (1, "lazy dog river"),
+                        (2, "distributed query engines"),
+                    ],
+                    "query_id long, query string",
+                ),
+                k=8,
+            )
+        ),
+        # r11: batched IVF,SQ8 serving — 8 queries share ONE union-pruned
+        # scan of the persisted cluster-partitioned codes (per-query probe
+        # masks in the batch kernel); store built once per session
+        "ivf_sq8_batch": lambda: _force(
+            __import__(
+                "photo_vector_search_spark.operators.sq",
+                fromlist=["ivf_sq8_batch_topk"],
+            ).ivf_sq8_batch_topk(
+                spark,
+                _ivf_sq8_store(spark, sf_dir),
+                load_table(spark, sf_dir, "embeddings")
+                .filter("vec_id < 8")
+                .select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("query_vec"),
+                ),
+                k=5,
+                nprobe=2,
+            )
+        ),
+        # r11: C4 line-level cleanup — pure scan-stage array expressions
+        # (split -> filter lambda -> array_join + 3 codegen gates), ZERO
+        # exchanges; measures one pass over multi-line text bytes
+        "c4_clean": lambda: _force(
+            __import__(
+                "photo_vector_search_spark.pipelines.quality",
+                fromlist=["c4_clean"],
+            ).c4_clean(fake_c4_docs(spark, sf_dir), min_words=5, min_lines=2)
+        ),
         # r11: RRF hybrid fusion — vector (knn_batch) + lexical (bm25) runs
         # fused rank-side; the cost term is both rankers + the keyed (q,d)
         # agg + the per-query bounded window
@@ -835,6 +886,27 @@ def _ivfpq_store(spark, sf_dir: str) -> str:
         )
         _IVFPQ_STORE_MEMO[key] = path
     return _IVFPQ_STORE_MEMO[key]
+
+
+def fake_c4_docs(spark, sf_dir: str):
+    """Multi-line C4-shaped corpus synthesized from the single-line fixture
+    docs (real text + period, a too-short line, an unpunctuated failing
+    line on every 7th doc, one synthetic survivor) — ONE definition shared
+    by the bench, the scale bench, the plan audit, and the DuckDB twin."""
+    from pyspark.sql import functions as F
+
+    from photo_vector_search_spark.sources.tables import load_table
+
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.col("text"), F.lit(".")),
+            F.lit("tiny line."),
+            F.when(F.col("doc_id") % 7 == 0, F.col("text")),
+            F.lit("This synthetic second line has enough words today."),
+        ).alias("text"),
+    )
 
 
 def _rrf_hybrid(spark, sf_dir: str):

@@ -121,6 +121,129 @@ def bm25_scores(
     )
 
 
+def bm25_batch_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_col: str = "query",
+    stage: bool = True,
+    max_queries: int = 4096,
+) -> DataFrame:
+    """Batched BM25: Q queries share ONE corpus pass — (query_id, id, bm25,
+    rank), rank 1-based per query, ties by ascending id. Result ≡ a Python
+    loop of ``bm25_topk`` per query (pinned in tests): idf/avgdl/N are
+    corpus statistics, so per-query and batched scoring agree exactly.
+
+    Shape: the postings explode filters to the UNION of all queries' terms
+    (one literal IN, map-side — hence ``max_queries`` bounds the driver-side
+    term set), tf/df aggregate ONCE over that union, and a broadcast
+    (query_id, term) fan-out join assembles per-query sums — per-query work
+    rides on shared postings instead of Q corpus scans. The final top-k is
+    one per-QUERY window over ≤ matched-docs rows per query."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if k1 < 0:
+        raise ValueError(f"k1 must be >= 0, got {k1}")
+    if not 0.0 <= b <= 1.0:
+        raise ValueError(f"b must be in [0, 1], got {b}")
+    qrows = queries.select(query_id_col, query_col).limit(
+        max_queries + 1
+    ).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"bm25_batch_topk: >{max_queries} queries — split the query set "
+            "or raise max_queries"
+        )
+    pairs = []
+    for r in qrows:
+        for t in query_terms(r[query_col] or ""):
+            pairs.append((r[query_id_col], t))
+    if not pairs:
+        raise ValueError("no query has any terms after tokenization")
+    all_terms = sorted({t for _, t in pairs})
+
+    spark = docs.sparkSession
+    from pyspark.sql import types as T
+
+    qid_field = queries.schema[query_id_col]
+    qterms = spark.createDataFrame(
+        pairs,
+        T.StructType(
+            [
+                T.StructField(query_id_col, qid_field.dataType),
+                T.StructField("_term", T.StringType()),
+            ]
+        ),
+    )
+
+    base = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.array_remove(tokens(F.col(text_col)), "").alias("_toks"),
+    )
+    row = base.agg(
+        F.count(F.lit(1)).alias("n"), F.avg(F.size("_toks")).alias("avgdl")
+    ).first()
+    n_docs = int(row["n"])
+    avgdl = float(row["avgdl"]) if row["avgdl"] is not None else 0.0
+    if n_docs == 0 or avgdl == 0.0:
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField(query_id_col, qid_field.dataType),
+                    T.StructField(id_col, T.LongType()),
+                    T.StructField("bm25", T.DoubleType()),
+                    T.StructField("rank", T.IntegerType()),
+                ]
+            ),
+        )
+    tf = (
+        base.select(
+            id_col,
+            F.size("_toks").alias("_dl"),
+            F.explode("_toks").alias("_term"),
+        )
+        .filter(F.col("_term").isin(all_terms))
+        .groupBy(id_col, "_term")
+        .agg(F.count(F.lit(1)).alias("_tf"), F.first("_dl").alias("_dl"))
+    )
+    if stage:
+        from photo_vector_search_spark.operators.staging import stage_frame
+
+        tf = stage_frame(tf, "pvs_bm25_batch_tf")
+    df = tf.groupBy("_term").agg(F.count(F.lit(1)).alias("_df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("_df") + F.lit(0.5))
+        / (F.col("_df") + F.lit(0.5))
+    )
+    num = F.col("_tf") * F.lit(k1 + 1.0)
+    den = F.col("_tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.lit(avgdl)
+    )
+    postings = tf.join(
+        F.broadcast(df.select("_term", idf.alias("_idf"))), "_term"
+    ).select(id_col, "_term", (F.col("_idf") * num / den).alias("_s"))
+    per_query = (
+        postings.join(F.broadcast(qterms), "_term")
+        .groupBy(query_id_col, id_col)
+        .agg(F.round(F.sum("_s"), 6).alias("bm25"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("bm25").desc(), F.col(id_col).asc()
+    )
+    return (
+        per_query.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "bm25", "rank")
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     query: str,

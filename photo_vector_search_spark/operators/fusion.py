@@ -35,6 +35,72 @@ from pyspark.sql import functions as F
 RRF_K = 60  # the paper's (and Elasticsearch's) default rank constant
 
 
+def hybrid_text_search(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query: str,
+    k: int = 10,
+    pool: int | None = None,
+    rrf_k: int = RRF_K,
+    weights: Sequence[float] = (1.0, 1.0),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One-call hybrid retrieval for a text query: the in-engine embedding
+    path (`pipelines/embed.stub_embedding_expr` → exact cosine top-``pool``
+    over ``embeddings``, the search_by_text rung) fused with BM25 top-``pool``
+    over ``docs`` by RRF — (id, rrf_score, rank), top ``k``.
+
+    ``pool`` (default 3k) is each run's candidate depth — RRF can only
+    surface what some run retrieved, so the pool rides deeper than k.
+    ``weights`` = (vector_weight, lexical_weight). ``embeddings`` rows join
+    the fused ranking by vec_id == ``id_col`` (the fixture convention shared
+    with semdedup/label_prototypes).
+
+    This is composition sugar over three audited rungs (knn_topk, bm25_topk,
+    rrf_fuse) — it adds no new physical plan of its own."""
+    from pyspark.sql import functions as _F
+
+    from photo_vector_search_spark.operators.bm25 import bm25_topk
+    from photo_vector_search_spark.operators.knn import knn_topk
+    from photo_vector_search_spark.pipelines.embed import stub_embedding_expr
+
+    if len(weights) != 2:
+        raise ValueError(f"weights must be (vector, lexical), got {weights}")
+    c = pool if pool is not None else 3 * k
+    if c < k:
+        raise ValueError(f"pool ({c}) must be >= k ({k})")
+    qv = [
+        float(v)
+        for v in docs.sparkSession.range(1)
+        .select(stub_embedding_expr(_F.lit(query)).alias("qv"))
+        .first()["qv"]
+    ]
+    # knn_topk returns the ordered (vec_id, label, dist) without a rank
+    # column; number its (<= pool)-row result — a tiny window, not corpus
+    vec_run = (
+        knn_topk(embeddings, qv, k=c)
+        .withColumn(
+            "rank",
+            _F.row_number().over(
+                Window.orderBy(_F.col("dist").asc(), _F.col("vec_id").asc())
+            ),
+        )
+        .select(_F.lit(0).alias("query_id"), _F.col("vec_id").alias(id_col), "rank")
+    )
+    lex_run = bm25_topk(docs, query, k=c, id_col=id_col, text_col=text_col).select(
+        _F.lit(0).alias("query_id"), _F.col(id_col), "rank"
+    )
+    fused = rrf_fuse(
+        [vec_run, lex_run],
+        k=rrf_k,
+        weights=list(weights),
+        doc_col=id_col,
+        top_n=k,
+    )
+    return fused.select(id_col, "rrf_score", "rank")
+
+
 def rrf_fuse(
     runs: Sequence[DataFrame],
     k: int = RRF_K,

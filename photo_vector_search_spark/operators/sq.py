@@ -310,6 +310,179 @@ def sq8_store_topk(
     )
 
 
+def sq8_batch_topk(
+    coded: DataFrame,
+    model: SQ8Model,
+    queries: DataFrame,
+    k: int = 5,
+    code_col: str = "sq8",
+    max_queries: int = 65_536,
+    allowed: dict[int, list[int]] | None = None,
+    qrows: list | None = None,
+) -> DataFrame:
+    """Batched asymmetric SQ8 top-k: Q queries share ONE pass over the
+    codes — each Arrow batch decodes once and scores ALL queries with a
+    single BLAS matmul (codes_batch @ Q_matrix.T), then keeps a per-query
+    local top-k, so the shuffle is O(batches · Q · k) survivor rows and the
+    merge is one per-QUERY window over ≤ batches·k rows — the knn_batch
+    two-phase shape on the 8×-compressed codes. Result ≡ a Python loop of
+    ``sq8_topk`` per query (pinned in tests).
+
+    ``queries``: (query_id, query_vec). ``allowed``: optional per-query
+    cluster restriction {query_id: [cluster_id, ...]} — rows outside a
+    query's probe set never score for it (the IVF mask; requires a
+    ``cluster_id`` column). ``qrows``: pre-collected query rows, handed
+    down by ``ivf_sq8_batch_topk`` so the probe dict and the broadcast
+    query matrix come from the SAME collected set (the pq batch rule).
+    Zero-norm/NULL queries raise; NULL code rows never rank."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if qrows is None:
+        qrows = queries.select("query_id", "query_vec").limit(
+            max_queries + 1
+        ).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"sq8_batch_topk: >{max_queries} queries — split the query set "
+            "or raise max_queries"
+        )
+    if not qrows:
+        return coded.sparkSession.createDataFrame(
+            [], "query_id long, vec_id long, label int, dist double, rank int"
+        )
+    qids = np.array([int(r["query_id"]) for r in qrows], dtype=np.int64)
+    qmat = np.vstack(
+        [np.asarray(r["query_vec"], dtype=np.float64) for r in qrows]
+    )
+    qnorms = np.linalg.norm(qmat, axis=1)
+    if not (qnorms > 0).all():
+        bad = [int(q) for q, n in zip(qids, qnorms) if not n > 0]
+        raise ValueError(f"queries {bad} have non-positive norm")
+    masks = None
+    if allowed is not None:
+        missing = [int(q) for q in qids if int(q) not in allowed]
+        if missing:
+            raise ValueError(f"allowed lacks probe lists for queries {missing}")
+        masks = {int(q): np.asarray(sorted(allowed[int(q)])) for q in qids}
+    sc = coded.sparkSession.sparkContext
+    b = sc.broadcast((model.vmin, model.scale, qmat, qnorms, qids, masks))
+
+    cols = ["vec_id", "label", F.col(code_col).alias("_code")]
+    if masks is not None:
+        cols.append("cluster_id")
+
+    def _local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        vmin, step, qm, qn, ids, mk = b.value
+        for pdf in batches:
+            pdf = pdf.dropna(subset=["_code"])
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values("vec_id", kind="stable").reset_index(drop=True)
+            codes = np.vstack(pdf["_code"].to_numpy()).astype(np.float64)
+            x = vmin + codes * step
+            nrm = np.linalg.norm(x, axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                dist = 1.0 - (x @ qm.T) / (nrm[:, None] * qn[None, :])
+            dist[~np.isfinite(dist)] = np.inf
+            if mk is not None:
+                cl = pdf["cluster_id"].to_numpy()
+                for j, qid in enumerate(ids):
+                    dist[~np.isin(cl, mk[int(qid)]), j] = np.inf
+            vec_ids = pdf["vec_id"].to_numpy()
+            labels = pdf["label"].to_numpy()
+            out_q, out_v, out_l, out_d = [], [], [], []
+            top = min(k, len(pdf))
+            for j, qid in enumerate(ids):
+                col = dist[:, j]
+                order = np.argsort(col, kind="stable")[:top]
+                order = order[np.isfinite(col[order])]
+                out_q.append(np.full(len(order), qid))
+                out_v.append(vec_ids[order])
+                out_l.append(labels[order])
+                out_d.append(col[order])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "vec_id": np.concatenate(out_v),
+                        "label": np.concatenate(out_l),
+                        "_dist": np.concatenate(out_d),
+                    }
+                )
+
+    survivors = coded.select(*cols).mapInPandas(
+        _local_topk,
+        schema="query_id long, vec_id long, label int, _dist double",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        survivors.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "vec_id", "label", F.round("_dist", 6).alias("dist"), "rank"
+        )
+    )
+
+
+def ivf_sq8_batch_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    max_queries: int = 65_536,
+) -> DataFrame:
+    """Batched one-call IVF,SQ8 serving over the persisted store: Q queries
+    share ONE union-pruned scan of the cluster-partitioned codes while each
+    keeps exact per-query probe semantics — per-query nearest-``nprobe``
+    cluster lists come from the broadcast sidecar centroids (Q·nprobe ints,
+    driver-side), the scan prunes to the UNION of all probe sets (IN-list
+    over the partition column → file-level pruning), and the batch kernel's
+    per-query mask restricts scoring to each query's own probes. Result ≡ a
+    Python loop of ``ivf_sq8_topk`` per query (pinned in tests), at one
+    scan instead of Q — the `pq.ivf_pq_batch_search` shape on SQ8 codes."""
+    coded, centroids, model = load_ivf_sq8_store(spark, path)
+    if not 1 <= nprobe <= len(centroids):
+        raise ValueError(
+            f"nprobe must be in [1, {len(centroids)}], got {nprobe}"
+        )
+    qrows = queries.select("query_id", "query_vec").limit(
+        max_queries + 1
+    ).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"ivf_sq8_batch_topk: >{max_queries} queries — split the query "
+            "set or raise max_queries"
+        )
+    cn = np.linalg.norm(centroids, axis=1)
+    allowed: dict[int, list[int]] = {}
+    for r in qrows:
+        q = np.asarray(r["query_vec"], dtype=np.float64)
+        qn = np.linalg.norm(q)
+        if not qn > 0:
+            raise ValueError(
+                f"query {r['query_id']} has non-positive norm"
+            )
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = (centroids @ q) / (cn * qn)
+        allowed[int(r["query_id"])] = [
+            int(i) for i in np.argsort(-sims)[:nprobe]
+        ]
+    union = sorted({c for probes in allowed.values() for c in probes})
+    pruned = coded.filter(F.col("cluster_id").isin(union))
+    return sq8_batch_topk(
+        pruned,
+        model,
+        queries,
+        k=k,
+        max_queries=max_queries,
+        allowed=allowed,
+        qrows=qrows,
+    )
+
+
 def build_ivf_sq8_store(
     embeddings: DataFrame,
     path: str,

@@ -219,6 +219,55 @@ def compression_gate(
     ).drop("zlib_ratio")
 
 
+def c4_clean(
+    docs: DataFrame,
+    min_words: int = 5,
+    min_lines: int = 3,
+    text_col: str = "text",
+    out_col: str = "clean",
+) -> DataFrame:
+    """C4's line-level cleanup (Raffel et al. 2020, "Exploring the Limits of
+    Transfer Learning with a Unified Text-to-Text Transformer" §2.2 — the
+    rules that built C4 from Common Crawl): keep only lines that END in a
+    terminal punctuation mark (. ! ? or a closing double quote) AND have at
+    least ``min_words`` words; drop any page left with fewer than
+    ``min_lines`` surviving lines, any page containing the phrase
+    "lorem ipsum" (case-insensitive), and any page containing a curly
+    brace (code). Output: (all columns, ``out_col``) for surviving pages,
+    rebuilt from surviving lines in original order.
+
+    Distinct from the frequency rules (`dedup.remove_boilerplate_lines`
+    drops lines because they repeat ACROSS docs) and the doc-stat gates
+    (`functions/text.gopher_flags`): C4's rules are per-line STRUCTURAL —
+    no corpus statistics at all.
+
+    Scale shape (100 TB): ZERO exchanges — the whole operator is array
+    expressions inside the scan stage (split → filter lambda → array_join
+    + three codegen predicates); it pipelines with whatever runs next and
+    costs one pass over text bytes. NULL text fails the min-lines gate and
+    drops (a cleaner cannot vouch for text it cannot read)."""
+    if min_words < 1:
+        raise ValueError(f"min_words must be >= 1, got {min_words}")
+    if min_lines < 1:
+        raise ValueError(f"min_lines must be >= 1, got {min_lines}")
+    lines = F.split(F.col(text_col), "\n")
+    # terminal punctuation per the C4 rule; ” is the curly close quote;
+    # surviving lines keep their ORIGINAL bytes (gates select, never rewrite)
+    terminal = r'[.!?]["”]?\s*$'
+    keep_line = lambda ln: ln.rlike(terminal) & (  # noqa: E731
+        F.size(F.array_remove(F.split(F.trim(ln), r"\s+"), "")) >= min_words
+    )
+    kept = F.filter(lines, keep_line)
+    return (
+        docs.withColumn("_kept", kept)
+        .filter(F.size("_kept") >= min_lines)
+        .filter(~F.lower(F.col(text_col)).contains("lorem ipsum"))
+        .filter(~F.col(text_col).contains("{"))
+        .withColumn(out_col, F.array_join(F.col("_kept"), "\n"))
+        .drop("_kept")
+    )
+
+
 def mad_outlier_gate(
     docs: DataFrame,
     signal_col: str,

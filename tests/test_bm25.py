@@ -107,6 +107,97 @@ def test_partitioning_invariant(spark, sf_correct):
     assert a == b
 
 
+def test_batch_equals_per_query_loop_and_twin(spark, sf_correct):
+    """bm25_batch_topk ≡ a Python loop of bm25_topk per query (idf/avgdl/N
+    are corpus statistics, so shared-pass scoring changes nothing), and a
+    DuckDB twin recomputes the whole batch from the registered queries."""
+    import duckdb
+    import pandas as pd
+
+    from photo_vector_search_spark.operators.bm25 import bm25_batch_topk
+
+    docs = load_table(spark, sf_correct, "documents")
+    QS = [
+        (0, "the quick brown fox"),
+        (1, "lazy dog river"),
+        (2, "distributed query engines"),
+    ]
+    queries = spark.createDataFrame(QS, "query_id long, query string")
+    batch = bm25_batch_topk(docs, queries, k=8)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["bm25"])
+        )
+    for qid, q in QS:
+        loop = bm25_topk(docs, q, k=8).collect()
+        want = [(r["rank"], r["doc_id"], r["bm25"]) for r in loop]
+        assert sorted(got.get(qid, [])) == sorted(want), qid
+
+    # DuckDB twin of the batched form (query tokenization replayed in SQL)
+    con = duckdb.connect()
+    try:
+        con.register(
+            "queries", pd.DataFrame(QS, columns=["query_id", "query"])
+        )
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf_correct}/documents.parquet')"
+        )
+        want_rows = con.execute(
+            r"""
+WITH qt AS (
+  SELECT DISTINCT query_id, t.term
+  FROM queries, LATERAL unnest(
+    list_filter(regexp_split_to_array(lower(trim(query)), '\s+'),
+                x -> x <> '')) AS t(term)
+),
+base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+stats AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl FROM base),
+tf AS (
+  SELECT doc_id, len(toks) AS dl, t.term, count(*) AS tf
+  FROM base, LATERAL unnest(toks) AS t(term)
+  WHERE t.term IN (SELECT term FROM qt)
+  GROUP BY doc_id, len(toks), t.term
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         round(sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))), 6)
+           AS bm25
+  FROM tf JOIN df USING (term) JOIN qt USING (term) CROSS JOIN stats s
+  GROUP BY qt.query_id, tf.doc_id
+)
+SELECT query_id, doc_id, bm25,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY bm25 DESC, doc_id ASC) AS INT) AS rank
+FROM scored QUALIFY rank <= 8
+            """
+        ).fetchall()
+    finally:
+        con.close()
+    want = {(q, d, b_, rk) for q, d, b_, rk in want_rows}
+    got_set = {
+        (r["query_id"], r["doc_id"], r["bm25"], r["rank"])
+        for r in batch.collect()
+    }
+    assert got_set == want
+
+    with pytest.raises(ValueError, match="split the query set"):
+        bm25_batch_topk(docs, queries, k=8, max_queries=2)
+    with pytest.raises(ValueError, match="no query has any terms"):
+        bm25_batch_topk(
+            docs,
+            spark.createDataFrame([(0, "  ")], "query_id long, query string"),
+        )
+
+
 def test_absent_terms_and_validation(spark):
     docs = spark.createDataFrame(
         [(0, "alpha beta"), (1, "beta gamma")], "doc_id long, text string"

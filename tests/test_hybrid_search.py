@@ -1,0 +1,73 @@
+"""Hybrid text search: the one-call composition equals hand-fusing its two
+audited runs, surfaces docs that either modality alone ranks highly, and
+validates its pool/weights contract."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from photo_vector_search_spark.operators.bm25 import bm25_topk
+from photo_vector_search_spark.operators.fusion import hybrid_text_search, rrf_fuse
+from photo_vector_search_spark.operators.knn import knn_topk
+from photo_vector_search_spark.pipelines.embed import stub_embedding_expr
+from photo_vector_search_spark.sources.tables import load_table
+
+QUERY = "the quick brown fox"
+
+
+def test_equals_hand_fused_runs(spark, sf_correct):
+    docs = load_table(spark, sf_correct, "documents")
+    emb = load_table(spark, sf_correct, "embeddings")
+    k, pool = 10, 30
+    got = hybrid_text_search(docs, emb, QUERY, k=k, pool=pool).collect()
+
+    qv = [
+        float(v)
+        for v in spark.range(1)
+        .select(stub_embedding_expr(F.lit(QUERY)).alias("qv"))
+        .first()["qv"]
+    ]
+    vec_run = (
+        knn_topk(emb, qv, k=pool)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("dist").asc(), F.col("vec_id").asc())
+            ),
+        )
+        .select(F.lit(0).alias("query_id"), F.col("vec_id").alias("doc_id"), "rank")
+    )
+    lex_run = bm25_topk(docs, QUERY, k=pool).select(
+        F.lit(0).alias("query_id"), "doc_id", "rank"
+    )
+    want = (
+        rrf_fuse([vec_run, lex_run], top_n=k)
+        .select("doc_id", "rrf_score", "rank")
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert len(got) == k
+    assert [r["rank"] for r in sorted(got, key=lambda r: r["rank"])] == list(
+        range(1, k + 1)
+    )
+
+
+def test_both_modalities_contribute(spark, sf_correct):
+    """A doc ranked #1 by either single run must appear in the fused pool
+    ahead of docs neither run retrieved (RRF's monotonicity)."""
+    docs = load_table(spark, sf_correct, "documents")
+    emb = load_table(spark, sf_correct, "embeddings")
+    fused = {r["doc_id"] for r in hybrid_text_search(docs, emb, QUERY, k=20).collect()}
+    lex_best = bm25_topk(docs, QUERY, k=1).first()["doc_id"]
+    assert lex_best in fused
+
+
+def test_validation(spark, sf_correct):
+    docs = load_table(spark, sf_correct, "documents")
+    emb = load_table(spark, sf_correct, "embeddings")
+    with pytest.raises(ValueError, match="pool"):
+        hybrid_text_search(docs, emb, QUERY, k=10, pool=5)
+    with pytest.raises(ValueError, match="weights"):
+        hybrid_text_search(docs, emb, QUERY, weights=(1.0,))

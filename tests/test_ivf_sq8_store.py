@@ -114,6 +114,70 @@ def test_codes_only_rerank_guard_and_rerank_equals_exact(spark, sf_correct, tmp_
     assert [r["rank"] for r in got] == [1, 2, 3, 4, 5]
 
 
+def test_batch_equals_per_query_loop(spark, sf_correct, tmp_path):
+    """The batched kernels are pure plumbing: full-probe sq8_batch_topk ≡ a
+    Python loop of sq8_topk, and ivf_sq8_batch_topk ≡ a loop of
+    ivf_sq8_topk with the same nprobe — per query, value for value."""
+    from photo_vector_search_spark.operators.sq import (
+        ivf_sq8_batch_topk,
+        sq8_batch_topk,
+    )
+
+    emb = load_table(spark, sf_correct, "embeddings")
+    path = str(tmp_path / "ivfsq8")
+    build_ivf_sq8_store(emb, path, n_clusters=8)
+    store, cents, model = load_ivf_sq8_store(spark, path)
+    qids = [0, 3, 7, 11]
+    queries = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+
+    # flat parity: every cluster allowed == the flat scan per query
+    batch = sq8_batch_topk(store, model, queries, k=5)
+    got = {
+        q: [(r["vec_id"], r["label"], r["dist"], r["rank"]) for r in rows]
+        for q, rows in _by_query(batch)
+    }
+    for q in qids:
+        loop = sq8_topk(
+            store.drop("cluster_id", "build_id"), model, _query(emb, q), k=5
+        ).collect()
+        assert got[q] == [
+            (r["vec_id"], r["label"], r["dist"], r["rank"]) for r in loop
+        ], q
+
+    # IVF parity at nprobe=2: same probes, same mask, same values
+    ivf_batch = ivf_sq8_batch_topk(spark, path, queries, k=5, nprobe=2)
+    got = {
+        q: [(r["vec_id"], r["dist"], r["rank"]) for r in rows]
+        for q, rows in _by_query(ivf_batch)
+    }
+    for q in qids:
+        loop = ivf_sq8_topk(store, cents, model, _query(emb, q), k=5, nprobe=2).collect()
+        assert got[q] == [(r["vec_id"], r["dist"], r["rank"]) for r in loop], q
+
+    # union-pruned scan: the batch reads at most the union of probe sets
+    assert ivf_batch.count() <= len(qids) * 5
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="nprobe"):
+        ivf_sq8_batch_topk(spark, path, queries, k=5, nprobe=0)
+    with _pytest.raises(ValueError, match="split the query set"):
+        ivf_sq8_batch_topk(spark, path, queries, k=5, nprobe=2, max_queries=2)
+
+
+def _by_query(df):
+    rows = df.collect()
+    out = {}
+    for r in rows:
+        out.setdefault(r["query_id"], []).append(r)
+    return [
+        (q, sorted(v, key=lambda r: r["rank"])) for q, v in out.items()
+    ]
+
+
 def test_store_matches_in_memory_composition(spark, sf_correct, tmp_path):
     """The persisted path is the SAME operator as the in-memory composition:
     searching the loaded store equals ivf_sq8_topk over a frame encoded with

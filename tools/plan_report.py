@@ -486,6 +486,51 @@ def _extra_bm25_topk(spark, sf_dir):
     )
 
 
+def _extra_bm25_batch_topk(spark, sf_dir):
+    # stage=False: audit the pre-staging compute (the _unstaged_minhash rule)
+    from photo_vector_search_spark.operators.bm25 import bm25_batch_topk
+    from photo_vector_search_spark.sources.tables import load_table
+
+    queries = spark.createDataFrame(
+        [
+            (0, "the quick brown fox"),
+            (1, "lazy dog river"),
+            (2, "distributed query engines"),
+        ],
+        "query_id long, query string",
+    )
+    return bm25_batch_topk(
+        load_table(spark, sf_dir, "documents"), queries, k=8, stage=False
+    )
+
+
+def _extra_ivf_sq8_batch(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from photo_vector_search_spark.operators.sq import (
+        build_ivf_sq8_store,
+        ivf_sq8_batch_topk,
+    )
+    from photo_vector_search_spark.operators.staging import session_staging_dir
+    from photo_vector_search_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = session_staging_dir("pvs_plan_ivfsq8b") + "/store"
+    build_ivf_sq8_store(emb, path, n_clusters=8)
+    queries = emb.filter("vec_id < 8").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_sq8_batch_topk(spark, path, queries, k=5, nprobe=2)
+
+
+def _extra_c4_clean(spark, sf_dir):
+    from bench import fake_c4_docs
+
+    from photo_vector_search_spark.pipelines.quality import c4_clean
+
+    return c4_clean(fake_c4_docs(spark, sf_dir), min_words=5, min_lines=2)
+
+
 def _extra_rrf_fuse(spark, sf_dir):
     from bench import _rrf_hybrid
 
@@ -625,8 +670,11 @@ EXTRA_OPS = {
     "ivf_sq8_topk": _extra_ivf_sq8_topk,
     "ivf_sq8_store": _extra_ivf_sq8_store,
     "bm25_topk": _extra_bm25_topk,
+    "bm25_batch_topk": _extra_bm25_batch_topk,
+    "ivf_sq8_batch": _extra_ivf_sq8_batch,
     "rrf_fuse": _extra_rrf_fuse,
     "cross_dedup": _extra_cross_dedup,
+    "c4_clean": _extra_c4_clean,
 }
 
 # Plan-reader context the tree alone can't show.
@@ -644,6 +692,38 @@ NOTES = {
         "re-explode the corpus; this audit shows the pre-staging plan, the "
         "unstaged-minhash rule). Full-formula DuckDB twin in "
         "tests/test_bm25.py."
+    ),
+    "c4_clean": (
+        "NOTE: library operator (r11 C4 line-level cleanup, Raffel et al. "
+        "2020 §2.2 — the rules that built C4: keep lines ending in "
+        "terminal punctuation with >= 5 words; drop pages with < 3 "
+        "surviving lines, 'lorem ipsum', or a curly brace). ZERO "
+        "exchanges: the whole operator is array expressions inside the "
+        "scan stage (split -> filter lambda -> array_join + three codegen "
+        "predicates) — it pipelines with whatever runs next. Distinct from "
+        "the frequency-based boilerplate rung (no corpus statistics at "
+        "all). DuckDB twin + composition test in tests/test_c4_clean.py."
+    ),
+    "bm25_batch_topk": (
+        "NOTE: library operator (r11 batched BM25 — Q queries share ONE "
+        "corpus pass). The postings explode filters to the UNION of all "
+        "queries' terms map-side, tf/df aggregate once over that union "
+        "(staged by default; this audit shows the pre-staging compute), a "
+        "broadcast (query_id, term) fan-out join assembles per-query sums, "
+        "and the top-k is one per-QUERY window over matched docs — Q "
+        "corpus scans become one. Loop-parity + DuckDB twin in "
+        "tests/test_bm25.py."
+    ),
+    "ivf_sq8_batch": (
+        "NOTE: library operator (r11 batched IVF,SQ8 serving over the "
+        "persisted store — the pq.ivf_pq_batch_search shape on SQ8 codes). "
+        "Per-query probe lists come driver-side from the broadcast sidecar "
+        "centroids (Q·nprobe ints); the scan prunes to the UNION of probe "
+        "sets (IN-list over the cluster partition column → file-level "
+        "pruning); the batch kernel decodes each Arrow batch ONCE and "
+        "scores all queries in one BLAS matmul with per-query probe masks; "
+        "survivors shuffle O(batches·Q·k) into one per-query window. "
+        "Loop-parity pinned in tests/test_ivf_sq8_store.py."
     ),
     "rrf_fuse": (
         "NOTE: library operator (r11 Reciprocal Rank Fusion, the "
