@@ -412,6 +412,73 @@ def cmd_curate_corpus(args) -> int:
     return 0
 
 
+def cmd_search_text(args) -> int:
+    """BM25 lexical search over a documents parquet — the keyword sibling of
+    search-photos-by-text (`operators/bm25`). Prints rank, id, score and a
+    text snippet per hit."""
+    from photo_vector_search_spark.operators.bm25 import bm25_topk
+
+    spark = _spark()
+    docs = spark.read.parquet(args.docs)
+    if "doc_id" not in docs.columns or "text" not in docs.columns:
+        print(
+            f"--docs must have doc_id and text columns, got {docs.columns}",
+            file=sys.stderr,
+        )
+        return 2
+    try:
+        top = bm25_topk(docs, args.query, k=args.k).join(
+            docs.select("doc_id", "text"), "doc_id"
+        )
+    except ValueError as e:
+        print(str(e), file=sys.stderr)
+        return 2
+    rows = top.orderBy("rank").collect()
+    if not rows:
+        print("no matches")
+        return 1
+    for r in rows:
+        snippet = (r["text"] or "").replace("\n", " ")[:120]
+        print(f"{r['rank']:>3}. doc {r['doc_id']}  bm25={r['bm25']:.6f}  {snippet}")
+    return 0
+
+
+def cmd_search_hybrid(args) -> int:
+    """Hybrid text search: in-engine embedding cosine + BM25, RRF-fused
+    (`operators/fusion.hybrid_text_search`). --embeddings rows join the
+    result by vec_id == doc_id."""
+    from photo_vector_search_spark.operators.fusion import hybrid_text_search
+
+    spark = _spark()
+    docs = spark.read.parquet(args.docs)
+    emb = spark.read.parquet(args.embeddings)
+    try:
+        fused = hybrid_text_search(
+            docs,
+            emb,
+            args.query,
+            k=args.k,
+            weights=(args.vector_weight, args.lexical_weight),
+        )
+    except ValueError as e:
+        print(str(e), file=sys.stderr)
+        return 2
+    rows = (
+        fused.join(docs.select("doc_id", "text"), "doc_id", "left")
+        .orderBy("rank")
+        .collect()
+    )
+    if not rows:
+        print("no matches")
+        return 1
+    for r in rows:
+        snippet = (r["text"] or "").replace("\n", " ")[:120]
+        print(
+            f"{r['rank']:>3}. doc {r['doc_id']}  rrf={r['rrf_score']:.6f}  {snippet}"
+        )
+    return 0
+
+
 def cmd_list_models(args) -> int:
     from photo_vector_search_spark.pipelines.embed import available_models
 
@@ -553,6 +620,28 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--prototype-clusters", type=int, default=16)
     sp.add_argument("--seed", type=int, default=0, help="shuffle seed")
     sp.set_defaults(fn=cmd_curate_corpus)
+
+    sp = sub.add_parser(
+        "search-text", help="BM25 lexical search over a documents parquet"
+    )
+    sp.add_argument("--docs", required=True, help="documents parquet path")
+    sp.add_argument("query")
+    sp.add_argument("-k", type=int, default=10)
+    sp.set_defaults(fn=cmd_search_text)
+
+    sp = sub.add_parser(
+        "search-hybrid",
+        help="hybrid text search: embedding cosine + BM25, RRF-fused",
+    )
+    sp.add_argument("--docs", required=True, help="documents parquet path")
+    sp.add_argument(
+        "--embeddings", required=True, help="embeddings parquet path"
+    )
+    sp.add_argument("query")
+    sp.add_argument("-k", type=int, default=10)
+    sp.add_argument("--vector-weight", type=float, default=1.0)
+    sp.add_argument("--lexical-weight", type=float, default=1.0)
+    sp.set_defaults(fn=cmd_search_hybrid)
 
     sp = sub.add_parser("list-models")
     sp.set_defaults(fn=cmd_list_models)

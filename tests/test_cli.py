@@ -228,3 +228,53 @@ def test_cli_curate_corpus_from_wet(tmp_path, capsys, spark):
         main(["curate-corpus", "--docs", "x", "--wet", str(wet_dir), "--out", out])
         == 2
     )
+
+
+def test_cli_search_text_and_hybrid(tmp_path, capsys, spark):
+    """search-text ranks by BM25 over a documents parquet; search-hybrid
+    fuses the embedding and lexical runs — both print rank/score/snippet
+    lines and validate their inputs with exit 2."""
+    docs_path = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "a slow green turtle naps under the warm sun"),
+            (3, "quick quick fox fox everywhere in this text"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(docs_path)
+
+    rc = main(["search-text", "--docs", docs_path, "quick fox", "-k", "2"])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 2
+    assert out[0].lstrip().startswith("1. doc 3")  # doubled tf wins under saturation
+    assert "bm25=" in out[0] and "quick" in out[0]
+
+    # no matches → exit 1; bad query → exit 2 with the operator's message
+    assert main(["search-text", "--docs", docs_path, "zzz_nowhere"]) == 1
+    assert "no matches" in capsys.readouterr().out
+    assert main(["search-text", "--docs", docs_path, "   "]) == 2
+    assert "no terms" in capsys.readouterr().err
+
+    # hybrid: embeddings keyed by vec_id == doc_id (the fixture convention)
+    from photo_vector_search_spark.pipelines.embed import stub_embedding_expr
+    from pyspark.sql import functions as F
+
+    emb_path = str(tmp_path / "emb.parquet")
+    spark.read.parquet(docs_path).select(
+        F.col("doc_id").alias("vec_id"),
+        F.lit(0).alias("label"),
+        stub_embedding_expr(F.col("text")).alias("embedding"),
+    ).write.parquet(emb_path)
+    rc = main(
+        ["search-hybrid", "--docs", docs_path, "--embeddings", emb_path,
+         "quick fox", "-k", "3"]
+    )
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == 3 and all("rrf=" in ln for ln in lines)
+    assert main(
+        ["search-hybrid", "--docs", docs_path, "--embeddings", emb_path,
+         "quick fox", "-k", "0"]
+    ) == 2

@@ -551,3 +551,198 @@ def test_dedup_paragraphs_matches_keep_first_reference(
         if kept:
             want[i] = "\n".join(kept)
     assert got == want
+
+
+# ------------------------------------------------ round-11 operator properties
+
+_R11_LINES = st.sampled_from(
+    [
+        "Good first line with plenty of words here.",
+        "Another surviving line carries enough words too!",
+        "Does this question line carry enough words today?",
+        'He said "the quote closes this line properly."',
+        "short one.",
+        "no terminal punctuation but several words here",
+        "tiny.",
+        "",
+        "   ",
+    ]
+)
+
+
+@given(
+    st.lists(st.lists(_R11_LINES, min_size=0, max_size=6), min_size=1, max_size=6),
+    st.integers(min_value=1, max_value=6),
+    st.integers(min_value=1, max_value=3),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_c4_clean_matches_python_reference(spark, line_lists, min_words, min_lines):
+    """c4_clean == the plain per-line walk of Raffel et al. §2.2 for ANY
+    combination of terminal/short/blank lines and page-level gates."""
+    import re
+
+    from photo_vector_search_spark.pipelines.quality import c4_clean
+
+    docs = spark.createDataFrame(
+        [(i, "\n".join(ls)) for i, ls in enumerate(line_lists)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["clean"]
+        for r in c4_clean(docs, min_words=min_words, min_lines=min_lines).collect()
+    }
+    term = re.compile(r'[.!?]["”]?\s*$')
+    want = {}
+    for i, ls in enumerate(line_lists):
+        text = "\n".join(ls)
+        if "lorem ipsum" in text.lower() or "{" in text:
+            continue
+        # model the operator's framing: join then re-split (an empty list
+        # becomes ONE empty line)
+        kept = [
+            ln
+            for ln in text.split("\n")
+            if term.search(ln) and len(ln.strip().split()) >= min_words
+        ]
+        if len(kept) >= min_lines:
+            want[i] = "\n".join(kept)
+    assert got == want
+
+
+_R11_WORDS = st.sampled_from(
+    ["spark", "fox", "dog", "river", "query", "the", "a", "engine"]
+)
+_R11_DOC = st.lists(_R11_WORDS, min_size=0, max_size=10).map(" ".join)
+
+
+def _py_bm25(texts, terms, k1=1.2, b=0.75):
+    docs = {
+        i: [w for w in t.lower().strip().split() if w]
+        for i, t in enumerate(texts)
+        if t is not None
+    }
+    n = len(docs)
+    total = sum(len(v) for v in docs.values())
+    if n == 0 or total == 0:
+        return {}
+    avgdl = total / n
+    df = {t: sum(1 for v in docs.values() if t in v) for t in terms}
+    out = {}
+    for i, toks in docs.items():
+        s = 0.0
+        hit = 0
+        for t in terms:
+            tf = toks.count(t)
+            if tf == 0:
+                continue
+            hit += 1
+            idf = math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(toks) / avgdl))
+        if hit:
+            out[i] = (round(s, 6), hit)
+    return out
+
+
+@given(st.lists(_R11_DOC, min_size=1, max_size=8), st.lists(_R11_WORDS, min_size=1, max_size=3))
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bm25_matches_python_reference(spark, texts, qwords):
+    """bm25_scores == the textbook per-doc walk (Lucene idf) for ANY tiny
+    corpus and query drawn from the shared word pool — including all-empty
+    docs (empty result), absent terms, and repeated query words (the
+    distinct-terms rule)."""
+    from photo_vector_search_spark.operators.bm25 import bm25_scores
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    query = " ".join(qwords)
+    from photo_vector_search_spark.operators.bm25 import query_terms
+
+    got = {
+        r["doc_id"]: (r["bm25"], r["n_terms"])
+        for r in bm25_scores(docs, query).collect()
+    }
+    want = _py_bm25(texts, query_terms(query))
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i][1] == want[i][1], i
+        assert math.isclose(got[i][0], want[i][0], abs_tol=2e-6), (i, got[i], want[i])
+
+
+@given(
+    st.lists(  # each run: a permutation-ish ranked list over a doc pool
+        st.lists(st.integers(min_value=0, max_value=9), min_size=1, max_size=6, unique=True),
+        min_size=1,
+        max_size=3,
+    ),
+    st.integers(min_value=1, max_value=90),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_rrf_matches_python_reference_and_is_run_order_invariant(spark, runs, k):
+    """rrf_fuse == Σ 1/(k + rank) per (query, doc) for ANY rank lists, and
+    equal-weight fusion is invariant to the ORDER of the runs."""
+    from photo_vector_search_spark.operators.fusion import rrf_fuse
+
+    frames = [
+        spark.createDataFrame(
+            [(0, d, r + 1) for r, d in enumerate(docs)],
+            "query_id long, doc_id long, rank long",
+        )
+        for docs in runs
+    ]
+    got = {
+        r["doc_id"]: r["rrf_score"] for r in rrf_fuse(frames, k=k).collect()
+    }
+    want: dict[int, float] = {}
+    for docs in runs:
+        for r, d in enumerate(docs):
+            want[d] = want.get(d, 0.0) + 1.0 / (k + r + 1)
+    want = {d: round(s, 6) for d, s in want.items()}
+    assert got == want
+    rev = {
+        r["doc_id"]: r["rrf_score"]
+        for r in rrf_fuse(list(reversed(frames)), k=k).collect()
+    }
+    assert rev == got
+
+
+@given(
+    st.lists(_R11_DOC, min_size=1, max_size=6),
+    st.lists(_R11_DOC, min_size=1, max_size=6),
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_exact_dedup_against_matches_set_difference(spark, new_texts, ref_texts):
+    """exact_dedup_against == normalized-text set difference for ANY pair of
+    corpora (whitespace-collapse + lowercase normalization, the
+    doc_fingerprint contract)."""
+    import re as _re
+
+    from photo_vector_search_spark.operators.cross_dedup import exact_dedup_against
+
+    norm = lambda t: _re.sub(r"\s+", " ", t.lower().strip())  # noqa: E731
+    new = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(new_texts)], "doc_id long, text string"
+    )
+    ref = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(ref_texts)], "doc_id long, text string"
+    )
+    got = {r["doc_id"] for r in exact_dedup_against(new, ref).collect()}
+    ref_set = {norm(t) for t in ref_texts}
+    want = {i for i, t in enumerate(new_texts) if norm(t) not in ref_set}
+    assert got == want
