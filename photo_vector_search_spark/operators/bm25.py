@@ -159,6 +159,13 @@ def bm25_batch_topk(
             f"bm25_batch_topk: >{max_queries} queries — split the query set "
             "or raise max_queries"
         )
+    ids = [r[query_id_col] for r in qrows]
+    if len(set(ids)) != len(ids):
+        raise ValueError(
+            "duplicate query_id values in queries — each id must be unique "
+            "(a duplicate would double its term contributions and corrupt "
+            "scores)"
+        )
     pairs = []
     for r in qrows:
         for t in query_terms(r[query_col] or ""):

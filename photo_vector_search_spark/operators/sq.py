@@ -351,6 +351,11 @@ def sq8_batch_topk(
             [], "query_id long, vec_id long, label int, dist double, rank int"
         )
     qids = np.array([int(r["query_id"]) for r in qrows], dtype=np.int64)
+    if len(set(qids.tolist())) != len(qids):
+        raise ValueError(
+            "duplicate query_id values in queries — each id must be unique "
+            "(a duplicate would double its survivor rows and corrupt ranks)"
+        )
     qmat = np.vstack(
         [np.asarray(r["query_vec"], dtype=np.float64) for r in qrows]
     )

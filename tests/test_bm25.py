@@ -191,6 +191,11 @@ FROM scored QUALIFY rank <= 8
 
     with pytest.raises(ValueError, match="split the query set"):
         bm25_batch_topk(docs, queries, k=8, max_queries=2)
+    dup_q = spark.createDataFrame(
+        [(1, "quick fox"), (1, "lazy dog")], "query_id long, query string"
+    )
+    with pytest.raises(ValueError, match="duplicate query_id"):
+        bm25_batch_topk(docs, dup_q, k=8)
     with pytest.raises(ValueError, match="no query has any terms"):
         bm25_batch_topk(
             docs,

@@ -166,6 +166,9 @@ def test_batch_equals_per_query_loop(spark, sf_correct, tmp_path):
         ivf_sq8_batch_topk(spark, path, queries, k=5, nprobe=0)
     with _pytest.raises(ValueError, match="split the query set"):
         ivf_sq8_batch_topk(spark, path, queries, k=5, nprobe=2, max_queries=2)
+    dup_q = queries.limit(1).unionByName(queries.limit(1))
+    with _pytest.raises(ValueError, match="duplicate query_id"):
+        ivf_sq8_batch_topk(spark, path, dup_q, k=5, nprobe=2)
 
 
 def _by_query(df):
