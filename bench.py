@@ -124,6 +124,8 @@ GROUPS: dict[str, list[str]] = {
         "bm25_batch_topk",
         "ivf_sq8_batch",
         "c4_clean",
+        "hamming_topk",
+        "hamming_batch64",
     ],
 }
 
@@ -808,6 +810,34 @@ def _build_cases(spark, sf_dir: str) -> dict:
                 .filter(F.col("doc_id") % 2 == 1),
             )
         ),
+        # r11: 1-bit serving rung in the DECLARED shape — fit (one Arrow
+        # sum/count pass) + map-only sign-pack encode + pure-codegen
+        # bit_count(XOR) Hamming into TakeOrderedAndProject (zero exchanges)
+        "hamming_topk": lambda: _force(
+            __import__(
+                "photo_vector_search_spark.plans.embed_queries",
+                fromlist=["q_hamming_topk"],
+            ).q_hamming_topk(spark, sf_dir)
+        ),
+        # r11: batched Hamming — 64 queries share ONE pass over the
+        # session-memoized 64x-compressed codes (XOR + byte-table popcount
+        # per Arrow batch, per-query local top-k, one bounded window merge)
+        "hamming_batch64": lambda: _force(
+            __import__(
+                "photo_vector_search_spark.operators.bq",
+                fromlist=["hamming_batch_topk"],
+            ).hamming_batch_topk(
+                _bq_coded(spark, sf_dir)[0],
+                _bq_coded(spark, sf_dir)[1],
+                load_table(spark, sf_dir, "embeddings")
+                .filter(F.col("vec_id") < 64)
+                .select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("query_vec"),
+                ),
+                k=5,
+            )
+        ),
         # r10: leakage-safe split — LSH candidate pairs closed into
         # connected components, md5 split drawn on the group id (map-only
         # assignment; the cost term is the LSH pass + CC closure + the
@@ -836,6 +866,7 @@ _QUALITY_MODEL_MEMO: dict = {}
 _STAGED_IDS_MEMO: dict = {}
 _UNIGRAM_MODEL_MEMO: dict = {}
 _PQ_MEMO: dict = {}
+_BQ_MEMO: dict = {}
 _IVFPQ_STORE_MEMO: dict = {}
 _IVFSQ8_STORE_MEMO: dict = {}
 _KN_MODEL_MEMO: dict = {}
@@ -969,6 +1000,26 @@ def _pq_coded(spark, sf_dir: str):
         )
         _PQ_MEMO[key] = (coded, books)
     return _PQ_MEMO[key]
+
+
+def _bq_coded(spark, sf_dir: str):
+    """Session-memoized (1-bit coded frame, BQ model) — hamming_batch64
+    records the serving wall over at-rest codes, the operator's design
+    point (the _pq_coded rule)."""
+    key = (id(spark), sf_dir)  # session-keyed, see _staged_ids
+    if key not in _BQ_MEMO:
+        from photo_vector_search_spark.operators.bq import encode_bq, fit_bq
+        from photo_vector_search_spark.operators.staging import stage_frame
+        from photo_vector_search_spark.sources.tables import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        model = fit_bq(emb)
+        coded = stage_frame(
+            encode_bq(emb, model).select("vec_id", "label", "bq"),
+            "pvs_bench_bq",
+        )
+        _BQ_MEMO[key] = (coded, model)
+    return _BQ_MEMO[key]
 
 
 def _unigram_model(spark, sf_dir: str):

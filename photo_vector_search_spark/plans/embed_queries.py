@@ -180,14 +180,62 @@ JOIN idcg ON idcg.query_id = gn.query_id
 """
 
 
+_BQ_K = 8
+_BQ_DIM = 64  # the fixture embedding width (the operator itself is dim-agnostic)
+
+
+def q_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit serving rung (`operators/bq`): fit per-component mean
+    thresholds, pack sign bits into int64 words, Hamming top-8 for the
+    vec_id=0 query — distance is pure codegen ``bit_count(code XOR q)``
+    into TakeOrderedAndProject (zero exchanges; plan pinned in PLANS.md).
+    The oracle recomputes thresholds (round(avg, 6) — the engine-portable
+    sign boundary) and counts sign mismatches directly, so the packed
+    representation itself is value-checked end to end."""
+    from photo_vector_search_spark.operators.bq import (
+        encode_bq,
+        fit_bq,
+        hamming_topk,
+    )
+    from photo_vector_search_spark.operators.knn import fetch_query_vector
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = fit_bq(emb)
+    coded = encode_bq(emb, model)
+    vec = fetch_query_vector(spark, sf_dir, 0)
+    return hamming_topk(coded, model, vec, k=_BQ_K)
+
+
+_ORACLE_HAMMING_TOPK = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+comps AS (
+  SELECT r.range AS i, round(avg(v[r.range]), 6) AS a
+  FROM e, range(1, {_BQ_DIM + 1}) r GROUP BY 1
+),
+thr AS (SELECT list(a ORDER BY i) AS t FROM comps),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id, label,
+         length(list_filter(range(1, {_BQ_DIM + 1}),
+                            i -> (v[i] > t[i]) != (qv[i] > t[i]))) AS h
+  FROM e, thr, q
+)
+SELECT vec_id, label, h AS hamming,
+       row_number() OVER (ORDER BY h ASC, vec_id ASC) AS rank
+FROM scored ORDER BY h ASC, vec_id ASC LIMIT {_BQ_K}
+"""
+
+
 QUERIES = {
     "embed_documents": q_embed_documents,
     "search_by_text": q_search_by_text,
     "retrieval_eval": q_retrieval_eval,
+    "hamming_topk": q_hamming_topk,
 }
 
 ORACLES = {
     "embed_documents": _ORACLE_EMBED_DOCS,
     "search_by_text": _ORACLE_SEARCH_BY_TEXT,
     "retrieval_eval": _ORACLE_RETRIEVAL_EVAL,
+    "hamming_topk": _ORACLE_HAMMING_TOPK,
 }

@@ -956,7 +956,6 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "text_stats": q_text_stats,
     "decontaminate": q_decontaminate,
-    "vocab_top_tokens": q_vocab_top_tokens,
     "doc_repetition": q_doc_repetition,
     "decontaminate_spans": q_decontaminate_spans,
     "chunk_documents": q_chunk_documents,
@@ -969,7 +968,6 @@ ORACLES = {
     "fuzzy_levenshtein_blocked": _ORACLE_FUZZY_BLOCKED,
     "tfidf_top_terms": _ORACLE_TFIDF,
     "decontaminate": _ORACLE_DECONTAMINATE,
-    "vocab_top_tokens": _ORACLE_VOCAB_TOP,
     "doc_repetition": _ORACLE_DOC_REPETITION,
     "decontaminate_spans": _ORACLE_DECONTAMINATE_SPANS,
     "dedup_exact": _ORACLE_DEDUP_EXACT,
@@ -987,6 +985,10 @@ ORACLES = {
 # these pairs through the same DuckDB compare the driver uses.
 RETIRED_QUERIES = {
     "fuzzy_levenshtein": q_fuzzy_levenshtein,
+    # r11 rotation: vocab_top_tokens' slot went to hamming_topk (the 1-bit
+    # serving rung) — the token-frequency aggregation is double-covered by
+    # tfidf_top_terms' DF machinery; the vocab count stays verified here
+    "vocab_top_tokens": q_vocab_top_tokens,
     # r8 rotation: doc_novelty's slot went to decontaminate_spans — the
     # contamination family's surgical rung supersedes its inverse-metric
     # sibling in the checked window; novelty stays verified here
@@ -995,6 +997,7 @@ RETIRED_QUERIES = {
 
 RETIRED_ORACLES = {
     "fuzzy_levenshtein": _ORACLE_FUZZY_LEV,
+    "vocab_top_tokens": _ORACLE_VOCAB_TOP,
     "doc_novelty": _ORACLE_DOC_NOVELTY,
 }
 

@@ -82,6 +82,7 @@ _REPRESENTATIVES = {
     "alignment": ["filter_aligned"],
     "ann": ["ivf_topk_exact", "ivf_near_dup_pairs"],
     "bm25": ["bm25_topk"],
+    "bq": ["hamming_topk", "hamming_batch_topk"],
     "cross_dedup": ["cross_dedup"],
     "fusion": ["rrf_fuse"],
     "audio_dedup": ["audio_near_dup"],

@@ -63,6 +63,8 @@ AUDIT = [
     "retrieval_eval",
     # r11 rotation: dedup_paragraphs and leakage_safe_split joined the
     # declared window — both already audited via EXTRA_OPS since r10
+    # r11 declared addition: the 1-bit serving rung
+    "hamming_topk",
 ]
 
 
@@ -636,6 +638,25 @@ def _extra_ivf_pq_batch_search(spark, sf_dir):
     return ivf_pq_batch_search(spark, path, queries, k=5, nprobe=4)
 
 
+def _extra_hamming_batch(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from photo_vector_search_spark.operators.bq import (
+        encode_bq,
+        fit_bq,
+        hamming_batch_topk,
+    )
+    from photo_vector_search_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = fit_bq(emb)
+    coded = encode_bq(emb, model)
+    queries = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return hamming_batch_topk(coded, model, queries, k=5)
+
+
 EXTRA_OPS = {
     "ivf_near_dup_pairs": _extra_ivf_near_dup,
     "shuffle_corpus": _extra_shuffle_corpus,
@@ -675,10 +696,33 @@ EXTRA_OPS = {
     "rrf_fuse": _extra_rrf_fuse,
     "cross_dedup": _extra_cross_dedup,
     "c4_clean": _extra_c4_clean,
+    "hamming_batch_topk": _extra_hamming_batch,
 }
 
 # Plan-reader context the tree alone can't show.
 NOTES = {
+    "hamming_topk": (
+        "NOTE: declared r11 query (1-bit binary-quantization serving rung — "
+        "sign codes packed into int64 words, the most compressed rung of "
+        "the float→SQ8→PQ→1-bit ladder: 64x smaller than float64). The "
+        "search path is PURE CODEGEN: bit_count(code XOR query_literal) "
+        "unrolled per word feeding TakeOrderedAndProject — zero exchanges, "
+        "zero Python after the map-only encode. At 100 TB of float64 "
+        "embeddings the codes are 1.56 TB and the scan never leaves "
+        "whole-stage codegen; rerank (not in the declared shape) re-scores "
+        "a top-c pool exactly via a broadcast join, the sq8/pq contract. "
+        "DuckDB twin counts sign mismatches directly (tests/test_bq.py), "
+        "so the packed representation is value-checked end to end."
+    ),
+    "hamming_batch_topk": (
+        "NOTE: library operator (r11 batched Hamming serving — Q queries "
+        "share ONE pass over the 64x-compressed codes). Each Arrow batch "
+        "XORs against the broadcast query-code matrix and popcounts via a "
+        "byte lookup table (numpy<2 portable), keeping per-query local "
+        "top-k, so the shuffle is O(batches*Q*k) survivor rows into one "
+        "per-QUERY window. Loop-parity vs hamming_topk pinned in "
+        "tests/test_bq.py."
+    ),
     "bm25_topk": (
         "NOTE: library operator (r11 BM25 lexical retrieval — the Lucene "
         "ranking function, the keyword half the embedding rungs lack). ONE "
