@@ -126,6 +126,8 @@ GROUPS: dict[str, list[str]] = {
         "c4_clean",
         "hamming_topk",
         "hamming_batch64",
+        "sample_weighted",
+        "rm3_topk",
     ],
 }
 
@@ -836,6 +838,30 @@ def _build_cases(spark, sf_dir: str) -> dict:
                     F.col("embedding").alias("query_vec"),
                 ),
                 k=5,
+            )
+        ),
+        # r11: weighted reservoir sample (A-ES over the md5 draw) in the
+        # DECLARED shape — map-only key computation + ONE keyed window
+        # exchange (per-lang top-5)
+        "sample_weighted": lambda: _force(
+            __import__(
+                "photo_vector_search_spark.plans.pipeline_queries",
+                fromlist=["q_sample_weighted"],
+            ).q_sample_weighted(spark, sf_dir)
+        ),
+        # r11: RM3 pseudo-relevance feedback — the full loop: BM25 feedback
+        # top-10, fb-doc term distribution (one explode over 10 docs),
+        # mixture, weighted-BM25 rescore; two bounded corpus passes
+        "rm3_topk": lambda: _force(
+            __import__(
+                "photo_vector_search_spark.operators.bm25",
+                fromlist=["rm3_topk"],
+            ).rm3_topk(
+                load_table(spark, sf_dir, "documents"),
+                "the quick brown fox",
+                k=10,
+                fb_docs=10,
+                fb_terms=10,
             )
         ),
         # r10: leakage-safe split — LSH candidate pairs closed into

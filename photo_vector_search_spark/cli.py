@@ -415,8 +415,10 @@ def cmd_curate_corpus(args) -> int:
 def cmd_search_text(args) -> int:
     """BM25 lexical search over a documents parquet — the keyword sibling of
     search-photos-by-text (`operators/bm25`). Prints rank, id, score and a
-    text snippet per hit."""
-    from photo_vector_search_spark.operators.bm25 import bm25_topk
+    text snippet per hit. ``--expand rm3`` turns on pseudo-relevance
+    feedback (RM3: feedback top --fb-docs, --fb-terms expansion terms,
+    --alpha original-query weight)."""
+    from photo_vector_search_spark.operators.bm25 import bm25_topk, rm3_topk
 
     spark = _spark()
     docs = spark.read.parquet(args.docs)
@@ -427,9 +429,18 @@ def cmd_search_text(args) -> int:
         )
         return 2
     try:
-        top = bm25_topk(docs, args.query, k=args.k).join(
-            docs.select("doc_id", "text"), "doc_id"
-        )
+        if args.expand == "rm3":
+            top = rm3_topk(
+                docs,
+                args.query,
+                k=args.k,
+                fb_docs=args.fb_docs,
+                fb_terms=args.fb_terms,
+                alpha=args.alpha,
+            ).withColumnRenamed("score", "bm25")
+        else:
+            top = bm25_topk(docs, args.query, k=args.k)
+        top = top.join(docs.select("doc_id", "text"), "doc_id")
     except ValueError as e:
         print(str(e), file=sys.stderr)
         return 2
@@ -627,6 +638,15 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--docs", required=True, help="documents parquet path")
     sp.add_argument("query")
     sp.add_argument("-k", type=int, default=10)
+    sp.add_argument(
+        "--expand",
+        choices=["rm3"],
+        default=None,
+        help="query expansion: rm3 = pseudo-relevance feedback",
+    )
+    sp.add_argument("--fb-docs", type=int, default=10)
+    sp.add_argument("--fb-terms", type=int, default=10)
+    sp.add_argument("--alpha", type=float, default=0.5)
     sp.set_defaults(fn=cmd_search_text)
 
     sp = sub.add_parser(

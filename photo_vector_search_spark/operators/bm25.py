@@ -251,6 +251,211 @@ def bm25_batch_topk(
     )
 
 
+def bm25_scores_weighted(
+    docs: DataFrame,
+    term_weights: list[tuple[str, float]],
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stage: bool = True,
+) -> DataFrame:
+    """Per-document WEIGHTED BM25: score = Σ_w weight_w · bm25_term(w, D) —
+    the scoring half of query expansion (RM3 hands this its mixed term
+    distribution). ``term_weights``: small driver-side (term, weight) list
+    (an expanded query is tens of terms, never corpus-sized); weights enter
+    as a codegen map literal, so the plan is the bm25_scores plan with one
+    extra multiply — same one-explode/one-agg shape, nothing new shuffles.
+    Non-positive weights are rejected (a zero term is a term to omit)."""
+    if k1 < 0:
+        raise ValueError(f"k1 must be >= 0, got {k1}")
+    if not 0.0 <= b <= 1.0:
+        raise ValueError(f"b must be in [0, 1], got {b}")
+    if not term_weights:
+        raise ValueError("term_weights is empty")
+    terms = [t for t, _ in term_weights]
+    if len(set(terms)) != len(terms):
+        raise ValueError("duplicate terms in term_weights")
+    for t, w in term_weights:
+        if not w > 0:
+            raise ValueError(f"weight for {t!r} must be > 0, got {w}")
+
+    base = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.array_remove(tokens(F.col(text_col)), "").alias("_toks"),
+    )
+    row = base.agg(
+        F.count(F.lit(1)).alias("n"), F.avg(F.size("_toks")).alias("avgdl")
+    ).first()
+    n_docs = int(row["n"])
+    avgdl = float(row["avgdl"]) if row["avgdl"] is not None else 0.0
+    if n_docs == 0 or avgdl == 0.0:
+        return base.sparkSession.createDataFrame(
+            [], f"`{id_col}` long, score double, n_terms long"
+        )
+    tf = (
+        base.select(
+            id_col,
+            F.size("_toks").alias("_dl"),
+            F.explode("_toks").alias("_term"),
+        )
+        .filter(F.col("_term").isin(terms))
+        .groupBy(id_col, "_term")
+        .agg(F.count(F.lit(1)).alias("_tf"), F.first("_dl").alias("_dl"))
+    )
+    if stage:
+        from photo_vector_search_spark.operators.staging import stage_frame
+
+        tf = stage_frame(tf, "pvs_bm25_wtf")
+    df = tf.groupBy("_term").agg(F.count(F.lit(1)).alias("_df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("_df") + F.lit(0.5))
+        / (F.col("_df") + F.lit(0.5))
+    )
+    wmap = F.create_map(
+        *[x for t, w in term_weights for x in (F.lit(t), F.lit(float(w)))]
+    )
+    scored = tf.join(F.broadcast(df.select("_term", idf.alias("_idf"))), "_term")
+    num = F.col("_tf") * F.lit(k1 + 1.0)
+    den = F.col("_tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.lit(avgdl)
+    )
+    return scored.groupBy(id_col).agg(
+        F.round(
+            F.sum(wmap[F.col("_term")] * F.col("_idf") * num / den), 6
+        ).alias("score"),
+        F.count(F.lit(1)).alias("n_terms"),
+    )
+
+
+def rm3_expand(
+    docs: DataFrame,
+    query: str,
+    fb_docs: int = 10,
+    fb_terms: int = 10,
+    alpha: float = 0.5,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stage: bool = True,
+) -> list[tuple[str, float]]:
+    """RM3 pseudo-relevance-feedback expansion (Abdul-Jaleel et al. 2004,
+    the Lavrenko–Croft relevance model with original-query interpolation —
+    the Indri/Anserini baseline): retrieve the BM25 top ``fb_docs``, build
+    the relevance model P(w|R) = Σ_D P(w|D)·P(D) with P(w|D) = tf/|D| (MLE)
+    and P(D) ∝ the doc's BM25 score, keep the ``fb_terms`` most probable
+    terms, and mix weight(w) = α·P_orig(w) + (1−α)·P_rm(w) with P_orig
+    uniform over the original terms. Returns the (term, weight) list for
+    ``bm25_scores_weighted`` — sorted by term for determinism.
+
+    Scale shape: the feedback set is ``fb_docs`` rows (driver-side scores),
+    the term distribution is ONE explode over those fb_docs documents
+    (broadcast id filter, map-side) + a term-sum agg + TakeOrdered
+    fb_terms — never corpus-sized. Empty feedback (no doc matches) returns
+    the original uniform weights unchanged."""
+    if fb_docs < 1:
+        raise ValueError(f"fb_docs must be >= 1, got {fb_docs}")
+    if fb_terms < 0:
+        raise ValueError(f"fb_terms must be >= 0, got {fb_terms}")
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    orig = query_terms(query)
+    if not orig:
+        raise ValueError("query has no terms after tokenization")
+    p_orig = {t: 1.0 / len(orig) for t in orig}
+
+    fb = bm25_topk(
+        docs, query, k=fb_docs, k1=k1, b=b, id_col=id_col,
+        text_col=text_col, stage=stage,
+    ).select(id_col, "bm25").collect()
+    if not fb or fb_terms == 0:
+        # no feedback evidence → the original query, unmixed (ranking is
+        # invariant to a constant factor on the weights anyway)
+        return [(t, p) for t, p in sorted(p_orig.items())]
+    total = sum(r["bm25"] for r in fb)
+    if not total > 0:
+        return [(t, p) for t, p in sorted(p_orig.items())]
+    p_doc = {r[id_col]: r["bm25"] / total for r in fb}
+
+    pd_map = F.create_map(
+        *[x for d, p in sorted(p_doc.items()) for x in (F.lit(d), F.lit(p))]
+    )
+    fb_ids = list(p_doc)
+    rm = (
+        docs.filter(F.col(id_col).isin(fb_ids))
+        .filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.array_remove(tokens(F.col(text_col)), "").alias("_toks"),
+        )
+        .filter(F.size("_toks") > 0)
+        .select(
+            id_col,
+            F.size("_toks").alias("_dl"),
+            F.explode("_toks").alias("_term"),
+        )
+        .groupBy(id_col, "_term")
+        .agg(F.count(F.lit(1)).alias("_tf"), F.first("_dl").alias("_dl"))
+        .select(
+            "_term",
+            ((F.col("_tf") / F.col("_dl")) * pd_map[F.col(id_col)]).alias(
+                "_p"
+            ),
+        )
+        .groupBy("_term")
+        .agg(F.sum("_p").alias("_p"))
+        .orderBy(F.col("_p").desc(), F.col("_term").asc())
+        .limit(fb_terms)
+        .collect()
+    )
+    p_rm = {r["_term"]: r["_p"] for r in rm}
+    out: dict[str, float] = {}
+    for t in set(p_orig) | set(p_rm):
+        w = alpha * p_orig.get(t, 0.0) + (1.0 - alpha) * p_rm.get(t, 0.0)
+        if w > 0:
+            out[t] = w
+    return sorted(out.items())
+
+
+def rm3_topk(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    fb_docs: int = 10,
+    fb_terms: int = 10,
+    alpha: float = 0.5,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stage: bool = True,
+) -> DataFrame:
+    """Full RM3 retrieval: expand, then weighted-BM25 top-k — (id, score,
+    rank), ties by ascending id; TakeOrderedAndProject, the bm25_topk
+    discipline. Two bounded corpus passes (feedback retrieval + final
+    scoring) plus one fb_docs-sized distribution job — the standard price
+    of pseudo-relevance feedback."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    weights = rm3_expand(
+        docs, query, fb_docs=fb_docs, fb_terms=fb_terms, alpha=alpha,
+        k1=k1, b=b, id_col=id_col, text_col=text_col, stage=stage,
+    )
+    scores = bm25_scores_weighted(
+        docs, weights, k1=k1, b=b, id_col=id_col, text_col=text_col,
+        stage=stage,
+    )
+    top = scores.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+    return top.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+        ),
+    ).select(id_col, "score", "n_terms", "rank")
+
+
 def bm25_topk(
     docs: DataFrame,
     query: str,

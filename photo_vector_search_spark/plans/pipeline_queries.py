@@ -1320,8 +1320,48 @@ FROM assigned
 """
 
 
+_SW_N = 5
+_SW_SEED = 0
+
+
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reservoir sampling (`operators/sampling.sample_weighted`,
+    Efraimidis & Spirakis A-ES): exactly 5 docs per language, probability
+    ∝ n_chars, without replacement, over the deterministic md5_uniform
+    draw — so DuckDB replays the draw and the ln(u)/w reservoir keys
+    exactly. ONE keyed window exchange; the sample never depends on
+    partitioning."""
+    from photo_vector_search_spark.operators.sampling import sample_weighted
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_weighted(
+        docs, _SW_N, weight_col="n_chars", by="lang", seed=_SW_SEED
+    ).select("doc_id", "lang", "n_chars", "sample_rank")
+
+
+_ORACLE_SAMPLE_WEIGHTED = f"""
+WITH keys AS (
+  SELECT doc_id, lang, n_chars,
+         ln((CAST(concat('0x', substring(md5('{_SW_SEED}-' ||
+                 CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) + 1)
+            / power(16, 12)) / CAST(n_chars AS DOUBLE) AS aes
+  FROM documents WHERE n_chars > 0
+),
+ranked AS (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY aes DESC, doc_id ASC
+         ) AS sample_rank
+  FROM keys
+)
+SELECT doc_id, lang, n_chars, sample_rank
+FROM ranked WHERE sample_rank <= {_SW_N}
+"""
+
+
 QUERIES = {
     "budget_select": q_budget_select,
+    "sample_weighted": q_sample_weighted,
     "leakage_safe_split": q_leakage_safe_split,
     "curriculum_order": q_curriculum_order,
     "domain_cap": q_domain_cap,
@@ -1331,7 +1371,6 @@ QUERIES = {
     "label_prototypes": q_label_prototypes,
     "source_drift": q_source_drift,
     "pack_sequences": q_pack_sequences,
-    "pack_windows": q_pack_windows,
     "mix_corpus": q_mix_corpus,
     "dsir_weights": q_dsir_weights,
     "semdedup": q_semdedup,
@@ -1339,6 +1378,7 @@ QUERIES = {
 
 ORACLES = {
     "budget_select": _ORACLE_BUDGET_SELECT,
+    "sample_weighted": _ORACLE_SAMPLE_WEIGHTED,
     "curriculum_order": _curriculum_oracle(),
     "domain_cap": _ORACLE_DOMAIN_CAP,
     "pack_documents_sharded": _ORACLE_PACK_SHARDED,
@@ -1348,7 +1388,6 @@ ORACLES = {
     "label_prototypes": _ORACLE_LABEL_PROTOTYPES,
     "source_drift": _ORACLE_SOURCE_DRIFT,
     "pack_sequences": _ORACLE_PACK_SEQUENCES,
-    "pack_windows": _ORACLE_PACK_WINDOWS,
     "mix_corpus": _mix_oracle(),
     "dsir_weights": _ORACLE_DSIR_WEIGHTS,
     "semdedup": _ORACLE_SEMDEDUP,
@@ -1408,6 +1447,12 @@ ORACLES = {
 #   budget_select's percentile cuts, the KLL sketch variant stays twin-tested
 #   in test_sketches, and the pair remains locally DuckDB-verified here.
 RETIRED_QUERIES = {
+    # pack_windows (retired r11 for sample_weighted): fixed-length window
+    # re-chunking — the packing family keeps TWO declared rows
+    # (pack_sequences: boundary-respecting SFT packer; pack_documents_sharded:
+    # FFD) and the window form stays locally DuckDB-verified here plus
+    # serial-packer-twinned in tests/test_packing.py
+    "pack_windows": q_pack_windows,
     "data_profile": q_data_profile,
     "rollup_events": q_rollup_events,
     "distinct_counts": q_distinct_counts,
@@ -1421,6 +1466,7 @@ RETIRED_QUERIES = {
 }
 
 RETIRED_ORACLES = {
+    "pack_windows": _ORACLE_PACK_WINDOWS,
     "data_profile": _ORACLE_DATA_PROFILE,
     "rollup_events": _ORACLE_ROLLUP_EVENTS,
     "distinct_counts": _ORACLE_DISTINCT_COUNTS,

@@ -81,7 +81,7 @@ def test_every_bench_case_has_a_scale_table_row(spark):
 _REPRESENTATIVES = {
     "alignment": ["filter_aligned"],
     "ann": ["ivf_topk_exact", "ivf_near_dup_pairs"],
-    "bm25": ["bm25_topk"],
+    "bm25": ["bm25_topk", "rm3_topk"],
     "bq": ["hamming_topk", "hamming_batch_topk"],
     "cross_dedup": ["cross_dedup"],
     "fusion": ["rrf_fuse"],
@@ -105,6 +105,7 @@ _REPRESENTATIVES = {
     "packing": ["pack_sequences", "pack_windows"],
     "pq": ["pq_topk", "ivf_pq_batch_search"],
     "pruning": ["prune_prototypes", "prune_ivf_store"],
+    "sampling": ["sample_weighted"],
     "selection": ["budget_select"],
     "splits": ["leakage_safe_split"],
     "sq": ["sq8_topk"],

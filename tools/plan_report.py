@@ -45,8 +45,8 @@ AUDIT = [
     "encode_bpe",
     "store_partition_pruned",
     "ivf_topk_exact",
-    # r7 declared additions
-    "pack_windows",
+    # r7 declared additions (pack_windows rotated out r11 for
+    # sample_weighted; its bench case + scale row remain)
     "mix_corpus",
     "dsir_weights",
     "semdedup",
@@ -63,8 +63,9 @@ AUDIT = [
     "retrieval_eval",
     # r11 rotation: dedup_paragraphs and leakage_safe_split joined the
     # declared window — both already audited via EXTRA_OPS since r10
-    # r11 declared addition: the 1-bit serving rung
+    # r11 declared additions: the 1-bit serving rung + weighted reservoir
     "hamming_topk",
+    "sample_weighted",
 ]
 
 
@@ -657,6 +658,21 @@ def _extra_hamming_batch(spark, sf_dir):
     return hamming_batch_topk(coded, model, queries, k=5)
 
 
+def _extra_rm3_topk(spark, sf_dir):
+    # the audited plan is the FINAL weighted-scoring pass (the feedback
+    # retrieval is the already-audited bm25_topk plan; expansion itself is
+    # driver-side over fb_docs rows)
+    from photo_vector_search_spark.operators.bm25 import (
+        bm25_scores_weighted,
+        rm3_expand,
+    )
+    from photo_vector_search_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    weights = rm3_expand(docs, "the quick brown fox", fb_docs=10, fb_terms=10)
+    return bm25_scores_weighted(docs, weights, stage=False)
+
+
 EXTRA_OPS = {
     "ivf_near_dup_pairs": _extra_ivf_near_dup,
     "shuffle_corpus": _extra_shuffle_corpus,
@@ -697,10 +713,37 @@ EXTRA_OPS = {
     "cross_dedup": _extra_cross_dedup,
     "c4_clean": _extra_c4_clean,
     "hamming_batch_topk": _extra_hamming_batch,
+    "rm3_topk": _extra_rm3_topk,
 }
 
 # Plan-reader context the tree alone can't show.
 NOTES = {
+    "rm3_topk": (
+        "NOTE: library operator (r11 RM3 pseudo-relevance feedback, "
+        "Abdul-Jaleel et al. 2004 — the Lavrenko-Croft relevance model "
+        "with original-query interpolation, the Indri/Anserini expansion "
+        "baseline). Loop: BM25 feedback top-fb_docs (driver-side scores), "
+        "relevance model P(w|R) = sum_D P(w|D)*P(D) from ONE explode over "
+        "the fb_docs documents (broadcast id filter, map-side) + term-sum "
+        "agg + TakeOrdered fb_terms, then weight(w) = a*P_orig + "
+        "(1-a)*P_rm enters the weighted scorer as a codegen map literal — "
+        "the audited plan here, the bm25_scores plan with one extra "
+        "multiply. Layered DuckDB/Python replay of the whole chain in "
+        "tests/test_rm3.py."
+    ),
+    "sample_weighted": (
+        "NOTE: declared r11 query (Efraimidis-Spirakis A-ES weighted "
+        "reservoir — exactly n rows per stratum, probability proportional "
+        "to weight, WITHOUT replacement). The reservoir key ln(u)/w is "
+        "computed map-side from the partitioning-invariant md5_uniform "
+        "draw (seeded rand() would change the sample on every "
+        "repartition), so the only exchange is the per-stratum rank "
+        "window; the GLOBAL form (by=None) is TakeOrderedAndProject — "
+        "zero exchanges, every executor forwards at most n candidates. "
+        "DuckDB replays the draw and the key arithmetic exactly; an "
+        "independent hashlib+NumPy replay pins ids AND ranks "
+        "(tests/test_sampling.py)."
+    ),
     "hamming_topk": (
         "NOTE: declared r11 query (1-bit binary-quantization serving rung — "
         "sign codes packed into int64 words, the most compressed rung of "
