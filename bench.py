@@ -128,6 +128,9 @@ GROUPS: dict[str, list[str]] = {
         "hamming_batch64",
         "sample_weighted",
         "rm3_topk",
+        "zorder_write",
+        "heavy_hitter_tokens",
+        "cascade_topk",
     ],
 }
 
@@ -864,6 +867,56 @@ def _build_cases(spark, sf_dir: str) -> dict:
                 fb_terms=10,
             )
         ),
+        # r11: z-order clustered write — one min/max agg + map-only Morton
+        # key codegen + ONE range exchange + in-partition sort + parquet
+        # write (the data-skipping layout pass, measured end to end)
+        "zorder_write": lambda: __import__(
+            "photo_vector_search_spark.operators.zorder",
+            fromlist=["write_zordered"],
+        ).write_zordered(
+            load_table(spark, sf_dir, "events").select(
+                "event_id", "user_id", "value"
+            ),
+            "/tmp/pvs_bench_zorder",
+            ["user_id", "value"],
+            n_files=16,
+        ),
+        # r11: Misra-Gries heavy hitters over corpus tokens — one map-only
+        # summary pass (explode feeds the summarizer in-stage), merge over
+        # <= batches*capacity tiny rows, TakeOrdered; the vocabulary never
+        # shuffles
+        "heavy_hitter_tokens": lambda: _force(
+            __import__(
+                "photo_vector_search_spark.operators.heavy_hitters",
+                fromlist=["heavy_hitter_tokens"],
+            ).heavy_hitter_tokens(
+                load_table(spark, sf_dir, "documents"), k=20, capacity=4096
+            )
+        ),
+        # r11: three-stage cascade serving (1-bit Hamming shortlist ->
+        # SQ8 rerank -> exact tail) over session-memoized codes — the
+        # at-rest funnel wall; float bytes read = c2 rows
+        "cascade_topk": lambda: _force(
+            __import__(
+                "photo_vector_search_spark.operators.cascade",
+                fromlist=["cascade_topk"],
+            ).cascade_topk(
+                _bq_coded(spark, sf_dir)[0],
+                _bq_coded(spark, sf_dir)[1],
+                _sq8_coded(spark, sf_dir)[0],
+                _sq8_coded(spark, sf_dir)[1],
+                load_table(spark, sf_dir, "embeddings"),
+                [
+                    float(v)
+                    for v in load_table(spark, sf_dir, "embeddings")
+                    .filter("vec_id = 3")
+                    .first()["embedding"]
+                ],
+                k=5,
+                c1=200,
+                c2=50,
+            )
+        ),
         # r10: leakage-safe split — LSH candidate pairs closed into
         # connected components, md5 split drawn on the group id (map-only
         # assignment; the cost term is the LSH pass + CC closure + the
@@ -893,6 +946,7 @@ _STAGED_IDS_MEMO: dict = {}
 _UNIGRAM_MODEL_MEMO: dict = {}
 _PQ_MEMO: dict = {}
 _BQ_MEMO: dict = {}
+_SQ8_MEMO: dict = {}
 _IVFPQ_STORE_MEMO: dict = {}
 _IVFSQ8_STORE_MEMO: dict = {}
 _KN_MODEL_MEMO: dict = {}
@@ -1046,6 +1100,25 @@ def _bq_coded(spark, sf_dir: str):
         )
         _BQ_MEMO[key] = (coded, model)
     return _BQ_MEMO[key]
+
+
+def _sq8_coded(spark, sf_dir: str):
+    """Session-memoized (SQ8 coded frame, model) for the cascade's middle
+    stage (the _bq_coded rule)."""
+    key = (id(spark), sf_dir)  # session-keyed, see _staged_ids
+    if key not in _SQ8_MEMO:
+        from photo_vector_search_spark.operators.sq import encode_sq8, fit_sq8
+        from photo_vector_search_spark.operators.staging import stage_frame
+        from photo_vector_search_spark.sources.tables import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        model = fit_sq8(emb)
+        coded = stage_frame(
+            encode_sq8(emb, model).select("vec_id", "label", "sq8"),
+            "pvs_bench_sq8",
+        )
+        _SQ8_MEMO[key] = (coded, model)
+    return _SQ8_MEMO[key]
 
 
 def _unigram_model(spark, sf_dir: str):

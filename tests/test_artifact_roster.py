@@ -83,6 +83,7 @@ _REPRESENTATIVES = {
     "ann": ["ivf_topk_exact", "ivf_near_dup_pairs"],
     "bm25": ["bm25_topk", "rm3_topk"],
     "bq": ["hamming_topk", "hamming_batch_topk"],
+    "cascade": ["cascade_topk"],
     "cross_dedup": ["cross_dedup"],
     "fusion": ["rrf_fuse"],
     "audio_dedup": ["audio_near_dup"],
@@ -97,6 +98,7 @@ _REPRESENTATIVES = {
     "embeddings": ["pca_whiten"],
     "evaluation": ["retrieval_eval"],
     "fim": ["fim_transform"],
+    "heavy_hitters": ["heavy_hitter_tokens"],
     "image_dedup": ["hamming_pairs", "image_near_dup"],
     "joins": ["events_asof"],
     "kneser_ney": ["kn_score"],
@@ -114,6 +116,7 @@ _REPRESENTATIVES = {
     "store": ["upsert_merge", "store_partition_pruned"],
     "substring": ["remove_repeated_ngrams"],
     "unigram": ["encode_unigram", "unigram_train"],
+    "zorder": ["zorder_key", "zorder_write"],
 }
 
 # modules whose audit is deliberately carried by another surface — each with

@@ -658,6 +658,52 @@ def _extra_hamming_batch(spark, sf_dir):
     return hamming_batch_topk(coded, model, queries, k=5)
 
 
+def _extra_cascade_topk(spark, sf_dir):
+    from photo_vector_search_spark.operators.bq import encode_bq, fit_bq
+    from photo_vector_search_spark.operators.cascade import cascade_topk
+    from photo_vector_search_spark.operators.sq import encode_sq8, fit_sq8
+    from photo_vector_search_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bq_model = fit_bq(emb)
+    sq8_model = fit_sq8(emb)
+    qv = [float(v) for v in emb.filter("vec_id = 3").first()["embedding"]]
+    return cascade_topk(
+        encode_bq(emb, bq_model).select("vec_id", "label", "bq"),
+        bq_model,
+        encode_sq8(emb, sq8_model).select("vec_id", "label", "sq8"),
+        sq8_model,
+        emb,
+        qv,
+        k=5,
+        c1=200,
+        c2=50,
+    )
+
+
+def _extra_heavy_hitters(spark, sf_dir):
+    from photo_vector_search_spark.operators.heavy_hitters import (
+        heavy_hitter_tokens,
+    )
+    from photo_vector_search_spark.sources.tables import load_table
+
+    return heavy_hitter_tokens(
+        load_table(spark, sf_dir, "documents"), k=20, capacity=4096
+    )
+
+
+def _extra_zorder_key(spark, sf_dir):
+    from photo_vector_search_spark.operators.zorder import zorder_key
+    from photo_vector_search_spark.sources.tables import load_table
+
+    return zorder_key(
+        load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "value"
+        ),
+        ["user_id", "value"],
+    )
+
+
 def _extra_rm3_topk(spark, sf_dir):
     # the audited plan is the FINAL weighted-scoring pass (the feedback
     # retrieval is the already-audited bm25_topk plan; expansion itself is
@@ -714,10 +760,54 @@ EXTRA_OPS = {
     "c4_clean": _extra_c4_clean,
     "hamming_batch_topk": _extra_hamming_batch,
     "rm3_topk": _extra_rm3_topk,
+    "zorder_key": _extra_zorder_key,
+    "heavy_hitter_tokens": _extra_heavy_hitters,
+    "cascade_topk": _extra_cascade_topk,
 }
 
 # Plan-reader context the tree alone can't show.
 NOTES = {
+    "cascade_topk": (
+        "NOTE: library operator (r11 three-stage cascade serving — the "
+        "FAISS/ScaNN rerank funnel composed from the engine's own ladder "
+        "rungs). Stage 1 scans the 64x-compressed 1-bit codes in PURE "
+        "CODEGEN (bit_count XOR into TakeOrderedAndProject, zero "
+        "exchanges) for a c1 shortlist; stage 2 re-scores the shortlist "
+        "from the 8x SQ8 codes (broadcast-size join, decode-matmul); "
+        "stage 3 reads exactly c2 float rows for the exact tail. Float "
+        "bytes read are INDEPENDENT of corpus size. prefilter applies at "
+        "stage 1 (the filtered-search discipline). Full-pool == exact knn "
+        "bit-for-bit, pool monotonicity, and the persisted two-store "
+        "composition (torn pair in either store refuses the cascade) are "
+        "pinned in tests/test_cascade.py."
+    ),
+    "heavy_hitter_tokens": (
+        "NOTE: library operator (r11 Misra-Gries heavy hitters; mergeable-"
+        "summaries analysis of Agarwal et al. PODS'12). The exact top-"
+        "tokens form shuffles the WHOLE vocabulary; this keeps <= capacity "
+        "counters per Arrow batch (vectorized exact-counts construction: "
+        "top-capacity minus the (capacity+1)-th count — same guarantee as "
+        "the streaming decrement rule), emits tiny (item, est) rows + ONE "
+        "residual row per batch, merges by plain summation: est <= true <= "
+        "est + residual_total <= est + N/(capacity+1), NO false negatives "
+        "above the threshold — deterministic intervals, not a "
+        "probabilistic sketch. Shuffle O(batches*capacity), independent of "
+        "vocabulary and corpus size. Bounds + exactness-when-capacity-"
+        "covers pinned vs DuckDB in tests/test_heavy_hitters.py."
+    ),
+    "zorder_key": (
+        "NOTE: library operator (r11 Z-order/Morton clustering — the "
+        "Delta-Lake-style OPTIMIZE ZORDER BY layout pass, from public bit "
+        "arithmetic). The audited plan is the key computation: one min/max "
+        "agg (a single driver row) + a MAP-ONLY unrolled shift/and/or "
+        "codegen projection (bits*k terms, no UDF, zero exchanges). "
+        "write_zordered adds ONE range exchange + in-partition sort so "
+        "every output file covers a hypercube of the k-dim space — "
+        "realized footer-stats pruning is asserted on engine-written "
+        "stores in tests/test_zorder.py (value-only box: z-order prunes "
+        ">=50% of row groups where a user_id sort prunes 0). DuckDB "
+        "replays the full bit arithmetic."
+    ),
     "rm3_topk": (
         "NOTE: library operator (r11 RM3 pseudo-relevance feedback, "
         "Abdul-Jaleel et al. 2004 — the Lavrenko-Croft relevance model "
