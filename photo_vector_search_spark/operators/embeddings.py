@@ -180,3 +180,75 @@ def truncate_renorm(
     return F.when(n > 0, F.transform(pre, lambda x: x / n)).otherwise(
         F.lit(None).cast("array<double>")
     )
+
+
+def pool_embeddings(
+    chunks: DataFrame,
+    by: str = "doc_id",
+    vec_col: str = "embedding",
+    weight_col: str | None = None,
+    method: str = "mean",
+    renorm: bool = True,
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Pool CHUNK embeddings back to one vector per ``by`` group — the
+    long-document pattern (embed bounded chunks, mean-pool to the document;
+    the Sentence-BERT / RAG aggregation convention). ``method``: 'mean'
+    (optionally ``weight_col``-weighted — e.g. chunk token counts, so long
+    chunks count proportionally) or 'max' (element-wise max-pool). L2
+    renormalized by default (cosine-ready); all-NULL groups and (under
+    renorm) zero-norm results yield NULL vectors — the knn discipline.
+
+    Scale shape: ONE keyed shuffle (groupBy ``by``) of the chunk vectors
+    into a vectorized Arrow kernel (np.average / np.max per group) — the
+    rows must meet their group somewhere, and chunkers emit a document's
+    chunks adjacently, so AQE-coalesced exchanges stay cheap; output is one
+    row per group. Returns (by, n_chunks, out_col)."""
+    if method not in ("mean", "max"):
+        raise ValueError(f"method must be 'mean' or 'max', got {method!r}")
+    if weight_col is not None and method != "mean":
+        raise ValueError("weight_col only applies to method='mean'")
+
+    cols = [by, vec_col] + ([weight_col] if weight_col else [])
+    key_type = chunks.schema[by].dataType.simpleString()
+    out_schema = (
+        f"`{by}` {key_type}, n_chunks long, `{out_col}` array<double>"
+    )
+    w_name = weight_col
+
+    def _pool(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        vals = pdf[pdf[vec_col].notna()]
+        n = len(vals)
+        if n == 0:
+            return pd.DataFrame(
+                {by: [key[0]], "n_chunks": [0], out_col: [None]}
+            )
+        x = np.vstack(vals[vec_col].to_numpy()).astype(np.float64)
+        if method == "max":
+            v = x.max(axis=0)
+        elif w_name is not None:
+            w = vals[w_name].to_numpy(dtype=np.float64)
+            if not (w >= 0).all() or not w.sum() > 0:
+                raise ValueError(
+                    f"group {key[0]!r}: weights must be >= 0 with a "
+                    "positive sum"
+                )
+            v = np.average(x, axis=0, weights=w)
+        else:
+            v = x.mean(axis=0)
+        if renorm:
+            nrm = float(np.linalg.norm(v))
+            v = v / nrm if nrm > 0 else None
+        return pd.DataFrame(
+            {
+                by: [key[0]],
+                "n_chunks": [n],
+                out_col: [None if v is None else list(v)],
+            }
+        )
+
+    return (
+        chunks.select(*cols)
+        .groupBy(by)
+        .applyInPandas(_pool, schema=out_schema)
+    )

@@ -313,6 +313,44 @@ def incremental_ivfpq_index(
     return _start_merge_stream(stream, _merge_batch, checkpoint_dir, available_now)
 
 
+def incremental_ivf_sq8_index(
+    spark: SparkSession,
+    input_dir: str,
+    store_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Stream vector batches into an EXISTING IVF,SQ8 store through its
+    DELTA segment (`operators/index_maintenance.upsert_ivf_sq8_store`) —
+    the O(delta)-per-batch upgrade over the merge-upsert streams above,
+    which snapshot-rewrite the WHOLE base every micro-batch: here the base
+    (the 100 TB part) is untouched until an offline compaction, and each
+    batch pays only assign+encode (map-only against the frozen
+    centroids/range) plus the small delta rewrite.
+
+    Serving reads go through ``live_ivf_sq8_topk`` (base + delta −
+    tombstones). Replay-idempotent: a crashed batch re-upserts the same
+    ids into the delta, replacing its own rows — the post-replay state is
+    byte-identical (pinned in tests/test_index_maintenance.py). The frozen
+    build_id discipline of the sibling streams holds: upsert stamps rows
+    with the base's build and refuses cross-build side tables."""
+    from photo_vector_search_spark.operators.index_maintenance import (
+        upsert_ivf_sq8_store,
+    )
+
+    stream = (
+        spark.readStream.schema(VECTORS_SCHEMA).format("parquet").load(input_dir)
+    )
+
+    def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.dropDuplicates(["vec_id"]).localCheckpoint(eager=True)
+        if batch.count() == 0:
+            return
+        upsert_ivf_sq8_store(batch.sparkSession, store_path, batch)
+
+    return _start_merge_stream(stream, _merge_batch, checkpoint_dir, available_now)
+
+
 DOCS_SCHEMA = "doc_id long, text string"
 
 

@@ -83,7 +83,7 @@ _REPRESENTATIVES = {
     "ann": ["ivf_topk_exact", "ivf_near_dup_pairs"],
     "bm25": ["bm25_topk", "rm3_topk"],
     "bq": ["hamming_topk", "hamming_batch_topk"],
-    "cascade": ["cascade_topk"],
+    "cascade": ["cascade_topk", "cascade_batch_topk"],
     "cross_dedup": ["cross_dedup"],
     "fusion": ["rrf_fuse"],
     "audio_dedup": ["audio_near_dup"],
@@ -95,10 +95,11 @@ _REPRESENTATIVES = {
     "dedup": ["dedup_minhash_lsh", "embedding_near_dup", "srp_lsh_near_dup"],
     "domains": ["domain_cap", "filter_urls"],
     "dsir": ["dsir_weights"],
-    "embeddings": ["pca_whiten"],
+    "embeddings": ["pca_whiten", "pool_embeddings"],
     "evaluation": ["retrieval_eval"],
     "fim": ["fim_transform"],
     "heavy_hitters": ["heavy_hitter_tokens"],
+    "index_maintenance": ["live_ivf_sq8_topk", "ivf_sq8_live_topk"],
     "image_dedup": ["hamming_pairs", "image_near_dup"],
     "joins": ["events_asof"],
     "kneser_ney": ["kn_score"],

@@ -142,3 +142,59 @@ def test_guards(ladder):
         cascade_topk(
             coded_bq, bq_model, coded_sq8, sq8_model, emb, q, k=0
         )
+
+
+def test_batch_cascade_equals_single_loop(ladder):
+    """cascade_batch_topk ≡ a Python loop of cascade_topk per query —
+    shared passes change the cost, never the values."""
+    from photo_vector_search_spark.operators.cascade import cascade_batch_topk
+
+    emb, bq_model, coded_bq, sq8_model, coded_sq8 = ladder
+    queries = emb.filter(F.col("vec_id").isin([0, 7, 42])).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("query_vec"),
+    )
+    got = (
+        cascade_batch_topk(
+            coded_bq, bq_model, coded_sq8, sq8_model, emb, queries,
+            k=4, c1=100, c2=30,
+        )
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    rows = []
+    for r in queries.collect():
+        one = cascade_topk(
+            coded_bq, bq_model, coded_sq8, sq8_model, emb,
+            r["query_vec"], k=4, c1=100, c2=30,
+        ).toPandas()
+        for _, x in one.iterrows():
+            rows.append(
+                (r["query_id"], x.vec_id, x.label, x.dist, x["rank"])
+            )
+    want = sorted(rows, key=lambda t: (t[0], t[4]))
+    assert list(map(tuple, got.values.tolist())) == want
+
+
+def test_batch_cascade_guards(ladder):
+    from photo_vector_search_spark.operators.cascade import cascade_batch_topk
+
+    emb, bq_model, coded_bq, sq8_model, coded_sq8 = ladder
+    dup = emb.filter(F.col("vec_id") < 2).select(
+        F.lit(1).alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("query_vec"),
+    )
+    with pytest.raises(ValueError, match="duplicate query_id"):
+        cascade_batch_topk(
+            coded_bq, bq_model, coded_sq8, sq8_model, emb, dup, k=2
+        )
+    ok = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("query_vec"),
+    )
+    with pytest.raises(ValueError, match="pools must nest"):
+        cascade_batch_topk(
+            coded_bq, bq_model, coded_sq8, sq8_model, emb, ok,
+            k=5, c1=10, c2=20,
+        )

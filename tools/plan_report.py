@@ -658,6 +658,69 @@ def _extra_hamming_batch(spark, sf_dir):
     return hamming_batch_topk(coded, model, queries, k=5)
 
 
+def _extra_cascade_batch(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from photo_vector_search_spark.operators.bq import encode_bq, fit_bq
+    from photo_vector_search_spark.operators.cascade import cascade_batch_topk
+    from photo_vector_search_spark.operators.sq import encode_sq8, fit_sq8
+    from photo_vector_search_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bq_model = fit_bq(emb)
+    sq8_model = fit_sq8(emb)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("query_vec"),
+    )
+    return cascade_batch_topk(
+        encode_bq(emb, bq_model).select("vec_id", "label", "bq"),
+        bq_model,
+        encode_sq8(emb, sq8_model).select("vec_id", "label", "sq8"),
+        sq8_model,
+        emb,
+        queries,
+        k=5,
+        c1=100,
+        c2=30,
+    )
+
+
+def _extra_live_ivf_sq8(spark, sf_dir):
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from photo_vector_search_spark.operators.index_maintenance import (
+        delete_from_ivf_sq8_store,
+        load_live_ivf_sq8,
+        upsert_ivf_sq8_store,
+    )
+    from photo_vector_search_spark.operators.sq import (
+        build_ivf_sq8_store,
+        ivf_sq8_topk,
+    )
+    from photo_vector_search_spark.sources.tables import load_table
+
+    path = tempfile.mkdtemp(prefix="pvs_plan_ivfsq8_live_") + "/store"
+    emb = load_table(spark, sf_dir, "embeddings")
+    build_ivf_sq8_store(emb.filter(F.col("vec_id") < 400), path, n_clusters=8)
+    upsert_ivf_sq8_store(spark, path, emb.filter(F.col("vec_id") >= 400))
+    delete_from_ivf_sq8_store(spark, path, [11])
+    live, centroids, model = load_live_ivf_sq8(spark, path)
+    qv = [float(v) for v in emb.filter("vec_id = 3").first()["embedding"]]
+    return ivf_sq8_topk(live, centroids, model, qv, k=5, nprobe=2)
+
+
+def _extra_pool_embeddings(spark, sf_dir):
+    from photo_vector_search_spark.operators.embeddings import pool_embeddings
+    from photo_vector_search_spark.sources.tables import load_table
+
+    return pool_embeddings(
+        load_table(spark, sf_dir, "embeddings"), by="label"
+    )
+
+
 def _extra_cascade_topk(spark, sf_dir):
     from photo_vector_search_spark.operators.bq import encode_bq, fit_bq
     from photo_vector_search_spark.operators.cascade import cascade_topk
@@ -763,10 +826,51 @@ EXTRA_OPS = {
     "zorder_key": _extra_zorder_key,
     "heavy_hitter_tokens": _extra_heavy_hitters,
     "cascade_topk": _extra_cascade_topk,
+    "pool_embeddings": _extra_pool_embeddings,
+    "live_ivf_sq8_topk": _extra_live_ivf_sq8,
+    "cascade_batch_topk": _extra_cascade_batch,
 }
 
 # Plan-reader context the tree alone can't show.
 NOTES = {
+    "cascade_batch_topk": (
+        "NOTE: library operator (r11 batched cascade — Q queries share "
+        "ONE pass per representation). Stage 1 is hamming_batch_topk's "
+        "shared codes pass (top-c1 per query); stage 2 joins the "
+        "shortlists to the SQ8 codes (<= Q*c1 candidate rows, never the "
+        "corpus) and one Arrow kernel scores each row against its own "
+        "query via a broadcast query matrix; stage 3 joins <= Q*c2 "
+        "survivors to the float source for the exact tail. Loop-parity "
+        "vs cascade_topk pinned in tests/test_cascade.py."
+    ),
+    "live_ivf_sq8_topk": (
+        "NOTE: library operator (r11 incremental IVF,SQ8 maintenance — "
+        "upsert/delete/compact WITHOUT a full rebuild; the reference adds "
+        "photos to its ChromaDB index incrementally, this is that rung "
+        "for the engine's own store). Live view = delta UNION (base "
+        "anti-join delta-ids) anti-join tombstones: the anti-joins "
+        "broadcast the small side tables, and the probe IN-filter pushes "
+        "THROUGH the union so the base scan keeps its cluster_id "
+        "partition pruning. Upserts encode against the EXISTING "
+        "centroids/model (clip convention) and snapshot-rewrite only the "
+        "delta (O(delta), never O(base)); all three tables share one "
+        "build_id — a delta from different centroids is refused. "
+        "Compaction is idempotent under any crash point (stale side "
+        "tables overlay to the identical view — proven by the crash "
+        "simulation in tests/test_index_maintenance.py)."
+    ),
+    "pool_embeddings": (
+        "NOTE: library operator (r11 chunk-embedding pooling — the "
+        "long-document pattern: embed bounded chunks, pool back to one "
+        "document vector; mean / weighted-mean / element-wise max, L2 "
+        "renormalized). ONE keyed groupBy exchange into a vectorized "
+        "Arrow kernel (np.average / np.max per group), one row out per "
+        "group — the rows must meet their group exactly once, and "
+        "chunkers emit a document's chunks adjacently so the AQE-"
+        "coalesced exchange stays cheap. DuckDB twin of the grouped "
+        "component means + renorm, NumPy weighted/max twins, and the "
+        "chunk->embed->pool composition in tests/test_pooling.py."
+    ),
     "cascade_topk": (
         "NOTE: library operator (r11 three-stage cascade serving — the "
         "FAISS/ScaNN rerank funnel composed from the engine's own ladder "
