@@ -12,6 +12,7 @@ Parquet-backed store.
     python -m photo_vector_search_spark.cli delete-store --store S --yes
     python -m photo_vector_search_spark.cli list-models
     python -m photo_vector_search_spark.cli curate-corpus --docs D.parquet --out shards/
+    python -m photo_vector_search_spark.cli vector-index build/upsert/delete/compact/search --index I
 
 Differences from the reference, by design: the store is a Parquet snapshot
 (ChromaDB replaced), models default to the deterministic stubs (CLIP/Ollama plug
@@ -490,6 +491,57 @@ def cmd_search_hybrid(args) -> int:
     return 0
 
 
+def cmd_vector_index(args) -> int:
+    """IVF,SQ8 vector-index lifecycle over an embeddings parquet — the
+    engine-native form of the reference's index-photos/delete-photo loop
+    (photo_vector_search.py:84-117), with incremental delta upserts,
+    tombstone deletes, live serving, and offline compaction
+    (`operators/sq`, `operators/index_maintenance`)."""
+    from photo_vector_search_spark.operators.index_maintenance import (
+        compact_ivf_sq8_store,
+        delete_from_ivf_sq8_store,
+        live_ivf_sq8_topk,
+        upsert_ivf_sq8_store,
+    )
+    from photo_vector_search_spark.operators.sq import build_ivf_sq8_store
+
+    spark = _spark()
+    try:
+        if args.index_cmd == "build":
+            emb = spark.read.parquet(args.embeddings)
+            build_ivf_sq8_store(emb, args.index, n_clusters=args.clusters)
+            print(f"built IVF,SQ8 index at {args.index} "
+                  f"({emb.count()} vectors, {args.clusters} clusters)")
+        elif args.index_cmd == "upsert":
+            emb = spark.read.parquet(args.embeddings)
+            n = upsert_ivf_sq8_store(spark, args.index, emb)
+            print(f"upserted {n} vectors into the delta segment")
+        elif args.index_cmd == "delete":
+            n = delete_from_ivf_sq8_store(spark, args.index, args.ids)
+            print(f"tombstoned {n} ids")
+        elif args.index_cmd == "compact":
+            n = compact_ivf_sq8_store(spark, args.index)
+            print(f"compacted to {n} live rows (delta and tombstones cleared)")
+        elif args.index_cmd == "search":
+            emb = spark.read.parquet(args.embeddings)
+            row = emb.filter(F.col("vec_id") == args.query_id).first()
+            if row is None:
+                print(f"query vec_id {args.query_id} not in --embeddings",
+                      file=sys.stderr)
+                return 2
+            hits = live_ivf_sq8_topk(
+                spark, args.index, row["embedding"], k=args.k,
+                nprobe=args.nprobe,
+            ).collect()
+            for r in hits:
+                print(f"{r['rank']:>3}. vec {r['vec_id']}  label={r['label']}"
+                      f"  dist={r['dist']:.6f}")
+    except ValueError as e:
+        print(str(e), file=sys.stderr)
+        return 2
+    return 0
+
+
 def cmd_list_models(args) -> int:
     from photo_vector_search_spark.pipelines.embed import available_models
 
@@ -662,6 +714,27 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--vector-weight", type=float, default=1.0)
     sp.add_argument("--lexical-weight", type=float, default=1.0)
     sp.set_defaults(fn=cmd_search_hybrid)
+
+    sp = sub.add_parser(
+        "vector-index",
+        help="IVF,SQ8 index lifecycle: build/upsert/delete/compact/search",
+    )
+    isub = sp.add_subparsers(dest="index_cmd", required=True)
+    for name in ("build", "upsert", "delete", "compact", "search"):
+        ip = isub.add_parser(name)
+        ip.add_argument("--index", required=True, help="index store path")
+        if name in ("build", "upsert", "search"):
+            ip.add_argument("--embeddings", required=True,
+                            help="embeddings parquet (vec_id, embedding, label)")
+        if name == "build":
+            ip.add_argument("--clusters", type=int, default=16)
+        if name == "delete":
+            ip.add_argument("--ids", type=int, nargs="+", required=True)
+        if name == "search":
+            ip.add_argument("--query-id", type=int, required=True)
+            ip.add_argument("-k", type=int, default=5)
+            ip.add_argument("--nprobe", type=int, default=4)
+        ip.set_defaults(fn=cmd_vector_index)
 
     sp = sub.add_parser("list-models")
     sp.set_defaults(fn=cmd_list_models)

@@ -106,6 +106,12 @@ def upsert_ivf_sq8_store(
         "sq8",
         F.lit(base_build).alias("build_id"),
     )
+    if sorted(coded.columns) != sorted(base.columns):
+        raise ValueError(
+            f"upsert columns {sorted(coded.columns)} do not match the base "
+            f"store's {sorted(base.columns)} — pass the keep_cols the store "
+            "was built with"
+        )
 
     delta_path = path + ".delta"
     old_delta = _read_side_table(spark, delta_path)

@@ -230,3 +230,47 @@ def test_streaming_delta_upserts(spark, sf_dir, tmp_path):
     )
     assert state_after == state_before
     assert load_live_ivf_sq8(spark, path)[0].count() == 500
+
+
+def test_upsert_keep_cols_must_match_base(spark, store):
+    emb, base, extra, path, centroids, model = store
+    with pytest.raises(ValueError, match="do not match the base"):
+        upsert_ivf_sq8_store(spark, path, extra.limit(3), keep_cols=())
+
+
+def test_cli_vector_index_lifecycle(spark, sf_dir, tmp_path, capsys):
+    """`vector-index build/upsert/delete/search/compact` drives the whole
+    lifecycle from the command line — the reference's index-photos/
+    delete-photo loop on the engine's flagship store."""
+    from photo_vector_search_spark.cli import main
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base_p = str(tmp_path / "base.parquet")
+    extra_p = str(tmp_path / "extra.parquet")
+    emb.filter(F.col("vec_id") < 450).write.parquet(base_p)
+    emb.filter(F.col("vec_id") >= 450).write.parquet(extra_p)
+    idx = str(tmp_path / "idx")
+
+    assert main(["vector-index", "build", "--index", idx,
+                 "--embeddings", base_p, "--clusters", "8"]) == 0
+    assert "built IVF,SQ8 index" in capsys.readouterr().out
+    assert main(["vector-index", "upsert", "--index", idx,
+                 "--embeddings", extra_p]) == 0
+    assert "upserted 50" in capsys.readouterr().out
+    assert main(["vector-index", "search", "--index", idx,
+                 "--embeddings", extra_p, "--query-id", "470",
+                 "-k", "3", "--nprobe", "8"]) == 0
+    out = capsys.readouterr().out.splitlines()
+    assert out[0].lstrip().startswith("1. vec 470")
+    assert main(["vector-index", "delete", "--index", idx,
+                 "--ids", "470"]) == 0
+    capsys.readouterr()
+    assert main(["vector-index", "search", "--index", idx,
+                 "--embeddings", extra_p, "--query-id", "470",
+                 "-k", "3", "--nprobe", "8"]) == 0
+    assert "vec 470 " not in capsys.readouterr().out
+    assert main(["vector-index", "compact", "--index", idx]) == 0
+    assert "compacted to 499 live rows" in capsys.readouterr().out
+    # a bad query id exits 2 with a message
+    assert main(["vector-index", "search", "--index", idx,
+                 "--embeddings", extra_p, "--query-id", "999999"]) == 2
