@@ -190,6 +190,7 @@ def pool_embeddings(
     method: str = "mean",
     renorm: bool = True,
     out_col: str = "embedding",
+    order_col: str | None = None,
 ) -> DataFrame:
     """Pool CHUNK embeddings back to one vector per ``by`` group — the
     long-document pattern (embed bounded chunks, mean-pool to the document;
@@ -210,14 +211,22 @@ def pool_embeddings(
         raise ValueError("weight_col only applies to method='mean'")
 
     cols = [by, vec_col] + ([weight_col] if weight_col else [])
+    if order_col is not None and order_col not in cols:
+        cols.append(order_col)
     key_type = chunks.schema[by].dataType.simpleString()
     out_schema = (
         f"`{by}` {key_type}, n_chunks long, `{out_col}` array<double>"
     )
     w_name = weight_col
+    order_name = order_col
 
-    def _pool(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def _pool(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         vals = pdf[pdf[vec_col].notna()]
+        if order_name is not None:
+            # pin the float summation ORDER: without it the group's row
+            # order (hence the last-ulp of the mean) depends on the
+            # physical partitioning — the pinned-eigenvector-signs rule
+            vals = vals.sort_values(order_name, kind="stable")
         n = len(vals)
         if n == 0:
             return pd.DataFrame(

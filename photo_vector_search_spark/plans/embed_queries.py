@@ -226,11 +226,60 @@ FROM scored ORDER BY h ASC, vec_id ASC LIMIT {_BQ_K}
 """
 
 
+def q_pool_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-embedding pooling (`operators/embeddings.pool_embeddings`,
+    label standing in for the chunk group): per-group component means, L2
+    renormalized, with the summation order pinned on vec_id so the result
+    is partitioning-invariant. Declared output = group, chunk count, spot
+    components (arrays stay out of the compare, FIXTURES.md). Supersedes
+    the retired `label_prototypes` slot — the same grouped-mean machinery
+    plus the renorm/weighting the pooling operator adds."""
+    from photo_vector_search_spark.operators.embeddings import pool_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pooled = pool_embeddings(
+        emb, by="label", vec_col="embedding", order_col="vec_id"
+    )
+    return pooled.select(
+        "label",
+        "n_chunks",
+        F.round(F.element_at("embedding", 1), 6).alias("e0"),
+        F.round(F.element_at("embedding", 33), 6).alias("e32"),
+        F.round(F.element_at("embedding", 64), 6).alias("e63"),
+    )
+
+
+_ORACLE_POOL_EMBEDDINGS = """
+WITH e AS (
+  SELECT label, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE embedding IS NOT NULL
+),
+comps AS (
+  SELECT label, r.range AS i, avg(v[r.range]) AS m
+  FROM e, range(1, 65) r GROUP BY 1, 2
+),
+vecs AS (
+  SELECT label, list(m ORDER BY i) AS mv FROM comps GROUP BY label
+),
+n AS (SELECT label, count(*) AS n_chunks FROM e GROUP BY label),
+nrm AS (
+  SELECT label, sqrt(list_sum(list_transform(mv, x -> x*x))) AS s, mv
+  FROM vecs
+)
+SELECT n.label, n.n_chunks,
+       round(mv[1] / s, 6) AS e0,
+       round(mv[33] / s, 6) AS e32,
+       round(mv[64] / s, 6) AS e63
+FROM nrm JOIN n USING (label)
+"""
+
+
 QUERIES = {
     "embed_documents": q_embed_documents,
     "search_by_text": q_search_by_text,
     "retrieval_eval": q_retrieval_eval,
     "hamming_topk": q_hamming_topk,
+    "pool_embeddings": q_pool_embeddings,
 }
 
 ORACLES = {
@@ -238,4 +287,5 @@ ORACLES = {
     "search_by_text": _ORACLE_SEARCH_BY_TEXT,
     "retrieval_eval": _ORACLE_RETRIEVAL_EVAL,
     "hamming_topk": _ORACLE_HAMMING_TOPK,
+    "pool_embeddings": _ORACLE_POOL_EMBEDDINGS,
 }

@@ -1368,7 +1368,6 @@ QUERIES = {
     "pack_documents_sharded": q_pack_documents_sharded,
     "hard_negatives": q_hard_negatives,
     "srp_lsh_near_dup": q_srp_lsh_near_dup,
-    "label_prototypes": q_label_prototypes,
     "source_drift": q_source_drift,
     "pack_sequences": q_pack_sequences,
     "mix_corpus": q_mix_corpus,
@@ -1385,7 +1384,6 @@ ORACLES = {
     "hard_negatives": _ORACLE_HARD_NEGATIVES,
     "srp_lsh_near_dup": _srp_oracle(),
     "leakage_safe_split": _leakage_split_oracle(),
-    "label_prototypes": _ORACLE_LABEL_PROTOTYPES,
     "source_drift": _ORACLE_SOURCE_DRIFT,
     "pack_sequences": _ORACLE_PACK_SEQUENCES,
     "mix_corpus": _mix_oracle(),
@@ -1447,6 +1445,12 @@ ORACLES = {
 #   budget_select's percentile cuts, the KLL sketch variant stays twin-tested
 #   in test_sketches, and the pair remains locally DuckDB-verified here.
 RETIRED_QUERIES = {
+    # label_prototypes (retired r11 for pool_embeddings): per-label mean
+    # embedding — pool_embeddings(by=label) is the strict superset (same
+    # grouped component means, plus renorm / weights / max and the
+    # chunk→doc composition) and carries its own DuckDB oracle; the
+    # decimal-exact posexplode formulation stays verified here
+    "label_prototypes": q_label_prototypes,
     # pack_windows (retired r11 for sample_weighted): fixed-length window
     # re-chunking — the packing family keeps TWO declared rows
     # (pack_sequences: boundary-respecting SFT packer; pack_documents_sharded:
@@ -1466,6 +1470,7 @@ RETIRED_QUERIES = {
 }
 
 RETIRED_ORACLES = {
+    "label_prototypes": _ORACLE_LABEL_PROTOTYPES,
     "pack_windows": _ORACLE_PACK_WINDOWS,
     "data_profile": _ORACLE_DATA_PROFILE,
     "rollup_events": _ORACLE_ROLLUP_EVENTS,

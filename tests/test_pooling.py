@@ -139,3 +139,34 @@ def test_guards(spark):
         pool_embeddings(df, method="max", weight_col="w")
     with pytest.raises(Exception, match="positive sum"):
         pool_embeddings(df, weight_col="w").collect()
+
+
+def test_declared_pool_embeddings_matches_oracle(spark, sf_dir):
+    import __spark_entry__ as m
+
+    assert_matches(
+        m.queries()["pool_embeddings"](spark, sf_dir),
+        m.oracle_sql()["pool_embeddings"],
+        sf_dir,
+    )
+
+
+def test_order_pin_makes_pooling_bit_deterministic(spark, sf_dir):
+    """order_col pins the float summation order, so the pooled vectors are
+    BIT-identical under any repartition (the declared query's shape — the
+    pinned-eigenvector-signs discipline)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = (
+        pool_embeddings(emb, by="label", order_col="vec_id")
+        .toPandas()
+        .sort_values("label")
+        .reset_index(drop=True)
+    )
+    b = (
+        pool_embeddings(emb.repartition(13), by="label", order_col="vec_id")
+        .toPandas()
+        .sort_values("label")
+        .reset_index(drop=True)
+    )
+    for x, y in zip(a.embedding, b.embedding):
+        assert np.array_equal(np.asarray(x), np.asarray(y))
