@@ -134,6 +134,7 @@ GROUPS: dict[str, list[str]] = {
         "pool_embeddings",
         "ivf_sq8_live_topk",
         "cascade_batch16",
+        "maxsim_search",
     ],
 }
 
@@ -974,6 +975,20 @@ def _build_cases(spark, sf_dir: str) -> dict:
                 k=5,
                 c1=200,
                 c2=50,
+            )
+        ),
+        # r11: ColBERT MaxSim late-interaction search, two-stage shape
+        # (pooled-vector prefilter to 64 candidates, then the per-token
+        # codegen fold over bounded token matrices)
+        "maxsim_search": lambda: _force(
+            __import__(
+                "photo_vector_search_spark.operators.late_interaction",
+                fromlist=["maxsim_search"],
+            ).maxsim_search(
+                load_table(spark, sf_dir, "documents"),
+                "the quick brown fox",
+                k=10,
+                prefilter_n=64,
             )
         ),
         # r10: leakage-safe split — LSH candidate pairs closed into

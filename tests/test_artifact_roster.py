@@ -103,6 +103,7 @@ _REPRESENTATIVES = {
     "image_dedup": ["hamming_pairs", "image_near_dup"],
     "joins": ["events_asof"],
     "kneser_ney": ["kn_score"],
+    "late_interaction": ["maxsim_search"],
     "knn": ["knn_topk", "knn_batch"],
     "mixing": ["mix_corpus"],
     "packing": ["pack_sequences", "pack_windows"],

@@ -1,0 +1,143 @@
+"""Late-interaction MaxSim retrieval (`operators/late_interaction`):
+DuckDB twin of the full per-token-embed + MaxSim fold, a hand-computed
+semantics fixture (each query token picks its OWN best doc token),
+two-stage prefilter identity + containment, NULL/guard discipline."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from photo_vector_search_spark.operators.late_interaction import (
+    MAX_DOC_TOKENS,
+    doc_token_embeddings,
+    maxsim_scores,
+    maxsim_search,
+    maxsim_topk,
+)
+from photo_vector_search_spark.pipelines.embed import stub_embed_one
+from photo_vector_search_spark.sources.tables import load_table
+from tests.oracle import assert_matches
+
+QUERY = "quick brown fox"
+
+
+def _twin_sql(
+    query: str,
+    max_doc_tokens: int = MAX_DOC_TOKENS,
+    doc_pred: str = "TRUE",
+) -> str:
+    from photo_vector_search_spark.pipelines.embed import stub_embedding_sql
+
+    qtoks = [t for t in query.strip().lower().split() if t][:8]
+    per_q = []
+    for t in qtoks:
+        q_sql = stub_embedding_sql(f"'{t}'")
+        per_q.append(
+            f"list_max(list_transform(tembs, e -> list_dot_product(e, {q_sql})))"
+        )
+    total = " + ".join(per_q)
+    d_sql = stub_embedding_sql("t")
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_slice(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                                x -> x <> ''), 1, {max_doc_tokens}) AS ts
+  FROM documents WHERE text IS NOT NULL AND {doc_pred}
+),
+embs AS (
+  SELECT doc_id, list_transform(ts, t -> {d_sql}) AS tembs
+  FROM toks WHERE len(ts) > 0
+)
+SELECT doc_id, round({total}, 6) AS maxsim FROM embs
+"""
+
+
+def test_maxsim_scores_match_duckdb_twin(spark, sf_dir):
+    """The whole chain — per-token stub embeddings, unit-dot similarity,
+    per-query-token max, sum — replayed in DuckDB and value-matched."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 120
+    )
+    doc_toks = doc_token_embeddings(docs)
+    got = maxsim_scores(doc_toks, QUERY)
+    assert_matches(got, _twin_sql(QUERY, doc_pred="doc_id < 120"), sf_dir)
+
+
+def test_each_query_token_picks_its_own_best(spark):
+    """Hand-built semantics fixture: doc 1 holds both query words, doc 2
+    only one — MaxSim must give doc 1 one near-1 match PER query token."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta"),
+            (2, "alpha zzz"),
+            (3, "yyy zzz"),
+        ],
+        "doc_id long, text string",
+    )
+    doc_toks = doc_token_embeddings(docs)
+    got = {
+        r["doc_id"]: r["maxsim"]
+        for r in maxsim_scores(doc_toks, "alpha beta").collect()
+    }
+    # doc 1: both tokens match exactly (unit dot = 1.0 each)
+    assert got[1] == pytest.approx(2.0, abs=1e-6)
+    # doc 2: 'alpha' exact + 'beta's best among {alpha, zzz} < 1
+    import numpy as np
+
+    beta = np.asarray(stub_embed_one("beta"))
+    best_beta = max(
+        float(np.dot(beta, np.asarray(stub_embed_one(t))))
+        for t in ("alpha", "zzz")
+    )
+    assert got[2] == pytest.approx(1.0 + best_beta, abs=1e-6)
+    assert got[1] > got[2] > got[3]
+    top = maxsim_topk(doc_toks, "alpha beta", k=3).toPandas()
+    assert top.doc_id.tolist() == [1, 2, 3]
+    assert top["rank"].tolist() == [1, 2, 3]
+
+
+def test_prefilter_full_width_equals_exact_and_narrow_is_contained(
+    spark, sf_dir
+):
+    docs = load_table(spark, sf_dir, "documents").limit(150)
+    n = docs.count()
+    exact = maxsim_search(docs, QUERY, k=5).toPandas()
+    staged_full = maxsim_search(docs, QUERY, k=5, prefilter_n=n).toPandas()
+    assert staged_full.values.tolist() == exact.values.tolist()
+    staged = maxsim_search(docs, QUERY, k=5, prefilter_n=40).toPandas()
+    # two-stage scores are true MaxSim scores, so every returned row must
+    # also exist in the exact scoring (possibly at different rank)
+    exact_scores = {
+        r["doc_id"]: r["maxsim"]
+        for r in maxsim_scores(doc_token_embeddings(docs), QUERY).collect()
+    }
+    for _, r in staged.iterrows():
+        assert exact_scores[r.doc_id] == pytest.approx(r.maxsim, abs=1e-9)
+
+
+def test_null_and_guard_discipline(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, None), (3, "   ")],
+        "doc_id long, text string",
+    )
+    doc_toks = doc_token_embeddings(docs)
+    ids = {r["doc_id"] for r in maxsim_scores(doc_toks, "hello").collect()}
+    assert ids == {1}  # NULL and whitespace-only docs never rank
+    with pytest.raises(ValueError, match="no tokens"):
+        maxsim_scores(doc_toks, "   ")
+    with pytest.raises(ValueError, match="k must be"):
+        maxsim_topk(doc_toks, "hello", k=0)
+    with pytest.raises(ValueError, match="prefilter_n"):
+        maxsim_search(docs, "hello", k=10, prefilter_n=5)
+    with pytest.raises(ValueError, match="max_tokens"):
+        doc_token_embeddings(docs, max_tokens=0)
+
+
+def test_token_budget_caps_the_matrix(spark):
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(50)))], "doc_id long, text string"
+    )
+    row = doc_token_embeddings(docs, max_tokens=8).first()
+    assert len(row["tok_embs"]) == 8
+    assert len(row["tok_embs"][0]) == 64

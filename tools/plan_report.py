@@ -658,6 +658,20 @@ def _extra_hamming_batch(spark, sf_dir):
     return hamming_batch_topk(coded, model, queries, k=5)
 
 
+def _extra_maxsim_search(spark, sf_dir):
+    from photo_vector_search_spark.operators.late_interaction import (
+        maxsim_search,
+    )
+    from photo_vector_search_spark.sources.tables import load_table
+
+    return maxsim_search(
+        load_table(spark, sf_dir, "documents"),
+        "the quick brown fox",
+        k=10,
+        prefilter_n=64,
+    )
+
+
 def _extra_cascade_batch(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -829,10 +843,26 @@ EXTRA_OPS = {
     "pool_embeddings": _extra_pool_embeddings,
     "live_ivf_sq8_topk": _extra_live_ivf_sq8,
     "cascade_batch_topk": _extra_cascade_batch,
+    "maxsim_search": _extra_maxsim_search,
 }
 
 # Plan-reader context the tree alone can't show.
 NOTES = {
+    "maxsim_search": (
+        "NOTE: library operator (r11 ColBERT late-interaction retrieval, "
+        "Khattab & Zaharia SIGIR'20 — score(q,d) = sum over query tokens "
+        "of the best doc-token dot product, completing the retrieval "
+        "matrix: lexical BM25 / dense single-vector / RRF hybrid / late "
+        "interaction). Token matrices are BOUNDED (the ColBERT doc "
+        "budget) and ride as one array<array<double>> per doc; scoring "
+        "is a PURE CODEGEN fold (unit vectors so sim = dot; per query "
+        "token an aggregate/greatest over the matrix) — no UDF, map-only "
+        "into TakeOrdered. The audited two-stage shape prefilters to N "
+        "candidates by the POOLED vector first (ColBERT-v2/PLAID "
+        "deployment pattern). Full DuckDB twin of the chain + exactness "
+        "when prefilter covers the corpus in "
+        "tests/test_late_interaction.py."
+    ),
     "cascade_batch_topk": (
         "NOTE: library operator (r11 batched cascade — Q queries share "
         "ONE pass per representation). Stage 1 is hamming_batch_topk's "
