@@ -135,6 +135,7 @@ GROUPS: dict[str, list[str]] = {
         "ivf_sq8_live_topk",
         "cascade_batch16",
         "maxsim_search",
+        "rocchio_topk",
     ],
 }
 
@@ -990,6 +991,14 @@ def _build_cases(spark, sf_dir: str) -> dict:
                 k=10,
                 prefilter_n=64,
             )
+        ),
+        # r11: Rocchio dense feedback — two TakeOrdered corpus passes
+        # (feedback knn + expanded knn), centroid math driver-side
+        "rocchio_topk": lambda: _force(
+            __import__(
+                "photo_vector_search_spark.operators.knn",
+                fromlist=["rocchio_topk"],
+            ).rocchio_topk(emb, vec, k=5, fb_k=10)
         ),
         # r10: leakage-safe split — LSH candidate pairs closed into
         # connected components, md5 split drawn on the group id (map-only

@@ -258,3 +258,90 @@ def mmr_rerank(
         out.append((ids[best], round(float(rel[best]), 6), rank + 1))
         max_red = np.maximum(max_red, mat @ mat[best])
     return spark.createDataFrame(out, out_schema)
+
+
+def rocchio_expand(
+    embeddings: DataFrame,
+    query_vec: Sequence[float],
+    fb_k: int = 10,
+    alpha: float = 1.0,
+    beta: float = 0.75,
+    gamma: float = 0.0,
+    neg_k: int = 0,
+    label: int | None = None,
+) -> list[float]:
+    """Rocchio (1971) pseudo-relevance feedback for DENSE retrieval — the
+    vector-space dual of `bm25.rm3_expand`: pull the query toward the
+    centroid of its own top ``fb_k`` neighbors (and, with ``gamma``/
+    ``neg_k``, away from the centroid of the corpus' FARTHEST vectors):
+
+        q' = alpha * q  +  beta * mean(top fb_k)  -  gamma * mean(bottom neg_k)
+
+    Returns the expanded query vector (unnormalized — cosine is
+    scale-invariant, and knn_topk normalizes inside the distance). The
+    feedback sets are ``fb_k``/``neg_k`` driver-side rows; both passes are
+    the knn_topk TakeOrdered plan — no new shuffle shapes. Deterministic
+    and DuckDB-replayable (tests/test_rocchio.py twins the whole loop)."""
+    import numpy as np
+
+    if fb_k < 1:
+        raise ValueError(f"fb_k must be >= 1, got {fb_k}")
+    if neg_k < 0:
+        raise ValueError(f"neg_k must be >= 0, got {neg_k}")
+    if gamma != 0.0 and neg_k == 0:
+        raise ValueError("gamma != 0 needs neg_k > 0 (a negative set)")
+    q = np.asarray(query_vec, dtype=np.float64)
+    fb_ids = [
+        r["vec_id"] for r in knn_topk(embeddings, query_vec, k=fb_k, label=label).collect()
+    ]
+    if not fb_ids:
+        return [float(v) for v in q]
+    fb = (
+        embeddings.filter(F.col("vec_id").isin(fb_ids))
+        .select(F.col("embedding").cast("array<double>"))
+        .collect()
+    )
+    centroid = np.mean([np.asarray(r[0]) for r in fb], axis=0)
+    out = alpha * q + beta * centroid
+    if neg_k > 0 and gamma != 0.0:
+        worst = (
+            embeddings.select(
+                "vec_id",
+                cosine_distance_to_query(F.col("embedding"), query_vec).alias(
+                    "_d"
+                ),
+            )
+            .filter(_valid_dist(F.col("_d")))
+            .orderBy(F.col("_d").desc(), F.col("vec_id").asc())
+            .limit(neg_k)
+            .collect()
+        )
+        neg_ids = [r["vec_id"] for r in worst]
+        neg = (
+            embeddings.filter(F.col("vec_id").isin(neg_ids))
+            .select(F.col("embedding").cast("array<double>"))
+            .collect()
+        )
+        out = out - gamma * np.mean([np.asarray(r[0]) for r in neg], axis=0)
+    return [float(v) for v in out]
+
+
+def rocchio_topk(
+    embeddings: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 5,
+    fb_k: int = 10,
+    alpha: float = 1.0,
+    beta: float = 0.75,
+    gamma: float = 0.0,
+    neg_k: int = 0,
+    label: int | None = None,
+) -> DataFrame:
+    """Feedback-expanded exact top-k: rocchio_expand then knn_topk — two
+    TakeOrdered passes over the corpus, the standard price of
+    pseudo-relevance feedback (the RM3 shape on the dense side)."""
+    q2 = rocchio_expand(
+        embeddings, query_vec, fb_k=fb_k, alpha=alpha, beta=beta,
+        gamma=gamma, neg_k=neg_k, label=label,
+    )
+    return knn_topk(embeddings, q2, k=k, label=label)

@@ -104,7 +104,7 @@ _REPRESENTATIVES = {
     "joins": ["events_asof"],
     "kneser_ney": ["kn_score"],
     "late_interaction": ["maxsim_search"],
-    "knn": ["knn_topk", "knn_batch"],
+    "knn": ["knn_topk", "knn_batch", "rocchio_topk"],
     "mixing": ["mix_corpus"],
     "packing": ["pack_sequences", "pack_windows"],
     "pq": ["pq_topk", "ivf_pq_batch_search"],

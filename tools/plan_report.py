@@ -658,6 +658,17 @@ def _extra_hamming_batch(spark, sf_dir):
     return hamming_batch_topk(coded, model, queries, k=5)
 
 
+def _extra_rocchio_topk(spark, sf_dir):
+    from photo_vector_search_spark.operators.knn import (
+        fetch_query_vector,
+        rocchio_topk,
+    )
+    from photo_vector_search_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return rocchio_topk(emb, fetch_query_vector(spark, sf_dir, 0), k=5, fb_k=10)
+
+
 def _extra_maxsim_search(spark, sf_dir):
     from photo_vector_search_spark.operators.late_interaction import (
         maxsim_search,
@@ -844,10 +855,20 @@ EXTRA_OPS = {
     "live_ivf_sq8_topk": _extra_live_ivf_sq8,
     "cascade_batch_topk": _extra_cascade_batch,
     "maxsim_search": _extra_maxsim_search,
+    "rocchio_topk": _extra_rocchio_topk,
 }
 
 # Plan-reader context the tree alone can't show.
 NOTES = {
+    "rocchio_topk": (
+        "NOTE: library operator (r11 Rocchio 1971 pseudo-relevance "
+        "feedback for DENSE retrieval — the vector-space dual of "
+        "rm3_topk: q' = a*q + b*mean(top fb_k) - g*mean(bottom neg_k), "
+        "then exact knn over q'). Both passes are the knn_topk "
+        "TakeOrdered plan; the centroid is fb_k driver-side rows — no "
+        "new shuffle shapes. Full DuckDB+NumPy replay, beta=0 identity, "
+        "pull/push semantics in tests/test_rocchio.py."
+    ),
     "maxsim_search": (
         "NOTE: library operator (r11 ColBERT late-interaction retrieval, "
         "Khattab & Zaharia SIGIR'20 — score(q,d) = sum over query tokens "
