@@ -271,10 +271,13 @@ def hamming_batch_topk(
     (the batched-serving contract, `sq8_batch_topk`)."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    qrows = queries.select("query_id", "query_vec").collect()
+    # limit BEFORE collect (ADVICE r11): an oversized query frame must trip
+    # the guard without first landing whole on the driver (the
+    # cascade_batch_topk discipline)
+    qrows = queries.select("query_id", "query_vec").limit(max_queries + 1).collect()
     if len(qrows) > max_queries:
         raise ValueError(
-            f"{len(qrows)} queries exceed max_queries={max_queries}; "
+            f">{max_queries} queries exceed max_queries={max_queries}; "
             "split the batch or raise the cap"
         )
     if not qrows:

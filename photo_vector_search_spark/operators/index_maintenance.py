@@ -83,7 +83,20 @@ def upsert_ivf_sq8_store(
     """Encode ``new_embeddings`` against the store's existing centroids +
     SQ8 model and merge them into the delta segment (same-id delta rows
     replaced, tombstones revived). Returns the number of upserted rows.
-    O(new + delta) — the base is never rewritten."""
+    O(new + delta) — the base is never rewritten.
+
+    Crash window (ADVICE r11): the delta snapshot is swapped BEFORE the
+    tombstone revive. A crash between the two swaps leaves a re-upserted,
+    previously-tombstoned id temporarily invisible in the live view (the
+    anti-tombstone join suppresses its fresh delta row). This is a
+    BOUNDED, self-healing inconsistency — replaying the same upsert (the
+    caller's natural retry) rewrites the delta idempotently and completes
+    the revive; no other id is affected and no torn/mixed-build state is
+    ever served (the build-id check still refuses cross-build sides).
+    The swap order is deliberate: revive-first would have the opposite
+    window (a crash could revive a tombstone whose replacement row never
+    landed, resurrecting a DELETED vector) — losing availability of a row
+    being re-added beats serving a row the caller deleted."""
     from photo_vector_search_spark.operators.ann import assign_clusters
     from photo_vector_search_spark.operators.store import snapshot_overwrite
 

@@ -304,8 +304,15 @@ def rocchio_expand(
     centroid = np.mean([np.asarray(r[0]) for r in fb], axis=0)
     out = alpha * q + beta * centroid
     if neg_k > 0 and gamma != 0.0:
+        # the negative pass honors the same `label` scope as the positive
+        # pass (ADVICE r11): with a filter set, negatives must come from the
+        # SAME searchable subset, or the query is pushed away from vectors
+        # the final knn_topk(label=...) could never return anyway
+        neg_pool = embeddings
+        if label is not None:
+            neg_pool = neg_pool.filter(F.col("label") == label)
         worst = (
-            embeddings.select(
+            neg_pool.select(
                 "vec_id",
                 cosine_distance_to_query(F.col("embedding"), query_vec).alias(
                     "_d"
@@ -318,7 +325,7 @@ def rocchio_expand(
         )
         neg_ids = [r["vec_id"] for r in worst]
         neg = (
-            embeddings.filter(F.col("vec_id").isin(neg_ids))
+            neg_pool.filter(F.col("vec_id").isin(neg_ids))
             .select(F.col("embedding").cast("array<double>"))
             .collect()
         )

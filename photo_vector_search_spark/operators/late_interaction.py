@@ -17,14 +17,25 @@ Engine shape:
   (token budget capped — the ColBERT doc-length budget — so the matrix
   is bounded); built once by `doc_token_embeddings` (explode → the
   Arrow stub-embed kernel → collect back in token order).
-- scoring is PURE CODEGEN: both sides are unit vectors (the stub embeds
-  L2-normalize; CLIP/ColBERT convention), so sim = dot product, and the
-  whole MaxSim is an unrolled fold — per query token an
-  ``aggregate(tok_embs, -inf, greatest(acc, zip_with-dot))`` — no UDF,
-  no shuffle before the final TakeOrdered top-k.
+- scoring has TWO parity-pinned paths (the knn_topk/knn_batch_fast
+  split). The EXPRESSION path (`maxsim_scores`) is the oracle twin: both
+  sides are unit vectors (the stub embeds L2-normalize; CLIP/ColBERT
+  convention), so sim = dot product, and the whole MaxSim is an unrolled
+  fold — per query token an ``aggregate(tok_embs, -inf, greatest(acc,
+  zip_with-dot))``. Spark's higher-order functions do NOT enter
+  whole-stage codegen, so this path pays interpreted per-row cost — kept
+  because it is exactly DuckDB-replayable. The SERVING path
+  (`maxsim_scores_fast`, the default in `maxsim_search`) stacks each
+  Arrow batch's token matrices and computes ``(qmat @ flat.T)`` in ONE
+  BLAS call + a segment-max (``np.maximum.reduceat``) per doc — the
+  `knn_batch_fast` discipline; rounding happens JVM-side with the same
+  ``F.round`` both paths share.
 - at scale the brute-force pass reads every doc's token matrix once
   (map-only into TakeOrdered); ``prefilter_n`` bounds that to N
-  candidates chosen by the pooled single-vector rung.
+  candidates chosen by the pooled single-vector COSINE rung (the pooled
+  doc vector is L2-normalized before the dot — an unnormalized dot would
+  favor docs whose token vectors happen to align, skewing candidate
+  recall; ADVICE r11).
 
 NULL discipline: docs with NULL/empty token matrices never rank; query
 text must tokenize to ≥1 token.
@@ -129,6 +140,76 @@ def maxsim_scores(
     )
 
 
+def _tok_matrices(col: "pd.Series"):
+    """(flat (T, dim) float64 stack, per-doc counts, keep-mask) for one Arrow
+    batch's ``tok_embs`` column — shared by the scoring and pooling kernels."""
+    import numpy as np
+
+    keep = col.map(lambda t: t is not None and len(t) > 0).to_numpy(dtype=bool)
+    kept = col[keep]
+    if not len(kept):
+        return None, None, keep
+    counts = kept.map(len).to_numpy(dtype=np.int64)
+    flat = np.vstack(
+        [np.vstack([np.asarray(v, dtype=np.float64) for v in m]) for m in kept]
+    )
+    return flat, counts, keep
+
+
+def maxsim_scores_fast(
+    doc_toks: DataFrame,
+    query: str,
+    id_col: str = "doc_id",
+    max_query_tokens: int = MAX_QUERY_TOKENS,
+    dim: int = 64,
+) -> DataFrame:
+    """Serving twin of ``maxsim_scores`` — same (id, maxsim) result modulo
+    float summation order (parity-pinned in tests): per Arrow batch, ONE
+    BLAS matmul of the query token matrix against the batch's stacked doc
+    tokens, a ``maximum.reduceat`` segment-max per doc, then a sequential
+    sum over query tokens in the SAME order as the expression fold.
+    Map-only — no shuffle; rounding applied JVM-side via the shared
+    ``F.round`` so both paths round identically."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    qmat = np.asarray(
+        _query_token_vecs(query, max_query_tokens, dim), dtype=np.float64
+    )
+    sc = doc_toks.sparkSession.sparkContext
+    bq = sc.broadcast(qmat)
+    id_field = doc_toks.schema[id_col]
+    out_schema = StructType(
+        [
+            StructField(id_col, id_field.dataType, True),
+            StructField("_raw", DoubleType(), True),
+        ]
+    )
+
+    def _score(batches):
+        qm = bq.value
+        for pdf in batches:
+            flat, counts, keep = _tok_matrices(pdf["tok_embs"])
+            if flat is None:
+                continue
+            sims = qm @ flat.T  # (q, T) in one BLAS call
+            offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            best = np.maximum.reduceat(sims, offsets, axis=1)  # (q, docs)
+            # accumulate in query-token order — the expression fold's order
+            tot = np.zeros(best.shape[1], dtype=np.float64)
+            for j in range(qm.shape[0]):
+                tot = tot + best[j]
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy()[keep], "_raw": tot}
+            )
+
+    scored = doc_toks.select(id_col, "tok_embs").mapInPandas(
+        _score, schema=out_schema
+    )
+    return scored.select(id_col, F.round("_raw", 6).alias("maxsim"))
+
+
 def maxsim_topk(
     doc_toks: DataFrame,
     query: str,
@@ -136,14 +217,18 @@ def maxsim_topk(
     id_col: str = "doc_id",
     max_query_tokens: int = MAX_QUERY_TOKENS,
     dim: int = 64,
+    fast: bool = True,
 ) -> DataFrame:
     """Top-k by MaxSim — (id, maxsim, rank), ties by ascending id;
-    TakeOrderedAndProject (the knn ordering discipline)."""
+    TakeOrderedAndProject (the knn ordering discipline). ``fast`` picks
+    the Arrow-kernel scorer (serving default); ``fast=False`` keeps the
+    DuckDB-replayable expression path."""
     from pyspark.sql import Window
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    scores = maxsim_scores(
+    scorer = maxsim_scores_fast if fast else maxsim_scores
+    scores = scorer(
         doc_toks, query, id_col=id_col,
         max_query_tokens=max_query_tokens, dim=dim,
     )
@@ -156,41 +241,66 @@ def maxsim_topk(
     ).select(id_col, "maxsim", "rank")
 
 
-def maxsim_search(
-    docs: DataFrame,
+def pooled_cosine_candidates(
+    doc_toks: DataFrame,
     query: str,
-    k: int = 10,
-    prefilter_n: int | None = None,
-    text_col: str = "text",
+    n: int,
     id_col: str = "doc_id",
-    max_tokens: int = MAX_DOC_TOKENS,
     max_query_tokens: int = MAX_QUERY_TOKENS,
     dim: int = 64,
+    fast: bool = True,
 ) -> DataFrame:
-    """One-call text → MaxSim top-k. ``prefilter_n`` turns on the two-stage
-    shape: a POOLED single-vector cosine pass picks N candidates (mean of
-    the doc's token embeddings vs the mean query token vector — cheap,
-    map-only into TakeOrdered), and MaxSim re-scores only those — the
-    ColBERT-v2/PLAID deployment pattern. ``prefilter_n=None`` scores the
-    whole corpus (exact MaxSim; with prefilter_n >= corpus size the
-    two-stage result equals it exactly, pinned in tests)."""
+    """Top-``n`` candidate ids by POOLED single-vector cosine: mean of the
+    doc's token embeddings, L2-NORMALIZED, against the mean query token
+    vector (whose norm is a per-query constant and cannot change the
+    ranking). Normalizing the doc side matters: a raw dot favors docs
+    whose pooled vector kept a long norm (homogeneous token sets),
+    skewing candidate recall when n < corpus (ADVICE r11). Zero-norm
+    pooled vectors have undefined cosine and sort LAST (never preferred
+    over a real candidate). Returns (id) only — callers semi-join."""
     import numpy as np
 
-    doc_toks = doc_token_embeddings(
-        docs, text_col=text_col, id_col=id_col,
-        max_tokens=max_tokens, dim=dim,
+    qvecs = np.asarray(
+        _query_token_vecs(query, max_query_tokens, dim), dtype=np.float64
     )
-    if prefilter_n is not None:
-        if prefilter_n < k:
-            raise ValueError(
-                f"prefilter_n ({prefilter_n}) must be >= k ({k})"
-            )
-        qvecs = np.asarray(
-            _query_token_vecs(query, max_query_tokens, dim), dtype=float
+    qmean = qvecs.mean(axis=0)
+    if fast:
+        import pandas as pd
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        sc = doc_toks.sparkSession.sparkContext
+        bqm = sc.broadcast(qmean)
+        id_field = doc_toks.schema[id_col]
+        out_schema = StructType(
+            [
+                StructField(id_col, id_field.dataType, True),
+                StructField("_pool", DoubleType(), True),
+            ]
         )
-        qmean = qvecs.mean(axis=0)
+
+        def _pool(batches):
+            qv = bqm.value
+            for pdf in batches:
+                flat, counts, keep = _tok_matrices(pdf["tok_embs"])
+                if flat is None:
+                    continue
+                offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+                sums = np.add.reduceat(flat, offsets, axis=0)
+                pooled = sums / counts[:, None]
+                norms = np.linalg.norm(pooled, axis=1)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = (pooled @ qv) / norms
+                cos = np.where(np.isfinite(cos), cos, None)
+                yield pd.DataFrame(
+                    {id_col: pdf[id_col].to_numpy()[keep], "_pool": cos}
+                )
+
+        scored = doc_toks.select(id_col, "tok_embs").mapInPandas(
+            _pool, schema=out_schema
+        )
+    else:
         qlit = F.array(*[F.lit(float(v)) for v in qmean])
-        # pooled doc vector = mean of token embeddings (codegen fold)
+        # pooled doc vector = mean of token embeddings (expression fold)
         dim_n = F.size(F.element_at("tok_embs", 1))
         pooled = F.transform(
             F.sequence(F.lit(1), dim_n),
@@ -206,17 +316,59 @@ def maxsim_search(
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
-        cands = (
-            doc_toks.filter(
-                F.col("tok_embs").isNotNull() & (F.size("tok_embs") > 0)
-            )
-            .select(id_col, "tok_embs", dot.alias("_pool"))
-            .orderBy(F.col("_pool").desc(), F.col(id_col).asc())
-            .limit(prefilter_n)
-            .drop("_pool")
+        norm = F.sqrt(
+            F.aggregate(pooled, F.lit(0.0), lambda acc, v: acc + v * v)
         )
-        doc_toks = cands
+        cos = dot / F.nullif(norm, F.lit(0.0))  # zero norm → NULL, sorts last
+        scored = doc_toks.filter(
+            F.col("tok_embs").isNotNull() & (F.size("tok_embs") > 0)
+        ).select(id_col, cos.alias("_pool"))
+    return (
+        scored.orderBy(F.col("_pool").desc_nulls_last(), F.col(id_col).asc())
+        .limit(n)
+        .select(id_col)
+    )
+
+
+def maxsim_search(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    prefilter_n: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = MAX_DOC_TOKENS,
+    max_query_tokens: int = MAX_QUERY_TOKENS,
+    dim: int = 64,
+    fast: bool = True,
+    doc_toks: DataFrame | None = None,
+) -> DataFrame:
+    """One-call text → MaxSim top-k. ``prefilter_n`` turns on the two-stage
+    shape: a POOLED single-vector cosine pass picks N candidates
+    (`pooled_cosine_candidates` — cheap, map-only into TakeOrdered), and
+    MaxSim re-scores only those — the ColBERT-v2/PLAID deployment pattern.
+    ``prefilter_n=None`` scores the whole corpus (exact MaxSim; with
+    prefilter_n >= corpus size the two-stage result equals it exactly,
+    pinned in tests). ``fast`` routes both stages through the Arrow
+    kernels (serving default). ``doc_toks`` serves from a precomputed /
+    store-loaded token frame (`load_maxsim_store`) instead of re-embedding
+    the corpus."""
+    if doc_toks is None:
+        doc_toks = doc_token_embeddings(
+            docs, text_col=text_col, id_col=id_col,
+            max_tokens=max_tokens, dim=dim,
+        )
+    if prefilter_n is not None:
+        if prefilter_n < k:
+            raise ValueError(
+                f"prefilter_n ({prefilter_n}) must be >= k ({k})"
+            )
+        cand_ids = pooled_cosine_candidates(
+            doc_toks, query, prefilter_n, id_col=id_col,
+            max_query_tokens=max_query_tokens, dim=dim, fast=fast,
+        )
+        doc_toks = doc_toks.join(F.broadcast(cand_ids), id_col)
     return maxsim_topk(
         doc_toks, query, k=k, id_col=id_col,
-        max_query_tokens=max_query_tokens, dim=dim,
+        max_query_tokens=max_query_tokens, dim=dim, fast=fast,
     )
