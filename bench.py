@@ -137,6 +137,9 @@ GROUPS: dict[str, list[str]] = {
         "maxsim_search",
         "rocchio_topk",
     ],
+    "r12_new": [
+        "maxsim_store_search",
+    ],
 }
 
 
@@ -992,6 +995,23 @@ def _build_cases(spark, sf_dir: str) -> dict:
                 prefilter_n=64,
             )
         ),
+        # r12: MaxSim served from the PERSISTED token store — load (torn-pair
+        # checked) + Arrow pooled-cosine prefilter to 64 candidates + Arrow
+        # matmul/segment-max rescoring; the corpus embed pass is build-time
+        # (absorbed by the session memo on run 1), so this is the pure
+        # serving wall the r11 verdict asked for
+        "maxsim_store_search": lambda: _force(
+            __import__(
+                "photo_vector_search_spark.operators.late_interaction",
+                fromlist=["maxsim_store_search"],
+            ).maxsim_store_search(
+                spark,
+                _maxsim_store(spark, sf_dir),
+                "the quick brown fox",
+                k=10,
+                prefilter_n=64,
+            )
+        ),
         # r11: Rocchio dense feedback — two TakeOrdered corpus passes
         # (feedback knn + expanded knn), centroid math driver-side
         "rocchio_topk": lambda: _force(
@@ -1033,6 +1053,7 @@ _SQ8_MEMO: dict = {}
 _IVFSQ8_LIVE_MEMO: dict = {}
 _IVFPQ_STORE_MEMO: dict = {}
 _IVFSQ8_STORE_MEMO: dict = {}
+_MAXSIM_STORE_MEMO: dict = {}
 _KN_MODEL_MEMO: dict = {}
 
 
@@ -1126,6 +1147,27 @@ def _rrf_hybrid(spark, sf_dir: str):
     lex = bm25_topk(docs, "the quick brown fox", k=16).select("doc_id", "rank")
     lex_run = queries.select("query_id").crossJoin(lex)
     return rrf_fuse([vec_run, lex_run], k=60)
+
+
+def _maxsim_store(spark, sf_dir: str) -> str:
+    """Session-memoized persisted MaxSim token store — maxsim_store_search
+    records the serving wall over the prebuilt per-token embeddings (the
+    r12 design point: the corpus embed pass is a BUILD cost, not a per-query
+    cost); run 1 absorbs the one-off build."""
+    key = (id(spark), sf_dir)  # session-keyed, see _staged_ids
+    if key not in _MAXSIM_STORE_MEMO:
+        from photo_vector_search_spark.operators.late_interaction import (
+            build_maxsim_store,
+        )
+        from photo_vector_search_spark.operators.staging import (
+            session_staging_dir,
+        )
+        from photo_vector_search_spark.sources.tables import load_table
+
+        path = session_staging_dir("pvs_bench_maxsim") + "/store"
+        build_maxsim_store(load_table(spark, sf_dir, "documents"), path)
+        _MAXSIM_STORE_MEMO[key] = path
+    return _MAXSIM_STORE_MEMO[key]
 
 
 def _ivf_sq8_store(spark, sf_dir: str) -> str:

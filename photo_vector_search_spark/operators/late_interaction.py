@@ -330,8 +330,99 @@ def pooled_cosine_candidates(
     )
 
 
-def maxsim_search(
+def build_maxsim_store(
     docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = MAX_DOC_TOKENS,
+    dim: int = 64,
+) -> str:
+    """Persist the per-document token-embedding matrices so late-interaction
+    serving reads a PREBUILT store instead of re-embedding the corpus per
+    query (the reference's whole value is a persistent index —
+    photo_vector_search.py:16-20; every other serving family here persists
+    its representation: ivf/sq8/ivf,sq8/pq/bq). The embed pass — the
+    dominant cost of one-call `maxsim_search` — is paid ONCE at build time.
+
+    Layout: `path` holds (id, tok_embs) parquet; `path + '.meta'` holds one
+    sidecar row (build_id, id_col, max_tokens, dim, n_docs). Two snapshot
+    swaps cannot be atomic together, so the sidecar's ``build_id`` is the
+    directory CONTENT SIGNATURE of the written store (`ann._store_signature`
+    — md5 over sorted relative-path:size of the data files) and
+    `load_maxsim_store` recomputes + compares it: any torn pair (crash
+    between swaps, manual rewrite) is refused at load, the shared
+    crash-consistency contract. Returns the build id."""
+    from photo_vector_search_spark.operators.ann import _store_signature
+    from photo_vector_search_spark.operators.store import snapshot_overwrite
+
+    toks = doc_token_embeddings(
+        docs, text_col=text_col, id_col=id_col, max_tokens=max_tokens, dim=dim
+    )
+    snapshot_overwrite(toks, path)
+    spark = docs.sparkSession
+    n_docs = spark.read.parquet(path).count()
+    build_id = _store_signature(path)
+    snapshot_overwrite(
+        spark.createDataFrame(
+            [(build_id, id_col, max_tokens, dim, n_docs)],
+            "build_id string, id_col string, max_tokens int, dim int, "
+            "n_docs long",
+        ),
+        path + ".meta",
+    )
+    return build_id
+
+
+def load_maxsim_store(spark, path: str):
+    """(token frame, meta row) for a `build_maxsim_store` store. Refuses a
+    torn pair: the store directory's recomputed content signature must equal
+    the sidecar's ``build_id`` (a crash between the two snapshot swaps, or
+    any out-of-band rewrite, fails here instead of silently serving token
+    matrices that don't match the recorded build)."""
+    from photo_vector_search_spark.operators.ann import _store_signature
+
+    meta_rows = spark.read.parquet(path + ".meta").collect()
+    if len(meta_rows) != 1:
+        raise ValueError(
+            f"maxsim store sidecar at {path + '.meta'!r} has "
+            f"{len(meta_rows)} rows, want exactly 1 — rebuild the store"
+        )
+    meta = meta_rows[0]
+    sig = _store_signature(path)
+    if sig != meta["build_id"]:
+        raise ValueError(
+            f"maxsim store at {path!r} is torn: directory signature {sig} "
+            f"!= sidecar build_id {meta['build_id']} — the store was "
+            "rewritten without its sidecar (or vice versa); rebuild"
+        )
+    return spark.read.parquet(path), meta
+
+
+def maxsim_store_search(
+    spark,
+    path: str,
+    query: str,
+    k: int = 10,
+    prefilter_n: int | None = None,
+    max_query_tokens: int = MAX_QUERY_TOKENS,
+    fast: bool = True,
+) -> DataFrame:
+    """Serve a MaxSim query from a persisted token store: load (torn-pair
+    checked), pooled-cosine prefilter, rescore — no corpus re-embedding.
+    Store-served results ≡ `maxsim_search` over the same corpus with the
+    build's (max_tokens, dim), pinned in tests."""
+    toks, meta = load_maxsim_store(spark, path)
+    return maxsim_search(
+        None, query, k=k, prefilter_n=prefilter_n,
+        id_col=meta["id_col"], max_tokens=meta["max_tokens"],
+        max_query_tokens=max_query_tokens, dim=meta["dim"],
+        fast=fast, doc_toks=toks,
+    )
+
+
+def maxsim_search(
+    docs: DataFrame | None,
     query: str,
     k: int = 10,
     prefilter_n: int | None = None,
