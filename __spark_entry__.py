@@ -58,32 +58,6 @@ def _q_knn_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_topk(load_table(spark, sf_dir, "embeddings"), vec, k=_FLAGSHIP_K, label=5)
 
 
-def _q_ivf_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2.10 ANN — IVF retrieval through the ADAPTIVE multi-probe path
-    (round 5): probe clusters in centroid-distance order until the triangle
-    bound ``||q−c|| − r_c`` proves no unprobed cluster can improve the top-k.
-    Uncapped, the result is PROVABLY the exact top-k — deterministic and
-    oracle-checkable by the same exact-KNN SQL — while exercising the full
-    train→assign→radii→bounded-probe machinery (early exit fires on clustered
-    geometry; on this near-uniform fixture it honestly degrades to a full,
-    still exact, scan — measured in SCALE_BENCH.md). Capped/legacy ``ivf_topk``
-    recall is pytest-asserted (tests/test_scale_paths). Reference analogue: the
-    HNSW index IS the reference's retrieval engine (photo_vector_search.py:17-20)."""
-    from photo_vector_search_spark.operators.ann import (
-        assign_clusters,
-        cluster_radii,
-        ivf_topk_adaptive,
-        train_centroids,
-    )
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    centroids = train_centroids(emb, n_clusters=8)
-    indexed = assign_clusters(emb, centroids)
-    radii = cluster_radii(indexed, centroids)
-    vec = fetch_query_vector(spark, sf_dir, _FLAGSHIP_VEC_ID)
-    return ivf_topk_adaptive(indexed, centroids, radii, vec, k=_FLAGSHIP_K)
-
-
 def _q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2 rows J1+W1 — batched similarity join, per-query top-3
     (reference single-query search is the |Q|=1 case). Declared through the
@@ -151,7 +125,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_topk": _q_knn_topk,
         "knn_topk_filtered": _q_knn_topk_filtered,
         "knn_batch": _q_knn_batch,
-        "ivf_topk_exact": _q_ivf_topk_exact,
+        # ivf_topk_exact retired r12 (its oracle was literally knn_topk's
+        # exact-knn SQL — a double-covered slot); the adaptive-probe chain
+        # stays oracle-verified via plans.embed_queries.RETIRED_QUERIES
     }
     out.update(store_queries.QUERIES)
     out.update(relational.QUERIES)
@@ -168,8 +144,6 @@ def oracle_sql() -> dict[str, str]:
             vec_id=_FLAGSHIP_VEC_ID, k=_FLAGSHIP_K, where="WHERE label = 5"
         ),
         "knn_batch": _ORACLE_KNN_BATCH,
-        # degenerate IVF == exact top-k, so the same oracle applies verbatim
-        "ivf_topk_exact": _ORACLE_KNN.format(vec_id=_FLAGSHIP_VEC_ID, k=_FLAGSHIP_K, where=""),
     }
     out.update(store_queries.ORACLES)
     out.update(relational.ORACLES)

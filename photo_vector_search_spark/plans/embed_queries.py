@@ -274,11 +274,146 @@ FROM nrm JOIN n USING (label)
 """
 
 
+_RRF_QUERY = "the quick brown fox"
+
+
+def q_rrf_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval fusion (promoted r12): a vector run (batched exact
+    cosine top-8 for 4 queries) and a lexical run (BM25 top-8, fanned out
+    per query) merged by Reciprocal Rank Fusion (Cormack et al. 2009,
+    score = Σ 1/(60+rank)) — the Elasticsearch/OpenSearch hybrid-search
+    default. The DuckDB oracle recomputes BOTH rankers AND the fusion
+    end-to-end from the parquet tables."""
+    from photo_vector_search_spark.operators.bm25 import bm25_topk
+    from photo_vector_search_spark.operators.fusion import rrf_fuse
+    from photo_vector_search_spark.operators.knn import knn_batch
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    vec_run = knn_batch(emb, queries, k=8).select(
+        "query_id", F.col("vec_id").alias("doc_id"), "rank"
+    )
+    lex = bm25_topk(docs, _RRF_QUERY, k=8).select("doc_id", "rank")
+    lex_run = queries.select("query_id").crossJoin(lex)
+    return rrf_fuse([vec_run, lex_run], k=60)
+
+
+def _rrf_oracle(query: str) -> str:
+    from photo_vector_search_spark.operators.bm25 import query_terms
+
+    terms = ", ".join(f"'{t}'" for t in query_terms(query))
+    return rf"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 4
+),
+vscored AS (
+  SELECT q.query_id, e.vec_id AS doc_id,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY 1.0 - list_cosine_similarity(e.embedding::DOUBLE[], q.qv) ASC,
+                    e.vec_id ASC) AS rank
+  FROM embeddings e CROSS JOIN q
+),
+vec_run AS (SELECT query_id, doc_id, rank FROM vscored WHERE rank <= 8),
+base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+stats AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl FROM base),
+tf AS (
+  SELECT doc_id, len(toks) AS dl, t.term, count(*) AS tf
+  FROM base, LATERAL unnest(toks) AS t(term)
+  WHERE t.term IN ({terms})
+  GROUP BY doc_id, len(toks), t.term
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+lscores AS (
+  SELECT tf.doc_id,
+         round(sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))), 6)
+           AS bm25
+  FROM tf JOIN df USING (term) CROSS JOIN stats s
+  GROUP BY tf.doc_id
+),
+lexranked AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank
+  FROM lscores
+),
+lex_top AS (SELECT doc_id, rank FROM lexranked WHERE rank <= 8),
+lex_run AS (
+  SELECT qq.query_id, lex_top.doc_id, lex_top.rank
+  FROM (SELECT DISTINCT query_id FROM q) qq CROSS JOIN lex_top
+),
+u AS (
+  SELECT query_id, doc_id, CAST(1.0 AS DOUBLE) / (60 + rank) AS c FROM vec_run
+  UNION ALL
+  SELECT query_id, doc_id, CAST(1.0 AS DOUBLE) / (60 + rank) AS c FROM lex_run
+),
+fused AS (
+  SELECT query_id, doc_id, round(sum(c), 6) AS rrf_score
+  FROM u GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, rrf_score,
+       row_number() OVER (
+         PARTITION BY query_id
+         ORDER BY rrf_score DESC, doc_id ASC) AS rank
+FROM fused
+"""
+
+
+def q_ivf_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF retrieval through the ADAPTIVE multi-probe path (retired from the
+    declared window r12 — its oracle is literally the exact-knn SQL that
+    `knn_topk` already holds declared; the full train→assign→radii→
+    bounded-probe machinery stays DuckDB-verified here and plan/scale-
+    audited via its bench cases): probe clusters in centroid-distance order
+    until the triangle bound ``||q−c|| − r_c`` proves no unprobed cluster
+    can improve the top-k — uncapped, PROVABLY the exact top-k."""
+    from photo_vector_search_spark.operators.ann import (
+        assign_clusters,
+        cluster_radii,
+        ivf_topk_adaptive,
+        train_centroids,
+    )
+    from photo_vector_search_spark.operators.knn import fetch_query_vector
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = train_centroids(emb, n_clusters=8)
+    indexed = assign_clusters(emb, centroids)
+    radii = cluster_radii(indexed, centroids)
+    vec = fetch_query_vector(spark, sf_dir, 0)
+    return ivf_topk_adaptive(indexed, centroids, radii, vec, k=5)
+
+
+_ORACLE_IVF_EXACT = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id, label,
+         1.0 - list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)) AS d
+  FROM embeddings
+)
+SELECT vec_id, label, round(d, 6) AS dist
+FROM scored
+ORDER BY d ASC, vec_id ASC
+LIMIT 5
+"""
+
+
 QUERIES = {
     "embed_documents": q_embed_documents,
     "search_by_text": q_search_by_text,
     "retrieval_eval": q_retrieval_eval,
     "hamming_topk": q_hamming_topk,
+    "rrf_fuse": q_rrf_fuse,
     "pool_embeddings": q_pool_embeddings,
 }
 
@@ -287,5 +422,17 @@ ORACLES = {
     "search_by_text": _ORACLE_SEARCH_BY_TEXT,
     "retrieval_eval": _ORACLE_RETRIEVAL_EVAL,
     "hamming_topk": _ORACLE_HAMMING_TOPK,
+    "rrf_fuse": _rrf_oracle(_RRF_QUERY),
     "pool_embeddings": _ORACLE_POOL_EMBEDDINGS,
+}
+
+# Retired from the 50-slot declared surface (driver checks exactly 50
+# entries; see text_queries.RETIRED_QUERIES). Still implemented + locally
+# oracle-verified via tests/test_retired_surface.py:
+RETIRED_QUERIES = {
+    "ivf_topk_exact": q_ivf_topk_exact,
+}
+
+RETIRED_ORACLES = {
+    "ivf_topk_exact": _ORACLE_IVF_EXACT,
 }

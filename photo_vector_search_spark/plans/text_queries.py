@@ -206,6 +206,105 @@ SELECT vec_a, vec_b, round(s, 6) AS sim FROM pairs WHERE s >= 0.45
 """
 
 
+_BM25_QUERY = "the quick brown fox"
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical top-10 (Robertson & Zaragoza 2009, Lucene idf variant) —
+    the keyword half of the retrieval family (promoted to the declared
+    window r12). One stats agg + query-term-filtered postings explode +
+    per-(doc, term) tf agg + broadcast idf join + TakeOrdered; the full
+    formula is recomputed end-to-end by the DuckDB oracle."""
+    from photo_vector_search_spark.operators.bm25 import bm25_topk
+
+    return bm25_topk(load_table(spark, sf_dir, "documents"), _BM25_QUERY, k=10)
+
+
+def _bm25_oracle(query: str, k: int, k1: float = 1.2, b: float = 0.75) -> str:
+    from photo_vector_search_spark.operators.bm25 import query_terms
+
+    terms = ", ".join(f"'{t}'" for t in query_terms(query))
+    return rf"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+stats AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl FROM base),
+tf AS (
+  SELECT doc_id, len(toks) AS dl, t.term, count(*) AS tf
+  FROM base, LATERAL unnest(toks) AS t(term)
+  WHERE t.term IN ({terms})
+  GROUP BY doc_id, len(toks), t.term
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT tf.doc_id,
+         round(sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf * ({k1} + 1.0)
+                   / (tf.tf + {k1} * (1.0 - {b} + {b} * tf.dl / s.avgdl))), 6)
+           AS bm25,
+         count(*) AS n_terms
+  FROM tf JOIN df USING (term) CROSS JOIN stats s
+  GROUP BY tf.doc_id
+),
+ranked AS (
+  SELECT doc_id, bm25, n_terms,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank
+  FROM scores
+)
+SELECT doc_id, bm25, n_terms, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def q_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus exact dedup (promoted r12): a simulated snapshot-N crawl
+    — every document re-fetched with shifted ids, half as whitespace/case
+    MIRRORS (normalized duplicates: must drop), half with novel suffixes
+    (must survive) — anti-joined on normalized-text fingerprints against
+    the snapshot-N-1 reference (the documents table itself). Nothing
+    broadcasts: both sides are corpus-scale by design; only distinct
+    16-byte fingerprints shuffle."""
+    from photo_vector_search_spark.operators.cross_dedup import (
+        exact_dedup_against,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    new = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit("  "), F.upper("text"), F.lit("   ")),
+        )
+        .otherwise(F.concat(F.col("text"), F.lit(" novel-"), F.col("doc_id")))
+        .alias("text"),
+    )
+    return exact_dedup_against(new, docs).select("doc_id", "text")
+
+
+_ORACLE_CROSS_DEDUP = r"""
+WITH newdocs AS (
+  SELECT old_id + 100000 AS doc_id,
+         CASE WHEN old_id % 2 = 0 THEN '  ' || upper(text) || '   '
+              ELSE text || ' novel-' || old_id END AS text
+  FROM (SELECT doc_id AS old_id, text FROM documents)
+),
+ref_fp AS (
+  SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+  FROM documents WHERE text IS NOT NULL
+),
+new_fp AS (
+  SELECT doc_id, text,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+  FROM newdocs
+)
+SELECT n.doc_id, n.text
+FROM new_fp n LEFT JOIN ref_fp r ON n.fp = r.fp
+WHERE r.fp IS NULL
+"""
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc text analysis: token counts (whitespace + BPE-ish), avg token
     length, stopword ratio, quality score, heuristic lang id, fingerprint."""
@@ -950,10 +1049,10 @@ QUERIES = {
     "encode_bpe": q_encode_bpe,
     "fuzzy_levenshtein_blocked": q_fuzzy_levenshtein_blocked,
     "tfidf_top_terms": q_tfidf_top_terms,
-    "dedup_jaccard": q_dedup_jaccard,
+    "bm25_topk": q_bm25_topk,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
-    "embedding_near_dup": q_embedding_near_dup,
+    "cross_dedup": q_cross_dedup,
     "text_stats": q_text_stats,
     "decontaminate": q_decontaminate,
     "doc_repetition": q_doc_repetition,
@@ -972,10 +1071,10 @@ ORACLES = {
     "decontaminate_spans": _ORACLE_DECONTAMINATE_SPANS,
     "dedup_exact": _ORACLE_DEDUP_EXACT,
     "dedup_paragraphs": _ORACLE_DEDUP_PARAGRAPHS,
-    "dedup_jaccard": _ORACLE_DEDUP_JACCARD,
+    "bm25_topk": _bm25_oracle(_BM25_QUERY, 10),
     "dedup_minhash_lsh": _minhash_oracle(),
     "dedup_simhash": _ORACLE_DEDUP_SIMHASH,
-    "embedding_near_dup": _ORACLE_EMBEDDING_NEAR_DUP,
+    "cross_dedup": _ORACLE_CROSS_DEDUP,
     "text_stats": _ORACLE_TEXT_STATS,
 }
 
@@ -985,6 +1084,16 @@ ORACLES = {
 # these pairs through the same DuckDB compare the driver uses.
 RETIRED_QUERIES = {
     "fuzzy_levenshtein": q_fuzzy_levenshtein,
+    # r12 rotation: dedup_jaccard's slot went to bm25_topk — exact trigram
+    # Jaccard is the verify stage INSIDE dedup_minhash_lsh (declared), so
+    # the semantics stay in the checked window; the standalone inverted-
+    # index pair query stays DuckDB-verified here
+    "dedup_jaccard": q_dedup_jaccard,
+    # r12 rotation: embedding_near_dup's slot went to cross_dedup — the
+    # embedding near-dup family keeps TWO declared rows (srp_lsh_near_dup:
+    # the linear scale path; semdedup: the cluster-pruning form), and the
+    # quadratic guarded broadcast-matmul rung stays verified here
+    "embedding_near_dup": q_embedding_near_dup,
     # r11 rotation: vocab_top_tokens' slot went to hamming_topk (the 1-bit
     # serving rung) — the token-frequency aggregation is double-covered by
     # tfidf_top_terms' DF machinery; the vocab count stays verified here
@@ -997,6 +1106,8 @@ RETIRED_QUERIES = {
 
 RETIRED_ORACLES = {
     "fuzzy_levenshtein": _ORACLE_FUZZY_LEV,
+    "dedup_jaccard": _ORACLE_DEDUP_JACCARD,
+    "embedding_near_dup": _ORACLE_EMBEDDING_NEAR_DUP,
     "vocab_top_tokens": _ORACLE_VOCAB_TOP,
     "doc_novelty": _ORACLE_DOC_NOVELTY,
 }

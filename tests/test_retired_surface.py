@@ -7,6 +7,7 @@ from __future__ import annotations
 import pytest
 
 from photo_vector_search_spark.plans import (
+    embed_queries,
     pipeline_queries,
     relational,
     store_queries,
@@ -23,6 +24,8 @@ RETIRED = [
     (text_queries, name) for name in text_queries.RETIRED_QUERIES
 ] + [
     (pipeline_queries, name) for name in pipeline_queries.RETIRED_QUERIES
+] + [
+    (embed_queries, name) for name in embed_queries.RETIRED_QUERIES
 ]
 
 
