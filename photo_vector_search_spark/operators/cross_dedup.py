@@ -68,6 +68,79 @@ def exact_dedup_against(
     )
 
 
+def build_fingerprint_store(reference: DataFrame, path: str, text_col: str = "text") -> int:
+    """Persist the reference corpus' DISTINCT normalized-text fingerprints —
+    the snapshot N-1 → N workflow the module docstring promises: dedup of
+    snapshot N runs against this 16-byte-per-distinct-doc table and the
+    reference corpus is NEVER re-read (pinned via an input-file audit in
+    tests/test_cross_dedup_store.py). Extend it with each snapshot's kept
+    docs (`extend_fingerprint_store`) and the store stays the running union
+    of everything admitted so far.
+
+    One table, one snapshot swap — no sidecar, so no torn-pair state exists
+    (unlike the two-swap index stores). NULL fingerprints (NULL text) are
+    not stored: they join nothing in the anti-join anyway. Returns the
+    number of distinct fingerprints written."""
+    from photo_vector_search_spark.operators.store import snapshot_overwrite
+
+    fps = (
+        reference.select(doc_fingerprint(F.col(text_col)).alias("fp"))
+        .filter(F.col("fp").isNotNull())
+        .distinct()
+    )
+    snapshot_overwrite(fps, path)
+    return reference.sparkSession.read.parquet(path).count()
+
+
+def extend_fingerprint_store(new_kept: DataFrame, path: str, text_col: str = "text") -> int:
+    """Union the fingerprints of a new snapshot's KEPT docs into the store
+    (call after each snapshot's dedup admits its survivors). Rewrites only
+    the fingerprint table — O(distinct fps), never the corpora. Returns the
+    store's new size.
+
+    Caller contract: ``new_kept`` is typically DERIVED from this very store
+    (`exact_dedup_against_store`), and the swap invalidates any lazy plan
+    still reading the old snapshot files. The extend itself materializes
+    everything it needs BEFORE swapping (the localCheckpoint below), but a
+    caller who wants to keep using its `kept` frame after extending must
+    materialize it first (localCheckpoint / write) — the standard
+    snapshot-swap discipline (`store.snapshot_overwrite`)."""
+    from photo_vector_search_spark.operators.store import snapshot_overwrite
+
+    spark = new_kept.sparkSession
+    existing = spark.read.parquet(path)
+    add = (
+        new_kept.select(doc_fingerprint(F.col(text_col)).alias("fp"))
+        .filter(F.col("fp").isNotNull())
+    )
+    # localCheckpoint: the union must be MATERIALIZED before the swap — a
+    # lazy plan reading the old store dir would race its own overwrite
+    merged = existing.unionByName(add).distinct().localCheckpoint(eager=True)
+    snapshot_overwrite(merged, path)
+    return spark.read.parquet(path).count()
+
+
+def exact_dedup_against_store(
+    new_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """`exact_dedup_against` served from a persisted fingerprint store:
+    NEW docs whose normalized-text fingerprint is absent from the store —
+    identical results to deduping against the full reference corpus the
+    store was built from (pinned in tests), but the plan reads only the
+    fingerprint table."""
+    ref_fp = new_docs.sparkSession.read.parquet(path).select(
+        F.col("fp").alias("_fp")
+    )
+    return (
+        new_docs.withColumn("_fp", doc_fingerprint(F.col(text_col)))
+        .join(ref_fp, "_fp", "left_anti")
+        .drop("_fp")
+    )
+
+
 def minhash_pairs_against(
     new_docs: DataFrame,
     reference: DataFrame,
