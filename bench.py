@@ -140,6 +140,8 @@ GROUPS: dict[str, list[str]] = {
     "r12_new": [
         "maxsim_store_search",
         "cross_dedup_store",
+        "rm3_batch8",
+        "rocchio_batch8",
     ],
 }
 
@@ -1045,6 +1047,50 @@ def _build_cases(spark, sf_dir: str) -> dict:
                 "photo_vector_search_spark.operators.knn",
                 fromlist=["rocchio_topk"],
             ).rocchio_topk(emb, vec, k=5, fb_k=10)
+        ),
+        # r12: batched RM3 — 8 feedback queries share ONE postings pass per
+        # stage (feedback bm25_batch + union-fb-docs relevance models +
+        # shared weighted scoring) instead of paying 16 corpus passes
+        "rm3_batch8": lambda: _force(
+            __import__(
+                "photo_vector_search_spark.operators.bm25",
+                fromlist=["rm3_batch_topk"],
+            ).rm3_batch_topk(
+                load_table(spark, sf_dir, "documents"),
+                spark.createDataFrame(
+                    [
+                        (0, "the quick brown fox"),
+                        (1, "lazy dog jumps"),
+                        (2, "data quality language"),
+                        (3, "old river bank"),
+                        (4, "fox and dog"),
+                        (5, "quick quality fox"),
+                        (6, "brown river dog"),
+                        (7, "the lazy old fox"),
+                    ],
+                    "query_id long, query string",
+                ),
+                k=10,
+                fb_docs=10,
+                fb_terms=10,
+            )
+        ),
+        # r12: batched Rocchio — 8 dense feedback queries share THREE
+        # map-side-matmul passes total (feedback, expanded; negatives off)
+        # instead of 16 TakeOrdered corpus passes
+        "rocchio_batch8": lambda: _force(
+            __import__(
+                "photo_vector_search_spark.operators.knn",
+                fromlist=["rocchio_batch_topk"],
+            ).rocchio_batch_topk(
+                emb,
+                emb.filter(F.col("vec_id") < 8).select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("query_vec"),
+                ),
+                k=5,
+                fb_k=10,
+            )
         ),
         # r10: leakage-safe split — LSH candidate pairs closed into
         # connected components, md5 split drawn on the group id (map-only

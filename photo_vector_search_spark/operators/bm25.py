@@ -456,6 +456,243 @@ def rm3_topk(
     ).select(id_col, "score", "n_terms", "rank")
 
 
+def rm3_batch_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    fb_docs: int = 10,
+    fb_terms: int = 10,
+    alpha: float = 0.5,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_col: str = "query",
+    stage: bool = True,
+    max_queries: int = 4096,
+) -> DataFrame:
+    """Batched RM3: Q feedback queries share corpus passes instead of 2Q —
+    (query_id, id, score, n_terms, rank), ≡ a Python loop of ``rm3_topk``
+    per query (pinned in tests; idf/avgdl/N are corpus statistics, so
+    shared-pass scoring changes nothing).
+
+    Shape: stage 1 is ONE ``bm25_batch_topk`` (all queries' terms share the
+    postings pass); the relevance models come from ONE explode over the
+    UNION of all queries' feedback docs (≤ Q·fb_docs docs, broadcast id
+    filter) joined to a broadcast (query_id, doc_id, P(D)) frame and
+    aggregated per (query, term) with a bounded per-query top-fb_terms
+    window; stage 2 is ONE shared postings pass over the union of all
+    expanded terms with a broadcast (query_id, term, weight) fan-out —
+    the ``bm25_batch_topk`` scoring shape with one extra multiply."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if fb_docs < 1:
+        raise ValueError(f"fb_docs must be >= 1, got {fb_docs}")
+    if fb_terms < 0:
+        raise ValueError(f"fb_terms must be >= 0, got {fb_terms}")
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    qrows = queries.select(query_id_col, query_col).limit(
+        max_queries + 1
+    ).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f">{max_queries} queries — split the batch or raise max_queries"
+        )
+    if not qrows:
+        raise ValueError("empty query frame")
+    qids = [r[query_id_col] for r in qrows]
+    if len(set(qids)) != len(qids):
+        raise ValueError(
+            "duplicate query_id in the batch — per-query feedback is "
+            "ill-defined; de-duplicate the query frame first"
+        )
+    p_orig: dict = {}
+    for r in qrows:
+        orig = query_terms(r[query_col] or "")
+        if not orig:
+            raise ValueError(
+                f"query {r[query_id_col]!r} has no terms after tokenization"
+            )
+        p_orig[r[query_id_col]] = {t: 1.0 / len(orig) for t in orig}
+
+    # ---- stage 1: shared feedback retrieval, then P(D) ∝ bm25 per query
+    fb = bm25_batch_topk(
+        docs, queries, k=fb_docs, k1=k1, b=b, id_col=id_col,
+        text_col=text_col, query_id_col=query_id_col, query_col=query_col,
+        stage=stage, max_queries=max_queries,
+    ).select(query_id_col, id_col, "bm25").collect()
+    p_doc: dict = {}
+    for r in fb:
+        p_doc.setdefault(r[query_id_col], {})[r[id_col]] = r["bm25"]
+    for qid, d in list(p_doc.items()):
+        total = sum(d.values())
+        if not total > 0:
+            del p_doc[qid]  # no usable feedback → original query, unmixed
+        else:
+            p_doc[qid] = {i: s / total for i, s in d.items()}
+
+    # ---- relevance models: ONE explode over the union of feedback docs
+    p_rm: dict = {qid: {} for qid in qids}
+    if fb_terms > 0 and p_doc:
+        spark = docs.sparkSession
+        from pyspark.sql import types as T
+
+        qid_field = queries.schema[query_id_col]
+        pd_rows = [
+            (qid, doc, p)
+            for qid, d in sorted(p_doc.items())
+            for doc, p in sorted(d.items())
+        ]
+        pd_df = spark.createDataFrame(
+            pd_rows,
+            T.StructType(
+                [
+                    T.StructField(query_id_col, qid_field.dataType),
+                    T.StructField(id_col, T.LongType()),
+                    T.StructField("_pd", T.DoubleType()),
+                ]
+            ),
+        )
+        fb_union = sorted({doc for d in p_doc.values() for doc in d})
+        rm = (
+            docs.filter(F.col(id_col).isin(fb_union))
+            .filter(F.col(text_col).isNotNull())
+            .select(
+                F.col(id_col),
+                F.array_remove(tokens(F.col(text_col)), "").alias("_toks"),
+            )
+            .filter(F.size("_toks") > 0)
+            .select(
+                id_col,
+                F.size("_toks").alias("_dl"),
+                F.explode("_toks").alias("_term"),
+            )
+            .groupBy(id_col, "_term")
+            .agg(F.count(F.lit(1)).alias("_tf"), F.first("_dl").alias("_dl"))
+            .join(F.broadcast(pd_df), id_col)
+            .select(
+                query_id_col,
+                "_term",
+                ((F.col("_tf") / F.col("_dl")) * F.col("_pd")).alias("_p"),
+            )
+            .groupBy(query_id_col, "_term")
+            .agg(F.sum("_p").alias("_p"))
+        )
+        w = Window.partitionBy(query_id_col).orderBy(
+            F.col("_p").desc(), F.col("_term").asc()
+        )
+        top_terms = (
+            rm.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= fb_terms)
+            .collect()
+        )
+        for r in top_terms:
+            p_rm[r[query_id_col]][r["_term"]] = r["_p"]
+
+    # ---- mixed weights per query (driver-side, Q·(terms+fb_terms) entries)
+    weights: dict = {}
+    for qid in qids:
+        po, pr = p_orig[qid], p_rm.get(qid, {})
+        out = {}
+        for t in set(po) | set(pr):
+            v = alpha * po.get(t, 0.0) + (1.0 - alpha) * pr.get(t, 0.0)
+            if v > 0:
+                out[t] = v
+        # no feedback evidence → the original query, unmixed (constant
+        # factors don't change ranking) — the rm3_expand fallback
+        weights[qid] = out if qid in p_doc and fb_terms > 0 else dict(po)
+
+    # ---- stage 2: ONE shared postings pass over the union of all terms
+    spark = docs.sparkSession
+    from pyspark.sql import types as T
+
+    qid_field = queries.schema[query_id_col]
+    wq_rows = [
+        (qid, t, w)
+        for qid in qids
+        for t, w in sorted(weights[qid].items())
+    ]
+    wq = spark.createDataFrame(
+        wq_rows,
+        T.StructType(
+            [
+                T.StructField(query_id_col, qid_field.dataType),
+                T.StructField("_term", T.StringType()),
+                T.StructField("_w", T.DoubleType()),
+            ]
+        ),
+    )
+    all_terms = sorted({t for _, t, _ in wq_rows})
+
+    base = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.array_remove(tokens(F.col(text_col)), "").alias("_toks"),
+    )
+    row = base.agg(
+        F.count(F.lit(1)).alias("n"), F.avg(F.size("_toks")).alias("avgdl")
+    ).first()
+    n_docs = int(row["n"])
+    avgdl = float(row["avgdl"]) if row["avgdl"] is not None else 0.0
+    if n_docs == 0 or avgdl == 0.0:
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField(query_id_col, qid_field.dataType),
+                    T.StructField(id_col, T.LongType()),
+                    T.StructField("score", T.DoubleType()),
+                    T.StructField("n_terms", T.LongType()),
+                    T.StructField("rank", T.IntegerType()),
+                ]
+            ),
+        )
+    tf = (
+        base.select(
+            id_col,
+            F.size("_toks").alias("_dl"),
+            F.explode("_toks").alias("_term"),
+        )
+        .filter(F.col("_term").isin(all_terms))
+        .groupBy(id_col, "_term")
+        .agg(F.count(F.lit(1)).alias("_tf"), F.first("_dl").alias("_dl"))
+    )
+    if stage:
+        from photo_vector_search_spark.operators.staging import stage_frame
+
+        tf = stage_frame(tf, "pvs_rm3_batch_tf")
+    df = tf.groupBy("_term").agg(F.count(F.lit(1)).alias("_df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("_df") + F.lit(0.5))
+        / (F.col("_df") + F.lit(0.5))
+    )
+    num = F.col("_tf") * F.lit(k1 + 1.0)
+    den = F.col("_tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.lit(avgdl)
+    )
+    postings = tf.join(
+        F.broadcast(df.select("_term", idf.alias("_idf"))), "_term"
+    ).select(id_col, "_term", (F.col("_idf") * num / den).alias("_s"))
+    per_query = (
+        postings.join(F.broadcast(wq), "_term")
+        .groupBy(query_id_col, id_col)
+        .agg(
+            F.round(F.sum(F.col("_w") * F.col("_s")), 6).alias("score"),
+            F.count(F.lit(1)).alias("n_terms"),
+        )
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        per_query.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "score", "n_terms", "rank")
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     query: str,

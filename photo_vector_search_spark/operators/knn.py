@@ -333,6 +333,120 @@ def rocchio_expand(
     return [float(v) for v in out]
 
 
+def rocchio_batch_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    fb_k: int = 10,
+    alpha: float = 1.0,
+    beta: float = 0.75,
+    gamma: float = 0.0,
+    neg_k: int = 0,
+    label: int | None = None,
+    max_queries: int = 4096,
+) -> DataFrame:
+    """Batched Rocchio: Q feedback queries share corpus passes instead of
+    paying 2Q of them — (query_id, vec_id, label, dist, rank), ≡ a Python
+    loop of ``rocchio_topk`` per query (pinned in tests).
+
+    Shape (the bm25_batch_topk discipline): ONE batched feedback pass
+    (`knn_batch_fast` — map-side matmul, shuffle O(batches·Q·fb_k)), one
+    BOUNDED fetch of the union of feedback vectors (≤ Q·fb_k rows), the
+    centroid mix driver-side in NumPy, then ONE batched final pass with the
+    expanded query matrix. With ``gamma``/``neg_k`` the negative sets come
+    from a third shared pass over NEGATED query vectors: dist(−q, d) =
+    2 − dist(q, d), so ascending order under −q IS farthest-first under q
+    with the same vec_id tie-break — no separate bottom-k operator needed.
+    ``label`` scopes every pass (feedback, negative, final) to the same
+    searchable subset, matching the per-query operator."""
+    import numpy as np
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if fb_k < 1:
+        raise ValueError(f"fb_k must be >= 1, got {fb_k}")
+    if neg_k < 0:
+        raise ValueError(f"neg_k must be >= 0, got {neg_k}")
+    if gamma != 0.0 and neg_k == 0:
+        raise ValueError("gamma != 0 needs neg_k > 0 (a negative set)")
+    qrows = queries.select("query_id", "query_vec").limit(
+        max_queries + 1
+    ).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f">{max_queries} queries — split the batch or raise max_queries"
+        )
+    if not qrows:
+        raise ValueError("empty query frame")
+    qids = [r["query_id"] for r in qrows]
+    if len(set(qids)) != len(qids):
+        raise ValueError(
+            "duplicate query_id in the batch — per-query feedback is "
+            "ill-defined; de-duplicate the query frame first"
+        )
+    qmat = {
+        r["query_id"]: np.asarray(r["query_vec"], dtype=np.float64)
+        for r in qrows
+    }
+    pool = embeddings
+    if label is not None:
+        pool = pool.filter(F.col("label") == label)
+    spark = embeddings.sparkSession
+
+    def _vec_lookup(ids: set) -> dict:
+        """Bounded fetch: the union of feedback ids (≤ Q·fb_k rows)."""
+        if not ids:
+            return {}
+        rows = (
+            pool.filter(F.col("vec_id").isin(list(ids)))
+            .select("vec_id", F.col("embedding").cast("array<double>"))
+            .collect()
+        )
+        return {r[0]: np.asarray(r[1], dtype=np.float64) for r in rows}
+
+    fb_run = knn_batch_fast(pool, queries, k=fb_k).select(
+        "query_id", "vec_id"
+    ).collect()
+    fb_ids: dict = {}
+    for r in fb_run:
+        fb_ids.setdefault(r["query_id"], []).append(r["vec_id"])
+    fb_vecs = _vec_lookup({v for ids in fb_ids.values() for v in ids})
+
+    neg_ids: dict = {}
+    neg_vecs: dict = {}
+    if neg_k > 0 and gamma != 0.0:
+        negated = spark.createDataFrame(
+            [(qid, [float(-x) for x in vec]) for qid, vec in qmat.items()],
+            "query_id long, query_vec array<double>",
+        )
+        neg_run = knn_batch_fast(pool, negated, k=neg_k).select(
+            "query_id", "vec_id"
+        ).collect()
+        for r in neg_run:
+            neg_ids.setdefault(r["query_id"], []).append(r["vec_id"])
+        neg_vecs = _vec_lookup({v for ids in neg_ids.values() for v in ids})
+
+    expanded = []
+    for qid in qids:
+        q = qmat[qid]
+        ids = fb_ids.get(qid, [])
+        if not ids:
+            out = q
+        else:
+            centroid = np.mean([fb_vecs[i] for i in ids], axis=0)
+            out = alpha * q + beta * centroid
+            nids = neg_ids.get(qid, [])
+            if nids:
+                out = out - gamma * np.mean(
+                    [neg_vecs[i] for i in nids], axis=0
+                )
+        expanded.append((qid, [float(v) for v in out]))
+    exp_df = spark.createDataFrame(
+        expanded, "query_id long, query_vec array<double>"
+    )
+    return knn_batch_fast(pool, exp_df, k=k)
+
+
 def rocchio_topk(
     embeddings: DataFrame,
     query_vec: Sequence[float],
