@@ -142,6 +142,7 @@ GROUPS: dict[str, list[str]] = {
         "cross_dedup_store",
         "rm3_batch8",
         "rocchio_batch8",
+        "maxsim_batch8",
     ],
 }
 
@@ -1038,6 +1039,32 @@ def _build_cases(spark, sf_dir: str) -> dict:
                     .alias("text"),
                 ),
                 _fingerprint_store(spark, sf_dir),
+            )
+        ),
+        # r12: batched MaxSim — 8 text queries share ONE pass over the
+        # persisted token store (all queries' token matrices stacked into
+        # one broadcast matrix; per Arrow batch one BLAS matmul + two
+        # reduceat segment reductions + per-batch local top-k per query)
+        "maxsim_batch8": lambda: _force(
+            __import__(
+                "photo_vector_search_spark.operators.late_interaction",
+                fromlist=["maxsim_batch_topk"],
+            ).maxsim_batch_topk(
+                spark.read.parquet(_maxsim_store(spark, sf_dir)),
+                spark.createDataFrame(
+                    [
+                        (0, "the quick brown fox"),
+                        (1, "lazy dog jumps"),
+                        (2, "data quality language"),
+                        (3, "old river bank"),
+                        (4, "fox and dog"),
+                        (5, "quick quality fox"),
+                        (6, "brown river dog"),
+                        (7, "the lazy old fox"),
+                    ],
+                    "query_id long, query string",
+                ),
+                k=10,
             )
         ),
         # r11: Rocchio dense feedback — two TakeOrdered corpus passes

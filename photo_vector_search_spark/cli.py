@@ -542,6 +542,49 @@ def cmd_vector_index(args) -> int:
     return 0
 
 
+def cmd_colbert_index(args) -> int:
+    """Late-interaction (ColBERT MaxSim) index lifecycle over a documents
+    parquet — build persists the per-token embedding matrices once
+    (`operators/late_interaction.build_maxsim_store`); search serves from
+    the store (torn-pair-checked load, pooled-cosine prefilter, Arrow
+    MaxSim rescoring) without re-embedding the corpus."""
+    from photo_vector_search_spark.operators.late_interaction import (
+        build_maxsim_store,
+        maxsim_store_search,
+    )
+
+    spark = _spark()
+    try:
+        if args.index_cmd == "build":
+            docs = spark.read.parquet(args.docs)
+            if "doc_id" not in docs.columns or "text" not in docs.columns:
+                print(
+                    f"--docs must have doc_id and text columns, got "
+                    f"{docs.columns}",
+                    file=sys.stderr,
+                )
+                return 2
+            build_id = build_maxsim_store(
+                docs, args.index, max_tokens=args.max_tokens
+            )
+            print(f"built MaxSim token store at {args.index} (build {build_id})")
+        elif args.index_cmd == "search":
+            hits = maxsim_store_search(
+                spark, args.index, args.query, k=args.k,
+                prefilter_n=args.prefilter,
+            ).collect()
+            if not hits:
+                print("no matches")
+                return 1
+            for r in hits:
+                print(f"{r['rank']:>3}. doc {r['doc_id']}  "
+                      f"maxsim={r['maxsim']:.6f}")
+    except ValueError as e:
+        print(str(e), file=sys.stderr)
+        return 2
+    return 0
+
+
 def cmd_list_models(args) -> int:
     from photo_vector_search_spark.pipelines.embed import available_models
 
@@ -735,6 +778,26 @@ def build_parser() -> argparse.ArgumentParser:
             ip.add_argument("-k", type=int, default=5)
             ip.add_argument("--nprobe", type=int, default=4)
         ip.set_defaults(fn=cmd_vector_index)
+
+    sp = sub.add_parser(
+        "colbert-index",
+        help="late-interaction (MaxSim) token store: build/search",
+    )
+    csub = sp.add_subparsers(dest="index_cmd", required=True)
+    for name in ("build", "search"):
+        cp = csub.add_parser(name)
+        cp.add_argument("--index", required=True, help="token store path")
+        if name == "build":
+            cp.add_argument("--docs", required=True,
+                            help="documents parquet (doc_id, text)")
+            cp.add_argument("--max-tokens", type=int, default=16,
+                            help="per-document token budget")
+        else:
+            cp.add_argument("query")
+            cp.add_argument("-k", type=int, default=10)
+            cp.add_argument("--prefilter", type=int, default=None,
+                            help="pooled-cosine candidate pool (None = exact)")
+        cp.set_defaults(fn=cmd_colbert_index)
 
     sp = sub.add_parser("list-models")
     sp.set_defaults(fn=cmd_list_models)

@@ -330,6 +330,112 @@ def pooled_cosine_candidates(
     )
 
 
+def maxsim_batch_topk(
+    doc_toks: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    max_query_tokens: int = MAX_QUERY_TOKENS,
+    dim: int = 64,
+    max_queries: int = 4096,
+) -> DataFrame:
+    """Batched MaxSim: Q text queries share ONE pass over the token store —
+    (query_id, id, maxsim, rank), ≡ a Python loop of ``maxsim_topk`` per
+    query (pinned in tests) — extending the batched-serving contract
+    (knn/bm25/hamming/sq8/cascade/rm3/rocchio) to late interaction.
+
+    Kernel shape: ALL queries' token matrices stack into one broadcast
+    (ΣT_q, dim) matrix; per Arrow batch ONE BLAS matmul against the batch's
+    stacked doc tokens, a ``maximum.reduceat`` segment-max over each doc's
+    tokens, an ``add.reduceat`` segment-sum over each query's tokens
+    (reduceat is strictly sequential — the expression fold's order), then a
+    per-batch LOCAL top-k per query, so the shuffle carries
+    O(batches · Q · k) survivor rows — never N·Q. ``queries``: (query_id,
+    query) text rows; duplicate ids rejected (the shared batch contract)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    qrows = queries.select("query_id", "query").limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f">{max_queries} queries — split the batch or raise max_queries"
+        )
+    if not qrows:
+        raise ValueError("empty query frame")
+    qids = [r["query_id"] for r in qrows]
+    if len(set(qids)) != len(qids):
+        raise ValueError(
+            "duplicate query_id in the batch — per-query top-k is "
+            "ill-defined; de-duplicate the query frame first"
+        )
+    qmats = [
+        np.asarray(
+            _query_token_vecs(r["query"], max_query_tokens, dim),
+            dtype=np.float64,
+        )
+        for r in qrows
+    ]
+    allq = np.vstack(qmats)  # (sum of query token counts, dim)
+    q_offsets = np.concatenate(
+        ([0], np.cumsum([m.shape[0] for m in qmats])[:-1])
+    )
+    sc = doc_toks.sparkSession.sparkContext
+    bq = sc.broadcast(
+        (np.asarray(qids, dtype=np.int64), allq, q_offsets)
+    )
+    id_field = doc_toks.schema[id_col]
+    out_schema = StructType(
+        [
+            StructField("query_id", queries.schema["query_id"].dataType, True),
+            StructField(id_col, id_field.dataType, True),
+            StructField("_raw", DoubleType(), True),
+        ]
+    )
+
+    def _score(batches):
+        ids, qm, qoff = bq.value
+        nq = len(ids)
+        for pdf in batches:
+            # pre-sort by id so the stable per-query argsort breaks score
+            # ties by ascending id — the knn_batch_fast tie discipline
+            pdf = pdf.sort_values(id_col, kind="stable").reset_index(drop=True)
+            flat, counts, keep = _tok_matrices(pdf["tok_embs"])
+            if flat is None:
+                continue
+            doc_ids = pdf[id_col].to_numpy()[keep]
+            d_offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            sims = qm @ flat.T  # (sum q tokens, sum doc tokens): one BLAS call
+            best = np.maximum.reduceat(sims, d_offsets, axis=1)
+            scores = np.add.reduceat(best, qoff, axis=0)  # (Q, docs)
+            kk = min(k, scores.shape[1])
+            out = {"query_id": [], id_col: [], "_raw": []}
+            for j in range(nq):
+                row = scores[j]
+                take = np.argsort(-row, kind="stable")[:kk]
+                out["query_id"].extend([ids[j]] * len(take))
+                out[id_col].extend(doc_ids[take])
+                out["_raw"].extend(row[take])
+            yield pd.DataFrame(out)
+
+    survivors = doc_toks.select(id_col, "tok_embs").mapInPandas(
+        _score, schema=out_schema
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.round("_raw", 6).desc(), F.col(id_col).asc()
+    )
+    return (
+        survivors.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", id_col, F.round("_raw", 6).alias("maxsim"), "rank"
+        )
+    )
+
+
 def build_maxsim_store(
     docs: DataFrame,
     path: str,
@@ -356,9 +462,17 @@ def build_maxsim_store(
     from photo_vector_search_spark.operators.ann import _store_signature
     from photo_vector_search_spark.operators.store import snapshot_overwrite
 
-    toks = doc_token_embeddings(
-        docs, text_col=text_col, id_col=id_col, max_tokens=max_tokens, dim=dim
+    toks = with_pooled_column(
+        doc_token_embeddings(
+            docs, text_col=text_col, id_col=id_col,
+            max_tokens=max_tokens, dim=dim,
+        ),
+        id_col=id_col,
     )
+    # range-partition + sort by id: tight per-row-group id stats, so the
+    # serving-side candidate IN-filter prunes row groups at rest and the
+    # rescore never decodes the whole corpus' token matrices
+    toks = toks.repartitionByRange(F.col(id_col)).sortWithinPartitions(id_col)
     snapshot_overwrite(toks, path)
     spark = docs.sparkSession
     n_docs = spark.read.parquet(path).count()
@@ -372,6 +486,39 @@ def build_maxsim_store(
         path + ".meta",
     )
     return build_id
+
+
+def with_pooled_column(doc_toks: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Append the mean-pooled vector as a FLAT ``pooled`` column — computed
+    with the exact ``add.reduceat`` arithmetic the serving prefilter kernel
+    uses, so stored and recomputed pooled vectors are bit-identical (the
+    store-served ≡ in-memory parity contract). At rest this is the
+    prefilter's whole read: 64 doubles per doc via parquet column pruning,
+    instead of decoding every doc's full token matrix. Empty/NULL token
+    matrices pool to NULL."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    schema = StructType(
+        list(doc_toks.schema.fields)
+        + [StructField("pooled", ArrayType(DoubleType()), True)]
+    )
+
+    def _pool(batches):
+        for pdf in batches:
+            flat, counts, keep = _tok_matrices(pdf["tok_embs"])
+            pooled = [None] * len(pdf)
+            if flat is not None:
+                offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+                means = np.add.reduceat(flat, offsets, axis=0) / counts[:, None]
+                for row_pos, vec in zip(np.flatnonzero(keep), means):
+                    pooled[row_pos] = [float(v) for v in vec]
+            pdf = pdf.copy()
+            pdf["pooled"] = pooled
+            yield pdf
+
+    return doc_toks.mapInPandas(_pool, schema=schema)
 
 
 def load_maxsim_store(spark, path: str):
@@ -411,12 +558,73 @@ def maxsim_store_search(
     """Serve a MaxSim query from a persisted token store: load (torn-pair
     checked), pooled-cosine prefilter, rescore — no corpus re-embedding.
     Store-served results ≡ `maxsim_search` over the same corpus with the
-    build's (max_tokens, dim), pinned in tests."""
+    build's (max_tokens, dim), pinned in tests.
+
+    At-rest read shape (the store's design point): the prefilter scans ONLY
+    the flat ``pooled`` column (parquet column pruning — 64 doubles/doc,
+    the token matrices are never decoded corpus-wide), and the rescore
+    pushes the ≤ prefilter_n candidate ids as an IN filter into the store
+    scan, which prunes row groups via the id-sorted layout `build` wrote.
+    The candidate ids round-trip the driver (bounded by ``prefilter_n`` —
+    the serving knob, the mmr_rerank discipline)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
     toks, meta = load_maxsim_store(spark, path)
+    id_col, dim = meta["id_col"], meta["dim"]
+    if prefilter_n is not None and fast and "pooled" in toks.columns:
+        if prefilter_n < k:
+            raise ValueError(f"prefilter_n ({prefilter_n}) must be >= k ({k})")
+        qvecs = np.asarray(
+            _query_token_vecs(query, max_query_tokens, dim), dtype=np.float64
+        )
+        qmean = qvecs.mean(axis=0)
+        bqm = spark.sparkContext.broadcast(qmean)
+        id_field = toks.schema[id_col]
+        out_schema = StructType(
+            [
+                StructField(id_col, id_field.dataType, True),
+                StructField("_pool", DoubleType(), True),
+            ]
+        )
+
+        def _flat_pool(batches):
+            qv = bqm.value
+            for pdf in batches:
+                keep = pdf["pooled"].map(lambda v: v is not None).to_numpy(
+                    dtype=bool
+                )
+                kept = pdf["pooled"][keep]
+                if not len(kept):
+                    continue
+                m = np.vstack([np.asarray(v, dtype=np.float64) for v in kept])
+                norms = np.linalg.norm(m, axis=1)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = (m @ qv) / norms
+                cos = np.where(np.isfinite(cos), cos, None)
+                yield pd.DataFrame(
+                    {id_col: pdf[id_col].to_numpy()[keep], "_pool": cos}
+                )
+
+        cand = (
+            toks.select(id_col, "pooled")  # column-pruned scan: no matrices
+            .mapInPandas(_flat_pool, schema=out_schema)
+            .orderBy(F.col("_pool").desc_nulls_last(), F.col(id_col).asc())
+            .limit(prefilter_n)
+            .collect()
+        )
+        cand_ids = [r[id_col] for r in cand]
+        # IN filter pushes into the id-sorted store scan -> row-group pruning
+        doc_toks = toks.filter(F.col(id_col).isin(cand_ids))
+        return maxsim_topk(
+            doc_toks, query, k=k, id_col=id_col,
+            max_query_tokens=max_query_tokens, dim=dim, fast=True,
+        )
     return maxsim_search(
         None, query, k=k, prefilter_n=prefilter_n,
-        id_col=meta["id_col"], max_tokens=meta["max_tokens"],
-        max_query_tokens=max_query_tokens, dim=meta["dim"],
+        id_col=id_col, max_tokens=meta["max_tokens"],
+        max_query_tokens=max_query_tokens, dim=dim,
         fast=fast, doc_toks=toks,
     )
 
@@ -445,6 +653,8 @@ def maxsim_search(
     store-loaded token frame (`load_maxsim_store`) instead of re-embedding
     the corpus."""
     if doc_toks is None:
+        if docs is None:
+            raise ValueError("pass docs (to embed) or doc_toks (precomputed)")
         doc_toks = doc_token_embeddings(
             docs, text_col=text_col, id_col=id_col,
             max_tokens=max_tokens, dim=dim,

@@ -13,7 +13,13 @@ non-scalar-schema class in r8 (tests/test_entry_contract.py):
    unmeasured scale claim;
 3. every module under ``operators/`` must be represented in the audited
    surface by at least one named query/case, or carry an explicit documented
-   exemption — a new operator module cannot ship audit-invisible.
+   exemption — a new operator module cannot ship audit-invisible;
+4. (r12, VERDICT r11 finding #1) every bench case must have a row in the
+   NEWEST committed BENCH_r*.json — the r11 canonical record was taken two
+   operator commits before HEAD, so the two newest cases had no isolated
+   record and nothing failed locally; this rule makes that drift a LOCAL
+   failure (the recording workflow: `python tools/bench_record.py --out
+   BENCH_r{N}.json` as the round's last source-touching step).
 """
 
 from __future__ import annotations
@@ -76,15 +82,64 @@ def test_every_bench_case_has_a_scale_table_row(spark):
     )
 
 
+def _newest_bench_record() -> str:
+    recs = sorted(
+        glob.glob(os.path.join(REPO, "BENCH_r*.json")),
+        key=lambda f: int(
+            "".join(c for c in os.path.basename(f) if c.isdigit()) or 0
+        ),
+    )
+    assert recs, "no BENCH_r*.json committed"
+    return recs[-1]
+
+
+def _bench_record_queries(path: str) -> set:
+    """Per-query names from a committed bench record, whichever of the two
+    formats wrote it: the builder's `tools/bench_record.py` artifact (top-
+    level `queries`) or the driver's wrapper (`parsed`/`tail` holding the
+    bench.py JSON line)."""
+    import json
+
+    with open(path) as f:
+        d = json.load(f)
+    if isinstance(d.get("queries"), dict):
+        return set(d["queries"])
+    parsed = d.get("parsed")
+    if isinstance(parsed, dict) and isinstance(parsed.get("queries"), dict):
+        return set(parsed["queries"])
+    tail = d.get("tail", "")
+    lines = [l for l in tail.strip().splitlines() if l.startswith("{")]
+    if lines:
+        return set(json.loads(lines[-1])["queries"])
+    raise AssertionError(f"unrecognized bench record format: {path}")
+
+
+def test_every_bench_case_has_a_canonical_bench_row(spark):
+    """Rule #4: a bench case without a row in the newest committed canonical
+    record is an unmeasured perf claim (the r11 drift class — maxsim_search
+    and rocchio_topk landed after the r11 record was taken). Re-record with
+    `python tools/bench_record.py --out BENCH_r{N}.json` at final HEAD."""
+    from bench import _build_cases
+
+    cases = set(_build_cases(spark, "/root/testdata/sf0.001"))
+    rec = _newest_bench_record()
+    recorded = _bench_record_queries(rec)
+    missing = cases - recorded
+    assert not missing, (
+        f"{os.path.basename(rec)} is stale — no canonical record for "
+        f"{sorted(missing)}; re-run tools/bench_record.py at HEAD"
+    )
+
+
 # module -> audited names that carry its evidence; each must appear in the
 # audited surface (plan roster + declared queries + scale-table rows).
 _REPRESENTATIVES = {
     "alignment": ["filter_aligned"],
     "ann": ["ivf_topk_exact", "ivf_near_dup_pairs"],
-    "bm25": ["bm25_topk", "rm3_topk"],
+    "bm25": ["bm25_topk", "rm3_topk", "rm3_batch_topk"],
     "bq": ["hamming_topk", "hamming_batch_topk"],
     "cascade": ["cascade_topk", "cascade_batch_topk"],
-    "cross_dedup": ["cross_dedup"],
+    "cross_dedup": ["cross_dedup", "cross_dedup_store"],
     "fusion": ["rrf_fuse"],
     "audio_dedup": ["audio_near_dup"],
     "bloom": ["decontaminate_bloom"],
@@ -103,8 +158,8 @@ _REPRESENTATIVES = {
     "image_dedup": ["hamming_pairs", "image_near_dup"],
     "joins": ["events_asof"],
     "kneser_ney": ["kn_score"],
-    "late_interaction": ["maxsim_search"],
-    "knn": ["knn_topk", "knn_batch", "rocchio_topk"],
+    "late_interaction": ["maxsim_search", "maxsim_store_search"],
+    "knn": ["knn_topk", "knn_batch", "rocchio_topk", "rocchio_batch_topk"],
     "mixing": ["mix_corpus"],
     "packing": ["pack_sequences", "pack_windows"],
     "pq": ["pq_topk", "ivf_pq_batch_search"],

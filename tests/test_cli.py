@@ -278,3 +278,46 @@ def test_cli_search_text_and_hybrid(tmp_path, capsys, spark):
         ["search-hybrid", "--docs", docs_path, "--embeddings", emb_path,
          "quick fox", "-k", "0"]
     ) == 2
+
+
+def test_cli_colbert_index(tmp_path, capsys, spark):
+    """`colbert-index build/search` drives the persisted MaxSim token store
+    end-to-end: build prints the build id, search serves ranked hits from
+    the store, a no-match query exits 1, a bad k exits 2, and a docs
+    parquet without the required columns is refused at build."""
+    docs_path = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "a slow green turtle naps under the warm sun"),
+            (3, "quick quick fox fox everywhere in this text"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(docs_path)
+    idx = str(tmp_path / "colbert_idx")
+
+    assert main(["colbert-index", "build", "--docs", docs_path,
+                 "--index", idx]) == 0
+    assert "built MaxSim token store" in capsys.readouterr().out
+
+    assert main(["colbert-index", "search", "--index", idx,
+                 "quick fox", "-k", "2"]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == 2 and all("maxsim=" in ln for ln in lines)
+    # docs 1 and 3 both contain exact matches for BOTH query tokens, so
+    # each scores exactly 2.0 (MaxSim is tf-agnostic, unlike BM25) — the
+    # deterministic tie-break is ascending doc id; the no-match doc 2 is out
+    assert lines[0].lstrip().startswith("1. doc 1")
+    assert "maxsim=2.000000" in lines[0]
+    assert lines[1].lstrip().startswith("2. doc 3")
+
+    assert main(["colbert-index", "search", "--index", idx, "   "]) == 2
+    assert "no tokens" in capsys.readouterr().err
+    assert main(["colbert-index", "search", "--index", idx,
+                 "quick", "-k", "0"]) == 2
+
+    bad = str(tmp_path / "bad.parquet")
+    spark.createDataFrame([(1,)], "x long").write.parquet(bad)
+    assert main(["colbert-index", "build", "--docs", bad,
+                 "--index", idx + "2"]) == 2
+    assert "doc_id and text" in capsys.readouterr().err

@@ -209,6 +209,43 @@ def test_pooled_prefilter_is_cosine_not_raw_dot(spark):
     assert np.linalg.norm(pooled20) < 0.999
 
 
+def test_batch_equals_per_query_loop(spark, sf_dir):
+    """maxsim_batch_topk ≡ a Python loop of maxsim_topk per query — the
+    batched-serving contract extended to late interaction."""
+    from photo_vector_search_spark.operators.late_interaction import (
+        maxsim_batch_topk,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    doc_toks = doc_token_embeddings(docs)
+    qs = [(0, "quick brown fox"), (1, "the lazy dog"), (2, "quality data")]
+    queries = spark.createDataFrame(qs, "query_id long, query string")
+    got = maxsim_batch_topk(doc_toks, queries, k=5)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], []).append(
+            (r["doc_id"], r["maxsim"], r["rank"])
+        )
+    for qid, qtext in qs:
+        want = [
+            (r["doc_id"], r["maxsim"], r["rank"])
+            for r in maxsim_topk(doc_toks, qtext, k=5).collect()
+        ]
+        assert sorted(by_q.get(qid, []), key=lambda t: t[2]) == want, qid
+    assert sum(1 for q, _ in qs if by_q.get(q)) == 3
+
+    import pytest as _pytest
+
+    dup = spark.createDataFrame(
+        [(1, "a"), (1, "b")], "query_id long, query string"
+    )
+    with _pytest.raises(ValueError, match="duplicate query_id"):
+        maxsim_batch_topk(doc_toks, dup, k=3)
+    empty = spark.createDataFrame([], "query_id long, query string")
+    with _pytest.raises(ValueError, match="empty"):
+        maxsim_batch_topk(doc_toks, empty, k=3)
+
+
 def test_token_budget_caps_the_matrix(spark):
     docs = spark.createDataFrame(
         [(1, " ".join(f"w{i}" for i in range(50)))], "doc_id long, text string"

@@ -9,11 +9,11 @@ runtimes installed; otherwise every test skips cleanly (the expected state in
 CI/this container). The fake-torch seam tests in test_clip_batching.py remain
 the hermetic coverage of the adapter logic.
 
-Re-attempt log (the standing round item): r9, r10, r10b, r11 and r11b re-ran
-with SPARK_GRAFT_REAL_MODELS=1 — both tests still skip; `import torch` raises
-ImportError and http://localhost:11434 has no listener in this container.
-Environment-blocked, not code-blocked; the adapters stay exercised through
-the fake-torch seam."""
+Re-attempt log (the standing round item): r9, r10, r10b, r11, r11b and r12
+re-ran with SPARK_GRAFT_REAL_MODELS=1 — both tests still skip; `import torch`
+raises ImportError and http://localhost:11434 has no listener in this
+container. Environment-blocked, not code-blocked; the adapters stay exercised
+through the fake-torch seam."""
 
 from __future__ import annotations
 

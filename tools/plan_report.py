@@ -683,6 +683,86 @@ def _extra_maxsim_search(spark, sf_dir):
     )
 
 
+def _extra_maxsim_store_search(spark, sf_dir):
+    # the audited plan is the SERVING read: store scan (no re-embed) →
+    # Arrow pooled-cosine prefilter → broadcast semi-join → Arrow rescoring
+    from photo_vector_search_spark.operators.late_interaction import (
+        build_maxsim_store,
+        maxsim_store_search,
+    )
+    from photo_vector_search_spark.operators.staging import session_staging_dir
+    from photo_vector_search_spark.sources.tables import load_table
+
+    path = session_staging_dir("pvs_plan_maxsim") + "/store"
+    build_maxsim_store(load_table(spark, sf_dir, "documents"), path)
+    return maxsim_store_search(
+        spark, path, "the quick brown fox", k=10, prefilter_n=64
+    )
+
+
+def _extra_maxsim_batch(spark, sf_dir):
+    from photo_vector_search_spark.operators.late_interaction import (
+        doc_token_embeddings,
+        maxsim_batch_topk,
+    )
+    from photo_vector_search_spark.sources.tables import load_table
+
+    toks = doc_token_embeddings(load_table(spark, sf_dir, "documents"))
+    queries = spark.createDataFrame(
+        [(0, "the quick brown fox"), (1, "lazy dog jumps")],
+        "query_id long, query string",
+    )
+    return maxsim_batch_topk(toks, queries, k=10)
+
+
+def _extra_cross_dedup_store(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from photo_vector_search_spark.operators.cross_dedup import (
+        build_fingerprint_store,
+        exact_dedup_against_store,
+    )
+    from photo_vector_search_spark.operators.staging import session_staging_dir
+    from photo_vector_search_spark.sources.tables import load_table
+
+    path = session_staging_dir("pvs_plan_fps") + "/store"
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    build_fingerprint_store(docs, path)
+    new = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" t-"), F.col("doc_id")).alias("text"),
+    )
+    return exact_dedup_against_store(new, path)
+
+
+def _extra_rm3_batch(spark, sf_dir):
+    from photo_vector_search_spark.operators.bm25 import rm3_batch_topk
+    from photo_vector_search_spark.sources.tables import load_table
+
+    queries = spark.createDataFrame(
+        [(0, "the quick brown fox"), (1, "lazy dog jumps")],
+        "query_id long, query string",
+    )
+    return rm3_batch_topk(
+        load_table(spark, sf_dir, "documents"), queries, k=10,
+        fb_docs=10, fb_terms=10,
+    )
+
+
+def _extra_rocchio_batch(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from photo_vector_search_spark.operators.knn import rocchio_batch_topk
+    from photo_vector_search_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return rocchio_batch_topk(emb, queries, k=5, fb_k=10)
+
+
 def _extra_cascade_batch(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -856,6 +936,11 @@ EXTRA_OPS = {
     "cascade_batch_topk": _extra_cascade_batch,
     "maxsim_search": _extra_maxsim_search,
     "rocchio_topk": _extra_rocchio_topk,
+    "maxsim_store_search": _extra_maxsim_store_search,
+    "maxsim_batch_topk": _extra_maxsim_batch,
+    "cross_dedup_store": _extra_cross_dedup_store,
+    "rm3_batch_topk": _extra_rm3_batch,
+    "rocchio_batch_topk": _extra_rocchio_batch,
 }
 
 # Plan-reader context the tree alone can't show.
@@ -875,14 +960,94 @@ NOTES = {
         "of the best doc-token dot product, completing the retrieval "
         "matrix: lexical BM25 / dense single-vector / RRF hybrid / late "
         "interaction). Token matrices are BOUNDED (the ColBERT doc "
-        "budget) and ride as one array<array<double>> per doc; scoring "
-        "is a PURE CODEGEN fold (unit vectors so sim = dot; per query "
-        "token an aggregate/greatest over the matrix) — no UDF, map-only "
-        "into TakeOrdered. The audited two-stage shape prefilters to N "
-        "candidates by the POOLED vector first (ColBERT-v2/PLAID "
-        "deployment pattern). Full DuckDB twin of the chain + exactness "
-        "when prefilter covers the corpus in "
-        "tests/test_late_interaction.py."
+        "budget) and ride as one array<array<double>> per doc. r12 "
+        "vectorized the serving path: per Arrow batch ONE BLAS matmul of "
+        "the query token matrix against the batch's stacked doc tokens + "
+        "a maximum.reduceat segment-max per doc (the knn_batch_fast "
+        "discipline; Spark's higher-order functions do NOT enter whole-"
+        "stage codegen, so the old expression fold paid interpreted "
+        "per-row cost — it remains the DuckDB-replayable oracle twin, "
+        "parity-pinned). Map-only into TakeOrdered; the audited two-stage "
+        "shape prefilters to N candidates by the POOLED L2-normalized "
+        "cosine first (ColBERT-v2/PLAID deployment pattern). Full DuckDB "
+        "twin of the chain + exactness when prefilter covers the corpus "
+        "+ fast==expression parity in tests/test_late_interaction.py."
+    ),
+    "maxsim_store_search": (
+        "NOTE: library operator (r12 persisted MaxSim token store — the "
+        "missing persistence rung: every other serving family persists "
+        "its representation; one-call maxsim_search re-embedded the "
+        "corpus per query, which DOMINATED its wall). build_maxsim_store "
+        "pays the embed pass once; the sidecar's build_id is the store "
+        "directory's content signature, so a torn store/sidecar pair is "
+        "refused at load (the shared crash-consistency contract). The "
+        "audited serving plan reads ONLY the store parquet (input-file "
+        "audit pins that the documents table is never re-read), and the "
+        "at-rest layout does the heavy lifting: build persists the mean-"
+        "pooled vector as its own FLAT column and sorts by id, so the "
+        "prefilter scans 64 doubles/doc via parquet COLUMN PRUNING (the "
+        "token matrices are never decoded corpus-wide) and the rescore "
+        "pushes the <= prefilter_n candidate ids as an IN filter that "
+        "prunes row groups. 1.2 s at sf0.1 AND 1.2 s at 10x (ratio 1.01 "
+        "— fixed overhead dominates) vs 7.6-8 s one-call. Roundtrip "
+        "identity, torn-pair refusal, and store-served == in-memory in "
+        "tests/test_maxsim_store.py."
+    ),
+    "maxsim_batch_topk": (
+        "NOTE: library operator (r12 batched MaxSim — the batched-serving "
+        "contract extended to late interaction). ALL queries' token "
+        "matrices stack into ONE broadcast matrix; per Arrow batch ONE "
+        "BLAS matmul against the batch's stacked doc tokens, a "
+        "maximum.reduceat segment-max over each doc's tokens, an "
+        "add.reduceat segment-sum over each query's tokens (reduceat is "
+        "strictly sequential — the expression fold's accumulation order), "
+        "then a per-batch LOCAL top-k per query: the shuffle carries "
+        "O(batches*Q*k) survivor rows, never N*Q. Batch == per-query "
+        "maxsim_topk loop in tests/test_late_interaction.py; 1.4 s for 8 "
+        "queries over the persisted store at sf0.1."
+    ),
+    "cross_dedup_store": (
+        "NOTE: library operator (r12 persisted cross-dedup fingerprint "
+        "store — the snapshot N-1 -> N workflow: the reference corpus is "
+        "distilled ONCE to 16-byte distinct fingerprints; each new crawl "
+        "anti-joins against the table and the reference TEXT is never "
+        "re-read, pinned by an input-file audit). One table, one "
+        "snapshot swap — no sidecar, no torn-pair state. "
+        "extend_fingerprint_store unions each snapshot's survivors in "
+        "(O(distinct fps) rewrite, never the corpora) and materializes "
+        "before swapping; the caller-side materialization contract for "
+        "store-derived frames is documented and tested. Store-served == "
+        "full-reference dedup and the N-1 -> N -> N+1 chain in "
+        "tests/test_cross_dedup_store.py."
+    ),
+    "rm3_batch_topk": (
+        "NOTE: library operator (r12 batched RM3 — the batched-serving "
+        "contract extended to lexical PRF; the single-query loop pays 2 "
+        "corpus passes per query, so Q queries cost 2Q). Stage 1: ONE "
+        "bm25_batch feedback pass (all queries' terms share the "
+        "postings explode). Relevance models: ONE explode over the UNION "
+        "of all queries' feedback docs joined to a broadcast (query_id, "
+        "doc_id, P(D)) frame, per-(query, term) sum, bounded per-query "
+        "top-fb_terms window. Stage 2: ONE shared postings pass over the "
+        "union of expanded terms with a broadcast (query_id, term, "
+        "weight) fan-out — the bm25_batch_topk scoring shape with one "
+        "extra multiply. Batch == per-query rm3_topk loop and the "
+        "alpha=1 identity in tests/test_prf_batch.py. 5.8 s for 8 "
+        "queries at sf0.1 vs ~29 s looped."
+    ),
+    "rocchio_batch_topk": (
+        "NOTE: library operator (r12 batched Rocchio — dense PRF under "
+        "the batched-serving contract). THREE shared map-side-matmul "
+        "passes total (feedback knn_batch_fast, optional negatives, "
+        "final expanded knn_batch_fast) instead of 2Q TakeOrdered "
+        "corpus passes; feedback vectors fetched once as the bounded "
+        "union (<= Q*fb_k rows), centroid mix driver-side NumPy. "
+        "Negatives need no bottom-k operator: dist(-q,d) = 2 - dist(q,d) "
+        "so ascending order under the NEGATED query is farthest-first "
+        "with the identical vec_id tie-break. label scopes every pass. "
+        "Batch == per-query loop (incl. gamma/neg_k/label) in "
+        "tests/test_prf_batch.py. 1.3 s for 8 queries at sf0.1 vs ~7 s "
+        "looped."
     ),
     "cascade_batch_topk": (
         "NOTE: library operator (r11 batched cascade — Q queries share "
@@ -1442,6 +1607,19 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark("pvs-plan-report")
     qs = entrymod.queries()
+    # rotation-retired queries stay plan-audited: the roster is about the
+    # OPERATOR surface, not the driver's 50-slot window
+    from photo_vector_search_spark.plans import (
+        embed_queries,
+        pipeline_queries,
+        relational,
+        store_queries,
+        text_queries,
+    )
+
+    for _mod in (store_queries, relational, text_queries, pipeline_queries, embed_queries):
+        for _name, _fn in _mod.RETIRED_QUERIES.items():
+            qs.setdefault(_name, _fn)
     out = [
         "# PLANS — physical-plan audit of headline queries",
         "",
