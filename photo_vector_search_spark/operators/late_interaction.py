@@ -443,6 +443,7 @@ def build_maxsim_store(
     id_col: str = "doc_id",
     max_tokens: int = MAX_DOC_TOKENS,
     dim: int = 64,
+    n_clusters: int | None = None,
 ) -> str:
     """Persist the per-document token-embedding matrices so late-interaction
     serving reads a PREBUILT store instead of re-embedding the corpus per
@@ -451,14 +452,24 @@ def build_maxsim_store(
     its representation: ivf/sq8/ivf,sq8/pq/bq). The embed pass — the
     dominant cost of one-call `maxsim_search` — is paid ONCE at build time.
 
-    Layout: `path` holds (id, tok_embs) parquet; `path + '.meta'` holds one
-    sidecar row (build_id, id_col, max_tokens, dim, n_docs). Two snapshot
-    swaps cannot be atomic together, so the sidecar's ``build_id`` is the
-    directory CONTENT SIGNATURE of the written store (`ann._store_signature`
-    — md5 over sorted relative-path:size of the data files) and
-    `load_maxsim_store` recomputes + compares it: any torn pair (crash
-    between swaps, manual rewrite) is refused at load, the shared
-    crash-consistency contract. Returns the build id."""
+    Layout: `path` holds (id, tok_embs, pooled) parquet; `path + '.meta'`
+    holds one sidecar row (build_id, id_col, max_tokens, dim, n_docs,
+    n_clusters). Snapshot swaps cannot be atomic together, so the
+    sidecar's ``build_id`` is the directory CONTENT SIGNATURE of the
+    written store (`ann._store_signature` — md5 over sorted
+    relative-path:size of the data files) and `load_maxsim_store`
+    recomputes + compares it: any torn pair (crash between swaps, manual
+    rewrite) is refused at load, the shared crash-consistency contract.
+    Returns the build id.
+
+    ``n_clusters`` turns on the PLAID-style clustered layout: k-means
+    over the POOLED vectors, store hive-partitioned by ``cluster_id``
+    (centroid sidecar at ``path + '.centroids'``, same build id), so
+    `maxsim_store_search(nprobe=...)` prunes whole cluster DIRECTORIES
+    at file-listing time before the pooled prefilter even scans —
+    the ColBERT-v2/PLAID centroid-pruning shape on the engine's own IVF
+    machinery. nprobe == n_clusters reproduces the unclustered result
+    exactly (pinned in tests); smaller nprobe trades recall for scan."""
     from photo_vector_search_spark.operators.ann import _store_signature
     from photo_vector_search_spark.operators.store import snapshot_overwrite
 
@@ -469,22 +480,54 @@ def build_maxsim_store(
         ),
         id_col=id_col,
     )
-    # range-partition + sort by id: tight per-row-group id stats, so the
-    # serving-side candidate IN-filter prunes row groups at rest and the
-    # rescore never decodes the whole corpus' token matrices
-    toks = toks.repartitionByRange(F.col(id_col)).sortWithinPartitions(id_col)
-    snapshot_overwrite(toks, path)
     spark = docs.sparkSession
+    centroids = None
+    if n_clusters is not None:
+        if n_clusters < 1:
+            raise ValueError(f"n_clusters must be >= 1, got {n_clusters}")
+        from photo_vector_search_spark.operators.ann import (
+            assign_clusters,
+            train_centroids,
+        )
+
+        flat = toks.withColumnRenamed("pooled", "embedding")
+        centroids = train_centroids(flat, n_clusters=n_clusters)
+        toks = assign_clusters(flat, centroids).withColumnRenamed(
+            "embedding", "pooled"
+        )
+        # per-cluster directories; id-sorted within so the candidate
+        # IN-filter still prunes row groups inside each probed cluster
+        toks = toks.repartition("cluster_id").sortWithinPartitions(id_col)
+        snapshot_overwrite(toks, path, partition_by=["cluster_id"])
+    else:
+        # range-partition + sort by id: tight per-row-group id stats, so
+        # the serving-side candidate IN-filter prunes row groups at rest
+        # and the rescore never decodes the whole corpus' token matrices
+        toks = toks.repartitionByRange(F.col(id_col)).sortWithinPartitions(
+            id_col
+        )
+        snapshot_overwrite(toks, path)
     n_docs = spark.read.parquet(path).count()
     build_id = _store_signature(path)
     snapshot_overwrite(
         spark.createDataFrame(
-            [(build_id, id_col, max_tokens, dim, n_docs)],
+            [(build_id, id_col, max_tokens, dim, n_docs, n_clusters or 0)],
             "build_id string, id_col string, max_tokens int, dim int, "
-            "n_docs long",
+            "n_docs long, n_clusters int",
         ),
         path + ".meta",
     )
+    if centroids is not None:
+        snapshot_overwrite(
+            spark.createDataFrame(
+                [
+                    (i, [float(x) for x in c], build_id)
+                    for i, c in enumerate(centroids)
+                ],
+                "centroid_id int, centroid array<double>, build_id string",
+            ),
+            path + ".centroids",
+        )
     return build_id
 
 
@@ -546,6 +589,26 @@ def load_maxsim_store(spark, path: str):
     return spark.read.parquet(path), meta
 
 
+def _load_maxsim_centroids(spark, path: str, meta):
+    """Centroid matrix for a CLUSTERED maxsim store, build-checked: a
+    centroids sidecar from a different build (crash between swaps) is
+    refused — probing with stale centroids silently collapses recall."""
+    import numpy as np
+
+    rows = spark.read.parquet(path + ".centroids").collect()
+    builds = {r["build_id"] for r in rows}
+    if builds != {meta["build_id"]}:
+        raise ValueError(
+            f"maxsim store centroids at {path + '.centroids'!r} are from "
+            f"build {sorted(builds)} but the store is build "
+            f"{meta['build_id']!r} — torn pair; rebuild"
+        )
+    rows = sorted(rows, key=lambda r: r["centroid_id"])
+    return np.vstack(
+        [np.asarray(r["centroid"], dtype=np.float64) for r in rows]
+    )
+
+
 def maxsim_store_search(
     spark,
     path: str,
@@ -554,6 +617,7 @@ def maxsim_store_search(
     prefilter_n: int | None = None,
     max_query_tokens: int = MAX_QUERY_TOKENS,
     fast: bool = True,
+    nprobe: int | None = None,
 ) -> DataFrame:
     """Serve a MaxSim query from a persisted token store: load (torn-pair
     checked), pooled-cosine prefilter, rescore — no corpus re-embedding.
@@ -566,13 +630,40 @@ def maxsim_store_search(
     pushes the ≤ prefilter_n candidate ids as an IN filter into the store
     scan, which prunes row groups via the id-sorted layout `build` wrote.
     The candidate ids round-trip the driver (bounded by ``prefilter_n`` —
-    the serving knob, the mmr_rerank discipline)."""
+    the serving knob, the mmr_rerank discipline).
+
+    ``nprobe`` (clustered stores only): rank the build's pooled-vector
+    centroids by cosine against the mean query vector DRIVER-side (k tiny
+    rows) and restrict every scan to the top-nprobe clusters — whole
+    cluster directories are pruned at file-listing time (PartitionFilters;
+    asserted on runtime scan metrics in tests). nprobe == n_clusters is
+    exactly the unclustered result; smaller trades recall for bytes, the
+    PLAID deployment shape."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import DoubleType, StructField, StructType
 
     toks, meta = load_maxsim_store(spark, path)
     id_col, dim = meta["id_col"], meta["dim"]
+    if nprobe is not None:
+        if meta["n_clusters"] < 1:
+            raise ValueError(
+                "nprobe needs a CLUSTERED store — rebuild with "
+                "build_maxsim_store(n_clusters=...)"
+            )
+        if nprobe < 1:
+            raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+        cents = _load_maxsim_centroids(spark, path, meta)
+        qvecs = np.asarray(
+            _query_token_vecs(query, max_query_tokens, dim), dtype=np.float64
+        )
+        qmean = qvecs.mean(axis=0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sim = (cents @ qmean) / np.linalg.norm(cents, axis=1)
+        sim = np.where(np.isfinite(sim), sim, -np.inf)
+        order = np.lexsort((np.arange(len(sim)), -sim))
+        probes = [int(c) for c in order[: min(nprobe, len(sim))]]
+        toks = toks.filter(F.col("cluster_id").isin(probes))
     if prefilter_n is not None and fast and "pooled" in toks.columns:
         if prefilter_n < k:
             raise ValueError(f"prefilter_n ({prefilter_n}) must be >= k ({k})")

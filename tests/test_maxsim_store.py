@@ -97,6 +97,83 @@ def test_serving_never_rereads_documents(spark, sf_dir, tmp_path):
     assert not any("documents" in f for f in files), files
 
 
+def test_clustered_store_full_probe_is_exact_and_prunes_partitions(
+    spark, sf_dir, tmp_path
+):
+    """PLAID-style clustered layout: nprobe == n_clusters reproduces the
+    unclustered result exactly; nprobe < n_clusters prunes whole cluster
+    DIRECTORIES — asserted on runtime FileSourceScan metrics, not plan
+    text (the ivf_sq8_store discipline)."""
+    from tests.test_scale_design import _scan_metrics
+
+    docs = _docs(spark, sf_dir)
+    flat_path = str(tmp_path / "flat_store")
+    clus_path = str(tmp_path / "clustered_store")
+    build_maxsim_store(docs, flat_path)
+    build_maxsim_store(docs, clus_path, n_clusters=4)
+    toks, meta = load_maxsim_store(spark, clus_path)
+    assert meta["n_clusters"] == 4
+    assert set(toks.select("cluster_id").distinct().toPandas()["cluster_id"]) <= {
+        0, 1, 2, 3
+    }
+
+    full = maxsim_store_search(
+        spark, clus_path, QUERY, k=5, prefilter_n=40, nprobe=4
+    ).collect()
+    want = maxsim_store_search(
+        spark, flat_path, QUERY, k=5, prefilter_n=40
+    ).collect()
+    assert [tuple(r) for r in full] == [tuple(r) for r in want]
+
+    # pruning: a 2-of-4 probe must scan exactly 2 hive partitions
+    probed = toks.filter(F.col("cluster_id").isin([0, 1]))
+    metrics = _scan_metrics(probed)
+    assert metrics["numPartitions"] == 2, metrics
+    assert metrics["numFiles"] < _scan_metrics(toks)["numFiles"]
+
+    # narrow probe still returns k results, each a TRUE MaxSim score
+    narrow = maxsim_store_search(
+        spark, clus_path, QUERY, k=5, prefilter_n=40, nprobe=1
+    ).collect()
+    assert len(narrow) == 5
+    exact_scores = {(r["doc_id"], r["maxsim"]) for r in want} | {
+        (r["doc_id"], r["maxsim"])
+        for r in maxsim_store_search(spark, flat_path, QUERY, k=500).collect()
+    }
+    for r in narrow:
+        assert (r["doc_id"], r["maxsim"]) in exact_scores
+
+
+def test_clustered_store_guards_and_torn_centroids(spark, sf_dir, tmp_path):
+    import pytest as _pytest
+
+    docs = _docs(spark, sf_dir)
+    flat_path = str(tmp_path / "flat_store")
+    build_maxsim_store(docs, flat_path)
+    with _pytest.raises(ValueError, match="CLUSTERED"):
+        maxsim_store_search(spark, flat_path, QUERY, k=5, nprobe=2)
+
+    clus_path = str(tmp_path / "clustered_store")
+    build_maxsim_store(docs, clus_path, n_clusters=3)
+    # stale centroids from a different build must refuse to probe
+    from photo_vector_search_spark.operators.store import snapshot_overwrite
+
+    cents = spark.read.parquet(clus_path + ".centroids")
+    snapshot_overwrite(
+        cents.withColumn("build_id", F.lit("deadbeef")),
+        clus_path + ".centroids",
+    )
+    with _pytest.raises(ValueError, match="torn"):
+        maxsim_store_search(spark, clus_path, QUERY, k=5, nprobe=2)
+    with _pytest.raises(ValueError, match="n_clusters"):
+        build_maxsim_store(docs, str(tmp_path / "x"), n_clusters=0)
+    # nprobe=0 guard needs a valid clustered store to reach the check
+    clus2 = str(tmp_path / "clustered_store2")
+    build_maxsim_store(docs.limit(30), clus2, n_clusters=2)
+    with _pytest.raises(ValueError, match="nprobe must be"):
+        maxsim_store_search(spark, clus2, QUERY, k=5, nprobe=0)
+
+
 def test_sidecar_shape_guard(spark, sf_dir, tmp_path):
     docs = _docs(spark, sf_dir)
     path = str(tmp_path / "colbert_store")

@@ -700,6 +700,25 @@ def _extra_maxsim_store_search(spark, sf_dir):
     )
 
 
+def _extra_maxsim_probe_search(spark, sf_dir):
+    # the audited plan is the PROBED serving read: cluster_id IN-filter
+    # prunes hive partitions before the pooled prefilter scans anything
+    from photo_vector_search_spark.operators.late_interaction import (
+        build_maxsim_store,
+        maxsim_store_search,
+    )
+    from photo_vector_search_spark.operators.staging import session_staging_dir
+    from photo_vector_search_spark.sources.tables import load_table
+
+    path = session_staging_dir("pvs_plan_maxsim_c") + "/store"
+    build_maxsim_store(
+        load_table(spark, sf_dir, "documents"), path, n_clusters=4
+    )
+    return maxsim_store_search(
+        spark, path, "the quick brown fox", k=10, prefilter_n=64, nprobe=2
+    )
+
+
 def _extra_maxsim_batch(spark, sf_dir):
     from photo_vector_search_spark.operators.late_interaction import (
         doc_token_embeddings,
@@ -938,6 +957,7 @@ EXTRA_OPS = {
     "rocchio_topk": _extra_rocchio_topk,
     "maxsim_store_search": _extra_maxsim_store_search,
     "maxsim_batch_topk": _extra_maxsim_batch,
+    "maxsim_probe_search": _extra_maxsim_probe_search,
     "cross_dedup_store": _extra_cross_dedup_store,
     "rm3_batch_topk": _extra_rm3_batch,
     "rocchio_batch_topk": _extra_rocchio_batch,
@@ -992,6 +1012,24 @@ NOTES = {
         "— fixed overhead dominates) vs 7.6-8 s one-call. Roundtrip "
         "identity, torn-pair refusal, and store-served == in-memory in "
         "tests/test_maxsim_store.py."
+    ),
+    "maxsim_probe_search": (
+        "NOTE: library operator (r12 PLAID-style clustered MaxSim store — "
+        "the ColBERT-v2/PLAID centroid-pruning deployment shape on the "
+        "engine's own IVF machinery). build_maxsim_store(n_clusters=k) "
+        "k-means-clusters the POOLED vectors and hive-partitions the "
+        "token store by cluster_id (centroid sidecar under the same "
+        "build id; a stale sidecar refuses to probe). Serving ranks "
+        "centroids by cosine against the mean query vector DRIVER-side "
+        "(k tiny rows) and restricts every scan to the top-nprobe "
+        "clusters: whole directories pruned at file-listing time "
+        "(runtime numPartitions == nprobe, asserted in "
+        "tests/test_maxsim_store.py), THEN the column-pruned pooled "
+        "prefilter + row-group-pruned rescore run inside the probed "
+        "clusters. nprobe == n_clusters is exactly the unclustered "
+        "result (pinned); smaller trades recall for bytes. At 100 TB "
+        "this is the knob that keeps the prefilter scan itself "
+        "sub-corpus."
     ),
     "maxsim_batch_topk": (
         "NOTE: library operator (r12 batched MaxSim — the batched-serving "
