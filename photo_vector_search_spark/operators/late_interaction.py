@@ -453,14 +453,17 @@ def build_maxsim_store(
     dominant cost of one-call `maxsim_search` — is paid ONCE at build time.
 
     Layout: `path` holds (id, tok_embs, pooled) parquet; `path + '.meta'`
-    holds one sidecar row (build_id, id_col, max_tokens, dim, n_docs,
-    n_clusters). Snapshot swaps cannot be atomic together, so the
-    sidecar's ``build_id`` is the directory CONTENT SIGNATURE of the
-    written store (`ann._store_signature` — md5 over sorted
-    relative-path:size of the data files) and `load_maxsim_store`
-    recomputes + compares it: any torn pair (crash between swaps, manual
-    rewrite) is refused at load, the shared crash-consistency contract.
-    Returns the build id.
+    holds one sidecar row (build_id, store_sig, id_col, max_tokens, dim,
+    n_docs, n_clusters). Two ids, the `ann.build_ivf_store` discipline:
+    ``build_id`` is a STABLE content hash of the build's parameters (+
+    centroid bytes when clustered) — it stamps side tables (delta/
+    tombstones/centroids) and survives compaction, so a geometry-
+    compatible side table is never refused; ``store_sig`` is the
+    directory CONTENT SIGNATURE of the written store
+    (`ann._store_signature`) which `load_maxsim_store` recomputes +
+    compares — any torn pair (crash between swaps, manual rewrite) is
+    refused at load, the shared crash-consistency contract. Returns the
+    stable build id.
 
     ``n_clusters`` turns on the PLAID-style clustered layout: k-means
     over the POOLED vectors, store hive-partitioned by ``cluster_id``
@@ -508,12 +511,22 @@ def build_maxsim_store(
         )
         snapshot_overwrite(toks, path)
     n_docs = spark.read.parquet(path).count()
-    build_id = _store_signature(path)
+    build_id = _maxsim_build_id(id_col, max_tokens, dim, n_clusters, centroids)
     snapshot_overwrite(
         spark.createDataFrame(
-            [(build_id, id_col, max_tokens, dim, n_docs, n_clusters or 0)],
-            "build_id string, id_col string, max_tokens int, dim int, "
-            "n_docs long, n_clusters int",
+            [
+                (
+                    build_id,
+                    _store_signature(path),
+                    id_col,
+                    max_tokens,
+                    dim,
+                    n_docs,
+                    n_clusters or 0,
+                )
+            ],
+            "build_id string, store_sig string, id_col string, "
+            "max_tokens int, dim int, n_docs long, n_clusters int",
         ),
         path + ".meta",
     )
@@ -529,6 +542,22 @@ def build_maxsim_store(
             path + ".centroids",
         )
     return build_id
+
+
+def _maxsim_build_id(id_col, max_tokens, dim, n_clusters, centroids) -> str:
+    """STABLE build identity: the parameters a side table must have been
+    produced under to be compatible, plus the centroid bytes (the frozen
+    geometry) for clustered stores. Deliberately NOT the directory
+    signature — compaction rewrites the base without changing what a
+    compatible delta looks like."""
+    import hashlib
+
+    h = hashlib.md5(
+        f"{id_col}:{max_tokens}:{dim}:{n_clusters or 0}".encode()
+    )
+    if centroids is not None:
+        h.update(centroids.tobytes())
+    return h.hexdigest()[:16]
 
 
 def with_pooled_column(doc_toks: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -580,11 +609,12 @@ def load_maxsim_store(spark, path: str):
         )
     meta = meta_rows[0]
     sig = _store_signature(path)
-    if sig != meta["build_id"]:
+    if sig != meta["store_sig"]:
         raise ValueError(
             f"maxsim store at {path!r} is torn: directory signature {sig} "
-            f"!= sidecar build_id {meta['build_id']} — the store was "
-            "rewritten without its sidecar (or vice versa); rebuild"
+            f"!= sidecar store_sig {meta['store_sig']} — the store was "
+            "rewritten without its sidecar (or vice versa); rebuild or "
+            "re-run the interrupted compaction"
         )
     return spark.read.parquet(path), meta
 
@@ -639,11 +669,98 @@ def maxsim_store_search(
     asserted on runtime scan metrics in tests). nprobe == n_clusters is
     exactly the unclustered result; smaller trades recall for bytes, the
     PLAID deployment shape."""
+    toks, meta = load_maxsim_store(spark, path)
+    centroids = (
+        _load_maxsim_centroids(spark, path, meta)
+        if nprobe is not None and meta["n_clusters"] >= 1
+        else None
+    )
+    return _serve_maxsim(
+        spark, toks, meta, query, k=k, prefilter_n=prefilter_n,
+        max_query_tokens=max_query_tokens, fast=fast, nprobe=nprobe,
+        centroids=centroids,
+    )
+
+
+def _probe_clusters(centroids, qmean, nprobe: int) -> list[int]:
+    """Top-nprobe cluster ids by centroid cosine vs the mean query vector —
+    driver-side over k tiny rows; ties break to the lower cluster id."""
+    import numpy as np
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sim = (centroids @ qmean) / np.linalg.norm(centroids, axis=1)
+    sim = np.where(np.isfinite(sim), sim, -np.inf)
+    order = np.lexsort((np.arange(len(sim)), -sim))
+    return [int(c) for c in order[: min(nprobe, len(sim))]]
+
+
+def _pooled_flat_candidate_ids(
+    toks: DataFrame,
+    qmean,
+    n: int,
+    id_col: str,
+) -> list:
+    """Top-``n`` candidate ids by pooled cosine over the FLAT ``pooled``
+    column — the column-pruned serving prefilter (64 doubles/doc; token
+    matrices never decoded corpus-wide). Bounded driver round-trip of n
+    ids (the mmr_rerank discipline)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import DoubleType, StructField, StructType
 
-    toks, meta = load_maxsim_store(spark, path)
+    bqm = toks.sparkSession.sparkContext.broadcast(qmean)
+    id_field = toks.schema[id_col]
+    out_schema = StructType(
+        [
+            StructField(id_col, id_field.dataType, True),
+            StructField("_pool", DoubleType(), True),
+        ]
+    )
+
+    def _flat_pool(batches):
+        qv = bqm.value
+        for pdf in batches:
+            keep = pdf["pooled"].map(lambda v: v is not None).to_numpy(
+                dtype=bool
+            )
+            kept = pdf["pooled"][keep]
+            if not len(kept):
+                continue
+            m = np.vstack([np.asarray(v, dtype=np.float64) for v in kept])
+            norms = np.linalg.norm(m, axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = (m @ qv) / norms
+            cos = np.where(np.isfinite(cos), cos, None)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy()[keep], "_pool": cos}
+            )
+
+    cand = (
+        toks.select(id_col, "pooled")  # column-pruned scan: no matrices
+        .mapInPandas(_flat_pool, schema=out_schema)
+        .orderBy(F.col("_pool").desc_nulls_last(), F.col(id_col).asc())
+        .limit(n)
+        .collect()
+    )
+    return [r[id_col] for r in cand]
+
+
+def _serve_maxsim(
+    spark,
+    toks: DataFrame,
+    meta,
+    query: str,
+    k: int = 10,
+    prefilter_n: int | None = None,
+    max_query_tokens: int = MAX_QUERY_TOKENS,
+    fast: bool = True,
+    nprobe: int | None = None,
+    centroids=None,
+) -> DataFrame:
+    """Shared serving tail for store-backed MaxSim (static store and live
+    view): optional cluster probe → pooled prefilter → rescore."""
+    import numpy as np
+
     id_col, dim = meta["id_col"], meta["dim"]
     if nprobe is not None:
         if meta["n_clusters"] < 1:
@@ -653,16 +770,10 @@ def maxsim_store_search(
             )
         if nprobe < 1:
             raise ValueError(f"nprobe must be >= 1, got {nprobe}")
-        cents = _load_maxsim_centroids(spark, path, meta)
         qvecs = np.asarray(
             _query_token_vecs(query, max_query_tokens, dim), dtype=np.float64
         )
-        qmean = qvecs.mean(axis=0)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            sim = (cents @ qmean) / np.linalg.norm(cents, axis=1)
-        sim = np.where(np.isfinite(sim), sim, -np.inf)
-        order = np.lexsort((np.arange(len(sim)), -sim))
-        probes = [int(c) for c in order[: min(nprobe, len(sim))]]
+        probes = _probe_clusters(centroids, qvecs.mean(axis=0), nprobe)
         toks = toks.filter(F.col("cluster_id").isin(probes))
     if prefilter_n is not None and fast and "pooled" in toks.columns:
         if prefilter_n < k:
@@ -670,42 +781,9 @@ def maxsim_store_search(
         qvecs = np.asarray(
             _query_token_vecs(query, max_query_tokens, dim), dtype=np.float64
         )
-        qmean = qvecs.mean(axis=0)
-        bqm = spark.sparkContext.broadcast(qmean)
-        id_field = toks.schema[id_col]
-        out_schema = StructType(
-            [
-                StructField(id_col, id_field.dataType, True),
-                StructField("_pool", DoubleType(), True),
-            ]
+        cand_ids = _pooled_flat_candidate_ids(
+            toks, qvecs.mean(axis=0), prefilter_n, id_col
         )
-
-        def _flat_pool(batches):
-            qv = bqm.value
-            for pdf in batches:
-                keep = pdf["pooled"].map(lambda v: v is not None).to_numpy(
-                    dtype=bool
-                )
-                kept = pdf["pooled"][keep]
-                if not len(kept):
-                    continue
-                m = np.vstack([np.asarray(v, dtype=np.float64) for v in kept])
-                norms = np.linalg.norm(m, axis=1)
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    cos = (m @ qv) / norms
-                cos = np.where(np.isfinite(cos), cos, None)
-                yield pd.DataFrame(
-                    {id_col: pdf[id_col].to_numpy()[keep], "_pool": cos}
-                )
-
-        cand = (
-            toks.select(id_col, "pooled")  # column-pruned scan: no matrices
-            .mapInPandas(_flat_pool, schema=out_schema)
-            .orderBy(F.col("_pool").desc_nulls_last(), F.col(id_col).asc())
-            .limit(prefilter_n)
-            .collect()
-        )
-        cand_ids = [r[id_col] for r in cand]
         # IN filter pushes into the id-sorted store scan -> row-group pruning
         doc_toks = toks.filter(F.col(id_col).isin(cand_ids))
         return maxsim_topk(

@@ -159,6 +159,7 @@ _REPRESENTATIVES = {
     "joins": ["events_asof"],
     "kneser_ney": ["kn_score"],
     "late_interaction": ["maxsim_search", "maxsim_store_search"],
+    "maxsim_maintenance": ["live_maxsim_search"],
     "knn": ["knn_topk", "knn_batch", "rocchio_topk", "rocchio_batch_topk"],
     "mixing": ["mix_corpus"],
     "packing": ["pack_sequences", "pack_windows"],

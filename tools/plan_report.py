@@ -719,6 +719,28 @@ def _extra_maxsim_probe_search(spark, sf_dir):
     )
 
 
+def _extra_live_maxsim_search(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from photo_vector_search_spark.operators.late_interaction import (
+        build_maxsim_store,
+    )
+    from photo_vector_search_spark.operators.maxsim_maintenance import (
+        live_maxsim_search,
+        upsert_maxsim_store,
+    )
+    from photo_vector_search_spark.operators.staging import session_staging_dir
+    from photo_vector_search_spark.sources.tables import load_table
+
+    path = session_staging_dir("pvs_plan_maxsim_live") + "/store"
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    build_maxsim_store(docs.filter(F.col("doc_id") < 400), path)
+    upsert_maxsim_store(spark, path, docs.filter(F.col("doc_id") >= 400))
+    return live_maxsim_search(
+        spark, path, "the quick brown fox", k=10, prefilter_n=64
+    )
+
+
 def _extra_maxsim_batch(spark, sf_dir):
     from photo_vector_search_spark.operators.late_interaction import (
         doc_token_embeddings,
@@ -958,6 +980,7 @@ EXTRA_OPS = {
     "maxsim_store_search": _extra_maxsim_store_search,
     "maxsim_batch_topk": _extra_maxsim_batch,
     "maxsim_probe_search": _extra_maxsim_probe_search,
+    "live_maxsim_search": _extra_live_maxsim_search,
     "cross_dedup_store": _extra_cross_dedup_store,
     "rm3_batch_topk": _extra_rm3_batch,
     "rocchio_batch_topk": _extra_rocchio_batch,
@@ -1012,6 +1035,26 @@ NOTES = {
         "— fixed overhead dominates) vs 7.6-8 s one-call. Roundtrip "
         "identity, torn-pair refusal, and store-served == in-memory in "
         "tests/test_maxsim_store.py."
+    ),
+    "live_maxsim_search": (
+        "NOTE: library operator (r12 incremental MaxSim store maintenance "
+        "— the delta-segment + tombstone pattern index_maintenance applies "
+        "to the IVF,SQ8 store, extended to late interaction so EVERY "
+        "persisted serving index grows incrementally). Upserts re-embed "
+        "ONLY the new docs against the build's frozen (max_tokens, dim, "
+        "centroids) and snapshot-rewrite the O(delta) segment; deletes "
+        "tombstone; live view = delta UNION (base anti delta-ids) anti "
+        "tombstones with side tables broadcast and cluster/candidate "
+        "filters pushing THROUGH the union (base keeps its pruning). "
+        "Side tables carry the STABLE params+centroids build id (the "
+        "ann two-id discipline: build_id for compatibility, store_sig "
+        "for torn detection), so compaction — which rewrites the base "
+        "and its signature — never invalidates them; compact reads RAW "
+        "tables and converges from any crash point, and stale side "
+        "tables restored post-compact overlay idempotently. Empty-text "
+        "upserts are refused (an empty doc cannot shadow its old "
+        "version). Live ≡ in-memory composition, delta-wins, revive, "
+        "crash sim, clustered variant — tests/test_maxsim_maintenance.py."
     ),
     "maxsim_probe_search": (
         "NOTE: library operator (r12 PLAID-style clustered MaxSim store — "
