@@ -351,6 +351,53 @@ def incremental_ivf_sq8_index(
     return _start_merge_stream(stream, _merge_batch, checkpoint_dir, available_now)
 
 
+def incremental_maxsim_index(
+    spark: SparkSession,
+    input_dir: str,
+    store_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Stream document batches into an EXISTING MaxSim token store through
+    its DELTA segment (`operators/maxsim_maintenance.upsert_maxsim_store`)
+    — the late-interaction sibling of ``incremental_ivf_sq8_index``: the
+    base token store (the 100 TB part) is untouched until an offline
+    compaction; each micro-batch pays only its own O(delta) token-embed
+    pass (against the frozen build params / centroids) plus the small
+    delta rewrite. Serving reads go through
+    ``maxsim_maintenance.live_maxsim_search``.
+
+    Replay-idempotent: a crashed batch re-upserts the same ids into the
+    delta, replacing its own rows — the post-replay state is byte-
+    identical (pinned in tests/test_maxsim_maintenance.py). Docs with
+    NULL/empty text are dropped BEFORE the upsert (the upsert refuses
+    them — an empty doc cannot shadow its old version; a streaming
+    pipeline deletes explicitly via ``delete_from_maxsim_store``)."""
+    from pyspark.sql import functions as F
+
+    from photo_vector_search_spark.functions.text import tokens as _tokens
+    from photo_vector_search_spark.operators.maxsim_maintenance import (
+        upsert_maxsim_store,
+    )
+
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA).format("parquet").load(input_dir)
+    )
+
+    def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch = (
+            batch_df.dropDuplicates(["doc_id"])
+            .filter(F.col("text").isNotNull())
+            .filter(F.size(F.array_remove(_tokens(F.col("text")), "")) > 0)
+            .localCheckpoint(eager=True)
+        )
+        if batch.count() == 0:
+            return
+        upsert_maxsim_store(batch.sparkSession, store_path, batch)
+
+    return _start_merge_stream(stream, _merge_batch, checkpoint_dir, available_now)
+
+
 DOCS_SCHEMA = "doc_id long, text string"
 
 

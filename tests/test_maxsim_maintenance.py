@@ -191,3 +191,56 @@ def test_clustered_store_maintenance_and_probe(spark, sf_dir, tmp_path):
         spark, path, QUERY, k=5, prefilter_n=40, nprobe=3
     ).collect()
     assert [tuple(r)[:2] for r in served] == [tuple(r)[:2] for r in want]
+
+
+def test_streaming_maxsim_index_replay_identity(spark, sf_dir, tmp_path):
+    """Structured-Streaming rung (`incremental_maxsim_index`): drained
+    micro-batches land in the delta, live search sees them, the base is
+    untouched, and a full REPLAY (fresh checkpoint over the same input)
+    leaves the state byte-identical — the exactly-once effect; NULL and
+    empty-text docs are dropped before the upsert."""
+    import os
+
+    from photo_vector_search_spark.streaming.incremental import (
+        incremental_maxsim_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    path = str(tmp_path / "store")
+    build_maxsim_store(docs.filter(F.col("doc_id") < 400), path)
+    base_files = set(os.listdir(path))
+
+    inp = str(tmp_path / "in")
+    os.makedirs(inp)
+    docs.filter((F.col("doc_id") >= 400) & (F.col("doc_id") < 450)).coalesce(
+        1
+    ).write.parquet(f"{inp}/b1")
+    # batch 2 carries a NULL-text row that must be dropped, not refused
+    extra = docs.filter((F.col("doc_id") >= 450) & (F.col("doc_id") < 500))
+    extra.unionByName(
+        spark.createDataFrame([(99999, None)], "doc_id long, text string")
+    ).coalesce(1).write.parquet(f"{inp}/b2")
+
+    q = incremental_maxsim_index(spark, inp + "/*", path, str(tmp_path / "c1"))
+    q.awaitTermination()
+    live, _ = load_live_maxsim(spark, path)
+    assert live.count() == 500  # 400 base + 100 streamed, NULL doc dropped
+    assert set(os.listdir(path)) == base_files  # base untouched
+
+    got = live_maxsim_search(spark, path, QUERY, k=5, prefilter_n=40).collect()
+    want = maxsim_search(
+        docs.filter(F.col("doc_id") < 500), QUERY, k=5, prefilter_n=40
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+    state_before = sorted(
+        (r["doc_id"], tuple(map(tuple, r["tok_embs"])))
+        for r in spark.read.parquet(path + ".delta").collect()
+    )
+    q2 = incremental_maxsim_index(spark, inp + "/*", path, str(tmp_path / "c2"))
+    q2.awaitTermination()
+    state_after = sorted(
+        (r["doc_id"], tuple(map(tuple, r["tok_embs"])))
+        for r in spark.read.parquet(path + ".delta").collect()
+    )
+    assert state_after == state_before
