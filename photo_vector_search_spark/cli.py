@@ -545,33 +545,60 @@ def cmd_vector_index(args) -> int:
 def cmd_colbert_index(args) -> int:
     """Late-interaction (ColBERT MaxSim) index lifecycle over a documents
     parquet — build persists the per-token embedding matrices once
-    (`operators/late_interaction.build_maxsim_store`); search serves from
-    the store (torn-pair-checked load, pooled-cosine prefilter, Arrow
-    MaxSim rescoring) without re-embedding the corpus."""
+    (`operators/late_interaction.build_maxsim_store`); upsert/delete grow
+    it incrementally through the delta segment
+    (`operators/maxsim_maintenance`); search serves from the store (or the
+    live base+delta−tombstones view with --live) without re-embedding the
+    corpus; compact folds the delta back into the base offline."""
     from photo_vector_search_spark.operators.late_interaction import (
         build_maxsim_store,
         maxsim_store_search,
     )
+    from photo_vector_search_spark.operators.maxsim_maintenance import (
+        compact_maxsim_store,
+        delete_from_maxsim_store,
+        live_maxsim_search,
+        upsert_maxsim_store,
+    )
+
+    def _check_docs(docs):
+        if "doc_id" not in docs.columns or "text" not in docs.columns:
+            print(
+                f"--docs must have doc_id and text columns, got "
+                f"{docs.columns}",
+                file=sys.stderr,
+            )
+            return False
+        return True
 
     spark = _spark()
     try:
         if args.index_cmd == "build":
             docs = spark.read.parquet(args.docs)
-            if "doc_id" not in docs.columns or "text" not in docs.columns:
-                print(
-                    f"--docs must have doc_id and text columns, got "
-                    f"{docs.columns}",
-                    file=sys.stderr,
-                )
+            if not _check_docs(docs):
                 return 2
             build_id = build_maxsim_store(
-                docs, args.index, max_tokens=args.max_tokens
+                docs, args.index, max_tokens=args.max_tokens,
+                n_clusters=args.clusters,
             )
             print(f"built MaxSim token store at {args.index} (build {build_id})")
+        elif args.index_cmd == "upsert":
+            docs = spark.read.parquet(args.docs)
+            if not _check_docs(docs):
+                return 2
+            n = upsert_maxsim_store(spark, args.index, docs)
+            print(f"upserted {n} docs into the delta segment")
+        elif args.index_cmd == "delete":
+            n = delete_from_maxsim_store(spark, args.index, args.ids)
+            print(f"tombstoned {n} ids")
+        elif args.index_cmd == "compact":
+            n = compact_maxsim_store(spark, args.index)
+            print(f"compacted to {n} live docs (delta and tombstones cleared)")
         elif args.index_cmd == "search":
-            hits = maxsim_store_search(
+            fn = live_maxsim_search if args.live else maxsim_store_search
+            hits = fn(
                 spark, args.index, args.query, k=args.k,
-                prefilter_n=args.prefilter,
+                prefilter_n=args.prefilter, nprobe=args.nprobe,
             ).collect()
             if not hits:
                 print("no matches")
@@ -781,22 +808,33 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = sub.add_parser(
         "colbert-index",
-        help="late-interaction (MaxSim) token store: build/search",
+        help="late-interaction (MaxSim) token store: "
+        "build/upsert/delete/compact/search",
     )
     csub = sp.add_subparsers(dest="index_cmd", required=True)
-    for name in ("build", "search"):
+    for name in ("build", "upsert", "delete", "compact", "search"):
         cp = csub.add_parser(name)
         cp.add_argument("--index", required=True, help="token store path")
-        if name == "build":
+        if name in ("build", "upsert"):
             cp.add_argument("--docs", required=True,
                             help="documents parquet (doc_id, text)")
+        if name == "build":
             cp.add_argument("--max-tokens", type=int, default=16,
                             help="per-document token budget")
-        else:
+            cp.add_argument("--clusters", type=int, default=None,
+                            help="PLAID-style clustered layout (pooled-vector "
+                            "k-means; enables search --nprobe)")
+        if name == "delete":
+            cp.add_argument("--ids", type=int, nargs="+", required=True)
+        if name == "search":
             cp.add_argument("query")
             cp.add_argument("-k", type=int, default=10)
             cp.add_argument("--prefilter", type=int, default=None,
                             help="pooled-cosine candidate pool (None = exact)")
+            cp.add_argument("--nprobe", type=int, default=None,
+                            help="clustered stores: probe top-n clusters")
+            cp.add_argument("--live", action="store_true",
+                            help="serve base + delta - tombstones")
         cp.set_defaults(fn=cmd_colbert_index)
 
     sp = sub.add_parser("list-models")

@@ -244,3 +244,41 @@ def test_streaming_maxsim_index_replay_identity(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(path + ".delta").collect()
     )
     assert state_after == state_before
+
+
+def test_cli_colbert_index_lifecycle(spark, sf_dir, tmp_path, capsys):
+    """`colbert-index build/upsert/search --live/delete/compact` drives the
+    whole incremental lifecycle from the CLI, matching the vector-index
+    command's shape."""
+    from photo_vector_search_spark.cli import main
+
+    docs_path = str(tmp_path / "docs.parquet")
+    _base_docs(spark, sf_dir).write.parquet(docs_path)
+    new_path = str(tmp_path / "new.parquet")
+    spark.createDataFrame(
+        [(500, "quick brown fox quick brown fox")], "doc_id long, text string"
+    ).write.parquet(new_path)
+    idx = str(tmp_path / "idx")
+
+    assert main(["colbert-index", "build", "--docs", docs_path,
+                 "--index", idx]) == 0
+    assert main(["colbert-index", "upsert", "--docs", new_path,
+                 "--index", idx]) == 0
+    assert "upserted 1 docs" in capsys.readouterr().out
+    assert main(["colbert-index", "search", "--index", idx, "--live",
+                 QUERY, "-k", "1"]) == 0
+    assert "1. doc 500" in capsys.readouterr().out
+    assert main(["colbert-index", "delete", "--index", idx,
+                 "--ids", "500"]) == 0
+    assert main(["colbert-index", "search", "--index", idx, "--live",
+                 QUERY, "-k", "1"]) == 0
+    assert "doc 500" not in capsys.readouterr().out
+    assert main(["colbert-index", "compact", "--index", idx]) == 0
+    assert "compacted to 100 live docs" in capsys.readouterr().out
+    # post-compact static search serves the folded state
+    assert main(["colbert-index", "search", "--index", idx, QUERY,
+                 "-k", "2"]) == 0
+    # nprobe on an unclustered store is a clean usage error
+    assert main(["colbert-index", "search", "--index", idx, QUERY,
+                 "--nprobe", "2"]) == 2
+    assert "CLUSTERED" in capsys.readouterr().err
