@@ -143,6 +143,7 @@ GROUPS: dict[str, list[str]] = {
         "rm3_batch8",
         "rocchio_batch8",
         "maxsim_batch8",
+        "hybrid_batch8",
     ],
 }
 
@@ -1039,6 +1040,32 @@ def _build_cases(spark, sf_dir: str) -> dict:
                     .alias("text"),
                 ),
                 _fingerprint_store(spark, sf_dir),
+            )
+        ),
+        # r12: batched hybrid — 8 text queries share ONE map-side-matmul
+        # vector pass + ONE lexical postings pass, RRF-fused per query
+        "hybrid_batch8": lambda: _force(
+            __import__(
+                "photo_vector_search_spark.operators.fusion",
+                fromlist=["hybrid_batch_search"],
+            ).hybrid_batch_search(
+                load_table(spark, sf_dir, "documents"),
+                emb,
+                spark.createDataFrame(
+                    [
+                        (0, "the quick brown fox"),
+                        (1, "lazy dog jumps"),
+                        (2, "data quality language"),
+                        (3, "old river bank"),
+                        (4, "fox and dog"),
+                        (5, "quick quality fox"),
+                        (6, "brown river dog"),
+                        (7, "the lazy old fox"),
+                    ],
+                    "query_id long, query string",
+                ),
+                k=10,
+                pool=30,
             )
         ),
         # r12: batched MaxSim — 8 text queries share ONE pass over the

@@ -101,6 +101,89 @@ def hybrid_text_search(
     return fused.select(id_col, "rrf_score", "rank")
 
 
+def hybrid_batch_search(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    pool: int | None = None,
+    rrf_k: int = RRF_K,
+    weights: Sequence[float] = (1.0, 1.0),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_queries: int = 4096,
+) -> DataFrame:
+    """Batched hybrid retrieval: Q text queries share ONE embedding-side
+    pass and ONE lexical-side pass — (query_id, id, rrf_score, rank), ≡ a
+    Python loop of ``hybrid_text_search`` per query (pinned in tests).
+
+    Composition of three batched rungs, no new physical plan: the query
+    texts stub-embed driver-side (Q bounded rows), `knn.knn_batch_fast`
+    retrieves the vector pool for all queries in one map-side-matmul pass,
+    `bm25.bm25_batch_topk` retrieves the lexical pool in one shared
+    postings pass, and `rrf_fuse` merges per query. ``queries``:
+    (query_id, query) text rows; duplicate ids rejected (the shared batch
+    contract)."""
+    from pyspark.sql import types as T
+
+    from photo_vector_search_spark.operators.bm25 import bm25_batch_topk
+    from photo_vector_search_spark.operators.knn import knn_batch_fast
+    from photo_vector_search_spark.pipelines.embed import stub_embed_one
+
+    if len(weights) != 2:
+        raise ValueError(f"weights must be (vector, lexical), got {weights}")
+    c = pool if pool is not None else 3 * k
+    if c < k:
+        raise ValueError(f"pool ({c}) must be >= k ({k})")
+    qrows = queries.select("query_id", "query").limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f">{max_queries} queries — split the batch or raise max_queries"
+        )
+    if not qrows:
+        raise ValueError("empty query frame")
+    qids = [r["query_id"] for r in qrows]
+    if len(set(qids)) != len(qids):
+        raise ValueError(
+            "duplicate query_id in the batch — per-query fusion is "
+            "ill-defined; de-duplicate the query frame first"
+        )
+    from photo_vector_search_spark.operators.bm25 import query_terms
+
+    for r in qrows:
+        if not query_terms(r["query"] or ""):
+            # the per-query operator raises for a termless query; a batch
+            # that silently served vector-only results for it would diverge
+            raise ValueError(
+                f"query {r['query_id']!r} has no terms after tokenization"
+            )
+    spark = docs.sparkSession
+    qid_field = queries.schema["query_id"]
+    qvecs = spark.createDataFrame(
+        [(r["query_id"], stub_embed_one(str(r["query"]))) for r in qrows],
+        T.StructType(
+            [
+                T.StructField("query_id", qid_field.dataType),
+                T.StructField("query_vec", T.ArrayType(T.DoubleType())),
+            ]
+        ),
+    )
+    vec_run = knn_batch_fast(embeddings, qvecs, k=c).select(
+        "query_id", F.col("vec_id").alias(id_col), "rank"
+    )
+    lex_run = bm25_batch_topk(
+        docs, queries, k=c, id_col=id_col, text_col=text_col,
+        max_queries=max_queries,
+    ).select("query_id", id_col, "rank")
+    return rrf_fuse(
+        [vec_run, lex_run],
+        k=rrf_k,
+        weights=list(weights),
+        doc_col=id_col,
+        top_n=k,
+    )
+
+
 def rrf_fuse(
     runs: Sequence[DataFrame],
     k: int = RRF_K,

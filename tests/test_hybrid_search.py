@@ -71,3 +71,60 @@ def test_validation(spark, sf_correct):
         hybrid_text_search(docs, emb, QUERY, k=10, pool=5)
     with pytest.raises(ValueError, match="weights"):
         hybrid_text_search(docs, emb, QUERY, weights=(1.0,))
+
+
+def test_hybrid_batch_equals_per_query_loop(spark, sf_correct):
+    """hybrid_batch_search ≡ a Python loop of hybrid_text_search per query
+    — the batched-serving contract extended to the fused hybrid family."""
+    from photo_vector_search_spark.operators.fusion import (
+        hybrid_batch_search,
+        hybrid_text_search,
+    )
+
+    docs = load_table(spark, sf_correct, "documents")
+    emb = load_table(spark, sf_correct, "embeddings")
+    QS = [(0, "the quick brown fox"), (1, "data quality language")]
+    queries = spark.createDataFrame(QS, "query_id long, query string")
+    got = hybrid_batch_search(docs, emb, queries, k=6, pool=12)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], []).append(
+            (r["doc_id"], r["rrf_score"], r["rank"])
+        )
+    for qid, qtext in QS:
+        want = [
+            (r["doc_id"], r["rrf_score"], r["rank"])
+            for r in hybrid_text_search(
+                docs, emb, qtext, k=6, pool=12
+            ).collect()
+        ]
+        assert sorted(by_q.get(qid, []), key=lambda t: t[2]) == want, qid
+    assert all(by_q.get(q) for q, _ in QS)
+
+
+def test_hybrid_batch_guards(spark, sf_correct):
+    import pytest as _pytest
+
+    from photo_vector_search_spark.operators.fusion import hybrid_batch_search
+
+    docs = load_table(spark, sf_correct, "documents")
+    emb = load_table(spark, sf_correct, "embeddings")
+    dup = spark.createDataFrame(
+        [(1, "a"), (1, "b")], "query_id long, query string"
+    )
+    with _pytest.raises(ValueError, match="duplicate query_id"):
+        hybrid_batch_search(docs, emb, dup, k=3)
+    termless = spark.createDataFrame(
+        [(1, "fine query"), (2, "   ")], "query_id long, query string"
+    )
+    with _pytest.raises(ValueError, match="no terms"):
+        hybrid_batch_search(docs, emb, termless, k=3)
+    empty = spark.createDataFrame([], "query_id long, query string")
+    with _pytest.raises(ValueError, match="empty"):
+        hybrid_batch_search(docs, emb, empty, k=3)
+    with _pytest.raises(ValueError, match="pool"):
+        hybrid_batch_search(
+            docs, emb,
+            spark.createDataFrame([(1, "x")], "query_id long, query string"),
+            k=5, pool=3,
+        )

@@ -719,6 +719,23 @@ def _extra_maxsim_probe_search(spark, sf_dir):
     )
 
 
+def _extra_hybrid_batch(spark, sf_dir):
+    from photo_vector_search_spark.operators.fusion import hybrid_batch_search
+    from photo_vector_search_spark.sources.tables import load_table
+
+    queries = spark.createDataFrame(
+        [(0, "the quick brown fox"), (1, "lazy dog jumps")],
+        "query_id long, query string",
+    )
+    return hybrid_batch_search(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+        queries,
+        k=10,
+        pool=30,
+    )
+
+
 def _extra_live_maxsim_search(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -981,6 +998,7 @@ EXTRA_OPS = {
     "maxsim_batch_topk": _extra_maxsim_batch,
     "maxsim_probe_search": _extra_maxsim_probe_search,
     "live_maxsim_search": _extra_live_maxsim_search,
+    "hybrid_batch_search": _extra_hybrid_batch,
     "cross_dedup_store": _extra_cross_dedup_store,
     "rm3_batch_topk": _extra_rm3_batch,
     "rocchio_batch_topk": _extra_rocchio_batch,
@@ -1035,6 +1053,20 @@ NOTES = {
         "— fixed overhead dominates) vs 7.6-8 s one-call. Roundtrip "
         "identity, torn-pair refusal, and store-served == in-memory in "
         "tests/test_maxsim_store.py."
+    ),
+    "hybrid_batch_search": (
+        "NOTE: library operator (r12 batched hybrid retrieval — the "
+        "batched-serving contract extended to the FUSED family). Pure "
+        "composition of three audited batched rungs, no new physical "
+        "plan: query texts stub-embed driver-side (Q bounded rows), "
+        "knn_batch_fast retrieves the vector pool for ALL queries in one "
+        "map-side-matmul pass (shuffle O(batches*Q*pool)), "
+        "bm25_batch_topk retrieves the lexical pool in one shared "
+        "postings pass, rrf_fuse merges per query over rank lists "
+        "bounded by runs*pool rows/query. Per-query termless inputs are "
+        "refused (the per-query operator raises; a batch silently "
+        "serving vector-only results for them would diverge). Batch == "
+        "per-query hybrid_text_search loop in tests/test_hybrid_search.py."
     ),
     "live_maxsim_search": (
         "NOTE: library operator (r12 incremental MaxSim store maintenance "
