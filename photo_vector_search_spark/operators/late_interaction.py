@@ -745,6 +745,216 @@ def _pooled_flat_candidate_ids(
     return [r[id_col] for r in cand]
 
 
+def maxsim_store_batch_search(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    prefilter_n: int | None = None,
+    max_query_tokens: int = MAX_QUERY_TOKENS,
+    nprobe: int | None = None,
+    max_queries: int = 4096,
+) -> DataFrame:
+    """Batched PLAID pipeline over the persisted token store: Q text
+    queries share ONE column-pruned pooled pass and ONE bounded rescore —
+    (query_id, id, maxsim, rank), ≡ a Python loop of `maxsim_store_search`
+    per query (pinned in tests).
+
+    Stages, all shared across queries:
+    1. per-query cluster probes (clustered stores, ``nprobe``) rank the
+       centroid sidecar driver-side; the store scan filters to the UNION
+       of probes (partition pruning preserved) and each query masks to
+       ITS probes inside the kernel;
+    2. pooled prefilter: one Arrow pass over the flat ``pooled`` column
+       scores ALL queries per batch in one matmul and keeps a per-batch
+       LOCAL top-``prefilter_n`` per query — shuffle O(batches·Q·n),
+       never N·Q — then one bounded per-query window picks the global
+       candidates;
+    3. rescore: the (query_id, id) candidates join the token store once
+       (≤ Q·n matrix rows move) and one Arrow kernel scores each query's
+       candidate group with the shared matmul + segment-max reduction;
+    4. one bounded per-query window emits the top-k.
+
+    ``prefilter_n=None`` rescores the whole (probed) store per query —
+    the brute-force `maxsim_batch_topk` shape."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    toks, meta = load_maxsim_store(spark, path)
+    id_col, dim = meta["id_col"], meta["dim"]
+    qrows = queries.select("query_id", "query").limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f">{max_queries} queries — split the batch or raise max_queries"
+        )
+    if not qrows:
+        raise ValueError("empty query frame")
+    qids = [r["query_id"] for r in qrows]
+    if len(set(qids)) != len(qids):
+        raise ValueError(
+            "duplicate query_id in the batch — per-query top-k is "
+            "ill-defined; de-duplicate the query frame first"
+        )
+    qmats = {
+        r["query_id"]: np.asarray(
+            _query_token_vecs(r["query"], max_query_tokens, dim),
+            dtype=np.float64,
+        )
+        for r in qrows
+    }
+    qmeans = {qid: m.mean(axis=0) for qid, m in qmats.items()}
+
+    probes = None
+    if nprobe is not None:
+        if meta["n_clusters"] < 1:
+            raise ValueError(
+                "nprobe needs a CLUSTERED store — rebuild with "
+                "build_maxsim_store(n_clusters=...)"
+            )
+        if nprobe < 1:
+            raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+        cents = _load_maxsim_centroids(spark, path, meta)
+        probes = {
+            qid: _probe_clusters(cents, qmeans[qid], nprobe) for qid in qids
+        }
+        union = sorted({c for ps in probes.values() for c in ps})
+        toks = toks.filter(F.col("cluster_id").isin(union))
+
+    qid_type = queries.schema["query_id"].dataType
+    id_field = toks.schema[id_col]
+
+    if prefilter_n is not None:
+        if prefilter_n < k:
+            raise ValueError(f"prefilter_n ({prefilter_n}) must be >= k ({k})")
+        qm_mat = np.vstack([qmeans[qid] for qid in qids])  # (Q, dim)
+        b = spark.sparkContext.broadcast(
+            (np.asarray(qids, dtype=object), qm_mat, probes)
+        )
+        pool_schema = StructType(
+            [
+                StructField("query_id", qid_type, True),
+                StructField(id_col, id_field.dataType, True),
+                StructField("_pool", DoubleType(), True),
+            ]
+        )
+        pool_cols = [id_col, "pooled"] + (
+            ["cluster_id"] if probes is not None else []
+        )
+
+        def _pool_batch(batches):
+            ids_b, qm, pr = b.value
+            for pdf in batches:
+                # pre-sort by id: stable argsort then breaks pool ties by
+                # ascending id — the single-query TakeOrdered discipline
+                pdf = pdf.sort_values(id_col, kind="stable").reset_index(
+                    drop=True
+                )
+                keep = pdf["pooled"].map(lambda v: v is not None).to_numpy(
+                    dtype=bool
+                )
+                pdf = pdf[keep].reset_index(drop=True)
+                if not len(pdf):
+                    continue
+                m = np.vstack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["pooled"]]
+                )
+                norms = np.linalg.norm(m, axis=1)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = (m @ qm.T) / norms[:, None]  # (rows, Q)
+                doc_ids = pdf[id_col].to_numpy()
+                clus = (
+                    pdf["cluster_id"].to_numpy() if pr is not None else None
+                )
+                out = {"query_id": [], id_col: [], "_pool": []}
+                for j, qid in enumerate(ids_b):
+                    col = cos[:, j]
+                    mask = np.isfinite(col)
+                    if pr is not None:
+                        mask &= np.isin(clus, pr[qid])
+                    idx = np.flatnonzero(mask)
+                    if not len(idx):
+                        continue
+                    order = idx[
+                        np.argsort(-col[idx], kind="stable")[:prefilter_n]
+                    ]
+                    out["query_id"].extend([qid] * len(order))
+                    out[id_col].extend(doc_ids[order])
+                    out["_pool"].extend(col[order])
+                yield pd.DataFrame(out)
+
+        survivors = toks.select(*pool_cols).mapInPandas(
+            _pool_batch, schema=pool_schema
+        )
+        w_pool = Window.partitionBy("query_id").orderBy(
+            F.col("_pool").desc(), F.col(id_col).asc()
+        )
+        cand = (
+            survivors.withColumn("_rn", F.row_number().over(w_pool))
+            .filter(F.col("_rn") <= prefilter_n)
+            .select("query_id", id_col)
+        )
+        pairs = cand.join(toks.select(id_col, "tok_embs"), id_col)
+    else:
+        # brute force: every (probed) doc scores for every probing query
+        pair_rows = [(qid,) for qid in qids]
+        from pyspark.sql.types import StructType as _ST, StructField as _SF
+
+        qdf = spark.createDataFrame(
+            pair_rows, _ST([_SF("query_id", qid_type)])
+        )
+        pairs = toks.select(id_col, "tok_embs").crossJoin(F.broadcast(qdf))
+        if probes is not None:
+            pairs = toks.select(id_col, "tok_embs", "cluster_id").crossJoin(
+                F.broadcast(qdf)
+            )
+
+    bq = spark.sparkContext.broadcast((qmats, probes))
+    score_schema = StructType(
+        [
+            StructField("query_id", qid_type, True),
+            StructField(id_col, id_field.dataType, True),
+            StructField("_raw", DoubleType(), True),
+        ]
+    )
+
+    def _score_batch(batches):
+        qm_by_id, pr = bq.value
+        for pdf in batches:
+            out = {"query_id": [], id_col: [], "_raw": []}
+            for qid, grp in pdf.groupby("query_id", sort=False):
+                if pr is not None and "cluster_id" in grp.columns:
+                    grp = grp[grp["cluster_id"].isin(pr[qid])]
+                flat, counts, keep = _tok_matrices(grp["tok_embs"])
+                if flat is None:
+                    continue
+                qm = qm_by_id[qid]
+                sims = qm @ flat.T
+                offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+                best = np.maximum.reduceat(sims, offsets, axis=1)
+                tot = np.zeros(best.shape[1], dtype=np.float64)
+                for j in range(qm.shape[0]):
+                    tot = tot + best[j]
+                ids_np = grp[id_col].to_numpy()[keep]
+                out["query_id"].extend([qid] * len(ids_np))
+                out[id_col].extend(ids_np)
+                out["_raw"].extend(tot)
+            yield pd.DataFrame(out)
+
+    scored = pairs.mapInPandas(_score_batch, schema=score_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("_raw", 6).desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, F.round("_raw", 6).alias("maxsim"), "rank")
+    )
+
+
 def _serve_maxsim(
     spark,
     toks: DataFrame,

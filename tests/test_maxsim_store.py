@@ -184,3 +184,52 @@ def test_sidecar_shape_guard(spark, sf_dir, tmp_path):
     snapshot_overwrite(meta.unionByName(meta), path + ".meta")
     with pytest.raises(ValueError, match="exactly 1"):
         load_maxsim_store(spark, path)
+
+
+def test_store_batch_search_equals_per_query_loop(spark, sf_dir, tmp_path):
+    """maxsim_store_batch_search ≡ a Python loop of maxsim_store_search per
+    query, across all three serving shapes: flat store + prefilter,
+    clustered store + per-query probes + prefilter, and brute force."""
+    from photo_vector_search_spark.operators.late_interaction import (
+        maxsim_store_batch_search,
+    )
+
+    docs = _docs(spark, sf_dir)
+    flat = str(tmp_path / "flat")
+    clus = str(tmp_path / "clus")
+    build_maxsim_store(docs, flat)
+    build_maxsim_store(docs, clus, n_clusters=4)
+    QS = [(0, "quick brown fox"), (1, "the lazy dog"), (2, "quality data")]
+    queries = spark.createDataFrame(QS, "query_id long, query string")
+
+    for path, kw in (
+        (flat, dict(prefilter_n=40)),
+        (clus, dict(prefilter_n=40, nprobe=2)),
+        (clus, dict(prefilter_n=40, nprobe=4)),
+        (flat, dict()),  # brute force
+    ):
+        got = maxsim_store_batch_search(spark, path, queries, k=5, **kw)
+        by_q = {}
+        for r in got.collect():
+            by_q.setdefault(r["query_id"], []).append(
+                (r["doc_id"], r["maxsim"], r["rank"])
+            )
+        for qid, qtext in QS:
+            want = [
+                (r["doc_id"], r["maxsim"], r["rank"])
+                for r in maxsim_store_search(
+                    spark, path, qtext, k=5, **kw
+                ).collect()
+            ]
+            assert (
+                sorted(by_q.get(qid, []), key=lambda t: t[2]) == want
+            ), (path, kw, qid)
+        assert sum(1 for q, _ in QS if by_q.get(q)) == 3
+
+    import pytest as _pytest
+
+    dup = spark.createDataFrame([(1, "a"), (1, "b")], "query_id long, query string")
+    with _pytest.raises(ValueError, match="duplicate query_id"):
+        maxsim_store_batch_search(spark, flat, dup, k=3)
+    with _pytest.raises(ValueError, match="CLUSTERED"):
+        maxsim_store_batch_search(spark, flat, queries, k=3, nprobe=2)

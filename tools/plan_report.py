@@ -719,6 +719,27 @@ def _extra_maxsim_probe_search(spark, sf_dir):
     )
 
 
+def _extra_maxsim_store_batch(spark, sf_dir):
+    from photo_vector_search_spark.operators.late_interaction import (
+        build_maxsim_store,
+        maxsim_store_batch_search,
+    )
+    from photo_vector_search_spark.operators.staging import session_staging_dir
+    from photo_vector_search_spark.sources.tables import load_table
+
+    path = session_staging_dir("pvs_plan_maxsim_bc") + "/store"
+    build_maxsim_store(
+        load_table(spark, sf_dir, "documents"), path, n_clusters=4
+    )
+    queries = spark.createDataFrame(
+        [(0, "the quick brown fox"), (1, "lazy dog jumps")],
+        "query_id long, query string",
+    )
+    return maxsim_store_batch_search(
+        spark, path, queries, k=10, prefilter_n=64, nprobe=2
+    )
+
+
 def _extra_hybrid_batch(spark, sf_dir):
     from photo_vector_search_spark.operators.fusion import hybrid_batch_search
     from photo_vector_search_spark.sources.tables import load_table
@@ -999,6 +1020,7 @@ EXTRA_OPS = {
     "maxsim_probe_search": _extra_maxsim_probe_search,
     "live_maxsim_search": _extra_live_maxsim_search,
     "hybrid_batch_search": _extra_hybrid_batch,
+    "maxsim_store_batch_search": _extra_maxsim_store_batch,
     "cross_dedup_store": _extra_cross_dedup_store,
     "rm3_batch_topk": _extra_rm3_batch,
     "rocchio_batch_topk": _extra_rocchio_batch,
@@ -1053,6 +1075,21 @@ NOTES = {
         "— fixed overhead dominates) vs 7.6-8 s one-call. Roundtrip "
         "identity, torn-pair refusal, and store-served == in-memory in "
         "tests/test_maxsim_store.py."
+    ),
+    "maxsim_store_batch_search": (
+        "NOTE: library operator (r12 batched PLAID pipeline — Q text "
+        "queries share every stage of the clustered-store serving path). "
+        "Per-query centroid probes rank driver-side; the store scan "
+        "filters to the UNION of probes (hive-partition pruning "
+        "preserved) and each query masks to ITS probes inside the "
+        "kernel. The pooled prefilter scores ALL queries per Arrow batch "
+        "in one matmul over the flat pooled column (column-pruned) and "
+        "keeps a per-batch LOCAL top-prefilter_n per query — shuffle "
+        "O(batches*Q*n), never N*Q — then one bounded per-query window "
+        "picks candidates, ONE join moves <= Q*n token matrices, and the "
+        "shared matmul+segment-max kernel rescores per query group. "
+        "Batch == per-query maxsim_store_search loop across flat/"
+        "clustered/brute shapes in tests/test_maxsim_store.py."
     ),
     "hybrid_batch_search": (
         "NOTE: library operator (r12 batched hybrid retrieval — the "

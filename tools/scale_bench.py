@@ -324,6 +324,33 @@ def extra_cases(spark, sf_dir: str) -> dict:
         return _fix[key]
 
     return {
+        # r12 batched PLAID pipeline: 8 queries share one pooled pass with
+        # per-query probe masks + one bounded candidate rescore join
+        "maxsim_store_batch8": lambda: _force(
+            __import__(
+                "photo_vector_search_spark.operators.late_interaction",
+                fromlist=["maxsim_store_batch_search"],
+            ).maxsim_store_batch_search(
+                spark,
+                _clustered_maxsim_store(),
+                spark.createDataFrame(
+                    [
+                        (0, "the quick brown fox"),
+                        (1, "lazy dog jumps"),
+                        (2, "data quality language"),
+                        (3, "old river bank"),
+                        (4, "fox and dog"),
+                        (5, "quick quality fox"),
+                        (6, "brown river dog"),
+                        (7, "the lazy old fox"),
+                    ],
+                    "query_id long, query string",
+                ),
+                k=10,
+                prefilter_n=64,
+                nprobe=2,
+            )
+        ),
         # r12 PLAID-shape serving: pooled-centroid probe prunes 6/8 cluster
         # directories at file-listing time, then the pooled-column prefilter
         # + row-group-pruned rescore run inside the probed clusters only
