@@ -775,8 +775,11 @@ def maxsim_store_batch_search(
        candidate group with the shared matmul + segment-max reduction;
     4. one bounded per-query window emits the top-k.
 
-    ``prefilter_n=None`` rescores the whole (probed) store per query —
-    the brute-force `maxsim_batch_topk` shape."""
+    ``prefilter_n=None`` rescores the whole (probed) store per query: the
+    unprobed case delegates to the single-pass `maxsim_batch_topk` (no
+    row duplication); with per-query probes the pairs are materialized
+    per (query, doc) because each query reads a DIFFERENT row subset —
+    the exact-parity rung, not the scale path (prefilter is)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import Window
@@ -898,19 +901,25 @@ def maxsim_store_batch_search(
             .select("query_id", id_col)
         )
         pairs = cand.join(toks.select(id_col, "tok_embs"), id_col)
+    elif probes is None:
+        # unprobed brute force: one shared pass, no row duplication
+        return maxsim_batch_topk(
+            toks, queries, k=k, id_col=id_col,
+            max_query_tokens=max_query_tokens, dim=dim,
+            max_queries=max_queries,
+        )
     else:
-        # brute force: every (probed) doc scores for every probing query
+        # probed brute force: each query reads a DIFFERENT row subset, so
+        # (query, doc) pairs materialize — bounded by Q × probed rows
         pair_rows = [(qid,) for qid in qids]
-        from pyspark.sql.types import StructType as _ST, StructField as _SF
+        from pyspark.sql.types import StructField as _SF, StructType as _ST
 
         qdf = spark.createDataFrame(
             pair_rows, _ST([_SF("query_id", qid_type)])
         )
-        pairs = toks.select(id_col, "tok_embs").crossJoin(F.broadcast(qdf))
-        if probes is not None:
-            pairs = toks.select(id_col, "tok_embs", "cluster_id").crossJoin(
-                F.broadcast(qdf)
-            )
+        pairs = toks.select(id_col, "tok_embs", "cluster_id").crossJoin(
+            F.broadcast(qdf)
+        )
 
     bq = spark.sparkContext.broadcast((qmats, probes))
     score_schema = StructType(

@@ -206,7 +206,8 @@ def test_store_batch_search_equals_per_query_loop(spark, sf_dir, tmp_path):
         (flat, dict(prefilter_n=40)),
         (clus, dict(prefilter_n=40, nprobe=2)),
         (clus, dict(prefilter_n=40, nprobe=4)),
-        (flat, dict()),  # brute force
+        (flat, dict()),  # brute force (delegates to maxsim_batch_topk)
+        (clus, dict(nprobe=2)),  # probed brute force (pair materialization)
     ):
         got = maxsim_store_batch_search(spark, path, queries, k=5, **kw)
         by_q = {}
