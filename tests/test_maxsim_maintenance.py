@@ -282,3 +282,27 @@ def test_cli_colbert_index_lifecycle(spark, sf_dir, tmp_path, capsys):
     assert main(["colbert-index", "search", "--index", idx, QUERY,
                  "--nprobe", "2"]) == 2
     assert "CLUSTERED" in capsys.readouterr().err
+
+
+def test_cli_colbert_index_clustered_probe(spark, sf_dir, tmp_path, capsys):
+    """`colbert-index build --clusters N` + `search --nprobe n` drive the
+    PLAID layout from the CLI; full probe equals the flat store's answer."""
+    from photo_vector_search_spark.cli import main
+
+    docs_path = str(tmp_path / "docs.parquet")
+    _base_docs(spark, sf_dir).write.parquet(docs_path)
+    flat, clus = str(tmp_path / "flat"), str(tmp_path / "clus")
+    assert main(["colbert-index", "build", "--docs", docs_path,
+                 "--index", flat]) == 0
+    assert main(["colbert-index", "build", "--docs", docs_path,
+                 "--index", clus, "--clusters", "4"]) == 0
+    capsys.readouterr()
+    assert main(["colbert-index", "search", "--index", flat, QUERY,
+                 "-k", "3", "--prefilter", "40"]) == 0
+    want = capsys.readouterr().out
+    assert main(["colbert-index", "search", "--index", clus, QUERY,
+                 "-k", "3", "--prefilter", "40", "--nprobe", "4"]) == 0
+    assert capsys.readouterr().out == want
+    # narrow probe still serves
+    assert main(["colbert-index", "search", "--index", clus, QUERY,
+                 "-k", "3", "--prefilter", "40", "--nprobe", "1"]) == 0
