@@ -144,6 +144,10 @@ GROUPS: dict[str, list[str]] = {
         "rocchio_batch8",
         "maxsim_batch8",
         "hybrid_batch8",
+        "bm25_store_search",
+        "bm25_store_batch8",
+        "colbertv2_search",
+        "colbertv2_batch8",
     ],
 }
 
@@ -779,6 +783,87 @@ def _build_cases(spark, sf_dir: str) -> dict:
                 k=8,
             )
         ),
+        # r12: ColBERTv2-style compressed MaxSim serving — pooled-cosine
+        # prefilter (flat column) then asymmetric decode fused in the
+        # scoring kernel over the residual codes; store built once/session
+        "colbertv2_search": lambda: _force(
+            __import__(
+                "photo_vector_search_spark.operators.token_compression",
+                fromlist=["colbertv2_store_search"],
+            ).colbertv2_store_search(
+                spark,
+                _cv2_store(spark, sf_dir),
+                "the quick brown fox",
+                k=10,
+                prefilter_n=64,
+            )
+        ),
+        # r12: batched compressed serving — 8 queries share ONE codes pass
+        # (decode once per Arrow batch, all queries score the same
+        # reconstruction); shuffle O(batches·Q·k)
+        "colbertv2_batch8": lambda: _force(
+            __import__(
+                "photo_vector_search_spark.operators.token_compression",
+                fromlist=["colbertv2_store_batch_search"],
+            ).colbertv2_store_batch_search(
+                spark,
+                _cv2_store(spark, sf_dir),
+                spark.createDataFrame(
+                    [
+                        (0, "the quick brown fox"),
+                        (1, "lazy dog river"),
+                        (2, "distributed query engines"),
+                        (3, "slow window scan"),
+                        (4, "customer data table"),
+                        (5, "join stream group"),
+                        (6, "sort merge part"),
+                        (7, "vector value batch"),
+                    ],
+                    "query_id long, query string",
+                ),
+                k=8,
+            )
+        ),
+        # r12: BM25 over the persisted postings store — the serving scan
+        # reads ≤ q bucket PARTITIONS of fixed-width postings (directory
+        # pruning + term row-group min/max) instead of tokenizing the
+        # corpus; store built once per session (the maxsim_store discipline)
+        "bm25_store_search": lambda: _force(
+            __import__(
+                "photo_vector_search_spark.operators.bm25_store",
+                fromlist=["bm25_store_topk"],
+            ).bm25_store_topk(
+                spark,
+                _bm25_store(spark, sf_dir),
+                "the quick brown fox",
+                k=10,
+            )
+        ),
+        # r12: batched store serving — 8 queries share ONE pruned postings
+        # scan over the union of their terms' buckets
+        "bm25_store_batch8": lambda: _force(
+            __import__(
+                "photo_vector_search_spark.operators.bm25_store",
+                fromlist=["bm25_store_batch_topk"],
+            ).bm25_store_batch_topk(
+                spark,
+                _bm25_store(spark, sf_dir),
+                spark.createDataFrame(
+                    [
+                        (0, "the quick brown fox"),
+                        (1, "lazy dog river"),
+                        (2, "distributed query engines"),
+                        (3, "slow window scan"),
+                        (4, "customer data table"),
+                        (5, "join stream group"),
+                        (6, "sort merge part"),
+                        (7, "vector value batch"),
+                    ],
+                    "query_id long, query string",
+                ),
+                k=8,
+            )
+        ),
         # r11: batched IVF,SQ8 serving — 8 queries share ONE union-pruned
         # scan of the persisted cluster-partitioned codes (per-query probe
         # masks in the batch kernel); store built once per session
@@ -1180,6 +1265,8 @@ _IVFSQ8_LIVE_MEMO: dict = {}
 _IVFPQ_STORE_MEMO: dict = {}
 _IVFSQ8_STORE_MEMO: dict = {}
 _MAXSIM_STORE_MEMO: dict = {}
+_BM25_STORE_MEMO: dict = {}
+_CV2_STORE_MEMO: dict = {}
 _FP_STORE_MEMO: dict = {}
 _KN_MODEL_MEMO: dict = {}
 
@@ -1295,6 +1382,47 @@ def _maxsim_store(spark, sf_dir: str) -> str:
         build_maxsim_store(load_table(spark, sf_dir, "documents"), path)
         _MAXSIM_STORE_MEMO[key] = path
     return _MAXSIM_STORE_MEMO[key]
+
+
+def _cv2_store(spark, sf_dir: str) -> str:
+    """Session-memoized ColBERTv2 residual-compressed token store —
+    colbertv2_search records the compressed serving wall (decode fused in
+    the scoring kernel, ~1/7.5 the raw token-store bytes); run 1 absorbs
+    the one-off embed + quantizer fit + encode build."""
+    key = (id(spark), sf_dir)  # session-keyed, see _staged_ids
+    if key not in _CV2_STORE_MEMO:
+        from photo_vector_search_spark.operators.staging import (
+            session_staging_dir,
+        )
+        from photo_vector_search_spark.operators.token_compression import (
+            build_colbertv2_store,
+        )
+        from photo_vector_search_spark.sources.tables import load_table
+
+        path = session_staging_dir("pvs_bench_cv2") + "/store"
+        build_colbertv2_store(load_table(spark, sf_dir, "documents"), path)
+        _CV2_STORE_MEMO[key] = path
+    return _CV2_STORE_MEMO[key]
+
+
+def _bm25_store(spark, sf_dir: str) -> str:
+    """Session-memoized persisted BM25 postings store — bm25_store_search
+    records the serving wall over prebuilt postings (the corpus tokenize
+    pass is a BUILD cost, not a per-query cost); run 1 absorbs the build."""
+    key = (id(spark), sf_dir)  # session-keyed, see _staged_ids
+    if key not in _BM25_STORE_MEMO:
+        from photo_vector_search_spark.operators.bm25_store import (
+            build_bm25_store,
+        )
+        from photo_vector_search_spark.operators.staging import (
+            session_staging_dir,
+        )
+        from photo_vector_search_spark.sources.tables import load_table
+
+        path = session_staging_dir("pvs_bench_bm25") + "/store"
+        build_bm25_store(load_table(spark, sf_dir, "documents"), path)
+        _BM25_STORE_MEMO[key] = path
+    return _BM25_STORE_MEMO[key]
 
 
 def _fingerprint_store(spark, sf_dir: str) -> str:

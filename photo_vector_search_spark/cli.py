@@ -612,6 +612,122 @@ def cmd_colbert_index(args) -> int:
     return 0
 
 
+def cmd_bm25_index(args) -> int:
+    """BM25 postings-store lifecycle over a documents parquet — build
+    tokenizes the corpus ONCE into bucket-partitioned postings
+    (`operators/bm25_store`); upsert/delete grow it through the delta
+    segments; search serves from the base snapshot (or the live view with
+    --live) reading only the query terms' bucket partitions; compact folds
+    the deltas back offline."""
+    from photo_vector_search_spark.operators.bm25_store import (
+        bm25_store_topk,
+        build_bm25_store,
+        compact_bm25_store,
+        delete_from_bm25_store,
+        live_bm25_topk,
+        upsert_bm25_store,
+    )
+
+    def _check_docs(docs):
+        if "doc_id" not in docs.columns or "text" not in docs.columns:
+            print(
+                f"--docs must have doc_id and text columns, got "
+                f"{docs.columns}",
+                file=sys.stderr,
+            )
+            return False
+        return True
+
+    spark = _spark()
+    try:
+        if args.index_cmd == "build":
+            docs = spark.read.parquet(args.docs)
+            if not _check_docs(docs):
+                return 2
+            meta = build_bm25_store(docs, args.index, n_buckets=args.buckets)
+            print(
+                f"built BM25 postings store at {args.index} "
+                f"(build {meta['build_id']}, {meta['n_docs']} docs, "
+                f"{meta['n_buckets']} buckets)"
+            )
+        elif args.index_cmd == "upsert":
+            docs = spark.read.parquet(args.docs)
+            if not _check_docs(docs):
+                return 2
+            n = upsert_bm25_store(spark, args.index, docs)
+            print(f"upserted {n} docs into the delta segments")
+        elif args.index_cmd == "delete":
+            n = delete_from_bm25_store(spark, args.index, args.ids)
+            print(f"tombstoned {n} ids")
+        elif args.index_cmd == "compact":
+            n = compact_bm25_store(spark, args.index)
+            print(f"compacted to {n} live docs (deltas and tombstones cleared)")
+        elif args.index_cmd == "search":
+            fn = live_bm25_topk if args.live else bm25_store_topk
+            hits = fn(
+                spark, args.index, args.query, k=args.k, k1=args.k1, b=args.b
+            ).collect()
+            if not hits:
+                print("no matches")
+                return 1
+            for r in hits:
+                print(
+                    f"{r['rank']:>3}. doc {r['doc_id']}  "
+                    f"bm25={r['bm25']:.6f}  ({r['n_terms']} terms)"
+                )
+    except ValueError as e:
+        print(str(e), file=sys.stderr)
+        return 2
+    return 0
+
+
+def cmd_cv2_index(args) -> int:
+    """ColBERTv2-style residual-compressed token store — build embeds the
+    corpus, fits the token-centroid + SQ8-residual quantizer, and persists
+    codes-only rows (`operators/token_compression`); search decodes
+    asymmetrically inside the scoring kernel (optionally prefiltered by the
+    exact pooled column)."""
+    from photo_vector_search_spark.operators.token_compression import (
+        build_colbertv2_store,
+        colbertv2_store_search,
+    )
+
+    spark = _spark()
+    try:
+        if args.index_cmd == "build":
+            docs = spark.read.parquet(args.docs)
+            if "doc_id" not in docs.columns or "text" not in docs.columns:
+                print(
+                    f"--docs must have doc_id and text columns, got "
+                    f"{docs.columns}",
+                    file=sys.stderr,
+                )
+                return 2
+            build_id = build_colbertv2_store(
+                docs, args.index, max_tokens=args.max_tokens,
+                n_centroids=args.centroids,
+            )
+            print(
+                f"built ColBERTv2 compressed token store at {args.index} "
+                f"(build {build_id})"
+            )
+        elif args.index_cmd == "search":
+            hits = colbertv2_store_search(
+                spark, args.index, args.query, k=args.k,
+                prefilter_n=args.prefilter,
+            ).collect()
+            if not hits:
+                print("no matches")
+                return 1
+            for r in hits:
+                print(f"{r['rank']:>3}. doc {r['doc_id']}  "
+                      f"maxsim={r['maxsim']:.6f}")
+    except ValueError as e:
+        print(str(e), file=sys.stderr)
+        return 2
+    return 0
+
+
 def cmd_list_models(args) -> int:
     from photo_vector_search_spark.pipelines.embed import available_models
 
@@ -836,6 +952,53 @@ def build_parser() -> argparse.ArgumentParser:
             cp.add_argument("--live", action="store_true",
                             help="serve base + delta - tombstones")
         cp.set_defaults(fn=cmd_colbert_index)
+
+    sp = sub.add_parser(
+        "bm25-index",
+        help="persisted BM25 postings store: "
+        "build/upsert/delete/compact/search",
+    )
+    bsub = sp.add_subparsers(dest="index_cmd", required=True)
+    for name in ("build", "upsert", "delete", "compact", "search"):
+        bp = bsub.add_parser(name)
+        bp.add_argument("--index", required=True, help="postings store path")
+        if name in ("build", "upsert"):
+            bp.add_argument("--docs", required=True,
+                            help="documents parquet (doc_id, text)")
+        if name == "build":
+            bp.add_argument("--buckets", type=int, default=64,
+                            help="term-hash partition count")
+        if name == "delete":
+            bp.add_argument("--ids", type=int, nargs="+", required=True)
+        if name == "search":
+            bp.add_argument("query")
+            bp.add_argument("-k", type=int, default=10)
+            bp.add_argument("--k1", type=float, default=1.2)
+            bp.add_argument("--b", type=float, default=0.75)
+            bp.add_argument("--live", action="store_true",
+                            help="serve base + deltas - tombstones")
+        bp.set_defaults(fn=cmd_bm25_index)
+
+    sp = sub.add_parser(
+        "cv2-index",
+        help="ColBERTv2-style residual-compressed token store: build/search",
+    )
+    vsub = sp.add_subparsers(dest="index_cmd", required=True)
+    for name in ("build", "search"):
+        vp = vsub.add_parser(name)
+        vp.add_argument("--index", required=True, help="compressed store path")
+        if name == "build":
+            vp.add_argument("--docs", required=True,
+                            help="documents parquet (doc_id, text)")
+            vp.add_argument("--max-tokens", type=int, default=16)
+            vp.add_argument("--centroids", type=int, default=256,
+                            help="token-codebook size")
+        if name == "search":
+            vp.add_argument("query")
+            vp.add_argument("-k", type=int, default=10)
+            vp.add_argument("--prefilter", type=int, default=None,
+                            help="pooled-cosine candidate pool (None = full)")
+        vp.set_defaults(fn=cmd_cv2_index)
 
     sp = sub.add_parser("list-models")
     sp.set_defaults(fn=cmd_list_models)

@@ -401,6 +401,53 @@ def incremental_maxsim_index(
 DOCS_SCHEMA = "doc_id long, text string"
 
 
+def incremental_bm25_index(
+    spark: SparkSession,
+    input_dir: str,
+    store_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Stream document batches into an EXISTING BM25 postings store through
+    its delta segments (`operators/bm25_store.upsert_bm25_store`) — the
+    lexical sibling of ``incremental_maxsim_index``: the base postings (the
+    100 TB part) stay frozen until an offline ``compact_bm25_store``; each
+    micro-batch pays only its own O(delta) tokenize pass plus the small
+    bucket-partitioned delta rewrite. Serving reads go through
+    ``bm25_store.live_bm25_topk``, whose live (N, avgdl) stays exact.
+
+    Replay-idempotent: a crashed batch re-upserts the same ids into the
+    deltas, replacing its own rows — post-replay state is byte-identical
+    (the upsert's postings-then-doclens write order makes the half-applied
+    state serve the OLD doc version, never a mix; pinned in
+    tests/test_bm25_store.py). NULL-text docs are dropped BEFORE the upsert
+    (unindexable — the upsert refuses them; a streaming pipeline deletes
+    explicitly via ``delete_from_bm25_store``). EMPTY text passes through:
+    unlike the MaxSim store, a zero-token doc is representable (a dl=0
+    doclen row, no postings) and correctly shadows its old version."""
+    from pyspark.sql import functions as F
+
+    from photo_vector_search_spark.operators.bm25_store import (
+        upsert_bm25_store,
+    )
+
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA).format("parquet").load(input_dir)
+    )
+
+    def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch = (
+            batch_df.dropDuplicates(["doc_id"])
+            .filter(F.col("text").isNotNull())
+            .localCheckpoint(eager=True)
+        )
+        if batch.count() == 0:
+            return
+        upsert_bm25_store(batch.sparkSession, store_path, batch)
+
+    return _start_merge_stream(stream, _merge_batch, checkpoint_dir, available_now)
+
+
 def incremental_lsh_dedup(
     spark: SparkSession,
     input_dir: str,

@@ -137,6 +137,11 @@ _REPRESENTATIVES = {
     "alignment": ["filter_aligned"],
     "ann": ["ivf_topk_exact", "ivf_near_dup_pairs"],
     "bm25": ["bm25_topk", "rm3_topk", "rm3_batch_topk"],
+    "bm25_store": [
+        "bm25_store_search",
+        "bm25_store_batch8",
+        "live_bm25_search",
+    ],
     "bq": ["hamming_topk", "hamming_batch_topk"],
     "cascade": ["cascade_topk", "cascade_batch_topk"],
     "cross_dedup": ["cross_dedup", "cross_dedup_store"],
@@ -169,6 +174,7 @@ _REPRESENTATIVES = {
     "selection": ["budget_select"],
     "splits": ["leakage_safe_split"],
     "sq": ["sq8_topk"],
+    "token_compression": ["colbertv2_search", "colbertv2_batch8"],
     "semdedup": ["semdedup"],
     "shuffle": ["shuffle_corpus", "curriculum_order"],
     "store": ["upsert_merge", "store_partition_pruned"],

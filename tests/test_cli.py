@@ -321,3 +321,97 @@ def test_cli_colbert_index(tmp_path, capsys, spark):
     assert main(["colbert-index", "build", "--docs", bad,
                  "--index", idx + "2"]) == 2
     assert "doc_id and text" in capsys.readouterr().err
+
+
+def test_cli_bm25_index(tmp_path, capsys, spark):
+    """`bm25-index build/upsert/delete/compact/search` drives the persisted
+    postings store end-to-end, including the live view between compactions."""
+    docs_path = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "a slow green turtle naps under the warm sun"),
+            (3, "quick quick fox fox everywhere in this text"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(docs_path)
+    idx = str(tmp_path / "bm25_idx")
+
+    assert main(["bm25-index", "build", "--docs", docs_path,
+                 "--index", idx, "--buckets", "8"]) == 0
+    out = capsys.readouterr().out
+    assert "built BM25 postings store" in out and "3 docs" in out
+
+    assert main(["bm25-index", "search", "--index", idx,
+                 "quick fox", "-k", "2"]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == 2 and all("bm25=" in ln for ln in lines)
+    # doc 3 repeats both terms — tf saturation still ranks it first
+    assert lines[0].lstrip().startswith("1. doc 3")
+
+    # upsert a doc that now matches, serve it from the live view
+    delta = str(tmp_path / "delta.parquet")
+    spark.createDataFrame(
+        [(2, "quick fox convert")], "doc_id long, text string"
+    ).write.parquet(delta)
+    assert main(["bm25-index", "upsert", "--docs", delta,
+                 "--index", idx]) == 0
+    assert "upserted 1 docs" in capsys.readouterr().out
+    assert main(["bm25-index", "search", "--index", idx, "--live",
+                 "quick fox", "-k", "3"]) == 0
+    live = capsys.readouterr().out.strip().splitlines()
+    assert len(live) == 3  # doc 2 matches now
+    # without --live, the base snapshot still serves the old 2 hits
+    assert main(["bm25-index", "search", "--index", idx,
+                 "quick fox", "-k", "3"]) == 0
+    assert len(capsys.readouterr().out.strip().splitlines()) == 2
+
+    assert main(["bm25-index", "delete", "--index", idx, "--ids", "3"]) == 0
+    assert "tombstoned 1 ids" in capsys.readouterr().out
+    assert main(["bm25-index", "compact", "--index", idx]) == 0
+    assert "compacted to 2 live docs" in capsys.readouterr().out
+    assert main(["bm25-index", "search", "--index", idx,
+                 "quick fox", "-k", "5"]) == 0
+    after = capsys.readouterr().out.strip().splitlines()
+    assert len(after) == 2 and all("doc 3" not in ln for ln in after)
+
+    # no-match exits 1; empty query exits 2
+    assert main(["bm25-index", "search", "--index", idx, "zzz"]) == 1
+    capsys.readouterr()
+    assert main(["bm25-index", "search", "--index", idx, "  "]) == 2
+    assert "no terms" in capsys.readouterr().err
+
+
+def test_cli_cv2_index(tmp_path, capsys, spark):
+    """`cv2-index build/search` drives the compressed token store: build
+    prints the build id, search serves ranked hits from the codes."""
+    docs_path = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "a slow green turtle naps under the warm sun"),
+            (3, "quick quick fox fox everywhere in this text"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(docs_path)
+    idx = str(tmp_path / "cv2_idx")
+
+    assert main(["cv2-index", "build", "--docs", docs_path,
+                 "--index", idx, "--centroids", "16"]) == 0
+    assert "built ColBERTv2 compressed token store" in capsys.readouterr().out
+
+    assert main(["cv2-index", "search", "--index", idx,
+                 "quick fox", "-k", "2"]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == 2 and all("maxsim=" in ln for ln in lines)
+    # the no-match doc 2 must not appear
+    assert all("doc 2" not in ln for ln in lines)
+
+    assert main(["cv2-index", "search", "--index", idx, "   "]) == 2
+    assert "no tokens" in capsys.readouterr().err
+
+    bad = str(tmp_path / "bad.parquet")
+    spark.createDataFrame([(1,)], "x long").write.parquet(bad)
+    assert main(["cv2-index", "build", "--docs", bad,
+                 "--index", idx + "2"]) == 2
+    assert "doc_id and text" in capsys.readouterr().err

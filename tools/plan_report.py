@@ -966,6 +966,117 @@ def _extra_rm3_topk(spark, sf_dir):
     return bm25_scores_weighted(docs, weights, stage=False)
 
 
+def _extra_bm25_store_search(spark, sf_dir):
+    # the audited plan is the SERVING read: bucket-partition-pruned postings
+    # scan (≤ q directories, term row-group min/max) → df agg over the same
+    # pruned rows → broadcast idf join → TakeOrdered; no corpus tokenize
+    from photo_vector_search_spark.operators.bm25_store import (
+        bm25_store_topk,
+        build_bm25_store,
+    )
+    from photo_vector_search_spark.operators.staging import session_staging_dir
+    from photo_vector_search_spark.sources.tables import load_table
+
+    path = session_staging_dir("pvs_plan_bm25s") + "/store"
+    build_bm25_store(load_table(spark, sf_dir, "documents"), path)
+    return bm25_store_topk(spark, path, "the quick brown fox", k=10)
+
+
+def _extra_bm25_store_batch(spark, sf_dir):
+    # Q queries share ONE union-pruned postings scan; broadcast (qid, term)
+    # fan-out join + per-query bounded window — the bm25_batch_topk shape
+    # with the corpus explode replaced by the pruned store read
+    from photo_vector_search_spark.operators.bm25_store import (
+        bm25_store_batch_topk,
+        build_bm25_store,
+    )
+    from photo_vector_search_spark.operators.staging import session_staging_dir
+    from photo_vector_search_spark.sources.tables import load_table
+
+    path = session_staging_dir("pvs_plan_bm25sb") + "/store"
+    build_bm25_store(load_table(spark, sf_dir, "documents"), path)
+    return bm25_store_batch_topk(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(0, "the quick brown fox"), (1, "slow window scan")],
+            "query_id long, query string",
+        ),
+        k=8,
+    )
+
+
+def _extra_live_bm25_search(spark, sf_dir):
+    # the audited plan is the LIVE union: (base anti dldelta-ids) ∪ (delta
+    # semi dldelta-ids) − tombstones, bucket/term filters pushed through the
+    # union so the base keeps partition pruning; side tables broadcast
+    from pyspark.sql import functions as F
+
+    from photo_vector_search_spark.operators.bm25_store import (
+        build_bm25_store,
+        delete_from_bm25_store,
+        live_bm25_topk,
+        upsert_bm25_store,
+    )
+    from photo_vector_search_spark.operators.staging import session_staging_dir
+    from photo_vector_search_spark.sources.tables import load_table
+
+    path = session_staging_dir("pvs_plan_bm25l") + "/store"
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    build_bm25_store(docs, path)
+    upsert_bm25_store(
+        spark,
+        path,
+        docs.filter(F.col("doc_id") < 8).withColumn(
+            "text", F.concat(F.col("text"), F.lit(" quick fox"))
+        ),
+    )
+    delete_from_bm25_store(spark, path, [11, 12])
+    return live_bm25_topk(spark, path, "the quick brown fox", k=10)
+
+
+def _extra_colbertv2_search(spark, sf_dir):
+    # the audited plan is the COMPRESSED serving read: pooled prefilter
+    # (flat column pruning) → candidate IN-filter into the id-sorted codes
+    # scan → map-only Arrow kernel (centroid gather + dequantize + BLAS
+    # matmul + segment-max fused) → TakeOrdered
+    from photo_vector_search_spark.operators.staging import session_staging_dir
+    from photo_vector_search_spark.operators.token_compression import (
+        build_colbertv2_store,
+        colbertv2_store_search,
+    )
+    from photo_vector_search_spark.sources.tables import load_table
+
+    path = session_staging_dir("pvs_plan_cv2") + "/store"
+    build_colbertv2_store(load_table(spark, sf_dir, "documents"), path)
+    return colbertv2_store_search(
+        spark, path, "the quick brown fox", k=10, prefilter_n=64
+    )
+
+
+def _extra_colbertv2_batch(spark, sf_dir):
+    # Q queries share ONE codes pass: decode once per Arrow batch, all
+    # queries score the same reconstruction; shuffle O(batches·Q·k)
+    from photo_vector_search_spark.operators.staging import session_staging_dir
+    from photo_vector_search_spark.operators.token_compression import (
+        build_colbertv2_store,
+        colbertv2_store_batch_search,
+    )
+    from photo_vector_search_spark.sources.tables import load_table
+
+    path = session_staging_dir("pvs_plan_cv2b") + "/store"
+    build_colbertv2_store(load_table(spark, sf_dir, "documents"), path)
+    return colbertv2_store_batch_search(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(0, "the quick brown fox"), (1, "slow window scan")],
+            "query_id long, query string",
+        ),
+        k=8,
+    )
+
+
 EXTRA_OPS = {
     "ivf_near_dup_pairs": _extra_ivf_near_dup,
     "shuffle_corpus": _extra_shuffle_corpus,
@@ -1024,10 +1135,64 @@ EXTRA_OPS = {
     "cross_dedup_store": _extra_cross_dedup_store,
     "rm3_batch_topk": _extra_rm3_batch,
     "rocchio_batch_topk": _extra_rocchio_batch,
+    "bm25_store_search": _extra_bm25_store_search,
+    "bm25_store_batch8": _extra_bm25_store_batch,
+    "live_bm25_search": _extra_live_bm25_search,
+    "colbertv2_search": _extra_colbertv2_search,
+    "colbertv2_batch8": _extra_colbertv2_batch,
 }
 
 # Plan-reader context the tree alone can't show.
 NOTES = {
+    "colbertv2_search": (
+        "NOTE: library operator (r12 ColBERTv2-style residual compression, "
+        "Santhanam et al. NAACL'22 — every token embedding stored as its "
+        "nearest TOKEN-centroid id + an SQ8-quantized residual, ~1/7.5 the "
+        "raw token-store bytes at rest; serving decodes ASYMMETRICALLY "
+        "inside the maxsim_scores_fast kernel (centroid gather + "
+        "dequantize + one BLAS matmul + segment-max), never materializing "
+        "the float matrices. The pooled prefilter column stays EXACT "
+        "float, so candidate selection is unaffected by compression; the "
+        "rerank ladder re-scores a compressed pool exactly from the float "
+        "source and matches exact MaxSim bit-for-bit once the pool covers "
+        "it. Roundtrip error <= step/2 per dim per token, independent "
+        "NumPy replay of the whole chain, store torn-pair refusal in "
+        "tests/test_token_compression.py)."
+    ),
+    "bm25_store_search": (
+        "NOTE: library operator (r12 persisted BM25 postings store — the "
+        "materialized-index rung of the lexical family, the Lucene "
+        "architecture at rest as Parquet: postings (id, term, tf, dl) "
+        "hive-partitioned by md5(term) mod n_buckets and term-sorted "
+        "within files, so a q-term query prunes to <= q bucket "
+        "DIRECTORIES at file-listing time and then to matching row "
+        "groups via term min/max; serving never re-tokenizes the corpus. "
+        "One narrow doclens sidecar gives exact live (N, avgdl) after "
+        "upserts; content-hash build_id + store_sig across postings/"
+        "doclens/meta refuse torn builds. Serving == bm25_topk AND its "
+        "DuckDB twin value-for-value; realized directory pruning on "
+        "runtime scan metrics in tests/test_bm25_store.py."
+    ),
+    "bm25_store_batch8": (
+        "NOTE: library operator (r12 batched store serving — Q queries "
+        "share ONE pruned postings scan over the union of their terms' "
+        "buckets; broadcast (qid, term) fan-out join + per-query bounded "
+        "window; == a per-query loop of bm25_store_topk, pinned in "
+        "tests/test_bm25_store.py)."
+    ),
+    "live_bm25_search": (
+        "NOTE: library operator (r12 incremental maintenance for the "
+        "BM25 store — the index_maintenance delta-segment + tombstone "
+        "pattern with a doclens delta as the doc-level membership "
+        "authority: live postings = (base anti dldelta-ids) ∪ (delta "
+        "semi dldelta-ids) − tombstones, so upsert writes postings-delta "
+        "FIRST and a crash before the dldelta swap leaves ignorable "
+        "orphans (old version keeps serving; replay heals — pinned by a "
+        "crash-sim test). Zero-token docs are representable (dl=0 row, "
+        "no postings — they count toward avgdl, the on-the-fly "
+        "semantics); NULL text refused. Live (N, avgdl) is exact, "
+        "recomputed from the narrow doclens view in one agg."
+    ),
     "rocchio_topk": (
         "NOTE: library operator (r11 Rocchio 1971 pseudo-relevance "
         "feedback for DENSE retrieval — the vector-space dual of "
