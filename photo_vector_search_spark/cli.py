@@ -684,24 +684,38 @@ def cmd_bm25_index(args) -> int:
 def cmd_cv2_index(args) -> int:
     """ColBERTv2-style residual-compressed token store — build embeds the
     corpus, fits the token-centroid + SQ8-residual quantizer, and persists
-    codes-only rows (`operators/token_compression`); search decodes
-    asymmetrically inside the scoring kernel (optionally prefiltered by the
-    exact pooled column)."""
+    codes-only rows (`operators/token_compression`); upsert/delete grow it
+    incrementally through the delta segment against the FROZEN quantizer
+    (`operators/cv2_maintenance`); search decodes asymmetrically inside the
+    scoring kernel (optionally prefiltered by the exact pooled column, or
+    over the live base+delta−tombstones view with --live); compact folds
+    the delta back into the base offline."""
+    from photo_vector_search_spark.operators.cv2_maintenance import (
+        compact_colbertv2_store,
+        delete_from_colbertv2_store,
+        live_colbertv2_search,
+        upsert_colbertv2_store,
+    )
     from photo_vector_search_spark.operators.token_compression import (
         build_colbertv2_store,
         colbertv2_store_search,
     )
 
+    def _check_docs(docs):
+        if "doc_id" not in docs.columns or "text" not in docs.columns:
+            print(
+                f"--docs must have doc_id and text columns, got "
+                f"{docs.columns}",
+                file=sys.stderr,
+            )
+            return False
+        return True
+
     spark = _spark()
     try:
         if args.index_cmd == "build":
             docs = spark.read.parquet(args.docs)
-            if "doc_id" not in docs.columns or "text" not in docs.columns:
-                print(
-                    f"--docs must have doc_id and text columns, got "
-                    f"{docs.columns}",
-                    file=sys.stderr,
-                )
+            if not _check_docs(docs):
                 return 2
             build_id = build_colbertv2_store(
                 docs, args.index, max_tokens=args.max_tokens,
@@ -711,8 +725,21 @@ def cmd_cv2_index(args) -> int:
                 f"built ColBERTv2 compressed token store at {args.index} "
                 f"(build {build_id})"
             )
+        elif args.index_cmd == "upsert":
+            docs = spark.read.parquet(args.docs)
+            if not _check_docs(docs):
+                return 2
+            n = upsert_colbertv2_store(spark, args.index, docs)
+            print(f"upserted {n} docs into the delta segment")
+        elif args.index_cmd == "delete":
+            n = delete_from_colbertv2_store(spark, args.index, args.ids)
+            print(f"tombstoned {n} ids")
+        elif args.index_cmd == "compact":
+            n = compact_colbertv2_store(spark, args.index)
+            print(f"compacted to {n} live docs (delta and tombstones cleared)")
         elif args.index_cmd == "search":
-            hits = colbertv2_store_search(
+            fn = live_colbertv2_search if args.live else colbertv2_store_search
+            hits = fn(
                 spark, args.index, args.query, k=args.k,
                 prefilter_n=args.prefilter,
             ).collect()
@@ -981,23 +1008,29 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = sub.add_parser(
         "cv2-index",
-        help="ColBERTv2-style residual-compressed token store: build/search",
+        help="ColBERTv2-style residual-compressed token store: "
+        "build/upsert/delete/compact/search",
     )
     vsub = sp.add_subparsers(dest="index_cmd", required=True)
-    for name in ("build", "search"):
+    for name in ("build", "upsert", "delete", "compact", "search"):
         vp = vsub.add_parser(name)
         vp.add_argument("--index", required=True, help="compressed store path")
-        if name == "build":
+        if name in ("build", "upsert"):
             vp.add_argument("--docs", required=True,
                             help="documents parquet (doc_id, text)")
+        if name == "build":
             vp.add_argument("--max-tokens", type=int, default=16)
             vp.add_argument("--centroids", type=int, default=256,
                             help="token-codebook size")
+        if name == "delete":
+            vp.add_argument("--ids", type=int, nargs="+", required=True)
         if name == "search":
             vp.add_argument("query")
             vp.add_argument("-k", type=int, default=10)
             vp.add_argument("--prefilter", type=int, default=None,
                             help="pooled-cosine candidate pool (None = full)")
+            vp.add_argument("--live", action="store_true",
+                            help="serve base + delta - tombstones")
         vp.set_defaults(fn=cmd_cv2_index)
 
     sp = sub.add_parser("list-models")

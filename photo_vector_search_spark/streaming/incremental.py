@@ -401,6 +401,51 @@ def incremental_maxsim_index(
 DOCS_SCHEMA = "doc_id long, text string"
 
 
+def incremental_cv2_index(
+    spark: SparkSession,
+    input_dir: str,
+    store_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Stream document batches into an EXISTING ColBERTv2 compressed token
+    store through its delta segment
+    (`operators/cv2_maintenance.upsert_colbertv2_store`) — each micro-batch
+    pays only its own O(delta) embed + encode pass against the FROZEN
+    quantizer; the base codes (the 100 TB part) stay untouched until an
+    offline compaction. Serving reads go through
+    ``cv2_maintenance.live_colbertv2_search``.
+
+    Replay-idempotent (same contract as ``incremental_maxsim_index``);
+    NULL/EMPTY-text docs are dropped BEFORE the upsert — a zero-token doc
+    has no code rows and cannot shadow its old version (the MaxSim rule,
+    unlike the BM25 store); delete explicitly via
+    ``delete_from_colbertv2_store``."""
+    from pyspark.sql import functions as F
+
+    from photo_vector_search_spark.functions.text import tokens as _tokens
+    from photo_vector_search_spark.operators.cv2_maintenance import (
+        upsert_colbertv2_store,
+    )
+
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA).format("parquet").load(input_dir)
+    )
+
+    def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch = (
+            batch_df.dropDuplicates(["doc_id"])
+            .filter(F.col("text").isNotNull())
+            .filter(F.size(F.array_remove(_tokens(F.col("text")), "")) > 0)
+            .localCheckpoint(eager=True)
+        )
+        if batch.count() == 0:
+            return
+        upsert_colbertv2_store(batch.sparkSession, store_path, batch)
+
+    return _start_merge_stream(stream, _merge_batch, checkpoint_dir, available_now)
+
+
 def incremental_bm25_index(
     spark: SparkSession,
     input_dir: str,

@@ -175,6 +175,7 @@ _REPRESENTATIVES = {
     "splits": ["leakage_safe_split"],
     "sq": ["sq8_topk"],
     "token_compression": ["colbertv2_search", "colbertv2_batch8"],
+    "cv2_maintenance": ["live_cv2_search"],
     "semdedup": ["semdedup"],
     "shuffle": ["shuffle_corpus", "curriculum_order"],
     "store": ["upsert_merge", "store_partition_pruned"],

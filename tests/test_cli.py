@@ -410,6 +410,27 @@ def test_cli_cv2_index(tmp_path, capsys, spark):
     assert main(["cv2-index", "search", "--index", idx, "   "]) == 2
     assert "no tokens" in capsys.readouterr().err
 
+    # incremental lifecycle: upsert → live search → delete → compact
+    # the new doc is the only one with EXACT matches for both query tokens
+    # (MaxSim is tf-agnostic, so a repeat of in-corpus tokens would tie
+    # docs 1/3 and lose the ascending-id break — the colbert-index rule)
+    new_path = str(tmp_path / "new.parquet")
+    spark.createDataFrame(
+        [(9001, "zebra unicorn parade")], "doc_id long, text string"
+    ).write.parquet(new_path)
+    assert main(["cv2-index", "upsert", "--docs", new_path,
+                 "--index", idx]) == 0
+    assert "upserted 1 docs" in capsys.readouterr().out
+    assert main(["cv2-index", "search", "--index", idx, "--live",
+                 "zebra unicorn", "-k", "1"]) == 0
+    live = capsys.readouterr().out.strip().splitlines()
+    assert live[0].lstrip().startswith("1. doc 9001")
+    assert main(["cv2-index", "delete", "--index", idx,
+                 "--ids", "9001"]) == 0
+    assert "tombstoned 1 ids" in capsys.readouterr().out
+    assert main(["cv2-index", "compact", "--index", idx]) == 0
+    assert "compacted to 3 live docs" in capsys.readouterr().out
+
     bad = str(tmp_path / "bad.parquet")
     spark.createDataFrame([(1,)], "x long").write.parquet(bad)
     assert main(["cv2-index", "build", "--docs", bad,

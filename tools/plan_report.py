@@ -1077,6 +1077,39 @@ def _extra_colbertv2_batch(spark, sf_dir):
     )
 
 
+def _extra_live_cv2_search(spark, sf_dir):
+    # the audited plan is the LIVE union over codes: delta ∪ (base anti
+    # delta-ids) − tombstones, candidate filters pushed through the union;
+    # side tables broadcast; the compressed Arrow kernel unchanged
+    from pyspark.sql import functions as F
+
+    from photo_vector_search_spark.operators.cv2_maintenance import (
+        delete_from_colbertv2_store,
+        live_colbertv2_search,
+        upsert_colbertv2_store,
+    )
+    from photo_vector_search_spark.operators.staging import session_staging_dir
+    from photo_vector_search_spark.operators.token_compression import (
+        build_colbertv2_store,
+    )
+    from photo_vector_search_spark.sources.tables import load_table
+
+    path = session_staging_dir("pvs_plan_cv2l") + "/store"
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    build_colbertv2_store(docs, path)
+    upsert_colbertv2_store(
+        spark,
+        path,
+        docs.filter(F.col("doc_id") < 8).withColumn(
+            "text", F.concat(F.col("text"), F.lit(" quick fox"))
+        ),
+    )
+    delete_from_colbertv2_store(spark, path, [11, 12])
+    return live_colbertv2_search(
+        spark, path, "the quick brown fox", k=10, prefilter_n=64
+    )
+
+
 EXTRA_OPS = {
     "ivf_near_dup_pairs": _extra_ivf_near_dup,
     "shuffle_corpus": _extra_shuffle_corpus,
@@ -1140,6 +1173,7 @@ EXTRA_OPS = {
     "live_bm25_search": _extra_live_bm25_search,
     "colbertv2_search": _extra_colbertv2_search,
     "colbertv2_batch8": _extra_colbertv2_batch,
+    "live_cv2_search": _extra_live_cv2_search,
 }
 
 # Plan-reader context the tree alone can't show.
@@ -1158,6 +1192,19 @@ NOTES = {
         "it. Roundtrip error <= step/2 per dim per token, independent "
         "NumPy replay of the whole chain, store torn-pair refusal in "
         "tests/test_token_compression.py)."
+    ),
+    "live_cv2_search": (
+        "NOTE: library operator (r12 incremental maintenance for the "
+        "compressed token store — the maxsim_maintenance contract applied "
+        "to codes: upserts embed AND encode only the new docs against the "
+        "FROZEN quantizer (centroids + residual range, the encode_sq8 "
+        "clip convention), so geometry drifts only until the next full "
+        "rebuild; live view = delta ∪ (base anti delta-ids) − tombstones "
+        "with broadcast side tables; compact is convergent and restamps "
+        "store_sig under the stable params+quantizer build_id. Live ≡ "
+        "in-memory composition, foreign-codebook side tables refused, "
+        "streaming rung with full-replay byte-identity in "
+        "tests/test_cv2_maintenance.py)."
     ),
     "bm25_store_search": (
         "NOTE: library operator (r12 persisted BM25 postings store — the "
