@@ -58,12 +58,23 @@ from photo_vector_search_spark.operators.token_compression import (
 def _encode_against_build(meta, quant, new_docs: DataFrame, text_col: str):
     """Embed and encode ONLY the new docs under the build's frozen
     parameters (max_tokens, dim, codebook, residual range) — the O(delta)
-    half of the contract. Output matches the base store's columns."""
+    half of the contract. Output matches the base store's columns: a
+    keep_cols store requires the same metadata columns on the batch."""
     from photo_vector_search_spark.operators.late_interaction import (
         doc_token_embeddings,
         with_pooled_column,
     )
+    from photo_vector_search_spark.operators.maxsim_maintenance import (
+        _meta_keep_cols,
+    )
 
+    keep = _meta_keep_cols(meta)
+    missing = [c for c in keep if c not in new_docs.columns]
+    if missing:
+        raise ValueError(
+            f"store was built with keep_cols={keep} but the upsert batch "
+            f"lacks {missing} — supply the metadata columns"
+        )
     toks = with_pooled_column(
         doc_token_embeddings(
             new_docs,
@@ -74,6 +85,8 @@ def _encode_against_build(meta, quant, new_docs: DataFrame, text_col: str):
         ),
         id_col=meta["id_col"],
     )
+    if keep:
+        toks = toks.join(new_docs.select(meta["id_col"], *keep), meta["id_col"])
     return encode_token_matrices(toks, quant, id_col=meta["id_col"])
 
 
@@ -194,11 +207,13 @@ def live_colbertv2_search(
     k: int = 10,
     prefilter_n: int | None = None,
     max_query_tokens: int | None = None,
+    filter=None,
 ) -> DataFrame:
     """`colbertv2_store_search` over the LIVE view (base + delta −
     tombstones): the serving call for a store growing through upserts
     between compactions. ≡ composing the corpora in memory, pinned in
-    tests."""
+    tests. ``filter`` (keep_cols stores): metadata predicate applied
+    before the prefilter, pushed through the union to both scans."""
     import numpy as np
 
     from photo_vector_search_spark.operators.late_interaction import (
@@ -210,6 +225,8 @@ def live_colbertv2_search(
     mqt = MAX_QUERY_TOKENS if max_query_tokens is None else max_query_tokens
     live, quant, meta = load_live_colbertv2(spark, path)
     id_col, dim = meta["id_col"], meta["dim"]
+    if filter is not None:
+        live = live.filter(filter)
     if prefilter_n is not None:
         if prefilter_n < k:
             raise ValueError(
@@ -273,6 +290,10 @@ def compact_colbertv2_store(spark, path: str) -> int:
         live.repartitionByRange(F.col(id_col)).sortWithinPartitions(id_col),
         path,
     )
+    from photo_vector_search_spark.operators.maxsim_maintenance import (
+        _meta_keep_cols,
+    )
+
     snapshot_overwrite(
         spark.createDataFrame(
             [
@@ -284,10 +305,12 @@ def compact_colbertv2_store(spark, path: str) -> int:
                     meta["dim"],
                     n,
                     meta["n_centroids"],
+                    ",".join(_meta_keep_cols(meta)),
                 )
             ],
             "build_id string, store_sig string, id_col string, "
-            "max_tokens int, dim int, n_docs long, n_centroids int",
+            "max_tokens int, dim int, n_docs long, n_centroids int, "
+            "keep_cols string",
         ),
         path + ".meta",
     )

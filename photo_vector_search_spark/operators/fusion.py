@@ -101,6 +101,68 @@ def hybrid_text_search(
     return fused.select(id_col, "rrf_score", "rank")
 
 
+def hybrid_store_search(
+    spark,
+    bm25_path: str,
+    vec_path: str,
+    query: str,
+    k: int = 10,
+    pool: int | None = None,
+    nprobe: int = 4,
+    rrf_k: int = RRF_K,
+    weights: Sequence[float] = (1.0, 1.0),
+) -> DataFrame:
+    """One-call hybrid retrieval served ENTIRELY from persisted indexes —
+    no corpus frame touched: the dense run probes an IVF,SQ8 store
+    (`sq.ivf_sq8_store_topk`, cluster-partition-pruned codes) with the
+    in-engine text embedding of ``query``; the lexical run reads the BM25
+    postings store (`bm25_store.bm25_store_topk`, bucket-partition-pruned
+    postings); RRF fuses the two rank lists — (id, rrf_score, rank), top
+    ``k``. This is the production serving shape: at 100 TB neither the
+    text nor the float corpus is scanned — only probed clusters of 8×
+    codes and ≤ q term buckets of postings.
+
+    ``pool`` (default 3k) is each run's candidate depth; ``weights`` =
+    (vector_weight, lexical_weight). The stores must index the same corpus
+    under the same ids (vec_id == doc_id, the fixture convention).
+    Composition sugar over three audited rungs (ivf_sq8_store_topk,
+    bm25_store_topk, rrf_fuse) — ≡ fusing the two store runs by hand,
+    pinned in tests."""
+    from pyspark.sql import functions as _F
+
+    from photo_vector_search_spark.operators.bm25_store import bm25_store_topk
+    from photo_vector_search_spark.operators.sq import ivf_sq8_store_topk
+    from photo_vector_search_spark.pipelines.embed import stub_embedding_expr
+
+    if len(weights) != 2:
+        raise ValueError(f"weights must be (vector, lexical), got {weights}")
+    c = pool if pool is not None else 3 * k
+    if c < k:
+        raise ValueError(f"pool ({c}) must be >= k ({k})")
+    qv = [
+        float(v)
+        for v in spark.range(1)
+        .select(stub_embedding_expr(_F.lit(query)).alias("qv"))
+        .first()["qv"]
+    ]
+    vec_run = ivf_sq8_store_topk(
+        spark, vec_path, qv, k=c, nprobe=nprobe
+    ).select(
+        _F.lit(0).alias("query_id"), _F.col("vec_id").alias("doc_id"), "rank"
+    )
+    lex_run = bm25_store_topk(spark, bm25_path, query, k=c).select(
+        _F.lit(0).alias("query_id"), _F.col("doc_id"), "rank"
+    )
+    fused = rrf_fuse(
+        [vec_run, lex_run],
+        k=rrf_k,
+        weights=list(weights),
+        doc_col="doc_id",
+        top_n=k,
+    )
+    return fused.select("doc_id", "rrf_score", "rank")
+
+
 def hybrid_batch_search(
     docs: DataFrame,
     embeddings: DataFrame,

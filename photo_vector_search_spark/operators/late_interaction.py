@@ -444,6 +444,7 @@ def build_maxsim_store(
     max_tokens: int = MAX_DOC_TOKENS,
     dim: int = 64,
     n_clusters: int | None = None,
+    keep_cols: tuple[str, ...] = (),
 ) -> str:
     """Persist the per-document token-embedding matrices so late-interaction
     serving reads a PREBUILT store instead of re-embedding the corpus per
@@ -472,7 +473,14 @@ def build_maxsim_store(
     at file-listing time before the pooled prefilter even scans —
     the ColBERT-v2/PLAID centroid-pruning shape on the engine's own IVF
     machinery. nprobe == n_clusters reproduces the unclustered result
-    exactly (pinned in tests); smaller nprobe trades recall for scan."""
+    exactly (pinned in tests); smaller nprobe trades recall for scan.
+
+    ``keep_cols``: metadata columns from ``docs`` (e.g. lang, source)
+    carried into the store rows, recorded in the meta sidecar, so
+    `maxsim_store_search(filter=...)` can push an equality predicate into
+    the store scan BEFORE the prefilter — the filtered-search discipline
+    (P2: filter before distance, `knn.knn_topk(label=...)`). Upserts into
+    a keep_cols store must supply the same columns."""
     from photo_vector_search_spark.operators.ann import _store_signature
     from photo_vector_search_spark.operators.store import snapshot_overwrite
 
@@ -483,6 +491,9 @@ def build_maxsim_store(
         ),
         id_col=id_col,
     )
+    if keep_cols:
+        # one build-time equi-join carries the metadata onto the rows
+        toks = toks.join(docs.select(id_col, *keep_cols), id_col)
     spark = docs.sparkSession
     centroids = None
     if n_clusters is not None:
@@ -523,10 +534,12 @@ def build_maxsim_store(
                     dim,
                     n_docs,
                     n_clusters or 0,
+                    ",".join(keep_cols),
                 )
             ],
             "build_id string, store_sig string, id_col string, "
-            "max_tokens int, dim int, n_docs long, n_clusters int",
+            "max_tokens int, dim int, n_docs long, n_clusters int, "
+            "keep_cols string",
         ),
         path + ".meta",
     )
@@ -648,6 +661,7 @@ def maxsim_store_search(
     max_query_tokens: int = MAX_QUERY_TOKENS,
     fast: bool = True,
     nprobe: int | None = None,
+    filter=None,
 ) -> DataFrame:
     """Serve a MaxSim query from a persisted token store: load (torn-pair
     checked), pooled-cosine prefilter, rescore — no corpus re-embedding.
@@ -668,7 +682,13 @@ def maxsim_store_search(
     cluster directories are pruned at file-listing time (PartitionFilters;
     asserted on runtime scan metrics in tests). nprobe == n_clusters is
     exactly the unclustered result; smaller trades recall for bytes, the
-    PLAID deployment shape."""
+    PLAID deployment shape.
+
+    ``filter``: a Column predicate (or SQL string) over the store's
+    ``keep_cols`` metadata, applied to the scan BEFORE the prefilter —
+    candidates are chosen among matching docs only (the filtered-search
+    discipline; ≡ serving a store built from the filtered corpus, pinned
+    in tests)."""
     toks, meta = load_maxsim_store(spark, path)
     centroids = (
         _load_maxsim_centroids(spark, path, meta)
@@ -678,7 +698,7 @@ def maxsim_store_search(
     return _serve_maxsim(
         spark, toks, meta, query, k=k, prefilter_n=prefilter_n,
         max_query_tokens=max_query_tokens, fast=fast, nprobe=nprobe,
-        centroids=centroids,
+        centroids=centroids, filter=filter,
     )
 
 
@@ -975,12 +995,16 @@ def _serve_maxsim(
     fast: bool = True,
     nprobe: int | None = None,
     centroids=None,
+    filter=None,
 ) -> DataFrame:
     """Shared serving tail for store-backed MaxSim (static store and live
-    view): optional cluster probe → pooled prefilter → rescore."""
+    view): optional metadata filter (FIRST — the P2 discipline) → cluster
+    probe → pooled prefilter → rescore."""
     import numpy as np
 
     id_col, dim = meta["id_col"], meta["dim"]
+    if filter is not None:
+        toks = toks.filter(filter)
     if nprobe is not None:
         if meta["n_clusters"] < 1:
             raise ValueError(

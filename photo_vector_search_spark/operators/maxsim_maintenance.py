@@ -68,9 +68,28 @@ def _base_partitioning(meta) -> list | None:
     return ["cluster_id"] if meta["n_clusters"] >= 1 else None
 
 
+def _meta_keep_cols(meta) -> list[str]:
+    """keep_cols recorded at build (empty for stores predating the field —
+    Row lookup on a missing column raises, old sidecars have none)."""
+    try:
+        raw = meta["keep_cols"]
+    except Exception:
+        return []
+    return [c for c in (raw or "").split(",") if c]
+
+
 def _embed_against_build(spark, path, meta, new_docs: DataFrame, text_col: str):
     """Re-embed ONLY the new docs under the build's frozen parameters
-    (max_tokens, dim, centroids) — the O(delta) half of the contract."""
+    (max_tokens, dim, centroids) — the O(delta) half of the contract. A
+    keep_cols store requires the same metadata columns on the upsert batch
+    (delta rows must union with the base schema)."""
+    keep = _meta_keep_cols(meta)
+    missing = [c for c in keep if c not in new_docs.columns]
+    if missing:
+        raise ValueError(
+            f"store was built with keep_cols={keep} but the upsert batch "
+            f"lacks {missing} — supply the metadata columns"
+        )
     toks = with_pooled_column(
         doc_token_embeddings(
             new_docs,
@@ -81,6 +100,8 @@ def _embed_against_build(spark, path, meta, new_docs: DataFrame, text_col: str):
         ),
         id_col=meta["id_col"],
     )
+    if keep:
+        toks = toks.join(new_docs.select(meta["id_col"], *keep), meta["id_col"])
     if meta["n_clusters"] >= 1:
         from photo_vector_search_spark.operators.ann import assign_clusters
 
@@ -215,10 +236,13 @@ def live_maxsim_search(
     max_query_tokens: int | None = None,
     fast: bool = True,
     nprobe: int | None = None,
+    filter=None,
 ) -> DataFrame:
     """`maxsim_store_search` over the LIVE view (base + delta − tombstones):
     the serving call for a store growing through upserts between
-    compactions. ≡ composing the corpora in memory, pinned in tests."""
+    compactions. ≡ composing the corpora in memory, pinned in tests.
+    ``filter`` (keep_cols stores): metadata predicate applied before the
+    prefilter, pushed through the union to both the base and delta scans."""
     from photo_vector_search_spark.operators.late_interaction import (
         MAX_QUERY_TOKENS,
     )
@@ -234,7 +258,7 @@ def live_maxsim_search(
         max_query_tokens=(
             MAX_QUERY_TOKENS if max_query_tokens is None else max_query_tokens
         ),
-        fast=fast, nprobe=nprobe, centroids=centroids,
+        fast=fast, nprobe=nprobe, centroids=centroids, filter=filter,
     )
 
 
@@ -286,10 +310,12 @@ def compact_maxsim_store(spark, path: str) -> int:
                     meta["dim"],
                     n,
                     meta["n_clusters"],
+                    ",".join(_meta_keep_cols(meta)),
                 )
             ],
             "build_id string, store_sig string, id_col string, "
-            "max_tokens int, dim int, n_docs long, n_clusters int",
+            "max_tokens int, dim int, n_docs long, n_clusters int, "
+            "keep_cols string",
         ),
         path + ".meta",
     )

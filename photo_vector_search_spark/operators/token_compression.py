@@ -496,6 +496,7 @@ def build_colbertv2_store(
     dim: int = 64,
     n_centroids: int = 256,
     sample: int = 4096,
+    keep_cols: tuple[str, ...] = (),
 ) -> str:
     """Embed, fit the token quantizer, and persist CODES-ONLY rows
     (id, tok_cids, tok_codes, pooled) — ``pooled`` stays the EXACT float
@@ -506,7 +507,12 @@ def build_colbertv2_store(
     n_centroids), ``.quant`` kind-rows (centroid i / vmin / vmax), all
     stamped with the content-hash build id; meta written LAST so a crash
     anywhere leaves a store `load_colbertv2_store` refuses. Returns the
-    build id."""
+    build id.
+
+    ``keep_cols``: metadata columns from ``docs`` carried onto the code
+    rows (recorded in meta) so `colbertv2_store_search(filter=...)` can
+    push an equality predicate into the scan BEFORE the prefilter — the
+    filtered-search discipline."""
     from photo_vector_search_spark.operators.ann import _store_signature
     from photo_vector_search_spark.operators.late_interaction import (
         doc_token_embeddings,
@@ -522,6 +528,8 @@ def build_colbertv2_store(
         ),
         id_col=id_col,
     )
+    if keep_cols:
+        toks = toks.join(docs.select(id_col, *keep_cols), id_col)
     quant = fit_token_quantizer(toks, n_centroids=n_centroids, sample=sample)
     build_id = _cv2_build_id(id_col, max_tokens, dim, quant)
     coded = (
@@ -556,10 +564,12 @@ def build_colbertv2_store(
                     dim,
                     n_docs,
                     len(quant.centroids),
+                    ",".join(keep_cols),
                 )
             ],
             "build_id string, store_sig string, id_col string, "
-            "max_tokens int, dim int, n_docs long, n_centroids int",
+            "max_tokens int, dim int, n_docs long, n_centroids int, "
+            "keep_cols string",
         ),
         path + ".meta",
     )
@@ -659,15 +669,19 @@ def colbertv2_store_search(
     max_query_tokens: int = MAX_QUERY_TOKENS,
     rerank: int | None = None,
     rerank_source: DataFrame | None = None,
+    filter=None,
 ) -> DataFrame:
     """Serve compressed MaxSim from the persisted store: load (torn-pair
-    checked), optional pooled-cosine prefilter (EXACT float pooled column —
-    same candidates as the uncompressed store would pick), compressed
-    rescore; optional exact ``rerank`` from a float source. The store read
-    is ~1/7.5 the raw token-store bytes; with ``prefilter_n`` it is the
-    pooled column + candidate row groups only."""
+    checked), optional metadata ``filter`` (keep_cols stores — applied
+    FIRST, the P2 discipline), optional pooled-cosine prefilter (EXACT
+    float pooled column — same candidates as the uncompressed store would
+    pick), compressed rescore; optional exact ``rerank`` from a float
+    source. The store read is ~1/7.5 the raw token-store bytes; with
+    ``prefilter_n`` it is the pooled column + candidate row groups only."""
     coded, quant, meta = load_colbertv2_store(spark, path)
     id_col, dim = meta["id_col"], meta["dim"]
+    if filter is not None:
+        coded = coded.filter(filter)
     if prefilter_n is not None:
         if prefilter_n < k:
             raise ValueError(

@@ -130,3 +130,64 @@ def test_validation(spark):
         rrf_fuse([a, a], weights=[1.0])
     with pytest.raises(ValueError, match="top_n"):
         rrf_fuse([a], top_n=0)
+
+
+def test_hybrid_store_search_composes_the_store_runs(
+    spark, sf_correct, tmp_path
+):
+    """All-store hybrid serving: dense from the IVF,SQ8 store + lexical
+    from the BM25 postings store, fused by RRF — ≡ fusing the two store
+    runs by hand, with no corpus frame touched at serve time."""
+    from photo_vector_search_spark.operators.bm25_store import (
+        bm25_store_topk,
+        build_bm25_store,
+    )
+    from photo_vector_search_spark.operators.fusion import hybrid_store_search
+    from photo_vector_search_spark.operators.sq import (
+        build_ivf_sq8_store,
+        ivf_sq8_store_topk,
+    )
+    from photo_vector_search_spark.pipelines.embed import stub_embedding_expr
+
+    docs = load_table(spark, sf_correct, "documents")
+    emb = load_table(spark, sf_correct, "embeddings")
+    bm25_path = str(tmp_path / "bm25")
+    vec_path = str(tmp_path / "ivfsq8")
+    build_bm25_store(docs, bm25_path)
+    build_ivf_sq8_store(emb, vec_path, n_clusters=8)
+
+    query = "the quick brown fox"
+    got = [
+        tuple(r)
+        for r in hybrid_store_search(
+            spark, bm25_path, vec_path, query, k=5, pool=15, nprobe=4
+        ).collect()
+    ]
+    assert len(got) == 5
+
+    qv = [
+        float(v)
+        for v in spark.range(1)
+        .select(stub_embedding_expr(F.lit(query)).alias("qv"))
+        .first()["qv"]
+    ]
+    vec_run = ivf_sq8_store_topk(spark, vec_path, qv, k=15, nprobe=4).select(
+        F.lit(0).alias("query_id"), F.col("vec_id").alias("doc_id"), "rank"
+    )
+    lex_run = bm25_store_topk(spark, bm25_path, query, k=15).select(
+        F.lit(0).alias("query_id"), "doc_id", "rank"
+    )
+    want = [
+        tuple(r)
+        for r in rrf_fuse([vec_run, lex_run], top_n=5)
+        .select("doc_id", "rrf_score", "rank")
+        .collect()
+    ]
+    assert got == want
+
+    with pytest.raises(ValueError, match="pool"):
+        hybrid_store_search(spark, bm25_path, vec_path, query, k=5, pool=3)
+    with pytest.raises(ValueError, match="weights"):
+        hybrid_store_search(
+            spark, bm25_path, vec_path, query, weights=(1.0,)
+        )

@@ -1110,6 +1110,52 @@ def _extra_live_cv2_search(spark, sf_dir):
     )
 
 
+def _extra_maxsim_filtered_search(spark, sf_dir):
+    # the audited plan is the FILTERED serving read: the lang predicate
+    # lands in the store scan's PushedFilters BEFORE the pooled prefilter
+    # (P2: filter before distance), so candidates come from matching docs
+    # only and the rescore's IN-filter composes with it
+    from pyspark.sql import functions as F
+
+    from photo_vector_search_spark.operators.late_interaction import (
+        build_maxsim_store,
+        maxsim_store_search,
+    )
+    from photo_vector_search_spark.operators.staging import session_staging_dir
+    from photo_vector_search_spark.sources.tables import load_table
+
+    path = session_staging_dir("pvs_plan_msf") + "/store"
+    docs = load_table(spark, sf_dir, "documents")
+    build_maxsim_store(docs, path, keep_cols=("lang", "source"))
+    lang = sorted(
+        r["lang"] for r in docs.select("lang").distinct().collect()
+    )[0]
+    return maxsim_store_search(
+        spark, path, "the quick brown fox", k=10, prefilter_n=64,
+        filter=F.col("lang") == lang,
+    )
+
+
+def _extra_hybrid_store_search(spark, sf_dir):
+    # all-store hybrid: probed IVF,SQ8 codes + bucket-pruned postings,
+    # fused rank-side — neither the text nor the float corpus is scanned
+    from photo_vector_search_spark.operators.bm25_store import build_bm25_store
+    from photo_vector_search_spark.operators.fusion import hybrid_store_search
+    from photo_vector_search_spark.operators.sq import build_ivf_sq8_store
+    from photo_vector_search_spark.operators.staging import session_staging_dir
+    from photo_vector_search_spark.sources.tables import load_table
+
+    base = session_staging_dir("pvs_plan_hyb_store")
+    bm25_path, vec_path = base + "/bm25", base + "/ivfsq8"
+    build_bm25_store(load_table(spark, sf_dir, "documents"), bm25_path)
+    build_ivf_sq8_store(
+        load_table(spark, sf_dir, "embeddings"), vec_path, n_clusters=8
+    )
+    return hybrid_store_search(
+        spark, bm25_path, vec_path, "the quick brown fox", k=10, nprobe=4
+    )
+
+
 EXTRA_OPS = {
     "ivf_near_dup_pairs": _extra_ivf_near_dup,
     "shuffle_corpus": _extra_shuffle_corpus,
@@ -1174,6 +1220,8 @@ EXTRA_OPS = {
     "colbertv2_search": _extra_colbertv2_search,
     "colbertv2_batch8": _extra_colbertv2_batch,
     "live_cv2_search": _extra_live_cv2_search,
+    "maxsim_filtered_search": _extra_maxsim_filtered_search,
+    "hybrid_store_search": _extra_hybrid_store_search,
 }
 
 # Plan-reader context the tree alone can't show.
@@ -1192,6 +1240,29 @@ NOTES = {
         "it. Roundtrip error <= step/2 per dim per token, independent "
         "NumPy replay of the whole chain, store torn-pair refusal in "
         "tests/test_token_compression.py)."
+    ),
+    "hybrid_store_search": (
+        "NOTE: library operator (r12 all-store hybrid serving — the "
+        "production shape: the dense run probes the IVF,SQ8 store "
+        "(cluster-directory pruning over 8x codes), the lexical run reads "
+        "the BM25 postings store (<= q bucket directories), RRF fuses the "
+        "two <= pool-row rank lists; at serve time neither the text nor "
+        "the float corpus is scanned. Composition sugar over three "
+        "audited rungs; == hand-fusing the two store runs, pinned in "
+        "tests/test_fusion.py)."
+    ),
+    "maxsim_filtered_search": (
+        "NOTE: library operator (r12 filtered late-interaction serving — "
+        "the knn_topk(label=...) P2 discipline extended to the token "
+        "stores: build(keep_cols=...) carries metadata columns onto the "
+        "store rows and records them in meta; search(filter=...) applies "
+        "the predicate to the scan BEFORE the pooled prefilter, so "
+        "candidates are drawn from matching docs only. Filtered serving "
+        "== serving a store built from the pre-filtered corpus (pinned "
+        "in tests/test_filtered_stores.py); same contract on the "
+        "compressed store (colbertv2_store_search(filter=...)) and both "
+        "live views; keep_cols upserts carry the metadata, batches "
+        "lacking it are refused)."
     ),
     "live_cv2_search": (
         "NOTE: library operator (r12 incremental maintenance for the "
