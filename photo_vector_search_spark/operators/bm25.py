@@ -36,6 +36,79 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 
 
+def _tf_and_stats(
+    docs: DataFrame,
+    terms: list[str],
+    id_col: str,
+    text_col: str,
+    stage: bool,
+    prefix: str,
+):
+    """(tf frame, n_docs, avgdl) in ONE corpus pass (staged mode): the
+    per-(doc, term) tf aggregation for ``terms`` with the corpus statistics
+    OBSERVED on the same pass (`DataFrame.observe` — a CollectMetrics node
+    over the tokenized base, harvested when the staged write runs), instead
+    of a separate stats aggregation that re-scans and re-tokenizes the whole
+    corpus first (r12 optimization: every bm25-family call paid two full
+    corpus passes; now one). ``stage=False`` keeps the audit-friendly pure
+    plan and the classic two-pass shape (the tf frame must then not fan out).
+
+    dl rides with every exploded row (computed once per doc in the same
+    projection) — scoring needs no corpus-sized join back for lengths."""
+    base = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.array_remove(tokens(F.col(text_col)), "").alias("_toks"),
+    )
+
+    def _stats_by_agg():
+        row = base.agg(
+            F.count(F.lit(1)).alias("n"), F.avg(F.size("_toks")).alias("avgdl")
+        ).first()
+        return (
+            int(row["n"]),
+            float(row["avgdl"]) if row["avgdl"] is not None else 0.0,
+        )
+
+    observed = base
+    obs = None
+    if stage:
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        observed = base.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.avg(F.size("_toks")).alias("avgdl"),
+        )
+    tf = (
+        observed.select(
+            id_col,
+            F.size("_toks").alias("_dl"),
+            F.explode("_toks").alias("_term"),
+        )
+        .filter(F.col("_term").isin(terms))  # map-side, before any shuffle
+        .groupBy(id_col, "_term")
+        .agg(F.count(F.lit(1)).alias("_tf"), F.first("_dl").alias("_dl"))
+    )
+    if stage:
+        from photo_vector_search_spark.operators.staging import stage_frame
+
+        tf = stage_frame(tf, prefix)  # the action that fills the observation
+        try:
+            m = obs.get
+            n_docs = int(m["n"])
+            avgdl = float(m["avgdl"]) if m["avgdl"] is not None else 0.0
+        except Exception:
+            # ZERO postings matched: AQE's empty-relation propagation
+            # replaced the executed subtree (CollectMetrics included) with
+            # an empty relation, so the observation never filled — pay the
+            # classic separate stats pass for this degenerate case only
+            n_docs, avgdl = _stats_by_agg()
+    else:
+        n_docs, avgdl = _stats_by_agg()
+    return tf, n_docs, avgdl
+
+
 def query_terms(query: str) -> list[str]:
     """The query-side tokenization: distinct whitespace tokens of the
     lowercased query — the Python twin of ``functions.text.tokens`` (same
@@ -73,37 +146,15 @@ def bm25_scores(
     if not terms:
         raise ValueError("query has no terms after tokenization")
 
-    base = docs.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col),
-        F.array_remove(tokens(F.col(text_col)), "").alias("_toks"),
+    tf, n_docs, avgdl = _tf_and_stats(
+        docs, terms, id_col, text_col, stage, "pvs_bm25_tf"
     )
-    row = base.agg(
-        F.count(F.lit(1)).alias("n"), F.avg(F.size("_toks")).alias("avgdl")
-    ).first()
-    n_docs = int(row["n"])
-    avgdl = float(row["avgdl"]) if row["avgdl"] is not None else 0.0
     if n_docs == 0 or avgdl == 0.0:
         # empty / all-empty corpus: nothing can match
-        return base.sparkSession.createDataFrame(
+        return docs.sparkSession.createDataFrame(
             [], f"`{id_col}` long, bm25 double, n_terms long"
         )
 
-    # dl rides with every exploded row (computed once per doc in the same
-    # projection) — scoring needs no corpus-sized join back for lengths
-    tf = (
-        base.select(
-            id_col,
-            F.size("_toks").alias("_dl"),
-            F.explode("_toks").alias("_term"),
-        )
-        .filter(F.col("_term").isin(terms))  # map-side, before any shuffle
-        .groupBy(id_col, "_term")
-        .agg(F.count(F.lit(1)).alias("_tf"), F.first("_dl").alias("_dl"))
-    )
-    if stage:
-        from photo_vector_search_spark.operators.staging import stage_frame
-
-        tf = stage_frame(tf, "pvs_bm25_tf")
     df = tf.groupBy("_term").agg(F.count(F.lit(1)).alias("_df"))
     idf = F.log(
         F.lit(1.0)
@@ -188,15 +239,9 @@ def bm25_batch_topk(
         ),
     )
 
-    base = docs.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col),
-        F.array_remove(tokens(F.col(text_col)), "").alias("_toks"),
+    tf, n_docs, avgdl = _tf_and_stats(
+        docs, all_terms, id_col, text_col, stage, "pvs_bm25_batch_tf"
     )
-    row = base.agg(
-        F.count(F.lit(1)).alias("n"), F.avg(F.size("_toks")).alias("avgdl")
-    ).first()
-    n_docs = int(row["n"])
-    avgdl = float(row["avgdl"]) if row["avgdl"] is not None else 0.0
     if n_docs == 0 or avgdl == 0.0:
         return spark.createDataFrame(
             [],
@@ -209,20 +254,6 @@ def bm25_batch_topk(
                 ]
             ),
         )
-    tf = (
-        base.select(
-            id_col,
-            F.size("_toks").alias("_dl"),
-            F.explode("_toks").alias("_term"),
-        )
-        .filter(F.col("_term").isin(all_terms))
-        .groupBy(id_col, "_term")
-        .agg(F.count(F.lit(1)).alias("_tf"), F.first("_dl").alias("_dl"))
-    )
-    if stage:
-        from photo_vector_search_spark.operators.staging import stage_frame
-
-        tf = stage_frame(tf, "pvs_bm25_batch_tf")
     df = tf.groupBy("_term").agg(F.count(F.lit(1)).alias("_df"))
     idf = F.log(
         F.lit(1.0)
@@ -280,33 +311,13 @@ def bm25_scores_weighted(
         if not w > 0:
             raise ValueError(f"weight for {t!r} must be > 0, got {w}")
 
-    base = docs.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col),
-        F.array_remove(tokens(F.col(text_col)), "").alias("_toks"),
+    tf, n_docs, avgdl = _tf_and_stats(
+        docs, terms, id_col, text_col, stage, "pvs_bm25_wtf"
     )
-    row = base.agg(
-        F.count(F.lit(1)).alias("n"), F.avg(F.size("_toks")).alias("avgdl")
-    ).first()
-    n_docs = int(row["n"])
-    avgdl = float(row["avgdl"]) if row["avgdl"] is not None else 0.0
     if n_docs == 0 or avgdl == 0.0:
-        return base.sparkSession.createDataFrame(
+        return docs.sparkSession.createDataFrame(
             [], f"`{id_col}` long, score double, n_terms long"
         )
-    tf = (
-        base.select(
-            id_col,
-            F.size("_toks").alias("_dl"),
-            F.explode("_toks").alias("_term"),
-        )
-        .filter(F.col("_term").isin(terms))
-        .groupBy(id_col, "_term")
-        .agg(F.count(F.lit(1)).alias("_tf"), F.first("_dl").alias("_dl"))
-    )
-    if stage:
-        from photo_vector_search_spark.operators.staging import stage_frame
-
-        tf = stage_frame(tf, "pvs_bm25_wtf")
     df = tf.groupBy("_term").agg(F.count(F.lit(1)).alias("_df"))
     idf = F.log(
         F.lit(1.0)
@@ -626,15 +637,9 @@ def rm3_batch_topk(
     )
     all_terms = sorted({t for _, t, _ in wq_rows})
 
-    base = docs.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col),
-        F.array_remove(tokens(F.col(text_col)), "").alias("_toks"),
+    tf, n_docs, avgdl = _tf_and_stats(
+        docs, all_terms, id_col, text_col, stage, "pvs_rm3_batch_tf"
     )
-    row = base.agg(
-        F.count(F.lit(1)).alias("n"), F.avg(F.size("_toks")).alias("avgdl")
-    ).first()
-    n_docs = int(row["n"])
-    avgdl = float(row["avgdl"]) if row["avgdl"] is not None else 0.0
     if n_docs == 0 or avgdl == 0.0:
         return spark.createDataFrame(
             [],
@@ -648,20 +653,6 @@ def rm3_batch_topk(
                 ]
             ),
         )
-    tf = (
-        base.select(
-            id_col,
-            F.size("_toks").alias("_dl"),
-            F.explode("_toks").alias("_term"),
-        )
-        .filter(F.col("_term").isin(all_terms))
-        .groupBy(id_col, "_term")
-        .agg(F.count(F.lit(1)).alias("_tf"), F.first("_dl").alias("_dl"))
-    )
-    if stage:
-        from photo_vector_search_spark.operators.staging import stage_frame
-
-        tf = stage_frame(tf, "pvs_rm3_batch_tf")
     df = tf.groupBy("_term").agg(F.count(F.lit(1)).alias("_df"))
     idf = F.log(
         F.lit(1.0)

@@ -15,8 +15,9 @@ the candidates (the ColBERT-v2 / PLAID deployment shape).
 Engine shape:
 - token embeddings ride as one ``array<array<double>>`` per document
   (token budget capped — the ColBERT doc-length budget — so the matrix
-  is bounded); built once by `doc_token_embeddings` (explode → the
-  Arrow stub-embed kernel → collect back in token order).
+  is bounded); built once by `doc_token_embeddings` (JVM tokenize →
+  ONE map-only Arrow embed kernel with a per-task token memo — zero
+  exchanges; r12).
 - scoring has TWO parity-pinned paths (the knn_topk/knn_batch_fast
   split). The EXPRESSION path (`maxsim_scores`) is the oracle twin: both
   sides are unit vectors (the stub embeds L2-normalize; CLIP/ColBERT
@@ -62,31 +63,58 @@ def doc_token_embeddings(
 ) -> DataFrame:
     """(id, tok_embs) — per-token stub embeddings for the first
     ``max_tokens`` tokens (the ColBERT document budget), kept in token
-    order. One explode → Arrow embed kernel → one keyed collect-back;
-    each document's matrix is bounded by max_tokens · dim doubles."""
+    order. MAP-ONLY: the token array is computed JVM-side (the shared
+    `tokens` expression, so tokenization is bit-identical to every text
+    operator) and ONE Arrow kernel embeds each doc's tokens in place —
+    no explode, no collect-back shuffle (r12 optimization; the old
+    explode → embed → groupBy shape shuffled N·max_tokens rows of
+    64-double vectors just to reassemble matrices that never needed to
+    leave their doc's row). A per-task token→vector memo bounds the md5
+    work by the task's DISTINCT vocabulary, not its token count —
+    corpus tokens repeat heavily, the same reason BM25's df table is
+    small. Each document's matrix is bounded by max_tokens · dim
+    doubles; docs tokenizing to zero tokens are absent (the previous
+    explode semantics)."""
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
     from ..functions.text import tokens
-    from ..pipelines.embed import with_stub_embedding
+    from ..pipelines.embed import stub_embed_one
 
     if max_tokens < 1:
         raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
-    toks = docs.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col),
-        F.posexplode(
-            F.slice(F.array_remove(tokens(F.col(text_col)), ""), 1, max_tokens)
-        ).alias("_pos", "_tok"),
-    )
-    embedded = with_stub_embedding(toks, "_tok", out_col="_temb", dim=dim)
-    return (
-        embedded.groupBy(id_col)
-        .agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct("_pos", "_temb"))
-                ),
-                lambda s: s["_temb"].cast("array<double>"),
-            ).alias("tok_embs")
+    base = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.slice(
+                F.array_remove(tokens(F.col(text_col)), ""), 1, max_tokens
+            ).alias("_toks"),
         )
+        .filter(F.size("_toks") > 0)
     )
+    out_schema = StructType(
+        [
+            StructField(id_col, docs.schema[id_col].dataType, True),
+            StructField("tok_embs", ArrayType(ArrayType(DoubleType())), True),
+        ]
+    )
+
+    def _embed(batches):
+        memo: dict = {}
+        for pdf in batches:
+            rows = []
+            for toks in pdf["_toks"]:
+                embs = []
+                for t in toks:
+                    e = memo.get(t)
+                    if e is None:
+                        e = memo[t] = stub_embed_one(t, dim)
+                    embs.append(e)
+                rows.append(embs)
+            yield pd.DataFrame({id_col: pdf[id_col], "tok_embs": rows})
+
+    return base.mapInPandas(_embed, schema=out_schema)
 
 
 def _query_token_vecs(query: str, max_query_tokens: int, dim: int):
@@ -325,6 +353,91 @@ def pooled_cosine_candidates(
         ).select(id_col, cos.alias("_pool"))
     return (
         scored.orderBy(F.col("_pool").desc_nulls_last(), F.col(id_col).asc())
+        .limit(n)
+        .select(id_col)
+    )
+
+
+def _pooled_candidates_from_docs(
+    docs: DataFrame,
+    query: str,
+    n: int,
+    text_col: str,
+    id_col: str,
+    max_tokens: int,
+    max_query_tokens: int,
+    dim: int,
+) -> DataFrame:
+    """`pooled_cosine_candidates(doc_token_embeddings(docs), ...)` fused
+    into ONE Arrow kernel: tokenize JVM-side, embed (per-task token memo)
+    and mean-pool inside the same batch loop, emit only (id, cos) — the
+    token matrices never cross the Python↔JVM boundary (r12: the two-kernel
+    chain shipped every doc's max_tokens·dim doubles through Arrow twice
+    just to reduce them to one pooled score). Arithmetic is IDENTICAL to
+    the two-stage form: the same `_tok_matrices` stack + ``add.reduceat``
+    pooling over the same per-batch row grouping, so the candidate set is
+    bit-identical (parity-pinned in tests)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from ..functions.text import tokens
+    from ..pipelines.embed import stub_embed_one
+
+    qvecs = np.asarray(
+        _query_token_vecs(query, max_query_tokens, dim), dtype=np.float64
+    )
+    qmean = qvecs.mean(axis=0)
+    bqm = docs.sparkSession.sparkContext.broadcast(qmean)
+    base = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.slice(
+                F.array_remove(tokens(F.col(text_col)), ""), 1, max_tokens
+            ).alias("_toks"),
+        )
+        .filter(F.size("_toks") > 0)
+    )
+    out_schema = StructType(
+        [
+            StructField(id_col, docs.schema[id_col].dataType, True),
+            StructField("_pool", DoubleType(), True),
+        ]
+    )
+
+    def _embed_pool(batches):
+        qv = bqm.value
+        memo: dict = {}
+        for pdf in batches:
+            rows = []
+            for toks in pdf["_toks"]:
+                embs = []
+                for t in toks:
+                    e = memo.get(t)
+                    if e is None:
+                        e = memo[t] = stub_embed_one(t, dim)
+                    embs.append(e)
+                rows.append(embs)
+            # the exact pooled_cosine_candidates fast-path arithmetic over
+            # the same per-batch stack (shared _tok_matrices kernel)
+            flat, counts, keep = _tok_matrices(pd.Series(rows))
+            if flat is None:
+                continue
+            offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            sums = np.add.reduceat(flat, offsets, axis=0)
+            pooled = sums / counts[:, None]
+            norms = np.linalg.norm(pooled, axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = (pooled @ qv) / norms
+            cos = np.where(np.isfinite(cos), cos, None)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy()[keep], "_pool": cos}
+            )
+
+    return (
+        base.mapInPandas(_embed_pool, schema=out_schema)
+        .orderBy(F.col("_pool").desc_nulls_last(), F.col(id_col).asc())
         .limit(n)
         .select(id_col)
     )
@@ -1063,24 +1176,58 @@ def maxsim_search(
     pinned in tests). ``fast`` routes both stages through the Arrow
     kernels (serving default). ``doc_toks`` serves from a precomputed /
     store-loaded token frame (`load_maxsim_store`) instead of re-embedding
-    the corpus."""
-    if doc_toks is None:
-        if docs is None:
-            raise ValueError("pass docs (to embed) or doc_toks (precomputed)")
-        doc_toks = doc_token_embeddings(
-            docs, text_col=text_col, id_col=id_col,
-            max_tokens=max_tokens, dim=dim,
-        )
+    the corpus.
+
+    Two-stage read shape (r12 optimization): the candidate ids round-trip
+    the driver (bounded by ``prefilter_n`` — the `_pooled_flat_candidate_ids`
+    / mmr_rerank discipline) and the rescore pushes them as an IN filter —
+    into the DOCS scan when embedding on the fly, so stage 2 re-embeds only
+    the ≤ prefilter_n candidate documents instead of re-deriving the whole
+    corpus' token matrices (the old broadcast join re-executed the full
+    embed pass: Spark does not reuse the prefilter's subtree), or into the
+    precomputed ``doc_toks`` scan, where an id-sorted store prunes row
+    groups."""
+    embed_on_the_fly = doc_toks is None
+    if doc_toks is None and docs is None:
+        raise ValueError("pass docs (to embed) or doc_toks (precomputed)")
     if prefilter_n is not None:
         if prefilter_n < k:
             raise ValueError(
                 f"prefilter_n ({prefilter_n}) must be >= k ({k})"
             )
-        cand_ids = pooled_cosine_candidates(
-            doc_toks, query, prefilter_n, id_col=id_col,
-            max_query_tokens=max_query_tokens, dim=dim, fast=fast,
+        if embed_on_the_fly and fast:
+            # fused prefilter: embed + pool in ONE kernel, (id, cos) out —
+            # the token matrices never materialize corpus-wide
+            cand_df = _pooled_candidates_from_docs(
+                docs, query, prefilter_n, text_col, id_col,
+                max_tokens, max_query_tokens, dim,
+            )
+        else:
+            if embed_on_the_fly:
+                doc_toks = doc_token_embeddings(
+                    docs, text_col=text_col, id_col=id_col,
+                    max_tokens=max_tokens, dim=dim,
+                )
+            cand_df = pooled_cosine_candidates(
+                doc_toks, query, prefilter_n, id_col=id_col,
+                max_query_tokens=max_query_tokens, dim=dim, fast=fast,
+            )
+        cand = cand_df.collect()  # ≤ prefilter_n ids — the bounded knob
+        cand_ids = [r[id_col] for r in cand]
+        if embed_on_the_fly:
+            # stage 2 embeds ONLY the candidates (IN pushed into the scan)
+            doc_toks = doc_token_embeddings(
+                docs.filter(F.col(id_col).isin(cand_ids)),
+                text_col=text_col, id_col=id_col,
+                max_tokens=max_tokens, dim=dim,
+            )
+        else:
+            doc_toks = doc_toks.filter(F.col(id_col).isin(cand_ids))
+    elif embed_on_the_fly:
+        doc_toks = doc_token_embeddings(
+            docs, text_col=text_col, id_col=id_col,
+            max_tokens=max_tokens, dim=dim,
         )
-        doc_toks = doc_toks.join(F.broadcast(cand_ids), id_col)
     return maxsim_topk(
         doc_toks, query, k=k, id_col=id_col,
         max_query_tokens=max_query_tokens, dim=dim, fast=fast,

@@ -253,3 +253,49 @@ def test_token_budget_caps_the_matrix(spark):
     row = doc_token_embeddings(docs, max_tokens=8).first()
     assert len(row["tok_embs"]) == 8
     assert len(row["tok_embs"][0]) == 64
+
+
+def test_map_only_embedder_and_fused_prefilter_parity(spark, sf_dir):
+    """r12 optimization guards: (1) `doc_token_embeddings` is MAP-ONLY —
+    zero Exchange nodes (the old explode → groupBy collect-back shuffled
+    every token vector just to reassemble per-doc matrices); (2) the fused
+    embed+pool prefilter kernel (`_pooled_candidates_from_docs`) picks the
+    bit-identical candidate set as the two-kernel chain it replaced; (3)
+    the two-stage search pushes the candidate ids INTO the docs scan, so
+    stage 2 embeds only candidates, and still matches end-to-end."""
+    import io
+    from contextlib import redirect_stdout
+
+    from photo_vector_search_spark.operators.late_interaction import (
+        _pooled_candidates_from_docs,
+        pooled_cosine_candidates,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    # (1) map-only: no Exchange anywhere in the embed plan
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        doc_token_embeddings(docs).explain("formatted")
+    assert "Exchange" not in buf.getvalue()
+
+    # (2) fused kernel ≡ two-kernel chain, row-for-row (ordered ids)
+    fused = [
+        r["doc_id"]
+        for r in _pooled_candidates_from_docs(
+            docs, QUERY, 40, "text", "doc_id", MAX_DOC_TOKENS, 8, 64
+        ).collect()
+    ]
+    chain = [
+        r["doc_id"]
+        for r in pooled_cosine_candidates(
+            doc_token_embeddings(docs), QUERY, 40, fast=True
+        ).collect()
+    ]
+    assert fused == chain
+
+    # (3) end-to-end two-stage equality across the rewrite is covered by
+    # test_two_stage_fast_matches_expression_two_stage; here pin that the
+    # one-call result ranks only docs from the fused candidate set
+    got = maxsim_search(docs, QUERY, k=5, prefilter_n=40).collect()
+    assert {r["doc_id"] for r in got} <= set(fused)
