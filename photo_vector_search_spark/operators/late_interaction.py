@@ -197,10 +197,16 @@ def maxsim_scores_fast(
     tokens, a ``maximum.reduceat`` segment-max per doc, then a sequential
     sum over query tokens in the SAME order as the expression fold.
     Map-only — no shuffle; rounding applied JVM-side via the shared
-    ``F.round`` so both paths round identically."""
+    ``F.round`` so both paths round identically. ``mapInArrow`` over the
+    flat list buffers (r12, `functions.arrowkit`): the batch's stacked
+    token matrix is one reshape, not a per-row vstack — same arithmetic,
+    bit-identical scores."""
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
     from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from ..functions.arrowkit import nested_matrix
 
     qmat = np.asarray(
         _query_token_vecs(query, max_query_tokens, dim), dtype=np.float64
@@ -214,11 +220,16 @@ def maxsim_scores_fast(
             StructField("_raw", DoubleType(), True),
         ]
     )
+    arrow_out = to_arrow_schema(out_schema)
+    dim_ = dim
 
     def _score(batches):
         qm = bq.value
-        for pdf in batches:
-            flat, counts, keep = _tok_matrices(pdf["tok_embs"])
+        for batch in batches:
+            cols = {nm: i for i, nm in enumerate(batch.schema.names)}
+            flat, counts, keep = nested_matrix(
+                batch.column(cols["tok_embs"]), dim_
+            )
             if flat is None:
                 continue
             sims = qm @ flat.T  # (q, T) in one BLAS call
@@ -228,11 +239,18 @@ def maxsim_scores_fast(
             tot = np.zeros(best.shape[1], dtype=np.float64)
             for j in range(qm.shape[0]):
                 tot = tot + best[j]
-            yield pd.DataFrame(
-                {id_col: pdf[id_col].to_numpy()[keep], "_raw": tot}
+            ids_np = batch.column(cols[id_col]).to_numpy(
+                zero_copy_only=False
+            )[keep]
+            yield pa.record_batch(
+                [
+                    pa.array(ids_np, type=arrow_out.field(0).type),
+                    pa.array(tot, type=arrow_out.field(1).type),
+                ],
+                schema=arrow_out,
             )
 
-    scored = doc_toks.select(id_col, "tok_embs").mapInPandas(
+    scored = doc_toks.select(id_col, "tok_embs").mapInArrow(
         _score, schema=out_schema
     )
     return scored.select(id_col, F.round("_raw", 6).alias("maxsim"))
@@ -464,11 +482,19 @@ def maxsim_batch_topk(
     (reduceat is strictly sequential — the expression fold's order), then a
     per-batch LOCAL top-k per query, so the shuffle carries
     O(batches · Q · k) survivor rows — never N·Q. ``queries``: (query_id,
-    query) text rows; duplicate ids rejected (the shared batch contract)."""
+    query) text rows; duplicate ids rejected (the shared batch contract).
+
+    The kernel is ``mapInArrow`` over the flat list buffers (r12,
+    `functions.arrowkit`): the batch's stacked token matrix is ONE reshape
+    of the Arrow values buffer instead of per-row nested-object conversion
+    — same stack, same arithmetic, bit-identical scores."""
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
     from pyspark.sql import Window
+    from pyspark.sql.pandas.types import to_arrow_schema
     from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from ..functions.arrowkit import nested_matrix
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -509,32 +535,45 @@ def maxsim_batch_topk(
         ]
     )
 
+    arrow_out = to_arrow_schema(out_schema)
+    dim_ = dim
+
     def _score(batches):
         ids, qm, qoff = bq.value
         nq = len(ids)
-        for pdf in batches:
+        for batch in batches:
+            cols = {n: i for i, n in enumerate(batch.schema.names)}
+            ids_np = batch.column(cols[id_col]).to_numpy(zero_copy_only=False)
             # pre-sort by id so the stable per-query argsort breaks score
             # ties by ascending id — the knn_batch_fast tie discipline
-            pdf = pdf.sort_values(id_col, kind="stable").reset_index(drop=True)
-            flat, counts, keep = _tok_matrices(pdf["tok_embs"])
+            order = np.argsort(ids_np, kind="stable")
+            toks_sorted = batch.column(cols["tok_embs"]).take(pa.array(order))
+            flat, counts, keep = nested_matrix(toks_sorted, dim_)
             if flat is None:
                 continue
-            doc_ids = pdf[id_col].to_numpy()[keep]
+            doc_ids = ids_np[order][keep]
             d_offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
             sims = qm @ flat.T  # (sum q tokens, sum doc tokens): one BLAS call
             best = np.maximum.reduceat(sims, d_offsets, axis=1)
             scores = np.add.reduceat(best, qoff, axis=0)  # (Q, docs)
             kk = min(k, scores.shape[1])
-            out = {"query_id": [], id_col: [], "_raw": []}
+            out_q, out_d, out_r = [], [], []
             for j in range(nq):
                 row = scores[j]
                 take = np.argsort(-row, kind="stable")[:kk]
-                out["query_id"].extend([ids[j]] * len(take))
-                out[id_col].extend(doc_ids[take])
-                out["_raw"].extend(row[take])
-            yield pd.DataFrame(out)
+                out_q.extend([ids[j]] * len(take))
+                out_d.extend(doc_ids[take])
+                out_r.extend(row[take])
+            yield pa.record_batch(
+                [
+                    pa.array(out_q, type=arrow_out.field(0).type),
+                    pa.array(out_d, type=arrow_out.field(1).type),
+                    pa.array(out_r, type=arrow_out.field(2).type),
+                ],
+                schema=arrow_out,
+            )
 
-    survivors = doc_toks.select(id_col, "tok_embs").mapInPandas(
+    survivors = doc_toks.select(id_col, "tok_embs").mapInArrow(
         _score, schema=out_schema
     )
     win = Window.partitionBy("query_id").orderBy(
@@ -836,10 +875,15 @@ def _pooled_flat_candidate_ids(
     """Top-``n`` candidate ids by pooled cosine over the FLAT ``pooled``
     column — the column-pruned serving prefilter (64 doubles/doc; token
     matrices never decoded corpus-wide). Bounded driver round-trip of n
-    ids (the mmr_rerank discipline)."""
+    ids (the mmr_rerank discipline). ``mapInArrow`` over the flat list
+    buffer (r12, `functions.arrowkit`): the batch's pooled matrix is one
+    reshape, not a per-row vstack — same arithmetic, identical scores."""
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
     from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from ..functions.arrowkit import fixed_matrix
 
     bqm = toks.sparkSession.sparkContext.broadcast(qmean)
     id_field = toks.schema[id_col]
@@ -849,28 +893,33 @@ def _pooled_flat_candidate_ids(
             StructField("_pool", DoubleType(), True),
         ]
     )
+    arrow_out = to_arrow_schema(out_schema)
+    dim = int(qmean.shape[0])
 
     def _flat_pool(batches):
         qv = bqm.value
-        for pdf in batches:
-            keep = pdf["pooled"].map(lambda v: v is not None).to_numpy(
-                dtype=bool
-            )
-            kept = pdf["pooled"][keep]
-            if not len(kept):
+        for batch in batches:
+            cols = {nm: i for i, nm in enumerate(batch.schema.names)}
+            m, keep = fixed_matrix(batch.column(cols["pooled"]), dim)
+            if m is None:
                 continue
-            m = np.vstack([np.asarray(v, dtype=np.float64) for v in kept])
             norms = np.linalg.norm(m, axis=1)
             with np.errstate(divide="ignore", invalid="ignore"):
                 cos = (m @ qv) / norms
-            cos = np.where(np.isfinite(cos), cos, None)
-            yield pd.DataFrame(
-                {id_col: pdf[id_col].to_numpy()[keep], "_pool": cos}
+            ids_np = batch.column(cols[id_col]).to_numpy(
+                zero_copy_only=False
+            )[keep]
+            yield pa.record_batch(
+                [
+                    pa.array(ids_np, type=arrow_out.field(0).type),
+                    pa.array(cos, mask=~np.isfinite(cos)),
+                ],
+                schema=arrow_out,
             )
 
     cand = (
         toks.select(id_col, "pooled")  # column-pruned scan: no matrices
-        .mapInPandas(_flat_pool, schema=out_schema)
+        .mapInArrow(_flat_pool, schema=out_schema)
         .orderBy(F.col("_pool").desc_nulls_last(), F.col(id_col).asc())
         .limit(n)
         .collect()

@@ -234,8 +234,15 @@ def maxsim_scores_compressed(
     batch, reconstruct the batch's stacked tokens (centroid gather +
     dequantize), ONE BLAS matmul, ``maximum.reduceat`` segment-max, and the
     query-token-ordered sum. Map-only, no shuffle; rounding via the shared
-    ``F.round``."""
+    ``F.round``. ``mapInArrow`` over the flat list buffers (r12,
+    `functions.arrowkit`): the batch's stacked codes are one reshape of the
+    Arrow values buffer, not a per-row vstack — same arithmetic,
+    bit-identical scores."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
     from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from ..functions.arrowkit import flat_values, nested_matrix
 
     qmat = np.asarray(
         _query_token_vecs(query, max_query_tokens, dim), dtype=np.float64
@@ -249,28 +256,19 @@ def maxsim_scores_compressed(
             StructField("_raw", DoubleType(), True),
         ]
     )
+    arrow_out = to_arrow_schema(out_schema)
+    dim_ = dim
 
     def _score(batches):
         qm, cent, vmin, step = b.value
-        for pdf in batches:
-            pdf = pdf.reset_index(drop=True)
-            keep = pdf["tok_cids"].map(
-                lambda t: t is not None and len(t) > 0
-            ).to_numpy(dtype=bool)
-            kept = pdf[keep]
-            if not len(kept):
+        for batch in batches:
+            cols = {nm: i for i, nm in enumerate(batch.schema.names)}
+            codes, counts, keep = nested_matrix(
+                batch.column(cols["tok_codes"]), dim_
+            )
+            if codes is None:
                 continue
-            counts = kept["tok_cids"].map(len).to_numpy(dtype=np.int64)
-            cids = np.concatenate(
-                [np.asarray(list(a), dtype=np.int64) for a in kept["tok_cids"]]
-            )
-            codes = np.vstack(
-                [
-                    np.asarray(c, dtype=np.float64)
-                    for arr in kept["tok_codes"]
-                    for c in arr
-                ]
-            )
+            cids = flat_values(batch.column(cols["tok_cids"]), np.int64)
             flat = _decode_flat(cids, codes, cent, vmin, step)
             sims = qm @ flat.T
             offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
@@ -278,11 +276,18 @@ def maxsim_scores_compressed(
             tot = np.zeros(best.shape[1], dtype=np.float64)
             for j in range(qm.shape[0]):  # the expression fold's sum order
                 tot = tot + best[j]
-            yield pd.DataFrame(
-                {id_col: pdf[id_col].to_numpy()[keep], "_raw": tot}
+            ids_np = batch.column(cols[id_col]).to_numpy(
+                zero_copy_only=False
+            )[keep]
+            yield pa.record_batch(
+                [
+                    pa.array(ids_np, type=arrow_out.field(0).type),
+                    pa.array(tot, type=arrow_out.field(1).type),
+                ],
+                schema=arrow_out,
             )
 
-    scored = coded.select(id_col, "tok_cids", "tok_codes").mapInPandas(
+    scored = coded.select(id_col, "tok_cids", "tok_codes").mapInArrow(
         _score, schema=out_schema
     )
     return scored.select(id_col, F.round("_raw", 6).alias("maxsim"))
@@ -366,8 +371,14 @@ def maxsim_batch_topk_compressed(
     Arrow batch the codes decode ONCE and every query's token matrix scores
     against the same reconstruction (one stacked BLAS matmul, segment-max
     per doc, segment-sum per query, per-batch local top-k), so the shuffle
-    carries O(batches · Q · k) survivor rows."""
+    carries O(batches · Q · k) survivor rows. ``mapInArrow`` over the flat
+    list buffers (r12, `functions.arrowkit`) — one reshape per batch, no
+    per-row conversion; bit-identical scores."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
     from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from ..functions.arrowkit import flat_values, nested_matrix
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -415,46 +426,50 @@ def maxsim_batch_topk_compressed(
         ]
     )
 
+    arrow_out = to_arrow_schema(out_schema)
+    dim_ = dim
+
     def _score(batches):
         ids, qm, qoff, cent, vmin, step = bq.value
         nq = len(ids)
-        for pdf in batches:
+        for batch in batches:
+            cols = {nm: i for i, nm in enumerate(batch.schema.names)}
+            ids_np = batch.column(cols[id_col]).to_numpy(zero_copy_only=False)
             # pre-sort by id: stable argsort breaks ties by ascending id
-            pdf = pdf.sort_values(id_col, kind="stable").reset_index(drop=True)
-            keep = pdf["tok_cids"].map(
-                lambda t: t is not None and len(t) > 0
-            ).to_numpy(dtype=bool)
-            kept = pdf[keep]
-            if not len(kept):
-                continue
-            counts = kept["tok_cids"].map(len).to_numpy(dtype=np.int64)
-            cids = np.concatenate(
-                [np.asarray(list(a), dtype=np.int64) for a in kept["tok_cids"]]
+            order = np.argsort(ids_np, kind="stable")
+            order_pa = pa.array(order)
+            codes, counts, keep = nested_matrix(
+                batch.column(cols["tok_codes"]).take(order_pa), dim_
             )
-            codes = np.vstack(
-                [
-                    np.asarray(c, dtype=np.float64)
-                    for arr in kept["tok_codes"]
-                    for c in arr
-                ]
+            if codes is None:
+                continue
+            cids = flat_values(
+                batch.column(cols["tok_cids"]).take(order_pa), np.int64
             )
             flat = _decode_flat(cids, codes, cent, vmin, step)  # decode ONCE
-            doc_ids = pdf[id_col].to_numpy()[keep]
+            doc_ids = ids_np[order][keep]
             d_offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
             sims = qm @ flat.T
             best = np.maximum.reduceat(sims, d_offsets, axis=1)
             scores = np.add.reduceat(best, qoff, axis=0)  # (Q, docs)
             kk = min(k, scores.shape[1])
-            out = {"query_id": [], id_col: [], "_raw": []}
+            out_q, out_d, out_r = [], [], []
             for j in range(nq):
                 row = scores[j]
                 take = np.argsort(-row, kind="stable")[:kk]
-                out["query_id"].extend([ids[j]] * len(take))
-                out[id_col].extend(doc_ids[take])
-                out["_raw"].extend(row[take])
-            yield pd.DataFrame(out)
+                out_q.extend([ids[j]] * len(take))
+                out_d.extend(doc_ids[take])
+                out_r.extend(row[take])
+            yield pa.record_batch(
+                [
+                    pa.array(out_q, type=arrow_out.field(0).type),
+                    pa.array(out_d, type=arrow_out.field(1).type),
+                    pa.array(out_r, type=arrow_out.field(2).type),
+                ],
+                schema=arrow_out,
+            )
 
-    survivors = coded.select(id_col, "tok_cids", "tok_codes").mapInPandas(
+    survivors = coded.select(id_col, "tok_cids", "tok_codes").mapInArrow(
         _score, schema=out_schema
     )
     win = Window.partitionBy("query_id").orderBy(
