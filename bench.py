@@ -1347,7 +1347,7 @@ def _rrf_hybrid(spark, sf_dir: str):
 
     from photo_vector_search_spark.operators.bm25 import bm25_topk
     from photo_vector_search_spark.operators.fusion import rrf_fuse
-    from photo_vector_search_spark.operators.knn import knn_batch
+    from photo_vector_search_spark.operators.knn import knn_batch_fast
     from photo_vector_search_spark.sources.tables import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1355,7 +1355,8 @@ def _rrf_hybrid(spark, sf_dir: str):
     queries = emb.filter(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    vec_run = knn_batch(emb, queries, k=16).select(
+    # the fast map-side-matmul path, mirroring the declared q_rrf_fuse (r12)
+    vec_run = knn_batch_fast(emb, queries, k=16).select(
         "query_id", F.col("vec_id").alias("doc_id"), "rank"
     )
     lex = bm25_topk(docs, "the quick brown fox", k=16).select("doc_id", "rank")

@@ -286,7 +286,7 @@ def q_rrf_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     end-to-end from the parquet tables."""
     from photo_vector_search_spark.operators.bm25 import bm25_topk
     from photo_vector_search_spark.operators.fusion import rrf_fuse
-    from photo_vector_search_spark.operators.knn import knn_batch
+    from photo_vector_search_spark.operators.knn import knn_batch_fast
 
     emb = load_table(spark, sf_dir, "embeddings")
     docs = load_table(spark, sf_dir, "documents")
@@ -294,7 +294,11 @@ def q_rrf_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"),
     )
-    vec_run = knn_batch(emb, queries, k=8).select(
+    # declared through the map-side matmul fast path (the `knn_batch`
+    # declaration precedent: tie-break- and rounding-parity-tested against
+    # the window formulation, which the oracle SQL mirrors) — the window
+    # form shuffles N·Q scored rows, the fast path O(batches·Q·k) (r12)
+    vec_run = knn_batch_fast(emb, queries, k=8).select(
         "query_id", F.col("vec_id").alias("doc_id"), "rank"
     )
     lex = bm25_topk(docs, _RRF_QUERY, k=8).select("doc_id", "rank")
