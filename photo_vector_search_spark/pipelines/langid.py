@@ -115,7 +115,15 @@ def train_langid(
             ),
         ]
     )
-    return pipe.fit(train)
+    model = pipe.fit(train)
+    # see quality.strip_training_summaries: a summary-carrying model cannot
+    # enter a task closure once any Observation has run in the session
+    from photo_vector_search_spark.pipelines.quality import (
+        strip_training_summaries,
+    )
+
+    strip_training_summaries(model)
+    return model
 
 
 def predict_lang(

@@ -37,6 +37,40 @@ _PROB = "_q_probability"
 _RAW = "_q_raw"
 
 
+def strip_training_summaries(model) -> None:
+    """Drop the in-memory training summary from every stage of a fitted
+    model, in place.
+
+    A freshly-fit MLlib classifier keeps a ``trainingSummary`` whose JVM
+    object references the owning SparkSession. The session is serializable
+    only while its lazy ``observationManager`` field is uninitialized; the
+    first ``DataFrame.observe`` in the session initializes it (Spark 4.1's
+    ``ObservationManager`` is not ``Serializable``), after which ANY task
+    closure that captures the summary-carrying model — every
+    ``model.transform`` whose prediction survives into a filter or
+    projection — dies with ``Task not serializable``. Models loaded from
+    disk never carry a summary; stripping makes fresh fits match them.
+    (Scala's ``private[ml] setSummary`` compiles to a public JVM method, so
+    py4j can reach it.) Read any metrics you want from the summary BEFORE
+    calling this."""
+    from py4j.protocol import Py4JError
+
+    for stage in getattr(model, "stages", None) or [model]:
+        jobj = getattr(stage, "_java_obj", None)
+        if jobj is None:
+            continue
+        try:
+            if jobj.hasSummary():
+                jvm = model.sc._jvm if hasattr(model, "sc") else None
+                if jvm is None:
+                    from pyspark import SparkContext
+
+                    jvm = SparkContext._active_spark_context._jvm
+                jobj.setSummary(jvm.scala.Option.apply(None))
+        except Py4JError:
+            continue  # stage without a summary interface (e.g. HashingTF)
+
+
 def train_quality_classifier(
     positive: DataFrame,
     negative: DataFrame,
@@ -81,7 +115,11 @@ def train_quality_classifier(
             ),
         ]
     )
-    return pipe.fit(train)
+    model = pipe.fit(train)
+    # see strip_training_summaries: a summary-carrying model cannot enter a
+    # task closure once any Observation has run in the session
+    strip_training_summaries(model)
+    return model
 
 
 def _tok_col(text_col: str):

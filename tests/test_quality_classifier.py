@@ -131,3 +131,26 @@ def test_score_quality_accepts_legacy_default_named_model(spark):
     rows = out.collect()
     assert set(out.columns) == {"doc_id", "text", "quality_score"}
     assert all(0.0 <= r["quality_score"] <= 1.0 for r in rows)
+
+
+def test_model_survives_session_observation(spark, sf_correct):
+    """Once any DataFrame.observe has run in the session, Spark 4.1's
+    SparkSession holds a non-serializable ObservationManager — a freshly-fit
+    model that still carried its trainingSummary (which references the
+    session) would then fail task-closure serialization in every transform
+    whose prediction survives into a filter. train_quality_classifier strips
+    the summary, so score→filter→count must work AFTER an observation."""
+    from pyspark.sql import Observation
+
+    docs, pos, neg = _split(spark, sf_correct)
+    model = train_quality_classifier(pos, neg)
+    # every fitted stage must already be summary-free
+    for stage in model.stages:
+        assert not getattr(stage, "hasSummary", False)
+    obs = Observation()
+    docs.observe(obs, F.count(F.lit(1)).alias("n")).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    assert obs.get["n"] > 0  # the manager is now initialized for the session
+    scored = score_quality(docs, model)
+    assert scored.filter(F.col("quality_score") >= 0.0).count() == docs.count()
