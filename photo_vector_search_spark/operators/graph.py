@@ -26,8 +26,61 @@ One convergence-count job per round; peak storage is two label tables
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Below this many (deduplicated, symmetrized) edges the component closure
+# runs as a driver-side union-find on the already-materialized edge
+# checkpoint instead of iterative join rounds: each distributed round costs
+# three joins plus a checkpoint job, which dominates wall-clock on the small
+# graphs LSH dedup typically emits, while ≤ this many edge rows collect in a
+# few MB (the bounded-collect discipline). Identical labels either way (the
+# union-find tracks each component's minimum id — asserted in tests);
+# env-tunable for clusters with bigger drivers.
+CC_DRIVER_EDGE_LIMIT = int(os.environ.get("SPARK_GRAFT_CC_DRIVER_EDGES", "100000"))
+
+
+def _driver_union_find(edges: DataFrame) -> DataFrame:
+    """(doc_id, group_id) via union-find over a COLLECTED edge list — the
+    small-graph fast path. ``edges`` must be materialized (checkpointed)
+    and deduplicated; the representative of every set is its minimum
+    member, so labels equal the join-iteration fixpoint exactly."""
+    from pyspark.sql import types as T
+
+    rows = edges.collect()  # bounded by CC_DRIVER_EDGE_LIMIT (checked by caller)
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in rows:
+        a, b = row["a"], row["b"]
+        for n in (a, b):
+            if n not in parent:
+                parent[n] = n
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # min-label union: the smaller id stays the root, so every
+            # root IS its component's minimum member
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    out = sorted((n, find(n)) for n in parent)
+    id_type = edges.schema["a"].dataType
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", id_type, True),
+            T.StructField("group_id", id_type, True),
+        ]
+    )
+    return edges.sparkSession.createDataFrame(out, schema)
 
 
 def connected_components(
@@ -37,6 +90,7 @@ def connected_components(
     max_iters: int = 30,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 3,
+    driver_edge_limit: int | None = None,
 ) -> DataFrame:
     """(doc_id, group_id) for every node that appears in ``pairs``;
     ``group_id`` = the smallest doc_id in the node's connected component (the
@@ -109,11 +163,37 @@ def connected_components(
         F.col("a").isNotNull() & F.col("b").isNotNull()
     )
     # symmetrize once; propagation below then only needs one join direction
-    # checkpoint: materialize AND truncate lineage — see module docstring
-    edges = _ckpt(
-        edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct(),
-        0,
+    # checkpoint: materialize AND truncate lineage — see module docstring.
+    # The edge count rides the checkpoint action as an observed metric (the
+    # round loop's convergence-count pattern) so the small-graph routing
+    # decision below costs no extra job in localCheckpoint mode.
+    sym = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    n_edges = None
+    if checkpoint_dir is None:
+        from pyspark.sql import Observation
+
+        eobs = Observation()
+        sym = sym.observe(eobs, F.count(F.lit(1)).alias("n"))
+    edges = _ckpt(sym, 0)
+    if checkpoint_dir is None:
+        try:
+            n_edges = int(eobs.get["n"] or 0)
+        except Exception:
+            n_edges = None  # empty-plan corner: fall back to the count
+    if n_edges is None:
+        n_edges = edges.count()  # cheap: counts the materialized checkpoint
+    limit = (
+        driver_edge_limit
+        if driver_edge_limit is not None
+        else CC_DRIVER_EDGE_LIMIT
     )
+    if n_edges <= limit:
+        # small graph: the per-round join+checkpoint overhead dominates —
+        # collapse on the driver from the materialized edges (identical
+        # labels; see _driver_union_find)
+        return _driver_union_find(edges)
     labels = _ckpt(
         edges.select(F.col("a").alias("node"))
         .distinct()

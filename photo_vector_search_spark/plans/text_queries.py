@@ -1209,44 +1209,67 @@ def train_bigram_lm(docs: DataFrame, stage: bool = True) -> tuple[DataFrame, int
     Returns ``(lm, vocab_size)``: ``lm`` has one row per observed bigram —
     (w1, w2, c12, c1) with the unigram count pre-attached so scoring needs a
     single lookup join — and ``vocab_size`` is |distinct tokens| for the
-    smoothing denominator. Corpus-sized work is exactly two passes: the
-    bigram explode+groupBy and the unigram vocab count. c1 is NOT a second
-    corpus aggregation — c1(w1) = Σ_w2 c12(w1, w2) exactly (integer counts),
-    a window sum over the bigram-vocabulary-sized aggregate.
+    smoothing denominator. Corpus-sized work is exactly ONE pass (r12
+    optimization — previously the vocab count re-tokenized the whole corpus
+    a second time): every token position emits one (w1 = token,
+    w2 = successor-or-NULL) row, so the grouped table holds the bigram
+    counts (w2 non-NULL rows — a doc's last token and 1-token docs pair
+    with NULL, never with a phantom successor) AND the full unigram
+    vocabulary (distinct w1 — every token of every doc appears as a w1,
+    including tokens of docs too short to form a bigram). c1 is NOT a
+    second corpus aggregation — c1(w1) = Σ_{w2 non-NULL} c12(w1, w2)
+    exactly (integer counts), a window sum over the
+    bigram-vocabulary-sized aggregate; the NULL-successor rows are
+    excluded from it, exactly matching the old bigrams-only frame.
 
-    ``stage=True`` (default) materializes the LM table to session parquet
-    scratch at call time (``operators/staging``): ``doc_log_perplexity``
-    consumes the LM in TWO subtrees (the (w1,w2) probability probe and the
-    distinct (w1,c1) backoff table), and Spark re-executes unstaged common
-    subtrees per consumer — unstaged, every scoring run would re-derive the
-    corpus-sized bigram aggregation twice. Staged, training runs the corpus
-    passes once and every consumer re-scans a bigram-vocabulary-sized
-    parquet. ``stage=False`` keeps the frame fully lazy (tests /
-    composition into a larger staged plan)."""
+    ``stage=True`` (default) materializes the grouped (w1, w2, c12) table
+    to session parquet scratch at call time (``operators/staging``): the
+    vocab count reads the staged copy (a vocabulary-sized scan, not a
+    corpus pass), and ``doc_log_perplexity`` consumes the LM in TWO
+    subtrees (the (w1,w2) probability probe and the distinct (w1,c1)
+    backoff table), and Spark re-executes unstaged common subtrees per
+    consumer — unstaged, every scoring run would re-derive the
+    corpus-sized aggregation twice. ``stage=False`` keeps the frame fully
+    lazy (tests / composition into a larger staged plan) — the vocab count
+    then re-derives the corpus pass, the pre-r12 cost shape."""
     toks = docs.select(tokens(F.col("text")).alias("ts")).filter(
-        F.size("ts") >= 2
+        F.size("ts") >= 1
     )
-    big = toks.select(
+    # w1 = every token occurrence; w2 = its successor, NULL at the doc's end
+    # (and for 1-token docs) — one explode covers bigram counts AND vocab
+    pairs = toks.select(
         F.explode(
             F.arrays_zip(
-                F.slice(F.col("ts"), 1, F.size("ts") - 1),
-                F.slice(F.col("ts"), 2, F.size("ts") - 1),
+                F.col("ts").alias("w1"),
+                F.concat(
+                    F.slice(
+                        F.col("ts"), 2, F.greatest(F.size("ts") - 1, F.lit(0))
+                    ),
+                    F.array(F.lit(None).cast("string")),
+                ).alias("w2"),
             )
         ).alias("bg")
-    ).select(F.col("bg.0").alias("w1"), F.col("bg.1").alias("w2"))
-    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    lm = c12.withColumn(
-        "c1", F.sum("c12").over(Window.partitionBy("w1"))
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    # c1 sums ONLY the true-bigram rows of the w1 partition (a NULL-successor
+    # row is not a bigram start), so the post-filter lm rows are value-
+    # identical to the old bigrams-only formulation; computing it BEFORE
+    # staging keeps the staged scan window-free for both scoring consumers
+    grouped = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .withColumn(
+            "c1",
+            F.sum(
+                F.when(F.col("w2").isNotNull(), F.col("c12")).otherwise(0)
+            ).over(Window.partitionBy("w1")),
+        )
     )
     if stage:
         from photo_vector_search_spark.operators.staging import stage_frame
 
-        lm = stage_frame(lm, "pvs_bigram_lm")
-    vocab_size = (
-        docs.select(F.explode(tokens(F.col("text"))).alias("t"))
-        .agg(F.count_distinct("t"))
-        .first()[0]
-    )
+        grouped = stage_frame(grouped, "pvs_bigram_lm")
+    lm = grouped.filter(F.col("w2").isNotNull())
+    vocab_size = grouped.agg(F.count_distinct("w1")).first()[0]
     return lm, int(vocab_size)
 
 

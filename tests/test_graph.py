@@ -214,3 +214,40 @@ def test_cc_matches_duckdb_recursive_cte_on_real_pairs(spark, sf_correct):
     finally:
         con.close()
     assert got == set(rows)
+
+
+def test_driver_fast_path_matches_distributed_rounds(spark):
+    """The small-graph union-find shortcut must label exactly like the
+    iterative join rounds (group_id = component min), including chains,
+    stars, self-loops, duplicate/reversed edges, and string ids."""
+    edges = [
+        (1, 2), (2, 3), (3, 4), (4, 5),          # chain
+        (10, 11), (10, 12), (10, 13),             # star
+        (20, 20),                                  # self-loop
+        (30, 31), (31, 30), (30, 31),              # dup + reversed
+        (40, 41), (42, 41),                        # min arrives via middle
+    ]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    fast = {
+        (r["doc_id"], r["group_id"])
+        for r in connected_components(pairs).collect()
+    }
+    slow = {
+        (r["doc_id"], r["group_id"])
+        for r in connected_components(pairs, driver_edge_limit=0).collect()
+    }
+    assert fast == slow and len(fast) == 15
+
+    spairs = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("x", "y")], "doc_a string, doc_b string"
+    )
+    sfast = {
+        (r["doc_id"], r["group_id"])
+        for r in connected_components(spairs).collect()
+    }
+    sslow = {
+        (r["doc_id"], r["group_id"])
+        for r in connected_components(spairs, driver_edge_limit=0).collect()
+    }
+    assert sfast == sslow
+    assert ("c", "a") in sfast and ("y", "x") in sfast
