@@ -147,15 +147,45 @@ def minhash_pairs_against(
     n: int = 3,
     tau: float = 0.5,
     bands: int = LSH_BANDS,
+    staging_dir: str | None = None,
+    stage: bool | None = None,
 ) -> DataFrame:
     """(new_id, ref_id, jaccard) for every new/reference pair with exact
     n-gram Jaccard ≥ tau among LSH band-bucket collisions — the evidence
     frame behind ``minhash_dedup_against`` (audit it to see WHAT matched
-    before dropping). Id spaces may overlap freely: sides never mix."""
+    before dropping). Id spaces may overlap freely: sides never mix.
+
+    Fan-out economics (r12): each side's shingle table feeds THREE
+    consumers (its banding, its set-size count, its verify-join side) and
+    Spark re-executes unstaged common subtrees per consumer. ``stage=None``
+    (default) decides by the ``shuffle_corpus`` plan inspection, the same
+    rule ``fuzzy_pairs_blocked`` uses: bare deterministic scans re-derive
+    (re-scanning immutable files IS the staged read, and persisting the
+    string-valued shingle table was MEASURED SLOWER at sf0.1 than the
+    recompute — OPTIMIZATION_r12.md); wide or nondeterministic upstreams
+    persist their shingle caches for the duration of the call and stage the
+    pair result to parquet, so the expensive upstream executes exactly
+    once. ``stage=True`` forces that persist+stage mode; ``stage=False``
+    forces pure lazy plans (the caller owns any materialization)."""
     if not 0.0 < tau <= 1.0:
         raise ValueError(f"tau must be in (0, 1], got {tau}")
+    from photo_vector_search_spark.operators.shuffle import (
+        _rescan_safe_and_cheap,
+    )
+    from photo_vector_search_spark.operators.staging import session_staging_dir
+
+    if stage is None:
+        stage = not (
+            _rescan_safe_and_cheap(new_docs)
+            and _rescan_safe_and_cheap(reference)
+        )
     sh_new = shingle_sets(new_docs, n)
     sh_ref = shingle_sets(reference, n)
+    if stage:
+        if staging_dir is None:
+            staging_dir = session_staging_dir("pvs_xdedup_pairs")
+        sh_new = sh_new.persist()
+        sh_ref = sh_ref.persist()
     bands_new = _bands_from_wide(_wide_signatures(sh_new), bands)
     bands_ref = _bands_from_wide(_wide_signatures(sh_ref), bands)
     cand = (
@@ -183,12 +213,21 @@ def minhash_pairs_against(
         .agg(F.count(F.lit(1)).alias("_common"))
     )
     jac = F.col("_common") / (F.col("_n_new") + F.col("_n_ref") - F.col("_common"))
-    return (
+    pairs = (
         common.join(cnt_new.withColumnRenamed("doc_id", "new_id"), "new_id")
         .join(cnt_ref.withColumnRenamed("doc_id", "ref_id"), "ref_id")
         .filter(jac >= tau)
         .select("new_id", "ref_id", F.round(jac, 6).alias("jaccard"))
     )
+    if not stage:
+        return pairs  # fully lazy: nothing persisted, nothing staged
+    try:
+        pairs.write.mode("overwrite").parquet(staging_dir)
+    finally:
+        # a failed staged write must not leak the caches
+        sh_new.unpersist(blocking=True)
+        sh_ref.unpersist(blocking=True)
+    return new_docs.sparkSession.read.parquet(staging_dir)
 
 
 def minhash_dedup_against(

@@ -357,14 +357,26 @@ def minhash_lsh_pairs(
     ``.unpersist()`` when done. The staged default exists because the pair
     result feeds multiple downstream actions and recomputing the LSH pass per
     action is the expensive path."""
+    from photo_vector_search_spark.operators.shuffle import (
+        _rescan_safe_and_cheap,
+    )
     from photo_vector_search_spark.operators.staging import session_staging_dir
 
     if staging_dir is None:
         staging_dir = session_staging_dir("pvs_lsh_pairs")
-    # one shared, cached shingle table feeds signatures, counts and the verify
-    # join — without it the shingling+md5 work runs four times; unpersisted
-    # deterministically below once the staged write has consumed it.
-    sh = shingle_sets(docs, n).persist()
+    # the shared shingle table feeds signatures, counts and both verify-join
+    # sides. For a bare deterministic scan input, re-deriving the explode per
+    # consumer is CHEAPER than caching it (measured at sf0.1,
+    # OPTIMIZATION_r12.md — persisting the string-valued shingle rows blocks
+    # codegen fusion and materializes more bytes than the recompute costs;
+    # the fuzzy_pairs_blocked auto-staging rule). Wide or nondeterministic
+    # upstreams keep the persist so the expensive upstream executes once;
+    # unpersisted deterministically below once the staged write has
+    # consumed it.
+    _cache_sh = not _rescan_safe_and_cheap(docs)
+    sh = shingle_sets(docs, n)
+    if _cache_sh:
+        sh = sh.persist()
     bandsdf = _bands_from_wide(_wide_signatures(sh))
     if max_bucket_size is not None:
         bandsdf = prune_hot_buckets(bandsdf, max_bucket_size)
@@ -385,7 +397,9 @@ def minhash_lsh_pairs(
     try:
         pairs.write.mode("overwrite").parquet(staging_dir)
     finally:
-        sh.unpersist(blocking=True)  # a failed staged write must not leak the cache
+        if _cache_sh:
+            # a failed staged write must not leak the cache
+            sh.unpersist(blocking=True)
     return docs.sparkSession.read.parquet(staging_dir)
 
 
