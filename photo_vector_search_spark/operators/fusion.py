@@ -280,29 +280,41 @@ def rrf_fuse(
     if top_n is not None and top_n < 1:
         raise ValueError(f"top_n must be >= 1, got {top_n}")
 
-    contribs = []
-    for run, w in zip(runs, weights):
-        best = (
-            run.select(
-                F.col(query_col).alias("_q"),
-                F.col(doc_col).alias("_d"),
-                F.col(rank_col).cast("long").alias("_r"),
-            )
-            .filter(F.col("_r") >= 1)
-            .groupBy("_q", "_d")
-            .agg(F.min("_r").alias("_r"))
-        )
-        contribs.append(
-            best.select(
-                "_q",
-                "_d",
-                (F.lit(float(w)) / (F.lit(float(k)) + F.col("_r"))).alias("_c"),
-            )
-        )
-    fused = (
-        reduce(lambda a, b: a.unionByName(b), contribs)
+    # ONE keyed aggregation for the whole fusion (r12 — was one groupBy-min
+    # PER RUN plus a second groupBy over their union, i.e. runs+1 exchanges
+    # of the same (q, d) keys): the run list is static, so each run's
+    # best-rank collapse pivots into a conditional min inside a single
+    # groupBy — min(rank WHERE run = i) — and the score sums the per-run
+    # contributions in fixed run order. Same duplicate-collapse semantics,
+    # same values (each run's min rank, then the weighted reciprocal sum).
+    tagged = [
+        run.select(
+            F.col(query_col).alias("_q"),
+            F.col(doc_col).alias("_d"),
+            F.col(rank_col).cast("long").alias("_r"),
+            F.lit(i).alias("_run"),
+        ).filter(F.col("_r") >= 1)
+        for i, run in enumerate(runs)
+    ]
+    best = (
+        reduce(lambda a, b: a.unionByName(b), tagged)
         .groupBy("_q", "_d")
-        .agg(F.round(F.sum("_c"), 6).alias("rrf_score"))
+        .agg(
+            *[
+                F.min(F.when(F.col("_run") == i, F.col("_r"))).alias(f"_r{i}")
+                for i in range(len(runs))
+            ]
+        )
+    )
+    contrib = None
+    for i, w in enumerate(weights):
+        c = F.when(
+            F.col(f"_r{i}").isNotNull(),
+            F.lit(float(w)) / (F.lit(float(k)) + F.col(f"_r{i}")),
+        ).otherwise(F.lit(0.0))
+        contrib = c if contrib is None else contrib + c
+    fused = best.select(
+        "_q", "_d", F.round(contrib, 6).alias("rrf_score")
     )
     w_rank = Window.partitionBy("_q").orderBy(
         F.col("rrf_score").desc(), F.col("_d").asc()
