@@ -138,8 +138,19 @@ def predict_lang(
     probability, 6dp, unless None). ``n`` must match the training n-gram
     length. Map-only — hashing + one matrix-vector product per doc,
     pipelines into the scan, no shuffle. All input columns pass through
-    untouched (internals are ``_li_*``-uniquified)."""
+    untouched (internals are ``_li_*``-uniquified).
+
+    Side effect: a model still carrying its training summary is stripped in
+    place first (see ``quality.strip_training_summaries`` — such a model
+    cannot enter a task closure once any Observation has run in the
+    session)."""
     from pyspark.ml.functions import vector_to_array
+
+    from photo_vector_search_spark.pipelines.quality import (
+        strip_training_summaries,
+    )
+
+    strip_training_summaries(model)
 
     labels = model.stages[0].labels
     scored = model.transform(

@@ -140,9 +140,16 @@ def score_quality(
     one dot product per doc, no shuffle; all input columns pass through —
     including user columns named ``prediction``/``probability``/
     ``rawPrediction`` (the model's outputs use uniquified ``_q_*`` names, so
-    ``transform`` can neither collide with nor overwrite user metadata)."""
+    ``transform`` can neither collide with nor overwrite user metadata).
+
+    Side effect: a model still carrying its training summary is stripped IN
+    PLACE first (see ``strip_training_summaries`` — a summary-holding model
+    cannot enter a task closure once any Observation has run in the
+    session; engine-trained and disk-loaded models are already
+    summary-free, this covers caller-fit ones)."""
     from pyspark.ml.functions import vector_to_array
 
+    strip_training_summaries(model)
     scored = model.transform(docs.withColumn(_TOKS, _tok_col(text_col)))
     if _PROB in scored.columns:
         prob, extras = _PROB, (_FEATURES, _RAW, _PROB, _PRED)

@@ -154,3 +154,32 @@ def test_model_survives_session_observation(spark, sf_correct):
     assert obs.get["n"] > 0  # the manager is now initialized for the session
     scored = score_quality(docs, model)
     assert scored.filter(F.col("quality_score") >= 0.0).count() == docs.count()
+
+    # a CALLER-fit model (bypassing train_quality_classifier) still carries
+    # its summary — score_quality must strip it defensively, or scoring
+    # fails in any session that has run an observation (full-suite order
+    # dependence caught exactly this)
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import HashingTF
+
+    from photo_vector_search_spark.pipelines.quality import _FEATURES, _TOKS
+
+    train = pos.limit(20).select(
+        F.lit(1.0).alias("label"),
+        F.array_remove(F.split(F.lower("text"), r"\s+"), "").alias(_TOKS),
+    ).unionByName(
+        neg.limit(20).select(
+            F.lit(0.0).alias("label"),
+            F.array_remove(F.split(F.lower("text"), r"\s+"), "").alias(_TOKS),
+        )
+    )
+    caller_fit = Pipeline(
+        stages=[
+            HashingTF(inputCol=_TOKS, outputCol=_FEATURES, numFeatures=64),
+            LogisticRegression(featuresCol=_FEATURES, labelCol="label", maxIter=5),
+        ]
+    ).fit(train)
+    assert any(getattr(s, "hasSummary", False) for s in caller_fit.stages)
+    out = score_quality(docs, caller_fit)
+    assert out.filter(F.col("quality_score") >= 0.0).count() == docs.count()
