@@ -178,6 +178,55 @@ def _store_signature(path: str) -> str:
     return hashlib.md5("\n".join(sorted(entries)).encode()).hexdigest()
 
 
+def _file_build_ids(path: str) -> set:
+    """Every distinct ``build_id`` under ``path`` — from parquet FOOTER
+    statistics, driver-side, O(files) metadata reads, no Spark job (r13:
+    the per-row ``distinct().collect()`` this replaces was a full scan of
+    the store PER LOAD — per serving call — exactly the
+    O(rows)-work-per-query shape a persisted store exists to avoid; at
+    100 TB the torn-build check must be metadata-sized). ``build_id`` is
+    written as a constant column, so a row group's min == max == the id,
+    and the writer's footer stats are exact for a short hex string (far
+    under stat truncation). A footer without usable stats falls back to
+    reading that ONE file's build_id column (bounded, never store-sized);
+    a NULL or a missing column surfaces as ``None`` in the set, which can
+    never equal any expected id. An empty set means zero data files /
+    zero row groups — the never-built case, same verdict as the old
+    distinct over zero rows."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    builds: set = set()
+    for root, _dirs, files in os.walk(path):
+        for fname in files:
+            if fname.startswith((".", "_")) or not fname.endswith(".parquet"):
+                continue
+            full = os.path.join(root, fname)
+            md = pq.ParquetFile(full).metadata
+            try:
+                col_idx = md.schema.names.index("build_id")
+            except ValueError:
+                builds.add(None)  # schema without build_id: torn by definition
+                continue
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(col_idx).statistics
+                if st is None or not st.has_min_max:
+                    col = pq.read_table(full, columns=["build_id"])
+                    builds.update(col.column(0).to_pylist())
+                    break
+                if st.null_count not in (0, None):
+                    builds.add(None)
+                vmin, vmax = st.min, st.max
+                if isinstance(vmin, bytes):
+                    vmin = vmin.decode("utf-8", "replace")
+                if isinstance(vmax, bytes):
+                    vmax = vmax.decode("utf-8", "replace")
+                builds.add(vmin)
+                builds.add(vmax)
+    return builds
+
+
 def load_ivf_store(spark, path: str) -> tuple[DataFrame, np.ndarray]:
     """(store DataFrame with cluster_id partition column, centroid matrix).
 
@@ -190,7 +239,7 @@ def load_ivf_store(spark, path: str) -> tuple[DataFrame, np.ndarray]:
     store = spark.read.parquet(path)
     cent = spark.read.parquet(path + ".centroids").orderBy("centroid_id").collect()
     cent_build = {r["build_id"] for r in cent}
-    store_build = {r["build_id"] for r in store.select("build_id").distinct().collect()}
+    store_build = _file_build_ids(path)  # footer stats, no store scan (r13)
     if not store_build or not cent_build:
         # distinct from the torn-pair case below: zero rows means the store was
         # never (successfully) built, and "crashed between swaps" would mislead

@@ -43,6 +43,7 @@ def _tf_and_stats(
     text_col: str,
     stage: bool,
     prefix: str,
+    store: tuple[DataFrame, dict] | None = None,
 ):
     """(tf frame, n_docs, avgdl) in ONE corpus pass (staged mode): the
     per-(doc, term) tf aggregation for ``terms`` with the corpus statistics
@@ -53,8 +54,38 @@ def _tf_and_stats(
     corpus passes; now one). ``stage=False`` keeps the audit-friendly pure
     plan and the classic two-pass shape (the tf frame must then not fan out).
 
+    ``store`` (r13): a preloaded BM25 postings store ``(postings, meta)``
+    from `bm25_store.load_bm25_store` — the tf frame then comes from the
+    bucket-pruned, term-filtered PERSISTED postings (≤ q partition
+    directories of fixed-width rows; no corpus tokenize at all) and the
+    stats from the store meta. The store rows are exactly this function's
+    corpus-mode output — ``(id, _term, _tf, _dl)`` per (doc, term) — so
+    every downstream scoring expression is shared verbatim between the two
+    sources (value parity pinned in tests). ``stage`` is ignored with a
+    store: both consumers re-scan the pruned parquet, which IS the staged
+    read (`bm25_store._score_postings` discipline).
+
     dl rides with every exploded row (computed once per doc in the same
     projection) — scoring needs no corpus-sized join back for lengths."""
+    if store is not None:
+        postings, meta = store
+        if meta["id_col"] != id_col or meta["text_col"] != text_col:
+            raise ValueError(
+                f"store indexes ({meta['id_col']!r}, {meta['text_col']!r}) "
+                f"but the call asks for ({id_col!r}, {text_col!r}) — wrong "
+                "store for this corpus"
+            )
+        from photo_vector_search_spark.operators.bm25_store import (
+            _pruned_postings,
+        )
+
+        tf = _pruned_postings(postings, terms, meta["n_buckets"]).select(
+            id_col, "_term", "_tf", "_dl"
+        )
+        # build_bm25_store refuses n_docs == 0 and sum_dl == 0, so the
+        # stats are always usable; avgdl is bit-identical to corpus-mode
+        # F.avg (integer-valued doubles sum exactly).
+        return tf, int(meta["n_docs"]), meta["sum_dl"] / meta["n_docs"]
     base = docs.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col),
         F.array_remove(tokens(F.col(text_col)), "").alias("_toks"),
@@ -109,6 +140,61 @@ def _tf_and_stats(
     return tf, n_docs, avgdl
 
 
+def _idf_expr(n_docs: float, df):
+    """Lucene idf as a Catalyst expression — ONE definition so the
+    broadcast-join path and the folded-literal path share the exact
+    expression shape (same IEEE ops in the same order → bit-identical
+    doubles either way). ``df`` is either F.col("_df") (join path) or a
+    float literal (folded path; Catalyst constant-folds through the same
+    StrictMath.log the codegen path calls)."""
+    return F.log(
+        F.lit(1.0) + (F.lit(float(n_docs)) - df + F.lit(0.5)) / (df + F.lit(0.5))
+    )
+
+
+def _scored_with_idf(tf, n_docs: int, fold: bool):
+    """``tf`` with an ``_idf`` column attached per ``_term``.
+
+    ``fold=True`` (r13, VERDICT item 4): collect per-term df from the
+    already-materialized tf frame (staged parquet or pruned store postings —
+    a ≤|terms|-row aggregation job over a bounded scan, NO corpus work) and
+    fold idf into a constant literal map, deleting the df-aggregation
+    subtree and the broadcast join from the scoring plan — one less
+    exchange and one less join per scorer call, and the idf map lookup runs
+    on the bounded tf rows only (never a corpus pass — the trap that killed
+    the reverted r12 observed-df attempt). ``fold=False`` keeps the classic
+    agg + broadcast-join shape for tf frames that are NOT cheap to re-scan
+    (stage=False pure plans, where the collect would re-run the corpus
+    explode)."""
+    if not fold:
+        df = tf.groupBy("_term").agg(F.count(F.lit(1)).alias("_df"))
+        return tf.join(
+            F.broadcast(
+                df.select("_term", _idf_expr(n_docs, F.col("_df")).alias("_idf"))
+            ),
+            "_term",
+        )
+    rows = (
+        tf.groupBy("_term").agg(F.count(F.lit(1)).alias("_df")).collect()
+    )
+    if not rows:
+        # zero postings matched: the join path would emit zero rows too
+        return tf.withColumn("_idf", F.lit(None).cast("double")).filter(
+            F.lit(False)
+        )
+    idf_map = F.create_map(
+        *[
+            x
+            for r in sorted(rows, key=lambda r: r["_term"])
+            for x in (
+                F.lit(r["_term"]),
+                _idf_expr(n_docs, F.lit(float(r["_df"]))),
+            )
+        ]
+    )
+    return tf.withColumn("_idf", idf_map[F.col("_term")])
+
+
 def query_terms(query: str) -> list[str]:
     """The query-side tokenization: distinct whitespace tokens of the
     lowercased query — the Python twin of ``functions.text.tokens`` (same
@@ -124,6 +210,7 @@ def bm25_scores(
     id_col: str = "doc_id",
     text_col: str = "text",
     stage: bool = True,
+    store: tuple[DataFrame, dict] | None = None,
 ) -> DataFrame:
     """Per-document BM25 scores for ``query``: one row per document
     containing ≥1 query term — (id, bm25 rounded 6dp, n_terms matched).
@@ -137,7 +224,8 @@ def bm25_scores(
     stage_frame fan-out trap, plan-audited). Staged — the default — the
     corpus is exploded ONCE and both consumers re-scan the tiny staged
     postings (bounded by matching docs × query terms, never corpus-sized).
-    ``stage=False`` keeps the pure plan for audits/composition."""
+    ``stage=False`` keeps the pure plan for audits/composition.
+    ``store``: preloaded postings store — see `_tf_and_stats`."""
     if k1 < 0:
         raise ValueError(f"k1 must be >= 0, got {k1}")
     if not 0.0 <= b <= 1.0:
@@ -147,7 +235,7 @@ def bm25_scores(
         raise ValueError("query has no terms after tokenization")
 
     tf, n_docs, avgdl = _tf_and_stats(
-        docs, terms, id_col, text_col, stage, "pvs_bm25_tf"
+        docs, terms, id_col, text_col, stage, "pvs_bm25_tf", store=store
     )
     if n_docs == 0 or avgdl == 0.0:
         # empty / all-empty corpus: nothing can match
@@ -155,13 +243,7 @@ def bm25_scores(
             [], f"`{id_col}` long, bm25 double, n_terms long"
         )
 
-    df = tf.groupBy("_term").agg(F.count(F.lit(1)).alias("_df"))
-    idf = F.log(
-        F.lit(1.0)
-        + (F.lit(float(n_docs)) - F.col("_df") + F.lit(0.5))
-        / (F.col("_df") + F.lit(0.5))
-    )
-    scored = tf.join(F.broadcast(df.select("_term", idf.alias("_idf"))), "_term")
+    scored = _scored_with_idf(tf, n_docs, fold=stage or store is not None)
     num = F.col("_tf") * F.lit(k1 + 1.0)
     den = F.col("_tf") + F.lit(k1) * (
         F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.lit(avgdl)
@@ -184,11 +266,13 @@ def bm25_batch_topk(
     query_col: str = "query",
     stage: bool = True,
     max_queries: int = 4096,
+    store: tuple[DataFrame, dict] | None = None,
 ) -> DataFrame:
     """Batched BM25: Q queries share ONE corpus pass — (query_id, id, bm25,
     rank), rank 1-based per query, ties by ascending id. Result ≡ a Python
     loop of ``bm25_topk`` per query (pinned in tests): idf/avgdl/N are
     corpus statistics, so per-query and batched scoring agree exactly.
+    ``store``: preloaded postings store — see `_tf_and_stats`.
 
     Shape: the postings explode filters to the UNION of all queries' terms
     (one literal IN, map-side — hence ``max_queries`` bounds the driver-side
@@ -240,7 +324,8 @@ def bm25_batch_topk(
     )
 
     tf, n_docs, avgdl = _tf_and_stats(
-        docs, all_terms, id_col, text_col, stage, "pvs_bm25_batch_tf"
+        docs, all_terms, id_col, text_col, stage, "pvs_bm25_batch_tf",
+        store=store,
     )
     if n_docs == 0 or avgdl == 0.0:
         return spark.createDataFrame(
@@ -254,18 +339,12 @@ def bm25_batch_topk(
                 ]
             ),
         )
-    df = tf.groupBy("_term").agg(F.count(F.lit(1)).alias("_df"))
-    idf = F.log(
-        F.lit(1.0)
-        + (F.lit(float(n_docs)) - F.col("_df") + F.lit(0.5))
-        / (F.col("_df") + F.lit(0.5))
-    )
     num = F.col("_tf") * F.lit(k1 + 1.0)
     den = F.col("_tf") + F.lit(k1) * (
         F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.lit(avgdl)
     )
-    postings = tf.join(
-        F.broadcast(df.select("_term", idf.alias("_idf"))), "_term"
+    postings = _scored_with_idf(
+        tf, n_docs, fold=stage or store is not None
     ).select(id_col, "_term", (F.col("_idf") * num / den).alias("_s"))
     per_query = (
         postings.join(F.broadcast(qterms), "_term")
@@ -290,6 +369,7 @@ def bm25_scores_weighted(
     id_col: str = "doc_id",
     text_col: str = "text",
     stage: bool = True,
+    store: tuple[DataFrame, dict] | None = None,
 ) -> DataFrame:
     """Per-document WEIGHTED BM25: score = Σ_w weight_w · bm25_term(w, D) —
     the scoring half of query expansion (RM3 hands this its mixed term
@@ -312,22 +392,16 @@ def bm25_scores_weighted(
             raise ValueError(f"weight for {t!r} must be > 0, got {w}")
 
     tf, n_docs, avgdl = _tf_and_stats(
-        docs, terms, id_col, text_col, stage, "pvs_bm25_wtf"
+        docs, terms, id_col, text_col, stage, "pvs_bm25_wtf", store=store
     )
     if n_docs == 0 or avgdl == 0.0:
         return docs.sparkSession.createDataFrame(
             [], f"`{id_col}` long, score double, n_terms long"
         )
-    df = tf.groupBy("_term").agg(F.count(F.lit(1)).alias("_df"))
-    idf = F.log(
-        F.lit(1.0)
-        + (F.lit(float(n_docs)) - F.col("_df") + F.lit(0.5))
-        / (F.col("_df") + F.lit(0.5))
-    )
     wmap = F.create_map(
         *[x for t, w in term_weights for x in (F.lit(t), F.lit(float(w)))]
     )
-    scored = tf.join(F.broadcast(df.select("_term", idf.alias("_idf"))), "_term")
+    scored = _scored_with_idf(tf, n_docs, fold=stage or store is not None)
     num = F.col("_tf") * F.lit(k1 + 1.0)
     den = F.col("_tf") + F.lit(k1) * (
         F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.lit(avgdl)
@@ -351,6 +425,7 @@ def rm3_expand(
     id_col: str = "doc_id",
     text_col: str = "text",
     stage: bool = True,
+    store: tuple[DataFrame, dict] | None = None,
 ) -> list[tuple[str, float]]:
     """RM3 pseudo-relevance-feedback expansion (Abdul-Jaleel et al. 2004,
     the Lavrenko–Croft relevance model with original-query interpolation —
@@ -379,7 +454,7 @@ def rm3_expand(
 
     fb = bm25_topk(
         docs, query, k=fb_docs, k1=k1, b=b, id_col=id_col,
-        text_col=text_col, stage=stage,
+        text_col=text_col, stage=stage, store=store,
     ).select(id_col, "bm25").collect()
     if not fb or fb_terms == 0:
         # no feedback evidence → the original query, unmixed (ranking is
@@ -442,21 +517,27 @@ def rm3_topk(
     id_col: str = "doc_id",
     text_col: str = "text",
     stage: bool = True,
+    store: tuple[DataFrame, dict] | None = None,
 ) -> DataFrame:
     """Full RM3 retrieval: expand, then weighted-BM25 top-k — (id, score,
     rank), ties by ascending id; TakeOrderedAndProject, the bm25_topk
     discipline. Two bounded corpus passes (feedback retrieval + final
     scoring) plus one fb_docs-sized distribution job — the standard price
-    of pseudo-relevance feedback."""
+    of pseudo-relevance feedback. With ``store`` (a preloaded postings
+    store), BOTH postings passes read pruned store buckets instead — the
+    only corpus touch left is the fb-doc distribution explode over
+    ``fb_docs`` id-filtered rows (parquet id pushdown, never corpus-sized);
+    values are identical either way (pinned in tests)."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     weights = rm3_expand(
         docs, query, fb_docs=fb_docs, fb_terms=fb_terms, alpha=alpha,
         k1=k1, b=b, id_col=id_col, text_col=text_col, stage=stage,
+        store=store,
     )
     scores = bm25_scores_weighted(
         docs, weights, k1=k1, b=b, id_col=id_col, text_col=text_col,
-        stage=stage,
+        stage=stage, store=store,
     )
     top = scores.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
     return top.withColumn(
@@ -482,6 +563,7 @@ def rm3_batch_topk(
     query_col: str = "query",
     stage: bool = True,
     max_queries: int = 4096,
+    store: tuple[DataFrame, dict] | None = None,
 ) -> DataFrame:
     """Batched RM3: Q feedback queries share corpus passes instead of 2Q —
     (query_id, id, score, n_terms, rank), ≡ a Python loop of ``rm3_topk``
@@ -495,7 +577,12 @@ def rm3_batch_topk(
     aggregated per (query, term) with a bounded per-query top-fb_terms
     window; stage 2 is ONE shared postings pass over the union of all
     expanded terms with a broadcast (query_id, term, weight) fan-out —
-    the ``bm25_batch_topk`` scoring shape with one extra multiply."""
+    the ``bm25_batch_topk`` scoring shape with one extra multiply.
+
+    With ``store`` (a preloaded postings store) both stage-1 and stage-2
+    postings passes read pruned store buckets — zero corpus tokenize
+    passes; only the fb-doc distribution explode touches ``docs``, filtered
+    to ≤ Q·fb_docs ids (parquet id pushdown). Values identical (pinned)."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if fb_docs < 1:
@@ -532,7 +619,7 @@ def rm3_batch_topk(
     fb = bm25_batch_topk(
         docs, queries, k=fb_docs, k1=k1, b=b, id_col=id_col,
         text_col=text_col, query_id_col=query_id_col, query_col=query_col,
-        stage=stage, max_queries=max_queries,
+        stage=stage, max_queries=max_queries, store=store,
     ).select(query_id_col, id_col, "bm25").collect()
     p_doc: dict = {}
     for r in fb:
@@ -638,7 +725,8 @@ def rm3_batch_topk(
     all_terms = sorted({t for _, t, _ in wq_rows})
 
     tf, n_docs, avgdl = _tf_and_stats(
-        docs, all_terms, id_col, text_col, stage, "pvs_rm3_batch_tf"
+        docs, all_terms, id_col, text_col, stage, "pvs_rm3_batch_tf",
+        store=store,
     )
     if n_docs == 0 or avgdl == 0.0:
         return spark.createDataFrame(
@@ -653,18 +741,12 @@ def rm3_batch_topk(
                 ]
             ),
         )
-    df = tf.groupBy("_term").agg(F.count(F.lit(1)).alias("_df"))
-    idf = F.log(
-        F.lit(1.0)
-        + (F.lit(float(n_docs)) - F.col("_df") + F.lit(0.5))
-        / (F.col("_df") + F.lit(0.5))
-    )
     num = F.col("_tf") * F.lit(k1 + 1.0)
     den = F.col("_tf") + F.lit(k1) * (
         F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.lit(avgdl)
     )
-    postings = tf.join(
-        F.broadcast(df.select("_term", idf.alias("_idf"))), "_term"
+    postings = _scored_with_idf(
+        tf, n_docs, fold=stage or store is not None
     ).select(id_col, "_term", (F.col("_idf") * num / den).alias("_s"))
     per_query = (
         postings.join(F.broadcast(wq), "_term")
@@ -693,6 +775,7 @@ def bm25_topk(
     id_col: str = "doc_id",
     text_col: str = "text",
     stage: bool = True,
+    store: tuple[DataFrame, dict] | None = None,
 ) -> DataFrame:
     """Top-k documents by BM25 — (id, bm25, rank), rank 1-based, ties broken
     by ascending id (the knn ordering discipline, so results are
@@ -701,7 +784,8 @@ def bm25_topk(
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     scores = bm25_scores(
-        docs, query, k1=k1, b=b, id_col=id_col, text_col=text_col, stage=stage
+        docs, query, k1=k1, b=b, id_col=id_col, text_col=text_col,
+        stage=stage, store=store,
     )
     top = scores.orderBy(F.col("bm25").desc(), F.col(id_col).asc()).limit(k)
     return top.withColumn(

@@ -208,6 +208,12 @@ def _postings_sig(path: str) -> str:
     return _store_signature(path)
 
 
+def _file_build_ids(path: str) -> set:
+    from photo_vector_search_spark.operators.ann import _file_build_ids as f
+
+    return f(path)
+
+
 def load_bm25_store(spark, path: str) -> tuple[DataFrame, DataFrame, dict]:
     """(postings, doclens, meta) — recovers any half-finished snapshot
     swap, then verifies all three tables share ONE build and the postings
@@ -247,16 +253,14 @@ def load_bm25_store(spark, path: str) -> tuple[DataFrame, DataFrame, dict]:
         )
     postings = spark.read.parquet(path)
     doclens = spark.read.parquet(path + ".doclens")
-    for frame, name in ((postings, "postings"), (doclens, "doclens")):
-        builds = {
-            r["build_id"]
-            for r in frame.select("build_id").distinct().collect()
-        }
+    for sub, name in ((path, "postings"), (path + ".doclens", "doclens")):
+        builds = _file_build_ids(sub)
         if builds != {meta["build_id"]}:
             raise ValueError(
-                f"BM25 {name} at {path!r} is from build {sorted(builds)} "
-                f"but the sidecar records {meta['build_id']!r} — a rebuild "
-                "crashed between snapshot swaps; re-run build_bm25_store"
+                f"BM25 {name} at {path!r} is from build "
+                f"{sorted(builds, key=str)} but the sidecar records "
+                f"{meta['build_id']!r} — a rebuild crashed between snapshot "
+                "swaps; re-run build_bm25_store"
             )
     return postings, doclens, meta
 
@@ -281,17 +285,15 @@ def _score_postings(
     id_col: str,
 ) -> DataFrame:
     """(id, bm25, n_terms) over an already-pruned postings frame — the
-    `bm25_scores` formula (Lucene idf), df aggregated from the same pruned
-    rows scoring reads anyway (≤ q tiny lists; no staging needed: both
-    consumers re-scan the PRUNED parquet, not a corpus explode)."""
-    df = pruned.groupBy("_term").agg(F.count(F.lit(1)).alias("_df"))
-    idf = F.log(
-        F.lit(1.0)
-        + (F.lit(float(n_docs)) - F.col("_df") + F.lit(0.5))
-        / (F.col("_df") + F.lit(0.5))
-    )
-    scored = pruned.join(
-        F.broadcast(df.select("_term", idf.alias("_idf"))), "_term"
+    `bm25_scores` formula (Lucene idf), df collected from the same pruned
+    rows scoring reads anyway (a ≤|terms|-row job over the pruned parquet)
+    and folded into constant idf literals — no df subtree, no broadcast
+    join in the scoring plan (r13, the `bm25._scored_with_idf` discipline;
+    values bit-identical to the join shape, pinned in tests)."""
+    from photo_vector_search_spark.operators.bm25 import _scored_with_idf
+
+    scored = _scored_with_idf(
+        pruned.select(id_col, "_term", "_tf", "_dl"), n_docs, fold=True
     )
     num = F.col("_tf") * F.lit(k1 + 1.0)
     den = F.col("_tf") + F.lit(k1) * (
@@ -465,18 +467,15 @@ def bm25_store_batch_topk(
     )
     avgdl = meta["sum_dl"] / meta["n_docs"]
     pruned = _pruned_postings(postings, all_terms, meta["n_buckets"])
-    df = pruned.groupBy("_term").agg(F.count(F.lit(1)).alias("_df"))
-    idf = F.log(
-        F.lit(1.0)
-        + (F.lit(float(meta["n_docs"])) - F.col("_df") + F.lit(0.5))
-        / (F.col("_df") + F.lit(0.5))
-    )
+    from photo_vector_search_spark.operators.bm25 import _scored_with_idf
+
     num = F.col("_tf") * F.lit(k1 + 1.0)
     den = F.col("_tf") + F.lit(k1) * (
         F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.lit(avgdl)
     )
-    scored = pruned.join(
-        F.broadcast(df.select("_term", idf.alias("_idf"))), "_term"
+    scored = _scored_with_idf(
+        pruned.select(id_col, "_term", "_tf", "_dl"), meta["n_docs"],
+        fold=True,
     ).select(id_col, "_term", (F.col("_idf") * num / den).alias("_s"))
     per_query = (
         scored.join(F.broadcast(qterms), "_term")
@@ -490,6 +489,69 @@ def bm25_store_batch_topk(
         per_query.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "bm25", "rank")
+    )
+
+
+def rm3_store_topk(
+    spark,
+    path: str,
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    fb_docs: int = 10,
+    fb_terms: int = 10,
+    alpha: float = 0.5,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """RM3 retrieval with BOTH postings passes served from the persisted
+    store (r13): feedback top-``fb_docs`` and the final weighted rescore
+    each read ≤ |terms| pruned term-bucket partitions of fixed-width
+    postings instead of tokenizing the corpus — the `bm25_store_topk`
+    discipline applied to the whole PRF loop. ``docs`` is touched only by
+    the fb-doc term-distribution explode, filtered to ``fb_docs`` ids
+    (parquet id pushdown, never corpus-sized). ≡ `bm25.rm3_topk` over the
+    indexed corpus value-for-value (pinned in tests); the store is loaded
+    ONCE for both stages."""
+    from photo_vector_search_spark.operators.bm25 import rm3_topk
+
+    postings, _doclens, meta = load_bm25_store(spark, path)
+    return rm3_topk(
+        docs, query, k=k, fb_docs=fb_docs, fb_terms=fb_terms, alpha=alpha,
+        k1=k1, b=b, id_col=meta["id_col"], text_col=meta["text_col"],
+        store=(postings, meta),
+    )
+
+
+def rm3_store_batch_topk(
+    spark,
+    path: str,
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    fb_docs: int = 10,
+    fb_terms: int = 10,
+    alpha: float = 0.5,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    query_id_col: str = "query_id",
+    query_col: str = "query",
+    max_queries: int = 4096,
+) -> DataFrame:
+    """Batched RM3 served from the persisted store (r13): stage-1 feedback
+    and stage-2 weighted rescore both read pruned postings buckets over the
+    union of the batch's terms — ZERO corpus tokenize passes (was two per
+    call); only the fb-doc distribution explode touches ``docs``, filtered
+    to ≤ Q·fb_docs ids. ≡ `bm25.rm3_batch_topk` (and therefore ≡ a loop of
+    `rm3_topk`) value-for-value, pinned in tests; store loaded ONCE."""
+    from photo_vector_search_spark.operators.bm25 import rm3_batch_topk
+
+    postings, _doclens, meta = load_bm25_store(spark, path)
+    return rm3_batch_topk(
+        docs, queries, k=k, fb_docs=fb_docs, fb_terms=fb_terms, alpha=alpha,
+        k1=k1, b=b, id_col=meta["id_col"], text_col=meta["text_col"],
+        query_id_col=query_id_col, query_col=query_col,
+        max_queries=max_queries, store=(postings, meta),
     )
 
 

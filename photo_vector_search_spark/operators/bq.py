@@ -385,9 +385,9 @@ def load_bq_store(spark, path: str) -> tuple[DataFrame, BQModel]:
     recover_store(path + ".bqmeta")
     store = spark.read.parquet(path)
     meta = {r["kind"]: r for r in spark.read.parquet(path + ".bqmeta").collect()}
-    store_build = {
-        r["build_id"] for r in store.select("build_id").distinct().collect()
-    }
+    from photo_vector_search_spark.operators.ann import _file_build_ids
+
+    store_build = _file_build_ids(path)  # footer stats, no store scan (r13)
     meta_build = {r["build_id"] for r in meta.values()}
     if not store_build or not meta_build:
         raise ValueError(

@@ -174,6 +174,7 @@ def hybrid_batch_search(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_queries: int = 4096,
+    bm25_store_path: str | None = None,
 ) -> DataFrame:
     """Batched hybrid retrieval: Q text queries share ONE embedding-side
     pass and ONE lexical-side pass — (query_id, id, rrf_score, rank), ≡ a
@@ -185,7 +186,13 @@ def hybrid_batch_search(
     `bm25.bm25_batch_topk` retrieves the lexical pool in one shared
     postings pass, and `rrf_fuse` merges per query. ``queries``:
     (query_id, query) text rows; duplicate ids rejected (the shared batch
-    contract)."""
+    contract).
+
+    ``bm25_store_path`` (r13): serve the lexical pool from the persisted
+    postings store (`bm25_store.bm25_store_batch_topk` — pruned term-bucket
+    scan, no corpus tokenize; the store must index ``docs`` under the same
+    ``id_col``/``text_col``). Rank lists — and therefore the fused result —
+    are identical either way (store parity pinned in tests)."""
     from pyspark.sql import types as T
 
     from photo_vector_search_spark.operators.bm25 import bm25_batch_topk
@@ -233,10 +240,19 @@ def hybrid_batch_search(
     vec_run = knn_batch_fast(embeddings, qvecs, k=c).select(
         "query_id", F.col("vec_id").alias(id_col), "rank"
     )
-    lex_run = bm25_batch_topk(
-        docs, queries, k=c, id_col=id_col, text_col=text_col,
-        max_queries=max_queries,
-    ).select("query_id", id_col, "rank")
+    if bm25_store_path is not None:
+        from photo_vector_search_spark.operators.bm25_store import (
+            bm25_store_batch_topk,
+        )
+
+        lex_run = bm25_store_batch_topk(
+            spark, bm25_store_path, queries, k=c, max_queries=max_queries
+        ).select("query_id", id_col, "rank")
+    else:
+        lex_run = bm25_batch_topk(
+            docs, queries, k=c, id_col=id_col, text_col=text_col,
+            max_queries=max_queries,
+        ).select("query_id", id_col, "rank")
     return rrf_fuse(
         [vec_run, lex_run],
         k=rrf_k,

@@ -63,7 +63,9 @@ def _read_side_table(spark, path: str) -> DataFrame | None:
 def _check_build(path: str, df: DataFrame | None, base_build: str, kind: str):
     if df is None:
         return
-    builds = {r["build_id"] for r in df.select("build_id").distinct().collect()}
+    from photo_vector_search_spark.operators.ann import _file_build_ids
+
+    builds = _file_build_ids(path)  # footer stats, no table scan (r13)
     if builds and builds != {base_build}:
         raise ValueError(
             f"{kind} at {path!r} is from build {sorted(builds)} but the base "

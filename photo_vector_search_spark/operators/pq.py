@@ -568,9 +568,9 @@ def load_ivfpq_store(
     store = spark.read.parquet(path)
     meta = spark.read.parquet(path + ".pqmeta").orderBy("kind", "i", "j").collect()
     meta_build = {r["build_id"] for r in meta}
-    store_build = {
-        r["build_id"] for r in store.select("build_id").distinct().collect()
-    }
+    from photo_vector_search_spark.operators.ann import _file_build_ids
+
+    store_build = _file_build_ids(path)  # footer stats, no store scan (r13)
     if not store_build or not meta_build:
         raise ValueError(
             f"IVF-PQ store at {path!r} is empty "

@@ -260,9 +260,9 @@ def load_sq8_store(spark, path: str) -> tuple[DataFrame, SQ8Model]:
     recover_store(path + ".sqmeta")
     store = spark.read.parquet(path)
     meta = {r["kind"]: r for r in spark.read.parquet(path + ".sqmeta").collect()}
-    store_build = {
-        r["build_id"] for r in store.select("build_id").distinct().collect()
-    }
+    from photo_vector_search_spark.operators.ann import _file_build_ids
+
+    store_build = _file_build_ids(path)  # footer stats, no store scan (r13)
     meta_build = {r["build_id"] for r in meta.values()}
     if not store_build or not meta_build:
         raise ValueError(
@@ -583,9 +583,9 @@ def load_ivf_sq8_store(spark, path: str) -> tuple[DataFrame, np.ndarray, SQ8Mode
         )
     store = spark.read.parquet(path)
     side = spark.read.parquet(path + ".ivfsqmeta").collect()
-    store_build = {
-        r["build_id"] for r in store.select("build_id").distinct().collect()
-    }
+    from photo_vector_search_spark.operators.ann import _file_build_ids
+
+    store_build = _file_build_ids(path)  # footer stats, no store scan (r13)
     meta_build = {r["build_id"] for r in side}
     if not store_build or not meta_build:
         raise ValueError(

@@ -128,3 +128,27 @@ def test_hybrid_batch_guards(spark, sf_correct):
             spark.createDataFrame([(1, "x")], "query_id long, query string"),
             k=5, pool=3,
         )
+
+
+def test_hybrid_batch_store_lexical_matches_corpus(spark, sf_correct, tmp_path):
+    """r13: hybrid_batch_search with the lexical pool served from the BM25
+    postings store ≡ the corpus-pass hybrid, row-for-row — the shape the
+    bench's hybrid_batch8 case now measures."""
+    from photo_vector_search_spark.operators.bm25_store import build_bm25_store
+    from photo_vector_search_spark.operators.fusion import hybrid_batch_search
+
+    docs = load_table(spark, sf_correct, "documents")
+    emb = load_table(spark, sf_correct, "embeddings")
+    path = str(tmp_path / "bm25_hybrid")
+    build_bm25_store(docs, path)
+    queries = spark.createDataFrame(
+        [(0, "the quick brown fox"), (1, "data quality language")],
+        "query_id long, query string",
+    )
+    got = hybrid_batch_search(
+        docs, emb, queries, k=6, pool=12, bm25_store_path=path
+    )
+    want = hybrid_batch_search(docs, emb, queries, k=6, pool=12)
+    assert sorted(tuple(r) for r in got.collect()) == sorted(
+        tuple(r) for r in want.collect()
+    )
