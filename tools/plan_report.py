@@ -968,8 +968,11 @@ def _extra_rm3_topk(spark, sf_dir):
 
 def _extra_bm25_store_search(spark, sf_dir):
     # the audited plan is the SERVING read: bucket-partition-pruned postings
-    # scan (≤ q directories, term row-group min/max) → df agg over the same
-    # pruned rows → broadcast idf join → TakeOrdered; no corpus tokenize
+    # scan (≤ q directories, term row-group min/max) with idf folded to
+    # constant literals (r13 — the df subtree and its broadcast join left
+    # the plan; df is collected from the pruned rows) → TakeOrdered; no
+    # corpus tokenize, and the torn-build check reads parquet footers, not
+    # rows
     from photo_vector_search_spark.operators.bm25_store import (
         bm25_store_topk,
         build_bm25_store,
@@ -1571,8 +1574,12 @@ NOTES = {
         "agg + TakeOrdered fb_terms, then weight(w) = a*P_orig + "
         "(1-a)*P_rm enters the weighted scorer as a codegen map literal — "
         "the audited plan here, the bm25_scores plan with one extra "
-        "multiply. Layered DuckDB/Python replay of the whole chain in "
-        "tests/test_rm3.py."
+        "multiply. r13: the serving rung (rm3_store_topk / "
+        "rm3_store_batch_topk, what the bench's rm3 cases measure) reads "
+        "BOTH postings passes from the pruned BM25 store — zero corpus "
+        "tokenize passes; values identical, pinned in "
+        "tests/test_bm25_store.py. Layered DuckDB/Python replay of the "
+        "whole chain in tests/test_rm3.py."
     ),
     "sample_weighted": (
         "NOTE: declared r11 query (Efraimidis-Spirakis A-ES weighted "
@@ -1616,11 +1623,14 @@ NOTES = {
         "is filtered to the QUERY's terms map-side BEFORE any shuffle, so "
         "the per-(doc, term) tf agg moves only matching postings; doc "
         "length rides with the exploded rows (no corpus join back); df is "
-        "a <=|query|-row agg broadcast-joined; the top-k is "
-        "TakeOrderedAndProject. The tf postings stage to parquet by "
-        "default (two consumers — df agg + scoring join — would otherwise "
-        "re-explode the corpus; this audit shows the pre-staging plan, the "
-        "unstaged-minhash rule). Full-formula DuckDB twin in "
+        "a <=|query|-row agg — folded into constant idf literals in the "
+        "staged/store modes (r13: no df subtree, no broadcast join in the "
+        "scoring plan; this stage=False audit keeps the classic join "
+        "shape, where the collect would re-run the corpus explode); the "
+        "top-k is TakeOrderedAndProject. The tf postings stage to parquet "
+        "by default (two consumers — df agg + scoring join — would "
+        "otherwise re-explode the corpus; this audit shows the pre-staging "
+        "plan, the unstaged-minhash rule). Full-formula DuckDB twin in "
         "tests/test_bm25.py."
     ),
     "c4_clean": (
